@@ -1,0 +1,385 @@
+package graft.table
+
+import scala.collection.immutable.ListMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.cdc.CdcOps
+
+/** Snapshot manifest: the complete file listing of one table version.
+  *
+  * Plays the role of Hudi's commit timeline (reference:
+  * hoodie commit metadata + `hoodie.cleaner.commits.retained`,
+  * processData.py:196-197): the newest `v{N}.json` under `_commits/` IS the
+  * current snapshot; a manifest file appearing (atomic tmp+rename) IS the
+  * commit. Readers never see partial writes because data files are written
+  * under a per-commit directory before the manifest referencing them exists.
+  *
+  * `partitions` maps a partition key string (`"col=value[/col2=value2]"`,
+  * values unescaped; `""` for unpartitioned tables) to the data files
+  * (basePath-relative) holding that partition's current rows.
+  */
+final case class Manifest(
+    version: Long,
+    schemaJson: String,
+    keyCols: Seq[String],
+    partitionCols: Seq[String],
+    precombineField: String,
+    partitions: Map[String, Seq[String]]) {
+  def schema: StructType =
+    org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[StructType]
+  def files: Seq[String] = partitions.valuesIterator.flatten.toSeq
+}
+
+/** A keyed, partitioned, mutable table over plain Parquet — the native
+  * re-implementation of the subset of Hudi copy-on-write semantics the
+  * reference relies on (SURVEY.md §2.4): bulk insert (K1), keyed upsert (K2),
+  * keyed delete (K3), cheap append for pure inserts (K4), commit
+  * timeline + retention cleaning (K8).
+  *
+  * Scale design:
+  *   - Copy-on-write rewrites ONLY partitions containing matched keys
+  *     (partition-scoped rewrite — SURVEY.md §4): incoming keys are grouped by
+  *     partition value, the current snapshot is read for just those
+  *     partitions, merged via a single shuffle (`left_anti` + union), and
+  *     written back. Untouched partitions keep their existing files.
+  *   - Data files RETAIN the partition columns (the hive-style directory
+  *     layout uses duplicated `__p_*` columns), so every file carries
+  *     min==max column statistics for its partition value — scans over an
+  *     explicit file list still get row-group-level partition pruning for
+  *     free, and no fragile directory-schema inference is needed at read.
+  *   - The merge anti-join shuffles both sides by the record key; small
+  *     incoming batches against large snapshots broadcast automatically via
+  *     AQE (threshold-based) — no driver-side collect of data ever happens
+  *     (only the distinct partition VALUES, which are bounded by partition
+  *     count, not row count).
+  *
+  * Concurrency: single writer assumed, as in the reference
+  * (`maxConcurrentRuns: 1`, lib/glue-stack.ts:49).
+  */
+final class CowTable(
+    val spark: SparkSession,
+    val basePath: String,
+    val keyCols: Seq[String],
+    val partitionCols: Seq[String] = Nil,
+    val precombineField: String = "",
+    val keepCommits: Int = 10) {
+
+  import CowTable._
+
+  private val hadoopConf: Configuration =
+    spark.sparkContext.hadoopConfiguration
+  private def fs: FileSystem = new Path(basePath).getFileSystem(hadoopConf)
+  private def commitsDir = new Path(basePath, "_commits")
+  private def commitDataDir(v: Long) = new Path(basePath, s"files/c$v")
+
+  /** Initial-vs-incremental branch driver — the reference's
+    * `isInitalLoad := NOT tableExists` catalog probe (processData.py:134-141).
+    */
+  def exists: Boolean = latestVersion.isDefined
+
+  def latestVersion: Option[Long] = {
+    if (!fs.exists(commitsDir)) return None
+    val vs = fs.listStatus(commitsDir).iterator.map(_.getPath.getName)
+      .collect { case ManifestName(n) => n.toLong }.toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  def manifest: Manifest = manifestAt(latestVersion.getOrElse(
+    throw new IllegalStateException(s"table does not exist at $basePath")))
+
+  def manifestAt(v: Long): Manifest = {
+    val p = new Path(commitsDir, s"v$v.json")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    parseManifest(txt)
+  }
+
+  /** Current snapshot as a DataFrame (Hudi snapshot query equivalent). */
+  def snapshot(): DataFrame = readFiles(manifest, manifest.files)
+
+  /** Snapshot restricted to the given manifest partition keys — the
+    * partition-pruned read used by upsert/delete merges.
+    */
+  def snapshotFor(m: Manifest, partKeys: Set[String]): DataFrame =
+    readFiles(m, partKeys.toSeq.sorted.flatMap(k =>
+      m.partitions.getOrElse(k, Nil)))
+
+  private def readFiles(m: Manifest, files: Seq[String]): DataFrame = {
+    val cols = m.schema.fieldNames.toIndexedSeq.map(col)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), m.schema)
+    else
+      spark.read.schema(addDirCols(m.schema))
+        .parquet(files.map(f => s"$basePath/$f"): _*)
+        .select(cols: _*)
+  }
+
+  // Reads pass an explicit schema that includes the duplicated __p_* dir
+  // columns so no footer-merging/inference pass is needed; the select above
+  // immediately prunes them back out.
+  private def addDirCols(schema: StructType): StructType = {
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    partitionCols.foldLeft(schema)((s, c) => s.add(dirCol(c), byName(c).dataType))
+  }
+
+  /** K1 — bulk insert: first write of a brand-new table
+    * (reference: processData.py:337-342, bulk_insert config :207-213).
+    */
+  def bulkInsert(df: DataFrame, parallelism: Int = 0): Unit = {
+    require(!exists, s"bulkInsert on existing table $basePath")
+    val files = writeCommit(df, 1L, parallelism)
+    writeManifest(Manifest(1L, df.schema.json, keyCols, partitionCols,
+      precombineField, files))
+  }
+
+  /** K4 fast path — append rows without merging (the `cdc_split_upsert`
+    * routing of pure inserts through the cheap insert path,
+    * reference: processData.py:348-358). No anti-join, no rewrite: new files
+    * are ADDED to each partition's listing.
+    */
+  def insertAppend(df: DataFrame, parallelism: Int = 0): Unit = {
+    val m = manifest
+    val incoming = align(df, m)
+    val v = m.version + 1
+    val newFiles = writeCommit(incoming, v, parallelism)
+    val merged = mergeListings(m.partitions, newFiles)
+    writeManifest(m.copy(version = v, partitions = merged))
+    clean()
+  }
+
+  /** K2 — keyed upsert (merge): each incoming row replaces the stored row
+    * with the same record key, inserting if absent; intra-batch same-key
+    * conflicts resolved by the precombine field (greatest wins)
+    * (reference: processData.py:368-374, upsert config :193-199,
+    * precombine :161).
+    */
+  def upsert(df: DataFrame, parallelism: Int = 0): Unit =
+    mergeCommit(df, parallelism) { (cur, incoming) =>
+      cur.join(incoming, keyCols, "left_anti").unionByName(incoming)
+    }
+
+  /** K3 — keyed delete: stored rows matching incoming record keys are
+    * removed (Hudi `EmptyHoodieRecordPayload` tombstone semantics,
+    * reference: processData.py:376-382, delete config :215-218).
+    */
+  def delete(df: DataFrame, parallelism: Int = 0): Unit =
+    mergeCommit(df, parallelism) { (cur, incoming) =>
+      cur.join(incoming.select(keyCols.map(col): _*), keyCols, "left_anti")
+    }
+
+  private def mergeCommit(df: DataFrame, parallelism: Int)(
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val m = manifest
+    val incoming0 = align(df, m)
+    val incoming = (if (precombineField.nonEmpty)
+      CdcOps.precombine(incoming0, keyCols, precombineField)
+    else incoming0).persist()
+    try {
+      val touched = touchedPartitionKeys(incoming)
+      val cur = snapshotFor(m, touched.intersect(m.partitions.keySet))
+      val merged = merge(cur, incoming)
+      val v = m.version + 1
+      val newFiles = writeCommit(merged, v, parallelism)
+      // Partitions whose merged result is empty (fully deleted) simply have
+      // no entry in newFiles and drop out of the snapshot.
+      writeManifest(m.copy(version = v,
+        partitions = m.partitions -- touched ++ newFiles))
+      clean()
+    } finally incoming.unpersist()
+  }
+
+  /** Align an incoming batch to the table schema: select exactly the table's
+    * columns (order-insensitive; extra columns rejected by Analyzer if
+    * referenced, missing columns raise).
+    */
+  private def align(df: DataFrame, m: Manifest): DataFrame =
+    df.select(m.schema.fieldNames.toIndexedSeq.map(col): _*)
+
+  /** Distinct partition values of the incoming batch, as manifest keys.
+    * Collects only partition VALUES (bounded by partition cardinality) —
+    * never data rows.
+    */
+  private def touchedPartitionKeys(incoming: DataFrame): Set[String] = {
+    if (partitionCols.isEmpty) return Set("")
+    incoming
+      .select(partitionCols.map(c => col(c).cast("string")).toIndexedSeq: _*)
+      .distinct().collect().iterator.map { r =>
+        partitionCols.zipWithIndex.map { case (c, i) =>
+          val v = if (r.isNullAt(i)) HiveDefaultPartition else r.getString(i)
+          s"$c=$v"
+        }.mkString("/")
+      }.toSet
+  }
+
+  /** Write one commit's data under `files/c{v}` and return the partition →
+    * relative-file listing. Partition columns are duplicated into `__p_*`
+    * columns for the hive-style directory layout so the data files keep the
+    * originals (see class doc).
+    */
+  private def writeCommit(
+      df: DataFrame, v: Long, parallelism: Int): Map[String, Seq[String]] = {
+    val dir = commitDataDir(v)
+    val dup = partitionCols.foldLeft(df)(
+      (d, c) => d.withColumn(dirCol(c), col(c)))
+    // Shuffle-parallelism knob from table config (reference:
+    // hoodie.*.shuffle.parallelism, processData.py:194,202,208). Partitioned
+    // writes co-locate rows of a partition value to minimize files per
+    // partition; AQE handles residual skew.
+    val shaped =
+      if (parallelism <= 0) dup
+      else if (partitionCols.nonEmpty)
+        dup.repartition(parallelism, partitionCols.map(col).toIndexedSeq: _*)
+      else dup.repartition(parallelism)
+    val w = shaped.write.mode("overwrite")
+    (if (partitionCols.nonEmpty)
+      w.partitionBy(partitionCols.map(dirCol).toIndexedSeq: _*)
+    else w).parquet(dir.toString)
+    listCommitFiles(dir)
+  }
+
+  /** Recursively list a commit dir's parquet files, keyed by partition. */
+  private def listCommitFiles(dir: Path): Map[String, Seq[String]] = {
+    val base = new Path(basePath)
+    val out = scala.collection.mutable.Map.empty[String, Vector[String]]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val relToCommit = relativize(dir, f)
+        val partKey = relToCommit.split('/').dropRight(1).iterator
+          .filter(_.startsWith(DirColPrefix))
+          .map { seg =>
+            val eq = seg.indexOf('=')
+            seg.substring(DirColPrefix.length, eq) + "=" +
+              unescapePathName(seg.substring(eq + 1))
+          }.mkString("/")
+        val relToBase = relativize(base, f)
+        out.update(partKey, out.getOrElse(partKey, Vector.empty) :+ relToBase)
+      }
+    }
+    out.toMap
+  }
+
+  private def relativize(base: Path, f: Path): String = {
+    val b = base.toUri.getPath.stripSuffix("/")
+    val p = f.toUri.getPath
+    require(p.startsWith(b + "/"), s"$f not under $base")
+    p.substring(b.length + 1)
+  }
+
+  private def mergeListings(
+      old: Map[String, Seq[String]],
+      add: Map[String, Seq[String]]): Map[String, Seq[String]] =
+    (old.keySet ++ add.keySet).iterator.map(k =>
+      k -> (old.getOrElse(k, Nil) ++ add.getOrElse(k, Nil))).toMap
+
+  /** Atomic publish: manifest written to a tmp name then renamed into place.
+    * (Consistency-check role of `hoodie.consistency.check.enabled`,
+    * reference: processData.py:164.)
+    */
+  private def writeManifest(m: Manifest): Unit = {
+    fs.mkdirs(commitsDir)
+    val tmp = new Path(commitsDir, s".v${m.version}.json.tmp")
+    val dst = new Path(commitsDir, s"v${m.version}.json")
+    val out = fs.create(tmp, true)
+    try out.write(renderManifest(m).getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"commit rename failed: $dst")
+  }
+
+  /** K8 — cleaner: keep the latest `keepCommits` manifests
+    * (reference: KEEP_LATEST_COMMITS, 10 retained, processData.py:196-197)
+    * and delete commit data dirs no retained manifest references.
+    */
+  def clean(): Unit = {
+    val versions = fs.listStatus(commitsDir).iterator.map(_.getPath.getName)
+      .collect { case ManifestName(n) => n.toLong }.toSeq.sorted
+    val retained = versions.takeRight(keepCommits)
+    val dropped = versions.dropRight(keepCommits)
+    dropped.foreach(v => fs.delete(new Path(commitsDir, s"v$v.json"), false))
+    if (dropped.nonEmpty) {
+      val live: Set[Long] = retained.flatMap(v => manifestAt(v).files).iterator
+        .map(_.split('/')(1).stripPrefix("c").toLong).toSet
+      val filesDir = new Path(basePath, "files")
+      if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("c") &&
+            name.drop(1).forall(_.isDigit) &&
+            !live.contains(name.drop(1).toLong))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+}
+
+object CowTable {
+  private val ManifestName = "v(\\d+)\\.json".r
+  val DirColPrefix = "__p_"
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  def dirCol(c: String): String = DirColPrefix + c
+
+  /** Inverse of Hive/Spark's partition-path escaping (%XX sequences). */
+  def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private[table] def renderManifest(m: Manifest): String = {
+    val parts = JObject(m.partitions.toSeq.sortBy(_._1).map {
+      case (k, fsq) => k -> JArray(fsq.toList.map(JString(_)))
+    }.toList)
+    JsonMethods.pretty(JsonMethods.render(JObject(List(
+      "version" -> JInt(m.version),
+      "schemaJson" -> JString(m.schemaJson),
+      "keyCols" -> JArray(m.keyCols.toList.map(JString(_))),
+      "partitionCols" -> JArray(m.partitionCols.toList.map(JString(_))),
+      "precombineField" -> JString(m.precombineField),
+      "partitions" -> parts))))
+  }
+
+  private[table] def parseManifest(txt: String): Manifest = {
+    val j = JsonMethods.parse(txt)
+    def strs(v: JValue): Seq[String] =
+      v match { case JArray(xs) => xs.collect { case JString(s) => s }
+                case _ => Nil }
+    Manifest(
+      version = (j \ "version") match {
+        case JInt(n) => n.toLong; case JLong(n) => n
+        case other => throw new IllegalArgumentException(s"bad version $other")
+      },
+      schemaJson = (j \ "schemaJson").asInstanceOf[JString].s,
+      keyCols = strs(j \ "keyCols"),
+      partitionCols = strs(j \ "partitionCols"),
+      precombineField = (j \ "precombineField") match {
+        case JString(s) => s; case _ => "" },
+      partitions = {
+        val fields = (j \ "partitions") match {
+          case JObject(fs) => fs.map { case (k, v) => k -> strs(v) }
+          case _ => Nil
+        }
+        ListMap(fields: _*)
+      })
+  }
+}

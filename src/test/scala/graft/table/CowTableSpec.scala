@@ -1,0 +1,145 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CowTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  def freshTable(partCols: Seq[String] = Seq("p")): CowTable =
+    new CowTable(spark, tmpDir("cow"), keyCols = Seq("id"),
+      partitionCols = partCols, precombineField = "v")
+
+  def rows(xs: (String, String, Double)*) =
+    xs.toDF("id", "p", "v")
+
+  test("bulkInsert then snapshot round-trips, partition cols intact") {
+    val t = freshTable()
+    assert(!t.exists)
+    t.bulkInsert(rows(("a", "p1", 1.0), ("b", "p2", 2.0)), 2)
+    assert(t.exists)
+    val snap = t.snapshot()
+    assert(snap.columns.toSeq == Seq("id", "p", "v"))
+    assert(snap.count() == 2)
+    assert(t.manifest.partitions.keySet == Set("p=p1", "p=p2"))
+  }
+
+  test("upsert replaces matched keys, inserts new, keeps others") {
+    val t = freshTable()
+    t.bulkInsert(rows(("a", "p1", 1.0), ("b", "p1", 2.0), ("c", "p2", 3.0)))
+    t.upsert(rows(("b", "p1", 20.0), ("d", "p1", 4.0)))
+    val got = t.snapshot().select("id", "v").as[(String, Double)]
+      .collect().toMap
+    assert(got == Map("a" -> 1.0, "b" -> 20.0, "c" -> 3.0, "d" -> 4.0))
+  }
+
+  test("upsert rewrites only touched partitions") {
+    val t = freshTable()
+    t.bulkInsert(rows(("a", "p1", 1.0), ("c", "p2", 3.0)))
+    val filesP2Before = t.manifest.partitions("p=p2")
+    t.upsert(rows(("a", "p1", 10.0)))
+    assert(t.manifest.partitions("p=p2") == filesP2Before,
+      "untouched partition must keep its files")
+    assert(t.manifest.version == 2)
+  }
+
+  test("upsert applies precombine within the batch") {
+    val t = freshTable()
+    t.bulkInsert(rows(("a", "p1", 1.0)))
+    t.upsert(rows(("a", "p1", 5.0), ("a", "p1", 9.0), ("a", "p1", 7.0)))
+    val got = t.snapshot().select("v").as[Double].collect().toSeq
+    assert(got == Seq(9.0))
+  }
+
+  test("delete removes matched keys; emptied partition disappears") {
+    val t = freshTable()
+    t.bulkInsert(rows(("a", "p1", 1.0), ("b", "p2", 2.0)))
+    t.delete(rows(("b", "p2", 2.0)))
+    assert(t.snapshot().select("id").as[String].collect().toSeq == Seq("a"))
+    assert(!t.manifest.partitions.contains("p=p2"))
+    // deleting a nonexistent key is a no-op
+    t.delete(rows(("zz", "p1", 0.0)))
+    assert(t.snapshot().count() == 1)
+  }
+
+  test("insertAppend adds files without merging") {
+    val t = freshTable()
+    t.bulkInsert(rows(("a", "p1", 1.0)))
+    t.insertAppend(rows(("b", "p1", 2.0)))
+    assert(t.snapshot().count() == 2)
+    assert(t.manifest.partitions("p=p1").size >= 2)
+  }
+
+  test("unpartitioned table works end to end") {
+    val t = new CowTable(spark, tmpDir("cow"), keyCols = Seq("id"))
+    t.bulkInsert(Seq(("a", 1.0), ("b", 2.0)).toDF("id", "v"))
+    t.upsert(Seq(("b", 20.0), ("c", 3.0)).toDF("id", "v"))
+    t.delete(Seq(("a", 0.0)).toDF("id", "v"))
+    val got = t.snapshot().select("id", "v").as[(String, Double)]
+      .collect().toMap
+    assert(got == Map("b" -> 20.0, "c" -> 3.0))
+    assert(t.manifest.partitions.keySet == Set(""))
+  }
+
+  test("composite keys merge on all columns") {
+    val t = new CowTable(spark, tmpDir("cow"), keyCols = Seq("id", "sub"))
+    t.bulkInsert(Seq(("a", "x", 1.0), ("a", "y", 2.0)).toDF("id", "sub", "v"))
+    t.upsert(Seq(("a", "x", 10.0)).toDF("id", "sub", "v"))
+    val got = t.snapshot().select("sub", "v").as[(String, Double)]
+      .collect().toMap
+    assert(got == Map("x" -> 10.0, "y" -> 2.0))
+  }
+
+  test("date-typed partition column round-trips through dir names") {
+    val df = Seq(
+      ("a", java.sql.Date.valueOf("2022-05-01"), 1.0),
+      ("b", java.sql.Date.valueOf("2022-05-02"), 2.0)
+    ).toDF("id", "d", "v")
+    val t = new CowTable(spark, tmpDir("cow"), keyCols = Seq("id"),
+      partitionCols = Seq("d"))
+    t.bulkInsert(df)
+    assert(t.manifest.partitions.keySet ==
+      Set("d=2022-05-01", "d=2022-05-02"))
+    t.upsert(Seq(("a", java.sql.Date.valueOf("2022-05-01"), 9.0))
+      .toDF("id", "d", "v"))
+    val got = t.snapshot().select("id", "v").as[(String, Double)]
+      .collect().toMap
+    assert(got == Map("a" -> 9.0, "b" -> 2.0))
+  }
+
+  test("string partition values with special chars round-trip") {
+    val t = freshTable()
+    t.bulkInsert(rows(("a", "x y:z", 1.0)))
+    assert(t.manifest.partitions.keySet == Set("p=x y:z"))
+    t.upsert(rows(("a", "x y:z", 2.0)))
+    assert(t.snapshot().select("v").as[Double].collect().toSeq == Seq(2.0))
+  }
+
+  test("cleaner retains keepCommits manifests and live data dirs") {
+    val t = new CowTable(spark, tmpDir("cow"), keyCols = Seq("id"),
+      partitionCols = Seq("p"), precombineField = "v", keepCommits = 3)
+    t.bulkInsert(rows(("a", "p1", 0.0)))
+    (1 to 6).foreach(i => t.upsert(rows(("a", "p1", i.toDouble))))
+    assert(t.manifest.version == 7)
+    assert(t.latestVersion.contains(7L))
+    // only 3 manifests retained
+    val commits = new java.io.File(s"${t.basePath}/_commits")
+      .list().count(_.matches("v\\d+\\.json"))
+    assert(commits == 3)
+    // snapshot still reads fine
+    assert(t.snapshot().select("v").as[Double].collect().toSeq == Seq(6.0))
+  }
+
+  test("manifest render/parse round-trip") {
+    val m = Manifest(3L, rows(("a", "p1", 1.0)).schema.json, Seq("id"),
+      Seq("p"), "v", Map("p=p1" -> Seq("files/c3/x.parquet"), "" -> Nil))
+    assert(CowTable.parseManifest(CowTable.renderManifest(m)) == m)
+  }
+
+  test("unescapePathName handles hive escapes") {
+    assert(CowTable.unescapePathName("2022-05-01 10%3A00%3A00") ==
+      "2022-05-01 10:00:00")
+    assert(CowTable.unescapePathName("plain") == "plain")
+    assert(CowTable.unescapePathName("a%2Fb") == "a/b")
+  }
+}
