@@ -1,0 +1,551 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.cdc.CdcOps
+import graft.functions.Hashing
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** The driver-facing query battery: one named query per implemented operator
+  * (SURVEY.md §2 reference parity + §7 north-star extensions), each paired
+  * with ANSI SQL the DuckDB oracle runs on the same parquet tables.
+  *
+  * Conventions for oracle equality:
+  *   - every computed column is aliased identically on both sides;
+  *   - integer results use 64-bit types on both sides;
+  *   - floating aggregates are rounded (4-6 digits) on both sides;
+  *   - hashes are the portable md5-based [[Hashing.hash60]];
+  *   - `events` plays the CDC-changelog role (`user_id` ≈ record key,
+  *     `ts` ≈ transaction order — FIXTURES.md §2).
+  */
+object QueryCatalog {
+
+  final case class Q(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      note: String = "")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as Long only
+    // under spark.sql.legacy.parquet.nanosAsLong (set by Verify/Bench/tests).
+    // Truncate to micros exactly like DuckDB's ns->us conversion so both
+    // engines see identical timestamps.
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  private val H = (e: String) => Hashing.hash60Sql(e)
+
+  // ---------------------------------------------------------------- ref ops
+
+  /** S1 — full scan (reference: processData.py:286-298). */
+  private val s1ScanEvents = Q(
+    (s, d) => t(s, d, "events"),
+    Some("SELECT event_id, ts, user_id, event_type, value, props FROM events"))
+
+  /** P1+P2 — column-name normalization + bookkeeping drop
+    * (reference: processData.py:307-308, :334).
+    */
+  private val p1p2Normalize = Q(
+    (s, d) => {
+      val raw = t(s, d, "events")
+      val upper = raw.toDF(raw.columns.map(_.toUpperCase).toIndexedSeq: _*)
+      CdcOps.lowercaseColumns(upper).drop("props")
+    },
+    Some("SELECT event_id, ts, user_id, event_type, value FROM events"))
+
+  /** P3 — equality filter, the `Op='I'` analog (reference: processData.py:350). */
+  private val p3FilterInserts = Q(
+    (s, d) => t(s, d, "events").filter(col("event_type") === "signup"),
+    Some("""SELECT event_id, ts, user_id, event_type, value, props
+           |FROM events WHERE event_type = 'signup'""".stripMargin))
+
+  /** P5 — inequality filter, the `Op!='D'` analog (reference: processData.py:365). */
+  private val p5FilterNonDeletes = Q(
+    (s, d) => t(s, d, "events").filter(col("event_type") =!= "error"),
+    Some("""SELECT event_id, ts, user_id, event_type, value, props
+           |FROM events WHERE event_type <> 'error'""".stripMargin))
+
+  /** P6 — the `Op='D'` analog (reference: processData.py:377). */
+  private val p6FilterDeletes = Q(
+    (s, d) => t(s, d, "events").filter(col("event_type") === "error"),
+    Some("""SELECT event_id, ts, user_id, event_type, value, props
+           |FROM events WHERE event_type = 'error'""".stripMargin))
+
+  /** W1 — latest-record-per-key dedup (reference: processData.py:316-331). */
+  private val w1LatestPerKey = Q(
+    (s, d) => CdcOps.latestPerKey(t(s, d, "events"), Seq("user_id"),
+        orderCol = "ts", tieBreak = Seq(col("event_id").desc))
+      .drop(CdcOps.SeqByPk),
+    Some("""SELECT event_id, ts, user_id, event_type, value, props FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events) WHERE rn = 1""".stripMargin))
+
+  /** Precombine — greatest-value-wins conflict resolution
+    * (reference: precombine field, processData.py:161).
+    */
+  private val precombineMax = Q(
+    (s, d) => CdcOps.precombine(t(s, d, "events"), Seq("user_id"), "value",
+        tieBreak = Seq(col("event_id").desc))
+      .select("user_id", "event_id", "value"),
+    Some("""SELECT user_id, event_id, value FROM (
+           |  SELECT user_id, event_id, value, row_number() OVER (
+           |    PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+           |  FROM events) WHERE rn = 1""".stripMargin))
+
+  /** K2 — upsert merge shape: stored-state anti-join incoming ∪ incoming
+    * (reference: processData.py:368-374; our CowTable.upsert).
+    */
+  private val k2UpsertMerge = Q(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      def latest(df: DataFrame) =
+        CdcOps.latestPerKey(df, Seq("user_id"), "ts",
+            Seq(col("event_id").desc))
+          .select("user_id", "event_id", "ts", "value")
+      val cur = latest(ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")))
+      val inc = latest(ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")))
+      cur.join(inc, Seq("user_id"), "left_anti").unionByName(inc)
+    },
+    Some("""WITH cur AS (
+           |  SELECT user_id, event_id, ts, value FROM (
+           |    SELECT user_id, event_id, ts, value, row_number() OVER (
+           |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |    FROM events WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1),
+           |inc AS (
+           |  SELECT user_id, event_id, ts, value FROM (
+           |    SELECT user_id, event_id, ts, value, row_number() OVER (
+           |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |    FROM events WHERE ts >= TIMESTAMP '2024-01-16') WHERE rn = 1)
+           |SELECT user_id, event_id, ts, value FROM cur
+           |WHERE NOT EXISTS (SELECT 1 FROM inc WHERE inc.user_id = cur.user_id)
+           |UNION ALL SELECT user_id, event_id, ts, value FROM inc""".stripMargin))
+
+  /** K3 — delete merge shape: anti-join on tombstone keys
+    * (reference: processData.py:376-382; our CowTable.delete).
+    */
+  private val k3DeleteMerge = Q(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val tombstones = ev.filter(col("event_type") === "error" &&
+          col("ts") >= lit("2024-01-30").cast("timestamp"))
+        .select("user_id").distinct()
+      ev.join(tombstones, Seq("user_id"), "left_anti")
+        .select("event_id", "ts", "user_id")
+    },
+    Some("""SELECT event_id, ts, user_id FROM events e
+           |WHERE NOT EXISTS (SELECT 1 FROM events d
+           |  WHERE d.event_type = 'error' AND d.ts >= TIMESTAMP '2024-01-30'
+           |  AND d.user_id = e.user_id)""".stripMargin))
+
+  /** M2 — count/introspection actions (reference: processData.py:303). */
+  private val m2Counts = Q(
+    (s, d) => t(s, d, "events").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("user_id")).as("n_users"),
+      min(col("event_id")).as("min_id"),
+      max(col("event_id")).as("max_id")),
+    Some("""SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+           |min(event_id) AS min_id, max(event_id) AS max_id FROM events"""
+      .stripMargin))
+
+  // ------------------------------------------------------------- analytics
+
+  /** TPC-H Q1-shaped pricing summary: the canonical wide aggregation. */
+  private val q1Agg = Q(
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  round(sum(l_quantity), 4) AS sum_qty,
+           |  round(sum(l_extendedprice), 4) AS sum_base_price,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           |  round(avg(l_quantity), 4) AS avg_qty,
+           |  round(avg(l_discount), 4) AS avg_disc,
+           |  count(*) AS count_order
+           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** TPC-H Q3-shaped top-k revenue orders (broadcastable dim filter). */
+  private val q3TopK = Q(
+    (s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_orderdate,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           |FROM customer, orders, lineitem
+           |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           |  AND l_orderkey = o_orderkey
+           |GROUP BY o_orderkey, o_orderdate
+           |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  /** TPC-H Q5-shaped regional revenue: the 6-table join (flagship). */
+  private val q5NationRevenue = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+    },
+    Some("""SELECT n_name,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           |FROM customer, orders, lineitem, supplier, nation, region
+           |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           |  AND r_name = 'ASIA'
+           |GROUP BY n_name""".stripMargin))
+
+  /** Left-semi join (EXISTS). */
+  private val semiJoinOrders = Q(
+    (s, d) => t(s, d, "orders")
+      .join(t(s, d, "lineitem").filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_orders")),
+    Some("""SELECT o_orderstatus, count(*) AS n_orders FROM orders
+           |WHERE EXISTS (SELECT 1 FROM lineitem
+           |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+           |GROUP BY o_orderstatus""".stripMargin))
+
+  /** Running-total window aggregation. */
+  private val windowRunningTotal = Q(
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(w), 4).as("running_total"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |  round(sum(o_totalprice) OVER (
+           |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           |    AS running_total
+           |FROM orders""".stripMargin))
+
+  /** ROLLUP grouping-sets aggregation. */
+  private val rollupRevenue = Q(
+    (s, d) => t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+      .stripMargin))
+
+  /** Tumbling-window (hourly) event aggregation — the batch shape of the
+    * streaming `window()` operator.
+    */
+  private val eventsHourly = Q(
+    (s, d) => t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("total_value")),
+    Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+           |  count(*) AS n_events, round(sum(value), 4) AS total_value
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
+  /** Gap-based sessionization (30-min inactivity) — the batch shape of
+    * streaming session windows.
+    */
+  private val sessionize = Q(
+    (s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val prev = lag(col("ts"), 1).over(wOrd)
+      val newSess = when(prev.isNull ||
+        (unix_millis(col("ts")) - unix_millis(prev)) > 1800000L, 1).otherwise(0)
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("ns", newSess)
+        .withColumn("session_seq", sum("ns").over(wRun))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("session_value"),
+          min("ts").as("start_ts"), max("ts").as("end_ts"))
+    },
+    Some("""WITH flagged AS (
+           |  SELECT user_id, event_id, ts, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+           |      THEN 1 ELSE 0 END AS ns
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sessions AS (
+           |  SELECT user_id, ts, value,
+           |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS session_seq
+           |  FROM flagged)
+           |SELECT user_id, session_seq, count(*) AS n_events,
+           |  round(sum(value), 4) AS session_value,
+           |  min(ts) AS start_ts, max(ts) AS end_ts
+           |FROM sessions GROUP BY user_id, session_seq""".stripMargin))
+
+  // ------------------------------------------------------------ text ops
+
+  private val dedupExact = Q(
+    (s, d) => TextOps.exactDedup(t(s, d, "documents")),
+    Some("""SELECT text, min(doc_id) AS doc_id, count(*) AS dup_count
+           |FROM documents GROUP BY text""".stripMargin))
+
+  private val textTokens = Q(
+    (s, d) => {
+      val df = TextOps.tokenStats(t(s, d, "documents"))
+      df.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_uniq_tokens").cast("long").as("n_uniq_tokens"))
+    },
+    Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+           |FROM documents""".stripMargin))
+
+  private val textQuality = Q(
+    (s, d) => {
+      val df = TextOps.qualityScore(t(s, d, "documents"))
+      df.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_stop").cast("long").as("n_stop"),
+        col("stop_ratio"), col("avg_token_len"))
+    },
+    Some {
+      val stops = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (SELECT doc_id, len(text) AS n_chars,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  len(list_filter(string_split(text, ' '),
+         |      t -> list_contains([$stops], t))) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_stop,
+         |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+         |  round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4)
+         |    AS avg_token_len
+         |FROM q""".stripMargin
+    })
+
+  private val langId = Q(
+    (s, d) => {
+      val df = TextOps.languageId(t(s, d, "documents"))
+      val longCounts = TextOps.LangMarkers.map { case (l, _) =>
+        col(s"c_$l").cast("long").as(s"c_$l") }
+      df.select(col("doc_id") +: col("lang_actual") +: longCounts :+
+        col("lang_pred"): _*)
+    },
+    Some {
+      val counts = TextOps.LangMarkers.map { case (l, ms) =>
+        val lits = ms.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), t -> list_contains([$lits], t))) AS c_$l"
+      }.mkString(",\n  ")
+      val names = TextOps.LangMarkers.map { case (l, _) => s"c_$l" }
+      val mx = s"greatest(${names.mkString(", ")})"
+      val cases = TextOps.LangMarkers.map { case (l, _) =>
+        s"WHEN c_$l = $mx THEN '$l'" }.mkString(" ")
+      s"""WITH s AS (SELECT doc_id, lang AS lang_actual,
+         |  $counts
+         |FROM documents)
+         |SELECT doc_id, lang_actual, ${names.mkString(", ")},
+         |  CASE $cases END AS lang_pred
+         |FROM s""".stripMargin
+    })
+
+  private val docFingerprint = Q(
+    (s, d) => TextOps.fingerprint(t(s, d, "documents")),
+    Some(s"SELECT doc_id, ${H("text")} AS fp FROM documents"))
+
+  private val simhash = Q(
+    (s, d) => TextOps.simhash16(t(s, d, "documents")),
+    Some {
+      val sums = (0 until 16).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n  ")
+      val bits = (0 until 16).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (SELECT doc_id, ${H("tok")} AS h FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |   FROM documents)),
+         |s AS (SELECT doc_id,
+         |  $sums
+         |FROM e GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 FROM s"""
+        .stripMargin
+    })
+
+  /** Shared shingle CTEs for the jaccard/minhash oracles. */
+  private val shingleCtes =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_transform(
+      |    generate_series(1, len(toks) - 2),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS s
+      |  FROM t),
+      |e AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh)"""
+      .stripMargin
+
+  private val ngramJaccardPairs = Q(
+    (s, d) => TextOps.ngramJaccardPairs(t(s, d, "documents"), 3, 8, 10),
+    Some(
+      s"""$shingleCtes,
+         |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, x.n AS na, y.n AS nb
+         |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |WHERE inter * 10 >= (x.n + y.n - inter) * 8""".stripMargin))
+
+  private def minhashSigSql: String = {
+    val mins = Hashing.MinhashA.zip(Hashing.MinhashB).zipWithIndex.map {
+      case ((a, b), i) => s"min(($a * hm + $b) % ${Hashing.P}) AS mh$i"
+    }.mkString(",\n  ")
+    s"""$shingleCtes,
+       |h AS (SELECT doc_id, (${H("shingle")} % ${Hashing.P}) AS hm FROM e),
+       |sig AS (SELECT doc_id,
+       |  $mins
+       |FROM h GROUP BY doc_id)""".stripMargin
+  }
+
+  private val minhashSignatures = Q(
+    (s, d) => TextOps.minhashSignatures(t(s, d, "documents"), 3),
+    Some(s"$minhashSigSql\nSELECT * FROM sig"))
+
+  private val minhashLshPairs = Q(
+    (s, d) => TextOps.minhashCandidatePairs(t(s, d, "documents"), 3, rows = 2),
+    Some {
+      val bands = (0 until 4).map(bnd =>
+        s"SELECT doc_id, $bnd AS band, mh${2 * bnd} AS h1, mh${2 * bnd + 1} AS h2 FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""$minhashSigSql,
+         |b AS ($bands)
+         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |FROM b a JOIN b b2 ON a.band = b2.band AND a.h1 = b2.h1
+         |  AND a.h2 = b2.h2 AND a.doc_id < b2.doc_id""".stripMargin
+    })
+
+  // ------------------------------------------------------------- sim ops
+
+  private val cosSql = (v: String, q: String) =>
+    s"round(list_dot_product($v, $q) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q))), 6)"
+
+  private val cosineTopK = Q(
+    (s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), 0L, 20),
+    Some(
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  ${cosSql("CAST(embedding AS DOUBLE[])", "qv")} AS sim
+         |FROM embeddings, q WHERE vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin))
+
+  private val signLshBuckets = Q(
+    (s, d) => Similarity.signBuckets(t(s, d, "embeddings"), 8),
+    Some {
+      val bits = (1 to 8).map(i =>
+        s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""SELECT vec_id, bucket,
+         |  count(*) OVER (PARTITION BY bucket) AS bucket_size
+         |FROM (SELECT vec_id, CAST($bits AS BIGINT) AS bucket
+         |      FROM embeddings)""".stripMargin
+    })
+
+  private val ivfAssign = Q(
+    (s, d) => Similarity.ivfAssign(t(s, d, "embeddings"), 16),
+    Some(
+      s"""WITH c AS (SELECT vec_id AS centroid_id,
+         |    CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |sc AS (SELECT e.vec_id, c.centroid_id,
+         |    ${cosSql("CAST(e.embedding AS DOUBLE[])", "cv")} AS sim
+         |  FROM embeddings e, c),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+         |  FROM sc)
+         |SELECT vec_id, centroid_id, sim FROM r WHERE rn = 1""".stripMargin))
+
+  /** Multimodal placeholder surface: byte-size metadata of an opaque payload
+    * column (real binary plumbing lives in graft.multimodal, tested in Scala;
+    * decode itself is stubbed — no codec libs in this environment).
+    */
+  private val multimodalBytes = Q(
+    (s, d) => t(s, d, "documents").select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes")),
+    Some("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents"))
+
+  // ---------------------------------------------------------------- export
+
+  val all: ListMap[String, Q] = ListMap(
+    "s1_scan_events" -> s1ScanEvents,
+    "p1_p2_normalize" -> p1p2Normalize,
+    "p3_filter_inserts" -> p3FilterInserts,
+    "p5_filter_nondeletes" -> p5FilterNonDeletes,
+    "p6_filter_deletes" -> p6FilterDeletes,
+    "w1_latest_per_key" -> w1LatestPerKey,
+    "precombine_max" -> precombineMax,
+    "k2_upsert_merge" -> k2UpsertMerge,
+    "k3_delete_merge" -> k3DeleteMerge,
+    "m2_counts" -> m2Counts,
+    "q1_agg" -> q1Agg,
+    "q3_topk" -> q3TopK,
+    "q5_nation_revenue" -> q5NationRevenue,
+    "semi_join_orders" -> semiJoinOrders,
+    "window_running_total" -> windowRunningTotal,
+    "rollup_revenue" -> rollupRevenue,
+    "events_hourly" -> eventsHourly,
+    "sessionize" -> sessionize,
+    "dedup_exact" -> dedupExact,
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "lang_id" -> langId,
+    "doc_fingerprint" -> docFingerprint,
+    "simhash" -> simhash,
+    "ngram_jaccard_pairs" -> ngramJaccardPairs,
+    "minhash_signatures" -> minhashSignatures,
+    "minhash_lsh_pairs" -> minhashLshPairs,
+    "cosine_topk" -> cosineTopK,
+    "sign_lsh_buckets" -> signLshBuckets,
+    "ivf_assign" -> ivfAssign,
+    "multimodal_bytes" -> multimodalBytes
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, q) => k -> q.fn }
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, Q(_, Some(sql), _)) => k -> sql }
+}

@@ -1,0 +1,101 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators (SURVEY.md §7 north-star set): exact
+  * cosine top-k as the correctness baseline, plus two sub-linear scale
+  * paths — sign-LSH bucketing and IVF (inverted-file) cell assignment.
+  *
+  * Vector math is done with higher-order array functions over
+  * `array<double>` (`zip_with` + ordered `aggregate` fold), entirely inside
+  * codegen — no UDFs, no driver-side loops. Results are bit-reproducible in
+  * engines that fold in array order, which the DuckDB oracle does.
+  *
+  * Scale notes: brute-force top-k against ONE query is a single scan
+  * (broadcast of the query vector). All-pairs similarity must go through
+  * [[signBuckets]] / [[ivfAssign]] so the join key (bucket/cell) bounds the
+  * candidate set; never cross-join the full corpus.
+  */
+object Similarity {
+
+  /** Element-wise cast to double — fix the arithmetic type BEFORE any fold
+    * so Spark and the oracle accumulate identically.
+    */
+  def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Ordered-fold dot product of two `array<double>` columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact cosine top-k of `embs` (`vec_id`, `embedding`) against the stored
+    * vector `queryId`. The single-row query side is broadcast; one scan of
+    * the corpus, one narrow top-k.
+    */
+  def cosineTopK(embs: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embs.filter(col("vec_id") === queryId)
+      .select(toDoubleVec(col("embedding")).as("qv"))
+    embs
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(toDoubleVec(col("embedding")), col("qv")), 6).as("sim"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Sign-LSH bucket code from the first `bits` coordinates: bit i set iff
+    * coordinate i is non-negative. Vectors sharing a bucket are ANN
+    * candidates; expected bucket population is corpus/2^bits.
+    */
+  def signBucket(emb: Column, bits: Int): Column =
+    (1 to bits).map(i =>
+      when(element_at(emb, i) >= 0, lit(1L << (i - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Per-vector bucket assignment plus bucket population counts. */
+  def signBuckets(embs: DataFrame, bits: Int): DataFrame =
+    embs.select(col("vec_id"), signBucket(col("embedding"), bits).as("bucket"))
+      .withColumn("bucket_size",
+        count(lit(1)).over(Window.partitionBy(col("bucket"))))
+
+  /** IVF cell assignment: the first `nCentroids` stored vectors act as the
+    * (deterministic) codebook; each vector is assigned to the centroid with
+    * maximal cosine (ties by centroid id). At scale the per-cell candidate
+    * lists replace full scans for query-time search.
+    */
+  def ivfAssign(embs: DataFrame, nCentroids: Int): DataFrame = {
+    val cents = embs.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"),
+        toDoubleVec(col("embedding")).as("cv"))
+    val scored = embs
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        round(cosine(toDoubleVec(col("embedding")), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold within sign-LSH
+    * buckets (the scalable variant of all-pairs cosine dedup).
+    */
+  def cosineNearDupPairs(
+      embs: DataFrame, bits: Int, threshold: Double): DataFrame = {
+    val b = embs.select(col("vec_id"),
+      signBucket(col("embedding"), bits).as("bucket"),
+      toDoubleVec(col("embedding")).as("v"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

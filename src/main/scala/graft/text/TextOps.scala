@@ -1,0 +1,179 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Text-analysis and deduplication operators for large-scale document
+  * pipelines (SURVEY.md §7 north-star set): tokenization, quality scoring,
+  * stopword-based language ID, document fingerprinting, exact dedup,
+  * n-gram-Jaccard near-dup pairing, MinHash signatures/LSH banding, SimHash.
+  *
+  * All operators are pure `functions._` compositions (higher-order array
+  * functions, no UDFs) so they stay inside WholeStageCodegen and their exact
+  * results are reproducible in the DuckDB oracle.
+  *
+  * Scale notes: everything is per-row except the near-dup joins, which
+  * shuffle by shingle/bucket hash — the standard LSH trick keeps candidate
+  * pairs ~linear in corpus size instead of the quadratic all-pairs join.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles from a token array (guarded for short docs). */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Language → marker stopwords, in deterministic priority order.
+    * A tiny n-gram-free heuristic language ID: argmax of marker hits.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "les", "des", "est"),
+    "zh" -> Seq("的", "是", "了", "在")
+  )
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def stopwordCount(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(stops), t)))
+
+  /** doc_id, n_tokens, n_uniq_tokens. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(col("doc_id"), size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_uniq_tokens"))
+  }
+
+  /** Quality metrics: token counts, stopword ratio, average token length.
+    * (length/punct/stopword-ratio family of quality filters.)
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs
+      .select(col("doc_id"), length(col("text")).as("n_chars"), t.as("toks"))
+      .select(col("doc_id"), col("n_chars"), size(col("toks")).as("n_tokens"),
+        stopwordCount(col("toks"), Stopwords).as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4)
+          .as("stop_ratio"),
+        round((col("n_chars") - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens"), 4).as("avg_token_len"))
+  }
+
+  /** Heuristic language ID: per-language marker-stopword hit counts plus the
+    * argmax prediction (ties resolved by [[LangMarkers]] order).
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id") +: col("lang").as("lang_actual") +:
+        LangMarkers.map { case (l, ms) => stopwordCount(t, ms).as(s"c_$l") }: _*)
+    val scores = LangMarkers.map { case (l, _) => col(s"c_$l") }
+    val mx = greatest(scores: _*)
+    // first language (declaration order) reaching the max score wins
+    val predicted = LangMarkers.foldRight(lit(null): Column) {
+      case ((l, _), els) => when(col(s"c_$l") === mx, lit(l)).otherwise(els)
+    }
+    scored.withColumn("lang_pred", predicted)
+  }
+
+  /** Document fingerprint: portable 60-bit content hash (exact-dup key). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), Hashing.hash60(col("text")).as("fp"))
+
+  /** Exact deduplication: one representative (min doc_id) per distinct text,
+    * with the duplicate count. A single hash-shuffle on the text.
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+
+  /** Exploded (doc_id, shingle) pairs, distinct per doc. */
+  def docShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(shingles(tokens(col("text")), n))).as("shingle"))
+
+  /** Near-duplicate pairs by word-n-gram Jaccard similarity >= num/den.
+    *
+    * Shuffle-by-shingle join produces only pairs sharing >= 1 shingle
+    * (the candidate set), then integer arithmetic decides the threshold:
+    * `inter * den >= num * (|A| + |B| - inter)` — no floating point, so the
+    * oracle comparison is exact.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
+    val e = docShingles(docs, n)
+    val sizes = e.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("n_shingles", "na"),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sizes.withColumnRenamed("n_shingles", "nb"),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
+  }
+
+  /** MinHash signatures: k portable universal hashes minimized over the
+    * doc's shingle set (k = [[Hashing.MinhashA]].length). Columns
+    * `doc_id, mh0..mh{k-1}`.
+    */
+  def minhashSignatures(docs: DataFrame, n: Int): DataFrame = {
+    val h = Hashing.hash60Mod(col("shingle"))
+    val e = docShingles(docs, n).select(col("doc_id"), h.as("h"))
+    val mins = Hashing.MinhashA.zip(Hashing.MinhashB).zipWithIndex.map {
+      case ((a, b), i) => min((lit(a) * col("h") + lit(b)) % Hashing.P).as(s"mh$i")
+    }
+    e.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: signatures banded `rows` hashes per band;
+    * docs sharing any full band land in the same bucket and become a
+    * candidate pair. Verification (exact Jaccard) is [[ngramJaccardPairs]]
+    * restricted to candidates — at scale this replaces the all-shingle join.
+    */
+  def minhashCandidatePairs(docs: DataFrame, n: Int, rows: Int): DataFrame = {
+    val sig = minhashSignatures(docs, n)
+    val k = Hashing.MinhashA.length
+    val bands = (0 until k / rows).map { bnd =>
+      struct(lit(bnd).as("band") +:
+        (0 until rows).map(r => col(s"mh${bnd * rows + r}").as(s"h$r")): _*)
+    }
+    val buckets = sig.select(col("doc_id"),
+      explode(array(bands: _*)).as("bucket"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash (16-bit, portable hash): per bit j, sign of the sum over tokens
+    * (with multiplicity) of +-1 according to bit j of the token hash.
+    */
+  def simhash16(docs: DataFrame): DataFrame = {
+    val e = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), Hashing.hash60(col("tok")).as("h"))
+    val bitSums = (0 until 16).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j"))
+    e.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash16"))
+  }
+}
