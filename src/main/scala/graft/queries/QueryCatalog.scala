@@ -417,17 +417,51 @@ object QueryCatalog {
       |e AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh)"""
       .stripMargin
 
+  /** Hashed-shingle CTEs shared by the jaccard/lsh oracles: `h` is the
+    * portable 60-bit shingle hash mod P, `sz` the per-doc shingle count.
+    */
+  private val hashedShingleCtes =
+    s"""$shingleCtes,
+       |d2 AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+       |x2 AS (SELECT doc_id, len(ds) AS n_sh, unnest(ds) AS shingle FROM d2),
+       |ew AS (SELECT doc_id, n_sh, (${H("shingle")} % ${Hashing.P}) AS hm
+       |  FROM x2)""".stripMargin
+
   private val ngramJaccardPairs = Q(
     (s, d) => TextOps.ngramJaccardPairs(t(s, d, "documents"), 3, 8, 10),
     Some(
-      s"""$shingleCtes,
-         |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, inter, x.n AS na, y.n AS nb
-         |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-         |WHERE inter * 10 >= (x.n + y.n - inter) * 8""".stripMargin))
+      s"""$hashedShingleCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+         |  FROM ew a JOIN ew b ON a.hm = b.hm AND a.doc_id < b.doc_id
+         |    AND a.n_sh * 10 >= b.n_sh * 8 AND b.n_sh * 10 >= a.n_sh * 8
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, inter, na, nb FROM p
+         |WHERE inter * 10 >= (na + nb - inter) * 8""".stripMargin))
+
+  /** The scale path: LSH band candidates + exact-Jaccard verification. */
+  private val nearDupLsh = Q(
+    (s, d) => TextOps.lshNearDupPairs(t(s, d, "documents"), 3, rows = 2,
+      num = 8, den = 10),
+    Some {
+      val bands = (0 until 4).map(bnd =>
+        s"SELECT doc_id, $bnd AS band, mh${2 * bnd} AS h1, mh${2 * bnd + 1} AS h2 FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""$minhashSigSql,
+         |b AS ($bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.h1 = b2.h1
+         |    AND a.h2 = b2.h2 AND a.doc_id < b2.doc_id),
+         |withsh AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |p AS (SELECT cand.doc_a, cand.doc_b,
+         |    len(list_intersect(a.ds, b.ds)) AS inter,
+         |    len(a.ds) AS na, len(b.ds) AS nb
+         |  FROM cand
+         |  JOIN withsh a ON cand.doc_a = a.doc_id
+         |  JOIN withsh b ON cand.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, inter, na, nb FROM p
+         |WHERE inter * 10 >= (na + nb - inter) * 8""".stripMargin
+    })
 
   private def minhashSigSql: String = {
     val mins = Hashing.MinhashA.zip(Hashing.MinhashB).zipWithIndex.map {
@@ -498,6 +532,24 @@ object QueryCatalog {
          |  FROM sc)
          |SELECT vec_id, centroid_id, sim FROM r WHERE rn = 1""".stripMargin))
 
+  /** Embedding near-dup pairs inside sign-LSH buckets (cosine >= 0.4,
+    * demo threshold — the synthetic corpus has no planted vector dups).
+    */
+  private val cosineNearDup = Q(
+    (s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"), 6, 0.4),
+    Some {
+      val bits = (1 to 6).map(i =>
+        s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    CAST($bits AS BIGINT) AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         |  ${cosSql("a.v", "b2.v")} AS sim
+         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE ${cosSql("a.v", "b2.v")} >= 0.4""".stripMargin
+    })
+
   /** Multimodal placeholder surface: byte-size metadata of an opaque payload
     * column (real binary plumbing lives in graft.multimodal, tested in Scala;
     * decode itself is stubbed — no codec libs in this environment).
@@ -537,7 +589,9 @@ object QueryCatalog {
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "minhash_signatures" -> minhashSignatures,
     "minhash_lsh_pairs" -> minhashLshPairs,
+    "near_dup_lsh" -> nearDupLsh,
     "cosine_topk" -> cosineTopK,
+    "cosine_near_dup" -> cosineNearDup,
     "sign_lsh_buckets" -> signLshBuckets,
     "ivf_assign" -> ivfAssign,
     "multimodal_bytes" -> multimodalBytes

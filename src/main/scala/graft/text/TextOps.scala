@@ -23,7 +23,13 @@ object TextOps {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles from a token array (guarded for short docs). */
+  /** Word n-gram shingles from a token array (guarded for short docs).
+    *
+    * IMPORTANT: pass a materialized COLUMN of tokens (project `tokens(...)`
+    * into its own select first), not an inline `split(...)` expression —
+    * Catalyst inlines the argument into every `element_at` inside the
+    * lambda, so an inline split would be re-evaluated ~3n times per row.
+    */
   def shingles(toks: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(toks) - (n - 1)),
@@ -74,10 +80,12 @@ object TextOps {
     * argmax prediction (ties resolved by [[LangMarkers]] order).
     */
   def languageId(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    val scored = docs.select(
-      col("doc_id") +: col("lang").as("lang_actual") +:
-        LangMarkers.map { case (l, ms) => stopwordCount(t, ms).as(s"c_$l") }: _*)
+    val scored = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id") +: col("lang").as("lang_actual") +:
+          LangMarkers.map { case (l, ms) =>
+            stopwordCount(col("toks"), ms).as(s"c_$l") }: _*)
     val scores = LangMarkers.map { case (l, _) => col(s"c_$l") }
     val mx = greatest(scores: _*)
     // first language (declaration order) reaching the max score wins
@@ -100,30 +108,73 @@ object TextOps {
 
   /** Exploded (doc_id, shingle) pairs, distinct per doc. */
   def docShingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
-      explode(array_distinct(shingles(tokens(col("text")), n))).as("shingle"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("toks"), n))).as("shingle"))
+
+  /** Exploded (doc_id, shingle-hash, doc-shingle-count) tuples: the shared
+    * input of the exact and LSH-verified near-dup joins. Joining on the
+    * 60-bit hash instead of the shingle STRING keeps the shuffle narrow.
+    */
+  private def hashedShingles(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(shingles(col("toks"), n)).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n_sh"),
+        Hashing.hash60Mod(col("shingle")).as("h"))
 
   /** Near-duplicate pairs by word-n-gram Jaccard similarity >= num/den.
     *
-    * Shuffle-by-shingle join produces only pairs sharing >= 1 shingle
-    * (the candidate set), then integer arithmetic decides the threshold:
-    * `inter * den >= num * (|A| + |B| - inter)` — no floating point, so the
-    * oracle comparison is exact.
+    * Shuffle-by-shingle-hash join produces only pairs sharing >= 1 shingle
+    * (the candidate set); a size-compatibility predicate prunes pairs BEFORE
+    * the count — J(A,B) <= min/max, so |A|,|B| must satisfy
+    * `den*min >= num*max` — this is exactness-preserving and cuts the
+    * quadratic pair blow-up. The final threshold uses integer arithmetic
+    * (`inter * den >= num * (|A| + |B| - inter)`) so the oracle comparison
+    * is exact, no floating point anywhere.
     */
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
-    val e = docShingles(docs, n)
-    val sizes = e.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val ew = hashedShingles(docs, n)
+    // shuffle-hash beats broadcast here (measured 2x): the build side is the
+    // same size as the probe side, so broadcasting buys nothing and costs a
+    // single-threaded driver build. Also the right strategy at cluster
+    // scale — the exploded shingle table of a 100 TB corpus is never
+    // broadcastable.
+    ew.as("a").hint("shuffle_hash").join(ew.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") * den >= col("b.n_sh") * num &&
+          col("b.n_sh") * den >= col("a.n_sh") * num)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("n_shingles", "na"),
-        col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sizes.withColumnRenamed("n_shingles", "nb"),
-        col("doc_b") === col("doc_id")).drop("doc_id")
+      .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
+      .select("doc_a", "doc_b", "inter", "na", "nb")
+  }
+
+  /** The at-scale near-dup pipeline: MinHash-LSH band candidates (linear in
+    * corpus size) verified by exact Jaccard computed ONLY for candidate
+    * pairs. Returns the same columns as [[ngramJaccardPairs]]; recall is
+    * bounded by the LSH banding, precision is exact.
+    */
+  def lshNearDupPairs(
+      docs: DataFrame, n: Int, rows: Int, num: Int, den: Int): DataFrame = {
+    val cand = minhashCandidatePairs(docs, n, rows)
+    // Verification joins the (small) candidate set back to whole shingle
+    // ARRAYS and intersects per pair — no second exploded-shingle shuffle.
+    val withSh = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(shingles(col("toks"), n)).as("sh"))
+    cand
+      .join(withSh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(withSh.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("inter"),
+        size(col("a.sh")).cast("long").as("na"),
+        size(col("b.sh")).cast("long").as("nb"))
       .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
   }
 
@@ -152,12 +203,19 @@ object TextOps {
       struct(lit(bnd).as("band") +:
         (0 until rows).map(r => col(s"mh${bnd * rows + r}").as(s"h$r")): _*)
     }
-    val buckets = sig.select(col("doc_id"),
-      explode(array(bands: _*)).as("bucket"))
-    buckets.as("a").join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // One signature pass: group doc ids per bucket, emit pairs with a
+    // higher-order-function expansion (bucket populations are small by LSH
+    // construction, so the per-bucket pair array is bounded).
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bucket"))
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |    y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
