@@ -1,0 +1,65 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("dot and cosine on known vectors") {
+    val d = Seq((1L, Seq(1.0f, 2.0f, 2.0f)), (2L, Seq(2.0f, 4.0f, 4.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = d.filter($"vec_id" === 1).select(
+      Similarity.toDoubleVec(col("embedding")).as("qv"))
+    val sims = d.crossJoin(q).select(col("vec_id"),
+      Similarity.cosine(Similarity.toDoubleVec(col("embedding")), col("qv"))
+        .as("sim")).as[(Long, Double)].collect().toMap
+    assert(math.abs(sims(1L) - 1.0) < 1e-12)
+    assert(math.abs(sims(2L) - 1.0) < 1e-12, "colinear => cosine 1")
+    assert(math.abs(sims(3L) - (-1.0 / 3.0)) < 1e-12)
+  }
+
+  test("cosineTopK matches a naive in-test computation") {
+    val rows = embs.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect()
+    val q = rows.find(_._1 == 0L).get._2.map(_.toDouble)
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = rows.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(v.map(_.toDouble), q))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    val got = Similarity.cosineTopK(embs, 0L, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("signBucket splits corpus into expected code space") {
+    val got = Similarity.signBuckets(embs, 8)
+    assert(got.count() == embs.count())
+    val buckets = got.select("bucket").as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 256))
+    assert(buckets.distinct.length > 10, "64-dim random vecs spread buckets")
+  }
+
+  test("ivfAssign: centroids assign to themselves with sim 1") {
+    val own = Similarity.ivfAssign(embs, 16)
+      .filter($"vec_id" < 16)
+      .select("vec_id", "centroid_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    assert(own.length == 16)
+    own.foreach { case (v, c, s) => assert(v == c && s == 1.0) }
+  }
+
+  test("cosineNearDupPairs returns only in-bucket pairs above threshold") {
+    val pairs = Similarity.cosineNearDupPairs(embs, 6, 0.4)
+      .as[(Long, Long, Double)].collect()
+    pairs.foreach { case (a, b, s) => assert(a < b && s >= 0.4) }
+  }
+}

@@ -1,0 +1,97 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("shingles: counts, content, short-doc guard") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
+    val got = df.as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L) == Nil)
+  }
+
+  test("exactDedup finds planted duplicates") {
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val got = TextOps.exactDedup(d)
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("ngramJaccardPairs detects a planted near-duplicate only") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = ((1 to 39).map(i => s"w$i") :+ "CHANGED").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.ngramJaccardPairs(d, 3, 8, 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("lshNearDupPairs candidates contain every exact near-dup (recall)") {
+    // On the real corpus: LSH-verified pairs must be a subset of the exact
+    // pairs (precision exact) and here happen to achieve full recall.
+    val exact = TextOps.ngramJaccardPairs(docs, 3, 8, 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = TextOps.lshNearDupPairs(docs, 3, 2, 8, 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact, "banding (4 bands x 2 rows) should catch all " +
+      s"J>=0.8 pairs here; missed ${exact -- lsh}")
+  }
+
+  test("minhash signature similarity approximates jaccard for identical docs") {
+    val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val sigs = TextOps.minhashSignatures(d, 3).collect()
+    val Array(r1, r2) = sigs.sortBy(_.getLong(0))
+    (1 to 8).foreach(i => assert(r1.getLong(i) == r2.getLong(i)))
+  }
+
+  test("simhash: identical docs equal, disjoint docs differ") {
+    val d = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "zz yy xx ww vv uu"))
+      .toDF("doc_id", "text")
+    val got = TextOps.simhash16(d).as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+    assert(got.values.forall(v => v >= 0 && v < (1 << 16)))
+  }
+
+  test("languageId predicts by marker stopwords with priority ties") {
+    val d = Seq(
+      (1L, "the cat and the dog", "en"),
+      (2L, "el gato de la casa", "es"),
+      (3L, "neutral words only", "zh") // all scores 0 -> first lang wins
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.languageId(d)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "en")
+  }
+
+  test("qualityScore metrics are consistent") {
+    val d = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val r = TextOps.qualityScore(d).collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(r.getAs[Int]("n_stop") == 1)
+    assert(math.abs(r.getAs[Double]("stop_ratio") - 0.3333) < 1e-9)
+    assert(math.abs(r.getAs[Double]("avg_token_len") - 3.0) < 1e-9)
+  }
+
+  test("fingerprint is deterministic and collision-free on distinct texts") {
+    val fps = TextOps.fingerprint(docs).select("fp").as[Long].collect()
+    assert(fps.distinct.length == fps.length)
+    val again = TextOps.fingerprint(docs).select("fp").as[Long].collect()
+    assert(fps.toSeq == again.toSeq)
+  }
+}
