@@ -21,13 +21,18 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Element-wise cast to double — fix the arithmetic type BEFORE any fold
-    * so Spark and the oracle accumulate identically.
+    * so Spark and the oracle accumulate identically. Uses Cast (codegen'd),
+    * not a `transform` lambda (interpreted).
     */
-  def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
+  def toDoubleVec(v: Column): Column = v.cast("array<double>")
 
-  /** Ordered-fold dot product of two `array<double>` columns. */
+  /** Dot product via the codegen'd [[graft.functions.VectorDot]] expression:
+    * same ascending-index double fold as the built-in
+    * `aggregate(zip_with(...))` formulation (bit-identical results), minus
+    * the interpreted higher-order-function overhead.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (s, x) => s + x)
+    graft.functions.VectorExpressions.vec_dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

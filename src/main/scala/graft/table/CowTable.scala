@@ -70,9 +70,22 @@ final class CowTable(
     val keyCols: Seq[String],
     val partitionCols: Seq[String] = Nil,
     val precombineField: String = "",
-    val keepCommits: Int = 10) {
+    val keepCommits: Int = 10,
+    val numBuckets: Int = 0) {
 
   import CowTable._
+
+  /** Key-hash bucket expression (numBuckets > 0): Hudi-file-group-style
+    * sub-partitioning. Records hash-route to a stable bucket, so a merge
+    * rewrites only the buckets that contain matched keys — at 100 TB the
+    * rewrite unit drops from whole partitions to partition/numBuckets.
+    */
+  private def bucketExpr: org.apache.spark.sql.Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong))
+
+  private def dirColsAll: Seq[String] =
+    partitionCols.map(dirCol) ++
+      (if (numBuckets > 0) Seq(dirCol(BucketCol)) else Nil)
 
   private val hadoopConf: Configuration =
     spark.sparkContext.hadoopConfiguration
@@ -162,6 +175,11 @@ final class CowTable(
     * conflicts resolved by the precombine field (greatest wins)
     * (reference: processData.py:368-374, upsert config :193-199,
     * precombine :161).
+    *
+    * Index semantics are Hudi's DEFAULT (non-global) index, as the reference
+    * uses it: record identity is (record key, partition value) — an update
+    * arriving with a different partition value creates a new row in that
+    * partition rather than moving the old one.
     */
   def upsert(df: DataFrame, parallelism: Int = 0): Unit =
     mergeCommit(df, parallelism) { (cur, incoming) =>
@@ -210,14 +228,19 @@ final class CowTable(
     * never data rows.
     */
   private def touchedPartitionKeys(incoming: DataFrame): Set[String] = {
-    if (partitionCols.isEmpty) return Set("")
-    incoming
-      .select(partitionCols.map(c => col(c).cast("string")).toIndexedSeq: _*)
-      .distinct().collect().iterator.map { r =>
-        partitionCols.zipWithIndex.map { case (c, i) =>
+    if (partitionCols.isEmpty && numBuckets == 0) return Set("")
+    val sel = partitionCols.map(c => col(c).cast("string")) ++
+      (if (numBuckets > 0) Seq(bucketExpr.cast("string")) else Nil)
+    incoming.select(sel.toIndexedSeq: _*).distinct().collect().iterator
+      .map { r =>
+        val parts = partitionCols.zipWithIndex.map { case (c, i) =>
           val v = if (r.isNullAt(i)) HiveDefaultPartition else r.getString(i)
           s"$c=$v"
-        }.mkString("/")
+        }
+        val bucket =
+          if (numBuckets > 0) Seq(s"$BucketCol=${r.getString(partitionCols.length)}")
+          else Nil
+        (parts ++ bucket).mkString("/")
       }.toSet
   }
 
@@ -229,20 +252,23 @@ final class CowTable(
   private def writeCommit(
       df: DataFrame, v: Long, parallelism: Int): Map[String, Seq[String]] = {
     val dir = commitDataDir(v)
-    val dup = partitionCols.foldLeft(df)(
+    val dup0 = partitionCols.foldLeft(df)(
       (d, c) => d.withColumn(dirCol(c), col(c)))
+    val dup =
+      if (numBuckets > 0) dup0.withColumn(dirCol(BucketCol), bucketExpr)
+      else dup0
     // Shuffle-parallelism knob from table config (reference:
     // hoodie.*.shuffle.parallelism, processData.py:194,202,208). Partitioned
-    // writes co-locate rows of a partition value to minimize files per
-    // partition; AQE handles residual skew.
+    // or bucketed writes co-locate rows of one rewrite unit to minimize
+    // files per unit; AQE handles residual skew.
+    val unitCols = dirColsAll.map(col)
     val shaped =
       if (parallelism <= 0) dup
-      else if (partitionCols.nonEmpty)
-        dup.repartition(parallelism, partitionCols.map(col).toIndexedSeq: _*)
+      else if (unitCols.nonEmpty)
+        dup.repartition(parallelism, unitCols.toIndexedSeq: _*)
       else dup.repartition(parallelism)
     val w = shaped.write.mode("overwrite")
-    (if (partitionCols.nonEmpty)
-      w.partitionBy(partitionCols.map(dirCol).toIndexedSeq: _*)
+    (if (dirColsAll.nonEmpty) w.partitionBy(dirColsAll.toIndexedSeq: _*)
     else w).parquet(dir.toString)
     listCommitFiles(dir)
   }
@@ -325,6 +351,7 @@ final class CowTable(
 object CowTable {
   private val ManifestName = "v(\\d+)\\.json".r
   val DirColPrefix = "__p_"
+  val BucketCol = "__bucket"
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
   def dirCol(c: String): String = DirColPrefix + c

@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorDotSpec extends SparkSpec {
+  import spark.implicits._
+  import VectorExpressions.vec_dot
+
+  test("float arrays: widened per-element, double accumulation") {
+    val df = Seq((Seq(1.5f, 2.0f, -3.0f), Seq(2.0f, 0.5f, 1.0f)))
+      .toDF("a", "b")
+    val got = df.select(vec_dot(col("a"), col("b"))).as[Double].collect()(0)
+    assert(got == 1.5 * 2.0 + 2.0 * 0.5 + (-3.0) * 1.0)
+  }
+
+  test("double arrays and matching built-in formulation bit-for-bit") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val native = df.select(vec_dot(col("v"), col("v")).as("d"))
+      .as[Double].collect()
+    val builtin = df.select(
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0d), (s, x) => s + x).as("d")).as[Double].collect()
+    assert(native.toSeq == builtin.toSeq, "must be bit-identical")
+  }
+
+  test("null array yields null; interpreted path agrees with codegen") {
+    val df = Seq((Some(Seq(1.0, 2.0)), None: Option[Seq[Double]]))
+      .toDF("a", "b")
+    val got = df.select(vec_dot(col("a"), col("b"))).collect()(0)
+    assert(got.isNullAt(0))
+    // interpreted: evaluate via the expression directly
+    val e = VectorDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0f, 2.0f).toArray, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, false)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(3.0f, 4.0f).toArray, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, false)))
+    assert(e.eval(null) == 11.0)
+  }
+
+  test("mismatched element types are rejected at analysis") {
+    val df = Seq((Seq(1.0f), Seq(1.0))).toDF("a", "b")
+    intercept[Exception] {
+      df.select(vec_dot(col("a"), col("b"))).collect()
+    }
+  }
+}

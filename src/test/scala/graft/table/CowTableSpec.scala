@@ -130,6 +130,42 @@ class CowTableSpec extends SparkSpec {
     assert(t.snapshot().select("v").as[Double].collect().toSeq == Seq(6.0))
   }
 
+  test("bucketed table: upsert rewrites only touched buckets") {
+    val t = new CowTable(spark, tmpDir("cow"), keyCols = Seq("id"),
+      partitionCols = Seq("p"), precombineField = "v", numBuckets = 8)
+    val many = (1 to 200).map(i => (s"k$i", "p1", i.toDouble))
+    t.bulkInsert(many.toDF("id", "p", "v"))
+    val m1 = t.manifest
+    assert(m1.partitions.keySet.forall(_.matches("p=p1/__bucket=\\d+")))
+    assert(m1.partitions.size > 1, "keys should spread across buckets")
+    // upsert ONE key -> exactly one bucket rewritten
+    t.upsert(Seq(("k42", "p1", 999.0)).toDF("id", "p", "v"))
+    val m2 = t.manifest
+    val changed = m2.partitions.filter { case (k, files) =>
+      m1.partitions.get(k) != Some(files) }
+    assert(changed.size == 1, s"expected 1 rewritten bucket, got $changed")
+    // correctness identical to unbucketed semantics
+    val got = t.snapshot().filter($"id" === "k42").select("v")
+      .as[Double].collect().toSeq
+    assert(got == Seq(999.0))
+    assert(t.snapshot().count() == 200)
+    // delete routes to the right bucket too
+    t.delete(Seq(("k42", "p1", 0.0)).toDF("id", "p", "v"))
+    assert(t.snapshot().count() == 199)
+  }
+
+  test("bucketed unpartitioned table works") {
+    val t = new CowTable(spark, tmpDir("cow"), keyCols = Seq("id"),
+      numBuckets = 4)
+    t.bulkInsert((1 to 50).map(i => (s"k$i", i.toDouble)).toDF("id", "v"))
+    assert(t.manifest.partitions.keySet.forall(_.matches("__bucket=\\d+")))
+    t.upsert(Seq(("k7", 70.0)).toDF("id", "v"))
+    val got = t.snapshot().filter($"id" === "k7").select("v")
+      .as[Double].collect().toSeq
+    assert(got == Seq(70.0))
+    assert(t.snapshot().count() == 50)
+  }
+
   test("manifest render/parse round-trip") {
     val m = Manifest(3L, rows(("a", "p1", 1.0)).schema.json, Seq("id"),
       Seq("p"), "v", Map("p=p1" -> Seq("files/c3/x.parquet"), "" -> Nil))
