@@ -57,6 +57,28 @@ object CdcOps {
     df.withColumn(SeqByPk, row_number().over(w)).filter(col(SeqByPk) === 1)
   }
 
+  /** W1 via the SQL entry point, exactly as the reference issues it: register
+    * the batch as temp view `inputStgDf_T` and run the dynamically-spliced
+    * ROW_NUMBER query through parse/analyze/optimize
+    * (reference: processData.py:317-327; SQL text :319-326). Semantically
+    * identical to [[latestPerKey]] — kept for SQL-frontend fidelity and for
+    * users who extend via SQL.
+    */
+  def latestPerKeySql(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String = "transaction_id"): DataFrame = {
+    df.createOrReplaceTempView("inputStgDf_T")
+    val pkList = keyCols.mkString(", ")
+    spark.sql(
+      s"""SELECT * FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY $pkList ORDER BY $orderCol DESC) AS $SeqByPk
+         |  FROM inputStgDf_T) ranked
+         |WHERE $SeqByPk = 1""".stripMargin)
+  }
+
   /** Hudi precombine semantics: among same-key rows within one batch, the row
     * with the greatest `precombineCol` value wins
     * (reference: hoodie.datasource.write.precombine.field, processData.py:161).

@@ -119,6 +119,26 @@ final class CowTable(
   /** Current snapshot as a DataFrame (Hudi snapshot query equivalent). */
   def snapshot(): DataFrame = readFiles(manifest, manifest.files)
 
+  /** Time travel: the table exactly as of `version` (any retained commit —
+    * Hudi's "as.of.instant" queries; retention bounds how far back).
+    */
+  def snapshotAt(version: Long): DataFrame = {
+    val m = manifestAt(version)
+    readFiles(m, m.files)
+  }
+
+  /** Incremental query: rows in files ADDED after `sinceVersion` (Hudi
+    * incremental-query shape at file granularity). Copy-on-write rewrites
+    * whole units, so this returns every row of each touched unit — a
+    * superset of the changed rows that downstream consumers de-dup by key,
+    * without scanning untouched data.
+    */
+  def changesSince(sinceVersion: Long): DataFrame = {
+    val cur = manifest
+    val before = manifestAt(sinceVersion).files.toSet
+    readFiles(cur, cur.files.filterNot(before))
+  }
+
   /** Snapshot restricted to the given manifest partition keys — the
     * partition-pruned read used by upsert/delete merges.
     */
@@ -162,11 +182,13 @@ final class CowTable(
     */
   def insertAppend(df: DataFrame, parallelism: Int = 0): Unit = {
     val m = manifest
-    val incoming = align(df, m)
+    val evolved = evolveSchema(m.schema, df.schema)
+    val incoming = pad(df, evolved)
     val v = m.version + 1
     val newFiles = writeCommit(incoming, v, parallelism)
     val merged = mergeListings(m.partitions, newFiles)
-    writeManifest(m.copy(version = v, partitions = merged))
+    writeManifest(m.copy(version = v, schemaJson = evolved.json,
+      partitions = merged))
     clean()
   }
 
@@ -198,30 +220,45 @@ final class CowTable(
   private def mergeCommit(df: DataFrame, parallelism: Int)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val m = manifest
-    val incoming0 = align(df, m)
+    val evolved = evolveSchema(m.schema, df.schema)
+    val incoming0 = pad(df, evolved)
     val incoming = (if (precombineField.nonEmpty)
       CdcOps.precombine(incoming0, keyCols, precombineField)
     else incoming0).persist()
     try {
       val touched = touchedPartitionKeys(incoming)
-      val cur = snapshotFor(m, touched.intersect(m.partitions.keySet))
+      val cur = pad(snapshotFor(m, touched.intersect(m.partitions.keySet)),
+        evolved)
       val merged = merge(cur, incoming)
       val v = m.version + 1
       val newFiles = writeCommit(merged, v, parallelism)
       // Partitions whose merged result is empty (fully deleted) simply have
       // no entry in newFiles and drop out of the snapshot.
-      writeManifest(m.copy(version = v,
+      writeManifest(m.copy(version = v, schemaJson = evolved.json,
         partitions = m.partitions -- touched ++ newFiles))
       clean()
     } finally incoming.unpersist()
   }
 
-  /** Align an incoming batch to the table schema: select exactly the table's
-    * columns (order-insensitive; extra columns rejected by Analyzer if
-    * referenced, missing columns raise).
+  /** Additive schema evolution (Hudi-style): columns new in the batch are
+    * APPENDED to the table schema; stored rows read back as null for them.
+    * Existing columns keep their stored type (incoming values are cast).
     */
-  private def align(df: DataFrame, m: Manifest): DataFrame =
-    df.select(m.schema.fieldNames.toIndexedSeq.map(col): _*)
+  private def evolveSchema(cur: StructType, in: StructType): StructType = {
+    val known = cur.fieldNames.toSet
+    StructType(cur.fields ++ in.fields.filterNot(f => known(f.name)))
+  }
+
+  /** Conform a frame to the target schema: order columns, cast to stored
+    * types, null-fill columns the frame lacks (absent payload columns in
+    * delete batches; newly evolved columns in old snapshots).
+    */
+  private def pad(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.toIndexedSeq.map(f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+  }
 
   /** Distinct partition values of the incoming batch, as manifest keys.
     * Collects only partition VALUES (bounded by partition cardinality) —

@@ -50,6 +50,21 @@ class CdcOpsSpec extends SparkSpec {
     assert(got == Set("C", "B"))
   }
 
+  test("W1 SQL entry point is equivalent to the DataFrame form") {
+    val df = CdcOps.lowercaseColumns(cdc)
+    val viaSql = CdcOps.latestPerKeySql(spark, df, Seq("id"))
+      .select("id", "op").as[(String, String)].collect().toMap
+    val viaDf = CdcOps.latestPerKey(df, Seq("id"))
+      .select("id", "op").as[(String, String)].collect().toMap
+    assert(viaSql == viaDf)
+    // composite key splicing
+    val comp = Seq(("k1", "x", "A", "1"), ("k1", "x", "B", "2"))
+      .toDF("id", "sub", "payload", "transaction_id")
+    val got = CdcOps.latestPerKeySql(spark, comp, Seq("id", "sub"))
+      .select("payload").as[String].collect().toSeq
+    assert(got == Seq("B"))
+  }
+
   test("precombine keeps greatest value per key (decimal-safe)") {
     val df = Seq(
       ("k1", BigDecimal("10.05")), ("k1", BigDecimal("10.50")),

@@ -166,6 +166,41 @@ class CowTableSpec extends SparkSpec {
     assert(t.snapshot().count() == 50)
   }
 
+  test("time travel: snapshotAt returns historical versions") {
+    val t = freshTable()
+    t.bulkInsert(rows(("a", "p1", 1.0)))
+    t.upsert(rows(("a", "p1", 2.0)))
+    t.upsert(rows(("b", "p1", 3.0)))
+    assert(t.snapshotAt(1).select("v").as[Double].collect().toSeq == Seq(1.0))
+    assert(t.snapshotAt(2).select("v").as[Double].collect().toSeq == Seq(2.0))
+    assert(t.snapshotAt(3).count() == 2)
+  }
+
+  test("incremental query: changesSince returns only rewritten units") {
+    val t = freshTable()
+    t.bulkInsert(rows(("a", "p1", 1.0), ("b", "p2", 2.0)))
+    t.upsert(rows(("a", "p1", 10.0)))
+    val changes = t.changesSince(1)
+    // p2 untouched -> its rows are NOT in the incremental read
+    assert(changes.select("id").as[String].collect().toSeq == Seq("a"))
+    assert(t.changesSince(2).isEmpty)
+  }
+
+  test("additive schema evolution on upsert") {
+    val t = freshTable()
+    t.bulkInsert(rows(("a", "p1", 1.0)))
+    val evolved = Seq(("b", "p1", 2.0, "extra")).toDF("id", "p", "v", "note")
+    t.upsert(evolved)
+    val snap = t.snapshot()
+    assert(snap.columns.toSeq == Seq("id", "p", "v", "note"))
+    val got = snap.select("id", "note").as[(String, Option[String])]
+      .collect().toMap
+    assert(got == Map("a" -> None, "b" -> Some("extra")))
+    // delete batches may carry only key+partition columns
+    t.delete(Seq(("a", "p1")).toDF("id", "p"))
+    assert(t.snapshot().select("id").as[String].collect().toSeq == Seq("b"))
+  }
+
   test("manifest render/parse round-trip") {
     val m = Manifest(3L, rows(("a", "p1", 1.0)).schema.json, Seq("id"),
       Seq("p"), "v", Map("p=p1" -> Seq("files/c3/x.parquet"), "" -> Nil))
