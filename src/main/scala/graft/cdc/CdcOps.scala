@@ -57,6 +57,25 @@ object CdcOps {
     df.withColumn(SeqByPk, row_number().over(w)).filter(col(SeqByPk) === 1)
   }
 
+  /** W1 as a single aggregation: `max_by(row, order)` per key. Semantically
+    * identical to [[latestPerKey]] when the order columns contain a unique
+    * tie-break — but unlike a `row_number` window (which shuffles EVERY
+    * event row), a hash aggregation gets map-side partial aggregation, so
+    * at 100 TB each executor pre-collapses its events per key before the
+    * shuffle. Use this form when the log has many events per key.
+    */
+  def latestPerKeyAgg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(keyCols.contains).toIndexedSeq
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(
+        struct(payload.map(col): _*),
+        struct(orderCols.map(col).toIndexedSeq: _*)).as("__latest"))
+      .select(keyCols.map(col) ++ payload.map(c => col(s"__latest.$c")): _*)
+  }
+
   /** W1 via the SQL entry point, exactly as the reference issues it: register
     * the batch as temp view `inputStgDf_T` and run the dynamically-spliced
     * ROW_NUMBER query through parse/analyze/optimize

@@ -90,6 +90,18 @@ object QueryCatalog {
            |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            |  FROM events) WHERE rn = 1""".stripMargin))
 
+  /** W1 as hash aggregation (map-side partial agg; same semantics as the
+    * window form given the unique event_id tie-break — see
+    * CdcOps.latestPerKeyAgg). Oracle: identical to w1_latest_per_key.
+    */
+  private val w1LatestPerKeyAgg = Q(
+    (s, d) => CdcOps.latestPerKeyAgg(t(s, d, "events"), Seq("user_id"),
+      Seq("ts", "event_id")),
+    Some("""SELECT event_id, ts, user_id, event_type, value, props FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM events) WHERE rn = 1""".stripMargin))
+
   /** Precombine — greatest-value-wins conflict resolution
     * (reference: precombine field, processData.py:161).
     */
@@ -568,6 +580,7 @@ object QueryCatalog {
     "p5_filter_nondeletes" -> p5FilterNonDeletes,
     "p6_filter_deletes" -> p6FilterDeletes,
     "w1_latest_per_key" -> w1LatestPerKey,
+    "w1_latest_per_key_agg" -> w1LatestPerKeyAgg,
     "precombine_max" -> precombineMax,
     "k2_upsert_merge" -> k2UpsertMerge,
     "k3_delete_merge" -> k3DeleteMerge,

@@ -360,6 +360,36 @@ final class CowTable(
       throw new IllegalStateException(s"commit rename failed: $dst")
   }
 
+  /** Compaction: rewrite any partition/bucket unit whose file count exceeds
+    * `maxFilesPerUnit` into freshly-written files (one commit). The
+    * append fast path (insertAppend) accumulates small files per unit —
+    * this is the table service that folds them back, the COW analog of
+    * MOR log-compaction (reference cadence knob: `hoodie.compact.inline*`,
+    * processData.py:152-153).
+    */
+  def compact(maxFilesPerUnit: Int = 4, parallelism: Int = 0): Boolean = {
+    val m = manifest
+    val crowded = m.partitions.filter(_._2.length > maxFilesPerUnit).keySet
+    if (crowded.isEmpty) return false
+    val data = readFiles(m, crowded.toSeq.sorted.flatMap(m.partitions))
+    val v = m.version + 1
+    // default shuffle width = one task per rewritten unit -> one output
+    // file per unit (the point of compaction)
+    val width = if (parallelism > 0) parallelism else crowded.size
+    val newFiles = writeCommit(data, v, width)
+    writeManifest(m.copy(version = v,
+      partitions = m.partitions -- crowded ++ newFiles))
+    clean()
+    true
+  }
+
+  /** K6 — catalog integration: expose the current snapshot as a temp view
+    * (the manifest remains the source of truth; this is the `spark.catalog`
+    * surface of the reference's Glue-catalog sync, processData.py:160-169).
+    */
+  def registerView(name: String): Unit =
+    snapshot().createOrReplaceTempView(name)
+
   /** K8 — cleaner: keep the latest `keepCommits` manifests
     * (reference: KEEP_LATEST_COMMITS, 10 retained, processData.py:196-197)
     * and delete commit data dirs no retained manifest references.

@@ -50,6 +50,17 @@ class CdcOpsSpec extends SparkSpec {
     assert(got == Set("C", "B"))
   }
 
+  test("W1 agg form (max_by) is equivalent to the window form") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val win = CdcOps.latestPerKey(ev, Seq("user_id"), "ts",
+        Seq(col("event_id").desc)).drop(CdcOps.SeqByPk)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    val agg = CdcOps.latestPerKeyAgg(ev, Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(win == agg)
+  }
+
   test("W1 SQL entry point is equivalent to the DataFrame form") {
     val df = CdcOps.lowercaseColumns(cdc)
     val viaSql = CdcOps.latestPerKeySql(spark, df, Seq("id"))

@@ -166,6 +166,25 @@ class CowTableSpec extends SparkSpec {
     assert(t.snapshot().count() == 50)
   }
 
+  test("compact folds small append files back into few per unit") {
+    val t = freshTable()
+    t.bulkInsert(rows(("a", "p1", 1.0)))
+    (1 to 5).foreach(i => t.insertAppend(rows((s"x$i", "p1", i.toDouble))))
+    assert(t.manifest.partitions("p=p1").size == 6)
+    assert(t.compact(maxFilesPerUnit = 2))
+    assert(t.manifest.partitions("p=p1").size <= 2)
+    assert(t.snapshot().count() == 6)
+    assert(!t.compact(maxFilesPerUnit = 2), "nothing left to compact")
+  }
+
+  test("registerView exposes the snapshot to spark.sql") {
+    val t = freshTable()
+    t.bulkInsert(rows(("a", "p1", 1.0), ("b", "p2", 2.0)))
+    t.registerView("cow_test_view")
+    val n = spark.sql("SELECT count(*) FROM cow_test_view").collect()(0).getLong(0)
+    assert(n == 2)
+  }
+
   test("time travel: snapshotAt returns historical versions") {
     val t = freshTable()
     t.bulkInsert(rows(("a", "p1", 1.0)))
