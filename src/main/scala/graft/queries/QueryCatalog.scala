@@ -246,6 +246,56 @@ object QueryCatalog {
            |  AND r_name = 'ASIA'
            |GROUP BY n_name""".stripMargin))
 
+  /** Hot-key salted join: result identical to the plain join (salting only
+    * reshapes the shuffle), so the oracle is plain SQL. See
+    * graft.functions.Joins.saltedJoin.
+    */
+  private val saltedJoinRevenue = Q(
+    (s, d) => graft.functions.Joins.saltedJoin(
+        t(s, d, "lineitem"),
+        t(s, d, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), col("l_linenumber"), saltFactor = 8)
+      .groupBy("o_orderstatus")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"), count(lit(1)).as("n_items")),
+    Some("""SELECT o_orderstatus,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           |  count(*) AS n_items
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderstatus""".stripMargin))
+
+  /** Top-k within each group (rank window + filter). */
+  private val topkPerGroup = Q(
+    (s, d) => {
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      t(s, d, "part")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    },
+    Some("""SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+           |  SELECT p_brand, p_partkey, p_retailprice, row_number() OVER (
+           |    PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+           |    AS rnk
+           |  FROM part) WHERE rnk <= 3""".stripMargin))
+
+  /** Correlated-subquery shape: rows above their group's average. */
+  private val ordersAboveAvg = Q(
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+      t(s, d, "orders")
+        .withColumn("cust_avg", avg("o_totalprice").over(w))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), round(col("cust_avg"), 4).as("cust_avg"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+           |  round(cust_avg, 4) AS cust_avg FROM (
+           |  SELECT o_orderkey, o_custkey, o_totalprice,
+           |    avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+           |  FROM orders) WHERE o_totalprice > cust_avg""".stripMargin))
+
   /** Left-semi join (EXISTS). */
   private val semiJoinOrders = Q(
     (s, d) => t(s, d, "orders")
@@ -589,6 +639,9 @@ object QueryCatalog {
     "q3_topk" -> q3TopK,
     "q5_nation_revenue" -> q5NationRevenue,
     "semi_join_orders" -> semiJoinOrders,
+    "salted_join_revenue" -> saltedJoinRevenue,
+    "topk_per_group" -> topkPerGroup,
+    "orders_above_avg" -> ordersAboveAvg,
     "window_running_total" -> windowRunningTotal,
     "rollup_revenue" -> rollupRevenue,
     "events_hourly" -> eventsHourly,
