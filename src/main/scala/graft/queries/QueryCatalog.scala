@@ -594,6 +594,37 @@ object QueryCatalog {
          |  FROM sc)
          |SELECT vec_id, centroid_id, sim FROM r WHERE rn = 1""".stripMargin))
 
+  /** IVF probe search: top-10 for vec 0 scanning only the 4 nearest of 16
+    * cells — the sub-linear ANN query path.
+    */
+  private val ivfSearch = Q(
+    (s, d) => Similarity.ivfSearch(t(s, d, "embeddings"), 0L,
+      nCentroids = 16, nProbe = 4, k = 10),
+    Some(
+      s"""WITH c AS (SELECT vec_id AS centroid_id,
+         |    CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT e.vec_id, c.centroid_id,
+         |    ${cosSql("CAST(e.embedding AS DOUBLE[])", "cv")} AS sim
+         |  FROM embeddings e, c),
+         |assign AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+         |  FROM sc) WHERE rn = 1),
+         |probe AS (SELECT centroid_id FROM (
+         |  SELECT c.centroid_id, ${cosSql("cv", "qv")} AS csim
+         |  FROM c, q ORDER BY csim DESC, centroid_id LIMIT 4)),
+         |cand AS (SELECT vec_id FROM assign
+         |  WHERE centroid_id IN (SELECT centroid_id FROM probe)
+         |    AND vec_id <> 0)
+         |SELECT e.vec_id,
+         |  ${cosSql("CAST(e.embedding AS DOUBLE[])", "qv")} AS sim
+         |FROM embeddings e, q
+         |WHERE e.vec_id IN (SELECT vec_id FROM cand)
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
+
   /** Embedding near-dup pairs inside sign-LSH buckets (cosine >= 0.4,
     * demo threshold — the synthetic corpus has no planted vector dups).
     */
@@ -660,6 +691,7 @@ object QueryCatalog {
     "cosine_near_dup" -> cosineNearDup,
     "sign_lsh_buckets" -> signLshBuckets,
     "ivf_assign" -> ivfAssign,
+    "ivf_search" -> ivfSearch,
     "multimodal_bytes" -> multimodalBytes
   )
 

@@ -88,6 +88,39 @@ object Similarity {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** IVF search: approximate top-k for a stored query vector, scanning only
+    * the `nProbe` cells whose centroids are nearest the query — the
+    * query-time counterpart of [[ivfAssign]]. At corpus scale this reads
+    * candidates/corpus ≈ nProbe/nCentroids of the data instead of all of it;
+    * recall is bounded by cell assignment, precision is exact.
+    */
+  def ivfSearch(
+      embs: DataFrame, queryId: Long, nCentroids: Int, nProbe: Int,
+      k: Int): DataFrame = {
+    val assignments = ivfAssign(embs, nCentroids)
+      .select(col("vec_id"), col("centroid_id"))
+    val cents = embs.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"),
+        toDoubleVec(col("embedding")).as("cv"))
+    val q = embs.filter(col("vec_id") === queryId)
+      .select(toDoubleVec(col("embedding")).as("qv"))
+    val nearestCells = cents.crossJoin(broadcast(q))
+      .select(col("centroid_id"),
+        round(cosine(col("cv"), col("qv")), 6).as("csim"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+      .limit(nProbe)
+      .select("centroid_id")
+    val candidates = assignments
+      .join(broadcast(nearestCells), Seq("centroid_id"), "left_semi")
+      .filter(col("vec_id") =!= queryId)
+    embs.join(candidates, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(toDoubleVec(col("embedding")), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold within sign-LSH
     * buckets (the scalable variant of all-pairs cosine dedup).
     */

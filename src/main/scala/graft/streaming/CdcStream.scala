@@ -92,3 +92,40 @@ object StreamOps {
     q
   }
 }
+
+/** Typed event for the stateful operators. */
+final case class KeyedEvent(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, value: Double)
+
+/** Current per-key state emitted by [[StatefulOps.latestPerKeyStateful]]. */
+final case class LatestState(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, value: Double, updates: Long)
+
+/** Custom streaming state via `mapGroupsWithState`: the W1 latest-per-key
+  * dedup maintained as LIVE state across micro-batches — each batch emits
+  * the current winner per key plus how many events have ever updated it.
+  * (The stateful generalization of the batch `CdcOps.latestPerKey`; state
+  * store size is O(distinct keys), sharded by the groupBy shuffle.)
+  */
+object StatefulOps {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.GroupStateTimeout
+
+  def latestPerKeyStateful(events: Dataset[KeyedEvent]): Dataset[LatestState] = {
+    implicit val stateEnc = Encoders.product[LatestState]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, LatestState](
+        GroupStateTimeout.NoTimeout()) { (key, evs, state) =>
+        val prior = state.getOption
+        val batch = evs.toSeq
+        val newest = (prior.map(p =>
+          KeyedEvent(p.user_id, p.event_id, p.ts, p.value)).toSeq ++ batch)
+          .maxBy(e => (e.ts.getTime, e.event_id))
+        val next = LatestState(key, newest.event_id, newest.ts, newest.value,
+          prior.map(_.updates).getOrElse(0L) + batch.size)
+        state.update(next)
+        next
+      }
+  }
+}

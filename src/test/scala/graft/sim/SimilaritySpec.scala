@@ -57,6 +57,20 @@ class SimilaritySpec extends SparkSpec {
     own.foreach { case (v, c, s) => assert(v == c && s == 1.0) }
   }
 
+  test("ivfSearch: exact on probed cells, reasonable recall vs brute force") {
+    val approx = Similarity.ivfSearch(embs, 0L, 16, 4, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = Similarity.cosineTopK(embs, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.size == 10)
+    val recall = (approx & exact).size / 10.0
+    assert(recall >= 0.3, s"suspiciously low ivf recall: $recall")
+    // probing ALL cells must reproduce brute force exactly
+    val full = Similarity.ivfSearch(embs, 0L, 16, 16, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == exact)
+  }
+
   test("cosineNearDupPairs returns only in-bucket pairs above threshold") {
     val pairs = Similarity.cosineNearDupPairs(embs, 6, 0.4)
       .as[(Long, Long, Double)].collect()

@@ -64,6 +64,45 @@ class CdcStreamSpec extends SparkSpec {
     assert(got.count() <= batch && got.count() >= batch - 5)
   }
 
+  test("stateful latest-per-key carries state across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir("stateful")
+    def ev(id: Long, uid: Long, t: String, v: Double) =
+      KeyedEvent(uid, id, java.sql.Timestamp.valueOf(t), v)
+    // batch 1 — append to the dir ROOT (nested dirs are invisible to the
+    // file-stream source without recursiveFileLookup)
+    Seq(ev(1, 7, "2024-01-01 10:00:00", 1.0),
+        ev(2, 7, "2024-01-01 11:00:00", 2.0),
+        ev(3, 9, "2024-01-01 10:30:00", 9.0))
+      .toDF().write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .as[KeyedEvent]
+    val out = StatefulOps.latestPerKeyStateful(stream)
+    // one long-lived query: state carries across its micro-batches
+    val q = out.writeStream.format("memory").queryName("stateful_test")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    q.processAllAvailable() // micro-batch 1
+    // batch 2: older event for 7 must be ignored, newer for 9 must win
+    Seq(ev(4, 7, "2024-01-01 09:00:00", 0.5),
+        ev(5, 9, "2024-01-01 12:00:00", 10.0))
+      .toDF().write.mode("append").parquet(dir)
+    q.processAllAvailable() // micro-batch 2
+    q.stop()
+    val fin = spark.table("stateful_test")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct($"event_id", $"value", $"updates"),
+        $"updates").as("s"))
+      .select($"user_id", $"s.event_id", $"s.value", $"s.updates")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(fin(7L) == ((2L, 2.0, 3L)), s"older event must not win: $fin")
+    assert(fin(9L) == ((5L, 10.0, 2L)), s"newer event must win: $fin")
+  }
+
   test("session windows via native session_window in batch mode") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
