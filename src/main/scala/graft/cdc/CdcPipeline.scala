@@ -119,6 +119,30 @@ final class CdcPipeline(spark: SparkSession, warehousePath: String) {
     } finally latest.unpersist()
   }
 
+  /** Entry point A — the reference's `main()`: fetch the job's control
+    * records and process each table's raw data in turn
+    * (reference: processData.py:393-402). Raw paths follow the reference's
+    * `raw/<db>/<schema>/<table>` layout with lower/UPPER-case dir spellings
+    * both probed (processData.py:286-290); tables whose raw paths don't
+    * exist yet are skipped with an empty summary.
+    */
+  def runAll(
+      configs: Seq[TableConfig],
+      jobName: String,
+      rawRoot: String): Seq[RunSummary] =
+    TableConfig.forJob(configs, jobName).map { cfg =>
+      val candidates = Seq(
+        s"$rawRoot/${cfg.relativePath}",
+        s"$rawRoot/${cfg.dbName}/${cfg.schemaName}/${cfg.tableName.toUpperCase}")
+      val existing = candidates.filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+      }
+      if (existing.isEmpty)
+        RunSummary(cfg.tableName, initialLoad = false, inputRows = 0)
+      else run(cfg, readRaw(existing))
+    }
+
   /** S1 — multi-path recursive parquet scan with case-variant candidate
     * paths, tolerant of candidates that don't exist
     * (reference: processData.py:286-298).

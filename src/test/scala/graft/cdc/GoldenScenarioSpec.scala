@@ -98,4 +98,25 @@ class GoldenScenarioSpec extends SparkSpec {
     val df = pipe.readRaw(Seq(fullLoad, "/nonexistent/path"))
     assert(df.count() == 100)
   }
+
+  test("runAll: metadata-driven multi-table job over a raw layout") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val rawRoot = tmpDir("raw-root")
+    val tableDir = s"$rawRoot/${cfg.relativePath}"
+    Files.createDirectories(Paths.get(tableDir))
+    Files.copy(Paths.get(fullLoad), Paths.get(s"$tableDir/full.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val pipe = new CdcPipeline(spark, tmpDir("wh"))
+    // two records for this job (same table twice is fine for the loop),
+    // plus one for another job that must be filtered out
+    val other = cfg.copy(tableName = "other", glueJobName = "other_job")
+    val summaries = pipe.runAll(Seq(cfg, other), cfg.glueJobName, rawRoot)
+    assert(summaries.length == 1)
+    assert(summaries.head.initialLoad && summaries.head.inputRows == 100)
+    assert(pipe.tableFor(cfg).snapshot().count() == 100)
+    // second run: bookmark-less rerun takes the incremental branch
+    val again = pipe.runAll(Seq(cfg), cfg.glueJobName, rawRoot)
+    assert(!again.head.initialLoad)
+    assert(pipe.tableFor(cfg).snapshot().count() == 100)
+  }
 }

@@ -115,6 +115,20 @@ class CowTableSpec extends SparkSpec {
     assert(t.snapshot().select("v").as[Double].collect().toSeq == Seq(2.0))
   }
 
+  test("null partition values route through the hive default partition") {
+    val t = freshTable()
+    t.bulkInsert(Seq(("a", Some("p1"), 1.0), ("b", None, 2.0))
+      .toDF("id", "p", "v"))
+    assert(t.manifest.partitions.keySet ==
+      Set("p=p1", s"p=${CowTable.HiveDefaultPartition}"))
+    t.upsert(Seq(("b", None: Option[String], 20.0)).toDF("id", "p", "v"))
+    val got = t.snapshot().select("id", "v").as[(String, Double)]
+      .collect().toMap
+    assert(got == Map("a" -> 1.0, "b" -> 20.0))
+    t.delete(Seq(("b", None: Option[String], 0.0)).toDF("id", "p", "v"))
+    assert(t.snapshot().count() == 1)
+  }
+
   test("cleaner retains keepCommits manifests and live data dirs") {
     val t = new CowTable(spark, tmpDir("cow"), keyCols = Seq("id"),
       partitionCols = Seq("p"), precombineField = "v", keepCommits = 3)
