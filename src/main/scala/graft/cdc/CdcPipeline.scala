@@ -35,7 +35,7 @@ final class CdcPipeline(spark: SparkSession, warehousePath: String) {
 
   def tableFor(cfg: TableConfig): CowTable =
     new CowTable(spark, tablePath(cfg), cfg.pkCols, cfg.partitionCols,
-      cfg.precombineField)
+      cfg.precombineField, numBuckets = cfg.numBuckets)
 
   /** Process one raw batch (full-load or CDC parquet already read into `raw`).
     * Mirrors processData.py:272-390 minus the AWS plumbing.

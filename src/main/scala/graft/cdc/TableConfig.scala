@@ -26,7 +26,11 @@ final case class TableConfig(
     dmsFullLoadPartitioned: Boolean = false,
     bulkInsertParallelism: Int = 3,
     upsertParallelism: Int = 2,
-    cdcSplitUpsert: Boolean = false
+    cdcSplitUpsert: Boolean = false,
+    /** graft extension (no reference counterpart): key-hash bucket count
+      * for bucket-scoped copy-on-write rewrites; 0 = unbucketed.
+      */
+    numBuckets: Int = 0
 ) {
   /** Composite PKs split on ';' or ',' (reference: processData.py:109-113). */
   def pkCols: Seq[String] = TableConfig.splitKeys(primaryKey)
@@ -70,7 +74,8 @@ object TableConfig {
     bulkInsertParallelism =
       str(o, "hudi_bulkinsert_shuffle_parallelism", "3").toInt,
     upsertParallelism = str(o, "hudi_upsert_shuffle_parallelism", "2").toInt,
-    cdcSplitUpsert = str(o, "cdc_split_upsert") == "yes"
+    cdcSplitUpsert = str(o, "cdc_split_upsert") == "yes",
+    numBuckets = str(o, "graft_num_buckets", "0").toInt
   )
 
   /** Load a control file: either a single JSON object or an array of them. */

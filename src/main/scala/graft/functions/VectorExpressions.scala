@@ -95,4 +95,11 @@ object VectorExpressions {
   def vec_dot(a: Column, b: Column): Column =
     GraftBridge.column(
       VectorDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Register the custom expressions for SQL users
+    * (`SELECT vec_dot(a, b) ...`). Per-session, idempotent.
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VectorDot(exprs(0), exprs(1)), "scala_udf")
 }

@@ -450,6 +450,26 @@ object QueryCatalog {
     (s, d) => TextOps.fingerprint(t(s, d, "documents")),
     Some(s"SELECT doc_id, ${H("text")} AS fp FROM documents"))
 
+  private val tokenCountBpe = Q(
+    (s, d) => TextOps.tokenCounts(t(s, d, "documents")),
+    Some(
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '${TextOps.BpeTokenRegex}'))
+         |    AS n_bpe_tokens
+         |FROM documents""".stripMargin))
+
+  private val rollingFingerprint = Q(
+    (s, d) => TextOps.rollingFingerprint(t(s, d, "documents")),
+    Some(
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text, ' '),
+         |        t -> (${H("t")} % ${Hashing.P}))),
+         |    (h, x) -> (h * 31 + x) % ${Hashing.P}) AS rfp
+         |FROM documents""".stripMargin))
+
   private val simhash = Q(
     (s, d) => TextOps.simhash16(t(s, d, "documents")),
     Some {
@@ -682,6 +702,8 @@ object QueryCatalog {
     "text_quality" -> textQuality,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
+    "token_count_bpe" -> tokenCountBpe,
+    "rolling_fingerprint" -> rollingFingerprint,
     "simhash" -> simhash,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "minhash_signatures" -> minhashSignatures,

@@ -99,6 +99,33 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), Hashing.hash60(col("text")).as("fp"))
 
+  /** BPE-ish tokenization: letter runs, digit runs, and single punctuation
+    * marks as separate tokens (the subword-ish pre-tokenization regex shape;
+    * RE2/Java-regex portable).
+    */
+  val BpeTokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Whitespace vs BPE-ish token counts per document. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpeTokenRegex), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+
+  /** Order-sensitive rolling-hash fingerprint: fold the per-token portable
+    * hashes with h -> (h*31 + tokHash) mod P. Unlike [[fingerprint]] (whole
+    * text), this survives whitespace normalization differences and is the
+    * incremental form used for shingle-free streaming fingerprints.
+    */
+  def rollingFingerprint(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), t => Hashing.hash60Mod(t)).as("hs"))
+      .select(col("doc_id"),
+        aggregate(col("hs"), lit(0L),
+          (h, x) => (h * 31 + x) % Hashing.P).as("rfp"))
+
   /** Exact deduplication: one representative (min doc_id) per distinct text,
     * with the duplicate count. A single hash-shuffle on the text.
     */

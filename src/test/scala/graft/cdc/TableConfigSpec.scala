@@ -27,6 +27,7 @@ class TableConfigSpec extends AnyFunSuite {
     assert(cfg.precombineField == "measurement_value")
     assert(cfg.bulkInsertParallelism == 3 && cfg.upsertParallelism == 2)
     assert(!cfg.cdcSplitUpsert)
+    assert(cfg.numBuckets == 0, "absent graft_num_buckets defaults to 0")
     assert(cfg.relativePath == "msrmt_db/msrmt_schema/msrmt_table")
     assert(cfg.catalogDb == "dl_msrmt_db_msrmt_schema")
   }

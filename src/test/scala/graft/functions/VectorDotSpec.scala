@@ -41,6 +41,17 @@ class VectorDotSpec extends SparkSpec {
     assert(e.eval(null) == 11.0)
   }
 
+  test("registered SQL function works end to end") {
+    VectorExpressions.registerAll(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_sql_test")
+    val got = spark.sql(
+      """SELECT vec_id, vec_dot(embedding, embedding) AS nrm2
+        |FROM emb_sql_test ORDER BY vec_id LIMIT 3""".stripMargin)
+      .as[(Long, Double)].collect()
+    assert(got.length == 3 && got.forall(_._2 > 0))
+  }
+
   test("mismatched element types are rejected at analysis") {
     val df = Seq((Seq(1.0f), Seq(1.0))).toDF("a", "b")
     intercept[Exception] {
