@@ -499,25 +499,26 @@ object QueryCatalog {
       |e AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh)"""
       .stripMargin
 
-  /** Hashed-shingle CTEs shared by the jaccard/lsh oracles: `h` is the
-    * portable 60-bit shingle hash mod P, `sz` the per-doc shingle count.
-    */
-  private val hashedShingleCtes =
-    s"""$shingleCtes,
-       |d2 AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
-       |x2 AS (SELECT doc_id, len(ds) AS n_sh, unnest(ds) AS shingle FROM d2),
-       |ew AS (SELECT doc_id, n_sh, (${H("shingle")} % ${Hashing.P}) AS hm
-       |  FROM x2)""".stripMargin
-
   private val ngramJaccardPairs = Q(
     (s, d) => TextOps.ngramJaccardPairs(t(s, d, "documents"), 3, 8, 10),
     Some(
-      s"""$hashedShingleCtes,
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
-         |  FROM ew a JOIN ew b ON a.hm = b.hm AND a.doc_id < b.doc_id
-         |    AND a.n_sh * 10 >= b.n_sh * 8 AND b.n_sh * 10 >= a.n_sh * 8
-         |  GROUP BY 1, 2, 3, 4)
+      s"""$shingleCtes,
+         |d2 AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |hsets AS (SELECT doc_id, list_sort(list_distinct(
+         |    list_transform(ds, x -> (${H("x")} % ${Hashing.P})))) AS hs
+         |  FROM d2),
+         |sized AS (SELECT doc_id, len(hs) AS n_sh, hs FROM hsets),
+         |pref AS (SELECT doc_id, n_sh,
+         |    unnest(hs[1:greatest(1, n_sh - (n_sh*8+9)//10 + 1)]) AS h
+         |  FROM sized),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+         |    AND a.n_sh * 10 >= b.n_sh * 8 AND b.n_sh * 10 >= a.n_sh * 8),
+         |p AS (SELECT doc_a, doc_b,
+         |    len(list_intersect(x.hs, y.hs)) AS inter,
+         |    x.n_sh AS na, y.n_sh AS nb
+         |  FROM cand JOIN sized x ON doc_a = x.doc_id
+         |  JOIN sized y ON doc_b = y.doc_id)
          |SELECT doc_a, doc_b, inter, na, nb FROM p
          |WHERE inter * 10 >= (na + nb - inter) * 8""".stripMargin))
 

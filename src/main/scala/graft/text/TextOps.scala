@@ -139,46 +139,54 @@ object TextOps {
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("toks"), n))).as("shingle"))
 
-  /** Exploded (doc_id, shingle-hash, doc-shingle-count) tuples: the shared
-    * input of the exact and LSH-verified near-dup joins. Joining on the
-    * 60-bit hash instead of the shingle STRING keeps the shuffle narrow.
+  /** Per-doc SORTED distinct shingle-hash sets with their size — the input
+    * of the prefix-filtered exact join. Pure projection, no shuffle.
     */
-  private def hashedShingles(docs: DataFrame, n: Int): DataFrame =
+  private def shingleHashSets(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(shingles(col("toks"), n)).as("sh"))
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
-        explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), col("n_sh"),
-        Hashing.hash60Mod(col("shingle")).as("h"))
+      .select(col("doc_id"), array_sort(array_distinct(
+        transform(col("sh"), s => Hashing.hash60Mod(s)))).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        col("hs"))
 
-  /** Near-duplicate pairs by word-n-gram Jaccard similarity >= num/den.
+  /** Exact near-duplicate pairs by word-n-gram Jaccard >= num/den, computed
+    * on the per-doc distinct shingle-hash SETS.
     *
-    * Shuffle-by-shingle-hash join produces only pairs sharing >= 1 shingle
-    * (the candidate set); a size-compatibility predicate prunes pairs BEFORE
-    * the count — J(A,B) <= min/max, so |A|,|B| must satisfy
-    * `den*min >= num*max` — this is exactness-preserving and cuts the
-    * quadratic pair blow-up. The final threshold uses integer arithmetic
-    * (`inter * den >= num * (|A| + |B| - inter)`) so the oracle comparison
-    * is exact, no floating point anywhere.
+    * Two exactness-preserving prunes make the quadratic candidate join
+    * tractable at corpus scale (Bayardo et al.'s AllPairs scheme):
+    *   1. size compatibility — J <= min/max forces `den*min >= num*max`;
+    *   2. prefix filtering — given (1), J >= t implies overlap >= t*|x| for
+    *      both docs, so any qualifying pair must collide within the first
+    *      `|x| - ceil(t*|x|) + 1` hashes of the globally-sorted sets; only
+    *      those prefixes enter the join.
+    * Candidates are then verified with an exact sorted-set intersection.
+    * Thresholds stay integer arithmetic end to end, so the DuckDB oracle
+    * comparison is exact.
     */
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
-    val ew = hashedShingles(docs, n)
-    // shuffle-hash beats broadcast here (measured 2x): the build side is the
-    // same size as the probe side, so broadcasting buys nothing and costs a
-    // single-threaded driver build. Also the right strategy at cluster
-    // scale — the exploded shingle table of a 100 TB corpus is never
-    // broadcastable.
-    ew.as("a").hint("shuffle_hash").join(ew.as("b"),
+    val sized = shingleHashSets(docs, n)
+    // prefix length = n_sh - ceil(t*n_sh) + 1, integer-only
+    val prefLen = greatest(lit(1),
+      col("n_sh") - expr(s"(n_sh * $num + ${den - 1}) div $den") + 1)
+    val pref = sized.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("hs"), lit(1), prefLen)).as("h"))
+    val cand = pref.as("a").hint("shuffle_hash").join(pref.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n_sh") * den >= col("b.n_sh") * num &&
           col("b.n_sh") * den >= col("a.n_sh") * num)
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sized.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sized.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("x.hs"), col("y.hs"))).cast("long")
+          .as("inter"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
       .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
-      .select("doc_a", "doc_b", "inter", "na", "nb")
   }
 
   /** The at-scale near-dup pipeline: MinHash-LSH band candidates (linear in
