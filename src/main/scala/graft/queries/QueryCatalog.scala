@@ -335,6 +335,69 @@ object QueryCatalog {
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
       .stripMargin))
 
+  /** Exact interpolated percentiles (continuous quantiles) per group. */
+  private val percentilesByType = Q(
+    (s, d) => t(s, d, "events").groupBy("event_type").agg(
+      round(expr("percentile(value, 0.5)"), 6).as("p50"),
+      round(expr("percentile(value, 0.9)"), 6).as("p90"),
+      round(expr("percentile(value, 0.99)"), 6).as("p99")),
+    Some("""SELECT event_type,
+           |  round(quantile_cont(value, 0.5), 6) AS p50,
+           |  round(quantile_cont(value, 0.9), 6) AS p90,
+           |  round(quantile_cont(value, 0.99), 6) AS p99
+           |FROM events GROUP BY event_type""".stripMargin))
+
+  /** Left outer join with null-group counting (parts never ordered). */
+  private val leftOuterPartCounts = Q(
+    (s, d) => t(s, d, "part").as("p")
+      .join(t(s, d, "lineitem").as("l"),
+        col("p.p_partkey") === col("l.l_partkey"), "left_outer")
+      .groupBy("p_brand")
+      .agg(count(col("l.l_orderkey")).as("n_lineitems"),
+        count(lit(1)).as("n_rows")),
+    Some("""SELECT p_brand, count(l_orderkey) AS n_lineitems,
+           |  count(*) AS n_rows
+           |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+           |GROUP BY p_brand""".stripMargin))
+
+  /** Set difference: users who click but never purchase. */
+  private val exceptSetOp = Q(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      ev.filter(col("event_type") === "click").select("user_id")
+        .except(ev.filter(col("event_type") === "purchase").select("user_id"))
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'click'
+           |EXCEPT
+           |SELECT user_id FROM events WHERE event_type = 'purchase'"""
+      .stripMargin))
+
+  /** Scalar-function surface (S2.6): string/date/arithmetic built-ins. */
+  private val scalarFuncs = Q(
+    (s, d) => t(s, d, "orders").select(
+      col("o_orderkey"),
+      upper(col("o_orderstatus")).as("status_u"),
+      lower(col("o_orderpriority")).as("prio_l"),
+      substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+      concat_ws("-", col("o_orderstatus"), col("o_orderpriority"))
+        .as("status_prio"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      round(col("o_totalprice") * 1.07, 2).as("with_tax"),
+      length(col("o_orderpriority")).cast("long").as("prio_len")),
+    Some("""SELECT o_orderkey,
+           |  upper(o_orderstatus) AS status_u,
+           |  lower(o_orderpriority) AS prio_l,
+           |  substring(o_orderpriority, 1, 1) AS prio_code,
+           |  concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+           |  CAST(year(o_orderdate) AS INTEGER) AS y,
+           |  CAST(month(o_orderdate) AS INTEGER) AS m,
+           |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+           |  round(o_totalprice * 1.07, 2) AS with_tax,
+           |  CAST(strlen(o_orderpriority) AS BIGINT) AS prio_len
+           |FROM orders""".stripMargin))
+
   /** Tumbling-window (hourly) event aggregation — the batch shape of the
     * streaming `window()` operator.
     */
@@ -696,6 +759,10 @@ object QueryCatalog {
     "orders_above_avg" -> ordersAboveAvg,
     "window_running_total" -> windowRunningTotal,
     "rollup_revenue" -> rollupRevenue,
+    "percentiles_by_type" -> percentilesByType,
+    "left_outer_part_counts" -> leftOuterPartCounts,
+    "except_set_op" -> exceptSetOp,
+    "scalar_funcs" -> scalarFuncs,
     "events_hourly" -> eventsHourly,
     "sessionize" -> sessionize,
     "dedup_exact" -> dedupExact,
