@@ -533,6 +533,35 @@ object QueryCatalog {
          |    (h, x) -> (h * 31 + x) % ${Hashing.P}) AS rfp
          |FROM documents""".stripMargin))
 
+  /** TF-IDF top-3 terms per doc (rank on the ROUNDED score + term tiebreak
+    * so cross-engine float ulps cannot reorder).
+    */
+  private val tfidfTopTerms = Q(
+    (s, d) => TextOps.tfidfTopTerms(t(s, d, "documents"), 3),
+    Some("""WITH terms AS (SELECT doc_id, unnest(string_split(text, ' '))
+           |    AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+           |  GROUP BY 1, 2),
+           |idf AS (SELECT term, count(*) AS df FROM
+           |  (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |sc AS (SELECT doc_id, tf.term, tf, df,
+           |    round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS tfidf
+           |  FROM tf JOIN idf ON tf.term = idf.term, n),
+           |r AS (SELECT *, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+           |  FROM sc)
+           |SELECT doc_id, term, tf, df, tfidf, rnk FROM r WHERE rnk <= 3"""
+      .stripMargin))
+
+  /** Semi-structured extraction from the JSON props column. */
+  private val jsonExtract = Q(
+    (s, d) => t(s, d, "events").select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_val")),
+    Some("""SELECT event_id,
+           |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+           |FROM events""".stripMargin))
+
   private val simhash = Q(
     (s, d) => TextOps.simhash16(t(s, d, "documents")),
     Some {
@@ -772,6 +801,8 @@ object QueryCatalog {
     "doc_fingerprint" -> docFingerprint,
     "token_count_bpe" -> tokenCountBpe,
     "rolling_fingerprint" -> rollingFingerprint,
+    "tfidf_top_terms" -> tfidfTopTerms,
+    "json_extract_props" -> jsonExtract,
     "simhash" -> simhash,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "minhash_signatures" -> minhashSignatures,

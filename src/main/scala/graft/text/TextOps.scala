@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -252,6 +253,28 @@ object TextOps {
         .as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+  }
+
+  /** TF-IDF: top-k terms per document by term-frequency × inverse document
+    * frequency (idf = ln(N / df)), the standard relevance weighting for
+    * corpus search/quality pipelines. One explode + two aggregations; the
+    * doc-frequency side is a broadcastable term table.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val n = docs.count()
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df_, "term")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
   }
 
   /** SimHash (16-bit, portable hash): per bit j, sign of the sum over tokens
