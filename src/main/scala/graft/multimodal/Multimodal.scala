@@ -102,4 +102,37 @@ object Multimodal {
     */
   def balanceByContent(assets: DataFrame, partitions: Int): DataFrame =
     assets.repartition(partitions, xxhash64(col("asset_id")))
+
+  /** Resize stage: recompute target dimensions preserving aspect ratio.
+    * The pixel transform itself is part of the stubbed codec (see
+    * [[fakeDecode]]); the metadata arithmetic, schema and batching are the
+    * real Spark surface a resize stage needs.
+    */
+  def resizeMeta(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val longest = greatest(col("decoded_width"), col("decoded_height"))
+    val scale = when(longest > maxSide,
+      lit(maxSide.toDouble) / longest).otherwise(lit(1.0))
+    decoded
+      .withColumn("resized_width",
+        ceil(col("decoded_width") * scale).cast("int"))
+      .withColumn("resized_height",
+        ceil(col("decoded_height") * scale).cast("int"))
+  }
+
+  /** Frame sampling: emit every `everyNth` synthetic frame index of a
+    * video-typed asset (duration-derived), the standard decimation step
+    * before per-frame feature extraction. Pure `sequence`+`explode` —
+    * distributed, no driver loops; frames per row bounded by duration.
+    */
+  def sampleFrames(
+      assets: DataFrame, fps: Int, everyNth: Int): DataFrame = {
+    val nFrames = (col("duration_ms") * fps / 1000).cast("long")
+    assets
+      .filter(col("media_type") === "video" && col("duration_ms").isNotNull)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), greatest(nFrames - 1, lit(0L)),
+          lit(everyNth.toLong))))
+      .select(col("asset_id"), col("frame_idx"),
+        (col("frame_idx") * 1000 / fps).cast("long").as("frame_ts_ms"))
+  }
 }

@@ -43,6 +43,33 @@ class MultimodalSpec extends SparkSpec {
     assert(balanced.count() == docs.count())
   }
 
+  test("resize preserves aspect ratio and only shrinks") {
+    val decoded = Multimodal.decodeAssets(
+      Multimodal.ingestDocumentsAsAssets(docs))
+    val resized = Multimodal.resizeMeta(decoded, 256)
+    val bad = resized.filter(
+      col("resized_width") > 256 && col("resized_height") > 256)
+    assert(bad.isEmpty)
+    // unscaled rows keep dimensions
+    val kept = resized.filter(col("decoded_width") <= 256 &&
+      col("decoded_height") <= 256)
+      .filter(col("resized_width") =!= col("decoded_width"))
+    assert(kept.isEmpty)
+  }
+
+  test("frame sampling emits every Nth frame with timestamps") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, "video", 2000L), // 2s @ 10fps -> frames 0..19
+      (2L, "image", 0L)
+    ).toDF("asset_id", "media_type", "duration_ms")
+    val frames = Multimodal.sampleFrames(assets, fps = 10, everyNth = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(frames.map(_._1).distinct.toSeq == Seq(1L), "images skipped")
+    assert(frames.map(_._2).toSeq == Seq(0L, 5L, 10L, 15L))
+    assert(frames.map(_._3).toSeq == Seq(0L, 500L, 1000L, 1500L))
+  }
+
   test("decoded features feed the similarity operators") {
     val decoded = Multimodal.decodeAssets(
       Multimodal.ingestDocumentsAsAssets(docs))
