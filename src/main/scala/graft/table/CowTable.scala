@@ -71,7 +71,13 @@ final class CowTable(
     val partitionCols: Seq[String] = Nil,
     val precombineField: String = "",
     val keepCommits: Int = 10,
-    val numBuckets: Int = 0) {
+    val numBuckets: Int = 0,
+    /** Columns to sort by WITHIN each written file (cluster-by): tightens
+      * per-row-group min/max statistics so range predicates on these
+      * columns prune row groups at scan time — the lightweight sibling of
+      * Z-ordering for single-column locality.
+      */
+    val clusterCols: Seq[String] = Nil) {
 
   import CowTable._
 
@@ -299,11 +305,17 @@ final class CowTable(
     // or bucketed writes co-locate rows of one rewrite unit to minimize
     // files per unit; AQE handles residual skew.
     val unitCols = dirColsAll.map(col)
-    val shaped =
+    val shaped0 =
       if (parallelism <= 0) dup
       else if (unitCols.nonEmpty)
         dup.repartition(parallelism, unitCols.toIndexedSeq: _*)
       else dup.repartition(parallelism)
+    // cluster-by: sort dir cols first (keeps the writer single-pass per
+    // partition dir), then the user's locality columns
+    val shaped =
+      if (clusterCols.isEmpty) shaped0
+      else shaped0.sortWithinPartitions(
+        (dirColsAll ++ clusterCols).map(col).toIndexedSeq: _*)
     val w = shaped.write.mode("overwrite")
     (if (dirColsAll.nonEmpty) w.partitionBy(dirColsAll.toIndexedSeq: _*)
     else w).parquet(dir.toString)

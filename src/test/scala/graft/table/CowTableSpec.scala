@@ -168,6 +168,24 @@ class CowTableSpec extends SparkSpec {
     assert(t.snapshot().count() == 199)
   }
 
+  test("clusterCols sorts rows within written files") {
+    val t = new CowTable(spark, tmpDir("cow"), keyCols = Seq("id"),
+      partitionCols = Seq("p"), clusterCols = Seq("v"))
+    val shuffled = scala.util.Random.shuffle((1 to 100).toList)
+      .map(i => (s"k$i", "p1", i.toDouble))
+    t.bulkInsert(shuffled.toDF("id", "p", "v"), 1)
+    // single file per unit with parallelism=1: rows inside must be sorted
+    val file = t.manifest.partitions("p=p1") match {
+      case Seq(f) => s"${t.basePath}/$f"
+      case fs => fail(s"expected one file, got $fs")
+    }
+    val vs = spark.read.parquet(file).select("v").as[Double].collect()
+    assert(vs.toSeq == vs.sorted.toSeq, "rows must be v-sorted in file")
+    // data correctness preserved through upsert with clustering
+    t.upsert(Seq(("k50", "p1", 999.0)).toDF("id", "p", "v"))
+    assert(t.snapshot().count() == 100)
+  }
+
   test("bucketed unpartitioned table works") {
     val t = new CowTable(spark, tmpDir("cow"), keyCols = Seq("id"),
       numBuckets = 4)
