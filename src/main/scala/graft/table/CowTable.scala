@@ -214,6 +214,20 @@ final class CowTable(
       cur.join(incoming, keyCols, "left_anti").unionByName(incoming)
     }
 
+  /** Partial-column upsert: like [[upsert]], but incoming NULLs mean "keep
+    * the stored value" (changed-columns-only CDC payloads). Insert-if-absent
+    * still applies; for brand-new keys the null columns stay null.
+    * Implemented as a full-outer merge with per-column coalesce — one
+    * shuffle, same partition/bucket-scoped rewrite as the full upsert.
+    */
+  def upsertPartial(df: DataFrame, parallelism: Int = 0): Unit =
+    mergeCommit(df, parallelism) { (cur, incoming) =>
+      val payload = cur.columns.filterNot(keyCols.contains).toIndexedSeq
+      cur.as("c").join(incoming.as("i"), keyCols, "full_outer")
+        .select(keyCols.map(col) ++ payload.map(c =>
+          coalesce(col(s"i.$c"), col(s"c.$c")).as(c)): _*)
+    }
+
   /** K3 — keyed delete: stored rows matching incoming record keys are
     * removed (Hudi `EmptyHoodieRecordPayload` tombstone semantics,
     * reference: processData.py:376-382, delete config :215-218).

@@ -62,6 +62,32 @@ class CowTableSpec extends SparkSpec {
     assert(t.snapshot().count() == 1)
   }
 
+  test("upsertPartial keeps stored values for null incoming columns") {
+    val t = new CowTable(spark, tmpDir("cow"), keyCols = Seq("id"),
+      partitionCols = Seq("p"))
+    t.bulkInsert(Seq(("a", "p1", 1.0, "keepme"), ("b", "p1", 2.0, "orig"))
+      .toDF("id", "p", "v", "note"))
+    // change only v for a; brand-new key c has null note
+    t.upsertPartial(Seq(
+      ("a", "p1", Some(10.0), None: Option[String]),
+      ("c", "p1", Some(3.0), None: Option[String]))
+      .toDF("id", "p", "v", "note"))
+    val got = t.snapshot().select("id", "v", "note")
+      .as[(String, Double, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((10.0, Some("keepme"))), s"partial update: $got")
+    assert(got("b") == ((2.0, Some("orig"))))
+    assert(got("c") == ((3.0, None)))
+  }
+
+  test("empty upsert batch bumps the version but changes nothing") {
+    val t = freshTable()
+    t.bulkInsert(rows(("a", "p1", 1.0)))
+    t.upsert(rows().limit(0))
+    assert(t.snapshot().count() == 1)
+    assert(t.manifest.partitions("p=p1").nonEmpty)
+  }
+
   test("insertAppend adds files without merging") {
     val t = freshTable()
     t.bulkInsert(rows(("a", "p1", 1.0)))
