@@ -22,6 +22,13 @@ import graft.cdc.{CdcPipeline, TableConfig}
   * Scale notes: the checkpoint (file-source log) replaces Glue bookmark
   * state; `maxFilesPerTrigger` bounds batch size for backfills; the
   * downstream CowTable merge is already partition-scoped.
+  *
+  * Retry semantics: `foreachBatch` may re-deliver a batch after a failure.
+  * The upsert and delete paths are idempotent (re-merging the same keys
+  * reproduces the same state), so the default pipeline tolerates retries.
+  * The `cdc_split_upsert` fast path is NOT: `insertAppend` would duplicate
+  * rows on re-delivery — keep split mode off for streaming ingestion, as
+  * the reference does (control_file.json: `cdc_split_upsert: "no"`).
   */
 final class CdcStream(
     spark: SparkSession,

@@ -45,13 +45,21 @@ class CdcPropertySpec extends SparkSpec {
     precombineField = "value", glueJobName = "j")
 
   test("engine state == naive Map replay over random CDC logs") {
+    checkReplay(cfg, seeds = 1 to 8)
+  }
+
+  test("bucketed tables satisfy the same replay property") {
+    checkReplay(cfg.copy(tableName = "tb", numBuckets = 4), seeds = 21 to 24)
+  }
+
+  private def checkReplay(cfg: TableConfig, seeds: Range): Unit = {
     val gen = for {
       b1 <- genBatch(0)
       b2 <- genBatch(1000)
       b3 <- genBatch(2000)
     } yield List(b1, b2, b3)
 
-    (1 to 8).foreach { seed =>
+    seeds.foreach { seed =>
       val batches = gen.apply(Gen.Parameters.default, Seed(seed.toLong)).get
       val wh = tmpDir("prop")
       val pipe = new CdcPipeline(spark, wh)
