@@ -77,7 +77,13 @@ final class CowTable(
       * columns prune row groups at scan time — the lightweight sibling of
       * Z-ordering for single-column locality.
       */
-    val clusterCols: Seq[String] = Nil) {
+    val clusterCols: Seq[String] = Nil,
+    /** Stamp each row with the commit version that last wrote it (the
+      * `_hoodie_commit_time` analog, column [[CowTable.CommitVerCol]]).
+      * Unchanged rows copied by a rewrite KEEP their original stamp, so
+      * [[changesSince]] can filter to exactly the changed rows.
+      */
+    val trackCommitVersions: Boolean = false) {
 
   import CowTable._
 
@@ -133,16 +139,20 @@ final class CowTable(
     readFiles(m, m.files)
   }
 
-  /** Incremental query: rows in files ADDED after `sinceVersion` (Hudi
-    * incremental-query shape at file granularity). Copy-on-write rewrites
-    * whole units, so this returns every row of each touched unit — a
-    * superset of the changed rows that downstream consumers de-dup by key,
-    * without scanning untouched data.
+  /** Incremental query: rows changed after `sinceVersion` (Hudi
+    * incremental-query shape). Only files added by later commits are read;
+    * with [[trackCommitVersions]] the result is EXACTLY the rows written
+    * after `sinceVersion` (row-level filter on the commit stamp, pushed to
+    * the parquet scan). Without tracking it is the file-granularity
+    * superset — every row of each rewritten unit — which consumers de-dup
+    * by key.
     */
   def changesSince(sinceVersion: Long): DataFrame = {
     val cur = manifest
     val before = manifestAt(sinceVersion).files.toSet
-    readFiles(cur, cur.files.filterNot(before))
+    val added = readFiles(cur, cur.files.filterNot(before))
+    if (trackCommitVersions) added.filter(col(CommitVerCol) > sinceVersion)
+    else added
   }
 
   /** Snapshot restricted to the given manifest partition keys — the
@@ -176,10 +186,15 @@ final class CowTable(
     */
   def bulkInsert(df: DataFrame, parallelism: Int = 0): Unit = {
     require(!exists, s"bulkInsert on existing table $basePath")
-    val files = writeCommit(df, 1L, parallelism)
-    writeManifest(Manifest(1L, df.schema.json, keyCols, partitionCols,
+    val data = stamp(df, 1L)
+    val files = writeCommit(data, 1L, parallelism)
+    writeManifest(Manifest(1L, data.schema.json, keyCols, partitionCols,
       precombineField, files))
   }
+
+  /** Commit-version stamp for incoming rows (no-op unless tracking). */
+  private def stamp(df: DataFrame, v: Long): DataFrame =
+    if (trackCommitVersions) df.withColumn(CommitVerCol, lit(v)) else df
 
   /** K4 fast path — append rows without merging (the `cdc_split_upsert`
     * routing of pure inserts through the cheap insert path,
@@ -188,9 +203,10 @@ final class CowTable(
     */
   def insertAppend(df: DataFrame, parallelism: Int = 0): Unit = {
     val m = manifest
-    val evolved = evolveSchema(m.schema, df.schema)
-    val incoming = pad(df, evolved)
     val v = m.version + 1
+    val stamped = stamp(df, v)
+    val evolved = evolveSchema(m.schema, stamped.schema)
+    val incoming = pad(stamped, evolved)
     val newFiles = writeCommit(incoming, v, parallelism)
     val merged = mergeListings(m.partitions, newFiles)
     writeManifest(m.copy(version = v, schemaJson = evolved.json,
@@ -240,8 +256,10 @@ final class CowTable(
   private def mergeCommit(df: DataFrame, parallelism: Int)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val m = manifest
-    val evolved = evolveSchema(m.schema, df.schema)
-    val incoming0 = pad(df, evolved)
+    val v = m.version + 1
+    val stamped = stamp(df, v)
+    val evolved = evolveSchema(m.schema, stamped.schema)
+    val incoming0 = pad(stamped, evolved)
     val incoming = (if (precombineField.nonEmpty)
       CdcOps.precombine(incoming0, keyCols, precombineField)
     else incoming0).persist()
@@ -250,7 +268,6 @@ final class CowTable(
       val cur = pad(snapshotFor(m, touched.intersect(m.partitions.keySet)),
         evolved)
       val merged = merge(cur, incoming)
-      val v = m.version + 1
       val newFiles = writeCommit(merged, v, parallelism)
       // Partitions whose merged result is empty (fully deleted) simply have
       // no entry in newFiles and drop out of the snapshot.
@@ -445,6 +462,8 @@ object CowTable {
   private val ManifestName = "v(\\d+)\\.json".r
   val DirColPrefix = "__p_"
   val BucketCol = "__bucket"
+  /** Row-level commit stamp column (see `trackCommitVersions`). */
+  val CommitVerCol = "_graft_commit_version"
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
 
   def dirCol(c: String): String = DirColPrefix + c

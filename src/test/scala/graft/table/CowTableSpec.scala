@@ -253,6 +253,26 @@ class CowTableSpec extends SparkSpec {
     assert(t.snapshotAt(3).count() == 2)
   }
 
+  test("commit-version tracking gives row-level incremental reads") {
+    val t = new CowTable(spark, tmpDir("cow"), keyCols = Seq("id"),
+      partitionCols = Seq("p"), trackCommitVersions = true)
+    t.bulkInsert(rows(("a", "p1", 1.0), ("b", "p1", 2.0), ("c", "p2", 3.0)))
+    t.upsert(rows(("a", "p1", 10.0), ("d", "p1", 4.0)))
+    // whole p1 was rewritten, but row-level changes are only a (updated)
+    // and d (inserted) — b keeps its v1 stamp even though copied
+    val changed = t.changesSince(1).select("id").as[String].collect().toSet
+    assert(changed == Set("a", "d"), s"row-level changes: $changed")
+    val snap = t.snapshot()
+    assert(snap.columns.contains(CowTable.CommitVerCol))
+    val stamps = snap.select("id", CowTable.CommitVerCol)
+      .as[(String, Long)].collect().toMap
+    assert(stamps == Map("a" -> 2L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+    // delete produces no new rows -> nothing "changed" row-wise after v2
+    t.delete(rows(("b", "p1", 0.0)))
+    assert(t.changesSince(2).isEmpty)
+    assert(t.snapshot().count() == 3)
+  }
+
   test("incremental query: changesSince returns only rewritten units") {
     val t = freshTable()
     t.bulkInsert(rows(("a", "p1", 1.0), ("b", "p2", 2.0)))
