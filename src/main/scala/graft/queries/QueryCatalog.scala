@@ -554,6 +554,24 @@ object QueryCatalog {
            |SELECT doc_id, term, tf, df, tfidf, rnk FROM r WHERE rnk <= 3"""
       .stripMargin))
 
+  /** Deterministic (hash-bucket) stratified sample: ~30% per key, exactly
+    * reproducible in any engine with the same portable hash.
+    */
+  private val deterministicSample = Q(
+    (s, d) => TextOps.deterministicSample(t(s, d, "documents"), "doc_id", 30)
+      .select("doc_id", "lang", "n_chars"),
+    Some(s"""SELECT doc_id, lang, n_chars FROM documents
+            |WHERE ${H("CAST(doc_id AS VARCHAR)")} % 100 < 30""".stripMargin))
+
+  /** Canonicalizing text normalization. */
+  private val textNormalize = Q(
+    (s, d) => t(s, d, "documents").select(col("doc_id"),
+      TextOps.normalizeText(col("text")).as("norm_text")),
+    Some("""SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(lower(text),
+           |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+           |FROM documents""".stripMargin))
+
   /** Semi-structured extraction from the JSON props column. */
   private val jsonExtract = Q(
     (s, d) => t(s, d, "events").select(col("event_id"),
@@ -738,6 +756,42 @@ object QueryCatalog {
          |WHERE e.vec_id IN (SELECT vec_id FROM cand)
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
 
+  /** Duplicate clusters: connected components over LSH-verified near-dup
+    * pairs (iterative min-label propagation in Spark; recursive CTE in the
+    * oracle — same fixpoint).
+    */
+  private val dedupClusters = Q(
+    (s, d) => TextOps.dedupClusters(
+      TextOps.lshNearDupPairs(t(s, d, "documents"), 3, rows = 2,
+        num = 8, den = 10)),
+    Some {
+      val bands = (0 until 4).map(bnd =>
+        s"SELECT doc_id, $bnd AS band, mh${2 * bnd} AS h1, mh${2 * bnd + 1} AS h2 FROM sig")
+        .mkString("\n  UNION ALL ")
+      val base = minhashSigSql.stripPrefix("WITH ")
+      s"""WITH RECURSIVE $base,
+         |b AS ($bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.h1 = b2.h1
+         |    AND a.h2 = b2.h2 AND a.doc_id < b2.doc_id),
+         |withsh AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |pairs AS (SELECT doc_a, doc_b FROM (
+         |  SELECT cand.doc_a, cand.doc_b,
+         |      len(list_intersect(a.ds, b.ds)) AS inter,
+         |      len(a.ds) AS na, len(b.ds) AS nb
+         |    FROM cand
+         |    JOIN withsh a ON cand.doc_a = a.doc_id
+         |    JOIN withsh b ON cand.doc_b = b.doc_id)
+         |  WHERE inter * 10 >= (na + nb - inter) * 8),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+         |  UNION SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u)
+         |SELECT u AS doc_id, min(label) AS cluster_id,
+         |  (u = min(label)) AS is_canonical
+         |FROM reach GROUP BY u""".stripMargin
+    })
+
   /** Embedding near-dup pairs inside sign-LSH buckets (cosine >= 0.4,
     * demo threshold — the synthetic corpus has no planted vector dups).
     */
@@ -802,12 +856,15 @@ object QueryCatalog {
     "token_count_bpe" -> tokenCountBpe,
     "rolling_fingerprint" -> rollingFingerprint,
     "tfidf_top_terms" -> tfidfTopTerms,
+    "deterministic_sample" -> deterministicSample,
+    "text_normalize" -> textNormalize,
     "json_extract_props" -> jsonExtract,
     "simhash" -> simhash,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "minhash_signatures" -> minhashSignatures,
     "minhash_lsh_pairs" -> minhashLshPairs,
     "near_dup_lsh" -> nearDupLsh,
+    "dedup_clusters" -> dedupClusters,
     "cosine_topk" -> cosineTopK,
     "cosine_near_dup" -> cosineNearDup,
     "sign_lsh_buckets" -> signLshBuckets,

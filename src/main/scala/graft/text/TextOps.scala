@@ -255,6 +255,21 @@ object TextOps {
       .distinct()
   }
 
+  /** Deterministic hash-based sampling: keep rows whose key hashes into the
+    * first `pct` of 100 buckets. Unlike `rand()`-based sampling this is
+    * reproducible across engines, runs, and partitionings — the property
+    * training-data pipelines need for auditable subsets.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(pmod(Hashing.hash60(col(keyCol).cast("string")), lit(100L)) < pct)
+
+  /** Text normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace — the canonicalization step before exact dedup.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** TF-IDF: top-k terms per document by term-frequency × inverse document
     * frequency (idf = ln(N / df)), the standard relevance weighting for
     * corpus search/quality pipelines. One explode + two aggregations; the
@@ -275,6 +290,44 @@ object TextOps {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+  }
+
+  /** Duplicate clusters: connected components over near-dup pairs via
+    * iterative min-label propagation. Each round every vertex adopts the
+    * smallest label among itself and its neighbors; convergence takes
+    * O(component diameter) rounds — near-dup components are short chains,
+    * so this terminates in a few shuffles even at corpus scale (the
+    * large-star/small-star variant would cut rounds further if components
+    * were deep). Output: one row per doc appearing in any pair, its
+    * cluster id (the component's min doc_id) and whether it is the
+    * canonical survivor.
+    */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct().persist()
+    try {
+      var labels = edges.select(col("u").as("id")).distinct()
+        .withColumn("label", col("id")).persist()
+      var converged = false
+      while (!converged) {
+        val prop = edges.join(labels, edges("v") === labels("id"))
+          .select(edges("u").as("id"), col("label"))
+        val next = labels.select("id", "label").union(prop)
+          .groupBy("id").agg(min("label").as("label")).persist()
+        converged = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.label") =!= col("o.label")).isEmpty
+        labels.unpersist()
+        labels = next
+      }
+      val out = labels
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      out.cache().count() // materialize before unpersisting inputs
+      labels.unpersist()
+      out
+    } finally edges.unpersist()
   }
 
   /** SimHash (16-bit, portable hash): per bit j, sign of the sum over tokens

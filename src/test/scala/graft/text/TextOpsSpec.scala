@@ -49,6 +49,16 @@ class TextOpsSpec extends SparkSpec {
       s"J>=0.8 pairs here; missed ${exact -- lsh}")
   }
 
+  test("dedupClusters finds transitive components with min-id canonicals") {
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = TextOps.dedupClusters(pairs)
+      .select("doc_id", "cluster_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (5L, 1L, false),
+      (7L, 7L, true), (9L, 7L, false)))
+  }
+
   test("minhash signature similarity approximates jaccard for identical docs") {
     val d = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
       .toDF("doc_id", "text")
