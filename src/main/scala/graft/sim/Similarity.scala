@@ -88,6 +88,64 @@ object Similarity {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** Lloyd's k-means over the embedding corpus: the IVF codebook trainer.
+    *
+    * Assignment is a broadcast of the (tiny) codebook against the corpus —
+    * one scan per iteration, no corpus×corpus work; new centroids are
+    * per-dimension means via posexplode + two aggregations. The codebook is
+    * collected to the driver between iterations (k×dim doubles) to break
+    * lineage growth — the standard pattern for iterative algorithms whose
+    * model fits on the driver. Deterministic init (first k vectors);
+    * clusters that empty out drop from the codebook.
+    */
+  def kmeansCentroids(embs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val centSchema = StructType(Seq(
+      StructField("centroid_id", LongType, nullable = false),
+      StructField("cv", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    def centsDf(rows: Seq[(Long, Seq[Double])]) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*),
+        centSchema)
+    var cents: Seq[(Long, Seq[Double])] = embs.filter(col("vec_id") < k)
+      .select(col("vec_id"), toDoubleVec(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(embs, centsDf(cents))
+      val next = assigned
+        .select(col("centroid_id"),
+          posexplode(toDoubleVec(col("embedding"))))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), x => x.getField("m")).as("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      cents = next.sortBy(_._1)
+    }
+    centsDf(cents)
+  }
+
+  /** Nearest-centroid assignment by squared L2 distance (ties by centroid
+    * id): `vec_id, embedding, centroid_id, dist2`.
+    */
+  def assignToCentroids(embs: DataFrame, cents: DataFrame): DataFrame = {
+    val x = toDoubleVec(col("embedding"))
+    val d2 = dot(x, x) - lit(2.0) * dot(x, col("cv")) + dot(col("cv"), col("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist2"), col("centroid_id"))
+    embs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        d2.as("dist2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   /** IVF search: approximate top-k for a stored query vector, scanning only
     * the `nProbe` cells whose centroids are nearest the query — the
     * query-time counterpart of [[ivfAssign]]. At corpus scale this reads

@@ -71,6 +71,33 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("kmeans recovers planted clusters") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(Seq(10f, 0f, 0f), Seq(0f, 10f, 0f), Seq(0f, 0f, 10f))
+    val pts = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      Row(i.toLong, c.map(x => x + rnd.nextFloat() * 0.5f), i % 3)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, false), nullable = false),
+      StructField("label", IntegerType, nullable = false)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(pts: _*), schema)
+    val cents = Similarity.kmeansCentroids(df, 3, 5)
+    assert(cents.count() == 3)
+    // every point must sit with all points of its own planted cluster
+    val assigned = Similarity.assignToCentroids(df, cents)
+      .join(df.select("vec_id", "label"), "vec_id")
+      .select("label", "centroid_id").as[(Int, Long)].collect()
+    val byLabel = assigned.groupBy(_._1).values
+    byLabel.foreach(grp =>
+      assert(grp.map(_._2).distinct.length == 1,
+        s"planted cluster split: ${grp.toSeq}"))
+  }
+
   test("cosineNearDupPairs returns only in-bucket pairs above threshold") {
     val pairs = Similarity.cosineNearDupPairs(embs, 6, 0.4)
       .as[(Long, Long, Double)].collect()
