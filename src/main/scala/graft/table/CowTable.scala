@@ -122,6 +122,10 @@ final class CowTable(
 
   def manifestAt(v: Long): Manifest = {
     val p = new Path(commitsDir, s"v$v.json")
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(
+        s"version $v is not retained at $basePath " +
+          s"(cleaner keeps the latest $keepCommits commits)")
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
