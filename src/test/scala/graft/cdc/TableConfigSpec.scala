@@ -48,6 +48,13 @@ class TableConfigSpec extends AnyFunSuite {
     assert(TableConfig.forJob(cfgs, "other").isEmpty)
   }
 
+  test("graft_num_buckets extension parses when present") {
+    val withBuckets = refJson.stripSuffix("}") +
+      ""","graft_num_buckets": "64" }"""
+    val Seq(cfg) = TableConfig.fromJson(withBuckets)
+    assert(cfg.numBuckets == 64)
+  }
+
   test("parses the actual reference control file") {
     val cfgs =
       TableConfig.fromFile("/root/reference/scripts/config/control_file.json")
