@@ -395,7 +395,10 @@ final class CowTable(
 
   /** Atomic publish: manifest written to a tmp name then renamed into place.
     * (Consistency-check role of `hoodie.consistency.check.enabled`,
-    * reference: processData.py:164.)
+    * reference: processData.py:164.) The rename refuses to overwrite an
+    * existing `v{N}.json`, so two racing writers targeting the same version
+    * conflict-detect here instead of corrupting the timeline — matching the
+    * reference's serialized-runs assumption (`maxConcurrentRuns: 1`).
     */
   private def writeManifest(m: Manifest): Unit = {
     fs.mkdirs(commitsDir)
