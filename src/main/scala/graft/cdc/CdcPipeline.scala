@@ -37,8 +37,16 @@ final class CdcPipeline(spark: SparkSession, warehousePath: String) {
     new CowTable(spark, tablePath(cfg), cfg.pkCols, cfg.partitionCols,
       cfg.precombineField, numBuckets = cfg.numBuckets)
 
+  /** Session view name for a table — the `dl_<db>_<schema>.<table>` catalog
+    * identity of the reference's hive sync, flattened for temp-view rules.
+    */
+  def viewName(cfg: TableConfig): String =
+    s"${cfg.catalogDb}__${cfg.tableName}"
+
   /** Process one raw batch (full-load or CDC parquet already read into `raw`).
-    * Mirrors processData.py:272-390 minus the AWS plumbing.
+    * Mirrors processData.py:272-390 minus the AWS plumbing. Every
+    * successful write re-syncs the session catalog view (K6 — the
+    * reference's per-write hive sync, processData.py:160-169).
     */
   def run(cfg: TableConfig, raw: DataFrame): RunSummary = {
     // P1 + persist: the source feeds several consumers (count, routing
@@ -49,8 +57,11 @@ final class CdcPipeline(spark: SparkSession, warehousePath: String) {
       if (df.isEmpty)    // M3 (reference: processData.py:305)
         return RunSummary(cfg.tableName, initialLoad = false, inputRows = 0)
       val table = tableFor(cfg)
-      if (!table.exists) runInitial(cfg, table, df, n)
-      else runIncremental(cfg, table, df, n)
+      val summary =
+        if (!table.exists) runInitial(cfg, table, df, n)
+        else runIncremental(cfg, table, df, n)
+      if (table.exists) table.registerView(viewName(cfg))
+      summary
     } finally df.unpersist()
   }
 

@@ -35,6 +35,12 @@ class GoldenScenarioSpec extends SparkSpec {
     val snap = table.snapshot().cache()
     assert(snap.count() == 190, "golden outcome is 190 rows")
 
+    // K6 — the run synced a queryable session view
+    val viaSql = spark.sql(
+      s"SELECT count(*) AS n FROM ${pipe.viewName(cfg)}")
+      .collect()(0).getLong(0)
+    assert(viaSql == 190)
+
     // IDs 100-109 updated to 100.00
     val updated = snap
       .filter($"measurement_id".isin((100 to 109)
