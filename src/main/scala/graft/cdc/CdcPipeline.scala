@@ -83,6 +83,13 @@ final class CdcPipeline(spark: SparkSession, warehousePath: String) {
     * CDC columns arriving at an existing table — e.g. a full-load file
     * replayed after the bookmark state was lost — is treated as a pure
     * upsert of all rows, making re-runs idempotent.
+    *
+    * CAUTION (faithful to the reference, SURVEY.md §7.4): when the CDC
+    * columns are PRESENT but null — e.g. a full-load file read through a
+    * CDC superset schema, as a streaming file source does — the three-valued
+    * Op filters drop those rows entirely, exactly as the reference's
+    * `Op != 'D'` / `Op = 'D'` pair does. Stage full loads before the first
+    * incremental pass (their natural order) to avoid the trap.
     */
   private def runIncremental(
       cfg: TableConfig, table: CowTable, df: DataFrame, n: Long): RunSummary = {

@@ -47,6 +47,31 @@ class CdcStreamSpec extends SparkSpec {
     assert(pipe.tableFor(cfg).snapshot().count() == 190)
   }
 
+  test("maxFilesPerTrigger splits a backlog into bounded micro-batches") {
+    val raw = tmpDir("raw-mft")
+    val wh = tmpDir("wh-mft")
+    val pipe = new CdcPipeline(spark, wh)
+    val stream = new CdcStream(spark, pipe, tmpDir("ckpt-mft"))
+    val schema = spark.read.parquet(cdcBatch).schema
+    // both files staged BEFORE the first pass; 1 file per micro-batch.
+    // The file source orders by modification time — pin it so the full
+    // load is consumed first (as it would be in a real DMS layout).
+    Files.copy(Paths.get(fullLoad), Paths.get(s"$raw/full.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(cdcBatch), Paths.get(s"$raw/z_cdc.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(Paths.get(s"$raw/full.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(Paths.get(s"$raw/z_cdc.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000001000L))
+    stream.runAvailableNow(cfg, raw, schema, maxFilesPerTrigger = Some(1))
+    // AvailableNow drains the whole backlog in bounded batches: the full
+    // load applies first (lexical file order), then the CDC batch -> 190
+    assert(pipe.tableFor(cfg).snapshot().count() == 190)
+    assert(pipe.tableFor(cfg).manifest.version >= 3,
+      "two micro-batches must have produced separate commits")
+  }
+
   test("watermarked tumbling window over a file stream") {
     val dir = tmpDir("events")
     import spark.implicits._
