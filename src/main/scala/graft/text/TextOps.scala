@@ -302,10 +302,48 @@ object TextOps {
     * cluster id (the component's min doc_id) and whether it is the
     * canonical survivor.
     */
-  def dedupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+  /** Edge-count threshold below which [[dedupClusters]] solves the
+    * components with a driver-side union-find instead of iterative Spark
+    * rounds. The edge set scales with the DUPLICATE count, not the corpus —
+    * even a billion-doc corpus at a 1% dup rate stays near this bound — so
+    * the distributed loop is the fallback, not the common case.
+    */
+  val DriverUnionFindMaxEdges: Long = 5000000L
+
+  def dedupClusters(
+      pairs: DataFrame,
+      maxDriverEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges0 = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct().persist()
+    val edgeCount = edges0.count()
+    if (edgeCount <= maxDriverEdges) {
+      // small-edge fast path: exact union-find on the driver, same
+      // min-label components as the distributed fixpoint
+      val es = edges0.select("u", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      edges0.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val verts = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      import spark.implicits._
+      return verts.toSeq.sorted
+        .map(v => (v, find(v), v == find(v)))
+        .toDF("doc_id", "cluster_id", "is_canonical")
+    }
+    // distributed min-label propagation for edge sets beyond driver memory
+    val parts = math.max(1, (edgeCount / 500000L).toInt)
+    val edges = edges0.repartition(parts).persist()
+    edges0.unpersist()
     try {
       var labels = edges.select(col("u").as("id")).distinct()
         .withColumn("label", col("id")).persist()

@@ -51,12 +51,16 @@ class TextOpsSpec extends SparkSpec {
 
   test("dedupClusters finds transitive components with min-id canonicals") {
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("doc_a", "doc_b")
-    val got = TextOps.dedupClusters(pairs)
-      .select("doc_id", "cluster_id", "is_canonical")
-      .as[(Long, Long, Boolean)].collect().toSet
-    assert(got == Set(
+    val expected = Set(
       (1L, 1L, true), (2L, 1L, false), (5L, 1L, false),
-      (7L, 7L, true), (9L, 7L, false)))
+      (7L, 7L, true), (9L, 7L, false))
+    // union-find fast path and distributed fixpoint must agree
+    for (maxDriverEdges <- Seq(Long.MaxValue, 0L)) {
+      val got = TextOps.dedupClusters(pairs, maxDriverEdges)
+        .select("doc_id", "cluster_id", "is_canonical")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got == expected, s"maxDriverEdges=$maxDriverEdges")
+    }
   }
 
   test("minhash signature similarity approximates jaccard for identical docs") {
