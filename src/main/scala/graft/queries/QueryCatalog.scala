@@ -44,6 +44,23 @@ object QueryCatalog {
 
   private val H = (e: String) => Hashing.hash60Sql(e)
 
+  // ---- exact-decimal money arithmetic ------------------------------------
+  // The double money/ratio columns in testdata are 2-decimal-clean, so a
+  // DECIMAL cast is unambiguous in both engines, and decimal sums are exact
+  // and therefore order-independent. Double sums are NOT: Spark's partial-agg
+  // merge order varies run to run, so round(sum(double),4) can land on a
+  // different side of a rounding boundary than DuckDB's sequential fold
+  // (observed: 28/7540 rows of orders_above_avg in the round-1 gate).
+  private def dec2(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(12, 2))
+  private def dec4s2(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(4, 2))
+  /** l_extendedprice * (1 - l_discount) as an exact decimal term. */
+  private val revTerm: Column = dec2(col("l_extendedprice")) *
+    (lit(1) - dec4s2(col("l_discount")))
+  private val revTermSql = "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+    "(1 - CAST(l_discount AS DECIMAL(4,2)))"
+
   // ---------------------------------------------------------------- ref ops
 
   /** S1 — full scan (reference: processData.py:286-298). */
@@ -178,22 +195,31 @@ object QueryCatalog {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
+        // l_quantity is integer-valued, so its double sum is exact in any
+        // order; the money sums go through exact decimals (see revTerm doc).
         round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        sum(dec2(col("l_extendedprice")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 2))
+          .as("sum_base_price"),
+        sum(revTerm).cast(org.apache.spark.sql.types.DecimalType(38, 4))
           .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        sum(revTerm * (lit(1) + dec4s2(col("l_tax"))))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))
+          .as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        round(sum(dec4s2(col("l_discount"))).cast("double") / count(lit(1)), 4)
+          .as("avg_disc"),
         count(lit(1)).as("count_order")),
-    Some("""SELECT l_returnflag, l_linestatus,
+    Some(s"""SELECT l_returnflag, l_linestatus,
            |  round(sum(l_quantity), 4) AS sum_qty,
-           |  round(sum(l_extendedprice), 4) AS sum_base_price,
-           |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           |    AS sum_base_price,
+           |  CAST(sum($revTermSql) AS DECIMAL(38,4)) AS sum_disc_price,
+           |  CAST(sum($revTermSql * (1 + CAST(l_tax AS DECIMAL(4,2))))
+           |    AS DECIMAL(38,6)) AS sum_charge,
            |  round(avg(l_quantity), 4) AS avg_qty,
-           |  round(avg(l_discount), 4) AS avg_disc,
+           |  round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+           |    / count(*), 4) AS avg_disc,
            |  count(*) AS count_order
            |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
            |GROUP BY l_returnflag, l_linestatus""".stripMargin))
@@ -207,13 +233,13 @@ object QueryCatalog {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .agg(sum(revTerm).cast(org.apache.spark.sql.types.DecimalType(38, 4))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
-    Some("""SELECT o_orderkey, o_orderdate,
-           |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    Some(s"""SELECT o_orderkey, o_orderdate,
+           |  CAST(sum($revTermSql) AS DECIMAL(38,4)) AS revenue
            |FROM customer, orders, lineitem
            |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
            |  AND l_orderkey = o_orderkey
@@ -234,11 +260,11 @@ object QueryCatalog {
         .join(broadcast(r.filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .agg(sum(revTerm).cast(org.apache.spark.sql.types.DecimalType(38, 4))
           .as("revenue"))
     },
-    Some("""SELECT n_name,
-           |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    Some(s"""SELECT n_name,
+           |  CAST(sum($revTermSql) AS DECIMAL(38,4)) AS revenue
            |FROM customer, orders, lineitem, supplier, nation, region
            |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
            |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -256,10 +282,10 @@ object QueryCatalog {
         t(s, d, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
         Seq("l_orderkey"), col("l_linenumber"), saltFactor = 8)
       .groupBy("o_orderstatus")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+      .agg(sum(revTerm).cast(org.apache.spark.sql.types.DecimalType(38, 4))
         .as("revenue"), count(lit(1)).as("n_items")),
-    Some("""SELECT o_orderstatus,
-           |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+    Some(s"""SELECT o_orderstatus,
+           |  CAST(sum($revTermSql) AS DECIMAL(38,4)) AS revenue,
            |  count(*) AS n_items
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY o_orderstatus""".stripMargin))
@@ -283,17 +309,22 @@ object QueryCatalog {
   /** Correlated-subquery shape: rows above their group's average. */
   private val ordersAboveAvg = Q(
     (s, d) => {
+      // Exact decimal window sum, then ONE double division: bit-identical
+      // across engines (a double avg is sum-order-dependent; see revTerm doc).
       val w = Window.partitionBy("o_custkey")
       t(s, d, "orders")
-        .withColumn("cust_avg", avg("o_totalprice").over(w))
+        .withColumn("cust_avg",
+          sum(dec2(col("o_totalprice"))).over(w).cast("double") /
+            count(lit(1)).over(w))
         .filter(col("o_totalprice") > col("cust_avg"))
         .select(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice"), round(col("cust_avg"), 4).as("cust_avg"))
+          col("o_totalprice"), col("cust_avg"))
     },
-    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
-           |  round(cust_avg, 4) AS cust_avg FROM (
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
            |  SELECT o_orderkey, o_custkey, o_totalprice,
-           |    avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+           |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+           |        OVER (PARTITION BY o_custkey) AS DOUBLE)
+           |      / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
            |  FROM orders) WHERE o_totalprice > cust_avg""".stripMargin))
 
   /** Left-semi join (EXISTS). */
@@ -313,24 +344,28 @@ object QueryCatalog {
       val w = Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Decimal, not double: DuckDB may evaluate window sums via a segment
+      // tree whose FP association order differs from sequential accumulation.
       t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
-        round(sum("o_totalprice").over(w), 4).as("running_total"))
+        sum(dec2(col("o_totalprice"))).over(w)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 2))
+          .as("running_total"))
     },
     Some("""SELECT o_custkey, o_orderkey,
-           |  round(sum(o_totalprice) OVER (
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
            |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-           |    AS running_total
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS DECIMAL(38,2)) AS running_total
            |FROM orders""".stripMargin))
 
   /** ROLLUP grouping-sets aggregation. */
   private val rollupRevenue = Q(
     (s, d) => t(s, d, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(sum(revTerm).cast(org.apache.spark.sql.types.DecimalType(38, 4))
         .as("revenue"), count(lit(1)).as("n")),
-    Some("""SELECT l_returnflag, l_linestatus,
-           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    Some(s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(sum($revTermSql) AS DECIMAL(38,4)) AS revenue,
            |  count(*) AS n
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
       .stripMargin))
@@ -405,9 +440,14 @@ object QueryCatalog {
     (s, d) => t(s, d, "events")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 4).as("total_value")),
+        // Exact decimal sum: order-independent across engines (revTerm doc).
+        sum(dec2(col("value")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 2))
+          .as("total_value")),
     Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
-           |  count(*) AS n_events, round(sum(value), 4) AS total_value
+           |  count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           |    AS total_value
            |FROM events GROUP BY 1, 2""".stripMargin))
 
   /** Gap-based sessionization (30-min inactivity) — the batch shape of
@@ -425,7 +465,11 @@ object QueryCatalog {
         .withColumn("session_seq", sum("ns").over(wRun))
         .groupBy("user_id", "session_seq")
         .agg(count(lit(1)).as("n_events"),
-          round(sum("value"), 4).as("session_value"),
+          // value is 2-decimal-clean in testdata, so the decimal sum is
+          // exact and order-independent (see revTerm doc).
+          sum(dec2(col("value")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2))
+            .as("session_value"),
           min("ts").as("start_ts"), max("ts").as("end_ts"))
     },
     Some("""WITH flagged AS (
@@ -442,7 +486,8 @@ object QueryCatalog {
            |      AS session_seq
            |  FROM flagged)
            |SELECT user_id, session_seq, count(*) AS n_events,
-           |  round(sum(value), 4) AS session_value,
+           |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2))
+           |    AS session_value,
            |  min(ts) AS start_ts, max(ts) AS end_ts
            |FROM sessions GROUP BY user_id, session_seq""".stripMargin))
 
