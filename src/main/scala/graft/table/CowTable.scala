@@ -24,6 +24,14 @@ import graft.cdc.CdcOps
   * `partitions` maps a partition key string (`"col=value[/col2=value2]"`,
   * values unescaped; `""` for unpartitioned tables) to the data files
   * (basePath-relative) holding that partition's current rows.
+  *
+  * Merge-on-read extensions (empty/zero for copy-on-write tables):
+  * `logPartitions` lists each partition's delta-log files (parquet rows
+  * carrying `_graft_log_op`/`_graft_log_commit` columns, merged at read by
+  * [[MorTable]]); `deltaCommits` counts log commits since the last
+  * compaction (drives the reference's every-N-delta-commits inline cadence,
+  * processData.py:152-153); `lastCompaction` is the version of the last
+  * compaction commit (bounds exact log-based incremental reads).
   */
 final case class Manifest(
     version: Long,
@@ -31,11 +39,18 @@ final case class Manifest(
     keyCols: Seq[String],
     partitionCols: Seq[String],
     precombineField: String,
-    partitions: Map[String, Seq[String]]) {
+    partitions: Map[String, Seq[String]],
+    logPartitions: Map[String, Seq[String]] = Map.empty,
+    deltaCommits: Long = 0L,
+    lastCompaction: Long = 0L) {
   def schema: StructType =
     org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
-  def files: Seq[String] = partitions.valuesIterator.flatten.toSeq
+  /** All live data files — base AND delta logs (cleaner keys off this). */
+  def files: Seq[String] =
+    (partitions.valuesIterator ++ logPartitions.valuesIterator).flatten.toSeq
+  /** Base files only (the read-optimized listing). */
+  def baseFiles: Seq[String] = partitions.valuesIterator.flatten.toSeq
 }
 
 /** A keyed, partitioned, mutable table over plain Parquet — the native
@@ -63,8 +78,11 @@ final case class Manifest(
   *
   * Concurrency: single writer assumed, as in the reference
   * (`maxConcurrentRuns: 1`, lib/glue-stack.ts:49).
+  *
+  * Not final: [[MorTable]] subclasses this to swap the write path for
+  * delta-log appends and the read path for a read-time merge.
   */
-final class CowTable(
+class CowTable(
     val spark: SparkSession,
     val basePath: String,
     val keyCols: Seq[String],
@@ -95,13 +113,13 @@ final class CowTable(
   private def bucketExpr: org.apache.spark.sql.Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong))
 
-  private def dirColsAll: Seq[String] =
+  protected def dirColsAll: Seq[String] =
     partitionCols.map(dirCol) ++
       (if (numBuckets > 0) Seq(dirCol(BucketCol)) else Nil)
 
   private val hadoopConf: Configuration =
     spark.sparkContext.hadoopConfiguration
-  private def fs: FileSystem = new Path(basePath).getFileSystem(hadoopConf)
+  protected def fs: FileSystem = new Path(basePath).getFileSystem(hadoopConf)
   private def commitsDir = new Path(basePath, "_commits")
   private def commitDataDir(v: Long) = new Path(basePath, s"files/c$v")
 
@@ -133,14 +151,14 @@ final class CowTable(
   }
 
   /** Current snapshot as a DataFrame (Hudi snapshot query equivalent). */
-  def snapshot(): DataFrame = readFiles(manifest, manifest.files)
+  def snapshot(): DataFrame = readFiles(manifest, manifest.baseFiles)
 
   /** Time travel: the table exactly as of `version` (any retained commit —
     * Hudi's "as.of.instant" queries; retention bounds how far back).
     */
   def snapshotAt(version: Long): DataFrame = {
     val m = manifestAt(version)
-    readFiles(m, m.files)
+    readFiles(m, m.baseFiles)
   }
 
   /** Incremental query: rows changed after `sinceVersion` (Hudi
@@ -153,8 +171,8 @@ final class CowTable(
     */
   def changesSince(sinceVersion: Long): DataFrame = {
     val cur = manifest
-    val before = manifestAt(sinceVersion).files.toSet
-    val added = readFiles(cur, cur.files.filterNot(before))
+    val before = manifestAt(sinceVersion).baseFiles.toSet
+    val added = readFiles(cur, cur.baseFiles.filterNot(before))
     if (trackCommitVersions) added.filter(col(CommitVerCol) > sinceVersion)
     else added
   }
@@ -166,13 +184,20 @@ final class CowTable(
     readFiles(m, partKeys.toSeq.sorted.flatMap(k =>
       m.partitions.getOrElse(k, Nil)))
 
-  private def readFiles(m: Manifest, files: Seq[String]): DataFrame = {
-    val cols = m.schema.fieldNames.toIndexedSeq.map(col)
+  protected def readFiles(m: Manifest, files: Seq[String]): DataFrame =
+    readFilesWithSchema(m.schema, files)
+
+  /** Read an explicit file list with an explicit row schema (the schema may
+    * include extra columns absent from some files — parquet null-fills).
+    */
+  protected def readFilesWithSchema(
+      schema: StructType, files: Seq[String]): DataFrame = {
+    val cols = schema.fieldNames.toIndexedSeq.map(col)
     if (files.isEmpty)
       spark.createDataFrame(
-        java.util.Collections.emptyList[Row](), m.schema)
+        java.util.Collections.emptyList[Row](), schema)
     else
-      spark.read.schema(addDirCols(m.schema))
+      spark.read.schema(addDirCols(schema))
         .parquet(files.map(f => s"$basePath/$f"): _*)
         .select(cols: _*)
   }
@@ -197,7 +222,7 @@ final class CowTable(
   }
 
   /** Commit-version stamp for incoming rows (no-op unless tracking). */
-  private def stamp(df: DataFrame, v: Long): DataFrame =
+  protected def stamp(df: DataFrame, v: Long): DataFrame =
     if (trackCommitVersions) df.withColumn(CommitVerCol, lit(v)) else df
 
   /** K4 fast path — append rows without merging (the `cdc_split_upsert`
@@ -285,7 +310,7 @@ final class CowTable(
     * APPENDED to the table schema; stored rows read back as null for them.
     * Existing columns keep their stored type (incoming values are cast).
     */
-  private def evolveSchema(cur: StructType, in: StructType): StructType = {
+  protected def evolveSchema(cur: StructType, in: StructType): StructType = {
     val known = cur.fieldNames.toSet
     StructType(cur.fields ++ in.fields.filterNot(f => known(f.name)))
   }
@@ -294,7 +319,7 @@ final class CowTable(
     * types, null-fill columns the frame lacks (absent payload columns in
     * delete batches; newly evolved columns in old snapshots).
     */
-  private def pad(df: DataFrame, target: StructType): DataFrame = {
+  protected def pad(df: DataFrame, target: StructType): DataFrame = {
     val have = df.columns.toSet
     df.select(target.fields.toIndexedSeq.map(f =>
       if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
@@ -305,7 +330,7 @@ final class CowTable(
     * Collects only partition VALUES (bounded by partition cardinality) —
     * never data rows.
     */
-  private def touchedPartitionKeys(incoming: DataFrame): Set[String] = {
+  protected def touchedPartitionKeys(incoming: DataFrame): Set[String] = {
     if (partitionCols.isEmpty && numBuckets == 0) return Set("")
     val sel = partitionCols.map(c => col(c).cast("string")) ++
       (if (numBuckets > 0) Seq(bucketExpr.cast("string")) else Nil)
@@ -327,7 +352,7 @@ final class CowTable(
     * columns for the hive-style directory layout so the data files keep the
     * originals (see class doc).
     */
-  private def writeCommit(
+  protected def writeCommit(
       df: DataFrame, v: Long, parallelism: Int): Map[String, Seq[String]] = {
     val dir = commitDataDir(v)
     val dup0 = partitionCols.foldLeft(df)(
@@ -387,7 +412,7 @@ final class CowTable(
     p.substring(b.length + 1)
   }
 
-  private def mergeListings(
+  protected def mergeListings(
       old: Map[String, Seq[String]],
       add: Map[String, Seq[String]]): Map[String, Seq[String]] =
     (old.keySet ++ add.keySet).iterator.map(k =>
@@ -400,7 +425,7 @@ final class CowTable(
     * conflict-detect here instead of corrupting the timeline — matching the
     * reference's serialized-runs assumption (`maxConcurrentRuns: 1`).
     */
-  private def writeManifest(m: Manifest): Unit = {
+  protected def writeManifest(m: Manifest): Unit = {
     fs.mkdirs(commitsDir)
     val tmp = new Path(commitsDir, s".v${m.version}.json.tmp")
     val dst = new Path(commitsDir, s"v${m.version}.json")
