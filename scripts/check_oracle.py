@@ -1,14 +1,26 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: check_oracle.py <verifyOutDir> <sfDir>
+Usage: check_oracle.py <verifyOutDir> <sfDir> [--exact]
 
 Loads each <name>/ parquet dir written by `graft.Verify`, runs the matching
 oracle_sql.json entry in DuckDB against the sfDir parquet tables, and
 compares: column names (sorted), row counts, and values (rows sorted by all
-columns; floats compared to 1e-9 relative tolerance, with the max observed
-divergence reported so exact-hash risk is visible).
+columns).
+
+Default mode compares floats to 1e-9 relative tolerance (reporting max
+observed divergence). --exact is the pre-commit gate for any QueryCatalog
+change and replicates the driver's hash sensitivity:
+  * floats must be bit-identical (NaN == NaN),
+  * any cross-type cell (e.g. Decimal vs float) is a FAIL — the driver
+    canonicalizes Decimal and float differently, so a type mismatch WILL
+    fail the hash even when values are numerically equal,
+  * Decimals compare by str() — Decimal('133.60') != Decimal('133.6') —
+    because the driver's canonicalization is scale-sensitive (the round-2
+    regression: 6 green-valued queries hashed red on trailing zeros),
+  * every Decimal-typed output column is reported as a risk warning.
 """
+import decimal
 import json
 import math
 import sys
@@ -31,7 +43,7 @@ def sort_key(row):
     return tuple((str(type(v)), str(v)) for v in row)
 
 
-def compare(name, spark_rows, duck_rows, cols):
+def compare(name, spark_rows, duck_rows, cols, exact):
     if len(spark_rows) != len(duck_rows):
         return f"ROWCOUNT spark={len(spark_rows)} duck={len(duck_rows)}", 0.0
     a = sorted(spark_rows, key=sort_key)
@@ -40,13 +52,23 @@ def compare(name, spark_rows, duck_rows, cols):
     for i, (ra, rb) in enumerate(zip(a, b)):
         for j, (x, y) in enumerate(zip(ra, rb)):
             x, y = norm_cell(x), norm_cell(y)
+            if exact and type(x) is not type(y):
+                return (f"TYPE row~{i} col={cols[j]} "
+                        f"spark={type(x).__name__}({x!r}) "
+                        f"duck={type(y).__name__}({y!r})"), max_rel
+            if exact and isinstance(x, decimal.Decimal) \
+                    and isinstance(y, decimal.Decimal):
+                if str(x) != str(y):
+                    return (f"DECIMAL-REPR row~{i} col={cols[j]} "
+                            f"spark={x!r} duck={y!r}"), max_rel
+                continue
             if isinstance(x, float) and isinstance(y, float):
                 if x == y:
                     continue
                 denom = max(abs(x), abs(y), 1e-30)
                 rel = abs(x - y) / denom
                 max_rel = max(max_rel, rel)
-                if rel > 1e-9:
+                if exact or rel > 1e-9:
                     return (f"VALUE row~{i} col={cols[j]} "
                             f"spark={x!r} duck={y!r}"), max_rel
             elif x != y:
@@ -55,7 +77,19 @@ def compare(name, spark_rows, duck_rows, cols):
     return None, max_rel
 
 
-def main(out_dir, sf_dir):
+def decimal_cols(rows, cols):
+    """Columns holding any Decimal cell — a driver-hash risk in any mode."""
+    hit = set()
+    for r in rows:
+        for j, v in enumerate(r):
+            if isinstance(v, decimal.Decimal):
+                hit.add(cols[j])
+        if len(hit) == len(cols):
+            break
+    return sorted(hit)
+
+
+def main(out_dir, sf_dir, exact=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -87,17 +121,26 @@ def main(out_dir, sf_dir):
         # align duck columns to spark order
         idx = [duck_cols.index(c) for c in spark_cols]
         duck_rows = [tuple(r[i] for i in idx) for r in duck_rows]
-        err, max_rel = compare(name, spark_df, duck_rows, spark_cols)
+        err, max_rel = compare(name, spark_df, duck_rows, spark_cols, exact)
         if err:
             print(f"FAIL {name}: {err}")
             bad += 1
         else:
-            fuzz = f" (max_rel_float_diff={max_rel:.2e})" if max_rel else ""
-            print(f"ok   {name}: {len(spark_df)} rows{fuzz}")
+            notes = []
+            if max_rel:
+                notes.append(f"max_rel_float_diff={max_rel:.2e}")
+            dcols = decimal_cols(spark_df, spark_cols) + \
+                decimal_cols(duck_rows, spark_cols)
+            if dcols:
+                notes.append(f"WARN decimal output cols={sorted(set(dcols))}")
+            tail = f" ({'; '.join(notes)})" if notes else ""
+            print(f"ok   {name}: {len(spark_df)} rows{tail}")
             ok += 1
-    print(f"== {ok} ok, {bad} fail ==")
+    mode = "exact" if exact else "tolerant"
+    print(f"== {ok} ok, {bad} fail ({mode} mode) ==")
     return 1 if bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    sys.exit(main(argv[0], argv[1], exact="--exact" in sys.argv))
