@@ -11,7 +11,15 @@ columns).
 Default mode compares floats to 1e-9 relative tolerance (reporting max
 observed divergence). --exact is the pre-commit gate for any QueryCatalog
 change and replicates the driver's hash sensitivity:
-  * floats must be bit-identical (NaN == NaN),
+  * ARROW-LEVEL type classes must match per column: the driver consumes
+    arrow/pandas values, where e.g. DuckDB's sum(INTEGER) is HUGEINT ->
+    decimal128(38,0) even though fetchall() shows a plain int — a
+    decimal-vs-int column WILL hash red (the round-3 `sessionize` failure)
+    even when every cell value is equal. Timestamp unit (ns vs us) is
+    exempt: driver evidence (8 green queries with ns-vs-us ts columns)
+    shows it canonicalizes units away.
+  * floats must be BIT-identical (struct.pack) — catches -0.0 vs 0.0 and
+    NaN payload differences that `==` hides,
   * any cross-type cell (e.g. Decimal vs float) is a FAIL — the driver
     canonicalizes Decimal and float differently, so a type mismatch WILL
     fail the hash even when values are numerically equal,
@@ -20,12 +28,15 @@ change and replicates the driver's hash sensitivity:
     regression: 6 green-valued queries hashed red on trailing zeros),
   * every Decimal-typed output column is reported as a risk warning.
 """
+import argparse
 import decimal
 import json
 import math
+import struct
 import sys
 
 import duckdb
+import pyarrow as pa
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -41,6 +52,42 @@ def norm_cell(v):
 
 def sort_key(row):
     return tuple((str(type(v)), str(v)) for v in row)
+
+
+def type_class(t):
+    """Arrow type -> the equivalence class the driver hash distinguishes."""
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return "timestamp"  # unit (ns/us) proven benign to the driver hash
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    return str(t)
+
+
+def arrow_type_mismatches(spark_tbl, oracle_tbl):
+    """Column-level type-class differences between the two arrow schemas."""
+    out = []
+    for f in oracle_tbl.schema:
+        if f.name not in spark_tbl.column_names:
+            continue
+        sc = type_class(spark_tbl.schema.field(f.name).type)
+        oc = type_class(f.type)
+        if sc != oc:
+            out.append(f"{f.name}: spark={sc} oracle={oc}")
+    return out
+
+
+def floats_bit_equal(x, y):
+    return struct.pack("<d", x) == struct.pack("<d", y)
 
 
 def compare(name, spark_rows, duck_rows, cols, exact):
@@ -63,12 +110,17 @@ def compare(name, spark_rows, duck_rows, cols, exact):
                             f"spark={x!r} duck={y!r}"), max_rel
                 continue
             if isinstance(x, float) and isinstance(y, float):
+                if exact:
+                    if floats_bit_equal(x, y):
+                        continue
+                    return (f"FLOAT-BITS row~{i} col={cols[j]} "
+                            f"spark={x!r} duck={y!r}"), max_rel
                 if x == y:
                     continue
                 denom = max(abs(x), abs(y), 1e-30)
                 rel = abs(x - y) / denom
                 max_rel = max(max_rel, rel)
-                if exact or rel > 1e-9:
+                if rel > 1e-9:
                     return (f"VALUE row~{i} col={cols[j]} "
                             f"spark={x!r} duck={y!r}"), max_rel
             elif x != y:
@@ -98,9 +150,14 @@ def main(out_dir, sf_dir, exact=False):
     ok = bad = 0
     for name, sql in sorted(oracles.items()):
         try:
-            spark_df = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
-            spark_cols = [d[0] for d in con.description]
+            spark_res = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            spark_cols = [d[0] for d in spark_res.description]
+            spark_df = spark_res.fetchall()
+            # arrow-level schema of the raw Spark parquet (NOT via duckdb,
+            # which coerces types): what the driver's reader actually sees
+            import pyarrow.parquet as pq
+            spark_tbl = pq.read_table(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             bad += 1
@@ -109,6 +166,7 @@ def main(out_dir, sf_dir, exact=False):
             duck = con.execute(sql)
             duck_cols = [d[0] for d in duck.description]
             duck_rows = duck.fetchall()
+            oracle_tbl = con.execute(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e).splitlines()[0]}")
             bad += 1
@@ -118,6 +176,12 @@ def main(out_dir, sf_dir, exact=False):
                   f"duck={sorted(duck_cols)}")
             bad += 1
             continue
+        if exact:
+            tmis = arrow_type_mismatches(spark_tbl, oracle_tbl)
+            if tmis:
+                print(f"FAIL {name}: ARROW-TYPE {'; '.join(tmis)}")
+                bad += 1
+                continue
         # align duck columns to spark order
         idx = [duck_cols.index(c) for c in spark_cols]
         duck_rows = [tuple(r[i] for i in idx) for r in duck_rows]
@@ -142,5 +206,11 @@ def main(out_dir, sf_dir, exact=False):
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--exact"]
-    sys.exit(main(argv[0], argv[1], exact="--exact" in sys.argv))
+    p = argparse.ArgumentParser(
+        description="DuckDB-oracle correctness gate (driver replica)")
+    p.add_argument("verify_out_dir", help="output dir written by graft.Verify")
+    p.add_argument("sf_dir", help="testdata scale-factor dir with *.parquet")
+    p.add_argument("--exact", action="store_true",
+                   help="driver-hash-faithful mode (pre-commit gate)")
+    args = p.parse_args()
+    sys.exit(main(args.verify_out_dir, args.sf_dir, exact=args.exact))

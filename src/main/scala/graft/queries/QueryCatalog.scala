@@ -69,6 +69,19 @@ object QueryCatalog {
   private val revTermSql = "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
     "(1 - CAST(l_discount AS DECIMAL(4,2)))"
 
+  // Final money outputs: round the exact decimal sum to scale 2 BEFORE the
+  // double cast. Bounds the unscaled value: revTerm sums carry scale 4 (6
+  // with tax), whose int128 unscaled value crosses 2^53 around sf 0.2-20 —
+  // past that, DuckDB's decimal->DOUBLE cast (int128->double, then divide
+  // by 10^scale: two roundings) can differ from the JVM's correctly-rounded
+  // BigDecimal.doubleValue by 1 ulp. At scale 2 the sum stays < 2^53
+  // unscaled up to ~$90 trillion, and both engines round the SAME exact
+  // decimal half-away-from-zero, so the doubles are bit-identical.
+  private def money(sumExpr: Column): Column =
+    round(sumExpr, 2).cast("double")
+  private def moneySql(sumSql: String): String =
+    s"CAST(round($sumSql, 2) AS DOUBLE)"
+
   // ---------------------------------------------------------------- ref ops
 
   /** S1 — full scan (reference: processData.py:286-298). */
@@ -208,8 +221,8 @@ object QueryCatalog {
         round(sum("l_quantity"), 4).as("sum_qty"),
         sum(dec2(col("l_extendedprice"))).cast("double")
           .as("sum_base_price"),
-        sum(revTerm).cast("double").as("sum_disc_price"),
-        sum(revTerm * (lit(1) + dec4s2(col("l_tax")))).cast("double")
+        money(sum(revTerm)).as("sum_disc_price"),
+        money(sum(revTerm * (lit(1) + dec4s2(col("l_tax")))))
           .as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(sum(dec4s2(col("l_discount"))).cast("double") / count(lit(1)), 4)
@@ -219,9 +232,9 @@ object QueryCatalog {
            |  round(sum(l_quantity), 4) AS sum_qty,
            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
            |    AS sum_base_price,
-           |  CAST(sum($revTermSql) AS DOUBLE) AS sum_disc_price,
-           |  CAST(sum($revTermSql * (1 + CAST(l_tax AS DECIMAL(4,2))))
-           |    AS DOUBLE) AS sum_charge,
+           |  ${moneySql(s"sum($revTermSql)")} AS sum_disc_price,
+           |  ${moneySql(s"sum($revTermSql * (1 + CAST(l_tax AS DECIMAL(4,2))))")}
+           |    AS sum_charge,
            |  round(avg(l_quantity), 4) AS avg_qty,
            |  round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
            |    / count(*), 4) AS avg_disc,
@@ -238,12 +251,12 @@ object QueryCatalog {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(sum(revTerm).cast("double").as("revenue"))
+        .agg(money(sum(revTerm)).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
     Some(s"""SELECT o_orderkey, o_orderdate,
-           |  CAST(sum($revTermSql) AS DOUBLE) AS revenue
+           |  ${moneySql(s"sum($revTermSql)")} AS revenue
            |FROM customer, orders, lineitem
            |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
            |  AND l_orderkey = o_orderkey
@@ -264,10 +277,10 @@ object QueryCatalog {
         .join(broadcast(r.filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(sum(revTerm).cast("double").as("revenue"))
+        .agg(money(sum(revTerm)).as("revenue"))
     },
     Some(s"""SELECT n_name,
-           |  CAST(sum($revTermSql) AS DOUBLE) AS revenue
+           |  ${moneySql(s"sum($revTermSql)")} AS revenue
            |FROM customer, orders, lineitem, supplier, nation, region
            |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
            |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -285,9 +298,9 @@ object QueryCatalog {
         t(s, d, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
         Seq("l_orderkey"), col("l_linenumber"), saltFactor = 8)
       .groupBy("o_orderstatus")
-      .agg(sum(revTerm).cast("double").as("revenue"), count(lit(1)).as("n_items")),
+      .agg(money(sum(revTerm)).as("revenue"), count(lit(1)).as("n_items")),
     Some(s"""SELECT o_orderstatus,
-           |  CAST(sum($revTermSql) AS DOUBLE) AS revenue,
+           |  ${moneySql(s"sum($revTermSql)")} AS revenue,
            |  count(*) AS n_items
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY o_orderstatus""".stripMargin))
@@ -363,9 +376,9 @@ object QueryCatalog {
   private val rollupRevenue = Q(
     (s, d) => t(s, d, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
-      .agg(sum(revTerm).cast("double").as("revenue"), count(lit(1)).as("n")),
+      .agg(money(sum(revTerm)).as("revenue"), count(lit(1)).as("n")),
     Some(s"""SELECT l_returnflag, l_linestatus,
-           |  CAST(sum($revTermSql) AS DOUBLE) AS revenue,
+           |  ${moneySql(s"sum($revTermSql)")} AS revenue,
            |  count(*) AS n
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
       .stripMargin))
@@ -481,7 +494,13 @@ object QueryCatalog {
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |      AS session_seq
            |  FROM flagged)
-           |SELECT user_id, session_seq, count(*) AS n_events,
+           |SELECT user_id,
+           |  -- sum(int) over a window is HUGEINT in DuckDB, which arrow
+           |  -- renders as decimal128 and the driver hash canonicalizes
+           |  -- decimal-sensitively (the round-2 lesson) — cast to BIGINT
+           |  -- to match Spark's LONG.
+           |  CAST(session_seq AS BIGINT) AS session_seq,
+           |  count(*) AS n_events,
            |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
            |    AS session_value,
            |  min(ts) AS start_ts, max(ts) AS end_ts
