@@ -19,7 +19,18 @@ object Bench {
     spark.read.parquet(s"$sfDir/events.parquet").limit(100).collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try {
+        // Force FULL evaluation of every output column: a bare count()
+        // lets Catalyst prune unreferenced projections, so projection-only
+        // queries would measure parquet row-count metadata instead of the
+        // operator (round-2 verdict finding). Hashing all columns into one
+        // aggregate keeps the driver-side result tiny while making every
+        // cell load-bearing.
+        val df = fn(spark, sfDir)
+        df.select(org.apache.spark.sql.functions.xxhash64(
+            df.columns.toIndexedSeq.map(df.col): _*).as("h"))
+          .agg(org.apache.spark.sql.functions.sum("h")).collect()
+      } catch {
         case e: Throwable =>
           // a failed query must be VISIBLE, not a fast-looking -1
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -152,6 +152,19 @@ object TextOps {
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
         col("hs"))
 
+  /** Materialize a frame that the downstream plan references several times.
+    *
+    * Catalyst does not dedupe diamond DAGs: a self-join plus two
+    * verification joins re-evaluates its input subtree once per reference
+    * (4x for [[ngramJaccardPairs]] — measured 3x slower end-to-end at
+    * sf0.1). `localCheckpoint` computes it once into executor block
+    * storage (memory, spilling to disk) and truncates lineage, so every
+    * reference reads the cached blocks. The stored table is the HASH-set
+    * form (8 bytes per shingle), far smaller than the source text, so the
+    * materialization remains executor-resident even at corpus scale.
+    */
+  private def materialized(df: DataFrame): DataFrame = df.localCheckpoint()
+
   /** Exact near-duplicate pairs by word-n-gram Jaccard >= num/den, computed
     * on the per-doc distinct shingle-hash SETS.
     *
@@ -168,7 +181,8 @@ object TextOps {
     */
   def ngramJaccardPairs(
       docs: DataFrame, n: Int, num: Int, den: Int): DataFrame = {
-    val sized = shingleHashSets(docs, n)
+    // referenced 4x below (prefix self-join a/b + verification x/y)
+    val sized = materialized(shingleHashSets(docs, n))
     // prefix length = n_sh - ceil(t*n_sh) + 1, integer-only
     val prefLen = greatest(lit(1),
       col("n_sh") - expr(s"(n_sh * $num + ${den - 1}) div $den") + 1)
@@ -200,10 +214,11 @@ object TextOps {
     val cand = minhashCandidatePairs(docs, n, rows)
     // Verification joins the (small) candidate set back to whole shingle
     // ARRAYS and intersects per pair — no second exploded-shingle shuffle.
-    val withSh = docs
+    // Materialized: referenced by both the doc_a and doc_b join sides.
+    val withSh = materialized(docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        array_distinct(shingles(col("toks"), n)).as("sh"))
+        array_distinct(shingles(col("toks"), n)).as("sh")))
     cand
       .join(withSh.as("a"), col("doc_a") === col("a.doc_id"))
       .join(withSh.as("b"), col("doc_b") === col("b.doc_id"))
@@ -314,8 +329,12 @@ object TextOps {
       pairs: DataFrame,
       maxDriverEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
     val spark = pairs.sparkSession
-    val edges0 = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // Emit both edge directions from ONE pass over `pairs` (a union of two
+    // selects would re-evaluate the whole upstream near-dup pipeline twice).
+    val edges0 = pairs.select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().persist()
     val edgeCount = edges0.count()
     if (edgeCount <= maxDriverEdges) {
