@@ -3,7 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
-import graft.table.CowTable
+import graft.table.{CowTable, MorTable}
 
 /** Outcome summary of one pipeline run (the reference only logs counts —
   * processData.py:303,351,362,366 — we return them).
@@ -33,9 +33,18 @@ final class CdcPipeline(spark: SparkSession, warehousePath: String) {
   def tablePath(cfg: TableConfig): String =
     s"$warehousePath/${cfg.relativePath}"
 
+  /** Table handle for a config — the `hudi_storage_type` routing
+    * (reference: processData.py:150-155, 220-221): `mor` selects
+    * merge-on-read (log-append writes, `_ro`/`_rt` views), anything else
+    * copy-on-write.
+    */
   def tableFor(cfg: TableConfig): CowTable =
-    new CowTable(spark, tablePath(cfg), cfg.pkCols, cfg.partitionCols,
-      cfg.precombineField, numBuckets = cfg.numBuckets)
+    if (cfg.storageType == "mor")
+      new MorTable(spark, tablePath(cfg), cfg.pkCols, cfg.partitionCols,
+        cfg.precombineField, numBuckets = cfg.numBuckets)
+    else
+      new CowTable(spark, tablePath(cfg), cfg.pkCols, cfg.partitionCols,
+        cfg.precombineField, numBuckets = cfg.numBuckets)
 
   /** Session view name for a table — the `dl_<db>_<schema>.<table>` catalog
     * identity of the reference's hive sync, flattened for temp-view rules.

@@ -517,24 +517,37 @@ object CowTable {
     sb.toString
   }
 
-  private[table] def renderManifest(m: Manifest): String = {
-    val parts = JObject(m.partitions.toSeq.sortBy(_._1).map {
+  private def listing(ps: Map[String, Seq[String]]): JObject =
+    JObject(ps.toSeq.sortBy(_._1).map {
       case (k, fsq) => k -> JArray(fsq.toList.map(JString(_)))
     }.toList)
+
+  private[table] def renderManifest(m: Manifest): String =
     JsonMethods.pretty(JsonMethods.render(JObject(List(
       "version" -> JInt(m.version),
       "schemaJson" -> JString(m.schemaJson),
       "keyCols" -> JArray(m.keyCols.toList.map(JString(_))),
       "partitionCols" -> JArray(m.partitionCols.toList.map(JString(_))),
       "precombineField" -> JString(m.precombineField),
-      "partitions" -> parts))))
-  }
+      "partitions" -> listing(m.partitions),
+      // merge-on-read state (empty/zero on COW tables; parse defaults keep
+      // old manifests readable)
+      "logPartitions" -> listing(m.logPartitions),
+      "deltaCommits" -> JInt(m.deltaCommits),
+      "lastCompaction" -> JInt(m.lastCompaction)))))
 
   private[table] def parseManifest(txt: String): Manifest = {
     val j = JsonMethods.parse(txt)
     def strs(v: JValue): Seq[String] =
       v match { case JArray(xs) => xs.collect { case JString(s) => s }
                 case _ => Nil }
+    def long(v: JValue, dflt: Long): Long = v match {
+      case JInt(n) => n.toLong; case JLong(n) => n; case _ => dflt
+    }
+    def files(v: JValue): Map[String, Seq[String]] = v match {
+      case JObject(fs) => ListMap(fs.map { case (k, w) => k -> strs(w) }: _*)
+      case _ => ListMap.empty
+    }
     Manifest(
       version = (j \ "version") match {
         case JInt(n) => n.toLong; case JLong(n) => n
@@ -545,12 +558,9 @@ object CowTable {
       partitionCols = strs(j \ "partitionCols"),
       precombineField = (j \ "precombineField") match {
         case JString(s) => s; case _ => "" },
-      partitions = {
-        val fields = (j \ "partitions") match {
-          case JObject(fs) => fs.map { case (k, v) => k -> strs(v) }
-          case _ => Nil
-        }
-        ListMap(fields: _*)
-      })
+      partitions = files(j \ "partitions"),
+      logPartitions = files(j \ "logPartitions"),
+      deltaCommits = long(j \ "deltaCommits", 0L),
+      lastCompaction = long(j \ "lastCompaction", 0L))
   }
 }

@@ -1,0 +1,222 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.cdc.CdcOps
+
+/** Merge-on-read table: the MOR storage type the reference selects via
+  * `hudi_storage_type` (reference: processData.py:150-155, 220-221).
+  *
+  * Write path: [[upsert]]/[[delete]] APPEND small delta-log parquet files
+  * (payload + `_graft_log_op` U/D + the `_graft_commit_version` stamp)
+  * instead of rewriting base files — the write amplification of a COW merge
+  * (read + anti-join + rewrite of every touched partition) drops to one
+  * append, which is what makes MOR the right storage type for hot,
+  * frequently-updated tables at scale.
+  *
+  * Read paths, named after the reference's `_ro`/`_rt` Hive tables
+  * (processData.py:131-132):
+  *   - [[readOptimized]] (`_ro`): base files only — cheap, possibly stale.
+  *   - [[realtime]] (`_rt`, also [[snapshot]], matching Hudi's MOR snapshot
+  *     query): base files merged with delta logs at read time. Only
+  *     partitions that HAVE pending logs pay the merge (a window over the
+  *     record key within those partitions); untouched partitions stream
+  *     through file-pruned, so read-merge cost scales with the amount of
+  *     un-compacted change, not table size.
+  *
+  * Merge semantics match the COW sequence of the same operations: for each
+  * record key (non-global index — key includes the partition value) the
+  * record with the highest commit version wins; a winning delete tombstone
+  * drops the key. Rows carry their writing commit in
+  * [[CowTable.CommitVerCol]] ([[CowTable.trackCommitVersions]] is forced on)
+  * so appended base files and delta logs order correctly against each other.
+  *
+  * Compaction ([[compactLogs]]): folds each logged partition's base + logs
+  * into fresh base files and resets the delta-commit counter — the
+  * every-N-delta-commits cadence of `hoodie.compact.inline.max.delta.commits`
+  * (reference: processData.py:152-153, cadence 20; the reference runs it
+  * out-of-line, here `compactEvery` also supports inline triggering).
+  */
+class MorTable(
+    spark: SparkSession,
+    basePath: String,
+    keyCols: Seq[String],
+    partitionCols: Seq[String] = Nil,
+    precombineField: String = "",
+    keepCommits: Int = 10,
+    numBuckets: Int = 0,
+    clusterCols: Seq[String] = Nil,
+    /** Inline-compact after this many delta commits; 0 disables (the
+      * reference's `hoodie.compact.inline=false` mode, :152).
+      */
+    val compactEvery: Int = 20)
+  extends CowTable(spark, basePath, keyCols, partitionCols, precombineField,
+    keepCommits, numBuckets, clusterCols, trackCommitVersions = true) {
+
+  import CowTable._
+  import MorTable._
+
+  // ------------------------------------------------------------- write path
+
+  /** K2 on MOR: append an upsert delta log (no base rewrite). */
+  override def upsert(df: DataFrame, parallelism: Int = 0): Unit =
+    logAppend(df, parallelism, LogUpsert)
+
+  /** K3 on MOR: append delete tombstones (no base rewrite). */
+  override def delete(df: DataFrame, parallelism: Int = 0): Unit =
+    logAppend(df, parallelism, LogDelete)
+
+  /** Partial-column upsert needs the stored values to coalesce against, so
+    * it cannot be expressed as a pure log append: compact pending logs
+    * first, then run the COW full-outer merge against clean base files.
+    */
+  override def upsertPartial(df: DataFrame, parallelism: Int = 0): Unit = {
+    compactLogs(parallelism)
+    super.upsertPartial(df, parallelism)
+  }
+
+  private def logAppend(df: DataFrame, parallelism: Int, op: String): Unit = {
+    val m = manifest
+    val v = m.version + 1
+    val stamped = stamp(df, v)
+    val evolved = evolveSchema(m.schema, stamped.schema)
+    val incoming0 = pad(stamped, evolved)
+    // Same intra-batch conflict resolution as the COW write path.
+    val incoming =
+      if (op == LogUpsert && precombineField.nonEmpty)
+        CdcOps.precombine(incoming0, keyCols, precombineField)
+      else incoming0
+    val newLogs = writeCommit(incoming.withColumn(LogOpCol, lit(op)), v,
+      parallelism)
+    writeManifest(m.copy(version = v, schemaJson = evolved.json,
+      logPartitions = mergeListings(m.logPartitions, newLogs),
+      deltaCommits = m.deltaCommits + 1))
+    clean()
+    if (compactEvery > 0 && manifest.deltaCommits >= compactEvery)
+      compactLogs(parallelism)
+  }
+
+  // -------------------------------------------------------------- read path
+
+  /** `_ro` — base files only: no merge cost, staleness bounded by the
+    * compaction cadence.
+    */
+  def readOptimized(): DataFrame = readFiles(manifest, manifest.baseFiles)
+
+  /** `_rt` — read-time merged current state. */
+  def realtime(): DataFrame = realtimeFrom(manifest)
+
+  /** Time travel on the merged view (any retained commit). */
+  def realtimeAt(version: Long): DataFrame = realtimeFrom(manifestAt(version))
+
+  /** MOR snapshot == Hudi's MOR snapshot query == the realtime view. */
+  override def snapshot(): DataFrame = realtime()
+
+  override def snapshotAt(version: Long): DataFrame = realtimeAt(version)
+
+  private def realtimeFrom(m: Manifest): DataFrame = {
+    if (m.logPartitions.isEmpty) return readFiles(m, m.baseFiles)
+    val logged = m.logPartitions.keySet
+    // Partitions without pending logs need no merge: pass through pruned.
+    val untouched = readFiles(m,
+      (m.partitions -- logged).toSeq.sortBy(_._1).flatMap(_._2))
+    val touchedBase = readFiles(m,
+      logged.toSeq.sorted.flatMap(k => m.partitions.getOrElse(k, Nil)))
+    val logs = readLogs(m, logged)
+    untouched.unionByName(
+      mergeBaseWithLogs(m, touchedBase, logs).select(
+        m.schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
+  private def readLogs(m: Manifest, partKeys: Set[String]): DataFrame =
+    readFilesWithSchema(logSchema(m.schema),
+      partKeys.toSeq.sorted.flatMap(k => m.logPartitions.getOrElse(k, Nil)))
+
+  /** Latest-commit-wins merge of base rows and delta-log records. */
+  private def mergeBaseWithLogs(
+      m: Manifest, base: DataFrame, logs: DataFrame): DataFrame = {
+    val all = base.withColumn(LogOpCol, lit(LogUpsert)).unionByName(logs)
+    // Record identity is (key, partition value) — the non-global index, as
+    // in the COW merge. U and D never share a commit (separate write
+    // calls), so (identity, commit) is unique; the op tie-break only makes
+    // the window deterministic against misuse.
+    val identity = (keyCols ++ partitionCols).distinct.map(col)
+    val w = Window.partitionBy(identity: _*)
+      .orderBy(col(CommitVerCol).desc, col(LogOpCol).desc)
+    all.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1 && col(LogOpCol) === LogUpsert)
+      .drop("_graft_rn", LogOpCol)
+  }
+
+  /** Incremental query on MOR: rows written after `sinceVersion`, from only
+    * the base/log files that commits after it added, merged so each changed
+    * key surfaces once (deletes don't surface, matching the COW shape).
+    */
+  override def changesSince(sinceVersion: Long): DataFrame = {
+    val cur = manifest
+    val old = manifestAt(sinceVersion)
+    val oldFiles = old.files.toSet
+    val newBase = cur.baseFiles.filterNot(oldFiles)
+    val newLogKeys = cur.logPartitions.filter {
+      case (_, fs) => fs.exists(f => !oldFiles(f))
+    }.keySet
+    val base = readFiles(cur, newBase)
+    val merged =
+      if (newLogKeys.isEmpty) base
+      else mergeBaseWithLogs(cur, base, readLogs(cur, newLogKeys))
+        .select(cur.schema.fieldNames.toIndexedSeq.map(col): _*)
+    merged.filter(col(CommitVerCol) > sinceVersion)
+  }
+
+  // ------------------------------------------------------------- compaction
+
+  /** Fold pending delta logs into fresh base files (one commit). Only
+    * logged partitions are rewritten; empty merge results (fully deleted
+    * partitions) drop out of the snapshot. Returns false when there was
+    * nothing to compact.
+    */
+  def compactLogs(parallelism: Int = 0): Boolean = {
+    val m = manifest
+    if (m.logPartitions.isEmpty) return false
+    val logged = m.logPartitions.keySet
+    val base = readFiles(m,
+      logged.toSeq.sorted.flatMap(k => m.partitions.getOrElse(k, Nil)))
+    val merged = mergeBaseWithLogs(m, base, readLogs(m, logged))
+      .select(m.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val v = m.version + 1
+    val width = if (parallelism > 0) parallelism else logged.size
+    val newFiles = writeCommit(merged, v, width)
+    writeManifest(m.copy(version = v,
+      partitions = m.partitions -- logged ++ newFiles,
+      logPartitions = Map.empty, deltaCommits = 0, lastCompaction = v))
+    clean()
+    true
+  }
+
+  // ---------------------------------------------------------------- catalog
+
+  /** K6 on MOR: sync BOTH query views, named like the reference's Hive
+    * tables `<name>_ro` / `<name>_rt` (processData.py:131-132).
+    */
+  override def registerView(name: String): Unit = {
+    readOptimized().createOrReplaceTempView(s"${name}_ro")
+    realtime().createOrReplaceTempView(s"${name}_rt")
+    // plain name resolves to the snapshot (= realtime) view, like Hudi's
+    // default MOR snapshot query
+    realtime().createOrReplaceTempView(name)
+  }
+}
+
+object MorTable {
+  /** Delta-log record type column: U (upsert payload) or D (tombstone). */
+  val LogOpCol = "_graft_log_op"
+  val LogUpsert = "U"
+  val LogDelete = "D"
+
+  private[table] def logSchema(tableSchema: StructType): StructType =
+    tableSchema.add(LogOpCol, StringType)
+}
