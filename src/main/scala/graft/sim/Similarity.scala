@@ -69,15 +69,22 @@ object Similarity {
       .withColumn("bucket_size",
         count(lit(1)).over(Window.partitionBy(col("bucket"))))
 
-  /** IVF cell assignment: the first `nCentroids` stored vectors act as the
-    * (deterministic) codebook; each vector is assigned to the centroid with
-    * maximal cosine (ties by centroid id). At scale the per-cell candidate
-    * lists replace full scans for query-time search.
+  /** The trivial deterministic codebook: the first `n` stored vectors.
+    * Kept for reproducible oracle queries; real deployments should train
+    * the codebook with [[kmeansCentroids]] (see [[ivfAssignWith]]).
     */
-  def ivfAssign(embs: DataFrame, nCentroids: Int): DataFrame = {
-    val cents = embs.filter(col("vec_id") < nCentroids)
+  def firstKCodebook(embs: DataFrame, n: Int): DataFrame =
+    embs.filter(col("vec_id") < n)
       .select(col("vec_id").as("centroid_id"),
         toDoubleVec(col("embedding")).as("cv"))
+
+  /** IVF cell assignment against an explicit codebook (`centroid_id, cv`):
+    * each vector goes to the centroid with maximal cosine (ties by centroid
+    * id). The codebook is broadcast — one corpus scan, no shuffle of the
+    * embeddings. At scale the per-cell candidate lists replace full scans
+    * for query-time search.
+    */
+  def ivfAssignWith(embs: DataFrame, cents: DataFrame): DataFrame = {
     val scored = embs
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
@@ -87,6 +94,10 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }
+
+  /** [[ivfAssignWith]] on the deterministic first-k codebook. */
+  def ivfAssign(embs: DataFrame, nCentroids: Int): DataFrame =
+    ivfAssignWith(embs, firstKCodebook(embs, nCentroids))
 
   /** Lloyd's k-means over the embedding corpus: the IVF codebook trainer.
     *
@@ -154,12 +165,20 @@ object Similarity {
     */
   def ivfSearch(
       embs: DataFrame, queryId: Long, nCentroids: Int, nProbe: Int,
+      k: Int): DataFrame =
+    ivfSearchWith(embs, queryId, firstKCodebook(embs, nCentroids), nProbe, k)
+
+  /** [[ivfSearch]] against an explicit — typically [[kmeansCentroids]]-
+    * trained — codebook. A trained codebook tracks the corpus distribution,
+    * so the nProbe nearest cells hold the true neighbors far more often
+    * than the arbitrary first-k codebook (recall improvement verified in
+    * `SimilaritySpec`).
+    */
+  def ivfSearchWith(
+      embs: DataFrame, queryId: Long, cents: DataFrame, nProbe: Int,
       k: Int): DataFrame = {
-    val assignments = ivfAssign(embs, nCentroids)
+    val assignments = ivfAssignWith(embs, cents)
       .select(col("vec_id"), col("centroid_id"))
-    val cents = embs.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid_id"),
-        toDoubleVec(col("embedding")).as("cv"))
     val q = embs.filter(col("vec_id") === queryId)
       .select(toDoubleVec(col("embedding")).as("qv"))
     val nearestCells = cents.crossJoin(broadcast(q))
@@ -179,8 +198,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Sign-LSH code width for a corpus of `n` vectors targeting an expected
+    * bucket population of `targetBucketSize`: the per-bucket pair expansion
+    * is quadratic in population, so bits MUST grow with the corpus —
+    * expected population n/2^bits stays <= target, keeping total candidate
+    * pairs ~n*target/2 (linear in n). A fixed bits (the pre-round-4 caller
+    * contract) goes quadratic at 100 TB.
+    */
+  def bitsForCorpus(n: Long, targetBucketSize: Int = 64): Int = {
+    require(targetBucketSize > 0, "targetBucketSize must be positive")
+    var bits = 1
+    while (bits < 62 && (n >> bits) > targetBucketSize) bits += 1
+    bits
+  }
+
+  /** [[cosineNearDupPairs]] with the code width derived from the corpus
+    * size (one scalar count — never a data collect).
+    */
+  def cosineNearDupPairs(
+      embs: DataFrame, threshold: Double, targetBucketSize: Int): DataFrame =
+    cosineNearDupPairs(embs, bitsForCorpus(embs.count(), targetBucketSize),
+      threshold)
+
   /** Embedding near-duplicate pairs: cosine >= threshold within sign-LSH
-    * buckets (the scalable variant of all-pairs cosine dedup).
+    * buckets (the scalable variant of all-pairs cosine dedup). Prefer the
+    * corpus-size-derived overload; a caller-fixed `bits` must itself scale
+    * with the corpus (see [[bitsForCorpus]]).
     */
   def cosineNearDupPairs(
       embs: DataFrame, bits: Int, threshold: Double): DataFrame = {

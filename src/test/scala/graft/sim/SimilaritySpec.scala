@@ -103,4 +103,76 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     pairs.foreach { case (a, b, s) => assert(a < b && s >= 0.4) }
   }
+
+  test("bitsForCorpus bounds the expected bucket population") {
+    // expected population n/2^bits must be <= target for every n
+    for (n <- Seq(100L, 1000L, 1000000L, 10000000000L);
+         target <- Seq(16, 64, 256)) {
+      val bits = Similarity.bitsForCorpus(n, target)
+      assert((n >> bits) <= target,
+        s"n=$n target=$target bits=$bits leaves ${n >> bits} per bucket")
+      // and bits is minimal (one fewer would blow the target), so the
+      // code space is not oversized either
+      if (bits > 1)
+        assert((n >> (bits - 1)) > target, s"bits oversized for n=$n")
+    }
+    // corpus-size-derived overload: actual mean population within 4x of
+    // target on the real (roughly sign-balanced) embedding corpus
+    val n = embs.count()
+    val bits = Similarity.bitsForCorpus(n, 16)
+    val sizes = Similarity.signBuckets(embs, bits)
+      .select("bucket").groupBy("bucket").count()
+      .select("count").as[Long].collect()
+    assert(sizes.sum == n)
+    assert(sizes.sum.toDouble / sizes.length <= 16 * 4,
+      s"mean bucket population ${sizes.sum.toDouble / sizes.length}")
+    val derived = Similarity.cosineNearDupPairs(embs, 0.4, 16)
+      .as[(Long, Long, Double)].collect()
+    derived.foreach { case (a, b, s) => assert(a < b && s >= 0.4) }
+  }
+
+  test("trained IVF codebook beats the first-k codebook on recall") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // Two well-separated clusters; the FIRST k vectors all sit in cluster
+    // A, so the first-k codebook is degenerate (both centroids in A) and
+    // nProbe=1 search splits cluster B across cells arbitrarily. Lloyd's
+    // iterations must separate the clusters and recover full recall.
+    val rnd = new scala.util.Random(11)
+    def jitter(c: Seq[Float]) = c.map(x => x + rnd.nextFloat() * 0.2f)
+    // Clusters: A around (10,0,.5,0), B around (0,10,z,0) with z spread
+    // over [-1,1]. The first TWO stored vectors are A-members split only
+    // by z sign — so the first-k codebook's two cells cut the corpus on
+    // the z axis, which is NOISE with respect to true similarity. The
+    // query sits at z=0, the middle of B's spread: its true neighbors
+    // straddle the z boundary, so nProbe=1 search on the degenerate
+    // codebook misses the half on the other side. Lloyd's iterations
+    // escape the degenerate init (A is biased to z=+.5, so the z-split is
+    // unstable) and converge to one-cell-per-cluster, restoring recall.
+    val pts =
+      Seq(Row(0L, Seq(10f, 0f, 1f, 0f)), Row(1L, Seq(10f, 0f, -1f, 0f))) ++
+      (2 until 27).map(i => Row(i.toLong, jitter(Seq(10f, 0f, 0.5f, 0f)))) ++
+      (27 until 52).map(i =>
+        Row(i.toLong, Seq(0f, 10f, (i - 39) / 12.0f, 0f)))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, false), nullable = false)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(pts: _*), schema)
+
+    val queryId = 39L // the z=0 midpoint of cluster B
+    val exact = Similarity.cosineTopK(df, queryId, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.forall(_ >= 27L), "true neighbors are the B-cluster mates")
+
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.ivfSearchWith(df, queryId, cents, nProbe = 1, k = 10)
+        .select("vec_id").as[Long].collect().toSet
+      (got & exact).size / 10.0
+    }
+    val firstK = recall(Similarity.firstKCodebook(df, 2))
+    val trained = recall(Similarity.kmeansCentroids(df, 2, 5))
+    assert(firstK <= 0.7, s"degenerate codebook should lose neighbors " +
+      s"across the z boundary, got recall $firstK")
+    assert(trained == 1.0, s"trained codebook recall $trained")
+  }
 }
