@@ -506,6 +506,60 @@ object QueryCatalog {
            |  min(ts) AS start_ts, max(ts) AS end_ts
            |FROM sessions GROUP BY user_id, session_seq""".stripMargin))
 
+  /** As-of (temporal) join: every click event picks up the value of the
+    * user's latest purchase at-or-before it — Joins.asofJoin's union+window
+    * formulation vs DuckDB's native ASOF LEFT JOIN. The purchase side is
+    * pre-aggregated to one row per (user_id, ts) so the as-of winner is
+    * deterministic in both engines.
+    */
+  private val asofJoinLatest = Q(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("r_value"))
+      graft.functions.Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts")
+    },
+    Some("""SELECT l.event_id, l.user_id, l.ts, r.r_value
+           |FROM (SELECT event_id, user_id, ts FROM events
+           |      WHERE event_type = 'click') l
+           |ASOF LEFT JOIN (
+           |  SELECT user_id, ts, max(value) AS r_value
+           |  FROM events WHERE event_type = 'purchase'
+           |  GROUP BY user_id, ts) r
+           |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin))
+
+  /** Interval range join (no equi-key): count lineitems shipped inside each
+    * of ten 7-day windows — Joins.rangeJoin's bucketed expansion vs a plain
+    * BETWEEN theta-join in the oracle.
+    */
+  private val rangeJoinShipped = Q(
+    (s, d) => {
+      val iv = t(s, d, "orders").orderBy("o_orderkey").limit(10)
+        .select(col("o_orderkey"),
+          col("o_orderdate").as("start_d"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("end_d"))
+      val pts = t(s, d, "lineitem").select("l_shipdate")
+      val joined = graft.functions.Joins.rangeJoin(
+        pts, unix_timestamp(col("l_shipdate")),
+        iv, unix_timestamp(col("start_d")), unix_timestamp(col("end_d")),
+        bucketWidth = 7L * 86400)
+      val counts = joined.groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipped"))
+      iv.select("o_orderkey").join(counts, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+    },
+    Some("""WITH iv AS (
+           |  SELECT o_orderkey, o_orderdate AS start_d,
+           |    o_orderdate + INTERVAL 7 DAY AS end_d
+           |  FROM orders ORDER BY o_orderkey LIMIT 10)
+           |SELECT iv.o_orderkey, count(l.l_shipdate) AS n_shipped
+           |FROM iv LEFT JOIN lineitem l
+           |  ON l.l_shipdate >= iv.start_d AND l.l_shipdate < iv.end_d
+           |GROUP BY iv.o_orderkey""".stripMargin))
+
   // ------------------------------------------------------------ text ops
 
   private val dedupExact = Q(
@@ -908,6 +962,8 @@ object QueryCatalog {
     "scalar_funcs" -> scalarFuncs,
     "events_hourly" -> eventsHourly,
     "sessionize" -> sessionize,
+    "asof_join_latest" -> asofJoinLatest,
+    "range_join_shipped" -> rangeJoinShipped,
     "dedup_exact" -> dedupExact,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,

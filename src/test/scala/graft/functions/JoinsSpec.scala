@@ -27,4 +27,63 @@ class JoinsSpec extends SparkSpec {
     val spread = salted.select("__salt").distinct().count()
     assert(spread == 8, s"expected all 8 salts used, got $spread")
   }
+
+  test("asofJoin attaches the latest right row at-or-before each left row") {
+    val left = Seq((1L, 5L, "l5"), (1L, 15L, "l15"), (1L, 20L, "l20"),
+      (1L, 25L, "l25"), (2L, 10L, "x10")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "a", 1.0), (1L, 20L, "b", 2.0),
+      (3L, 1L, "z", 9.0)).toDF("k", "t", "v", "score")
+    val got = Joins.asofJoin(left, right, Seq("k"), "t")
+      .select("k", "t", "tag", "v", "score")
+      .as[(Long, Long, String, Option[String], Option[Double])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 5L, "l5", None, None),            // before any right row
+      (1L, 15L, "l15", Some("a"), Some(1.0)),
+      (1L, 20L, "l20", Some("b"), Some(2.0)), // equal ts: right wins (>=)
+      (1L, 25L, "l25", Some("b"), Some(2.0)),
+      (2L, 10L, "x10", None, None)))         // key with no right rows
+  }
+
+  test("asofJoin: a null payload FIELD in the latest right row shadows") {
+    val left = Seq((1L, 30L)).toDF("k", "t")
+    val right = Seq((1L, 10L, Some("old")), (1L, 20L, None: Option[String]))
+      .toDF("k", "t", "v")
+    val got = Joins.asofJoin(left, right, Seq("k"), "t")
+      .select("v").as[Option[String]].collect().toSeq
+    assert(got == Seq(None), "latest right row's null must win, not 'old'")
+  }
+
+  test("asofJoin matches a naive per-row computation on real data") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("ts div 1000"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("rv"))
+    val got = Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts")
+      .select("event_id", "rv").as[(Long, Option[Double])].collect().toMap
+    val ps = purchases.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val naive = clicks.as[(Long, Long, Long)].collect().map {
+      case (eid, u, t) =>
+        eid -> ps.get(u).flatMap(_.reverseIterator.find(_._2 <= t)).map(_._3)
+    }.toMap
+    assert(got == naive)
+  }
+
+  test("rangeJoin pairs points with exactly the containing intervals") {
+    val pts = Seq(0L, 5L, 10L, 15L, 29L, 30L, 45L, 100L).map(Tuple1(_))
+      .toDF("p")
+    val ivs = Seq((1L, 0L, 10L), (2L, 5L, 30L), (3L, 30L, 31L),
+      (4L, 90L, 120L)).toDF("iv", "s", "e")
+    // bucketWidth smaller, equal, and larger than interval lengths
+    for (width <- Seq(3L, 10L, 64L)) {
+      val got = Joins.rangeJoin(pts, col("p"), ivs, col("s"), col("e"), width)
+        .select("p", "iv").as[(Long, Long)].collect().toSet
+      val expected = Set((0L, 1L), (5L, 1L), (5L, 2L), (10L, 2L), (15L, 2L),
+        (29L, 2L), (30L, 3L), (100L, 4L))
+      assert(got == expected, s"width=$width")
+    }
+  }
 }
