@@ -69,7 +69,12 @@ final class CdcPipeline(spark: SparkSession, warehousePath: String) {
       val summary =
         if (!table.exists) runInitial(cfg, table, df, n)
         else runIncremental(cfg, table, df, n)
-      if (table.exists) table.registerView(viewName(cfg))
+      if (table.exists) {
+        table.registerView(viewName(cfg))
+        // K6 persistent half: record the table in the warehouse catalog so
+        // later sessions can re-attach it (the reference's Glue sync).
+        new WarehouseCatalog(spark, warehousePath).sync(cfg)
+      }
       summary
     } finally df.unpersist()
   }

@@ -55,6 +55,30 @@ object TableConfig {
     Option(s).getOrElse("").split("[;,]").iterator.map(_.trim)
       .filter(k => k.nonEmpty && k != "none").toSeq
 
+  /** Inverse of [[fromJValue]]: control-record field names, so a rendered
+    * catalog is itself a valid control file.
+    */
+  def toJValue(c: TableConfig): JObject = JObject(List(
+    "db_name" -> JString(c.dbName),
+    "schema_name" -> JString(c.schemaName),
+    "table_name" -> JString(c.tableName),
+    "primary_key" -> JString(c.primaryKey),
+    "partition_key" -> JString(c.partitionKey),
+    "hudi_storage_type" -> JString(c.storageType),
+    "glue_job_name" -> JString(c.glueJobName),
+    "precombine_field" -> JString(c.precombineField),
+    "dms_full_load_partitioned" ->
+      JString(if (c.dmsFullLoadPartitioned) "yes" else "no"),
+    "hudi_bulkinsert_shuffle_parallelism" ->
+      JString(c.bulkInsertParallelism.toString),
+    "hudi_upsert_shuffle_parallelism" ->
+      JString(c.upsertParallelism.toString),
+    "cdc_split_upsert" -> JString(if (c.cdcSplitUpsert) "yes" else "no"),
+    "graft_num_buckets" -> JString(c.numBuckets.toString)))
+
+  def renderJson(configs: Seq[TableConfig]): String =
+    JsonMethods.pretty(JsonMethods.render(JArray(configs.toList.map(toJValue))))
+
   private def str(o: JValue, k: String, dflt: String = ""): String =
     o \ k match { case JString(v) => v; case _ => dflt }
 

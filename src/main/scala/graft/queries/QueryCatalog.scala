@@ -506,6 +506,43 @@ object QueryCatalog {
            |  min(ts) AS start_ts, max(ts) AS end_ts
            |FROM sessions GROUP BY user_id, session_seq""".stripMargin))
 
+  /** Native `session_window` gap sessionization (the operator Structured
+    * Streaming runs with a watermark; identical plan shape in batch —
+    * StreamOps.sessionWindowAgg). Semantics differ from the manual
+    * `sessionize` at the exact gap boundary: session_window's end is
+    * exclusive (`diff >= gap` starts a new session), and it merges at
+    * MICROsecond precision — the oracle mirrors both (epoch_us, `>=`).
+    * Window end = last event + gap, per the operator's definition.
+    */
+  private val sessionWindowAgg = Q(
+    (s, d) => t(s, d, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"),
+        col("session_value")),
+    Some("""WITH flagged AS (
+           |  SELECT user_id, event_id, ts, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+           |      THEN 1 ELSE 0 END AS ns
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sessions AS (
+           |  SELECT user_id, ts, value,
+           |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS sid
+           |  FROM flagged)
+           |SELECT user_id, min(ts) AS session_start,
+           |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+           |  count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+           |    AS session_value
+           |FROM sessions GROUP BY user_id, sid""".stripMargin))
+
   /** As-of (temporal) join: every click event picks up the value of the
     * user's latest purchase at-or-before it — Joins.asofJoin's union+window
     * formulation vs DuckDB's native ASOF LEFT JOIN. The purchase side is
@@ -962,6 +999,7 @@ object QueryCatalog {
     "scalar_funcs" -> scalarFuncs,
     "events_hourly" -> eventsHourly,
     "sessionize" -> sessionize,
+    "session_window_agg" -> sessionWindowAgg,
     "asof_join_latest" -> asofJoinLatest,
     "range_join_shipped" -> rangeJoinShipped,
     "dedup_exact" -> dedupExact,
