@@ -970,6 +970,59 @@ object QueryCatalog {
       octet_length(col("text")).cast("long").as("n_bytes")),
     Some("SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents"))
 
+  /** PII scrubbing over documents. The synthetic corpus contains no PII, so
+    * the query APPENDS deterministic synthetic PII (email + IPv4 + phone)
+    * per row before scrubbing — every row then exercises all three regex
+    * patterns, making the oracle a genuine Java-regex-vs-RE2 dialect
+    * parity check rather than a no-op.
+    */
+  private val piiScrub = Q(
+    (s, d) => {
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."),
+        pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit(".7 call +1 555-867-53"),
+        (pmod(col("doc_id"), lit(100L)) + 10).cast("string"))
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.scrubPii(withPii).as("scrubbed"))
+    },
+    Some("""SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+           |      || '@example.com from 10.0.'
+           |      || CAST(doc_id % 256 AS VARCHAR)
+           |      || '.7 call +1 555-867-53'
+           |      || CAST(doc_id % 100 + 10 AS VARCHAR),
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           |    '<EMAIL>', 'g'),
+           |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+           |    '\+?\d[\d\- ()]{7,}\d', '<PHONE>', 'g') AS scrubbed
+           |FROM documents""".stripMargin))
+
+  /** Gopher-style repetition quality signals (top token / bigram mass). */
+  private val repetitionStats = Q(
+    (s, d) => TextOps.repetitionStats(t(s, d, "documents")),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS g
+           |  FROM documents),
+           |tc AS (SELECT doc_id, g, count(*) AS c FROM toks GROUP BY 1, 2),
+           |ts AS (SELECT doc_id, max(c) AS top_token_n,
+           |    round(max(c) / sum(c), 6) AS top_token_frac
+           |  FROM tc GROUP BY doc_id),
+           |bt AS (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(l)),
+           |    i -> l[i] || ' ' || l[i + 1])) AS g
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+           |        FROM documents)),
+           |bc AS (SELECT doc_id, g, count(*) AS c FROM bt GROUP BY 1, 2),
+           |bs AS (SELECT doc_id, max(c) AS top_bigram_n,
+           |    round(max(c) / sum(c), 6) AS top_bigram_frac
+           |  FROM bc GROUP BY doc_id)
+           |SELECT ts.doc_id, ts.top_token_n, ts.top_token_frac,
+           |  bs.top_bigram_n, bs.top_bigram_frac
+           |FROM ts LEFT JOIN bs USING (doc_id)""".stripMargin))
+
   // ---------------------------------------------------------------- export
 
   val all: ListMap[String, Q] = ListMap(
@@ -1005,6 +1058,8 @@ object QueryCatalog {
     "dedup_exact" -> dedupExact,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
+    "pii_scrub" -> piiScrub,
+    "repetition_stats" -> repetitionStats,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
     "token_count_bpe" -> tokenCountBpe,

@@ -387,6 +387,52 @@ object TextOps {
     } finally edges.unpersist()
   }
 
+  /** PII scrubbing patterns, applied in order (emails before IPs before
+    * phones — the later, looser patterns must not eat the earlier ones).
+    * Portable regex subset: identical semantics under Java regex (Spark)
+    * and RE2 (DuckDB oracle) — no backrefs, no lookaround.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d[\\d\\- ()]{7,}\\d" -> "<PHONE>")
+
+  /** Redact emails / IPv4s / phone-shaped digit runs from `text` — the
+    * PII-scrubbing pass of a training-data pipeline. Pure per-row
+    * `regexp_replace` chain: codegen'd, shuffle-free.
+    */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Gopher-style repetition quality signals: the fraction of all tokens
+    * taken by the single most frequent token, and likewise for word
+    * bigrams (high values flag boilerplate/spam for filtering).
+    *
+    * Shape: explode + two-level aggregation per n-gram size — shuffles by
+    * (doc_id, gram) then doc_id, both map-side combinable; no per-row
+    * quadratic work, so row length doesn't matter at corpus scale.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def topFrac(grams: DataFrame, outCnt: String, outFrac: String) =
+      grams
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as(outCnt), sum(col("c")).as("__total"))
+        .select(col("doc_id"), col(outCnt),
+          round(col(outCnt) / col("__total"), 6).as(outFrac))
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val uni = toked.select(col("doc_id"), explode(col("toks")).as("g"))
+    val bi = toked
+      .select(col("doc_id"), shingles(col("toks"), 2).as("bs"))
+      .select(col("doc_id"), explode(col("bs")).as("g"))
+    topFrac(uni, "top_token_n", "top_token_frac")
+      .join(topFrac(bi, "top_bigram_n", "top_bigram_frac"), Seq("doc_id"),
+        "left")
+  }
+
   /** SimHash (16-bit, portable hash): per bit j, sign of the sum over tokens
     * (with multiplicity) of +-1 according to bit j of the token hash.
     */

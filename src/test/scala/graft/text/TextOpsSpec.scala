@@ -108,4 +108,36 @@ class TextOpsSpec extends SparkSpec {
     val again = TextOps.fingerprint(docs).select("fp").as[Long].collect()
     assert(fps.toSeq == again.toSeq)
   }
+
+  test("scrubPii redacts emails, IPs and phone numbers; leaves prose alone") {
+    val d = Seq(
+      (1L, "mail me at jane.doe+spam@corp.example.org thanks"),
+      (2L, "server 192.168.1.254 responded"),
+      (3L, "call +1 (555) 867-5309 now"),
+      (4L, "version 1.2 of chapter 3.4.5 is fine"),
+      (5L, "plain text with no pii at all")
+    ).toDF("doc_id", "text")
+    val got = d.select($"doc_id", TextOps.scrubPii($"text").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail me at <EMAIL> thanks")
+    assert(got(2L) == "server <IP> responded")
+    assert(got(3L) == "call <PHONE> now")
+    assert(got(4L) == "version 1.2 of chapter 3.4.5 is fine",
+      "short dotted versions must not be eaten by the IP pattern")
+    assert(got(5L) == "plain text with no pii at all")
+  }
+
+  test("repetitionStats matches hand-computed fractions") {
+    // "a a a b": top token 'a' 3/4; bigrams: "a a","a a","a b" -> 2/3
+    val d = Seq((1L, "a a a b"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("top_token_n") == 3)
+    assert(math.abs(got(1L).getAs[Double]("top_token_frac") - 0.75) < 1e-9)
+    assert(got(1L).getAs[Long]("top_bigram_n") == 2)
+    assert(math.abs(
+      got(1L).getAs[Double]("top_bigram_frac") - 0.666667) < 1e-9)
+    assert(got(2L).getAs[Long]("top_token_n") == 1)
+    assert(got(2L).getAs[Long]("top_bigram_n") == 1)
+  }
 }
