@@ -89,6 +89,30 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
   }
 
+  /** Stream-stream interval join: each left event pairs with right events
+    * of the same key whose timestamp falls in [left.ts - before,
+    * left.ts + after]. Both sides MUST be watermarked (callers of the
+    * streaming path) so Spark can bound the join state — state per side is
+    * O(events within watermark + interval), the only formulation that
+    * survives unbounded streams. Works identically on batch frames (no
+    * watermark needed).
+    *
+    * Column convention: left carries (keyCol, ts, ...), right is renamed to
+    * `r_ts` + payload to keep the join condition unambiguous.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      before: String,
+      after: String): DataFrame = {
+    val r = right.withColumnRenamed("ts", "r_ts")
+    left.join(r, left(keyCol) === r(keyCol) &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $before") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $after"))
+      .drop(r(keyCol))
+  }
+
   /** Start a memory-sink query for tests/demos and drain all available
     * input synchronously.
     */

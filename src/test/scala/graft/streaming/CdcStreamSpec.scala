@@ -128,6 +128,49 @@ class CdcStreamSpec extends SparkSpec {
     assert(fin(9L) == ((5L, 10.0, 2L)), s"newer event must win: $fin")
   }
 
+  test("stream-stream interval join with watermarks matches batch result") {
+    import spark.implicits._
+    val lDir = tmpDir("ij-left"); val rDir = tmpDir("ij-right")
+    def df(rows: Seq[(Long, String, Double)]) = rows
+      .map { case (u, t, v) =>
+        (u, java.sql.Timestamp.valueOf(t), v) }
+      .toDF("user_id", "ts", "value")
+    // clicks (left) and purchases (right): pair each click with purchases
+    // of the same user within [click - 10 min, click + 5 min]
+    val clicks = df(Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 12:00:00", 2.0),
+      (2L, "2024-01-01 10:00:00", 3.0)))
+    val purchases = df(Seq(
+      (1L, "2024-01-01 09:55:00", 10.0),  // within 10min before click 1
+      (1L, "2024-01-01 10:04:00", 20.0),  // within 5min after click 1
+      (1L, "2024-01-01 11:00:00", 30.0),  // matches neither click
+      (2L, "2024-01-01 10:30:00", 40.0))) // outside both bounds
+    clicks.write.mode("overwrite").parquet(lDir)
+    purchases.write.mode("overwrite").parquet(rDir)
+
+    val expected = Set((1L, 1.0, 10.0), (1L, 1.0, 20.0))
+    val batch = StreamOps.intervalJoin(
+        clicks, purchases.withColumnRenamed("value", "r_value"),
+        "user_id", "10 minutes", "5 minutes")
+      .select("user_id", "value", "r_value")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(batch == expected)
+
+    val ls = spark.readStream.schema(clicks.schema).parquet(lDir)
+      .withWatermark("ts", "1 hour")
+    val rs = spark.readStream.schema(purchases.schema).parquet(rDir)
+      .withColumnRenamed("value", "r_value")
+      .withWatermark("ts", "1 hour")
+    StreamOps.runToMemory(
+      StreamOps.intervalJoin(ls, rs, "user_id", "10 minutes", "5 minutes")
+        .select("user_id", "value", "r_value"),
+      "ij_test", "append")
+    val streamed = spark.table("ij_test")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(streamed == expected)
+  }
+
   test("session windows via native session_window in batch mode") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

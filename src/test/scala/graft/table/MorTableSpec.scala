@@ -110,6 +110,23 @@ class MorTableSpec extends SparkSpec {
     assert(t.realtimeAt(1L).count() == 2)
   }
 
+  test("log appends evolve the schema additively; old rows read null-filled") {
+    val t = freshTable()
+    t.bulkInsert(rows((1, "a", "p1", 1)))
+    val withNew = Seq((2, "b", "p1", 2, "extra"))
+      .toDF("id", "v", "p", "seq", "note")
+    t.upsert(withNew)
+    assert(t.manifest.schema.fieldNames.contains("note"))
+    val got = t.realtime().select("id", "note")
+      .as[(Int, Option[String])].collect().toMap
+    assert(got == Map(1 -> None, 2 -> Some("extra")))
+    // compaction carries the evolved schema into base files
+    t.compactLogs()
+    val ro = t.readOptimized().select("id", "note")
+      .as[(Int, Option[String])].collect().toMap
+    assert(ro == Map(1 -> None, 2 -> Some("extra")))
+  }
+
   test("golden scenario on MOR reaches 190 in _rt; _ro catches up at compaction") {
     val fullLoad =
       "/root/reference/lib/assets/data/measurement_data_fullload.parquet"
