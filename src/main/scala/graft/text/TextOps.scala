@@ -414,23 +414,48 @@ object TextOps {
     * (doc_id, gram) then doc_id, both map-side combinable; no per-row
     * quadratic work, so row length doesn't matter at corpus scale.
     */
+  /** Longest run length in a SORTED array — i.e. the count of the most
+    * frequent element. One interpreted fold per element; no shuffle.
+    */
+  private def topRunCount(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit(0L).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("run") > 0 && acc.getField("prev") === x,
+          acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   def repetitionStats(docs: DataFrame): DataFrame = {
-    def topFrac(grams: DataFrame, outCnt: String, outFrac: String) =
-      grams
-        .groupBy(col("doc_id"), col("g"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as(outCnt), sum(col("c")).as("__total"))
-        .select(col("doc_id"), col(outCnt),
-          round(col(outCnt) / col("__total"), 6).as(outFrac))
-    val toked = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val uni = toked.select(col("doc_id"), explode(col("toks")).as("g"))
-    val bi = toked
-      .select(col("doc_id"), shingles(col("toks"), 2).as("bs"))
-      .select(col("doc_id"), explode(col("bs")).as("g"))
-    topFrac(uni, "top_token_n", "top_token_frac")
-      .join(topFrac(bi, "top_bigram_n", "top_bigram_frac"), Seq("doc_id"),
-        "left")
+    // Every gram of a document lives in the document's own row, so these
+    // are PER-ROW statistics — no explode, no shuffle, embarrassingly
+    // parallel at corpus scale (an explode+groupBy formulation shuffles
+    // the entire gram stream just to put back together what was never
+    // apart; measured 5x slower at sf0.1). Grams are compared by 64-bit
+    // hash: two DISTINCT grams of ONE document colliding (~n²/2^65) is
+    // negligible at any document length.
+    def hashes(grams: Column): Column =
+      array_sort(transform(grams, g => xxhash64(g)))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        hashes(col("toks")).as("uh"),
+        hashes(shingles(col("toks"), 2)).as("bh"))
+      .select(col("doc_id"),
+        topRunCount(col("uh")).as("top_token_n"),
+        size(col("uh")).as("un"),
+        topRunCount(col("bh")).as("top_bigram_n"),
+        size(col("bh")).as("bn"))
+      .select(col("doc_id"),
+        col("top_token_n"),
+        round(col("top_token_n") / col("un"), 6).as("top_token_frac"),
+        // docs shorter than the gram (no bigrams) report nulls, matching
+        // the SQL left join against an empty bigram group
+        when(col("bn") > 0, col("top_bigram_n")).as("top_bigram_n"),
+        when(col("bn") > 0, round(col("top_bigram_n") / col("bn"), 6))
+          .as("top_bigram_frac"))
   }
 
   /** SimHash (16-bit, portable hash): per bit j, sign of the sum over tokens
