@@ -1000,6 +1000,26 @@ object QueryCatalog {
            |    '\+?\d[\d\- ()]{7,}\d', '<PHONE>', 'g') AS scrubbed
            |FROM documents""".stripMargin))
 
+  /** Equi-width histogram of event values per type (`width_bucket`, the
+    * standard binning operator; Postgres semantics: bucket 0 below the
+    * range, nBuckets+1 at/above the top). DuckDB 1.0 lacks width_bucket,
+    * so the oracle spells out the same arithmetic — floor(v/10)+1 is the
+    * identical IEEE computation for bounds (0,100,10).
+    */
+  private val valueHistogram = Q(
+    (s, d) => t(s, d, "events")
+      .groupBy(col("event_type"),
+        width_bucket(col("value"), lit(0d), lit(100d), lit(10))
+          .as("bucket"))
+      .agg(count(lit(1)).as("n")),
+    Some("""SELECT event_type,
+           |  CASE WHEN value < 0 THEN 0
+           |       WHEN value >= 100 THEN 11
+           |       ELSE CAST(FLOOR(value / 10.0) AS BIGINT) + 1 END
+           |    AS bucket,
+           |  count(*) AS n
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
   /** Gopher-style repetition quality signals (top token / bigram mass). */
   private val repetitionStats = Q(
     (s, d) => TextOps.repetitionStats(t(s, d, "documents")),
@@ -1059,6 +1079,7 @@ object QueryCatalog {
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "pii_scrub" -> piiScrub,
+    "value_histogram" -> valueHistogram,
     "repetition_stats" -> repetitionStats,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
