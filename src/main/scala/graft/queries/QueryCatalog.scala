@@ -1043,6 +1043,39 @@ object QueryCatalog {
            |  bs.top_bigram_n, bs.top_bigram_frac
            |FROM ts LEFT JOIN bs USING (doc_id)""".stripMargin))
 
+  /** Mean embedding per language (centroid building / mean pooling — the
+    * group-wise vector aggregation a training pipeline uses for cluster
+    * prototypes). Exploded per dimension; the per-(lang,dim) mean uses an
+    * ORDER-FIXED fold — both engines sum the doubles in vec_id order
+    * (Spark: fold over sort_array(collect_list); DuckDB: list_sum over
+    * list(... ORDER BY vec_id), verified a bit-identical sequential fold) —
+    * because a parallel double sum is order-dependent and would flake the
+    * hash gate.
+    */
+  private val meanEmbeddingByLang = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val embs = t(s, d, "embeddings").select(col("vec_id"),
+        graft.sim.Similarity.toDoubleVec(col("embedding")).as("v"))
+      docs.join(embs, col("doc_id") === col("vec_id"))
+        .select(col("lang"), col("vec_id"), posexplode(col("v")))
+        .groupBy(col("lang"), col("pos"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("col"))))
+          .as("xs"), count(lit(1)).as("n"))
+        .select(col("lang"), col("pos").cast("long").as("dim"),
+          round(aggregate(col("xs"), lit(0.0d),
+            (a, x) => a + x.getField("col")) / col("n"), 6).as("mean_val"))
+    },
+    Some("""WITH joined AS (
+           |  SELECT d.lang, e.vec_id,
+           |    unnest(e.embedding) AS val,
+           |    generate_subscripts(e.embedding, 1) - 1 AS dim
+           |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+           |SELECT lang, CAST(dim AS BIGINT) AS dim,
+           |  round(list_sum(list(CAST(val AS DOUBLE) ORDER BY vec_id))
+           |    / count(*), 6) AS mean_val
+           |FROM joined GROUP BY lang, dim""".stripMargin))
+
   // ---------------------------------------------------------------- export
 
   val all: ListMap[String, Q] = ListMap(
@@ -1100,7 +1133,8 @@ object QueryCatalog {
     "sign_lsh_buckets" -> signLshBuckets,
     "ivf_assign" -> ivfAssign,
     "ivf_search" -> ivfSearch,
-    "multimodal_bytes" -> multimodalBytes
+    "multimodal_bytes" -> multimodalBytes,
+    "mean_embedding_by_lang" -> meanEmbeddingByLang
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

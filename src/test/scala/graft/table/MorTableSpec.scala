@@ -127,6 +127,22 @@ class MorTableSpec extends SparkSpec {
     assert(ro == Map(1 -> None, 2 -> Some("extra")))
   }
 
+  test("bucketed MOR routes logs per key-hash bucket and merges correctly") {
+    val t = new MorTable(spark, tmpDir("mor-b"), Seq("id"), Nil,
+      precombineField = "seq", numBuckets = 4, compactEvery = 0)
+    val all = (1 to 40).map(i => (i, s"v$i", "p", 1))
+    t.bulkInsert(rows(all: _*))
+    t.upsert(rows((3, "v3b", "p", 2), (17, "v17b", "p", 2)))
+    t.delete(rows((5, "v5", "p", 3)))
+    // log listings are keyed by bucket — only touched buckets carry logs
+    assert(t.manifest.logPartitions.keySet.forall(_.startsWith("__bucket=")))
+    val rt = t.realtime().select("id", "v").as[(Int, String)].collect().toMap
+    assert(rt.size == 39 && rt(3) == "v3b" && rt(17) == "v17b" &&
+      !rt.contains(5) && rt(1) == "v1")
+    t.compactLogs()
+    assert(t.readOptimized().count() == 39)
+  }
+
   test("golden scenario on MOR reaches 190 in _rt; _ro catches up at compaction") {
     val fullLoad =
       "/root/reference/lib/assets/data/measurement_data_fullload.parquet"
