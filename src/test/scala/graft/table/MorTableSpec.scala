@@ -127,6 +127,36 @@ class MorTableSpec extends SparkSpec {
     assert(ro == Map(1 -> None, 2 -> Some("extra")))
   }
 
+  test("upsertPartial on MOR compacts pending logs, then coalesce-merges") {
+    val t = freshTable()
+    t.bulkInsert(rows((1, "a", "p1", 1), (2, "b", "p1", 1)))
+    t.upsert(rows((2, "b2", "p1", 2)))          // pending log
+    // partial update: null v means keep stored value — must see b2, the
+    // LOG state, not the stale base
+    val partial = Seq((2, null.asInstanceOf[String], "p1", 3))
+      .toDF("id", "v", "p", "seq")
+    t.upsertPartial(partial)
+    val got = t.realtime().select("id", "v", "seq")
+      .as[(Int, String, Int)].collect()
+      .map { case (i, v, q) => i -> ((v, q)) }.toMap
+    assert(got(2) == (("b2", 3)), s"stored log value must survive: $got")
+    assert(got(1) == (("a", 1)))
+    assert(t.manifest.logPartitions.isEmpty, "partial upsert compacts first")
+  }
+
+  test("changesSince stays row-exact across a compaction rewrite") {
+    val t = freshTable()
+    t.bulkInsert(rows((1, "a", "p1", 1), (2, "b", "p1", 1)))   // v1
+    t.upsert(rows((2, "b2", "p1", 2), (3, "c", "p1", 2)))      // v2 (log)
+    t.compactLogs()                                            // v3 rewrite
+    // compaction rewrote partition p1's files, but rows keep their commit
+    // stamps: only the v2 changes must surface
+    val ch = t.changesSince(1L).select("id", "v").as[(Int, String)]
+      .collect().toMap
+    assert(ch == Map(2 -> "b2", 3 -> "c"), s"got $ch")
+    assert(t.changesSince(3L).count() == 0)
+  }
+
   test("bucketed MOR routes logs per key-hash bucket and merges correctly") {
     val t = new MorTable(spark, tmpDir("mor-b"), Seq("id"), Nil,
       precombineField = "seq", numBuckets = 4, compactEvery = 0)
