@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark-native extension point: install graft's custom Catalyst
+  * expressions into a session at construction time —
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)   // or
+  *     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  *     .getOrCreate()
+  * }}}
+  *
+  * — after which pure-SQL users can call them like built-ins
+  * (`SELECT vec_dot(a, b) FROM ...`) with full codegen, no UDF overhead,
+  * and no Scala API in sight. The imperative alternative for an existing
+  * session is [[VectorExpressions.registerAll]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type Builder = Seq[Expression] => Expression
+
+  /** Name -> (info, builder) for every SQL-exposed graft expression. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, null, "vec_dot",
+        "vec_dot(a, b) - dot product of two float/double arrays, " +
+          "accumulated in double in index order", ""),
+      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+}

@@ -58,4 +58,22 @@ class VectorDotSpec extends SparkSpec {
       df.select(vec_dot(col("a"), col("b"))).collect()
     }
   }
+
+  test("GraftExtensions injects a working vec_dot builder") {
+    // applying the extension class must register without throwing (the
+    // withExtensions end-to-end path needs session construction, which a
+    // shared-session test suite can't do — getOrCreate would return the
+    // existing session and silently ignore new extensions)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // and the injected builder must produce the real expression
+    val (ident, _, builder) = GraftExtensions.functions.head
+    assert(ident.funcName == "vec_dot")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val arr = (xs: Seq[Double]) =>
+      Literal.create(xs.toArray, ArrayType(DoubleType, false))
+    val e = builder(Seq(arr(Seq(1.0, 2.0)), arr(Seq(3.0, 4.0))))
+    assert(e.eval(null) == 11.0)
+  }
 }
