@@ -72,6 +72,28 @@ class CdcStreamSpec extends SparkSpec {
       "two micro-batches must have produced separate commits")
   }
 
+  test("streaming bookmark ingestion into a MOR table reaches 190 in _rt") {
+    val raw = tmpDir("raw-mor")
+    val wh = tmpDir("wh-mor-stream")
+    val mor = cfg.copy(storageType = "mor")
+    val pipe = new CdcPipeline(spark, wh)
+    val stream = new CdcStream(spark, pipe, tmpDir("ckpt-mor"))
+    val schema = spark.read.parquet(cdcBatch).schema
+
+    Files.copy(Paths.get(fullLoad), Paths.get(s"$raw/full.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    stream.runAvailableNow(mor, raw, schema)
+    Files.copy(Paths.get(cdcBatch), Paths.get(s"$raw/cdc.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    stream.runAvailableNow(mor, raw, schema)
+
+    val table = pipe.tableFor(mor).asInstanceOf[graft.table.MorTable]
+    assert(table.realtime().count() == 190)
+    assert(table.readOptimized().count() == 100,
+      "incremental stream batches must be log appends, not base rewrites")
+    assert(table.manifest.deltaCommits > 0)
+  }
+
   test("watermarked tumbling window over a file stream") {
     val dir = tmpDir("events")
     import spark.implicits._
