@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-regression guards: the scale-critical physical-plan properties the
+  * build rules demand (pushdown reaching the scan, small dims broadcast,
+  * no accidental join in the as-of formulation). PLANS.md records the full
+  * plans; these tests pin the load-bearing fragments so a refactor cannot
+  * silently regress them.
+  */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    QueryCatalog.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q5 pushes the region filter to parquet and broadcasts dims") {
+    val p = plan("q5_nation_revenue")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      "region filter must reach the parquet scan as a pushed filter")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q1 prunes the lineitem scan to the referenced columns") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate,"),
+      "shipdate range must reach the scan")
+    // ReadSchema lists only the 7 referenced columns, not the full table
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey") && read.contains("l_quantity"),
+      s"scan must prune unused columns: $read")
+  }
+
+  test("asof join plans as union + window with NO join operator") {
+    val p = plan("asof_join_latest")
+    assert(p.contains("Window"), "the as-of carry-forward window")
+    assert(!p.contains("Join"), s"union+window formulation must not join")
+  }
+
+  test("range join broadcasts the tiny interval side") {
+    val p = plan("range_join_shipped")
+    assert(p.contains("BroadcastHashJoin"),
+      "10 intervals must broadcast, not shuffle")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "bucket equi-key must prevent nested-loop degeneration")
+  }
+
+  test("per-row operators plan without any exchange") {
+    for (q <- Seq("text_normalize", "pii_scrub", "repetition_stats",
+        "scalar_funcs", "doc_fingerprint")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+        s"$q is per-row and must not shuffle; got:\n$p")
+    }
+  }
+
+  test("cosine top-k broadcasts the query vector and takes ordered-k") {
+    val p = plan("cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the single-row query side must broadcast")
+  }
+}
