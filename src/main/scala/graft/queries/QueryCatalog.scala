@@ -1043,6 +1043,30 @@ object QueryCatalog {
            |  bs.top_bigram_n, bs.top_bigram_frac
            |FROM ts LEFT JOIN bs USING (doc_id)""".stripMargin))
 
+  /** Video frame sampling (decimation before per-frame feature extraction):
+    * documents become synthetic video assets with deterministic durations
+    * (n_chars * 100 ms), sampled every 5th frame at 10 fps. The oracle
+    * reproduces the sequence arithmetic with DuckDB range(); the decode
+    * itself is the documented codec stub, but the frame-index fan-out IS
+    * the distributed work at scale and is what this checks.
+    */
+  private val multimodalFrames = Q(
+    (s, d) => {
+      val assets = t(s, d, "documents").select(
+        col("doc_id").as("asset_id"),
+        lit("video").as("media_type"),
+        (col("n_chars") * 100).cast("long").as("duration_ms"))
+      graft.multimodal.Multimodal.sampleFrames(assets, fps = 10, everyNth = 5)
+    },
+    Some("""WITH fr AS (
+           |  SELECT doc_id AS asset_id,
+           |    unnest(range(0, GREATEST(n_chars - 1, 0) + 1, 5))
+           |      AS frame_idx
+           |  FROM documents)
+           |SELECT asset_id, frame_idx,
+           |  frame_idx * 100 AS frame_ts_ms
+           |FROM fr""".stripMargin))
+
   /** Mean embedding per language (centroid building / mean pooling — the
     * group-wise vector aggregation a training pipeline uses for cluster
     * prototypes). Exploded per dimension; the per-(lang,dim) mean uses an
@@ -1134,6 +1158,7 @@ object QueryCatalog {
     "ivf_assign" -> ivfAssign,
     "ivf_search" -> ivfSearch,
     "multimodal_bytes" -> multimodalBytes,
+    "multimodal_frames" -> multimodalFrames,
     "mean_embedding_by_lang" -> meanEmbeddingByLang
   )
 
