@@ -492,6 +492,32 @@ class CowTable(
 
 object CowTable {
   private val ManifestName = "v(\\d+)\\.json".r
+
+  /** Read a table's manifest given only its path — the entry point for
+    * integrations (e.g. [[graft.sources.GraftDataSource]]) that discover
+    * key/partition metadata FROM the manifest instead of requiring it.
+    */
+  def openManifest(
+      spark: SparkSession,
+      basePath: String,
+      version: Option[Long] = None): Manifest = {
+    val fs = new Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = new Path(basePath, "_commits")
+    require(fs.exists(commits), s"not a graft table (no _commits): $basePath")
+    val v = version.getOrElse {
+      val vs = fs.listStatus(commits).iterator.map(_.getPath.getName)
+        .collect { case ManifestName(n) => n.toLong }.toSeq
+      require(vs.nonEmpty, s"no committed versions at $basePath")
+      vs.max
+    }
+    val p = new Path(commits, s"v$v.json")
+    require(fs.exists(p), s"version $v is not retained at $basePath")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    parseManifest(txt)
+  }
   val DirColPrefix = "__p_"
   val BucketCol = "__bucket"
   /** Row-level commit stamp column (see `trackCommitVersions`). */

@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.table.{CowTable, MorTable}
+import org.apache.spark.sql.functions._
+
+/** `format("graft")` V2 read path: snapshot parity, time travel, pushdown
+  * through the stock parquet scan, and MOR read-optimized semantics.
+  */
+class GraftDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCow(): CowTable = {
+    val t = new CowTable(spark, tmpDir("dsv2"), Seq("id"), Seq("p"))
+    t.bulkInsert(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))
+      .toDF("id", "v", "p"))
+    t
+  }
+
+  test("format(graft) reads the current snapshot with the manifest schema") {
+    val t = freshCow()
+    t.upsert(Seq((2, "b2", "p1"), (4, "d", "p2")).toDF("id", "v", "p"))
+    val got = spark.read.format("graft").load(t.basePath)
+    assert(got.schema == t.snapshot().schema)
+    assert(got.select("id", "v").as[(Int, String)].collect().toMap ==
+      Map(1 -> "a", 2 -> "b2", 3 -> "c", 4 -> "d"))
+  }
+
+  test("versionAsOf time travel through the source API") {
+    val t = freshCow()                       // v1: 3 rows
+    t.delete(Seq((1, "a", "p1")).toDF("id", "v", "p")) // v2: 2 rows
+    val v1 = spark.read.format("graft")
+      .option("versionAsOf", "1").load(t.basePath)
+    assert(v1.count() == 3)
+    assert(spark.read.format("graft").load(t.basePath).count() == 2)
+  }
+
+  test("filters and pruning ride the native parquet scan") {
+    val t = freshCow()
+    val df = spark.read.format("graft").load(t.basePath)
+      .filter($"id" > 1).select("id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      s"filter must push to the parquet scan:\n$plan")
+    assert(df.as[Int].collect().sorted.toSeq == Seq(2, 3))
+  }
+
+  test("SQL DDL: CREATE TABLE USING graft") {
+    val t = freshCow()
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_sql_t " +
+      s"USING graft OPTIONS (path '${t.basePath}')")
+    assert(spark.sql("SELECT count(*) FROM graft_sql_t")
+      .collect()(0).getLong(0) == 3)
+  }
+
+  test("MOR tables read as the read-optimized view") {
+    val t = new MorTable(spark, tmpDir("dsv2-mor"), Seq("id"), Seq("p"),
+      compactEvery = 0)
+    t.bulkInsert(Seq((1, "a", "p1")).toDF("id", "v", "p"))
+    t.upsert(Seq((2, "b", "p1")).toDF("id", "v", "p")) // pending log
+    assert(spark.read.format("graft").load(t.basePath).count() == 1,
+      "V2 source serves base files only (_ro) until compaction")
+    t.compactLogs()
+    assert(spark.read.format("graft").load(t.basePath).count() == 2)
+  }
+
+  test("non-table paths fail with a clear error") {
+    val e = intercept[Exception] {
+      spark.read.format("graft").load(tmpDir("not-a-table")).collect()
+    }
+    assert(e.getMessage.contains("_commits"), e.getMessage)
+  }
+}
