@@ -1000,6 +1000,26 @@ object QueryCatalog {
            |    '\+?\d[\d\- ()]{7,}\d', '<PHONE>', 'g') AS scrubbed
            |FROM documents""".stripMargin))
 
+  /** Edit distance between adjacent documents — the character-level
+    * verification primitive fuzzy dedup uses after candidate generation
+    * (the LSH candidate pipelines feed pairs like these; adjacent ids keep
+    * the oracle free of a second LSH-in-SQL reimplementation). Spark's
+    * codegen'd levenshtein vs DuckDB's.
+    */
+  private val editDistancePairs = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      docs.as("a").join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.text"), col("b.text")).cast("long")
+            .as("edit_dist"))
+    },
+    Some("""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  levenshtein(a.text, b.text) AS edit_dist
+           |FROM documents a JOIN documents b
+           |  ON b.doc_id = a.doc_id + 1""".stripMargin))
+
   /** Equi-width histogram of event values per type (`width_bucket`, the
     * standard binning operator; Postgres semantics: bucket 0 below the
     * range, nBuckets+1 at/above the top). DuckDB 1.0 lacks width_bucket,
@@ -1137,6 +1157,7 @@ object QueryCatalog {
     "text_quality" -> textQuality,
     "pii_scrub" -> piiScrub,
     "value_histogram" -> valueHistogram,
+    "edit_distance_pairs" -> editDistancePairs,
     "repetition_stats" -> repetitionStats,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
