@@ -117,6 +117,12 @@ def compare(name, spark_rows, duck_rows, cols, exact):
                             f"spark={x!r} duck={y!r}"), max_rel
                 if x == y:
                     continue
+                # one-sided NaN: rel would be NaN and NaN > tol is False,
+                # silently passing the divergence (both-NaN was already
+                # normalized equal by norm_cell)
+                if math.isnan(x) or math.isnan(y):
+                    return (f"NAN row~{i} col={cols[j]} "
+                            f"spark={x!r} duck={y!r}"), max_rel
                 denom = max(abs(x), abs(y), 1e-30)
                 rel = abs(x - y) / denom
                 max_rel = max(max_rel, rel)
@@ -155,9 +161,12 @@ def main(out_dir, sf_dir, exact=False):
             spark_cols = [d[0] for d in spark_res.description]
             spark_df = spark_res.fetchall()
             # arrow-level schema of the raw Spark parquet (NOT via duckdb,
-            # which coerces types): what the driver's reader actually sees
-            import pyarrow.parquet as pq
-            spark_tbl = pq.read_table(f"{out_dir}/{name}")
+            # which coerces types): what the driver's reader actually sees.
+            # Only needed for the --exact arrow-type check.
+            spark_tbl = None
+            if exact:
+                import pyarrow.parquet as pq
+                spark_tbl = pq.read_table(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             bad += 1
@@ -166,7 +175,8 @@ def main(out_dir, sf_dir, exact=False):
             duck = con.execute(sql)
             duck_cols = [d[0] for d in duck.description]
             duck_rows = duck.fetchall()
-            oracle_tbl = con.execute(sql).arrow()
+            # second oracle execution only when --exact needs arrow types
+            oracle_tbl = con.execute(sql).arrow() if exact else None
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e).splitlines()[0]}")
             bad += 1

@@ -9,27 +9,40 @@ import org.apache.spark.sql.SparkSession
   * without re-running the pipeline that created it.
   *
   * Temp views die with the session, so the durable state lives next to the
-  * data: `<warehouse>/_catalog.json` holds one control record per table,
-  * rendered with the reference's own field names — the catalog file IS a
-  * valid control file ([[TableConfig.fromJson]] parses it back). A new
+  * data: `<warehouse>/_catalog/v{N}.json` holds one control record per
+  * table, rendered with the reference's own field names — a catalog file IS
+  * a valid control file ([[TableConfig.fromJson]] parses it back). A new
   * session calls [[attachAll]] to re-register every table's session views
   * (including a MOR table's `_ro`/`_rt` pair) straight from the manifests
   * on disk.
   *
-  * Writes are atomic (tmp + rename), matching the manifest-commit protocol;
-  * single-writer assumed like the rest of the pipeline
-  * (`maxConcurrentRuns: 1`, lib/glue-stack.ts:49).
+  * Durability uses the SAME commit protocol as table manifests: each sync
+  * writes the next `v{N}.json` via tmp + rename (rename refuses to
+  * overwrite, so there is never a moment without a complete catalog file
+  * and racing writers conflict-detect instead of corrupting state);
+  * readers take the highest version; old versions are pruned after the
+  * new one is durable. Single-writer assumed like the rest of the
+  * pipeline (`maxConcurrentRuns: 1`, lib/glue-stack.ts:49).
   */
 final class WarehouseCatalog(spark: SparkSession, warehousePath: String) {
 
+  import WarehouseCatalog._
+
   private def fs = new Path(warehousePath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def catPath = new Path(warehousePath, "_catalog.json")
+  private def catDir = new Path(warehousePath, "_catalog")
+
+  private def versions: Seq[Long] = {
+    if (!fs.exists(catDir)) return Nil
+    fs.listStatus(catDir).iterator.map(_.getPath.getName)
+      .collect { case VersionName(n) => n.toLong }.toSeq.sorted
+  }
 
   /** All registered table records (empty if no catalog exists yet). */
   def tables(): Seq[TableConfig] = {
-    if (!fs.exists(catPath)) return Nil
-    val in = fs.open(catPath)
+    val vs = versions
+    if (vs.isEmpty) return Nil
+    val in = fs.open(new Path(catDir, s"v${vs.last}.json"))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     TableConfig.fromJson(txt)
@@ -40,13 +53,18 @@ final class WarehouseCatalog(spark: SparkSession, warehousePath: String) {
     val others = tables().filterNot(c =>
       c.dbName == cfg.dbName && c.schemaName == cfg.schemaName &&
         c.tableName == cfg.tableName)
-    val tmp = new Path(warehousePath, "._catalog.json.tmp")
+    val next = versions.lastOption.getOrElse(0L) + 1
+    fs.mkdirs(catDir)
+    val tmp = new Path(catDir, s".v$next.json.tmp")
+    val dst = new Path(catDir, s"v$next.json")
     val out = fs.create(tmp, true)
     try out.write(TableConfig.renderJson(others :+ cfg).getBytes("UTF-8"))
     finally out.close()
-    fs.delete(catPath, false)
-    if (!fs.rename(tmp, catPath))
-      throw new IllegalStateException(s"catalog publish failed: $catPath")
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"catalog publish failed: $dst")
+    // prune only after the new version is durable
+    versions.dropRight(KeepVersions).foreach(v =>
+      fs.delete(new Path(catDir, s"v$v.json"), false))
   }
 
   /** Re-register session views for every cataloged table that exists on
@@ -60,4 +78,10 @@ final class WarehouseCatalog(spark: SparkSession, warehousePath: String) {
         Some(pipe.viewName(cfg))
       } else None
     }
+}
+
+object WarehouseCatalog {
+  private val VersionName = "v(\\d+)\\.json".r
+  /** Catalog versions retained (mirrors manifest retention). */
+  val KeepVersions = 10
 }

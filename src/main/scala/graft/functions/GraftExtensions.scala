@@ -33,5 +33,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[VectorDot].getName, null, "vec_dot",
         "vec_dot(a, b) - dot product of two float/double arrays, " +
           "accumulated in double in index order", ""),
-      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"vec_dot requires exactly 2 arguments, got ${exprs.length}")
+        VectorDot(exprs(0), exprs(1))
+      }))
 }

@@ -87,6 +87,11 @@ object Joins {
       .withColumn("__bucket", floor(col("__pv") / bucketWidth))
     val i = intervals.withColumn("__s", startExpr.cast("long"))
       .withColumn("__e", endExpr.cast("long"))
+      // empty/inverted intervals (end <= start) match nothing; dropping
+      // them here also prevents sequence() from walking DOWNWARD (its
+      // implicit step would be -1) and exploding a huge bucket fan-out
+      // that the residual predicate would only discard later
+      .filter(col("__e") > col("__s"))
       .withColumn("__bucket", explode(sequence(
         floor(col("__s") / bucketWidth),
         // end is exclusive: a point at exactly __e never matches, so the

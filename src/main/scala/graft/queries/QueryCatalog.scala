@@ -1005,6 +1005,11 @@ object QueryCatalog {
     * (the LSH candidate pipelines feed pairs like these; adjacent ids keep
     * the oracle free of a second LSH-in-SQL reimplementation). Spark's
     * codegen'd levenshtein vs DuckDB's.
+    *
+    * DIALECT CAVEAT: DuckDB's levenshtein counts UTF-8 BYTES, Spark's
+    * counts codepoints ('é' vs 'a' is 2 vs 1). Equal on this corpus
+    * because the documents are pure ASCII; a non-ASCII corpus would need
+    * the oracle side rewritten over a byte decomposition.
     */
   private val editDistancePairs = Q(
     (s, d) => {

@@ -49,9 +49,25 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  private def manifest(options: CaseInsensitiveStringMap) =
-    CowTable.openManifest(SparkSession.active, basePath(options),
-      Option(options.get("versionAsOf")).map(_.toLong))
+  // Resolve the manifest ONCE per (path, version) for this provider
+  // instance: Spark calls inferSchema and then getTable separately, and a
+  // commit landing between the two would otherwise serve the new file
+  // list under the old schema. Caching pins schema AND files to the same
+  // table version (also halves manifest I/O).
+  @volatile private var cached:
+      Option[((String, Option[String]), graft.table.Manifest)] = None
+
+  private def manifest(options: CaseInsensitiveStringMap) = {
+    val key = (basePath(options), Option(options.get("versionAsOf")))
+    cached match {
+      case Some((k, m)) if k == key => m
+      case _ =>
+        val m = CowTable.openManifest(SparkSession.active, key._1,
+          key._2.map(_.toLong))
+        cached = Some((key, m))
+        m
+    }
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     manifest(options).schema

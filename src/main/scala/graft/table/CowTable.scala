@@ -128,12 +128,8 @@ class CowTable(
     */
   def exists: Boolean = latestVersion.isDefined
 
-  def latestVersion: Option[Long] = {
-    if (!fs.exists(commitsDir)) return None
-    val vs = fs.listStatus(commitsDir).iterator.map(_.getPath.getName)
-      .collect { case ManifestName(n) => n.toLong }.toSeq
-    if (vs.isEmpty) None else Some(vs.max)
-  }
+  def latestVersion: Option[Long] =
+    listVersions(fs, commitsDir).maxOption
 
   def manifest: Manifest = manifestAt(latestVersion.getOrElse(
     throw new IllegalStateException(s"table does not exist at $basePath")))
@@ -144,10 +140,7 @@ class CowTable(
       throw new IllegalArgumentException(
         s"version $v is not retained at $basePath " +
           s"(cleaner keeps the latest $keepCommits commits)")
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    parseManifest(txt)
+    readManifestFile(fs, p)
   }
 
   /** Current snapshot as a DataFrame (Hudi snapshot query equivalent). */
@@ -470,8 +463,7 @@ class CowTable(
     * and delete commit data dirs no retained manifest references.
     */
   def clean(): Unit = {
-    val versions = fs.listStatus(commitsDir).iterator.map(_.getPath.getName)
-      .collect { case ManifestName(n) => n.toLong }.toSeq.sorted
+    val versions = listVersions(fs, commitsDir).sorted
     val retained = versions.takeRight(keepCommits)
     val dropped = versions.dropRight(keepCommits)
     dropped.foreach(v => fs.delete(new Path(commitsDir, s"v$v.json"), false))
@@ -493,6 +485,20 @@ class CowTable(
 object CowTable {
   private val ManifestName = "v(\\d+)\\.json".r
 
+  /** Commit versions present under a table's `_commits` dir (unsorted). */
+  private[table] def listVersions(
+      fs: FileSystem, commitsDir: Path): Seq[Long] =
+    if (!fs.exists(commitsDir)) Nil
+    else fs.listStatus(commitsDir).iterator.map(_.getPath.getName)
+      .collect { case ManifestName(n) => n.toLong }.toSeq
+
+  private[table] def readManifestFile(fs: FileSystem, p: Path): Manifest = {
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    parseManifest(txt)
+  }
+
   /** Read a table's manifest given only its path — the entry point for
     * integrations (e.g. [[graft.sources.GraftDataSource]]) that discover
     * key/partition metadata FROM the manifest instead of requiring it.
@@ -506,17 +512,13 @@ object CowTable {
     val commits = new Path(basePath, "_commits")
     require(fs.exists(commits), s"not a graft table (no _commits): $basePath")
     val v = version.getOrElse {
-      val vs = fs.listStatus(commits).iterator.map(_.getPath.getName)
-        .collect { case ManifestName(n) => n.toLong }.toSeq
+      val vs = listVersions(fs, commits)
       require(vs.nonEmpty, s"no committed versions at $basePath")
       vs.max
     }
     val p = new Path(commits, s"v$v.json")
     require(fs.exists(p), s"version $v is not retained at $basePath")
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    parseManifest(txt)
+    readManifestFile(fs, p)
   }
   val DirColPrefix = "__p_"
   val BucketCol = "__bucket"

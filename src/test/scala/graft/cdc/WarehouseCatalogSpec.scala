@@ -17,6 +17,20 @@ class WarehouseCatalogSpec extends SparkSpec {
     assert(back == Seq(c))
   }
 
+  test("sync commits versioned catalog files and prunes old versions") {
+    val wh = tmpDir("wh-catv")
+    val cat = new WarehouseCatalog(spark, wh)
+    for (i <- 1 to WarehouseCatalog.KeepVersions + 3)
+      cat.sync(cfg.copy(upsertParallelism = i))
+    val files = new java.io.File(s"$wh/_catalog").list().sorted.toSeq
+      .filter(_.matches("v\\d+\\.json")) // ignore local-FS .crc sidecars
+    assert(files.length == WarehouseCatalog.KeepVersions,
+      s"old versions must prune: $files")
+    // a complete catalog file existed at every moment: latest wins
+    assert(cat.tables().head.upsertParallelism ==
+      WarehouseCatalog.KeepVersions + 3)
+  }
+
   test("sync upserts by table identity") {
     val wh = tmpDir("wh-cat")
     val cat = new WarehouseCatalog(spark, wh)

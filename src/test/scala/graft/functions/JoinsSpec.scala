@@ -72,6 +72,14 @@ class JoinsSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("rangeJoin: inverted/empty intervals match nothing, no bucket blowup") {
+    val pts = Seq(Tuple1(5L)).toDF("p")
+    // end < start spanning ~20k buckets if the sequence walked downward
+    val ivs = Seq((1L, 1700000000L, 0L), (2L, 5L, 5L)).toDF("iv", "s", "e")
+    val got = Joins.rangeJoin(pts, col("p"), ivs, col("s"), col("e"), 86400L)
+    assert(got.count() == 0)
+  }
+
   test("rangeJoin pairs points with exactly the containing intervals") {
     val pts = Seq(0L, 5L, 10L, 15L, 29L, 30L, 45L, 100L).map(Tuple1(_))
       .toDF("p")
