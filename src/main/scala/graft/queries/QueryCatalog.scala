@@ -1025,6 +1025,19 @@ object QueryCatalog {
            |FROM documents a JOIN documents b
            |  ON b.doc_id = a.doc_id + 1""".stripMargin))
 
+  /** Z-order (Morton) clustering key over (user_id, event_id) — the
+    * multi-column data-layout sort key ([[graft.functions.BitInterleave]],
+    * codegen'd). The oracle runs the identical magic-mask arithmetic,
+    * generated from the same constants (ZOrder.mortonSql).
+    */
+  private val zorderKey = Q(
+    (s, d) => t(s, d, "events").select(col("event_id"), col("user_id"),
+      graft.functions.ZOrder.zorder2(col("user_id"), col("event_id"))
+        .as("z")),
+    Some("SELECT event_id, user_id, " +
+      graft.functions.ZOrder.mortonSql("user_id", "event_id") +
+      " AS z FROM events"))
+
   /** Equi-width histogram of event values per type (`width_bucket`, the
     * standard binning operator; Postgres semantics: bucket 0 below the
     * range, nBuckets+1 at/above the top). DuckDB 1.0 lacks width_bucket,
@@ -1163,6 +1176,7 @@ object QueryCatalog {
     "pii_scrub" -> piiScrub,
     "value_histogram" -> valueHistogram,
     "edit_distance_pairs" -> editDistancePairs,
+    "zorder_key" -> zorderKey,
     "repetition_stats" -> repetitionStats,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,

@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naiveMorton(a: Long, b: Long): Long = {
+    var out = 0L
+    for (i <- 0 until 31) {
+      out |= ((a >> i) & 1L) << (2 * i)
+      out |= ((b >> i) & 1L) << (2 * i + 1)
+    }
+    out
+  }
+
+  test("morton matches a naive bit loop, masks to 31 bits") {
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L),
+      (0x7FFFFFFFL, 0x7FFFFFFFL), (1L << 40 | 7L, 3L), (-1L, 2L))
+    for ((a, b) <- cases)
+      assert(BitInterleave.morton(a, b) ==
+        naiveMorton(a & 0x7FFFFFFFL, b & 0x7FFFFFFFL), s"($a,$b)")
+    // full 31+31 bits stay positive
+    assert(BitInterleave.morton(0x7FFFFFFFL, 0x7FFFFFFFL) > 0)
+  }
+
+  test("codegen and interpreted paths agree on a dataframe") {
+    val df = (0 until 1000).map(i => (i.toLong * 7919, i.toLong * 104729))
+      .toDF("a", "b")
+    val got = df.select(ZOrder.zorder2(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    val want = df.as[(Long, Long)].collect()
+      .map { case (a, b) => BitInterleave.morton(a, b) }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("z-order layout prunes 2-D range predicates better than 1-D sort") {
+    // 64x64 grid cut into 32 "row groups" per layout. For each 16x16
+    // query box, count the chunks whose min/max bounding box intersects
+    // it — the row groups a scan with that predicate must read. A 1-D
+    // sort leaves the other axis unconstrained (every x-stripe chunk
+    // intersects boxes at all y), so z-order must read far fewer.
+    val pts = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    def chunksRead(sorted: Seq[(Long, Long)]): Int = {
+      val boxes = sorted.grouped(sorted.size / 32).map { c =>
+        val xs = c.map(_._1); val ys = c.map(_._2)
+        (xs.min, xs.max, ys.min, ys.max)
+      }.toSeq
+      val hits = for (qx <- 0 until 4; qy <- 0 until 4) yield {
+        val (qx0, qx1, qy0, qy1) =
+          (qx * 16L, qx * 16L + 15, qy * 16L, qy * 16L + 15)
+        boxes.count { case (x0, x1, y0, y1) =>
+          x0 <= qx1 && x1 >= qx0 && y0 <= qy1 && y1 >= qy0 }
+      }
+      hits.sum
+    }
+    val byX = chunksRead(pts.sortBy(_._1))
+    val byZ = chunksRead(pts.sortBy(p => BitInterleave.morton(p._1, p._2)))
+    assert(byZ * 2 <= byX,
+      s"z-order chunk reads $byZ should be far below 1-D sort's $byX")
+  }
+
+  test("mortonSql is the identical computation (checked via Spark SQL)") {
+    val df = Seq((123456789L, 987654321L), (0L, 0x7FFFFFFFL))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("zt")
+    val viaSql = spark.sql(
+      s"SELECT ${ZOrder.mortonSql("a", "b")} AS z FROM zt")
+      .as[Long].collect().toSeq
+    val viaExpr = df.select(ZOrder.zorder2(col("a"), col("b")))
+      .as[Long].collect().toSeq
+    assert(viaSql == viaExpr)
+  }
+}
