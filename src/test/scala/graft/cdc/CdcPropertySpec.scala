@@ -52,6 +52,11 @@ class CdcPropertySpec extends SparkSpec {
     checkReplay(cfg.copy(tableName = "tb", numBuckets = 4), seeds = 21 to 24)
   }
 
+  test("merge-on-read tables satisfy the same replay property") {
+    checkReplay(cfg.copy(tableName = "tm", storageType = "mor"),
+      seeds = 31 to 34)
+  }
+
   private def checkReplay(cfg: TableConfig, seeds: Range): Unit = {
     val gen = for {
       b1 <- genBatch(0)
@@ -74,10 +79,20 @@ class CdcPropertySpec extends SparkSpec {
           pipe.run(cfg, b.toDF())
           expected = replay(expected, b)
         }
-        val got = pipe.tableFor(cfg).snapshot()
+        val table = pipe.tableFor(cfg)
+        val got = table.snapshot()
           .select("id", "value").as[(String, Double)].collect().toMap
         val want = expected.map { case (k, e) => k -> e.value }
         assert(got == want, s"seed=$seed\n got=$got\n want=$want")
+        table match {
+          case m: graft.table.MorTable =>
+            // folding the delta logs must not change the observable state
+            m.compactLogs()
+            val ro = m.readOptimized()
+              .select("id", "value").as[(String, Double)].collect().toMap
+            assert(ro == want, s"seed=$seed post-compaction\n got=$ro")
+          case _ => ()
+        }
       }
     }
   }

@@ -193,6 +193,26 @@ class CdcStreamSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("watermarked STREAMING session windows match the batch result") {
+    val dir = tmpDir("sess-stream")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    StreamOps.runToMemory(
+      StreamOps.sessionWindowAgg(stream), "sess_stream_test", "append")
+    val got = spark.table("sess_stream_test")
+    val batch = StreamOps.sessionWindowAgg(ev)
+    // append mode emits only watermark-closed sessions; a bounded input's
+    // final watermark closes all but the trailing ones
+    assert(got.count() > 0 && got.count() <= batch.count())
+    // every emitted session must exist identically in the batch result
+    val missing = got.join(batch,
+      Seq("session_window", "user_id", "n_events", "session_value"),
+      "left_anti")
+    assert(missing.isEmpty, "streamed sessions must match batch sessions")
+  }
+
   test("session windows via native session_window in batch mode") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
