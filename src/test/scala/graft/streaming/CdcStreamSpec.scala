@@ -206,11 +206,20 @@ class CdcStreamSpec extends SparkSpec {
     // append mode emits only watermark-closed sessions; a bounded input's
     // final watermark closes all but the trailing ones
     assert(got.count() > 0 && got.count() <= batch.count())
-    // every emitted session must exist identically in the batch result
-    val missing = got.join(batch,
-      Seq("session_window", "user_id", "n_events", "session_value"),
-      "left_anti")
-    assert(missing.isEmpty, "streamed sessions must match batch sessions")
+    // every emitted session must exist in the batch result. session_value
+    // is deliberately NOT an equality key: it is a raw double sum, and the
+    // state-store merge vs hash-agg merge can associate the additions in
+    // different orders (the dec2/money lesson) — identity + count identify
+    // the session; values are compared with tolerance below.
+    val keys = Seq("session_window", "user_id", "n_events")
+    assert(got.join(batch, keys, "left_anti").isEmpty,
+      "streamed sessions must match batch sessions")
+    import spark.implicits._
+    val maxDelta = got.as("s")
+      .join(batch.as("b"), keys)
+      .select(abs($"s.session_value" - $"b.session_value"))
+      .as[Double].collect().maxOption.getOrElse(0.0)
+    assert(maxDelta < 1e-6, s"session values diverged by $maxDelta")
   }
 
   test("session windows via native session_window in batch mode") {
