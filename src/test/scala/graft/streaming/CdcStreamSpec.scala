@@ -193,6 +193,26 @@ class CdcStreamSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("dropDuplicatesWithinWatermark dedups a replayed file stream") {
+    import spark.implicits._
+    val dir = tmpDir("ddw")
+    def ev(id: Long, t: String) =
+      (id, java.sql.Timestamp.valueOf(t), s"payload$id")
+    // the same events delivered twice (at-least-once source semantics)
+    val batch = Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+    (batch ++ batch).toDF("event_id", "ts", "payload")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    StreamOps.runToMemory(stream, "ddw_test", "append")
+    val got = spark.table("ddw_test").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L),
+      "redelivered events inside the watermark must dedup to one row each")
+  }
+
   test("watermarked STREAMING session windows match the batch result") {
     val dir = tmpDir("sess-stream")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
