@@ -42,7 +42,15 @@ final case class Manifest(
     partitions: Map[String, Seq[String]],
     logPartitions: Map[String, Seq[String]] = Map.empty,
     deltaCommits: Long = 0L,
-    lastCompaction: Long = 0L) {
+    lastCompaction: Long = 0L,
+    /** The write operation that produced this version (commit-metadata
+      * audit trail, the `hoodie.commit` operation-type analog).
+      */
+    operation: String = "",
+    /** Cheap per-commit counters (files/units — derived from the write's
+      * own listings, never an extra Spark action).
+      */
+    metrics: Map[String, Long] = Map.empty) {
   def schema: StructType =
     org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
@@ -211,7 +219,8 @@ class CowTable(
     val data = stamp(df, 1L)
     val files = writeCommit(data, 1L, parallelism)
     writeManifest(Manifest(1L, data.schema.json, keyCols, partitionCols,
-      precombineField, files))
+      precombineField, files,
+      operation = "bulk_insert", metrics = CowTable.writeStats(files)))
   }
 
   /** Commit-version stamp for incoming rows (no-op unless tracking). */
@@ -232,7 +241,8 @@ class CowTable(
     val newFiles = writeCommit(incoming, v, parallelism)
     val merged = mergeListings(m.partitions, newFiles)
     writeManifest(m.copy(version = v, schemaJson = evolved.json,
-      partitions = merged))
+      partitions = merged,
+      operation = "insert_append", metrics = CowTable.writeStats(newFiles)))
     clean()
   }
 
@@ -248,7 +258,7 @@ class CowTable(
     * partition rather than moving the old one.
     */
   def upsert(df: DataFrame, parallelism: Int = 0): Unit =
-    mergeCommit(df, parallelism) { (cur, incoming) =>
+    mergeCommit(df, parallelism, "upsert") { (cur, incoming) =>
       cur.join(incoming, keyCols, "left_anti").unionByName(incoming)
     }
 
@@ -259,7 +269,7 @@ class CowTable(
     * shuffle, same partition/bucket-scoped rewrite as the full upsert.
     */
   def upsertPartial(df: DataFrame, parallelism: Int = 0): Unit =
-    mergeCommit(df, parallelism) { (cur, incoming) =>
+    mergeCommit(df, parallelism, "upsert_partial") { (cur, incoming) =>
       val payload = cur.columns.filterNot(keyCols.contains).toIndexedSeq
       cur.as("c").join(incoming.as("i"), keyCols, "full_outer")
         .select(keyCols.map(col) ++ payload.map(c =>
@@ -271,11 +281,11 @@ class CowTable(
     * reference: processData.py:376-382, delete config :215-218).
     */
   def delete(df: DataFrame, parallelism: Int = 0): Unit =
-    mergeCommit(df, parallelism) { (cur, incoming) =>
+    mergeCommit(df, parallelism, "delete") { (cur, incoming) =>
       cur.join(incoming.select(keyCols.map(col): _*), keyCols, "left_anti")
     }
 
-  private def mergeCommit(df: DataFrame, parallelism: Int)(
+  private def mergeCommit(df: DataFrame, parallelism: Int, opName: String)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val m = manifest
     val v = m.version + 1
@@ -294,7 +304,9 @@ class CowTable(
       // Partitions whose merged result is empty (fully deleted) simply have
       // no entry in newFiles and drop out of the snapshot.
       writeManifest(m.copy(version = v, schemaJson = evolved.json,
-        partitions = m.partitions -- touched ++ newFiles))
+        partitions = m.partitions -- touched ++ newFiles,
+        operation = opName, metrics = CowTable.writeStats(newFiles) +
+          ("units_rewritten" -> touched.size.toLong)))
       clean()
     } finally incoming.unpersist()
   }
@@ -446,7 +458,9 @@ class CowTable(
     val width = if (parallelism > 0) parallelism else crowded.size
     val newFiles = writeCommit(data, v, width)
     writeManifest(m.copy(version = v,
-      partitions = m.partitions -- crowded ++ newFiles))
+      partitions = m.partitions -- crowded ++ newFiles,
+      operation = "compact", metrics = CowTable.writeStats(newFiles) +
+        ("units_rewritten" -> crowded.size.toLong)))
     clean()
     true
   }
@@ -484,6 +498,12 @@ class CowTable(
 
 object CowTable {
   private val ManifestName = "v(\\d+)\\.json".r
+
+  /** Cheap commit counters from the write's own file listing. */
+  private[table] def writeStats(
+      newFiles: Map[String, Seq[String]]): Map[String, Long] = Map(
+    "files_added" -> newFiles.valuesIterator.map(_.size.toLong).sum,
+    "units_written" -> newFiles.size.toLong)
 
   /** Commit versions present under a table's `_commits` dir (unsorted). */
   private[table] def listVersions(
@@ -562,7 +582,11 @@ object CowTable {
       // old manifests readable)
       "logPartitions" -> listing(m.logPartitions),
       "deltaCommits" -> JInt(m.deltaCommits),
-      "lastCompaction" -> JInt(m.lastCompaction)))))
+      "lastCompaction" -> JInt(m.lastCompaction),
+      "operation" -> JString(m.operation),
+      "metrics" -> JObject(m.metrics.toSeq.sortBy(_._1).map {
+        case (k, v) => k -> (JInt(v): JValue)
+      }.toList)))))
 
   private[table] def parseManifest(txt: String): Manifest = {
     val j = JsonMethods.parse(txt)
@@ -589,6 +613,15 @@ object CowTable {
       partitions = files(j \ "partitions"),
       logPartitions = files(j \ "logPartitions"),
       deltaCommits = long(j \ "deltaCommits", 0L),
-      lastCompaction = long(j \ "lastCompaction", 0L))
+      lastCompaction = long(j \ "lastCompaction", 0L),
+      operation = (j \ "operation") match {
+        case JString(s) => s; case _ => "" },
+      metrics = (j \ "metrics") match {
+        case JObject(fs) => fs.collect {
+          case (k, JInt(n)) => k -> n.toLong
+          case (k, JLong(n)) => k -> n
+        }.toMap
+        case _ => Map.empty
+      })
   }
 }

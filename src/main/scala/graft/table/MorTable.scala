@@ -94,7 +94,9 @@ class MorTable(
       parallelism)
     writeManifest(m.copy(version = v, schemaJson = evolved.json,
       logPartitions = mergeListings(m.logPartitions, newLogs),
-      deltaCommits = m.deltaCommits + 1))
+      deltaCommits = m.deltaCommits + 1,
+      operation = if (op == LogUpsert) "log_upsert" else "log_delete",
+      metrics = CowTable.writeStats(newLogs)))
     clean()
     if (compactEvery > 0 && manifest.deltaCommits >= compactEvery)
       compactLogs(parallelism)
@@ -192,7 +194,10 @@ class MorTable(
     val newFiles = writeCommit(merged, v, width)
     writeManifest(m.copy(version = v,
       partitions = m.partitions -- logged ++ newFiles,
-      logPartitions = Map.empty, deltaCommits = 0, lastCompaction = v))
+      logPartitions = Map.empty, deltaCommits = 0, lastCompaction = v,
+      operation = "log_compaction",
+      metrics = CowTable.writeStats(newFiles) +
+        ("units_rewritten" -> logged.size.toLong)))
     clean()
     true
   }

@@ -23,9 +23,28 @@ class MorTableSpec extends SparkSpec {
       Seq("p"), "seq",
       partitions = Map("p=p1" -> Seq("files/c1/a.parquet")),
       logPartitions = Map("p=p1" -> Seq("files/c2/l.parquet", "files/c3/l.parquet")),
-      deltaCommits = 2L, lastCompaction = 1L)
+      deltaCommits = 2L, lastCompaction = 1L,
+      operation = "log_upsert",
+      metrics = Map("files_added" -> 2L, "units_written" -> 1L))
     val back = CowTable.parseManifest(CowTable.renderManifest(m))
     assert(back == m)
+  }
+
+  test("commits carry an operation audit trail with write metrics") {
+    val t = freshTable()
+    t.bulkInsert(rows((1, "a", "p1", 1), (3, "c", "p2", 1)))
+    assert(t.manifest.operation == "bulk_insert")
+    assert(t.manifest.metrics("units_written") == 2L)
+    t.upsert(rows((1, "a2", "p1", 2)))
+    assert(t.manifest.operation == "log_upsert")
+    assert(t.manifest.metrics("units_written") == 1L)
+    t.delete(rows((3, "c", "p2", 3)))
+    assert(t.manifest.operation == "log_delete")
+    t.compactLogs()
+    assert(t.manifest.operation == "log_compaction")
+    assert(t.manifest.metrics("units_rewritten") == 2L)
+    // the trail survives reload and time travel across retained versions
+    assert(t.manifestAt(2L).operation == "log_upsert")
   }
 
   test("upsert/delete append logs; _ro stays stale, _rt merges") {
