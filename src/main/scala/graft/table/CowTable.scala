@@ -465,6 +465,23 @@ class CowTable(
     true
   }
 
+  /** Commit timeline as a DataFrame (Hudi's `show commits` analog): one
+    * row per RETAINED version with its operation and write metrics.
+    * Reads only the manifest JSONs — bounded by `keepCommits`, never data.
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    listVersions(fs, commitsDir).sorted.map { v =>
+      val m = manifestAt(v)
+      (m.version, m.operation,
+        m.metrics.getOrElse("files_added", 0L),
+        m.metrics.getOrElse("units_written", 0L),
+        m.metrics.getOrElse("units_rewritten", 0L),
+        m.deltaCommits, m.lastCompaction)
+    }.toDF("version", "operation", "files_added", "units_written",
+      "units_rewritten", "delta_commits", "last_compaction")
+  }
+
   /** K6 — catalog integration: expose the current snapshot as a temp view
     * (the manifest remains the source of truth; this is the `spark.catalog`
     * surface of the reference's Glue-catalog sync, processData.py:160-169).

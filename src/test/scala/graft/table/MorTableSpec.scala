@@ -45,6 +45,11 @@ class MorTableSpec extends SparkSpec {
     assert(t.manifest.metrics("units_rewritten") == 2L)
     // the trail survives reload and time travel across retained versions
     assert(t.manifestAt(2L).operation == "log_upsert")
+    // and reads back as the timeline DataFrame
+    val hist = t.history().select("version", "operation")
+      .as[(Long, String)].collect().toSeq
+    assert(hist == Seq((1L, "bulk_insert"), (2L, "log_upsert"),
+      (3L, "log_delete"), (4L, "log_compaction")))
   }
 
   test("upsert/delete append logs; _ro stays stale, _rt merges") {
