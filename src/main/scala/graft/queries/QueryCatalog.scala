@@ -1025,6 +1025,41 @@ object QueryCatalog {
            |FROM documents a JOIN documents b
            |  ON b.doc_id = a.doc_id + 1""".stripMargin))
 
+  /** Stratified deterministic sampling: per-language keep rates (the
+    * dataset-mixing primitive). Membership depends only on the doc_id hash
+    * — reproducible across engines, runs, partitionings.
+    */
+  private val stratifiedSample = Q(
+    (s, d) => TextOps.stratifiedSample(
+        t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 100, "de" -> 50, "fr" -> 20), defaultPct = 10)
+      .select("doc_id", "lang"),
+    Some(s"""SELECT doc_id, lang FROM documents
+           |WHERE ${H("CAST(doc_id AS VARCHAR)")} % 100 <
+           |  CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50
+           |            WHEN 'fr' THEN 20 ELSE 10 END""".stripMargin))
+
+  /** Sequence packing: documents binned into 2048-token packs by prefix
+    * token count over the doc_id order (pretraining batch construction).
+    */
+  private val sequencePacking = Q(
+    (s, d) => TextOps.sequencePacking(
+        TextOps.tokenStats(t(s, d, "documents"))
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens")),
+        "n_tokens", "doc_id", capacity = 2048L)
+      .select("doc_id", "n_tokens", "cum_tokens", "pack_id"),
+    Some("""SELECT doc_id,
+           |  len(string_split(text, ' ')) AS n_tokens,
+           |  CAST(sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS cum_tokens,
+           |  CAST(FLOOR((sum(len(string_split(text, ' '))) OVER (
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    - len(string_split(text, ' '))) / 2048.0) AS BIGINT)
+           |    AS pack_id
+           |FROM documents""".stripMargin))
+
   /** Z-order (Morton) clustering key over (user_id, event_id) — the
     * multi-column data-layout sort key ([[graft.functions.BitInterleave]],
     * codegen'd). The oracle runs the identical magic-mask arithmetic,
@@ -1177,6 +1212,8 @@ object QueryCatalog {
     "value_histogram" -> valueHistogram,
     "edit_distance_pairs" -> editDistancePairs,
     "zorder_key" -> zorderKey,
+    "stratified_sample" -> stratifiedSample,
+    "sequence_packing" -> sequencePacking,
     "repetition_stats" -> repetitionStats,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,

@@ -278,6 +278,45 @@ object TextOps {
   def deterministicSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
     df.filter(pmod(Hashing.hash60(col(keyCol).cast("string")), lit(100L)) < pct)
 
+  /** Stratified deterministic sampling: per-stratum keep rates (percent of
+    * 100 hash buckets), the dataset-mixing primitive — e.g. keep 100% of
+    * one source and 10% of another to hit a target mixture. Same
+    * reproducibility contract as [[deterministicSample]]: membership
+    * depends only on the key, never on partitioning, run, or engine.
+    * Strata absent from `rates` fall back to `defaultPct`.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Int],
+      defaultPct: Int = 0): DataFrame = {
+    val pct = rates.foldLeft(lit(defaultPct)) { case (e, (stratum, p)) =>
+      when(col(strataCol) === stratum, lit(p)).otherwise(e)
+    }
+    df.filter(pmod(Hashing.hash60(col(keyCol).cast("string")), lit(100L)) < pct)
+  }
+
+  /** Sequence packing: assign documents (ordered by `orderCol`) to fixed
+    * token-capacity packs — the pretraining-batch construction step. A
+    * document's pack is `floor(cumulative-tokens-before-it / capacity)`
+    * (prefix-sum binning: a document may straddle a boundary; exact
+    * greedy repacking is inherently sequential and done downstream per
+    * pack). One window over the chosen global order; at corpus scale,
+    * partition the order key (e.g. pack per shard) to avoid a single
+    * window partition.
+    */
+  def sequencePacking(
+      docs: DataFrame, tokenCol: String, orderCol: String,
+      capacity: Long): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .withColumn("pack_id",
+        ((col("cum_tokens") - col(tokenCol)) / capacity).cast("long"))
+  }
+
   /** Text normalization: lowercase, strip non-alphanumerics, collapse
     * whitespace — the canonicalization step before exact dedup.
     */

@@ -127,6 +127,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got(5L) == "plain text with no pii at all")
   }
 
+  test("stratifiedSample applies per-stratum rates deterministically") {
+    val d = (0 until 1000).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "xx")).toDF("doc_id", "lang")
+    val kept = TextOps.stratifiedSample(d, "doc_id", "lang",
+      Map("en" -> 100, "xx" -> 0), defaultPct = 0)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(kept.forall(_._2 == "en") && kept.length == 500,
+      "100% stratum fully kept, 0% stratum fully dropped")
+    // default rate applies to unlisted strata, and reruns are identical
+    val some = TextOps.stratifiedSample(d, "doc_id", "lang",
+      Map("en" -> 0), defaultPct = 40)
+    val a = some.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = TextOps.stratifiedSample(d, "doc_id", "lang",
+      Map("en" -> 0), defaultPct = 40)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("sequencePacking bins by prefix token count") {
+    val d = Seq((1L, 50L), (2L, 60L), (3L, 10L), (4L, 100L), (5L, 1L))
+      .toDF("doc_id", "n_tokens")
+    val got = TextOps.sequencePacking(d, "n_tokens", "doc_id", capacity = 100L)
+      .select("doc_id", "cum_tokens", "pack_id")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // prefix sums: 50,110,120,220,221 -> prefix-before: 0,50,110,120,220
+    assert(got == Seq((1L, 50L, 0L), (2L, 110L, 0L), (3L, 120L, 1L),
+      (4L, 220L, 1L), (5L, 221L, 2L)))
+  }
+
   test("repetitionStats matches hand-computed fractions") {
     // "a a a b": top token 'a' 3/4; bigrams: "a a","a a","a b" -> 2/3
     val d = Seq((1L, "a a a b"), (2L, "x y")).toDF("doc_id", "text")
