@@ -297,8 +297,8 @@ class CowTable(
     else incoming0).persist()
     try {
       val touched = touchedPartitionKeys(incoming)
-      val cur = pad(snapshotFor(m, touched.intersect(m.partitions.keySet)),
-        evolved)
+      val rewritten = touched.intersect(m.partitions.keySet)
+      val cur = pad(snapshotFor(m, rewritten), evolved)
       val merged = merge(cur, incoming)
       val newFiles = writeCommit(merged, v, parallelism)
       // Partitions whose merged result is empty (fully deleted) simply have
@@ -306,7 +306,9 @@ class CowTable(
       writeManifest(m.copy(version = v, schemaJson = evolved.json,
         partitions = m.partitions -- touched ++ newFiles,
         operation = opName, metrics = CowTable.writeStats(newFiles) +
-          ("units_rewritten" -> touched.size.toLong)))
+          // only pre-existing partitions are read+rewritten; brand-new
+          // partitions in the batch are pure writes
+          ("units_rewritten" -> rewritten.size.toLong)))
       clean()
     } finally incoming.unpersist()
   }
@@ -471,8 +473,12 @@ class CowTable(
     */
   def history(): DataFrame = {
     import spark.implicits._
-    listVersions(fs, commitsDir).sorted.map { v =>
-      val m = manifestAt(v)
+    // flatMap + re-check: a concurrent writer's clean() may drop the
+    // oldest manifest between the listing and the read — skip vanished
+    // versions instead of failing the whole timeline query
+    listVersions(fs, commitsDir).sorted.flatMap { v =>
+      scala.util.Try(manifestAt(v)).toOption
+    }.map { m =>
       (m.version, m.operation,
         m.metrics.getOrElse("files_added", 0L),
         m.metrics.getOrElse("units_written", 0L),

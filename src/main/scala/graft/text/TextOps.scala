@@ -276,7 +276,13 @@ object TextOps {
     * training-data pipelines need for auditable subsets.
     */
   def deterministicSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
-    df.filter(pmod(Hashing.hash60(col(keyCol).cast("string")), lit(100L)) < pct)
+    df.filter(keyBucket(keyCol) < pct)
+
+  /** The shared 100-bucket membership expression both samplers filter on
+    * (and the DuckDB oracles mirror): portable hash of the key mod 100.
+    */
+  private def keyBucket(keyCol: String): Column =
+    pmod(Hashing.hash60(col(keyCol).cast("string")), lit(100L))
 
   /** Stratified deterministic sampling: per-stratum keep rates (percent of
     * 100 hash buckets), the dataset-mixing primitive — e.g. keep 100% of
@@ -294,7 +300,7 @@ object TextOps {
     val pct = rates.foldLeft(lit(defaultPct)) { case (e, (stratum, p)) =>
       when(col(strataCol) === stratum, lit(p)).otherwise(e)
     }
-    df.filter(pmod(Hashing.hash60(col(keyCol).cast("string")), lit(100L)) < pct)
+    df.filter(keyBucket(keyCol) < pct)
   }
 
   /** Sequence packing: assign documents (ordered by `orderCol`) to fixed
@@ -309,6 +315,7 @@ object TextOps {
   def sequencePacking(
       docs: DataFrame, tokenCol: String, orderCol: String,
       capacity: Long): DataFrame = {
+    require(capacity > 0, s"pack capacity must be positive, got $capacity")
     val w = Window.orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
