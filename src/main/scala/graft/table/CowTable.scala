@@ -467,6 +467,32 @@ class CowTable(
     true
   }
 
+  /** Roll back crashed commits: delete `files/c{v}` data directories that
+    * no retained manifest references AND that belong to no committed
+    * version — the debris of a writer that died after writing data but
+    * before publishing its manifest (data-before-manifest ordering makes
+    * such dirs invisible to readers, but nothing else ever reclaims them).
+    * The Hudi failed-commit rollback analog. MUST only run when no write
+    * is in flight (single-writer operation, like every write path here):
+    * a concurrent writer's not-yet-published commit dir looks exactly like
+    * an orphan. Returns the removed directory names.
+    */
+  def vacuumOrphans(): Seq[String] = {
+    val committed = listVersions(fs, commitsDir).toSet
+    val referenced: Set[Long] = committed.flatMap(v =>
+      scala.util.Try(manifestAt(v)).toOption.toSeq.flatMap(_.files))
+      .map(_.split('/')(1).stripPrefix("c").toLong)
+    val filesDir = new Path(basePath, "files")
+    if (!fs.exists(filesDir)) return Nil
+    fs.listStatus(filesDir).toSeq.map(_.getPath).filter { p =>
+      val name = p.getName
+      name.startsWith("c") && name.drop(1).forall(_.isDigit) && {
+        val v = name.drop(1).toLong
+        !referenced.contains(v) && !committed.contains(v)
+      }
+    }.map { p => fs.delete(p, true); p.getName }
+  }
+
   /** Commit timeline as a DataFrame (Hudi's `show commits` analog): one
     * row per RETAINED version with its operation and write metrics.
     * Reads only the manifest JSONs — bounded by `keepCommits`, never data.

@@ -197,6 +197,22 @@ class MorTableSpec extends SparkSpec {
     assert(t.readOptimized().count() == 39)
   }
 
+  test("vacuumOrphans rolls back crashed-commit debris, keeps live data") {
+    val t = freshTable()
+    t.bulkInsert(rows((1, "a", "p1", 1)))
+    t.upsert(rows((2, "b", "p1", 2)))
+    // simulate a writer that died after writing data, before its manifest
+    val orphan = new java.io.File(s"${t.basePath}/files/c99")
+    orphan.mkdirs()
+    java.nio.file.Files.write(orphan.toPath.resolve("part-dead.parquet"),
+      Array[Byte](1, 2, 3))
+    val removed = t.vacuumOrphans()
+    assert(removed == Seq("c99"))
+    assert(!orphan.exists())
+    assert(t.realtime().count() == 2, "live data must be untouched")
+    assert(t.vacuumOrphans().isEmpty, "idempotent once clean")
+  }
+
   test("golden scenario on MOR reaches 190 in _rt; _ro catches up at compaction") {
     val fullLoad =
       "/root/reference/lib/assets/data/measurement_data_fullload.parquet"
