@@ -57,6 +57,19 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("hot aggregation/scan pipelines run inside WholeStageCodegen") {
+    // simple-mode plan marks codegen'd operators with "*(n)"; the scan ->
+    // filter -> project -> partial-agg pipeline of q1 and the per-row
+    // operators must be codegen'd (no interpreted UDF/expression islands).
+    // AQE finalizes stages only at execution, so run the query first.
+    for (q <- Seq("q1_agg", "scalar_funcs", "pii_scrub", "zorder_key")) {
+      val df = QueryCatalog.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"$q has no codegen stage:\n$p")
+    }
+  }
+
   test("cosine top-k broadcasts the query vector and takes ordered-k") {
     val p = plan("cosine_topk")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
