@@ -1025,6 +1025,33 @@ object QueryCatalog {
            |FROM documents a JOIN documents b
            |  ON b.doc_id = a.doc_id + 1""".stripMargin))
 
+  /** Decontamination: training docs (doc_id % 10 != 0) sharing >= 5
+    * distinct 3-gram shingles with any held-out doc (doc_id % 10 == 0) —
+    * the train/eval verbatim-leakage check.
+    */
+  private val decontaminate = Q(
+    (s, d) => {
+      val all = t(s, d, "documents")
+      TextOps.decontaminate(
+        all.filter(col("doc_id") % 10 =!= 0),
+        all.filter(col("doc_id") % 10 === 0), n = 3, minShared = 5)
+    },
+    Some(s"""WITH sh AS (
+           |  SELECT doc_id,
+           |    ${Hashing.hash60ModSql("g")} AS h
+           |  FROM (
+           |    SELECT doc_id, unnest(list_distinct(
+           |      list_transform(range(1, len(l) - 1),
+           |        i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS g
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS l
+           |          FROM documents))),
+           |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0)
+           |SELECT doc_id, count(*) AS shared_ngrams
+           |FROM sh JOIN ev USING (h)
+           |WHERE doc_id % 10 <> 0
+           |GROUP BY doc_id
+           |HAVING count(*) >= 5""".stripMargin))
+
   /** Stratified deterministic sampling: per-language keep rates (the
     * dataset-mixing primitive). Membership depends only on the doc_id hash
     * — reproducible across engines, runs, partitionings.
@@ -1213,6 +1240,7 @@ object QueryCatalog {
     "edit_distance_pairs" -> editDistancePairs,
     "zorder_key" -> zorderKey,
     "stratified_sample" -> stratifiedSample,
+    "decontaminate" -> decontaminate,
     "sequence_packing" -> sequencePacking,
     "repetition_stats" -> repetitionStats,
     "lang_id" -> langId,

@@ -284,6 +284,28 @@ object TextOps {
   private def keyBucket(keyCol: String): Column =
     pmod(Hashing.hash60(col(keyCol).cast("string")), lit(100L))
 
+  /** Decontamination: flag training documents sharing at least `minShared`
+    * distinct word n-grams with ANY document of the held-out corpus — the
+    * train/eval overlap check run before training. One semi-ish join on
+    * the shingle hash: the eval side reduces to a distinct hash set
+    * (small — eval corpora are), the train side streams through it, and
+    * the result is per-train-doc shared-shingle counts. Exact n-gram
+    * containment, not similarity: eval contamination is about verbatim
+    * leakage.
+    */
+  def decontaminate(
+      train: DataFrame, holdout: DataFrame, n: Int,
+      minShared: Int): DataFrame = {
+    val trainSh = docShingles(train, n)
+      .select(col("doc_id"), Hashing.hash60Mod(col("shingle")).as("h"))
+    val evalSh = docShingles(holdout, n)
+      .select(Hashing.hash60Mod(col("shingle")).as("h")).distinct()
+    trainSh.join(evalSh, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   /** Stratified deterministic sampling: per-stratum keep rates (percent of
     * 100 hash buckets), the dataset-mixing primitive — e.g. keep 100% of
     * one source and 10% of another to hit a target mixture. Same

@@ -156,6 +156,23 @@ class TextOpsSpec extends SparkSpec {
       (4L, 220L, 1L), (5L, 221L, 2L)))
   }
 
+  test("decontaminate flags verbatim n-gram leakage above the threshold") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 4 trigrams
+      (2L, "completely different words entirely here now"),
+      (3L, "alpha beta gamma delta unrelated tail")  // shares 2 trigrams
+    ).toDF("doc_id", "text")
+    val holdout = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val flagged3 = TextOps.decontaminate(train, holdout, n = 3, minShared = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged3 == Map(1L -> 4L),
+      "only the heavily-overlapping doc crosses minShared=3")
+    val flagged1 = TextOps.decontaminate(train, holdout, n = 3, minShared = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged1 == Map(1L -> 4L, 3L -> 2L))
+  }
+
   test("repetitionStats matches hand-computed fractions") {
     // "a a a b": top token 'a' 3/4; bigrams: "a a","a a","a b" -> 2/3
     val d = Seq((1L, "a a a b"), (2L, "x y")).toDF("doc_id", "text")
