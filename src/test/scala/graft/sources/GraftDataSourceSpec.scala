@@ -64,6 +64,22 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(t.basePath).count() == 2)
   }
 
+  test("bucketed tables and evolved schemas read correctly through the source") {
+    val t = new CowTable(spark, tmpDir("dsv2-b"), Seq("id"), Seq("p"),
+      numBuckets = 4)
+    t.bulkInsert(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))
+      .toDF("id", "v", "p"))
+    // schema evolution: later commit adds a column; old rows null-fill
+    t.upsert(Seq((4, "d", "p2", "note4")).toDF("id", "v", "p", "extra"))
+    val got = spark.read.format("graft").load(t.basePath)
+    assert(got.columns.toSeq == t.snapshot().columns.toSeq)
+    val byId = got.select("id", "v", "extra")
+      .as[(Int, String, Option[String])].collect()
+      .map { case (i, v, e) => i -> ((v, e)) }.toMap
+    assert(byId == Map(1 -> (("a", None)), 2 -> (("b", None)),
+      3 -> (("c", None)), 4 -> (("d", Some("note4")))))
+  }
+
   test("non-table paths fail with a clear error") {
     val e = intercept[Exception] {
       spark.read.format("graft").load(tmpDir("not-a-table")).collect()
