@@ -61,6 +61,43 @@ class ZOrderSpec extends SparkSpec {
       s"z-order chunk reads $byZ should be far below 1-D sort's $byX")
   }
 
+  test("CowTable cluster-by on a z-column tightens per-file 2-D stats") {
+    import graft.table.CowTable
+    // 64x64 grid; write through CowTable with 8 files per layout, once
+    // clustered by x only and once by the Morton key. Per-FILE bounding
+    // boxes are what parquet row-group pruning sees: the z-order layout
+    // must make 2-D range scans touch far fewer files.
+    val pts = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong * 64 + y, x.toLong, y.toLong)).toDF("id", "x", "y")
+      .withColumn("z", ZOrder.zorder2(col("x"), col("y")))
+      // 32 exact file units per layout: x-stripes of width 2 vs aligned
+      // 128-code Morton blocks (16x8 rectangles)
+      .withColumn("xb", floor(col("x") / 2))
+      .withColumn("zb", floor(col("z") / 128))
+      .coalesce(1) // one file per partition value
+    def fileBoxes(unitCol: String): Seq[(Long, Long, Long, Long)] = {
+      val dir = tmpDir(s"zcow-$unitCol")
+      val t = new CowTable(spark, dir, Seq("id"),
+        partitionCols = Seq(unitCol), clusterCols = Seq("z"))
+      t.bulkInsert(pts)
+      t.manifest.baseFiles.map { f =>
+        val one = spark.read.parquet(s"$dir/$f")
+          .agg(min("x"), max("x"), min("y"), max("y")).collect()(0)
+        (one.getLong(0), one.getLong(1), one.getLong(2), one.getLong(3))
+      }
+    }
+    def touched(boxes: Seq[(Long, Long, Long, Long)]): Int =
+      (for (qx <- 0 until 4; qy <- 0 until 4) yield boxes.count {
+        case (x0, x1, y0, y1) =>
+          x0 <= qx * 16 + 15 && x1 >= qx * 16 &&
+            y0 <= qy * 16 + 15 && y1 >= qy * 16
+      }).sum
+    val byX = touched(fileBoxes("xb"))
+    val byZ = touched(fileBoxes("zb"))
+    assert(byZ * 2 <= byX,
+      s"z-unit files touched $byZ times vs x-stripe files $byX")
+  }
+
   test("mortonSql is the identical computation (checked via Spark SQL)") {
     val df = Seq((123456789L, 987654321L), (0L, 0x7FFFFFFFL))
       .toDF("a", "b")
