@@ -17,12 +17,12 @@ import org.apache.spark.sql.SparkSession
   * on disk.
   *
   * Durability uses the SAME commit protocol as table manifests: each sync
-  * writes the next `v{N}.json` via tmp + rename (rename refuses to
-  * overwrite, so there is never a moment without a complete catalog file
-  * and racing writers conflict-detect instead of corrupting state);
-  * readers take the highest version; old versions are pruned after the
-  * new one is durable. Single-writer assumed like the rest of the
-  * pipeline (`maxConcurrentRuns: 1`, lib/glue-stack.ts:49).
+  * writes the next `v{N}.json` via tmp + rename, so there is never a
+  * moment without a complete catalog file; readers take the highest
+  * version; old versions are pruned after the new one is durable.
+  * Unlike table manifests the catalog is shared across tables, so
+  * [[sync]] retries on publish conflicts instead of assuming a single
+  * writer (see its doc).
   */
 final class WarehouseCatalog(spark: SparkSession, warehousePath: String) {
 
@@ -48,8 +48,34 @@ final class WarehouseCatalog(spark: SparkSession, warehousePath: String) {
     TableConfig.fromJson(txt)
   }
 
-  /** Upsert one table's record (identity: db/schema/table). */
-  def sync(cfg: TableConfig): Unit = {
+  /** Upsert one table's record (identity: db/schema/table).
+    *
+    * The catalog is warehouse-GLOBAL while table commits are per-table, so
+    * two jobs writing DIFFERENT tables legitimately race here even under
+    * the reference's per-job `maxConcurrentRuns: 1`. A publish conflict is
+    * therefore retried — re-read the latest records, merge this table's
+    * record in, and target the next version — rather than failing a run
+    * whose table commit already succeeded. Conflict detection itself is
+    * best-effort on local filesystems (POSIX rename(2) replaces silently;
+    * the exists() probe narrows but cannot close that window).
+    */
+  def sync(cfg: TableConfig, maxAttempts: Int = 5): Unit = {
+    var attempt = 0
+    var published = false
+    while (!published) {
+      attempt += 1
+      try {
+        publishOnce(cfg)
+        published = true
+      } catch {
+        case e: IllegalStateException if attempt < maxAttempts =>
+          // another writer took our version slot: re-read and re-merge
+          System.err.println(s"[catalog] publish conflict, retrying: ${e.getMessage}")
+      }
+    }
+  }
+
+  private def publishOnce(cfg: TableConfig): Unit = {
     val others = tables().filterNot(c =>
       c.dbName == cfg.dbName && c.schemaName == cfg.schemaName &&
         c.tableName == cfg.tableName)
@@ -60,6 +86,10 @@ final class WarehouseCatalog(spark: SparkSession, warehousePath: String) {
     val out = fs.create(tmp, true)
     try out.write(TableConfig.renderJson(others :+ cfg).getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"catalog version taken: $dst")
+    }
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"catalog publish failed: $dst")
     // prune only after the new version is durable

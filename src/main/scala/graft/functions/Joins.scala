@@ -46,6 +46,7 @@ object Joins {
       .filterNot(c => keys.contains(c) || c == tsCol)
     val clash = payload.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"right payload collides with left columns: $clash")
+    requireNoReserved(Seq("__r", "__side"), left, right)
     val rStruct = struct(payload.map(col): _*)
     val rSide = right.select(
       (keys :+ tsCol).map(col) :+ rStruct.as("__r") :+ lit(0).as("__side"): _*)
@@ -83,6 +84,7 @@ object Joins {
       intervals: DataFrame, startExpr: Column, endExpr: Column,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    requireNoReserved(Seq("__pv", "__bucket", "__s", "__e"), points, intervals)
     val p = points.withColumn("__pv", pointExpr.cast("long"))
       .withColumn("__bucket", floor(col("__pv") / bucketWidth))
     val i = intervals.withColumn("__s", startExpr.cast("long"))
@@ -121,10 +123,25 @@ object Joins {
       differentiator: Column,
       saltFactor: Int): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    requireNoReserved(Seq("__salt"), left, right)
     val salted = left.withColumn("__salt",
       pmod(xxhash64(differentiator), lit(saltFactor.toLong)))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** An input frame already containing one of an operator's working columns
+    * would be silently overwritten by withColumn and dropped from the
+    * output — refuse up front instead (mirrors the payload-clash guard).
+    */
+  private def requireNoReserved(
+      reserved: Seq[String], frames: DataFrame*): Unit = {
+    val hit = for {
+      f <- frames
+      c <- f.columns if reserved.contains(c)
+    } yield c
+    require(hit.isEmpty,
+      s"input columns collide with reserved working names: ${hit.distinct.mkString(", ")}")
   }
 }

@@ -1103,8 +1103,12 @@ object QueryCatalog {
   /** Equi-width histogram of event values per type (`width_bucket`, the
     * standard binning operator; Postgres semantics: bucket 0 below the
     * range, nBuckets+1 at/above the top). DuckDB 1.0 lacks width_bucket,
-    * so the oracle spells out the same arithmetic — floor(v/10)+1 is the
-    * identical IEEE computation for bounds (0,100,10).
+    * so the oracle spells out Spark's EXACT arithmetic: WidthBucket
+    * computes floor((numBucket * (v - lo)) / (hi - lo)) + 1 — i.e.
+    * floor((10 * v) / 100) + 1 here, NOT floor(v / 10) + 1. The two
+    * differ by up to 1 ulp at bucket boundaries (two roundings vs one),
+    * so the oracle mirrors the multiply-then-divide form to stay
+    * parity-by-construction on any corpus.
     */
   private val valueHistogram = Q(
     (s, d) => t(s, d, "events")
@@ -1115,7 +1119,7 @@ object QueryCatalog {
     Some("""SELECT event_type,
            |  CASE WHEN value < 0 THEN 0
            |       WHEN value >= 100 THEN 11
-           |       ELSE CAST(FLOOR(value / 10.0) AS BIGINT) + 1 END
+           |       ELSE CAST(FLOOR((10 * value) / 100) AS BIGINT) + 1 END
            |    AS bucket,
            |  count(*) AS n
            |FROM events GROUP BY 1, 2""".stripMargin))

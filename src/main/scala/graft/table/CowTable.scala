@@ -427,10 +427,15 @@ class CowTable(
 
   /** Atomic publish: manifest written to a tmp name then renamed into place.
     * (Consistency-check role of `hoodie.consistency.check.enabled`,
-    * reference: processData.py:164.) The rename refuses to overwrite an
-    * existing `v{N}.json`, so two racing writers targeting the same version
-    * conflict-detect here instead of corrupting the timeline — matching the
-    * reference's serialized-runs assumption (`maxConcurrentRuns: 1`).
+    * reference: processData.py:164.) Readers never see a partial file.
+    *
+    * Conflict detection between racing writers is BEST-EFFORT: the exists()
+    * probe below catches most races, but local filesystems implement
+    * Hadoop rename via POSIX rename(2), which silently replaces an existing
+    * destination — so a true same-millisecond race can still last-write-win.
+    * (HDFS/object-store committers do refuse the overwrite.) Correctness
+    * relies on the reference's serialized-runs assumption
+    * (`maxConcurrentRuns: 1`), matching its single-writer model.
     */
   protected def writeManifest(m: Manifest): Unit = {
     fs.mkdirs(commitsDir)
@@ -438,6 +443,11 @@ class CowTable(
     val dst = new Path(commitsDir, s"v${m.version}.json")
     val out = fs.create(tmp, true)
     try out.write(renderManifest(m).getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"commit conflict: $dst already published by another writer")
+    }
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"commit rename failed: $dst")
   }

@@ -157,13 +157,21 @@ object TextOps {
     * Catalyst does not dedupe diamond DAGs: a self-join plus two
     * verification joins re-evaluates its input subtree once per reference
     * (4x for [[ngramJaccardPairs]] — measured 3x slower end-to-end at
-    * sf0.1). `localCheckpoint` computes it once into executor block
-    * storage (memory, spilling to disk) and truncates lineage, so every
-    * reference reads the cached blocks. The stored table is the HASH-set
-    * form (8 bytes per shingle), far smaller than the source text, so the
-    * materialization remains executor-resident even at corpus scale.
+    * sf0.1). `persist` computes it once into executor block storage
+    * (memory, spilling to disk), so every reference reads the cached
+    * blocks. Chosen over `localCheckpoint()` deliberately: persist KEEPS
+    * lineage and laziness, so a lost executor recomputes its partitions
+    * instead of failing the whole job (checkpoint blocks are not
+    * recomputable — a reliability regression at 1000-executor scale), and
+    * no Spark job fires at DataFrame-construction time. The stored table
+    * is the HASH-set form (8 bytes per shingle), far smaller than the
+    * source text, so it stays executor-resident even at corpus scale;
+    * blocks are LRU-evicted (and recomputed if re-read) once the query
+    * finishes, so not calling unpersist leaks no correctness, only cache
+    * residency.
     */
-  private def materialized(df: DataFrame): DataFrame = df.localCheckpoint()
+  private def materialized(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact near-duplicate pairs by word-n-gram Jaccard >= num/den, computed
     * on the per-doc distinct shingle-hash SETS.
