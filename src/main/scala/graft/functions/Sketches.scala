@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketching.
+  *
+  * The production-default estimator for `COUNT(DISTINCT)` at corpus scale is
+  * a sketch, not an exact shuffle (the reference's stack exposes this as
+  * Spark's own `approx_count_distinct`). The variant here is a KMV
+  * (K-Minimum-Values / bottom-k) sketch chosen for a property HLL lacks:
+  * its state — the k smallest distinct hash values — is a pure function of
+  * the input SET, independent of partitioning, merge order, and engine, so
+  * the estimate is bit-for-bit reproducible in the DuckDB oracle and stable
+  * across cluster sizes. (Bar-Yossef et al. 2002, "Counting distinct
+  * elements in a data stream"; expected relative error ~ 1/sqrt(k-2).)
+  */
+object Sketches {
+
+  /** Scale factor mapping a [[Hashing.hash60]] value into [0, 1): 2^60 as
+    * an exactly-representable double (the oracle embeds the same literal,
+    * avoiding any engine-specific pow()).
+    */
+  val Hash60Range: Long = 1L << 60
+
+  /** KMV distinct-count estimate of `expr` over `df`.
+    *
+    * Plan shape (the part that must survive 100 TB): one hash-shuffle
+    * `distinct` over the 8-byte hash column — NOT the raw values — followed
+    * by a `TakeOrderedAndProject` for the k smallest (per-partition top-k
+    * then a k-row driver merge; no global sort). With k = 1024 the driver
+    * sees 8 KB regardless of input size.
+    *
+    * Estimator: if fewer than k distinct hashes exist the count is exact;
+    * otherwise `(k-1) * 2^60 / h_k` where `h_k` is the k-th smallest hash
+    * (the unbiased KMV form). Collisions in a 60-bit space are negligible
+    * below ~2^30 distinct values.
+    *
+    * Returns one row: `distinct_est` (double), `sketch_size` (long, =
+    * min(k, true distinct count)).
+    */
+  def kmvDistinct(df: DataFrame, expr: Column, k: Int = 256): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val hashes = df.select(Hashing.hash60(expr.cast("string")).as("h"))
+      .distinct()
+    hashes.orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select(
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit(k - 1).cast("double") *
+            lit(Hash60Range).cast("double") / col("hk").cast("double"))
+          .as("distinct_est"),
+        col("n").cast("long").as("sketch_size"))
+  }
+
+  /** DuckDB SQL computing the identical estimate (same hash, same literal
+    * 2^60, same operation order) over table `table`, column expression `e`.
+    */
+  def kmvDistinctSql(table: String, e: String, k: Int = 256): String =
+    s"""WITH h AS (SELECT DISTINCT ${Hashing.hash60Sql(s"CAST($e AS VARCHAR)")} AS h
+       |  FROM $table),
+       |k AS (SELECT h FROM h ORDER BY h LIMIT $k)
+       |SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |    ELSE CAST(${k - 1} AS DOUBLE) * CAST($Hash60Range AS DOUBLE)
+       |         / CAST(max(h) AS DOUBLE) END AS distinct_est,
+       |  CAST(count(*) AS BIGINT) AS sketch_size
+       |FROM k""".stripMargin
+}

@@ -1204,6 +1204,180 @@ object QueryCatalog {
            |    / count(*), 6) AS mean_val
            |FROM joined GROUP BY lang, dim""".stripMargin))
 
+  // ------------------------------------------------------- round-5 breadth
+
+  /** PIVOT: one output column per l_linestatus value. Values are enumerated
+    * explicitly (`pivot(col, values)`) — the values-less overload runs a
+    * driver-side distinct scan first, a hidden extra job at corpus scale.
+    */
+  private val pivotRevenue = Q(
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(money(sum(revTerm)))
+      .withColumnRenamed("F", "rev_f")
+      .withColumnRenamed("O", "rev_o"),
+    Some(s"""SELECT l_returnflag,
+           |  ${moneySql(s"sum(CASE WHEN l_linestatus = 'F' THEN $revTermSql END)")} AS rev_f,
+           |  ${moneySql(s"sum(CASE WHEN l_linestatus = 'O' THEN $revTermSql END)")} AS rev_o
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
+  /** CUBE grouping sets (all 4 combinations; complements ROLLUP's 3). */
+  private val cubeCounts = Q(
+    (s, d) => t(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("total_qty")),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+           |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+      .stripMargin))
+
+  /** INTERSECT set op (dedup semantics; complements except_set_op). */
+  private val intersectUsers = Q(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      ev.filter(col("event_type") === "click").select("user_id")
+        .intersect(
+          ev.filter(col("event_type") === "purchase").select("user_id"))
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'click'
+           |INTERSECT
+           |SELECT user_id FROM events WHERE event_type = 'purchase'"""
+      .stripMargin))
+
+  /** TPC-H Q13 shape: distribution of customers by order count (left join
+    * preserving zero-order customers, double aggregation).
+    */
+  private val q13OrderDistribution = Q(
+    (s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+           |  SELECT c_custkey, count(o_orderkey) AS c_count
+           |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |  GROUP BY c_custkey)
+           |GROUP BY c_count""".stripMargin))
+
+  /** TPC-H Q18 shape (large-volume orders): HAVING over a grouped sum,
+    * joined back to the order header. The aggregated side shrinks to the
+    * qualifying keys before the join, so AQE broadcast-converts it.
+    */
+  private val q18LargeOrders = Q(
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("total_qty")),
+    Some("""SELECT o_orderkey, o_custkey, o_orderdate, total_qty
+           |FROM orders JOIN (
+           |  SELECT l_orderkey,
+           |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+           |  FROM lineitem GROUP BY l_orderkey
+           |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+           |  ON o_orderkey = l_orderkey""".stripMargin))
+
+  /** LAG window: per-user event-value delta. Per-row IEEE subtraction of
+    * identical doubles — no aggregation, so no rounding needed; ordering
+    * made total with the event_id tiebreak.
+    */
+  private val userValueDelta = Q(
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").select(col("event_id"), col("user_id"),
+        (col("value") - lag("value", 1).over(w)).as("value_delta"))
+    },
+    Some("""SELECT event_id, user_id,
+           |  value - lag(value) OVER (
+           |    PARTITION BY user_id ORDER BY ts, event_id) AS value_delta
+           |FROM events""".stripMargin))
+
+  /** NTILE quartiles of order value within each priority class. Partitioned
+    * by a real column, so no global single-partition window; a GLOBAL ntile
+    * at corpus scale needs the two-pass range-partitioned form instead.
+    */
+  private val ntilePriceQuartiles = Q(
+    (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+           |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+           |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+           |FROM orders""".stripMargin))
+
+  /** KMV (bottom-k) distinct-count sketch — deterministic, engine-portable
+    * cardinality estimation ([[graft.functions.Sketches.kmvDistinct]]):
+    * unlike HLL, the sketch state is a pure function of the input set, so
+    * the oracle reproduces the estimate bit-for-bit.
+    */
+  private val kmvDistinctUsers = Q(
+    (s, d) => graft.functions.Sketches
+      .kmvDistinct(t(s, d, "events"), col("user_id"), k = 256),
+    Some(graft.functions.Sketches.kmvDistinctSql("events", "user_id", 256)))
+
+  /** Symmetric int8 embedding quantization
+    * ([[graft.sim.Similarity.quantizeInt8]]): per-row scale by 127/max|x|,
+    * round-half-away — fixed-order IEEE arithmetic mirrored in the oracle.
+    * The gate compares the EXPLODED (vec_id, dim, qval) form: no prior
+    * query emits a list-typed column and the driver hash is arrow-level
+    * type-sensitive, so a list child-name mismatch (Spark `element` vs
+    * DuckDB `l`) would be an avoidable representation risk. The list-form
+    * API is spec-covered in SimilaritySpec.
+    */
+  private val embeddingQuantize = Q(
+    (s, d) => graft.sim.Similarity
+      .quantizeInt8(t(s, d, "embeddings"), "embedding")
+      .select(col("vec_id"), posexplode(col("qvec")).as(Seq("dim", "qval")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("qval")),
+    Some("""SELECT vec_id,
+           |  CAST(generate_subscripts(qvec, 1) - 1 AS BIGINT) AS dim,
+           |  unnest(qvec) AS qval
+           |FROM (SELECT vec_id,
+           |    CASE WHEN m = 0
+           |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+           |      ELSE list_transform(embedding, x ->
+           |        CAST(round(CAST(x AS DOUBLE) * (127.0 / m)) AS BIGINT)) END
+           |      AS qvec
+           |  FROM (SELECT vec_id, embedding,
+           |      list_max(list_transform(embedding,
+           |        x -> abs(CAST(x AS DOUBLE)))) AS m
+           |    FROM embeddings))""".stripMargin))
+
+  /** Chunk-level exact dedup ([[graft.text.TextOps.chunkDedup]], 10-token
+    * windows): global first-occurrence wins; per-doc survival counts.
+    */
+  private val chunkDedup = Q(
+    (s, d) => TextOps.chunkDedup(t(s, d, "documents"), 10),
+    Some(s"""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |c AS (SELECT doc_id, unnest(list_transform(
+           |    generate_series(0, (len(toks) + 9) // 10 - 1),
+           |    i -> {'idx': i,
+           |          'chunk': array_to_string(toks[i*10+1 : i*10+10], ' ')}))
+           |    AS u
+           |  FROM t),
+           |e AS (SELECT doc_id, CAST(u.idx AS BIGINT) AS idx,
+           |    ${H("u.chunk")} AS h
+           |  FROM c),
+           |r AS (SELECT doc_id, idx, row_number() OVER (
+           |    PARTITION BY h ORDER BY doc_id, idx) AS rn
+           |  FROM e)
+           |SELECT doc_id, count(*) AS n_chunks,
+           |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept
+           |FROM r GROUP BY doc_id""".stripMargin))
+
   // ---------------------------------------------------------------- export
 
   val all: ListMap[String, Q] = ListMap(
@@ -1268,7 +1442,17 @@ object QueryCatalog {
     "ivf_search" -> ivfSearch,
     "multimodal_bytes" -> multimodalBytes,
     "multimodal_frames" -> multimodalFrames,
-    "mean_embedding_by_lang" -> meanEmbeddingByLang
+    "mean_embedding_by_lang" -> meanEmbeddingByLang,
+    "pivot_revenue" -> pivotRevenue,
+    "cube_counts" -> cubeCounts,
+    "intersect_users" -> intersectUsers,
+    "q13_order_distribution" -> q13OrderDistribution,
+    "q18_large_orders" -> q18LargeOrders,
+    "user_value_delta" -> userValueDelta,
+    "ntile_price_quartiles" -> ntilePriceQuartiles,
+    "kmv_distinct_users" -> kmvDistinctUsers,
+    "embedding_quantize" -> embeddingQuantize,
+    "chunk_dedup" -> chunkDedup
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -237,4 +237,30 @@ object Similarity {
         round(cosine(col("a.v"), col("b.v")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4x storage/bandwidth compression applied before shipping a corpus's
+    * vectors to an ANN index or a training job: per row, scale by
+    * `127 / max|x_i|` and round each coordinate to an integer in
+    * [-127, 127].
+    *
+    * Entirely per-row (no shuffle, nothing to co-ordinate across
+    * partitions). The arithmetic is fixed-order IEEE — float→double widen,
+    * one divide to form the scale, one multiply, one round-half-away —
+    * so the oracle reproduces it bit-for-bit. All-zero vectors (scale
+    * undefined) quantize to all zeros rather than NaN.
+    */
+  def quantizeInt8(embs: DataFrame, vecCol: String): DataFrame = {
+    val v = toDoubleVec(col(vecCol))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    embs
+      .withColumn("__m", maxAbs)
+      .withColumn(
+        "qvec",
+        when(col("__m") === 0d,
+          transform(v, _ => lit(0L)))
+          .otherwise(transform(v,
+            x => round(x * (lit(127d) / col("__m"))).cast("long"))))
+      .drop("__m")
+  }
 }

@@ -534,6 +534,41 @@ object TextOps {
           .as("top_bigram_frac"))
   }
 
+  /** Chunk-level exact dedup accounting: split every document into
+    * consecutive `chunkTokens`-token windows, dedup the chunks GLOBALLY
+    * (first occurrence in (doc_id, idx) order wins), and report per
+    * document how many of its chunks survive. The granularity between
+    * document-level dedup (misses big repeated spans inside distinct
+    * docs — boilerplate, licenses, navigation) and line-level dedup
+    * (too noisy on short lines); a training pipeline drops or rewrites
+    * documents whose kept-fraction falls below a threshold.
+    *
+    * Plan shape: per-row chunking (no shuffle), one shuffle by 8-byte
+    * chunk hash for the first-occurrence window, one shuffle back by
+    * doc_id for the per-doc rollup — both on compact keys, never on text.
+    */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val nChunks =
+      ((size(col("toks")) + (chunkTokens - 1)) / chunkTokens).cast("long")
+    val chunked = toksDf.select(col("doc_id"),
+      transform(sequence(lit(0L), nChunks - 1),
+        i => concat_ws(" ",
+          slice(col("toks"), (i * chunkTokens + 1).cast("int"),
+            lit(chunkTokens))))
+        .as("chunks"))
+    val e = chunked
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "chunk")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"),
+        Hashing.hash60(col("chunk")).as("h"))
+    val firstSeen = Window.partitionBy("h").orderBy(col("doc_id"), col("idx"))
+    e.withColumn("rn", row_number().over(firstSeen))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** SimHash (16-bit, portable hash): per bit j, sign of the sum over tokens
     * (with multiplicity) of +-1 according to bit j of the token hash.
     */

@@ -175,4 +175,21 @@ class SimilaritySpec extends SparkSpec {
       s"across the z boundary, got recall $firstK")
     assert(trained == 1.0, s"trained codebook recall $trained")
   }
+
+  test("quantizeInt8: symmetric scale, zero-vector guard, range bound") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, false), nullable = false)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(0L, Seq(2.0f, -4.0f, 1.0f)),
+      Row(1L, Seq(0.0f, 0.0f, 0.0f))), schema)
+    val got = Similarity.quantizeInt8(df, "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](r.fieldIndex("qvec")).toList).toMap
+    // scale = 127/4 = 31.75: 2 -> round(63.5) = 64, -4 -> -127, 1 -> 32
+    assert(got(0L) == List(64L, -127L, 32L))
+    assert(got(1L) == List(0L, 0L, 0L), "all-zero vector quantizes to zeros")
+    assert(got.values.flatten.forall(q => q >= -127L && q <= 127L))
+  }
 }

@@ -186,4 +186,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L).getAs[Long]("top_token_n") == 1)
     assert(got(2L).getAs[Long]("top_bigram_n") == 1)
   }
+
+  test("chunkDedup: global first occurrence wins, per-doc counts") {
+    val ten = (0 until 10).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$ten tail1"),  // chunks: [ten] (first seen), [tail1]
+      (2L, s"$ten tail2"),  // [ten] is a dup of doc 1's; [tail2] unique
+      (3L, "solo words only")) // one short chunk, unique
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkDedup(d, 10).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_kept"))).toMap
+    assert(got(1L) == ((2L, 2L)))
+    assert(got(2L) == ((2L, 1L)), "shared leading chunk deduped away")
+    assert(got(3L) == ((1L, 1L)))
+  }
+
+  test("chunkDedup is independent of input partitioning") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 25).map(j => s"w${(i * 25 + j) % 173}")
+        .mkString(" "))).toDF("doc_id", "text")
+    def run(parts: Int) = TextOps.chunkDedup(docs.repartition(parts), 10)
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(run(1) == run(7))
+  }
 }
