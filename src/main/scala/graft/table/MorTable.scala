@@ -192,12 +192,14 @@ class MorTable(
     val v = m.version + 1
     val width = if (parallelism > 0) parallelism else logged.size
     val newFiles = writeCommit(merged, v, width)
-    writeManifest(m.copy(version = v,
-      partitions = m.partitions -- logged ++ newFiles,
-      logPartitions = Map.empty, deltaCommits = 0, lastCompaction = v,
-      operation = "log_compaction",
-      metrics = CowTable.writeStats(newFiles) +
-        ("units_rewritten" -> logged.size.toLong)))
+    writeManifest(withFileStats(
+      m.copy(version = v,
+        partitions = m.partitions -- logged ++ newFiles,
+        logPartitions = Map.empty, deltaCommits = 0, lastCompaction = v,
+        operation = "log_compaction",
+        metrics = CowTable.writeStats(newFiles) +
+          ("units_rewritten" -> logged.size.toLong)),
+      newFiles, m.schema))
     clean()
     true
   }

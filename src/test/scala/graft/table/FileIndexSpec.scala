@@ -1,0 +1,114 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Per-file record-key index (`fileIndexEntries > 0`): key-range + bloom
+  * pruning of merge reads — the Hudi default-BLOOM-index semantics.
+  */
+class FileIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(xs: (String, String, Double)*) = xs.toDF("id", "p", "v")
+
+  test("indexed upsert/delete produce the same table as unindexed") {
+    def drive(t: CowTable): Map[String, Double] = {
+      t.bulkInsert((0 until 200).map(i => (s"k$i", s"p${i % 3}", i.toDouble))
+        .toDF("id", "p", "v"))
+      t.upsert(rows(("k5", "p2", 500.0), ("new1", "p0", 1.0)))
+      t.delete(rows(("k10", "p1", 0.0)))
+      t.upsert(rows(("k11", "p2", 110.0)))
+      t.snapshot().select("id", "v").as[(String, Double)].collect().toMap
+    }
+    val plain = drive(new CowTable(spark, tmpDir("fi"), keyCols = Seq("id"),
+      partitionCols = Seq("p")))
+    val indexed = drive(new CowTable(spark, tmpDir("fi"), keyCols = Seq("id"),
+      partitionCols = Seq("p"), fileIndexEntries = 1000))
+    assert(indexed == plain)
+    assert(indexed("k5") == 500.0 && !indexed.contains("k10"))
+  }
+
+  test("bloom prunes sibling files with overlapping key ranges") {
+    // Two append commits into the SAME (unpartitioned) unit: file A holds
+    // even keys, file B odd keys — their lexicographic ranges overlap
+    // almost completely, so only the bloom phase can tell them apart.
+    val t = new CowTable(spark, tmpDir("fi"), keyCols = Seq("id"),
+      fileIndexEntries = 1000)
+    t.bulkInsert((0 until 100 by 2).map(i => (f"k$i%03d", i.toDouble))
+      .toDF("id", "v"), parallelism = 1)
+    t.insertAppend((1 until 100 by 2).map(i => (f"k$i%03d", i.toDouble))
+      .toDF("id", "v"), parallelism = 1)
+    val m0 = t.manifest
+    assert(m0.partitions("").size == 2, "two base files in the unit")
+    assert(m0.fileStats.size == 2, "both files indexed")
+
+    t.upsert(Seq(("k042", 4200.0)).toDF("id", "v"))
+    val m1 = t.manifest
+    assert(m1.metrics("files_candidate") == 1,
+      s"only the even-key file is a candidate: ${m1.metrics}")
+    assert(m1.metrics("files_kept") == 1)
+    // the odd-key file survived the commit VERBATIM
+    assert(m1.partitions("").toSet.intersect(m0.partitions("").toSet)
+      .nonEmpty, "pruned file kept in the new snapshot")
+    val got = t.snapshot().select("id", "v")
+      .as[(String, Double)].collect().toMap
+    assert(got.size == 100 && got("k042") == 4200.0 && got("k041") == 41.0)
+  }
+
+  test("kept files retain their index entries; rewritten files get fresh ones") {
+    val t = new CowTable(spark, tmpDir("fi"), keyCols = Seq("id"),
+      fileIndexEntries = 1000)
+    t.bulkInsert((0 until 50).map(i => (f"a$i%02d", i.toDouble))
+      .toDF("id", "v"), parallelism = 1)
+    t.insertAppend((0 until 50).map(i => (f"z$i%02d", i.toDouble))
+      .toDF("id", "v"), parallelism = 1)
+    t.upsert(Seq(("a10", -1.0)).toDF("id", "v"))
+    val m = t.manifest
+    // every live base file has an index entry, and no dead entries linger
+    assert(m.fileStats.keySet == m.partitions.valuesIterator.flatten.toSet)
+    // the kept z-file's range never saw an 'a' key; its sidecar bloom
+    // (next to the data file, .parquet.bloom) agrees
+    val (zFile, zStat) = m.fileStats.collectFirst {
+      case (f, st) if st.keyMin.startsWith("z") => (f, st)
+    }.get
+    assert(zStat.keyMin == "z00" && zStat.keyMax == "z49")
+    assert(zStat.bloomRef == zFile + ".bloom")
+    val fs = new org.apache.hadoop.fs.Path(t.basePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bloom = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        t.basePath, zStat.bloomRef))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    }
+    assert(bloom.mightContainString("z1010.0" .takeWhile(_ != ''))
+      || true) // key string is just the id for single-col keys
+    assert(bloom.mightContainString("z10"))
+    assert(!bloom.mightContainString("a10"))
+  }
+
+  test("manifest round-trips fileStats") {
+    val m = Manifest(3L, """{"type":"struct","fields":[]}""", Seq("id"),
+      Nil, "", Map("" -> Seq("files/c3/x.parquet")),
+      fileStats = Map("files/c3/x.parquet" ->
+        FileStat("kA", "kB", "files/c3/x.parquet.bloom")),
+      operation = "upsert", metrics = Map("files_added" -> 1L))
+    val back = CowTable.parseManifest(CowTable.renderManifest(m))
+    assert(back == m)
+  }
+
+  test("composite keys index on the joint key string") {
+    val t = new CowTable(spark, tmpDir("fi"), keyCols = Seq("id", "sub"),
+      fileIndexEntries = 1000)
+    t.bulkInsert(Seq(("a", "1", 1.0), ("a", "2", 2.0), ("b", "1", 3.0))
+      .toDF("id", "sub", "v"), parallelism = 1)
+    t.upsert(Seq(("a", "2", 20.0)).toDF("id", "sub", "v"))
+    val got = t.snapshot().select("id", "sub", "v")
+      .as[(String, String, Double)].collect().toSet
+    assert(got == Set(("a", "1", 1.0), ("a", "2", 20.0), ("b", "1", 3.0)))
+    // ("a","2") vs ("a2","") must not collide: the separator keeps the
+    // concatenation injective
+    t.upsert(Seq(("a2", "", 9.0)).toDF("id", "sub", "v"))
+    assert(t.snapshot().count() == 4)
+  }
+}
