@@ -1378,6 +1378,198 @@ object QueryCatalog {
            |    AS n_kept
            |FROM r GROUP BY doc_id""".stripMargin))
 
+  /** TPC-H Q14 shape — conditional-aggregation ratio (promo revenue share
+    * of a ship-quarter). The CASE lives inside the aggregate, so one pass
+    * computes both sums; part is a broadcastable dim and the shipdate range
+    * prunes the fact scan. Exact decimal sums, then one double division on
+    * the two rounded outputs — deterministic in both engines.
+    */
+  private val q14PromoShare = Q(
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        money(sum(when(col("p_type") === "PROMO", revTerm)))
+          .as("promo_revenue"),
+        money(sum(revTerm)).as("total_revenue"))
+      .withColumn("promo_share",
+        lit(100.0) * col("promo_revenue") / col("total_revenue")),
+    Some(s"""SELECT promo_revenue, total_revenue,
+           |  100.0 * promo_revenue / total_revenue AS promo_share
+           |FROM (SELECT
+           |    ${moneySql(s"sum(CASE WHEN p_type = 'PROMO' THEN $revTermSql END)")}
+           |      AS promo_revenue,
+           |    ${moneySql(s"sum($revTermSql)")} AS total_revenue
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |    AND l_shipdate < TIMESTAMP '1996-04-01')""".stripMargin))
+
+  /** TPC-H Q17 shape — correlated scalar subquery decorrelated into a
+    * grouped-aggregate join: lineitems below half their part's average
+    * quantity. Both sides shuffle on l_partkey (the aggregate side is
+    * per-part, NOT broadcastable at catalog scale — part count grows with
+    * the corpus); AQE may still broadcast-convert when the dim is small.
+    * The avg is an exact decimal sum with ONE double division, and the
+    * 0.5× threshold is a single IEEE multiply — both engines agree on the
+    * filter boundary bit-for-bit.
+    */
+  private val q17SmallQtyRevenue = Q(
+    (s, d) => {
+      val l = t(s, d, "lineitem")
+      val partAvg = l.groupBy("l_partkey")
+        .agg((sum(dec2(col("l_quantity"))).cast("double") /
+          count(lit(1))).as("avg_qty"))
+        .withColumnRenamed("l_partkey", "p_key")
+      l.join(partAvg, col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(
+          money(sum(dec2(col("l_extendedprice")))).as("small_qty_revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""SELECT
+           |  ${moneySql("sum(CAST(l_extendedprice AS DECIMAL(12,2)))")}
+           |    AS small_qty_revenue,
+           |  count(*) AS n_lines
+           |FROM lineitem JOIN (
+           |    SELECT l_partkey AS p_key,
+           |      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           |        / count(*) AS avg_qty
+           |    FROM lineitem GROUP BY 1) ON l_partkey = p_key
+           |WHERE l_quantity < 0.5 * avg_qty""".stripMargin))
+
+  /** TPC-H Q19 shape — OR-of-ANDs join filter. Catalyst's CNF conversion
+    * extracts the single-side disjunctions (p_brand IN the three brands;
+    * l_quantity within the hull) and pushes them below the join into both
+    * scans, so the join only sees pre-filtered rows — the plan property
+    * that makes disjunctive predicates survive scale.
+    */
+  private val q19Disjunctive = Q(
+    (s, d) => {
+      val c1 = col("p_brand") === "Brand#12" &&
+        col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+      val c2 = col("p_brand") === "Brand#23" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+      val c3 = col("p_brand") === "Brand#3" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(c1 || c2 || c3)
+        .agg(money(sum(revTerm)).as("revenue"), count(lit(1)).as("n_lines"))
+    },
+    Some(s"""SELECT ${moneySql(s"sum($revTermSql)")} AS revenue,
+           |  count(*) AS n_lines
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           |       AND l_quantity BETWEEN 1 AND 11)
+           |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           |       AND l_quantity BETWEEN 10 AND 20)
+           |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+
+  /** TPC-H Q22 shape — global-scalar threshold + anti join: customers with
+    * above-average balance and no orders, grouped by nation. The scalar avg
+    * is a 1-row broadcast cross join (never a collect), the anti join
+    * shuffles on custkey, and the threshold is exact-decimal-avg → one
+    * double division → identical comparison boundary in both engines.
+    */
+  private val q22IdleCustomers = Q(
+    (s, d) => {
+      val c = t(s, d, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg((sum(dec2(col("c_acctbal"))).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          money(sum(dec2(col("c_acctbal")))).as("total_bal"))
+    },
+    Some(s"""SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           |  count(*) AS n_cust,
+           |  ${moneySql("sum(CAST(c_acctbal AS DECIMAL(12,2)))")} AS total_bal
+           |FROM customer
+           |WHERE c_acctbal > (
+           |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+           |      / count(*)
+           |    FROM customer WHERE c_acctbal > 0)
+           |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |GROUP BY 1""".stripMargin))
+
+  /** TPC-H Q16 shape — COUNT(DISTINCT) per attribute group with an
+    * exclusion filter. Exact distinct (Spark expands to a two-level
+    * aggregate: partial distinct per partition, then merge) — the sketch
+    * alternative is `kmv_distinct_users` when approximation is acceptable.
+    */
+  private val q16SupplierVariety = Q(
+    (s, d) => t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") =!= "Brand#21" && col("p_type") =!= "PROMO")
+      .groupBy(col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt")),
+    Some("""SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           |  count(DISTINCT l_suppkey) AS supplier_cnt
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE p_brand <> 'Brand#21' AND p_type <> 'PROMO'
+           |GROUP BY 1, 2, 3""".stripMargin))
+
+  /** TPC-H Q11 shape — groups exceeding a fraction of the corpus total.
+    * The total is the same exact decimal sum as the per-part sums (decimal
+    * addition is associative), broadcast as a 1-row frame; the comparison
+    * happens on the two rounded doubles with one IEEE multiply.
+    */
+  private val q11ValueConcentration = Q(
+    (s, d) => {
+      val perPart = t(s, d, "lineitem")
+        .groupBy("l_partkey").agg(sum(revTerm).as("pv_dec"))
+      val total = perPart.agg(money(sum(col("pv_dec"))).as("total_value"))
+      perPart
+        .select(col("l_partkey"), money(col("pv_dec")).as("part_value"))
+        .crossJoin(broadcast(total))
+        .filter(col("part_value") > col("total_value") * lit(0.001))
+        .select("l_partkey", "part_value")
+    },
+    Some(s"""WITH pv AS (
+           |  SELECT l_partkey,
+           |    ${moneySql(s"sum($revTermSql)")} AS part_value
+           |  FROM lineitem GROUP BY 1),
+           |tot AS (SELECT ${moneySql(s"sum($revTermSql)")} AS total_value
+           |  FROM lineitem)
+           |SELECT l_partkey, part_value FROM pv, tot
+           |WHERE part_value > total_value * 0.001""".stripMargin))
+
+  /** Corpus vocabulary ([[graft.text.TextOps.vocabulary]]): top-100 tokens
+    * by document frequency — plans as TakeOrderedAndProject, not a global
+    * sort.
+    */
+  private val globalVocab = Q(
+    (s, d) => TextOps.vocabulary(t(s, d, "documents"), 100),
+    Some("""SELECT term, df FROM (
+           |  SELECT term, count(*) AS df FROM (
+           |    SELECT DISTINCT doc_id, term FROM (
+           |      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |      FROM documents))
+           |  GROUP BY term)
+           |ORDER BY df DESC, term LIMIT 100""".stripMargin))
+
+  /** Canonical-survivor dedup ([[graft.text.TextOps.dedupKeepBest]]): one
+    * deterministic best row per normalized-text fingerprint group.
+    */
+  private val dedupKeepBest = Q(
+    (s, d) => TextOps.dedupKeepBest(t(s, d, "documents")),
+    Some(s"""SELECT doc_id, lang, source, n_chars, fp FROM (
+           |  SELECT doc_id, lang, source, n_chars, fp, row_number() OVER (
+           |      PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn
+           |  FROM (SELECT doc_id, lang, source, n_chars,
+           |      ${H("trim(regexp_replace(regexp_replace(lower(text), " +
+                   "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")} AS fp
+           |    FROM documents))
+           |WHERE rn = 1""".stripMargin))
+
   // ---------------------------------------------------------------- export
 
   val all: ListMap[String, Q] = ListMap(
@@ -1452,7 +1644,15 @@ object QueryCatalog {
     "ntile_price_quartiles" -> ntilePriceQuartiles,
     "kmv_distinct_users" -> kmvDistinctUsers,
     "embedding_quantize" -> embeddingQuantize,
-    "chunk_dedup" -> chunkDedup
+    "chunk_dedup" -> chunkDedup,
+    "q14_promo_share" -> q14PromoShare,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenue,
+    "q19_disjunctive" -> q19Disjunctive,
+    "q22_idle_customers" -> q22IdleCustomers,
+    "q16_supplier_variety" -> q16SupplierVariety,
+    "q11_value_concentration" -> q11ValueConcentration,
+    "global_vocab" -> globalVocab,
+    "dedup_keep_best" -> dedupKeepBest
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -134,6 +134,39 @@ object TextOps {
     docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
 
+  /** Canonical-survivor selection: among documents sharing a normalized-text
+    * fingerprint (the exact-dup group after whitespace/punctuation noise),
+    * keep the single best — longest first, doc_id as the total tiebreak.
+    * The curation step after dedup DETECTION: downstream consumers want one
+    * row per content, and WHICH row survives must be deterministic. One
+    * hash-shuffle on the fingerprint; the per-group window never sees more
+    * rows than a group's duplicate count.
+    */
+  def dedupKeepBest(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("fp")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs
+      .withColumn("fp", Hashing.hash60(normalizeText(col("text"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars", "fp")
+  }
+
+  /** Corpus vocabulary: top-k tokens by document frequency — the vocab-
+    * building pass of tokenizer training. Explode + per-doc distinct + one
+    * count aggregation; the global top-k is orderBy+limit, which Spark
+    * plans as TakeOrderedAndProject (per-partition partial top-k, k-way
+    * driver merge), never a single-partition global sort. (df DESC, term
+    * ASC) is a total order, so the k-boundary cut is deterministic across
+    * engines and partitionings.
+    */
+  def vocabulary(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+
   /** Exploded (doc_id, shingle) pairs, distinct per doc. */
   def docShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
