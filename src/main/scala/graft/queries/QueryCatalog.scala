@@ -1469,7 +1469,9 @@ object QueryCatalog {
            |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
 
   /** TPC-H Q22 shape — global-scalar threshold + anti join: customers with
-    * above-average balance and no orders, grouped by nation. The scalar avg
+    * above-average balance and no RECENT orders (the date filter pushes to
+    * the orders scan and keeps the anti join non-vacuous: every customer
+    * has lifetime orders in this corpus), grouped by nation. The scalar avg
     * is a 1-row broadcast cross join (never a collect), the anti join
     * shuffles on custkey, and the threshold is exact-decimal-avg → one
     * double division → identical comparison boundary in both engines.
@@ -1480,10 +1482,11 @@ object QueryCatalog {
       val avgBal = c.filter(col("c_acctbal") > 0)
         .agg((sum(dec2(col("c_acctbal"))).cast("double") /
           count(lit(1))).as("avg_bal"))
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
       c.crossJoin(broadcast(avgBal))
         .filter(col("c_acctbal") > col("avg_bal"))
-        .join(t(s, d, "orders"),
-          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
         .agg(count(lit(1)).as("n_cust"),
           money(sum(dec2(col("c_acctbal")))).as("total_bal"))
@@ -1496,7 +1499,9 @@ object QueryCatalog {
            |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
            |      / count(*)
            |    FROM customer WHERE c_acctbal > 0)
-           |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |  AND NOT EXISTS (SELECT 1 FROM orders
+           |    WHERE o_custkey = c_custkey
+           |      AND o_orderdate >= TIMESTAMP '2000-01-01')
            |GROUP BY 1""".stripMargin))
 
   /** TPC-H Q16 shape — COUNT(DISTINCT) per attribute group with an
@@ -1517,30 +1522,37 @@ object QueryCatalog {
            |WHERE p_brand <> 'Brand#21' AND p_type <> 'PROMO'
            |GROUP BY 1, 2, 3""".stripMargin))
 
-  /** TPC-H Q11 shape — groups exceeding a fraction of the corpus total.
-    * The total is the same exact decimal sum as the per-part sums (decimal
-    * addition is associative), broadcast as a 1-row frame; the comparison
-    * happens on the two rounded doubles with one IEEE multiply.
+  /** TPC-H Q11 shape — groups exceeding a multiple of the MEAN group value
+    * (an absolute fraction of the corpus total would shrink with SF: more
+    * parts → smaller shares — a fixed 1.5× mean is scale-free). The total
+    * is the same exact decimal sum as the per-part sums (decimal addition
+    * is associative), broadcast with the group count as a 1-row frame; the
+    * threshold is one division + one multiply on rounded doubles (1.5 is
+    * a power-of-two fraction, exactly representable), mirrored verbatim.
     */
   private val q11ValueConcentration = Q(
     (s, d) => {
       val perPart = t(s, d, "lineitem")
         .groupBy("l_partkey").agg(sum(revTerm).as("pv_dec"))
-      val total = perPart.agg(money(sum(col("pv_dec"))).as("total_value"))
+      val total = perPart.agg(money(sum(col("pv_dec"))).as("total_value"),
+        count(lit(1)).as("n_parts"))
       perPart
         .select(col("l_partkey"), money(col("pv_dec")).as("part_value"))
         .crossJoin(broadcast(total))
-        .filter(col("part_value") > col("total_value") * lit(0.001))
+        .filter(col("part_value") >
+          lit(1.5) * (col("total_value") / col("n_parts")))
         .select("l_partkey", "part_value")
     },
     Some(s"""WITH pv AS (
            |  SELECT l_partkey,
            |    ${moneySql(s"sum($revTermSql)")} AS part_value
            |  FROM lineitem GROUP BY 1),
-           |tot AS (SELECT ${moneySql(s"sum($revTermSql)")} AS total_value
-           |  FROM lineitem)
+           |tot AS (SELECT ${moneySql(s"sum(part_value_dec)")} AS total_value,
+           |    count(*) AS n_parts
+           |  FROM (SELECT l_partkey, sum($revTermSql) AS part_value_dec
+           |    FROM lineitem GROUP BY 1))
            |SELECT l_partkey, part_value FROM pv, tot
-           |WHERE part_value > total_value * 0.001""".stripMargin))
+           |WHERE part_value > 1.5 * (total_value / n_parts)""".stripMargin))
 
   /** Corpus vocabulary ([[graft.text.TextOps.vocabulary]]): top-100 tokens
     * by document frequency — plans as TakeOrderedAndProject, not a global
