@@ -76,4 +76,34 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "the single-row query side must broadcast")
   }
+
+  // toString truncates long PushedFilters; formatted mode prints them whole.
+  private def formattedPlan(name: String): String =
+    QueryCatalog.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q19 pushes the per-side disjunctions below the join into both scans") {
+    val p = formattedPlan("q19_disjunctive")
+    // CNF extraction: the part scan gets the brand/size OR, the lineitem
+    // scan gets the quantity-range OR — neither side scans unfiltered.
+    assert(p.contains("Or(Or(And(EqualTo(p_brand,Brand#12)"),
+      s"part-side disjunction must reach the part scan:\n$p")
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      s"quantity-hull disjunction must reach the lineitem scan:\n$p")
+  }
+
+  test("global vocab top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("global_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k by df must partial-top-k per partition:\n$p")
+  }
+
+  test("q14/q22 scalar-threshold sides broadcast; no cartesian product") {
+    for (q <- Seq("q14_promo_share", "q22_idle_customers",
+        "q11_value_concentration")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: 1-row scalar frames must broadcast, not cartesian:\n$p")
+    }
+  }
 }
