@@ -132,6 +132,13 @@ final case class KeyedEvent(user_id: Long, event_id: Long,
 final case class LatestState(user_id: Long, event_id: Long,
     ts: java.sql.Timestamp, value: Double, updates: Long)
 
+/** A closed session emitted by [[StatefulOps.sessionizeStateful]]. */
+final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+/** Open-session state for [[StatefulOps.sessionizeStateful]] (epoch ms). */
+final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
 /** Custom streaming state via `mapGroupsWithState`: the W1 latest-per-key
   * dedup maintained as LIVE state across micro-batches — each batch emits
   * the current winner per key plus how many events have ever updated it.
@@ -141,6 +148,63 @@ final case class LatestState(user_id: Long, event_id: Long,
 object StatefulOps {
   import org.apache.spark.sql.{Dataset, Encoders}
   import org.apache.spark.sql.streaming.GroupStateTimeout
+
+  /** Streaming sessionization via `flatMapGroupsWithState` with an
+    * event-time timeout — the custom-state generalization of the batch
+    * `sessionize` query: a session closes either INLINE (a new event for
+    * the key arrives past the gap, so the prior run is provably over) or
+    * on TIMEOUT (the watermark passes last-event + gap, proving no
+    * further event can extend it). Append-mode output: exactly one row
+    * per closed session, never updated. State is one open session per
+    * active key — O(active keys), sharded by the groupBy shuffle, and
+    * self-cleaning: every timeout removes its key's state.
+    *
+    * Input must carry a watermark on `ts` (the caller picks the lateness
+    * bound); without one, EventTimeTimeout never fires and only inline
+    * closes are emitted.
+    */
+  def sessionizeStateful(
+      events: Dataset[KeyedEvent], gapMs: Long): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val keyEnc = Encoders.scalaLong
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    def close(key: Long, s: SessionState) =
+      SessionOut(key, ts(s.start), ts(s.last), s.n, s.total)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) { (key, evs, state) =>
+        if (state.hasTimedOut) {
+          val out = close(key, state.get)
+          state.remove()
+          Iterator(out)
+        } else {
+          // Micro-batch arrival order is not event-time order: sort the
+          // batch before folding it into the open session.
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var closed = List.empty[SessionOut]
+          var cur = state.getOption
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur = cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+              case Some(s) =>
+                closed ::= close(key, s)
+                Some(SessionState(t, t, 1L, e.value))
+              case None =>
+                Some(SessionState(t, t, 1L, e.value))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.last + gapMs)
+          }
+          closed.reverseIterator
+        }
+      }
+  }
 
   def latestPerKeyStateful(events: Dataset[KeyedEvent]): Dataset[LatestState] = {
     implicit val stateEnc = Encoders.product[LatestState]

@@ -150,6 +150,47 @@ class CdcStreamSpec extends SparkSpec {
     assert(fin(9L) == ((5L, 10.0, 2L)), s"newer event must win: $fin")
   }
 
+  test("flatMapGroupsWithState sessionizer: inline close + event-time timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir("sessionizer")
+    def ev(id: Long, uid: Long, t: String, v: Double) =
+      KeyedEvent(uid, id, java.sql.Timestamp.valueOf(t), v)
+    // batch 1: user 7 has two sessions separated by > 30min — the second
+    // run must close the first INLINE within the same micro-batch.
+    Seq(ev(1, 7, "2024-01-01 10:00:00", 1.0),
+        ev(2, 7, "2024-01-01 10:10:00", 2.0),
+        ev(3, 7, "2024-01-01 12:00:00", 4.0),
+        ev(4, 9, "2024-01-01 10:00:00", 9.0))
+      .toDF().write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "10 seconds").as[KeyedEvent]
+    val out = StatefulOps.sessionizeStateful(stream, gapMs = 30 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    q.processAllAvailable()
+    // batch 2: a much-later event advances the watermark past BOTH keys'
+    // open-session timeouts (12:30 for 7, 10:30 for 9) -> timeout closes.
+    Seq(ev(5, 11, "2024-01-01 15:00:00", 0.0))
+      .toDF().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.processAllAvailable() // extra no-data batch lets timeouts fire
+    q.stop()
+    val got = spark.table("sess_test")
+      .select($"user_id", $"session_start".cast("string"),
+        $"n_events", $"total_value")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.contains((7L, "2024-01-01 10:00:00", 2L, 3.0)),
+      s"inline-closed first session of user 7 missing: $got")
+    assert(got.contains((7L, "2024-01-01 12:00:00", 1L, 4.0)),
+      s"timeout-closed second session of user 7 missing: $got")
+    assert(got.contains((9L, "2024-01-01 10:00:00", 1L, 9.0)),
+      s"timeout-closed session of user 9 missing: $got")
+  }
+
   test("stream-stream interval join with watermarks matches batch result") {
     import spark.implicits._
     val lDir = tmpDir("ij-left"); val rDir = tmpDir("ij-right")
