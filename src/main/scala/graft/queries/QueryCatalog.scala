@@ -1568,6 +1568,42 @@ object QueryCatalog {
            |  GROUP BY term)
            |ORDER BY df DESC, term LIMIT 100""".stripMargin))
 
+  /** Semantic decontamination
+    * ([[graft.sim.Similarity.semanticDecontaminate]]): training vectors
+    * too close in embedding space to a held-out eval slice (every 50th
+    * vec_id plays the eval corpus).
+    */
+  private val semanticDecontam = Q(
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.semanticDecontaminate(
+        e.filter(pmod(col("vec_id"), lit(50L)) =!= 0),
+        e.filter(pmod(col("vec_id"), lit(50L)) === 0), 0.3)
+    },
+    Some(s"""WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS ev
+           |    FROM embeddings WHERE vec_id % 50 = 0),
+           |tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tv
+           |    FROM embeddings WHERE vec_id % 50 <> 0)
+           |SELECT vec_id, max_sim FROM (
+           |  SELECT tr.vec_id, max(${cosSql("tr.tv", "ev.ev")}) AS max_sim
+           |  FROM tr, ev GROUP BY 1)
+           |WHERE max_sim >= 0.3""".stripMargin))
+
+  /** Exact-N-per-stratum quota ([[graft.text.TextOps.prioritySample]]):
+    * at most 5 documents per source, chosen by deterministic hash
+    * priority.
+    */
+  private val prioritySamplePerSource = Q(
+    (s, d) => TextOps
+      .prioritySample(t(s, d, "documents"), "doc_id", "source", 5)
+      .select("doc_id", "lang", "source", "n_chars"),
+    Some(s"""SELECT doc_id, lang, source, n_chars FROM (
+           |  SELECT doc_id, lang, source, n_chars, row_number() OVER (
+           |      PARTITION BY source
+           |      ORDER BY ${H("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+           |  FROM documents)
+           |WHERE rn <= 5""".stripMargin))
+
   /** Canonical-survivor dedup ([[graft.text.TextOps.dedupKeepBest]]): one
     * deterministic best row per normalized-text fingerprint group.
     */
@@ -1664,7 +1700,9 @@ object QueryCatalog {
     "q16_supplier_variety" -> q16SupplierVariety,
     "q11_value_concentration" -> q11ValueConcentration,
     "global_vocab" -> globalVocab,
-    "dedup_keep_best" -> dedupKeepBest
+    "dedup_keep_best" -> dedupKeepBest,
+    "semantic_decontaminate" -> semanticDecontam,
+    "priority_sample_per_source" -> prioritySamplePerSource
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -38,6 +38,28 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Semantic train/eval decontamination: flag training vectors whose max
+    * cosine similarity against ANY holdout vector reaches `threshold` —
+    * the embedding-space complement of the verbatim n-gram check
+    * ([[graft.text.TextOps.decontaminate]]); paraphrased eval leakage has
+    * no shared n-grams but survives in embedding space. The holdout side
+    * broadcasts (eval corpora are small by construction): one scan of the
+    * training corpus, a narrow per-vector max — the big side never
+    * shuffles. Per-pair sims round to 6 digits before the max (matching
+    * the oracle), and max is order-independent, so the threshold cut is
+    * deterministic.
+    */
+  def semanticDecontaminate(
+      train: DataFrame, holdout: DataFrame, threshold: Double): DataFrame = {
+    val ev = broadcast(holdout.select(toDoubleVec(col("embedding")).as("ev")))
+    train
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("tv"))
+      .crossJoin(ev)
+      .select(col("vec_id"), round(cosine(col("tv"), col("ev")), 6).as("sim"))
+      .groupBy("vec_id").agg(max(col("sim")).as("max_sim"))
+      .filter(col("max_sim") >= threshold)
+  }
+
   /** Exact cosine top-k of `embs` (`vec_id`, `embedding`) against the stored
     * vector `queryId`. The single-row query side is broadcast; one scan of
     * the corpus, one narrow top-k.

@@ -325,6 +325,24 @@ object TextOps {
   private def keyBucket(keyCol: String): Column =
     pmod(Hashing.hash60(col(keyCol).cast("string")), lit(100L))
 
+  /** Exact-N-per-stratum deterministic sampling: the top `n` rows of each
+    * stratum by portable key-hash priority (key as total tiebreak) — the
+    * "at most N documents per domain" quota that pct-based
+    * [[stratifiedSample]] cannot guarantee. Hash priority makes the chosen
+    * subset a pure function of the keys: stable across runs, engines, and
+    * partitionings, and growing a stratum only swaps members by priority,
+    * never reshuffles the whole sample. One shuffle on the stratum column;
+    * each window partition is one stratum.
+    */
+  def prioritySample(
+      df: DataFrame, keyCol: String, strataCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(Hashing.hash60(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__pri_rn", row_number().over(w))
+      .filter(col("__pri_rn") <= n)
+      .drop("__pri_rn")
+  }
+
   /** Decontamination: flag training documents sharing at least `minShared`
     * distinct word n-grams with ANY document of the held-out corpus — the
     * train/eval overlap check run before training. One semi-ish join on

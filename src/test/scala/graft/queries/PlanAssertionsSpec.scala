@@ -98,6 +98,18 @@ class PlanAssertionsSpec extends SparkSpec {
       s"top-k by df must partial-top-k per partition:\n$p")
   }
 
+  test("semantic decontaminate broadcasts the eval side") {
+    val p = plan("semantic_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BuildRight"),
+      s"holdout vectors must broadcast; the train side must not shuffle:\n$p")
+  }
+
+  test("priority sample pushes the per-stratum limit below the shuffle") {
+    val p = plan("priority_sample_per_source")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=n must prune partially before the exchange:\n$p")
+  }
+
   test("q14/q22 scalar-threshold sides broadcast; no cartesian product") {
     for (q <- Seq("q14_promo_share", "q22_idle_customers",
         "q11_value_concentration")) {
