@@ -192,4 +192,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) == List(0L, 0L, 0L), "all-zero vector quantizes to zeros")
     assert(got.values.flatten.forall(q => q >= -127L && q <= 127L))
   }
+
+  test("semanticDecontaminate flags planted leaks, spares orthogonal vectors") {
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),   // exact copy of eval vec -> sim 1.0
+      (2L, Seq(0.9f, 0.1f, 0.0f)),   // near-copy -> high sim
+      (3L, Seq(0.0f, 0.0f, 1.0f)))   // orthogonal to all eval -> sim 0
+      .toDF("vec_id", "embedding")
+    val holdout = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(train, holdout, 0.9)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 2L), s"expected leaks {1,2}, got $got")
+    assert(got(1L) == 1.0)
+    assert(got(2L) > 0.99, "max over eval vecs, not any single one")
+  }
 }

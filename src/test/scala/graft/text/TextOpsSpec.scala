@@ -210,4 +210,49 @@ class TextOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq.map(_.toSeq)
     assert(run(1) == run(7))
   }
+
+  test("prioritySample: exact quota per stratum, partitioning-independent") {
+    def run(parts: Int) =
+      TextOps.prioritySample(docs.repartition(parts), "doc_id", "source", 3)
+    val got = run(1)
+    val perStratum = got.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    assert(perStratum.values.forall(_ == 3L),
+      s"every stratum must hit its quota exactly: $perStratum")
+    // membership is a pure function of the keys, not the partitioning
+    def ids(parts: Int) = run(parts).select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids(1) == ids(7))
+    // quota larger than a stratum keeps the whole stratum (no padding)
+    val all = TextOps.prioritySample(docs, "doc_id", "source", 1000000)
+    assert(all.count() == docs.count())
+  }
+
+  test("dedupKeepBest keeps the longest doc per normalized-text group") {
+    val d = Seq(
+      (1L, "Hello,  World!", "en", "s1", 12L),
+      (2L, "hello world",    "en", "s2", 11L),
+      (3L, "hello world again", "en", "s1", 17L),
+      (4L, "HELLO WORLD",    "de", "s3", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.dedupKeepBest(d).select("doc_id").as[Long]
+      .collect().toSet
+    // 1,2,4 normalize to "hello world": doc 1 wins on n_chars (12 > 11,
+    // doc_id 2 breaks the 2-vs-4 tie but never reaches it); 3 is alone.
+    assert(got == Set(1L, 3L), s"expected survivors {1,3}, got $got")
+  }
+
+  test("vocabulary counts document frequency, not term frequency") {
+    val d = Seq(
+      (1L, "a a a b"),
+      (2L, "a c"),
+      (3L, "c c d")).toDF("doc_id", "text")
+    val got = TextOps.vocabulary(d, 10)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L, "c" -> 2L, "d" -> 1L),
+      s"df must count docs once regardless of repeats: $got")
+    // top-k boundary is the (df DESC, term ASC) total order
+    val top2 = TextOps.vocabulary(d, 2).as[(String, Long)].collect().toSeq
+    assert(top2 == Seq(("a", 2L), ("c", 2L)))
+  }
 }
