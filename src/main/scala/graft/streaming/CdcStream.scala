@@ -168,9 +168,19 @@ object StatefulOps {
     implicit val outEnc = Encoders.product[SessionOut]
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val keyEnc = Encoders.scalaLong
-    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // Event time carries MICROSECOND precision (parquet micros); folding
+    // through Timestamp.getTime (millis) would truncate session bounds and
+    // break parity with batch session_window. State keeps epoch micros.
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def fromUs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val gapUs = gapMs * 1000L
     def close(key: Long, s: SessionState) =
-      SessionOut(key, ts(s.start), ts(s.last), s.n, s.total)
+      SessionOut(key, fromUs(s.start), fromUs(s.last), s.n, s.total)
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         org.apache.spark.sql.streaming.OutputMode.Append(),
@@ -182,13 +192,13 @@ object StatefulOps {
         } else {
           // Micro-batch arrival order is not event-time order: sort the
           // batch before folding it into the open session.
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = evs.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
           var closed = List.empty[SessionOut]
           var cur = state.getOption
           for (e <- sorted) {
-            val t = e.ts.getTime
+            val t = toUs(e.ts)
             cur = cur match {
-              case Some(s) if t - s.last <= gapMs =>
+              case Some(s) if t - s.last < gapUs =>
                 Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
               case Some(s) =>
                 closed ::= close(key, s)
@@ -199,7 +209,9 @@ object StatefulOps {
           }
           cur.foreach { s =>
             state.update(s)
-            state.setTimeoutTimestamp(s.last + gapMs)
+            // timeout API is millisecond-granular: round UP so a session
+            // can never close before its true last-event + gap
+            state.setTimeoutTimestamp(Math.floorDiv(s.last + gapUs + 999L, 1000L))
           }
           closed.reverseIterator
         }

@@ -191,6 +191,45 @@ class CdcStreamSpec extends SparkSpec {
       s"timeout-closed session of user 9 missing: $got")
   }
 
+  test("stateful sessionizer matches batch session_window on real events") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir("sess_parity")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("user_id", "event_id", "ts", "value")
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+      .withWatermark("ts", "1 second").as[KeyedEvent]
+    val out = StatefulOps.sessionizeStateful(stream, gapMs = 30 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    q.processAllAvailable()
+    // flush: a sentinel event far past every real session advances the
+    // watermark so every real session closes by timeout
+    val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    Seq(KeyedEvent(-1L, -1L, flushTs, 0.0)).toDF()
+      .select("user_id", "event_id", "ts", "value")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    // value sums fold in different orders -> compare rounded to 6 digits
+    val got = spark.table("sess_parity")
+      .filter($"user_id" >= 0)
+      .select($"user_id", $"session_start", $"n_events",
+        round($"total_value", 6).as("v"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+    val batch = StreamOps.sessionWindowAgg(ev)
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"n_events", round($"session_value", 6).as("v"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+    assert(got == batch,
+      s"streaming sessions must equal batch session_window: " +
+        s"missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+  }
+
   test("stream-stream interval join with watermarks matches batch result") {
     import spark.implicits._
     val lDir = tmpDir("ij-left"); val rDir = tmpDir("ij-right")
