@@ -1604,6 +1604,19 @@ object QueryCatalog {
            |  FROM documents)
            |WHERE rn <= 5""".stripMargin))
 
+  /** Deterministic corpus split ([[graft.text.TextOps.datasetSplit]]):
+    * hash-bucket train/val/test labels (1%/1%), stable under corpus growth
+    * and repartitioning. Per-row, no shuffle.
+    */
+  private val datasetSplit = Q(
+    (s, d) => TextOps.datasetSplit(t(s, d, "documents"), "doc_id", 1, 1)
+      .select("doc_id", "split"),
+    Some(s"""SELECT doc_id, CASE
+           |    WHEN ${H("CAST(doc_id AS VARCHAR)")} % 100 < 1 THEN 'val'
+           |    WHEN ${H("CAST(doc_id AS VARCHAR)")} % 100 < 2 THEN 'test'
+           |    ELSE 'train' END AS split
+           |FROM documents""".stripMargin))
+
   /** Canonical-survivor dedup ([[graft.text.TextOps.dedupKeepBest]]): one
     * deterministic best row per normalized-text fingerprint group.
     */
@@ -1702,7 +1715,8 @@ object QueryCatalog {
     "global_vocab" -> globalVocab,
     "dedup_keep_best" -> dedupKeepBest,
     "semantic_decontaminate" -> semanticDecontam,
-    "priority_sample_per_source" -> prioritySamplePerSource
+    "priority_sample_per_source" -> prioritySamplePerSource,
+    "dataset_split" -> datasetSplit
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -343,6 +343,23 @@ object TextOps {
       .drop("__pri_rn")
   }
 
+  /** Deterministic train/val/test split: assign each row a split label from
+    * its key-hash bucket (0..99) — `valPct` buckets to val, `testPct` to
+    * test, the rest to train. The same reproducibility contract as
+    * [[deterministicSample]]: membership is a pure function of the key, so
+    * re-running the pipeline (or re-partitioning the corpus) never moves a
+    * document across splits — the property that keeps eval sets stable as
+    * the corpus grows. Per-row projection, no shuffle.
+    */
+  def datasetSplit(
+      df: DataFrame, keyCol: String, valPct: Int, testPct: Int): DataFrame = {
+    val b = keyBucket(keyCol)
+    df.withColumn("split",
+      when(b < valPct, "val")
+        .when(b < valPct + testPct, "test")
+        .otherwise("train"))
+  }
+
   /** Decontamination: flag training documents sharing at least `minShared`
     * distinct word n-grams with ANY document of the held-out corpus — the
     * train/eval overlap check run before training. One semi-ish join on
