@@ -215,6 +215,27 @@ class CowTable(
     else added
   }
 
+  /** Indexed point lookup: current-snapshot rows whose record key appears
+    * in `probe` — the READ side of the record-key file index. Partition
+    * pruning (the probe must carry the partition columns when the table is
+    * partitioned, as CDC batches do) narrows to touched units; within
+    * them, the min/max range + sidecar bloom checks keep only files that
+    * can contain a probe key. A point lookup over a 100-TB table reads the
+    * probe's file fan-out, not the table. With the index off it degrades
+    * to the partition-pruned scan.
+    */
+  def lookupByKeys(probe: DataFrame): DataFrame = {
+    val m = manifest
+    val existing = touchedPartitionKeys(probe).intersect(m.partitions.keySet)
+    val (candFiles, _) =
+      if (fileIndexEntries > 0) pruneCandidateFiles(m, existing, probe)
+      else (existing.toSeq.sorted.flatMap(k =>
+        m.partitions.getOrElse(k, Nil)), Map.empty[String, Seq[String]])
+    readFiles(m, candFiles)
+      .join(probe.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_semi")
+  }
+
   /** Snapshot restricted to the given manifest partition keys — the
     * partition-pruned read used by upsert/delete merges.
     */

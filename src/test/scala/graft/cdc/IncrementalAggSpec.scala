@@ -1,0 +1,78 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.table.CowTable
+import IncrementalAgg.AggSpec
+
+/** Incremental-view-maintenance invariant: folding per-batch deltas into
+  * the maintained aggregate equals recomputing the aggregate from the
+  * post-batch table — exactly, over a random interleaving of upserts
+  * (new keys + overwrites, in-batch duplicates) and deletes (existing and
+  * missing keys), because the sums are decimal (retraction is exact).
+  */
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(xs: Seq[(String, String, Double)]) =
+    xs.toDF("id", "p", "v")
+
+  private def collectAgg(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDecimal(2)))).toMap
+
+  test("maintained aggregate equals recompute across random CDC batches") {
+    val rnd = new scala.util.Random(42)
+    val t = new CowTable(spark, tmpDir("ivm"), keyCols = Seq("id"),
+      partitionCols = Seq("p"), precombineField = "v",
+      fileIndexEntries = 1000)
+    val spec = AggSpec(Seq("p"), "v")
+    def part(i: Int) = s"p${i % 3}"
+    t.bulkInsert(rows((0 until 60).map(i =>
+      (s"k$i", part(i), rnd.nextInt(100).toDouble))))
+    val none = rows(Nil)
+    var agg = IncrementalAgg.recompute(t.snapshot(), spec).localCheckpoint()
+    for (_ <- 1 to 4) {
+      // upserts: mix of overwrites and brand-new keys, with in-batch dups
+      // the engine resolves by precombine — mirror that before the delta
+      val ups = CdcOps.precombine(
+        rows((0 until 15).map { _ =>
+          val i = rnd.nextInt(80)
+          (s"k$i", part(i), rnd.nextInt(100).toDouble)
+        }), Seq("id"), "v")
+      agg = IncrementalAgg.apply(
+        agg, IncrementalAgg.delta(t, ups, none, spec), spec)
+        .localCheckpoint()
+      t.upsert(ups)
+      // deletes: some keys exist, some never did (must be no-ops)
+      val dels = rows((0 until 6).map { _ =>
+        val i = rnd.nextInt(100)
+        (s"k$i", part(i), 0.0)
+      }).dropDuplicates("id")
+      agg = IncrementalAgg.apply(
+        agg, IncrementalAgg.delta(t, none, dels, spec), spec)
+        .localCheckpoint()
+      t.delete(dels)
+      val expect = IncrementalAgg.recompute(t.snapshot(), spec)
+      assert(collectAgg(agg) == collectAgg(expect),
+        s"maintained state diverged at version ${t.manifest.version}")
+    }
+  }
+
+  test("group-changing update moves the row between groups") {
+    val t = new CowTable(spark, tmpDir("ivm2"), keyCols = Seq("id"),
+      precombineField = "v")
+    val spec = AggSpec(Seq("p"), "v")
+    t.bulkInsert(rows(Seq(("a", "g1", 10.0), ("b", "g1", 5.0))))
+    var agg = IncrementalAgg.recompute(t.snapshot(), spec)
+    // a moves from g1 to g2 with a new value
+    val ups = rows(Seq(("a", "g2", 7.0)))
+    agg = IncrementalAgg.apply(
+      agg, IncrementalAgg.delta(t, ups, rows(Nil), spec), spec)
+    t.upsert(ups)
+    val got = collectAgg(agg)
+    assert(got.keySet == Set("g1", "g2"))
+    assert(got("g1")._1 == 1L && got("g1")._2.doubleValue == 5.0)
+    assert(got("g2")._1 == 1L && got("g2")._2.doubleValue == 7.0)
+    assert(collectAgg(IncrementalAgg.recompute(t.snapshot(), spec)) == got)
+  }
+}

@@ -55,6 +55,24 @@ class FileIndexSpec extends SparkSpec {
     assert(got.size == 100 && got("k042") == 4200.0 && got("k041") == 41.0)
   }
 
+  test("lookupByKeys reads only index-matching files") {
+    val t = new CowTable(spark, tmpDir("fi"), keyCols = Seq("id"),
+      fileIndexEntries = 1000)
+    t.bulkInsert((0 until 100 by 2).map(i => (f"k$i%03d", i.toDouble))
+      .toDF("id", "v"), parallelism = 1)
+    t.insertAppend((1 until 100 by 2).map(i => (f"k$i%03d", i.toDouble))
+      .toDF("id", "v"), parallelism = 1)
+    val probe = Seq(("k042", 0.0)).toDF("id", "v")
+    val hit = t.lookupByKeys(probe)
+    assert(hit.inputFiles.length == 1,
+      s"bloom must keep the point read to one file: ${hit.inputFiles.toSeq}")
+    assert(hit.select("id", "v").as[(String, Double)].collect().toSeq ==
+      Seq(("k042", 42.0)))
+    // a key the table never held: range/bloom reject every file
+    val miss = t.lookupByKeys(Seq(("zzz", 0.0)).toDF("id", "v"))
+    assert(miss.inputFiles.isEmpty && miss.isEmpty)
+  }
+
   test("kept files retain their index entries; rewritten files get fresh ones") {
     val t = new CowTable(spark, tmpDir("fi"), keyCols = Seq("id"),
       fileIndexEntries = 1000)
