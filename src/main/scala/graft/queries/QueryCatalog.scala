@@ -1554,6 +1554,100 @@ object QueryCatalog {
            |SELECT l_partkey, part_value FROM pv, tot
            |WHERE part_value > 1.5 * (total_value / n_parts)""".stripMargin))
 
+  /** TPC-H Q7 shape — nation-pair trade volume: the fact joins TWO
+    * separate dimension paths (customer→nation for the buyer, supplier→
+    * nation for the seller; self-aliased nation dim on both). Both nation
+    * copies broadcast; the fact shuffles once per big join. The pair
+    * filter keeps two named nations, pushed into both dim scans.
+    */
+  private val q7NationTrade = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val n = t(s, d, "nation")
+      val n1 = n.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))
+      val n2 = n.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+        .filter(
+          (col("cust_nation") === "NATION_0" &&
+            col("supp_nation") === "NATION_1") ||
+          (col("cust_nation") === "NATION_1" &&
+            col("supp_nation") === "NATION_0"))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(money(sum(revTerm)).as("revenue"))
+    },
+    Some(s"""SELECT cust_nation, supp_nation, ship_year,
+           |  ${moneySql(s"sum($revTermSql)")} AS revenue
+           |FROM (SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           |    CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           |    l_extendedprice, l_discount
+           |  FROM lineitem, orders, customer, supplier,
+           |    nation n1, nation n2
+           |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           |    AND l_suppkey = s_suppkey AND c_nationkey = n1.n_nationkey
+           |    AND s_nationkey = n2.n_nationkey
+           |    AND ((n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+           |      OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')))
+           |GROUP BY 1, 2, 3""".stripMargin))
+
+  /** TPC-H Q10 shape — returned-item revenue per customer, top 20: the
+    * returnflag filter pushes into the fact scan, the customer/nation dims
+    * hang off the grouped result, and the final top-k is
+    * TakeOrderedAndProject over the aggregate, never a global sort.
+    */
+  private val q10ReturnedRevenue = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money(sum(revTerm)).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name, n_name,
+           |  ${moneySql(s"sum($revTermSql)")} AS revenue
+           |FROM lineitem, orders, customer, nation
+           |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+           |  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+           |GROUP BY 1, 2, 3
+           |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+
+  /** TPC-H Q15 shape — the supplier(s) achieving the GLOBAL maximum
+    * revenue: grouped sums, a 1-row broadcast max, equality join back.
+    * The max is computed on the rounded doubles the output carries, so
+    * the equality is exact in both engines.
+    */
+  private val q15TopSupplier = Q(
+    (s, d) => {
+      val rev = t(s, d, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(money(sum(revTerm)).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    },
+    Some(s"""WITH rev AS (SELECT l_suppkey,
+           |    ${moneySql(s"sum($revTermSql)")} AS total_revenue
+           |  FROM lineitem GROUP BY 1)
+           |SELECT s_suppkey, s_name, total_revenue
+           |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""
+      .stripMargin))
+
   /** Corpus vocabulary ([[graft.text.TextOps.vocabulary]]): top-100 tokens
     * by document frequency — plans as TakeOrderedAndProject, not a global
     * sort.
@@ -1716,7 +1810,10 @@ object QueryCatalog {
     "dedup_keep_best" -> dedupKeepBest,
     "semantic_decontaminate" -> semanticDecontam,
     "priority_sample_per_source" -> prioritySamplePerSource,
-    "dataset_split" -> datasetSplit
+    "dataset_split" -> datasetSplit,
+    "q7_nation_trade" -> q7NationTrade,
+    "q10_returned_revenue" -> q10ReturnedRevenue,
+    "q15_top_supplier" -> q15TopSupplier
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
