@@ -1631,9 +1631,13 @@ object QueryCatalog {
     */
   private val q15TopSupplier = Q(
     (s, d) => {
+      // persisted: the per-supplier aggregate feeds BOTH the 1-row max and
+      // the equality filter — without it Catalyst re-derives the whole
+      // lineitem scan+agg for each branch (two fact scans at 100 TB)
       val rev = t(s, d, "lineitem")
         .groupBy("l_suppkey")
         .agg(money(sum(revTerm)).as("total_revenue"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
       rev.crossJoin(broadcast(mx))
         .filter(col("total_revenue") === col("max_rev"))
