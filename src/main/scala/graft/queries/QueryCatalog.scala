@@ -1532,8 +1532,11 @@ object QueryCatalog {
     */
   private val q11ValueConcentration = Q(
     (s, d) => {
+      // persisted: the per-part aggregate feeds both the corpus total and
+      // the output rows — one fact scan, not two (same reuse as q15)
       val perPart = t(s, d, "lineitem")
         .groupBy("l_partkey").agg(sum(revTerm).as("pv_dec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val total = perPart.agg(money(sum(col("pv_dec"))).as("total_value"),
         count(lit(1)).as("n_parts"))
       perPart
