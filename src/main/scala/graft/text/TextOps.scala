@@ -436,8 +436,10 @@ object TextOps {
     */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     val n = docs.count()
-    val terms = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // persisted: the exploded term table feeds BOTH the tf and df branches
+    // — one corpus scan + explode, not two
+    val terms = materialized(docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term")))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df_ = terms.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
