@@ -1655,6 +1655,29 @@ object QueryCatalog {
            |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""
       .stripMargin))
 
+  /** Sample-based quantile estimation — the 100-TB path for
+    * `percentiles_by_type`: exact `percentile` holds every group value in
+    * the aggregation buffer (fine per-group at test scale, hostile at
+    * corpus scale), so estimate over the DETERMINISTIC 10% hash sample
+    * instead. Hash membership keeps the estimate reproducible across
+    * engines/runs/partitionings — unlike `approx_percentile`, whose sketch
+    * has no DuckDB twin, this is oracle-exact by construction.
+    */
+  private val sampledPercentiles = Q(
+    (s, d) => t(s, d, "events")
+      .filter(pmod(Hashing.hash60(col("event_id").cast("string")),
+        lit(100L)) < 10)
+      .groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50_est"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99_est"),
+        count(lit(1)).as("n_sampled")),
+    Some(s"""SELECT event_type,
+           |  round(quantile_cont(value, 0.5), 6) AS p50_est,
+           |  round(quantile_cont(value, 0.99), 6) AS p99_est,
+           |  count(*) AS n_sampled
+           |FROM events WHERE ${H("CAST(event_id AS VARCHAR)")} % 100 < 10
+           |GROUP BY event_type""".stripMargin))
+
   /** Corpus vocabulary ([[graft.text.TextOps.vocabulary]]): top-100 tokens
     * by document frequency — plans as TakeOrderedAndProject, not a global
     * sort.
@@ -1820,7 +1843,8 @@ object QueryCatalog {
     "dataset_split" -> datasetSplit,
     "q7_nation_trade" -> q7NationTrade,
     "q10_returned_revenue" -> q10ReturnedRevenue,
-    "q15_top_supplier" -> q15TopSupplier
+    "q15_top_supplier" -> q15TopSupplier,
+    "sampled_percentiles" -> sampledPercentiles
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
