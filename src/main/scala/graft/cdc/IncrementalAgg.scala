@@ -46,18 +46,26 @@ object IncrementalAgg {
     * merges. `upserts` are the deduped/precombined non-delete rows (new
     * images), `deleteKeys` the deduped delete rows; `before` is the table
     * handle still at the pre-batch version — call this BEFORE
-    * `upsert`/`delete`. Output rows: groupCols..., `d_cnt`, `d_total`.
+    * `upsert`/`delete`. The two sets may share keys: the delete wins,
+    * matching the pipeline's upsert-then-delete merge order. Output rows:
+    * groupCols..., `d_cnt`, `d_total`.
     */
   def delta(before: CowTable, upserts: DataFrame, deleteKeys: DataFrame,
       spec: AggSpec): DataFrame = {
     val groups = (c: DataFrame) => spec.groupCols.map(c.apply)
+    // a key in BOTH sets is upserted then deleted within the batch (the
+    // pipeline merge order): its net contribution is -old only, so the
+    // upsert's +new must not count
+    val liveUpserts = upserts.join(
+      deleteKeys.select(before.keyCols.map(col): _*),
+      before.keyCols, "left_anti")
     // the probe keeps the partition columns so lookupByKeys can prune
     val probeCols = (before.keyCols ++ before.partitionCols).distinct
     val touchedKeys = upserts.select(probeCols.map(col): _*)
       .union(deleteKeys.select(probeCols.map(col): _*))
     val old = before.lookupByKeys(touchedKeys)
-    val adds = upserts.select(
-      (groups(upserts) :+ lit(1L).as("w") :+
+    val adds = liveUpserts.select(
+      (groups(liveUpserts) :+ lit(1L).as("w") :+
         dec(col(spec.valueCol)).as("v")): _*)
     val retracts = old.select(
       (groups(old) :+ lit(-1L).as("w") :+

@@ -210,8 +210,13 @@ object StatefulOps {
           cur.foreach { s =>
             state.update(s)
             // timeout API is millisecond-granular: round UP so a session
-            // can never close before its true last-event + gap
-            state.setTimeoutTimestamp(Math.floorDiv(s.last + gapUs + 999L, 1000L))
+            // can never close before its true last-event + gap. Clamp above
+            // the current watermark — with allowed lateness > gap, a late
+            // event's deadline can already be in the past, and Spark
+            // rejects timeouts at/below the watermark.
+            val deadline = Math.floorDiv(s.last + gapUs + 999L, 1000L)
+            state.setTimeoutTimestamp(
+              math.max(deadline, state.getCurrentWatermarkMs() + 1))
           }
           closed.reverseIterator
         }

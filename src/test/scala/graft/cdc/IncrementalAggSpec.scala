@@ -58,6 +58,27 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("key upserted AND deleted in one batch nets to -old only") {
+    val t = new CowTable(spark, tmpDir("ivm3"), keyCols = Seq("id"),
+      precombineField = "v")
+    val spec = AggSpec(Seq("p"), "v")
+    t.bulkInsert(rows(Seq(("a", "g1", 10.0), ("b", "g1", 4.0))))
+    var agg = IncrementalAgg.recompute(t.snapshot(), spec)
+    // one delta for the whole batch: a is overwritten AND deleted (delete
+    // wins, matching the pipeline's upsert-then-delete merge order);
+    // c is inserted then deleted (net no-op)
+    val ups = rows(Seq(("a", "g1", 99.0), ("c", "g1", 50.0)))
+    val dels = rows(Seq(("a", "g1", 0.0), ("c", "g1", 0.0)))
+    agg = IncrementalAgg.apply(
+      agg, IncrementalAgg.delta(t, ups, dels, spec), spec)
+    t.upsert(ups)
+    t.delete(dels)
+    val got = collectAgg(agg)
+    assert(got == collectAgg(IncrementalAgg.recompute(t.snapshot(), spec)))
+    assert(got("g1")._1 == 1L && got("g1")._2.doubleValue == 4.0,
+      s"only b survives: $got")
+  }
+
   test("group-changing update moves the row between groups") {
     val t = new CowTable(spark, tmpDir("ivm2"), keyCols = Seq("id"),
       precombineField = "v")
