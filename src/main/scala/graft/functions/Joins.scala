@@ -41,13 +41,16 @@ object Joins {
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
-      tsCol: String): DataFrame = {
+      tsCol: String,
+      toleranceSec: Double = 0.0): DataFrame = {
     val payload = right.columns.toSeq
       .filterNot(c => keys.contains(c) || c == tsCol)
     val clash = payload.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"right payload collides with left columns: $clash")
     requireNoReserved(Seq("__r", "__side"), left, right)
-    val rStruct = struct(payload.map(col): _*)
+    // the right timestamp rides inside the payload struct so a tolerance
+    // (max staleness) can invalidate carried matches after the fact
+    val rStruct = struct(payload.map(col) :+ col(tsCol).as("__rts"): _*)
     val rSide = right.select(
       (keys :+ tsCol).map(col) :+ rStruct.as("__r") :+ lit(0).as("__side"): _*)
     val lSide = left.withColumn("__r",
@@ -56,8 +59,15 @@ object Joins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lSide.unionByName(rSide, allowMissingColumns = true)
+    val carried = lSide.unionByName(rSide, allowMissingColumns = true)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    // tolerance: a match older than toleranceSec (fractional seconds ok)
+    // behaves as no-match — same null payload as a key with no history
+    val bounded = if (toleranceSec <= 0) carried
+      else carried.withColumn("__r",
+        when(col(tsCol).cast("double") - col("__r.__rts").cast("double")
+          <= toleranceSec, col("__r")))
+    bounded
       .filter(col("__side") === 1)
       .select(left.columns.toSeq.map(col) ++
         payload.map(c => col(s"__r.$c").as(c)): _*)

@@ -1655,6 +1655,34 @@ object QueryCatalog {
            |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""
       .stripMargin))
 
+  /** As-of join with a staleness bound ([[graft.functions.Joins.asofJoin]]
+    * `toleranceSec`): a carried match older than 1 day behaves as
+    * no-match. Same single-shuffle union+window plan as the unbounded
+    * as-of; DuckDB has no ASOF tolerance, so the oracle is the explicit
+    * bounded theta-join + row_number formulation.
+    */
+  private val asofJoinTolerance = Q(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("r_value"))
+      graft.functions.Joins.asofJoin(clicks, purchases, Seq("user_id"),
+        "ts", toleranceSec = 86400.0)
+    },
+    Some("""WITH l AS (SELECT event_id, user_id, ts FROM events
+           |    WHERE event_type = 'click'),
+           |r AS (SELECT user_id, ts, max(value) AS r_value
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+           |j AS (SELECT l.event_id, l.user_id, l.ts, r.r_value,
+           |    row_number() OVER (PARTITION BY l.event_id
+           |      ORDER BY r.ts DESC) AS rn
+           |  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+           |    AND l.ts - r.ts <= INTERVAL 1 DAY)
+           |SELECT event_id, user_id, ts, r_value FROM j WHERE rn = 1"""
+      .stripMargin))
+
   /** Sample-based quantile estimation — the 100-TB path for
     * `percentiles_by_type`: exact `percentile` holds every group value in
     * the aggregation buffer (fine per-group at test scale, hostile at
@@ -1844,7 +1872,8 @@ object QueryCatalog {
     "q7_nation_trade" -> q7NationTrade,
     "q10_returned_revenue" -> q10ReturnedRevenue,
     "q15_top_supplier" -> q15TopSupplier,
-    "sampled_percentiles" -> sampledPercentiles
+    "sampled_percentiles" -> sampledPercentiles,
+    "asof_join_tolerance" -> asofJoinTolerance
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
