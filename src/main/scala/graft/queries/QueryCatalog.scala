@@ -1683,6 +1683,27 @@ object QueryCatalog {
            |SELECT event_id, user_id, ts, r_value FROM j WHERE rn = 1"""
       .stripMargin))
 
+  /** SLIDING window aggregation (2-hour windows every hour) — each event
+    * lands in exactly two windows; Spark's `window()` expands them inline
+    * (a projection, no self-join), then one aggregation. The oracle
+    * enumerates the same two window starts per event with unnest.
+    */
+  private val eventsSliding = Q(
+    (s, d) => t(s, d, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("total_value")),
+    Some("""SELECT w_start, event_type, count(*) AS n_events,
+           |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+           |    AS total_value
+           |FROM (SELECT event_type, value,
+           |    unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+           |            date_trunc('hour', ts)]) AS w_start
+           |  FROM events)
+           |GROUP BY 1, 2""".stripMargin))
+
   /** Sample-based quantile estimation — the 100-TB path for
     * `percentiles_by_type`: exact `percentile` holds every group value in
     * the aggregation buffer (fine per-group at test scale, hostile at
@@ -1873,7 +1894,8 @@ object QueryCatalog {
     "q10_returned_revenue" -> q10ReturnedRevenue,
     "q15_top_supplier" -> q15TopSupplier,
     "sampled_percentiles" -> sampledPercentiles,
-    "asof_join_tolerance" -> asofJoinTolerance
+    "asof_join_tolerance" -> asofJoinTolerance,
+    "events_sliding" -> eventsSliding
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
