@@ -56,6 +56,45 @@ object Sketches {
   /** DuckDB SQL computing the identical estimate (same hash, same literal
     * 2^60, same operation order) over table `table`, column expression `e`.
     */
+  /** Per-group KMV distinct-count estimates: bottom-k of the distinct
+    * hashes WITHIN each group (rank<=k plans with `WindowGroupLimit`, so
+    * each partition pre-prunes to its local bottom-k per group before the
+    * shuffle — per-group state stays k values no matter the group size).
+    * The grouped form of [[kmvDistinct]], same estimator and portability.
+    */
+  def kmvDistinctByGroup(
+      df: DataFrame, groupCol: String, expr: Column,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val hashes = df.select(col(groupCol),
+      Hashing.hash60(expr.cast("string")).as("h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("h"))
+    hashes.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select(col(groupCol),
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit(k - 1).cast("double") *
+            lit(Hash60Range).cast("double") / col("hk").cast("double"))
+          .as("distinct_est"),
+        col("n").cast("long").as("sketch_size"))
+  }
+
+  def kmvDistinctByGroupSql(
+      table: String, groupCol: String, e: String, k: Int = 256): String =
+    s"""WITH h AS (SELECT DISTINCT $groupCol,
+       |    ${Hashing.hash60Sql(s"CAST($e AS VARCHAR)")} AS h
+       |  FROM $table),
+       |r AS (SELECT $groupCol, h, row_number() OVER (
+       |    PARTITION BY $groupCol ORDER BY h) AS rn FROM h)
+       |SELECT $groupCol,
+       |  CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |    ELSE CAST(${k - 1} AS DOUBLE) * CAST($Hash60Range AS DOUBLE)
+       |         / CAST(max(h) AS DOUBLE) END AS distinct_est,
+       |  CAST(count(*) AS BIGINT) AS sketch_size
+       |FROM r WHERE rn <= $k GROUP BY $groupCol""".stripMargin
+
   def kmvDistinctSql(table: String, e: String, k: Int = 256): String =
     s"""WITH h AS (SELECT DISTINCT ${Hashing.hash60Sql(s"CAST($e AS VARCHAR)")} AS h
        |  FROM $table),

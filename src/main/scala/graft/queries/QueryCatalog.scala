@@ -1326,6 +1326,17 @@ object QueryCatalog {
       .kmvDistinct(t(s, d, "events"), col("user_id"), k = 256),
     Some(graft.functions.Sketches.kmvDistinctSql("events", "user_id", 256)))
 
+  /** Per-group KMV distinct estimates
+    * ([[graft.functions.Sketches.kmvDistinctByGroup]], k=64): distinct
+    * users per event type with bounded per-group state — the sketch
+    * counterpart of `q16_supplier_variety`'s exact grouped distinct.
+    */
+  private val kmvUsersByType = Q(
+    (s, d) => graft.functions.Sketches.kmvDistinctByGroup(
+      t(s, d, "events"), "event_type", col("user_id"), k = 64),
+    Some(graft.functions.Sketches.kmvDistinctByGroupSql(
+      "events", "event_type", "user_id", 64)))
+
   /** Symmetric int8 embedding quantization
     * ([[graft.sim.Similarity.quantizeInt8]]): per-row scale by 127/max|x|,
     * round-half-away — fixed-order IEEE arithmetic mirrored in the oracle.
@@ -1895,7 +1906,8 @@ object QueryCatalog {
     "q15_top_supplier" -> q15TopSupplier,
     "sampled_percentiles" -> sampledPercentiles,
     "asof_join_tolerance" -> asofJoinTolerance,
-    "events_sliding" -> eventsSliding
+    "events_sliding" -> eventsSliding,
+    "kmv_users_by_type" -> kmvUsersByType
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
