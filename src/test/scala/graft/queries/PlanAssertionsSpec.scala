@@ -110,6 +110,12 @@ class PlanAssertionsSpec extends SparkSpec {
       s"rank<=n must prune partially before the exchange:\n$p")
   }
 
+  test("per-group KMV bounds sketch state before the shuffle") {
+    val p = plan("kmv_users_by_type")
+    assert(p.contains("WindowGroupLimit"),
+      s"bottom-k per group must pre-prune per partition:\n$p")
+  }
+
   test("q14/q22 scalar-threshold sides broadcast; no cartesian product") {
     for (q <- Seq("q14_promo_share", "q22_idle_customers",
         "q11_value_concentration")) {
