@@ -57,7 +57,15 @@ final class CdcPipeline(spark: SparkSession, warehousePath: String) {
     * successful write re-syncs the session catalog view (K6 — the
     * reference's per-write hive sync, processData.py:160-169).
     */
-  def run(cfg: TableConfig, raw: DataFrame): RunSummary = {
+  /** `preMergeHook` (optional) observes the batch's FINAL routed images —
+    * (table-before-merges, deduped non-delete rows, deduped delete rows) —
+    * before any merge commits, the interception point incremental-view
+    * maintenance needs ([[IncrementalAgg.MaintainedView]]). Not invoked on
+    * initial loads (views seed from the loaded table instead).
+    */
+  def run(cfg: TableConfig, raw: DataFrame,
+      preMergeHook: (CowTable, DataFrame, DataFrame) => Unit =
+        (_, _, _) => ()): RunSummary = {
     // P1 + persist: the source feeds several consumers (count, routing
     // branches) — cache it once (reference: processData.py:301).
     val df = CdcOps.lowercaseColumns(raw).persist(StorageLevel.MEMORY_AND_DISK)
@@ -68,7 +76,7 @@ final class CdcPipeline(spark: SparkSession, warehousePath: String) {
       val table = tableFor(cfg)
       val summary =
         if (!table.exists) runInitial(cfg, table, df, n)
-        else runIncremental(cfg, table, df, n)
+        else runIncremental(cfg, table, df, n, preMergeHook)
       if (table.exists) {
         table.registerView(viewName(cfg))
         // K6 persistent half: record the table in the warehouse catalog so
@@ -106,10 +114,13 @@ final class CdcPipeline(spark: SparkSession, warehousePath: String) {
     * incremental pass (their natural order) to avoid the trap.
     */
   private def runIncremental(
-      cfg: TableConfig, table: CowTable, df: DataFrame, n: Long): RunSummary = {
+      cfg: TableConfig, table: CowTable, df: DataFrame, n: Long,
+      preMergeHook: (CowTable, DataFrame, DataFrame) => Unit): RunSummary = {
     val cols = df.columns.toSet
     if (!cols.contains("op") || !cols.contains("transaction_id")) {
-      table.upsert(CdcOps.dropBookkeeping(df), cfg.upsertParallelism)
+      val payload = CdcOps.dropBookkeeping(df)
+      preMergeHook(table, payload, payload.limit(0))
+      table.upsert(payload, cfg.upsertParallelism)
       return RunSummary(cfg.tableName, initialLoad = false, inputRows = n,
         upserted = n)
     }
@@ -118,6 +129,9 @@ final class CdcPipeline(spark: SparkSession, warehousePath: String) {
       CdcOps.latestPerKey(df, cfg.pkCols).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var inserted = 0L; var upserted = 0L; var deleted = 0L
+      preMergeHook(table,
+        CdcOps.dropBookkeeping(CdcOps.nonDeletes(latest)),
+        CdcOps.dropBookkeeping(CdcOps.deletes(latest)))
       if (cfg.cdcSplitUpsert) {
         // K4 — route pure inserts through the cheap append path
         // (reference: processData.py:348-362).

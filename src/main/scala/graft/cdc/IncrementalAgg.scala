@@ -75,6 +75,69 @@ object IncrementalAgg {
       .agg(sum(col("w")).as("d_cnt"), sum(col("v")).as("d_total"))
   }
 
+  /** A PERSISTED maintained aggregate: the grouped count/sum state stored
+    * as its own small [[CowTable]] keyed by the group columns, kept current
+    * across [[CdcPipeline.run]] batches via the `preMergeHook`:
+    *
+    * {{{
+    * val view = new IncrementalAgg.MaintainedView(spark, aggPath,
+    *   AggSpec(Seq("measurement_date"), "measurement_value"))
+    * pipeline.run(cfg, raw, preMergeHook = view.hook)
+    * view.commit(pipeline.tableFor(cfg))   // fold the batch's delta
+    * view.current                          // the up-to-date aggregate
+    * }}}
+    *
+    * The hook snapshots the batch delta against the PRE-merge table (the
+    * lazy plan pins the pre-merge file list, but `commit` must run before
+    * retention cleaning drops those files); `commit` folds it in — or, on
+    * the first call / after a missed hook, seeds by full recompute.
+    * Requires the non-split pipeline path (`cdc_split_upsert: no`, the
+    * reference default): the split fast path appends without merging, so
+    * an "insert" of an existing key duplicates it in the table and no
+    * delta algebra can track that.
+    */
+  final class MaintainedView(
+      spark: org.apache.spark.sql.SparkSession,
+      aggPath: String,
+      spec: AggSpec) {
+    val table = new CowTable(spark, aggPath, keyCols = spec.groupCols)
+    private var pending: Option[DataFrame] = None
+
+    val hook: (CowTable, DataFrame, DataFrame) => Unit = (t, ups, dels) =>
+      pending =
+        if (!t.exists || !table.exists) None // seed from scratch instead
+        else Some(delta(t, ups, dels, spec).localCheckpoint())
+
+    /** Fold the captured delta (or seed by recompute) and persist. Returns
+      * the updated aggregate state.
+      */
+    def commit(source: CowTable): DataFrame = {
+      val next = pending match {
+        case Some(d) if table.exists =>
+          IncrementalAgg.apply(current, d, spec).localCheckpoint()
+        case _ => recompute(source.snapshot(), spec).localCheckpoint()
+      }
+      pending = None
+      if (!table.exists) table.bulkInsert(next)
+      else {
+        val gone = current.select(spec.groupCols.map(col): _*)
+          .except(next.select(spec.groupCols.map(col): _*))
+        table.upsert(next)
+        if (!gone.isEmpty)
+          // delete needs the full row shape; count/sum values are ignored
+          table.delete(gone
+            .withColumn("cnt", lit(0L))
+            .withColumn("total", lit(null).cast(next.schema("total").dataType)))
+      }
+      current
+    }
+
+    /** The maintained aggregate as stored. */
+    def current: DataFrame =
+      table.snapshot().select(
+        (spec.groupCols.map(col) :+ col("cnt") :+ col("total")): _*)
+  }
+
   /** Fold a delta into the maintained aggregate table. Groups whose count
     * reaches zero are dropped (fully retracted). Both sides stay decimal,
     * so apply∘delta over any batch sequence equals [[recompute]] exactly.

@@ -79,6 +79,38 @@ class IncrementalAggSpec extends SparkSpec {
       s"only b survives: $got")
   }
 
+  test("maintained view tracks the golden scenario through the pipeline") {
+    val pipe = new CdcPipeline(spark, tmpDir("ivm-wh"))
+    val cfg = TableConfig.fromFile(
+      "/root/reference/scripts/config/control_file.json").head
+    val vSpec = AggSpec(Seq("measurement_date"), "measurement_value")
+    val view = new IncrementalAgg.MaintainedView(
+      spark, tmpDir("ivm-view"), vSpec)
+    val fullLoad =
+      "/root/reference/lib/assets/data/measurement_data_fullload.parquet"
+    val cdcBatch =
+      "/root/reference/scripts/data/measurement_data_cdc.parquet"
+
+    pipe.run(cfg, spark.read.parquet(fullLoad), preMergeHook = view.hook)
+    view.commit(pipe.tableFor(cfg))
+    val afterLoad = view.current.collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(afterLoad == Map("2022-05-01" -> 100L), s"seed: $afterLoad")
+
+    pipe.run(cfg, spark.read.parquet(cdcBatch), preMergeHook = view.hook)
+    view.commit(pipe.tableFor(cfg))
+    val afterCdc = view.current.collect()
+      .map(r => r.get(0).toString -> ((r.getLong(1), r.getDecimal(2))))
+    // golden outcome: 100 rows on 05-01 (10 updated in place), 90 on 05-02
+    assert(afterCdc.toMap.view.mapValues(_._1).toMap ==
+      Map("2022-05-01" -> 100L, "2022-05-02" -> 90L), s"cdc: $afterCdc")
+    // exact: maintained state == recompute from the merged table
+    val expect = IncrementalAgg
+      .recompute(pipe.tableFor(cfg).snapshot(), vSpec).collect()
+      .map(r => r.get(0).toString -> ((r.getLong(1), r.getDecimal(2))))
+    assert(afterCdc.toMap == expect.toMap)
+  }
+
   test("group-changing update moves the row between groups") {
     val t = new CowTable(spark, tmpDir("ivm2"), keyCols = Seq("id"),
       precombineField = "v")
