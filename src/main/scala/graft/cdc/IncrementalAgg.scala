@@ -103,10 +103,16 @@ object IncrementalAgg {
     val table = new CowTable(spark, aggPath, keyCols = spec.groupCols)
     private var pending: Option[DataFrame] = None
 
-    val hook: (CowTable, DataFrame, DataFrame) => Unit = (t, ups, dels) =>
+    val hook: (CowTable, DataFrame, DataFrame) => Unit = (t, ups, dels) => {
+      // MOR before-images would come from base files only — unmerged log
+      // rows would be invisible and the deltas silently wrong
+      require(!t.isInstanceOf[graft.table.MorTable],
+        "MaintainedView requires a COW source table (MOR point lookups " +
+          "do not see unmerged log rows)")
       pending =
         if (!t.exists || !table.exists) None // seed from scratch instead
         else Some(delta(t, ups, dels, spec).localCheckpoint())
+    }
 
     /** Fold the captured delta (or seed by recompute) and persist. Returns
       * the updated aggregate state.
