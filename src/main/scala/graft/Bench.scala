@@ -62,15 +62,35 @@ object Bench {
       }.min
       name -> best
     }
-    // 3-decimal (ms) precision: full Double.toString made the 62-query JSON
-    // line ~4.5 KB, which overflowed the driver's output-tail capture and
-    // left BENCH_r04 unparseable. Millisecond granularity is below run-to-run
-    // noise anyway and keeps the whole line comfortably under 2 KB.
+    // The driver keeps only the LAST 2000 chars of stdout and sbt prints a
+    // ~75-char "[success] Total time..." line AFTER ours, so the JSON line
+    // must fit in ~1900 chars or its head is cut off and it never parses
+    // (this is what left BENCH_r04 AND r05 with parsed:null — the battery
+    // grew past what 3-decimal formatting alone could fit). Strategy:
+    //   1. the COMPLETE per-query map goes to BENCH_FULL.json on disk;
+    //   2. the printed line carries total + as many per-query entries as
+    //      fit a 1700-char budget, most-expensive first (those are the
+    //      ones perf grading needs), plus the count omitted.
     def f(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val entries = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val fullLine =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      fullLine.getBytes("UTF-8"))
+    val budget = 1700
+    val prefix = s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":{"""
+    var used = prefix.length + 60 // reserve for suffix
+    val kept = entries.takeWhile { e =>
+      val fits = used + e.length + 1 <= budget
+      if (fits) used += e.length + 1
+      fits
+    }
+    val suffix =
+      s"""},"omitted":${entries.size - kept.size},"sf":"$sfDir"}"""
+    println(prefix + kept.mkString(",") + suffix)
     spark.stop()
   }
 }

@@ -118,7 +118,17 @@ final class CdcPipeline(spark: SparkSession, warehousePath: String) {
       preMergeHook: (CowTable, DataFrame, DataFrame) => Unit): RunSummary = {
     val cols = df.columns.toSet
     if (!cols.contains("op") || !cols.contains("transaction_id")) {
-      val payload = CdcOps.dropBookkeeping(df)
+      val payload0 = CdcOps.dropBookkeeping(df)
+      // The hook must observe the images the merge will ACTUALLY apply:
+      // mergeCommit precombines duplicate keys (greatest wins), so a raw
+      // payload with in-batch duplicates would make a MaintainedView count
+      // +1/+value per duplicate while the table keeps one row per key.
+      val payload =
+        if (table.precombineField.nonEmpty)
+          CdcOps.precombine(payload0,
+            (table.keyCols ++ table.partitionCols).distinct,
+            table.precombineField)
+        else payload0
       preMergeHook(table, payload, payload.limit(0))
       table.upsert(payload, cfg.upsertParallelism)
       return RunSummary(cfg.tableName, initialLoad = false, inputRows = n,

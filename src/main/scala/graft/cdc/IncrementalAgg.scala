@@ -53,14 +53,19 @@ object IncrementalAgg {
   def delta(before: CowTable, upserts: DataFrame, deleteKeys: DataFrame,
       spec: AggSpec): DataFrame = {
     val groups = (c: DataFrame) => spec.groupCols.map(c.apply)
-    // a key in BOTH sets is upserted then deleted within the batch (the
+    // record identity is key + partition (the table's non-global index) —
+    // every in-batch set operation below must respect it
+    val idCols = (before.keyCols ++ before.partitionCols).distinct
+    // a record in BOTH sets is upserted then deleted within the batch (the
     // pipeline merge order): its net contribution is -old only, so the
     // upsert's +new must not count
-    val liveUpserts = upserts.join(
-      deleteKeys.select(before.keyCols.map(col): _*),
-      before.keyCols, "left_anti")
-    // the probe keeps the partition columns so lookupByKeys can prune
-    val probeCols = (before.keyCols ++ before.partitionCols).distinct
+    val delProbe = deleteKeys.select(idCols.map(col): _*)
+    val liveUpserts = upserts.join(delProbe,
+      idCols.map(c => upserts(c) <=> delProbe(c)).reduce(_ && _),
+      "left_anti")
+    // the probe keeps the partition columns so lookupByKeys both prunes
+    // AND matches the merge identity when retracting before-images
+    val probeCols = idCols
     val touchedKeys = upserts.select(probeCols.map(col): _*)
       .union(deleteKeys.select(probeCols.map(col): _*))
     val old = before.lookupByKeys(touchedKeys)

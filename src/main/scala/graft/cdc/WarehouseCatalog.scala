@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
   * [[sync]] retries on publish conflicts instead of assuming a single
   * writer (see its doc).
   */
-final class WarehouseCatalog(spark: SparkSession, warehousePath: String) {
+class WarehouseCatalog(spark: SparkSession, warehousePath: String) {
 
   import WarehouseCatalog._
 
@@ -68,14 +68,18 @@ final class WarehouseCatalog(spark: SparkSession, warehousePath: String) {
         publishOnce(cfg)
         published = true
       } catch {
-        case e: IllegalStateException if attempt < maxAttempts =>
+        // ONLY the version-taken conflict retries — a failed rename is a
+        // genuine I/O error (permissions, disk, transient FS failure) and
+        // retrying it would both mask the root cause and re-run with a
+        // stale version number.
+        case e: VersionTakenException if attempt < maxAttempts =>
           // another writer took our version slot: re-read and re-merge
           System.err.println(s"[catalog] publish conflict, retrying: ${e.getMessage}")
       }
     }
   }
 
-  private def publishOnce(cfg: TableConfig): Unit = {
+  protected def publishOnce(cfg: TableConfig): Unit = {
     val others = tables().filterNot(c =>
       c.dbName == cfg.dbName && c.schemaName == cfg.schemaName &&
         c.tableName == cfg.tableName)
@@ -88,7 +92,7 @@ final class WarehouseCatalog(spark: SparkSession, warehousePath: String) {
     finally out.close()
     if (fs.exists(dst)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(s"catalog version taken: $dst")
+      throw new VersionTakenException(s"catalog version taken: $dst")
     }
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"catalog publish failed: $dst")
@@ -111,6 +115,12 @@ final class WarehouseCatalog(spark: SparkSession, warehousePath: String) {
 }
 
 object WarehouseCatalog {
+  /** Another writer published the version this sync targeted — the one
+    * retryable publish outcome (distinct from I/O failures, which are not).
+    */
+  final class VersionTakenException(msg: String)
+    extends IllegalStateException(msg)
+
   private val VersionName = "v(\\d+)\\.json".r
   /** Catalog versions retained (mirrors manifest retention). */
   val KeepVersions = 10

@@ -198,8 +198,26 @@ object StatefulOps {
           for (e <- sorted) {
             val t = toUs(e.ts)
             cur = cur match {
-              case Some(s) if t - s.last < gapUs =>
+              case Some(s) if t >= s.last && t - s.last < gapUs =>
                 Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+              case Some(s) if t < s.last && t + gapUs > s.start =>
+                // Cross-batch late event (in-batch order is sorted, so only
+                // carried state can be newer): it merges into the open
+                // session iff its own window [t, t+gap) overlaps the
+                // session's reach. Extend start backward if needed but
+                // NEVER move `last` backward — that would shorten the
+                // timeout deadline and break the "never closes before
+                // last-event + gap" guarantee.
+                Some(SessionState(math.min(s.start, t), s.last,
+                  s.n + 1, s.total + e.value))
+              case Some(s) if t < s.last =>
+                // Older than the open session's merge range: under batch
+                // session_window semantics this is a distinct earlier
+                // session, and in append mode its era is already sealed —
+                // emit it closed as a singleton rather than corrupting the
+                // open session.
+                closed ::= SessionOut(key, fromUs(t), fromUs(t), 1L, e.value)
+                cur
               case Some(s) =>
                 closed ::= close(key, s)
                 Some(SessionState(t, t, 1L, e.value))

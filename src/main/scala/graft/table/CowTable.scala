@@ -4,7 +4,7 @@ import scala.collection.immutable.ListMap
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.json4s._
@@ -231,9 +231,19 @@ class CowTable(
       if (fileIndexEntries > 0) pruneCandidateFiles(m, existing, probe)
       else (existing.toSeq.sorted.flatMap(k =>
         m.partitions.getOrElse(k, Nil)), Map.empty[String, Seq[String]])
-    readFiles(m, candFiles)
-      .join(probe.select(keyCols.map(col): _*).distinct(),
-        keyCols, "left_semi")
+    // Identity is NON-GLOBAL (key + partition, matching the merge scope):
+    // when the probe carries the partition columns, they join too —
+    // otherwise a record key present in two touched partitions would match
+    // rows the caller's partition never touched (e.g. IncrementalAgg would
+    // retract an image the merge did not replace).
+    val idCols = (keyCols ++
+      partitionCols.filter(probe.columns.contains)).distinct
+    val stored = readFiles(m, candFiles)
+    val probeKeys = probe.select(idCols.map(col): _*).distinct()
+    // null-safe: null partition values (hive default partition) must match
+    stored.join(probeKeys,
+      idCols.map(c => stored(c) <=> probeKeys(c)).reduce(_ && _),
+      "left_semi")
   }
 
   /** Snapshot restricted to the given manifest partition keys — the
@@ -321,8 +331,25 @@ class CowTable(
     */
   def upsert(df: DataFrame, parallelism: Int = 0): Unit =
     mergeCommit(df, parallelism, "upsert") { (cur, incoming) =>
-      cur.join(incoming, keyCols, "left_anti").unionByName(incoming)
+      cur.join(incoming, idMatch(cur, incoming), "left_anti")
+        .unionByName(incoming)
     }
+
+  /** Record identity for merges: (record key, partition value) — Hudi's
+    * non-global index, matching [[MorTable]]'s read-time merge. Joining on
+    * the key alone would let an incoming row for one partition evict the
+    * same key's independent record in ANOTHER partition that happens to be
+    * touched by the same batch.
+    */
+  protected def mergeIdCols: Seq[String] = (keyCols ++ partitionCols).distinct
+
+  /** Null-safe identity match: partition values may legitimately be null
+    * (the hive default partition), and `Seq`-column joins use null-unsafe
+    * equality — a null-partition record would never match itself and the
+    * merge would duplicate instead of replace.
+    */
+  private def idMatch(left: DataFrame, right: DataFrame): Column =
+    mergeIdCols.map(c => left(c) <=> right(c)).reduce(_ && _)
 
   /** Partial-column upsert: like [[upsert]], but incoming NULLs mean "keep
     * the stored value" (changed-columns-only CDC payloads). Insert-if-absent
@@ -332,9 +359,12 @@ class CowTable(
     */
   def upsertPartial(df: DataFrame, parallelism: Int = 0): Unit =
     mergeCommit(df, parallelism, "upsert_partial") { (cur, incoming) =>
-      val payload = cur.columns.filterNot(keyCols.contains).toIndexedSeq
-      cur.as("c").join(incoming.as("i"), keyCols, "full_outer")
-        .select(keyCols.map(col) ++ payload.map(c =>
+      val payload = cur.columns.filterNot(mergeIdCols.contains).toIndexedSeq
+      val cond = mergeIdCols
+        .map(c => col(s"c.$c") <=> col(s"i.$c")).reduce(_ && _)
+      cur.as("c").join(incoming.as("i"), cond, "full_outer")
+        .select(mergeIdCols.map(c =>
+          coalesce(col(s"i.$c"), col(s"c.$c")).as(c)) ++ payload.map(c =>
           coalesce(col(s"i.$c"), col(s"c.$c")).as(c)): _*)
     }
 
@@ -344,7 +374,8 @@ class CowTable(
     */
   def delete(df: DataFrame, parallelism: Int = 0): Unit =
     mergeCommit(df, parallelism, "delete") { (cur, incoming) =>
-      cur.join(incoming.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val probe = incoming.select(mergeIdCols.map(col): _*)
+      cur.join(probe, idMatch(cur, probe), "left_anti")
     }
 
   private def mergeCommit(df: DataFrame, parallelism: Int, opName: String)(
@@ -355,7 +386,7 @@ class CowTable(
     val evolved = evolveSchema(m.schema, stamped.schema)
     val incoming0 = pad(stamped, evolved)
     val incoming = (if (precombineField.nonEmpty)
-      CdcOps.precombine(incoming0, keyCols, precombineField)
+      CdcOps.precombine(incoming0, mergeIdCols, precombineField)
     else incoming0).persist()
     try {
       val touched = touchedPartitionKeys(incoming)

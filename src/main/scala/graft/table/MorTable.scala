@@ -88,7 +88,7 @@ class MorTable(
     // Same intra-batch conflict resolution as the COW write path.
     val incoming =
       if (op == LogUpsert && precombineField.nonEmpty)
-        CdcOps.precombine(incoming0, keyCols, precombineField)
+        CdcOps.precombine(incoming0, mergeIdCols, precombineField)
       else incoming0
     val newLogs = writeCommit(incoming.withColumn(LogOpCol, lit(op)), v,
       parallelism)

@@ -111,6 +111,64 @@ class IncrementalAggSpec extends SparkSpec {
     assert(afterCdc.toMap == expect.toMap)
   }
 
+  test("retraction respects key+partition identity across partitions") {
+    val t = new CowTable(spark, tmpDir("ivm4"), keyCols = Seq("id"),
+      partitionCols = Seq("p"), precombineField = "v")
+    val spec = AggSpec(Seq("p"), "v")
+    // the SAME record key in two partitions: distinct records under the
+    // table's non-global (key+partition) identity
+    t.bulkInsert(rows(Seq(
+      ("k", "p0", 10.0), ("k", "p1", 20.0), ("x", "p1", 1.0))))
+    var agg = IncrementalAgg.recompute(t.snapshot(), spec)
+    // one batch touches BOTH partitions but overwrites only p1's copy of k
+    // — a key-only retraction probe would also retract p0's untouched image
+    val ups = rows(Seq(("k", "p1", 99.0), ("y", "p0", 5.0)))
+    agg = IncrementalAgg.apply(
+      agg, IncrementalAgg.delta(t, ups, rows(Nil), spec), spec)
+    t.upsert(ups)
+    val got = collectAgg(agg)
+    assert(got == collectAgg(IncrementalAgg.recompute(t.snapshot(), spec)),
+      s"maintained state diverged: $got")
+    assert(got("p0")._1 == 2L && got("p0")._2.doubleValue == 15.0,
+      s"p0 must keep its own copy of k: $got")
+    assert(got("p1")._1 == 2L && got("p1")._2.doubleValue == 100.0, s"$got")
+  }
+
+  test("non-CDC incremental batch with duplicate keys keeps view exact") {
+    val pipe = new CdcPipeline(spark, tmpDir("ivm-dup-wh"))
+    val cfg = TableConfig.fromFile(
+      "/root/reference/scripts/config/control_file.json").head
+    val vSpec = AggSpec(Seq("measurement_date"), "measurement_value")
+    val view = new IncrementalAgg.MaintainedView(
+      spark, tmpDir("ivm-dup-view"), vSpec)
+    val full = spark.read.parquet(
+      "/root/reference/lib/assets/data/measurement_data_fullload.parquet")
+    pipe.run(cfg, full, preMergeHook = view.hook)
+    view.commit(pipe.tableFor(cfg))
+    // a non-CDC batch (no Op/transaction_id — replayed-full-load shape)
+    // carrying the SAME key twice with different precombine values: the
+    // merge keeps one row per key (greatest precombine), so the hook must
+    // see the deduped image, not +1 per duplicate
+    import org.apache.spark.sql.functions._
+    val one = full.limit(1)
+    val dup = one.withColumn("MEASUREMENT_VALUE",
+        lit(java.math.BigDecimal.valueOf(111, 2))
+          .cast(one.schema("MEASUREMENT_VALUE").dataType))
+      .unionByName(one.withColumn("MEASUREMENT_VALUE",
+        lit(java.math.BigDecimal.valueOf(999, 2))
+          .cast(one.schema("MEASUREMENT_VALUE").dataType)))
+    pipe.run(cfg, dup, preMergeHook = view.hook)
+    view.commit(pipe.tableFor(cfg))
+    val got = view.current.collect()
+      .map(r => r.get(0).toString -> ((r.getLong(1), r.getDecimal(2)))).toMap
+    val expect = IncrementalAgg
+      .recompute(pipe.tableFor(cfg).snapshot(), vSpec).collect()
+      .map(r => r.get(0).toString -> ((r.getLong(1), r.getDecimal(2)))).toMap
+    assert(got == expect,
+      s"view drifted on duplicate-key non-CDC batch: $got vs $expect")
+    assert(got("2022-05-01")._1 == 100L, s"row count must not inflate: $got")
+  }
+
   test("group-changing update moves the row between groups") {
     val t = new CowTable(spark, tmpDir("ivm2"), keyCols = Seq("id"),
       precombineField = "v")

@@ -44,6 +44,35 @@ class WarehouseCatalogSpec extends SparkSpec {
     assert(got.find(_.tableName == cfg.tableName).get.upsertParallelism == 7)
   }
 
+  test("sync retries a taken version slot but not other failures") {
+    val wh = tmpDir("wh-cat-conflict")
+    // two simulated lost races, then the real publish goes through
+    var conflicts = 2
+    val cat = new WarehouseCatalog(spark, wh) {
+      override protected def publishOnce(c: TableConfig): Unit = {
+        if (conflicts > 0) {
+          conflicts -= 1
+          throw new WarehouseCatalog.VersionTakenException("slot taken")
+        }
+        super.publishOnce(c)
+      }
+    }
+    cat.sync(cfg)
+    assert(conflicts == 0 && cat.tables().map(_.tableName) ==
+      Seq(cfg.tableName), "sync must retry past version conflicts")
+    // a genuine I/O failure (failed rename) must PROPAGATE, not retry
+    var attempts = 0
+    val bad = new WarehouseCatalog(spark, wh) {
+      override protected def publishOnce(c: TableConfig): Unit = {
+        attempts += 1
+        throw new IllegalStateException("catalog publish failed: rename")
+      }
+    }
+    val e = intercept[IllegalStateException] { bad.sync(cfg) }
+    assert(attempts == 1, s"I/O failures must not retry: $attempts attempts")
+    assert(e.getMessage.contains("rename"))
+  }
+
   test("a fresh session object re-attaches cataloged tables from disk") {
     val wh = tmpDir("wh-cat2")
     val pipe = new CdcPipeline(spark, wh)

@@ -191,6 +191,53 @@ class CdcStreamSpec extends SparkSpec {
       s"timeout-closed session of user 9 missing: $got")
   }
 
+  test("sessionizer folds cross-batch late events without moving session_end backward") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir("sess_late")
+    def ev(id: Long, uid: Long, t: String, v: Double) =
+      KeyedEvent(uid, id, java.sql.Timestamp.valueOf(t), v)
+    // batch 1: open session for user 7 spanning 10:00..10:20
+    Seq(ev(1, 7, "2024-01-01 10:00:00", 1.0),
+        ev(2, 7, "2024-01-01 10:20:00", 2.0))
+      .toDF().write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "10 hours").as[KeyedEvent]
+    val out = StatefulOps.sessionizeStateful(stream, gapMs = 30 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("sess_late_test")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    q.processAllAvailable()
+    // batch 2: two LATE events for user 7 — 10:05 is inside the open
+    // session (must merge, session_end must stay 10:20); 08:00 is beyond
+    // the merge range (8:30 < 10:00 start — its own earlier session,
+    // emitted as a closed singleton)
+    Seq(ev(3, 7, "2024-01-01 10:05:00", 4.0),
+        ev(4, 7, "2024-01-01 08:00:00", 8.0))
+      .toDF().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    // flush: sentinel far in the future closes user 7's session by timeout
+    Seq(ev(5, 11, "2024-01-02 15:00:00", 0.0))
+      .toDF().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_late_test")
+      .filter($"user_id" === 7L)
+      .select($"session_start".cast("string"), $"session_end".cast("string"),
+        $"n_events", $"total_value")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.contains(
+      ("2024-01-01 10:00:00", "2024-01-01 10:20:00", 3L, 7.0)),
+      s"late in-session event must merge without shrinking the session: $got")
+    assert(got.contains(
+      ("2024-01-01 08:00:00", "2024-01-01 08:00:00", 1L, 8.0)),
+      s"too-old late event must close as its own singleton session: $got")
+    assert(got.size == 2, s"exactly two sessions expected for user 7: $got")
+  }
+
   test("stateful sessionizer matches batch session_window on real events") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
