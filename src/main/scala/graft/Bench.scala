@@ -17,6 +17,18 @@ object Bench {
     ()
   }
 
+  /** Queries that persist() shared subplans create a NEW cache entry on
+    * every invocation (each rep builds a fresh DataFrame), so across
+    * warmup + reps × 90 queries the storage pool accumulates dozens of
+    * orphaned cached aggregates — memory pressure that lands on whichever
+    * later query is running when eviction/GC kicks in. Dropping the cache
+    * after every measurement keeps each rep self-contained: the persist
+    * build cost is INSIDE its own rep, which is the honest per-query cost
+    * anyway (a fresh user session pays it too).
+    */
+  private def clearCaches(spark: SparkSession): Unit =
+    spark.catalog.clearCache()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,6 +54,7 @@ object Bench {
     picked.foreach { case (_, fn) =>
       try materialize(fn(spark, sfDir))
       catch { case _: Throwable => () } // failures surface in the timed pass
+      clearCaches(spark)
     }
     // Two timed reps, report the MIN: the per-query minimum is the
     // steady-state cost of the plan; a transient external load spike during
@@ -58,7 +71,9 @@ object Bench {
             // a failed query must be VISIBLE, not a fast-looking -1
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        clearCaches(spark) // outside the timed window; see clearCaches doc
+        dt
       }.min
       name -> best
     }

@@ -124,4 +124,34 @@ class PlanAssertionsSpec extends SparkSpec {
         s"$q: 1-row scalar frames must broadcast, not cartesian:\n$p")
     }
   }
+
+  test("q6 pushes every predicate into the lineitem scan") {
+    // toString truncates the PushedFilters list; formatted mode prints it
+    // in full
+    val p = QueryCatalog.queries("q6_forecast_revenue")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate,", "LessThan(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)", "LessThan(l_quantity,24.0)"))
+      assert(p.contains(f), s"q6 predicate $f must reach the scan:\n$p")
+    assert(!p.contains("Join"), "q6 is a single-scan aggregate")
+  }
+
+  test("q4 EXISTS plans as a semi join, never duplicating orders") {
+    val p = plan("q4_priority_exists")
+    assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
+  }
+
+  test("shared-subplan queries evaluate their fact scan once") {
+    // q2 joins sc back to its own per-part min, q20/q21 join an aggregate
+    // back to its own rollup: the shared subplan is persisted, so the
+    // executed plan must read it from cache, not re-derive the join tree
+    for (q <- Seq("q2_min_cost_supplier", "q20_dominant_suppliers",
+        "q21_sole_late_supplier")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q must reuse its persisted shared subplan:\n$p")
+    }
+  }
 }
