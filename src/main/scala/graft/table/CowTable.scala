@@ -738,6 +738,67 @@ class CowTable(
     true
   }
 
+  /** Clustering service (the Hudi clustering analog): rewrite ALL base
+    * files with rows range-partitioned and locally sorted by `sortCols`,
+    * so each file carries a narrow, near-disjoint sort-key range and the
+    * refreshed record-key index (min/max + bloom) prunes point and range
+    * reads sharply. Sort-on-write (`clusterCols`) covers only newly
+    * written data — after many appends/upserts the accumulated files'
+    * key ranges interleave, and this service is what folds the layout
+    * back. One commit; MOR delta logs are untouched (they compact
+    * separately). At 100 TB run it per-partition-group on a cadence, like
+    * compaction.
+    */
+  def recluster(sortCols: Seq[String], parallelism: Int = 0): Boolean = {
+    require(sortCols.nonEmpty, "recluster needs at least one sort column")
+    val m = manifest
+    if (m.partitions.isEmpty) return false
+    val v = m.version + 1
+    val data = readFiles(m, m.baseFiles)
+    val dup0 = partitionCols.foldLeft(data)(
+      (d, c) => d.withColumn(dirCol(c), col(c)))
+    val dup =
+      if (numBuckets > 0) dup0.withColumn(dirCol(BucketCol), bucketExpr)
+      else dup0
+    val width = if (parallelism > 0) parallelism
+      else math.max(m.partitions.size, 1)
+    // dir cols lead the range so a task stays within few partition dirs;
+    // the local sort then makes each output file's key range tight
+    val rangeCols = (dirColsAll ++ sortCols).map(col)
+    val shaped = dup.repartitionByRange(width, rangeCols.toIndexedSeq: _*)
+      .sortWithinPartitions(rangeCols.toIndexedSeq: _*)
+    val dir = commitDataDir(v)
+    val w = shaped.write.mode("overwrite")
+    (if (dirColsAll.nonEmpty) w.partitionBy(dirColsAll.toIndexedSeq: _*)
+    else w).parquet(dir.toString)
+    val newFiles = listCommitFiles(dir)
+    writeManifest(withFileStats(
+      m.copy(version = v, partitions = newFiles, operation = "cluster",
+        metrics = CowTable.writeStats(newFiles) +
+          ("units_rewritten" -> m.partitions.size.toLong)),
+      newFiles, m.schema))
+    clean()
+    true
+  }
+
+  /** Restore (the Hudi savepoint/restore analog): durably roll the table
+    * back to a retained `version` by publishing a NEW commit that carries
+    * that version's file listing (and, on MOR, its delta-log listing) —
+    * time travel made the current state, without deleting history. The
+    * target must still be within `keepCommits` retention; later writes
+    * build on the restored state normally.
+    */
+  def restoreTo(version: Long): Unit = {
+    val cur = manifest
+    require(version <= cur.version,
+      s"cannot restore to future version $version (current ${cur.version})")
+    val target = manifestAt(version)
+    writeManifest(target.copy(version = cur.version + 1,
+      operation = "restore",
+      metrics = Map("restored_version" -> version)))
+    clean()
+  }
+
   /** Roll back crashed commits: delete `files/c{v}` data directories that
     * no retained manifest references AND that belong to no committed
     * version — the debris of a writer that died after writing data but

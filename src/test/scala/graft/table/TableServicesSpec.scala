@@ -1,0 +1,95 @@
+package graft.table
+
+import graft.SparkSpec
+
+/** Clustering + restore table services (the Hudi clustering and
+  * savepoint/restore analogs).
+  */
+class TableServicesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def overlaps(a: (String, String), b: (String, String)): Boolean =
+    a._1 <= b._2 && b._1 <= a._2
+
+  test("recluster makes file key ranges disjoint and keeps data identical") {
+    val t = new CowTable(spark, tmpDir("svc"), keyCols = Seq("id"),
+      fileIndexEntries = 1000)
+    // shuffled insert across 4 tasks: every file spans ~the whole key range
+    val keys = new scala.util.Random(7).shuffle((0 until 400).toVector)
+    t.bulkInsert(keys.map(i => (f"k$i%03d", i.toDouble)).toDF("id", "v"),
+      parallelism = 4)
+    val before = t.manifest
+    val ranges0 = before.fileStats.values.map(s => (s.keyMin, s.keyMax)).toSeq
+    assert(ranges0.size >= 2)
+    assert(ranges0.combinations(2).exists(p => overlaps(p(0), p(1))),
+      s"unsorted write must interleave ranges: $ranges0")
+    val snap0 = t.snapshot().as[(String, Double)].collect().toMap
+
+    assert(t.recluster(Seq("id"), parallelism = 4))
+    val after = t.manifest
+    assert(after.version == before.version + 1 &&
+      after.operation == "cluster")
+    val ranges1 = after.fileStats.values.map(s => (s.keyMin, s.keyMax)).toSeq
+    assert(ranges1.size >= 2, "range partitioning must keep multiple files")
+    assert(!ranges1.combinations(2).exists(p => overlaps(p(0), p(1))),
+      s"reclustered files must carry disjoint key ranges: $ranges1")
+    // stats refreshed: every live file indexed, no dead entries
+    assert(after.fileStats.keySet ==
+      after.partitions.valuesIterator.flatten.toSet)
+    // data identical, point reads stay 1-file
+    assert(t.snapshot().as[(String, Double)].collect().toMap == snap0)
+    assert(t.lookupByKeys(Seq(("k042", 0.0)).toDF("id", "v"))
+      .inputFiles.length == 1)
+  }
+
+  test("recluster respects partition dirs") {
+    val t = new CowTable(spark, tmpDir("svc-part"), keyCols = Seq("id"),
+      partitionCols = Seq("p"), fileIndexEntries = 1000)
+    t.bulkInsert((0 until 200).map(i => (f"k$i%03d", s"p${i % 2}", i.toDouble))
+      .toDF("id", "p", "v"), parallelism = 4)
+    val snap0 = t.snapshot().as[(String, String, Double)].collect().toSet
+    assert(t.recluster(Seq("id"), parallelism = 4))
+    val m = t.manifest
+    assert(m.partitions.keySet == Set("p=p0", "p=p1"),
+      s"partition layout must survive: ${m.partitions.keySet}")
+    assert(t.snapshot().as[(String, String, Double)].collect().toSet == snap0)
+  }
+
+  test("restoreTo publishes a new commit with the old state") {
+    val t = new CowTable(spark, tmpDir("svc-restore"), keyCols = Seq("id"),
+      precombineField = "v")
+    t.bulkInsert(Seq(("a", 1.0), ("b", 2.0)).toDF("id", "v"))      // v1
+    t.upsert(Seq(("a", 10.0), ("c", 3.0)).toDF("id", "v"))         // v2
+    t.delete(Seq(("b", 0.0)).toDF("id", "v"))                      // v3
+    assert(t.manifest.version == 3)
+    t.restoreTo(2)                                                 // v4
+    val m = t.manifest
+    assert(m.version == 4 && m.operation == "restore" &&
+      m.metrics("restored_version") == 2L)
+    assert(t.snapshot().as[(String, Double)].collect().toMap ==
+      Map("a" -> 10.0, "b" -> 2.0, "c" -> 3.0))
+    // history keeps the undone delete; writes build on the restored state
+    t.upsert(Seq(("d", 4.0)).toDF("id", "v"))                      // v5
+    assert(t.snapshot().count() == 4)
+    assert(t.snapshotAt(3).count() == 2, "the undone delete stays queryable")
+  }
+
+  test("restoreTo on MOR restores the delta-log listing too") {
+    val t = new MorTable(spark, tmpDir("svc-mor"), keyCols = Seq("id"),
+      precombineField = "v")
+    t.bulkInsert(Seq(("a", 1.0), ("b", 2.0)).toDF("id", "v"))      // v1
+    t.upsert(Seq(("a", 10.0)).toDF("id", "v"))                     // v2: log
+    assert(t.manifest.deltaCommits == 1)
+    t.compactLogs()                                                // v3
+    assert(t.manifest.deltaCommits == 0)
+    t.restoreTo(2)                                                 // v4
+    assert(t.manifest.deltaCommits == 1,
+      "restored manifest must carry v2's pending log")
+    assert(t.realtime().select("id", "v")
+      .as[(String, Double)].collect().toMap ==
+      Map("a" -> 10.0, "b" -> 2.0))
+    assert(t.readOptimized().select("id", "v")
+      .as[(String, Double)].collect().toMap ==
+      Map("a" -> 1.0, "b" -> 2.0), "read-optimized view back to v1 base")
+  }
+}
