@@ -1025,6 +1025,29 @@ object QueryCatalog {
            |FROM documents a JOIN documents b
            |  ON b.doc_id = a.doc_id + 1""".stripMargin))
 
+  /** The SCALE path for edit-distance verification: bounded distance with
+    * banded DP. Fuzzy-dedup pipelines only care whether candidates are
+    * within a small edit budget — Spark's 3-arg `levenshtein` stops at the
+    * threshold band (O(k·n) per pair instead of O(n·m)) and returns -1
+    * past it. The oracle clamps the full distance to the same contract.
+    * Companion to [[editDistancePairs]], the exact unbounded baseline.
+    */
+  private val editDistanceBounded = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      docs.as("a").join(docs.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.text"), col("b.text"), 20).cast("long")
+            .as("edit_dist"))
+    },
+    Some("""SELECT doc_a, doc_b,
+           |  CASE WHEN d <= 20 THEN d ELSE -1 END AS edit_dist
+           |FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS d
+           |  FROM documents a JOIN documents b
+           |    ON b.doc_id = a.doc_id + 1)""".stripMargin))
+
   /** Decontamination: training docs (doc_id % 10 != 0) sharing >= 5
     * distinct 3-gram shingles with any held-out doc (doc_id % 10 == 0) —
     * the train/eval verbatim-leakage check.
@@ -2197,7 +2220,8 @@ object QueryCatalog {
     "q9_product_profit" -> q9ProductProfit,
     "q12_priority_lines" -> q12PriorityLines,
     "q20_dominant_suppliers" -> q20DominantSuppliers,
-    "q21_sole_late_supplier" -> q21SoleLateSupplier
+    "q21_sole_late_supplier" -> q21SoleLateSupplier,
+    "edit_distance_bounded" -> editDistanceBounded
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
