@@ -69,6 +69,16 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     }
   }
 
+  private def tableExists(options: CaseInsensitiveStringMap): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(basePath(options), "_commits")
+    p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+      .exists(p)
+  }
+
+  // Only the READ path calls inferSchema (the write path passes the
+  // incoming DataFrame's schema straight to getTable when
+  // supportsExternalMetadata is true), so a missing table can throw the
+  // clear "_commits" error here without breaking create-on-first-write.
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     manifest(options).schema
 
@@ -78,14 +88,116 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val base = basePath(options)
+    if (!tableExists(options))
+      return new GraftWritableTable(base, options, None)
     val m = manifest(options)
     val files = m.baseFiles.map(f => s"$base/$f")
-    ParquetTable(
+    val delegate = ParquetTable(
       s"graft:$base@v${m.version}",
       SparkSession.active,
       options,
       files.toIndexedSeq,
       Some(schema),
       classOf[ParquetFileFormat])
+    new GraftWritableTable(base, options, Some(delegate))
   }
+}
+
+/** The V2 table served by [[GraftDataSource]]: reads delegate to Spark's
+  * native parquet table over the pinned snapshot file list; writes go
+  * through the V2→V1 bridge (`V1Write`/`InsertableRelation`) straight into
+  * the table-format layer —
+  *
+  * {{{
+  *   df.write.format("graft")
+  *     .option("keyCols", "id").option("partitionCols", "p")
+  *     .mode("append").save(path)      // upsert (keyed), creates if absent
+  *   df.write.format("graft").mode("overwrite").save(path)  // full replace
+  * }}}
+  *
+  * Append on a keyed table is an UPSERT (Hudi's spark-sql INSERT
+  * semantics), routed to [[graft.table.CowTable.upsert]] or, when the
+  * manifest records `storageType=mor`, to the log-append write path of
+  * [[graft.table.MorTable]]. Overwrite is a full-replace commit
+  * ([[graft.table.CowTable.overwrite]]). Creating a new table reads
+  * `keyCols`/`partitionCols`/`precombineField`/`storageType` options.
+  * ACCEPT_ANY_SCHEMA: the table layer's own additive schema evolution
+  * (`evolveSchema`/`pad`) validates incoming columns instead of Spark's
+  * by-name output resolution, which cannot know about evolution.
+  */
+private[sources] class GraftWritableTable(
+    base: String,
+    options: CaseInsensitiveStringMap,
+    delegate: Option[ParquetTable])
+  extends Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = delegate.map(_.name)
+    .getOrElse(s"graft:$base (uncreated)")
+
+  override def schema(): StructType =
+    delegate.map(d => d.schema: StructType).getOrElse(new StructType())
+
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]()
+    delegate.foreach(d => caps.addAll(d.capabilities()))
+    // BATCH_WRITE is what DataFrameWriter.save's V2-vs-V1 branch checks;
+    // the actual executor is still the V1 fallback (AppendDataExecV1),
+    // selected later by the Write object being a V1Write.
+    caps.add(TableCapability.BATCH_WRITE)
+    caps.add(TableCapability.V1_BATCH_WRITE)
+    caps.add(TableCapability.TRUNCATE)
+    caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap) =
+    delegate match {
+      case Some(d) => d.newScanBuilder(opts)
+      case None => throw new IllegalArgumentException(
+        s"not a graft table (no _commits): $base")
+    }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var truncateAll = false
+      override def truncate() = { truncateAll = true; this }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(
+                  data: org.apache.spark.sql.DataFrame,
+                  overwriteIgnored: Boolean): Unit = {
+                val spark = data.sparkSession
+                val t =
+                  if (CowTable.existsAt(spark, base))
+                    CowTable.open(spark, base)
+                  else {
+                    def opt(k: String) = Option(options.get(k))
+                    val keys = opt("keyCols")
+                      .map(_.split(',').map(_.trim).toSeq)
+                      .getOrElse(throw new IllegalArgumentException(
+                        "creating a graft table needs option(\"keyCols\", ...)"))
+                    val parts = opt("partitionCols")
+                      .map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)
+                    val pre = opt("precombineField").getOrElse("")
+                    if (opt("storageType").contains("mor"))
+                      new graft.table.MorTable(spark, base, keys, parts, pre)
+                    else new CowTable(spark, base, keys, parts, pre)
+                  }
+                if (truncateAll) t.overwrite(data)
+                else if (t.exists) t.upsert(data)
+                else t.bulkInsert(data)
+              }
+            }
+        }
+    }
 }

@@ -60,7 +60,14 @@ final case class Manifest(
     /** Cheap per-commit counters (files/units — derived from the write's
       * own listings, never an extra Spark action).
       */
-    metrics: Map[String, Long] = Map.empty) {
+    metrics: Map[String, Long] = Map.empty,
+    /** "cow" | "mor" — recorded at table creation so path-level consumers
+      * ([[graft.sources.GraftDataSource]] writes, catalog re-attach) can
+      * construct the RIGHT table class: a compacted MOR table is otherwise
+      * indistinguishable from COW on disk, and opening it as COW would
+      * silently change its write path from log-append to full rewrite.
+      */
+    storageType: String = "cow") {
   def schema: StructType =
     org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
@@ -289,8 +296,32 @@ class CowTable(
     writeManifest(withFileStats(
       Manifest(1L, data.schema.json, keyCols, partitionCols,
         precombineField, files,
-        operation = "bulk_insert", metrics = CowTable.writeStats(files)),
+        operation = "bulk_insert", metrics = CowTable.writeStats(files),
+        storageType = storageTypeName),
       files, data.schema))
+  }
+
+  /** The storage type recorded in every manifest this table writes. */
+  protected def storageTypeName: String = "cow"
+
+  /** Full-replace commit (`SaveMode.Overwrite` through the source API):
+    * the new data's files become the ENTIRE base listing; on MOR any
+    * pending delta logs are dropped with the data they amended. History
+    * stays time-travelable within retention.
+    */
+  def overwrite(df: DataFrame, parallelism: Int = 0): Unit = {
+    if (!exists) { bulkInsert(df, parallelism); return }
+    val m = manifest
+    val v = m.version + 1
+    val stamped = stamp(df, v)
+    val evolved = evolveSchema(m.schema, stamped.schema)
+    val newFiles = writeCommit(pad(stamped, evolved), v, parallelism)
+    writeManifest(withFileStats(
+      m.copy(version = v, schemaJson = evolved.json, partitions = newFiles,
+        logPartitions = Map.empty, deltaCommits = 0L,
+        operation = "overwrite", metrics = CowTable.writeStats(newFiles)),
+      newFiles, evolved))
+    clean()
   }
 
   /** Commit-version stamp for incoming rows (no-op unless tracking). */
@@ -904,6 +935,27 @@ object CowTable {
     * integrations (e.g. [[graft.sources.GraftDataSource]]) that discover
     * key/partition metadata FROM the manifest instead of requiring it.
     */
+  /** Whether a committed graft table exists at `basePath`. */
+  def existsAt(spark: SparkSession, basePath: String): Boolean = {
+    val commits = new Path(basePath, "_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(commits) && listVersions(fs, commits).nonEmpty
+  }
+
+  /** Open an EXISTING table with the class its manifest records — a
+    * compacted MOR table looks exactly like COW on disk, so the recorded
+    * `storageType` is what keeps its write path log-append.
+    */
+  def open(spark: SparkSession, basePath: String): CowTable = {
+    val m = openManifest(spark, basePath)
+    if (m.storageType == "mor")
+      new MorTable(spark, basePath, m.keyCols, m.partitionCols,
+        m.precombineField)
+    else
+      new CowTable(spark, basePath, m.keyCols, m.partitionCols,
+        m.precombineField)
+  }
+
   def openManifest(
       spark: SparkSession,
       basePath: String,
@@ -985,7 +1037,8 @@ object CowTable {
       "operation" -> JString(m.operation),
       "metrics" -> JObject(m.metrics.toSeq.sortBy(_._1).map {
         case (k, v) => k -> (JInt(v): JValue)
-      }.toList)))))
+      }.toList),
+      "storageType" -> JString(m.storageType)))))
 
   private[table] def parseManifest(txt: String): Manifest = {
     val j = JsonMethods.parse(txt)
@@ -1033,6 +1086,8 @@ object CowTable {
           case (k, JLong(n)) => k -> n
         }.toMap
         case _ => Map.empty
-      })
+      },
+      storageType = (j \ "storageType") match {
+        case JString(s) => s; case _ => "cow" }) // pre-round-6 manifests
   }
 }

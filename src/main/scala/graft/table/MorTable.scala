@@ -60,6 +60,8 @@ class MorTable(
   import CowTable._
   import MorTable._
 
+  override protected def storageTypeName: String = "mor"
+
   // ------------------------------------------------------------- write path
 
   /** K2 on MOR: append an upsert delta log (no base rewrite). */

@@ -86,4 +86,63 @@ class GraftDataSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("_commits"), e.getMessage)
   }
+
+  test("write append creates a table and upserts into it by key") {
+    val path = tmpDir("dsv2-w")
+    Seq((1, "a", "p1"), (2, "b", "p2")).toDF("id", "v", "p")
+      .write.format("graft")
+      .option("keyCols", "id").option("partitionCols", "p")
+      .mode("append").save(path)
+    // second append: keyed UPSERT semantics (2 replaced, 3 inserted)
+    Seq((2, "b2", "p2"), (3, "c", "p1")).toDF("id", "v", "p")
+      .write.format("graft").mode("append").save(path)
+    val got = spark.read.format("graft").load(path)
+      .select("id", "v").as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "a", 2 -> "b2", 3 -> "c"))
+    val t = CowTable.open(spark, path)
+    assert(t.manifest.keyCols == Seq("id") &&
+      t.manifest.partitionCols == Seq("p"))
+    assert(t.manifest.operation == "upsert")
+  }
+
+  test("write overwrite fully replaces the table, history retained") {
+    val path = tmpDir("dsv2-ow")
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.format("graft")
+      .option("keyCols", "id").mode("append").save(path)
+    Seq((9, "z")).toDF("id", "v").write.format("graft")
+      .mode("overwrite").save(path)
+    val got = spark.read.format("graft").load(path)
+      .select("id", "v").as[(Int, String)].collect().toMap
+    assert(got == Map(9 -> "z"))
+    val t = CowTable.open(spark, path)
+    assert(t.manifest.operation == "overwrite")
+    assert(t.snapshotAt(1).count() == 2, "overwritten version time-travels")
+  }
+
+  test("writes route to the manifest's storage type: MOR stays log-append") {
+    val path = tmpDir("dsv2-mor")
+    Seq((1, 1.0), (2, 2.0)).toDF("id", "v").write.format("graft")
+      .option("keyCols", "id").option("storageType", "mor")
+      .option("precombineField", "v")
+      .mode("append").save(path)
+    // the second source-level append must be a LOG append, not a rewrite
+    Seq((1, 10.0)).toDF("id", "v").write.format("graft")
+      .mode("append").save(path)
+    val t = CowTable.open(spark, path).asInstanceOf[MorTable]
+    assert(t.manifest.storageType == "mor")
+    assert(t.manifest.deltaCommits == 1,
+      s"source append on MOR must log, got ${t.manifest.operation}")
+    assert(t.realtime().select("id", "v").as[(Int, Double)].collect().toMap
+      == Map(1 -> 10.0, 2 -> 2.0))
+    assert(t.readOptimized().select("id", "v").as[(Int, Double)]
+      .collect().toMap == Map(1 -> 1.0, 2 -> 2.0))
+  }
+
+  test("creating a table without keyCols fails with a clear message") {
+    val e = intercept[Exception] {
+      Seq((1, "a")).toDF("id", "v").write.format("graft")
+        .mode("append").save(tmpDir("dsv2-nokeys"))
+    }
+    assert(e.getMessage.contains("keyCols"), e.getMessage)
+  }
 }

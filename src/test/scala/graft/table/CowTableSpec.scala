@@ -300,8 +300,13 @@ class CowTableSpec extends SparkSpec {
 
   test("manifest render/parse round-trip") {
     val m = Manifest(3L, rows(("a", "p1", 1.0)).schema.json, Seq("id"),
-      Seq("p"), "v", Map("p=p1" -> Seq("files/c3/x.parquet"), "" -> Nil))
+      Seq("p"), "v", Map("p=p1" -> Seq("files/c3/x.parquet"), "" -> Nil),
+      storageType = "mor")
     assert(CowTable.parseManifest(CowTable.renderManifest(m)) == m)
+    // pre-round-6 manifests lack storageType -> parse defaults to cow
+    val legacy = CowTable.renderManifest(m.copy(storageType = "cow"))
+      .replaceAll(",?\\s*\"storageType\"\\s*:\\s*\"cow\"", "")
+    assert(CowTable.parseManifest(legacy).storageType == "cow")
   }
 
   test("unescapePathName handles hive escapes") {
