@@ -193,9 +193,23 @@ private[sources] class GraftWritableTable(
                       new graft.table.MorTable(spark, base, keys, parts, pre)
                     else new CowTable(spark, base, keys, parts, pre)
                   }
-                if (truncateAll) t.overwrite(data)
-                else if (t.exists) t.upsert(data)
-                else t.bulkInsert(data)
+                // SQL `INSERT INTO ... VALUES` arrives with positional
+                // column names (col1, col2, ...) because ACCEPT_ANY_SCHEMA
+                // skips Spark's by-name output resolution. When NO incoming
+                // name matches the table, apply SQL's positional semantics;
+                // any name overlap means a by-name DataFrame write (possibly
+                // with additive evolution) and is passed through untouched.
+                val aligned =
+                  if (t.exists) {
+                    val cur = t.manifest.schema.fieldNames
+                    if (data.columns.length == cur.length &&
+                        !data.columns.exists(cur.contains))
+                      data.toDF(cur.toIndexedSeq: _*)
+                    else data
+                  } else data
+                if (truncateAll) t.overwrite(aligned)
+                else if (t.exists) t.upsert(aligned)
+                else t.bulkInsert(aligned)
               }
             }
         }

@@ -411,6 +411,12 @@ class CowTable(
 
   private def mergeCommit(df: DataFrame, parallelism: Int, opName: String)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    // pad() null-fills absent columns for additive evolution — but a batch
+    // MISSING its record-key columns would merge as null-keyed garbage;
+    // reject it loudly instead.
+    require(keyCols.forall(df.columns.contains),
+      s"$opName batch must carry the record key columns $keyCols; " +
+        s"got ${df.columns.toSeq}")
     val m = manifest
     val v = m.version + 1
     val stamped = stamp(df, v)

@@ -138,6 +138,20 @@ class GraftDataSourceSpec extends SparkSpec {
       .collect().toMap == Map(1 -> 1.0, 2 -> 2.0))
   }
 
+  test("SQL INSERT INTO a graft table routes through the keyed upsert") {
+    val path = tmpDir("dsv2-sql-ins")
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.format("graft")
+      .option("keyCols", "id").mode("append").save(path)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_ins_t " +
+      s"USING graft OPTIONS (path '$path')")
+    spark.sql("INSERT INTO graft_ins_t VALUES (2, 'b2'), (3, 'c')")
+    // the view pinned v1's file list at creation; re-open for current state
+    val got = spark.read.format("graft").load(path)
+      .select("id", "v").as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "a", 2 -> "b2", 3 -> "c"),
+      s"INSERT INTO must upsert by key: $got")
+  }
+
   test("creating a table without keyCols fails with a clear message") {
     val e = intercept[Exception] {
       Seq((1, "a")).toDF("id", "v").write.format("graft")
