@@ -289,14 +289,16 @@ class CowTable(
   /** K1 — bulk insert: first write of a brand-new table
     * (reference: processData.py:337-342, bulk_insert config :207-213).
     */
-  def bulkInsert(df: DataFrame, parallelism: Int = 0): Unit = {
+  def bulkInsert(df: DataFrame, parallelism: Int = 0,
+      extraMetrics: Map[String, Long] = Map.empty): Unit = {
     require(!exists, s"bulkInsert on existing table $basePath")
     val data = stamp(df, 1L)
     val files = writeCommit(data, 1L, parallelism)
     writeManifest(withFileStats(
       Manifest(1L, data.schema.json, keyCols, partitionCols,
         precombineField, files,
-        operation = "bulk_insert", metrics = CowTable.writeStats(files),
+        operation = "bulk_insert",
+        metrics = CowTable.writeStats(files) ++ extraMetrics,
         storageType = storageTypeName),
       files, data.schema))
   }
@@ -360,8 +362,9 @@ class CowTable(
     * arriving with a different partition value creates a new row in that
     * partition rather than moving the old one.
     */
-  def upsert(df: DataFrame, parallelism: Int = 0): Unit =
-    mergeCommit(df, parallelism, "upsert") { (cur, incoming) =>
+  def upsert(df: DataFrame, parallelism: Int = 0,
+      extraMetrics: Map[String, Long] = Map.empty): Unit =
+    mergeCommit(df, parallelism, "upsert", extraMetrics) { (cur, incoming) =>
       cur.join(incoming, idMatch(cur, incoming), "left_anti")
         .unionByName(incoming)
     }
@@ -403,13 +406,15 @@ class CowTable(
     * removed (Hudi `EmptyHoodieRecordPayload` tombstone semantics,
     * reference: processData.py:376-382, delete config :215-218).
     */
-  def delete(df: DataFrame, parallelism: Int = 0): Unit =
-    mergeCommit(df, parallelism, "delete") { (cur, incoming) =>
+  def delete(df: DataFrame, parallelism: Int = 0,
+      extraMetrics: Map[String, Long] = Map.empty): Unit =
+    mergeCommit(df, parallelism, "delete", extraMetrics) { (cur, incoming) =>
       val probe = incoming.select(mergeIdCols.map(col): _*)
       cur.join(probe, idMatch(cur, probe), "left_anti")
     }
 
-  private def mergeCommit(df: DataFrame, parallelism: Int, opName: String)(
+  private def mergeCommit(df: DataFrame, parallelism: Int, opName: String,
+      extraMetrics: Map[String, Long] = Map.empty)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     // pad() null-fills absent columns for additive evolution — but a batch
     // MISSING its record-key columns would merge as null-keyed garbage;
@@ -452,7 +457,8 @@ class CowTable(
           ("units_rewritten" -> rewritten.size.toLong) +
           ("files_candidate" -> candFiles.size.toLong) +
           ("files_kept" ->
-            keptListing.valuesIterator.map(_.size.toLong).sum))
+            keptListing.valuesIterator.map(_.size.toLong).sum) ++
+          extraMetrics)
       writeManifest(withFileStats(next, newFiles, evolved))
       clean()
     } finally incoming.unpersist()
@@ -835,6 +841,19 @@ class CowTable(
       metrics = Map("restored_version" -> version)))
     clean()
   }
+
+  /** Max value of a metrics key across the RETAINED commit timeline — for
+    * marks that must survive interleaved service commits (a streaming
+    * sink's batch-id high-water mark is still valid when a compaction or
+    * clean landed after it; only manifest JSONs are read, never data).
+    * Retention bound: the mark is findable as long as fewer than
+    * `keepCommits` commits landed since it was written.
+    */
+  def maxMetricOverHistory(key: String): Option[Long] =
+    CowTable.listVersions(fs, commitsDir).sorted
+      .flatMap(v => scala.util.Try(manifestAt(v)).toOption)
+      .flatMap(_.metrics.get(key))
+      .maxOption
 
   /** Roll back crashed commits: delete `files/c{v}` data directories that
     * no retained manifest references AND that belong to no committed

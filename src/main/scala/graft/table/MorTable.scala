@@ -65,12 +65,14 @@ class MorTable(
   // ------------------------------------------------------------- write path
 
   /** K2 on MOR: append an upsert delta log (no base rewrite). */
-  override def upsert(df: DataFrame, parallelism: Int = 0): Unit =
-    logAppend(df, parallelism, LogUpsert)
+  override def upsert(df: DataFrame, parallelism: Int = 0,
+      extraMetrics: Map[String, Long] = Map.empty): Unit =
+    logAppend(df, parallelism, LogUpsert, extraMetrics)
 
   /** K3 on MOR: append delete tombstones (no base rewrite). */
-  override def delete(df: DataFrame, parallelism: Int = 0): Unit =
-    logAppend(df, parallelism, LogDelete)
+  override def delete(df: DataFrame, parallelism: Int = 0,
+      extraMetrics: Map[String, Long] = Map.empty): Unit =
+    logAppend(df, parallelism, LogDelete, extraMetrics)
 
   /** Partial-column upsert needs the stored values to coalesce against, so
     * it cannot be expressed as a pure log append: compact pending logs
@@ -81,7 +83,8 @@ class MorTable(
     super.upsertPartial(df, parallelism)
   }
 
-  private def logAppend(df: DataFrame, parallelism: Int, op: String): Unit = {
+  private def logAppend(df: DataFrame, parallelism: Int, op: String,
+      extraMetrics: Map[String, Long] = Map.empty): Unit = {
     val m = manifest
     val v = m.version + 1
     val stamped = stamp(df, v)
@@ -98,7 +101,7 @@ class MorTable(
       logPartitions = mergeListings(m.logPartitions, newLogs),
       deltaCommits = m.deltaCommits + 1,
       operation = if (op == LogUpsert) "log_upsert" else "log_delete",
-      metrics = CowTable.writeStats(newLogs)))
+      metrics = CowTable.writeStats(newLogs) ++ extraMetrics))
     clean()
     if (compactEvery > 0 && manifest.deltaCommits >= compactEvery)
       compactLogs(parallelism)
