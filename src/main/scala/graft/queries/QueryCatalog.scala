@@ -714,6 +714,19 @@ object QueryCatalog {
     Some(s"""SELECT doc_id, lang, n_chars FROM documents
             |WHERE ${H("CAST(doc_id AS VARCHAR)")} % 100 < 30""".stripMargin))
 
+  /** Weighted corpus mixture ([[graft.text.TextOps.weightedMix]]):
+    * per-source deterministic sampling rates, the training-mixture dial.
+    */
+  private val weightedMixture = Q(
+    (s, d) => TextOps.weightedMix(t(s, d, "documents"), "doc_id", "source",
+        Map("src0" -> 80, "src1" -> 80, "src2" -> 40, "src3" -> 40), 10)
+      .select("doc_id", "source", "lang"),
+    Some(s"""SELECT doc_id, source, lang FROM documents
+            |WHERE ${H("CAST(doc_id AS VARCHAR)")} % 100 <
+            |  CASE WHEN source IN ('src0','src1') THEN 80
+            |       WHEN source IN ('src2','src3') THEN 40
+            |       ELSE 10 END""".stripMargin))
+
   /** Canonicalizing text normalization. */
   private val textNormalize = Q(
     (s, d) => t(s, d, "documents").select(col("doc_id"),
@@ -2221,7 +2234,8 @@ object QueryCatalog {
     "q12_priority_lines" -> q12PriorityLines,
     "q20_dominant_suppliers" -> q20DominantSuppliers,
     "q21_sole_late_supplier" -> q21SoleLateSupplier,
-    "edit_distance_bounded" -> editDistanceBounded
+    "edit_distance_bounded" -> editDistanceBounded,
+    "weighted_mixture" -> weightedMixture
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

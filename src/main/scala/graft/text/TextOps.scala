@@ -325,6 +325,24 @@ object TextOps {
   private def keyBucket(keyCol: String): Column =
     pmod(Hashing.hash60(col(keyCol).cast("string")), lit(100L))
 
+  /** Weighted dataset mixing: per-source deterministic sampling rates —
+    * the "2 epochs of wiki, 0.3 of common crawl" mixture step of a
+    * training-data pipeline, as a pure per-row filter (no shuffle, no
+    * rand(): membership is a function of the key, so the mixture is
+    * reproducible across engines, runs, and partitionings, and a source's
+    * subset at rate p is a SUBSET of its rate-q subset for p < q —
+    * mixtures can be dialed without resampling). Rates are integer
+    * percents; sources absent from the map use `defaultPct`.
+    */
+  def weightedMix(df: DataFrame, keyCol: String, srcCol: String,
+      pctBySource: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rate = pctBySource.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+        when(col(srcCol) === s, lit(p)).otherwise(acc)
+      }
+    df.filter(keyBucket(keyCol) < rate)
+  }
+
   /** Exact-N-per-stratum deterministic sampling: the top `n` rows of each
     * stratum by portable key-hash priority (key as total tiebreak) — the
     * "at most N documents per domain" quota that pct-based
