@@ -65,7 +65,7 @@ final class CdcPipeline(spark: SparkSession, warehousePath: String) {
     */
   def run(cfg: TableConfig, raw: DataFrame,
       preMergeHook: (CowTable, DataFrame, DataFrame) => Unit =
-        (_, _, _) => ()): RunSummary = {
+        CdcPipeline.NoHook): RunSummary = {
     // P1 + persist: the source feeds several consumers (count, routing
     // branches) — cache it once (reference: processData.py:301).
     val df = CdcOps.lowercaseColumns(raw).persist(StorageLevel.MEMORY_AND_DISK)
@@ -123,10 +123,13 @@ final class CdcPipeline(spark: SparkSession, warehousePath: String) {
       // mergeCommit precombines duplicate keys (greatest wins), so a raw
       // payload with in-batch duplicates would make a MaintainedView count
       // +1/+value per duplicate while the table keeps one row per key.
+      // Only paid when a hook is installed — mergeCommit runs the same
+      // precombine anyway, so without an observer the pass here would be
+      // a wasted second shuffle+sort over the batch.
       val payload =
-        if (table.precombineField.nonEmpty)
-          CdcOps.precombine(payload0,
-            (table.keyCols ++ table.partitionCols).distinct,
+        if ((preMergeHook ne CdcPipeline.NoHook) &&
+            table.precombineField.nonEmpty)
+          CdcOps.precombine(payload0, table.mergeIdCols,
             table.precombineField)
         else payload0
       preMergeHook(table, payload, payload.limit(0))
@@ -211,4 +214,11 @@ final class CdcPipeline(spark: SparkSession, warehousePath: String) {
     require(existing.nonEmpty, s"no input paths exist among $paths")
     spark.read.option("recursiveFileLookup", "true").parquet(existing: _*)
   }
+}
+
+object CdcPipeline {
+  /** The default no-op pre-merge hook. Compared by REFERENCE (`ne`) so the
+    * pipeline can skip hook-only preparation work when nothing observes it.
+    */
+  val NoHook: (CowTable, DataFrame, DataFrame) => Unit = (_, _, _) => ()
 }

@@ -55,7 +55,7 @@ object IncrementalAgg {
     val groups = (c: DataFrame) => spec.groupCols.map(c.apply)
     // record identity is key + partition (the table's non-global index) —
     // every in-batch set operation below must respect it
-    val idCols = (before.keyCols ++ before.partitionCols).distinct
+    val idCols = before.mergeIdCols
     // a record in BOTH sets is upserted then deleted within the batch (the
     // pipeline merge order): its net contribution is -old only, so the
     // upsert's +new must not count

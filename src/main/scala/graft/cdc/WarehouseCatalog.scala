@@ -94,8 +94,17 @@ class WarehouseCatalog(spark: SparkSession, warehousePath: String) {
       fs.delete(tmp, false)
       throw new VersionTakenException(s"catalog version taken: $dst")
     }
-    if (!fs.rename(tmp, dst))
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      // the exists() probe above is TOCTOU: a rival can rename between the
+      // probe and ours, and on filesystems that refuse to replace, our
+      // rename then fails — that lost race IS a publish conflict, not an
+      // I/O error, and must stay retryable
+      if (fs.exists(dst))
+        throw new VersionTakenException(
+          s"catalog version taken (lost rename race): $dst")
       throw new IllegalStateException(s"catalog publish failed: $dst")
+    }
     // prune only after the new version is durable
     versions.dropRight(KeepVersions).foreach(v =>
       fs.delete(new Path(catDir, s"v$v.json"), false))

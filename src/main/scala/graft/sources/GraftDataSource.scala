@@ -69,11 +69,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     }
   }
 
-  private def tableExists(options: CaseInsensitiveStringMap): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(basePath(options), "_commits")
-    p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-      .exists(p)
-  }
+  // existsAt (not a bare dir check): a writer that crashed between
+  // mkdirs(_commits) and its first manifest rename leaves the dir with
+  // zero versions — such a path must still take the create-on-first-write
+  // branch.
+  private def tableExists(options: CaseInsensitiveStringMap): Boolean =
+    CowTable.existsAt(SparkSession.active, basePath(options))
 
   // Only the READ path calls inferSchema (the write path passes the
   // incoming DataFrame's schema straight to getTable when
@@ -202,8 +203,13 @@ private[sources] class GraftWritableTable(
                 val aligned =
                   if (t.exists) {
                     val cur = t.manifest.schema.fieldNames
+                    // overlap detection is case-INsensitive, like Spark's
+                    // own resolution: an uppercase re-spelling of a table
+                    // column is a by-name write, not positional VALUES
+                    val curLower = cur.map(_.toLowerCase).toSet
                     if (data.columns.length == cur.length &&
-                        !data.columns.exists(cur.contains))
+                        !data.columns.exists(c =>
+                          curLower.contains(c.toLowerCase)))
                       data.toDF(cur.toIndexedSeq: _*)
                     else data
                   } else data

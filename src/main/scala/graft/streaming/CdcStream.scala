@@ -195,29 +195,51 @@ object StatefulOps {
           val sorted = evs.toSeq.sortBy(e => (toUs(e.ts), e.event_id))
           var closed = List.empty[SessionOut]
           var cur = state.getOption
-          for (e <- sorted) {
+          // Cross-batch LATE events older than the open session's merge
+          // range (t + gap <= start) form their own EARLIER sessions.
+          // Sorted order puts them in a prefix; fold that prefix with the
+          // normal gap logic so multiple late events within gap of each
+          // other become ONE session (batch session_window parity), not
+          // per-event singletons. The final late run can reach the open
+          // session's merge range once accumulated — then it merges in.
+          val late = cur match {
+            case Some(s) =>
+              val (older, rest) = sorted.span(e => toUs(e.ts) + gapUs <= s.start)
+              var o: Option[SessionState] = None
+              for (e <- older) {
+                val t = toUs(e.ts)
+                o = o match {
+                  case Some(os) if t - os.last < gapUs =>
+                    Some(SessionState(os.start, t, os.n + 1, os.total + e.value))
+                  case Some(os) =>
+                    closed ::= close(key, os)
+                    Some(SessionState(t, t, 1L, e.value))
+                  case None => Some(SessionState(t, t, 1L, e.value))
+                }
+              }
+              o.foreach { os =>
+                if (os.last + gapUs > s.start)
+                  cur = Some(SessionState(math.min(os.start, s.start), s.last,
+                    s.n + os.n, s.total + os.total))
+                else closed ::= close(key, os)
+              }
+              rest
+            case None => sorted
+          }
+          for (e <- late) {
             val t = toUs(e.ts)
             cur = cur match {
               case Some(s) if t >= s.last && t - s.last < gapUs =>
                 Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
-              case Some(s) if t < s.last && t + gapUs > s.start =>
-                // Cross-batch late event (in-batch order is sorted, so only
-                // carried state can be newer): it merges into the open
-                // session iff its own window [t, t+gap) overlaps the
-                // session's reach. Extend start backward if needed but
-                // NEVER move `last` backward — that would shorten the
-                // timeout deadline and break the "never closes before
-                // last-event + gap" guarantee.
+              case Some(s) if t < s.last =>
+                // Cross-batch late event inside the open session's reach
+                // (the too-old prefix was handled above): merge, extending
+                // start backward if needed but NEVER moving `last`
+                // backward — that would shorten the timeout deadline and
+                // break the "never closes before last-event + gap"
+                // guarantee.
                 Some(SessionState(math.min(s.start, t), s.last,
                   s.n + 1, s.total + e.value))
-              case Some(s) if t < s.last =>
-                // Older than the open session's merge range: under batch
-                // session_window semantics this is a distinct earlier
-                // session, and in append mode its era is already sealed —
-                // emit it closed as a singleton rather than corrupting the
-                // open session.
-                closed ::= SessionOut(key, fromUs(t), fromUs(t), 1L, e.value)
-                cur
               case Some(s) =>
                 closed ::= close(key, s)
                 Some(SessionState(t, t, 1L, e.value))

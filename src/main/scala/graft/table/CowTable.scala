@@ -292,6 +292,9 @@ class CowTable(
   def bulkInsert(df: DataFrame, parallelism: Int = 0,
       extraMetrics: Map[String, Long] = Map.empty): Unit = {
     require(!exists, s"bulkInsert on existing table $basePath")
+    require(keyCols.forall(df.columns.contains),
+      s"bulkInsert data must carry the record key columns $keyCols; " +
+        s"got ${df.columns.toSeq}")
     val data = stamp(df, 1L)
     val files = writeCommit(data, 1L, parallelism)
     writeManifest(withFileStats(
@@ -312,6 +315,9 @@ class CowTable(
     * stays time-travelable within retention.
     */
   def overwrite(df: DataFrame, parallelism: Int = 0): Unit = {
+    require(keyCols.forall(df.columns.contains),
+      s"overwrite batch must carry the record key columns $keyCols; " +
+        s"got ${df.columns.toSeq}")
     if (!exists) { bulkInsert(df, parallelism); return }
     val m = manifest
     val v = m.version + 1
@@ -375,7 +381,7 @@ class CowTable(
     * same key's independent record in ANOTHER partition that happens to be
     * touched by the same batch.
     */
-  protected def mergeIdCols: Seq[String] = (keyCols ++ partitionCols).distinct
+  def mergeIdCols: Seq[String] = (keyCols ++ partitionCols).distinct
 
   /** Null-safe identity match: partition values may legitimately be null
     * (the hive default partition), and `Seq`-column joins use null-unsafe
@@ -662,7 +668,8 @@ class CowTable(
     * originals (see class doc).
     */
   protected def writeCommit(
-      df: DataFrame, v: Long, parallelism: Int): Map[String, Seq[String]] = {
+      df: DataFrame, v: Long, parallelism: Int,
+      rangeSortCols: Seq[String] = Nil): Map[String, Seq[String]] = {
     val dir = commitDataDir(v)
     val dup0 = partitionCols.foldLeft(df)(
       (d, c) => d.withColumn(dirCol(c), col(c)))
@@ -674,17 +681,28 @@ class CowTable(
     // or bucketed writes co-locate rows of one rewrite unit to minimize
     // files per unit; AQE handles residual skew.
     val unitCols = dirColsAll.map(col)
-    val shaped0 =
-      if (parallelism <= 0) dup
-      else if (unitCols.nonEmpty)
-        dup.repartition(parallelism, unitCols.toIndexedSeq: _*)
-      else dup.repartition(parallelism)
-    // cluster-by: sort dir cols first (keeps the writer single-pass per
-    // partition dir), then the user's locality columns
     val shaped =
-      if (clusterCols.isEmpty) shaped0
-      else shaped0.sortWithinPartitions(
-        (dirColsAll ++ clusterCols).map(col).toIndexedSeq: _*)
+      if (rangeSortCols.nonEmpty) {
+        // clustering rewrite (recluster): dir cols lead the range so a
+        // task stays within few partition dirs; the local sort makes each
+        // output file's key range tight and near-disjoint
+        val rc = (dirColsAll ++ rangeSortCols).map(col)
+        val ranged =
+          if (parallelism > 0) dup.repartitionByRange(parallelism, rc: _*)
+          else dup.repartitionByRange(rc: _*)
+        ranged.sortWithinPartitions(rc: _*)
+      } else {
+        val shaped0 =
+          if (parallelism <= 0) dup
+          else if (unitCols.nonEmpty)
+            dup.repartition(parallelism, unitCols.toIndexedSeq: _*)
+          else dup.repartition(parallelism)
+        // cluster-by: sort dir cols first (keeps the writer single-pass per
+        // partition dir), then the user's locality columns
+        if (clusterCols.isEmpty) shaped0
+        else shaped0.sortWithinPartitions(
+          (dirColsAll ++ clusterCols).map(col).toIndexedSeq: _*)
+      }
     val w = shaped.write.mode("overwrite")
     (if (dirColsAll.nonEmpty) w.partitionBy(dirColsAll.toIndexedSeq: _*)
     else w).parquet(dir.toString)
@@ -739,7 +757,12 @@ class CowTable(
     * relies on the reference's serialized-runs assumption
     * (`maxConcurrentRuns: 1`), matching its single-writer model.
     */
-  protected def writeManifest(m: Manifest): Unit = {
+  protected def writeManifest(m0: Manifest): Unit = {
+    // every commit re-stamps the storage type of the class that wrote it:
+    // pre-round-6 manifests parse with the "cow" default, and m.copy in
+    // the write paths would otherwise carry that default forever — the
+    // first write through the correct class heals the record
+    val m = m0.copy(storageType = storageTypeName)
     fs.mkdirs(commitsDir)
     val tmp = new Path(commitsDir, s".v${m.version}.json.tmp")
     val dst = new Path(commitsDir, s"v${m.version}.json")
@@ -798,23 +821,9 @@ class CowTable(
     if (m.partitions.isEmpty) return false
     val v = m.version + 1
     val data = readFiles(m, m.baseFiles)
-    val dup0 = partitionCols.foldLeft(data)(
-      (d, c) => d.withColumn(dirCol(c), col(c)))
-    val dup =
-      if (numBuckets > 0) dup0.withColumn(dirCol(BucketCol), bucketExpr)
-      else dup0
     val width = if (parallelism > 0) parallelism
       else math.max(m.partitions.size, 1)
-    // dir cols lead the range so a task stays within few partition dirs;
-    // the local sort then makes each output file's key range tight
-    val rangeCols = (dirColsAll ++ sortCols).map(col)
-    val shaped = dup.repartitionByRange(width, rangeCols.toIndexedSeq: _*)
-      .sortWithinPartitions(rangeCols.toIndexedSeq: _*)
-    val dir = commitDataDir(v)
-    val w = shaped.write.mode("overwrite")
-    (if (dirColsAll.nonEmpty) w.partitionBy(dirColsAll.toIndexedSeq: _*)
-    else w).parquet(dir.toString)
-    val newFiles = listCommitFiles(dir)
+    val newFiles = writeCommit(data, v, width, rangeSortCols = sortCols)
     writeManifest(withFileStats(
       m.copy(version = v, partitions = newFiles, operation = "cluster",
         metrics = CowTable.writeStats(newFiles) +

@@ -209,12 +209,14 @@ class CdcStreamSpec extends SparkSpec {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
     q.processAllAvailable()
-    // batch 2: two LATE events for user 7 — 10:05 is inside the open
-    // session (must merge, session_end must stay 10:20); 08:00 is beyond
-    // the merge range (8:30 < 10:00 start — its own earlier session,
-    // emitted as a closed singleton)
+    // batch 2: three LATE events for user 7 — 10:05 is inside the open
+    // session (must merge, session_end must stay 10:20); 08:00 and 08:10
+    // are beyond the merge range (8:40 < 10:00 start) and within gap of
+    // EACH OTHER — batch session_window parity demands they close as ONE
+    // earlier session [08:00,08:10] n=2, not two singletons
     Seq(ev(3, 7, "2024-01-01 10:05:00", 4.0),
-        ev(4, 7, "2024-01-01 08:00:00", 8.0))
+        ev(4, 7, "2024-01-01 08:00:00", 8.0),
+        ev(6, 7, "2024-01-01 08:10:00", 2.0))
       .toDF().write.mode("append").parquet(dir)
     q.processAllAvailable()
     // flush: sentinel far in the future closes user 7's session by timeout
@@ -233,8 +235,8 @@ class CdcStreamSpec extends SparkSpec {
       ("2024-01-01 10:00:00", "2024-01-01 10:20:00", 3L, 7.0)),
       s"late in-session event must merge without shrinking the session: $got")
     assert(got.contains(
-      ("2024-01-01 08:00:00", "2024-01-01 08:00:00", 1L, 8.0)),
-      s"too-old late event must close as its own singleton session: $got")
+      ("2024-01-01 08:00:00", "2024-01-01 08:10:00", 2L, 10.0)),
+      s"too-old late events within gap must close as ONE session: $got")
     assert(got.size == 2, s"exactly two sessions expected for user 7: $got")
   }
 
