@@ -391,6 +391,54 @@ class CowTable(
   private def idMatch(left: DataFrame, right: DataFrame): Column =
     mergeIdCols.map(c => left(c) <=> right(c)).reduce(_ && _)
 
+  /** Generalized conditional merge — the MERGE INTO statement as an API
+    * (Delta/Hudi-MERGE parity), one partition-scoped commit:
+    *
+    *   - a CURRENT row matched by an incoming row (key+partition identity)
+    *     is DELETED when `whenMatchedDelete` holds, else REPLACED by the
+    *     incoming row when `whenMatchedUpdate` holds, else kept;
+    *   - an unmatched incoming row is inserted iff `insertUnmatched`;
+    *   - unmatched current rows are always kept.
+    *
+    * Conditions are Columns over the aliased join — reference the stored
+    * row as `col("c.x")` and the incoming row as `col("i.x")`:
+    *
+    * {{{
+    *   t.mergeInto(batch,
+    *     whenMatchedDelete = col("i.op") === "D",
+    *     whenMatchedUpdate = col("i.ts") > col("c.ts"))
+    * }}}
+    *
+    * `upsert` ≡ `mergeInto(df)` with defaults; `delete` ≡ always-delete
+    * with no insert. Same exactness rules as every merge: intra-batch
+    * duplicates precombine first, schema evolution is additive.
+    */
+  def mergeInto(df: DataFrame, parallelism: Int = 0,
+      whenMatchedDelete: Column = lit(false),
+      whenMatchedUpdate: Column = lit(true),
+      insertUnmatched: Boolean = true): Unit =
+    mergeCommit(df, parallelism, "merge") { (cur, incoming) =>
+      val outCols = incoming.columns.toIndexedSeq // padded/evolved schema
+      val c = cur.withColumn("_c_present", lit(true)).alias("c")
+      val i = incoming.withColumn("_i_present", lit(true)).alias("i")
+      val cond = mergeIdCols
+        .map(k => col(s"c.$k") <=> col(s"i.$k")).reduce(_ && _)
+      val matched =
+        col("c._c_present").isNotNull && col("i._i_present").isNotNull
+      // route each joined row to the side that survives (or drop it)
+      val take = when(matched,
+          when(whenMatchedDelete, lit("drop"))
+            .otherwise(when(whenMatchedUpdate, lit("i")).otherwise(lit("c"))))
+        .otherwise(when(col("c._c_present").isNotNull, lit("c"))
+          .otherwise(if (insertUnmatched) lit("i") else lit("drop")))
+      c.join(i, cond, "full_outer")
+        .withColumn("_take", take)
+        .filter(col("_take") =!= "drop")
+        .select(outCols.map(k =>
+          when(col("_take") === "i", col(s"i.$k"))
+            .otherwise(col(s"c.$k")).as(k)): _*)
+    }
+
   /** Partial-column upsert: like [[upsert]], but incoming NULLs mean "keep
     * the stored value" (changed-columns-only CDC payloads). Insert-if-absent
     * still applies; for brand-new keys the null columns stay null.

@@ -83,6 +83,19 @@ class MorTable(
     super.upsertPartial(df, parallelism)
   }
 
+  /** Conditional merge reads stored values (its conditions reference
+    * `c.*`), so like [[upsertPartial]] it compacts pending logs first and
+    * merges against clean base files.
+    */
+  override def mergeInto(df: DataFrame, parallelism: Int = 0,
+      whenMatchedDelete: org.apache.spark.sql.Column = lit(false),
+      whenMatchedUpdate: org.apache.spark.sql.Column = lit(true),
+      insertUnmatched: Boolean = true): Unit = {
+    compactLogs(parallelism)
+    super.mergeInto(df, parallelism, whenMatchedDelete, whenMatchedUpdate,
+      insertUnmatched)
+  }
+
   private def logAppend(df: DataFrame, parallelism: Int, op: String,
       extraMetrics: Map[String, Long] = Map.empty): Unit = {
     val m = manifest

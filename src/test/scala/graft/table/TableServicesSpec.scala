@@ -74,6 +74,46 @@ class TableServicesSpec extends SparkSpec {
     assert(t.snapshotAt(3).count() == 2, "the undone delete stays queryable")
   }
 
+  test("mergeInto: conditional update, delete, and insert in one commit") {
+    import org.apache.spark.sql.functions.col
+    val t = new CowTable(spark, tmpDir("svc-merge"), keyCols = Seq("id"))
+    t.bulkInsert(Seq(("a", 5.0, "live"), ("b", 7.0, "live"),
+      ("c", 1.0, "live")).toDF("id", "v", "status"))
+    // a: incoming v is LOWER -> update condition fails -> kept as stored;
+    // b: incoming tombstone -> deleted;
+    // c: incoming v higher -> replaced;
+    // d: unmatched -> inserted
+    val batch = Seq(("a", 3.0, "live"), ("b", 0.0, "dead"),
+      ("c", 9.0, "live"), ("d", 4.0, "live")).toDF("id", "v", "status")
+    t.mergeInto(batch,
+      whenMatchedDelete = col("i.status") === "dead",
+      whenMatchedUpdate = col("i.v") > col("c.v"))
+    val got = t.snapshot().select("id", "v")
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 5.0, "c" -> 9.0, "d" -> 4.0), s"$got")
+    assert(t.manifest.operation == "merge")
+    // insertUnmatched=false: update-only merge ignores new keys
+    t.mergeInto(Seq(("c", 10.0, "live"), ("z", 1.0, "live"))
+        .toDF("id", "v", "status"),
+      insertUnmatched = false)
+    val got2 = t.snapshot().select("id", "v")
+      .as[(String, Double)].collect().toMap
+    assert(got2 == Map("a" -> 5.0, "c" -> 10.0, "d" -> 4.0), s"$got2")
+  }
+
+  test("mergeInto on MOR compacts pending logs first") {
+    import org.apache.spark.sql.functions.col
+    val t = new MorTable(spark, tmpDir("svc-merge-mor"), keyCols = Seq("id"),
+      precombineField = "v")
+    t.bulkInsert(Seq(("a", 5.0), ("b", 7.0)).toDF("id", "v"))
+    t.upsert(Seq(("a", 6.0)).toDF("id", "v")) // pending log
+    // condition must see the LOGGED value 6.0, not the base 5.0
+    t.mergeInto(Seq(("a", 5.5), ("b", 9.0)).toDF("id", "v"),
+      whenMatchedUpdate = col("i.v") > col("c.v"))
+    assert(t.realtime().select("id", "v").as[(String, Double)]
+      .collect().toMap == Map("a" -> 6.0, "b" -> 9.0))
+  }
+
   test("restoreTo on MOR restores the delta-log listing too") {
     val t = new MorTable(spark, tmpDir("svc-mor"), keyCols = Seq("id"),
       precombineField = "v")
