@@ -67,7 +67,13 @@ final case class Manifest(
       * indistinguishable from COW on disk, and opening it as COW would
       * silently change its write path from log-append to full rewrite.
       */
-    storageType: String = "cow") {
+    storageType: String = "cow",
+    /** Key-string encoding version for fileStats ranges and bloom
+      * contents — fixed at table creation (probes must match the stored
+      * encoding forever). 1 = plain cast(string); 2 = order-preserving
+      * fixed-width for integral/timestamp/date key columns.
+      */
+    keyEncoding: Long = 1L) {
   def schema: StructType =
     org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
@@ -302,7 +308,8 @@ class CowTable(
         precombineField, files,
         operation = "bulk_insert",
         metrics = CowTable.writeStats(files) ++ extraMetrics,
-        storageType = storageTypeName),
+        storageType = storageTypeName,
+        keyEncoding = CowTable.CurrentKeyEncoding),
       files, data.schema))
   }
 
@@ -520,9 +527,43 @@ class CowTable(
 
   /** Key-string encoding shared by the writer-side index and merge-side
     * probes (composite keys joined with a non-printable separator).
+    * VERSIONED per table (`Manifest.keyEncoding`, fixed at creation — the
+    * stored ranges and bloom contents are in this encoding, so probes must
+    * match it forever):
+    *
+    *   - v1 (legacy): plain `cast(string)`. Sound, but numeric keys order
+    *     lexicographically ("999" > "10000"), so the RANGE phase passes
+    *     files a numeric range probe shouldn't touch, and multi-key
+    *     probes then amplify bloom fpp into false candidates.
+    *   - v2: integral/timestamp/date key columns are shifted to
+    *     non-negative decimal and zero-padded to fixed width — string
+    *     order == numeric order, so range pruning is as tight as the file
+    *     layout allows (measured in BASELINE.md's clustering probe).
     */
-  private def keyStringExpr: org.apache.spark.sql.Column =
-    concat_ws("\u0001", keyCols.map(c => col(c).cast("string")): _*)
+  private def keyStringExpr(enc: Long,
+      schemaOf: String => org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    def encode(c: String): org.apache.spark.sql.Column = {
+      val asLong: Option[org.apache.spark.sql.Column] = schemaOf(c) match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(col(c).cast("long"))
+        case TimestampType | TimestampNTZType => Some(unix_micros(col(c)))
+        case DateType => Some(col(c).cast("int").cast("long"))
+        case _ => None
+      }
+      asLong match {
+        case Some(l) if enc >= 2 =>
+          // order-preserving fixed width: long + 2^63 fits decimal(20,0),
+          // zero-padded to 20 digits; null keys stay null (concat_ws skips)
+          lpad((l.cast(DecimalType(21, 0)) +
+              lit(new java.math.BigDecimal("9223372036854775808")))
+            .cast(DecimalType(20, 0)).cast("string"), 20, "0")
+        case _ => col(c).cast("string")
+      }
+    }
+    concat_ws("\u0001", keyCols.map(encode): _*)
+  }
 
   /** Split the files of `parts` into (candidates, kept-by-partition):
     * a file is a candidate iff it has no index entry, or at least one
@@ -546,7 +587,9 @@ class CowTable(
     }
     if (indexed.isEmpty) return (files.map(_._2), Map.empty)
     import spark.implicits._
-    val keys = incoming.select(keyStringExpr.as("k")).distinct().as[String]
+    val keys = incoming.select(
+      keyStringExpr(m.keyEncoding, c => incoming.schema(c).dataType)
+        .as("k")).distinct().as[String]
       .persist()
     try {
       val bRanges = spark.sparkContext.broadcast(indexed.map { f =>
@@ -602,7 +645,8 @@ class CowTable(
       schema: StructType): Manifest = {
     if (fileIndexEntries <= 0) return m
     val live: Set[String] = m.partitions.valuesIterator.flatten.toSet
-    val stats = (m.fileStats ++ collectFileStats(newFiles, schema))
+    val stats = (m.fileStats ++
+        collectFileStats(newFiles, schema, m.keyEncoding))
       .filter { case (f, _) => live(f) }
     m.copy(fileStats = stats)
   }
@@ -624,7 +668,7 @@ class CowTable(
     */
   private def collectFileStats(
       newFiles: Map[String, Seq[String]],
-      schema: StructType): Map[String, FileStat] = {
+      schema: StructType, enc: Long): Map[String, FileStat] = {
     val rel = newFiles.valuesIterator.flatten.toSeq
     if (rel.isEmpty) return Map.empty
     val floor = fileIndexEntries.toLong
@@ -632,7 +676,8 @@ class CowTable(
       schema.fields.filter(f => keyCols.contains(f.name)))
     val df = spark.read.schema(keySchema)
       .parquet(rel.map(f => s"$basePath/$f"): _*)
-      .select(input_file_name().as("f"), keyStringExpr.as("k"))
+      .select(input_file_name().as("f"),
+        keyStringExpr(enc, c => keySchema(c).dataType).as("k"))
     import spark.implicits._
     val counts = df.groupBy("f").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
@@ -1064,6 +1109,8 @@ object CowTable {
     * only costs an unnecessary file read, never correctness).
     */
   val FileIndexFpp = 0.001
+  /** Key-string encoding written by NEW tables (see keyStringExpr doc). */
+  val CurrentKeyEncoding = 2L
 
   /** Read one sidecar bloom (see [[FileStat.bloomRef]]). */
   private[table] def loadBloom(
@@ -1120,7 +1167,8 @@ object CowTable {
       "metrics" -> JObject(m.metrics.toSeq.sortBy(_._1).map {
         case (k, v) => k -> (JInt(v): JValue)
       }.toList),
-      "storageType" -> JString(m.storageType)))))
+      "storageType" -> JString(m.storageType),
+      "keyEncoding" -> JInt(m.keyEncoding)))))
 
   private[table] def parseManifest(txt: String): Manifest = {
     val j = JsonMethods.parse(txt)
@@ -1170,6 +1218,7 @@ object CowTable {
         case _ => Map.empty
       },
       storageType = (j \ "storageType") match {
-        case JString(s) => s; case _ => "cow" }) // pre-round-6 manifests
+        case JString(s) => s; case _ => "cow" }, // pre-round-6 manifests
+      keyEncoding = long(j \ "keyEncoding", 1L)) // legacy = plain strings
   }
 }

@@ -55,6 +55,34 @@ class FileIndexSpec extends SparkSpec {
     assert(got.size == 100 && got("k042") == 4200.0 && got("k041") == 41.0)
   }
 
+  test("v2 key encoding keeps numeric ranges in numeric order") {
+    // contiguous numeric appends [0,100) and [100,200): legacy cast(string)
+    // ranges OVERLAP lexically ("150" < "99"); v2 fixed-width ranges are
+    // disjoint, so the range phase prunes numeric block probes correctly
+    val t = new CowTable(spark, tmpDir("fi-enc"), keyCols = Seq("id"),
+      fileIndexEntries = 1000)
+    t.bulkInsert(spark.range(0, 100).toDF("id"), parallelism = 1)
+    t.insertAppend(spark.range(100, 200).toDF("id"), parallelism = 1)
+    val m = t.manifest
+    assert(m.keyEncoding == 2L, "new tables must record the v2 encoding")
+    val ranges = m.fileStats.values.map(s => (s.keyMin, s.keyMax)).toSeq
+      .sortBy(_._1)
+    assert(ranges.size == 2)
+    assert(ranges(0)._2 < ranges(1)._1,
+      s"fixed-width encoded ranges must be disjoint: $ranges")
+    assert(ranges.forall(r => r._1.length == 20 && r._2.length == 20),
+      s"v2 integral keys are zero-padded to 20 digits: $ranges")
+    // probes still find their rows (encoding matches on both sides)
+    val hit = t.lookupByKeys(Seq(150L).toDF("id"))
+    assert(hit.inputFiles.length == 1 && hit.count() == 1)
+    // manifest round-trip preserves the encoding; legacy JSON defaults to 1
+    val back = CowTable.parseManifest(CowTable.renderManifest(m))
+    assert(back.keyEncoding == 2L)
+    val legacy = CowTable.renderManifest(m)
+      .replaceAll(",?\\s*\"keyEncoding\"\\s*:\\s*2", "")
+    assert(CowTable.parseManifest(legacy).keyEncoding == 1L)
+  }
+
   test("lookupByKeys reads only index-matching files") {
     val t = new CowTable(spark, tmpDir("fi"), keyCols = Seq("id"),
       fileIndexEntries = 1000)
