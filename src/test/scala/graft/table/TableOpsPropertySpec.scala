@@ -1,0 +1,112 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Model-based property test over the FULL table-service surface: a random
+  * sequence of upsert / delete / mergeInto / overwrite / recluster /
+  * compact / restoreTo operations must leave the table equal to a naive
+  * in-memory model replay after EVERY step — including the services that
+  * must not change observable state (recluster, compact) and restore,
+  * whose model is a snapshot of the model history. Identity is the
+  * non-global (id, part) pair; `part` is independent of `id`, so the same
+  * record key legitimately lives in several partitions.
+  */
+class TableOpsPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private type K = (String, String) // (id, part)
+  private type Model = Map[K, Double]
+
+  private def df(rows: Seq[(String, String, Double)]) =
+    rows.toDF("id", "part", "v")
+
+  // batch dedup mirror of mergeCommit's precombine (greatest v wins)
+  private def dedup(rows: Seq[(String, String, Double)]): Model =
+    rows.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      k -> rs.map(_._3).max
+    }
+
+  private def drive(t: CowTable, seed: Int, nOps: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    def randRows(n: Int, vMin: Int = 0): Seq[(String, String, Double)] =
+      Seq.fill(n)((s"k${rnd.nextInt(15)}", s"p${rnd.nextInt(3)}",
+        (rnd.nextInt(1000) + vMin).toDouble))
+
+    var model: Model = Map.empty
+    var history = Map.empty[Long, Model]
+    def record(): Unit = { history += t.manifest.version -> model }
+
+    t.bulkInsert(df(dedup(randRows(20)).toSeq.map {
+      case ((i, p), v) => (i, p, v) }))
+    model = dedup(randRows(0)) // rebuilt below from the actual insert
+    model = t.snapshot().select("id", "part", "v")
+      .as[(String, String, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    record()
+
+    (0 until nOps).foreach { step =>
+      val op = rnd.nextInt(100)
+      if (op < 40) { // keyed upsert
+        val rows = randRows(1 + rnd.nextInt(8))
+        t.upsert(df(rows))
+        model = model ++ dedup(rows)
+      } else if (op < 55) { // keyed delete (some keys absent — no-ops)
+        val rows = randRows(1 + rnd.nextInt(5))
+        t.delete(df(rows))
+        model = model -- rows.map(r => (r._1, r._2))
+      } else if (op < 70) { // conditional merge: delete if v<0, update if
+        // greater, insert unmatched — batch precombines by max v first
+        val rows = randRows(1 + rnd.nextInt(6), vMin = -200)
+        t.mergeInto(df(rows),
+          whenMatchedDelete = col("i.v") < 0,
+          whenMatchedUpdate = col("i.v") > col("c.v"))
+        dedup(rows).foreach { case (k, v) =>
+          model.get(k) match {
+            case Some(_) if v < 0 => model -= k
+            case Some(cv) if v > cv => model += k -> v
+            case Some(_) => ()
+            case None => model += k -> v // unconditional unmatched insert
+          }
+        }
+      } else if (op < 75) { // full replace
+        val rows = dedup(randRows(5 + rnd.nextInt(10))).toSeq
+          .map { case ((i, p), v) => (i, p, v) }
+        t.overwrite(df(rows))
+        model = dedup(rows)
+      } else if (op < 85) { // layout services: state must NOT change
+        if (rnd.nextBoolean()) t.recluster(Seq("id"))
+        else t.compact(maxFilesPerUnit = 2)
+      } else { // restore to a recent version still inside retention
+        // (MOR ops can advance several commits per step — inline compaction
+        // — so filter to versions provably within keepCommits)
+        val recent = history.keys.toSeq.sorted
+          .filter(_ >= t.manifest.version - 6).takeRight(4)
+        if (recent.nonEmpty) {
+          val target = recent(rnd.nextInt(recent.size))
+          t.restoreTo(target)
+          model = history(target)
+        }
+      }
+      record()
+      val got = t.snapshot().select("id", "part", "v")
+        .as[(String, String, Double)].collect()
+        .map(r => ((r._1, r._2), r._3)).toMap
+      assert(got == model,
+        s"seed=$seed step=$step op=$op diverged:\n got  ${got.toSeq.sorted}" +
+          s"\n want ${model.toSeq.sorted}")
+    }
+  }
+
+  test("COW: random op sequences equal the model replay at every step") {
+    drive(new CowTable(spark, tmpDir("props-cow"), keyCols = Seq("id"),
+      partitionCols = Seq("part"), precombineField = "v",
+      fileIndexEntries = 1000), seed = 11, nOps = 22)
+  }
+
+  test("MOR: random op sequences equal the model replay at every step") {
+    drive(new MorTable(spark, tmpDir("props-mor"), keyCols = Seq("id"),
+      partitionCols = Seq("part"), precombineField = "v",
+      compactEvery = 5), seed = 12, nOps = 18)
+  }
+}
