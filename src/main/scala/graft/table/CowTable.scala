@@ -98,7 +98,13 @@ final case class Manifest(
   * sound in ANY total order as long as probe keys use the SAME key-string
   * encoding; blooms have no false negatives, so pruning never loses rows.
   */
-final case class FileStat(keyMin: String, keyMax: String, bloomRef: String)
+final case class FileStat(keyMin: String, keyMax: String, bloomRef: String,
+    /** Optional per-column [min, max] (encoded order-preserving strings)
+      * for the table's `statsCols` — file-level data skipping for range
+      * scans on non-key columns (the Delta data-skipping analog;
+      * `recluster` on a column is what makes its ranges tight).
+      */
+    colStats: Map[String, Seq[String]] = Map.empty)
 
 /** A keyed, partitioned, mutable table over plain Parquet — the native
   * re-implementation of the subset of Hudi copy-on-write semantics the
@@ -159,7 +165,13 @@ class CowTable(
       * the batch's actual file fan-out (Hudi's default BLOOM index
       * semantics, which the reference's upserts implicitly use).
       */
-    val fileIndexEntries: Int = 0) {
+    val fileIndexEntries: Int = 0,
+    /** Columns to record per-file [min, max] ranges for (encoded
+      * order-preserving, alongside the record-key index) — enables
+      * [[snapshotForRange]] file-level data skipping. Only effective with
+      * `fileIndexEntries > 0` (the stats ride the same index pass).
+      */
+    val statsCols: Seq[String] = Nil) {
 
   import CowTable._
 
@@ -542,27 +554,31 @@ class CowTable(
     */
   private def keyStringExpr(enc: Long,
       schemaOf: String => org.apache.spark.sql.types.DataType)
-      : org.apache.spark.sql.Column = {
+      : org.apache.spark.sql.Column =
+    concat_ws("\u0001",
+      keyCols.map(c => encodeCol(c, schemaOf(c), enc)): _*)
+
+  /** One column's order-preserving string encoding (see keyStringExpr). */
+  private def encodeCol(c: String,
+      dt: org.apache.spark.sql.types.DataType,
+      enc: Long): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types._
-    def encode(c: String): org.apache.spark.sql.Column = {
-      val asLong: Option[org.apache.spark.sql.Column] = schemaOf(c) match {
-        case ByteType | ShortType | IntegerType | LongType =>
-          Some(col(c).cast("long"))
-        case TimestampType | TimestampNTZType => Some(unix_micros(col(c)))
-        case DateType => Some(col(c).cast("int").cast("long"))
-        case _ => None
-      }
-      asLong match {
-        case Some(l) if enc >= 2 =>
-          // order-preserving fixed width: long + 2^63 fits decimal(20,0),
-          // zero-padded to 20 digits; null keys stay null (concat_ws skips)
-          lpad((l.cast(DecimalType(21, 0)) +
-              lit(new java.math.BigDecimal("9223372036854775808")))
-            .cast(DecimalType(20, 0)).cast("string"), 20, "0")
-        case _ => col(c).cast("string")
-      }
+    val asLong: Option[org.apache.spark.sql.Column] = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(col(c).cast("long"))
+      case TimestampType | TimestampNTZType => Some(unix_micros(col(c)))
+      case DateType => Some(col(c).cast("int").cast("long"))
+      case _ => None
     }
-    concat_ws("\u0001", keyCols.map(encode): _*)
+    asLong match {
+      case Some(l) if enc >= 2 =>
+        // order-preserving fixed width: long + 2^63 fits decimal(20,0),
+        // zero-padded to 20 digits; null keys stay null (concat_ws skips)
+        lpad((l.cast(DecimalType(21, 0)) +
+            lit(new java.math.BigDecimal("9223372036854775808")))
+          .cast(DecimalType(20, 0)).cast("string"), 20, "0")
+      case _ => col(c).cast("string")
+    }
   }
 
   /** Split the files of `parts` into (candidates, kept-by-partition):
@@ -672,46 +688,94 @@ class CowTable(
     val rel = newFiles.valuesIterator.flatten.toSeq
     if (rel.isEmpty) return Map.empty
     val floor = fileIndexEntries.toLong
-    val keySchema = StructType(
-      schema.fields.filter(f => keyCols.contains(f.name)))
-    val df = spark.read.schema(keySchema)
+    // stat columns present in this commit's schema ride the same pass
+    val liveStats = statsCols.filter(c => schema.fieldNames.contains(c))
+    val readSchema = StructType(
+      schema.fields.filter(f =>
+        keyCols.contains(f.name) || liveStats.contains(f.name)))
+    val df = spark.read.schema(readSchema)
       .parquet(rel.map(f => s"$basePath/$f"): _*)
-      .select(input_file_name().as("f"),
-        keyStringExpr(enc, c => keySchema(c).dataType).as("k"))
+      .select(input_file_name().as("f") +:
+        keyStringExpr(enc, c => readSchema(c).dataType).as("k") +:
+        liveStats.map(c =>
+          encodeCol(c, readSchema(c).dataType, enc).as(s"__st_$c")): _*)
     import spark.implicits._
     val counts = df.groupBy("f").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
     val bCounts = spark.sparkContext.broadcast(counts)
-    val collected = df.as[(String, String)].groupByKey(_._1)
+    val nStats = liveStats.size
+    val collected = df
+      .select(col("f"), col("k"),
+        array(liveStats.map(c => col(s"__st_$c")): _*).as("st"))
+      .as[(String, String, Seq[String])].groupByKey(_._1)
       .mapGroups { (f, it) =>
         val expected = math.max(bCounts.value.getOrElse(f, floor), floor)
         val bloom = org.apache.spark.util.sketch.BloomFilter
           .create(expected, CowTable.FileIndexFpp)
         var mn: String = null
         var mx: String = null
-        it.foreach { case (_, k) =>
+        val smn = Array.fill[String](nStats)(null)
+        val smx = Array.fill[String](nStats)(null)
+        it.foreach { case (_, k, st) =>
           bloom.putString(k)
           if (mn == null || k < mn) mn = k
           if (mx == null || k > mx) mx = k
+          var i = 0
+          while (i < nStats) {
+            val v = st(i) // null column values stay out of the range
+            if (v != null) {
+              if (smn(i) == null || v < smn(i)) smn(i) = v
+              if (smx(i) == null || v > smx(i)) smx(i) = v
+            }
+            i += 1
+          }
         }
         val bos = new java.io.ByteArrayOutputStream()
         bloom.writeTo(bos)
-        (f, mn, mx, bos.toByteArray)
+        (f, mn, mx, bos.toByteArray, smn.toSeq, smx.toSeq)
       }.collect()
     // Sidecars live INSIDE the commit's data dir (`<file>.bloom` next to
     // its parquet), so cleaner/vacuum lifecycle covers them for free and
     // data reads (explicit .parquet lists) never see them. Bytes through
     // the driver are bounded by the files THIS COMMIT wrote.
     val base = new Path(basePath).toUri.getPath.stripSuffix("/")
-    collected.iterator.map { case (f, mn, mx, bytes) =>
+    collected.iterator.map { case (f, mn, mx, bytes, smn, smx) =>
       val p = new Path(f).toUri.getPath
       val relPath =
         if (p.startsWith(base + "/")) p.substring(base.length + 1) else p
       val ref = relPath + ".bloom"
       val out = fs.create(new Path(basePath, ref), true)
       try out.write(bytes) finally out.close()
-      relPath -> FileStat(mn, mx, ref)
+      val cs = liveStats.zipWithIndex.collect {
+        case (c, i) if smn(i) != null => c -> Seq(smn(i), smx(i))
+      }.toMap
+      relPath -> FileStat(mn, mx, ref, cs)
     }.toMap
+  }
+
+  /** Data-skipping scan: the snapshot restricted to files whose recorded
+    * [min, max] range for `column` (a `statsCols` member) intersects
+    * [lo, hi] — files without a recorded range are always read, so the
+    * result ALWAYS contains every row matching the range (apply the row
+    * filter on top; this prunes whole files without opening footers).
+    * At 100 TB this is what makes "last 3 days over a time-clustered
+    * table" read 3 days of files, not the table.
+    */
+  def snapshotForRange(column: String, lo: Any, hi: Any): DataFrame = {
+    val m = manifest
+    val dt = m.schema(column).dataType
+    // encode the probe bounds exactly as the stored ranges were written
+    def enc(v: Any): String = spark.range(1)
+      .select(lit(v).cast(dt).as(column))
+      .select(encodeCol(column, dt, m.keyEncoding)).head().getString(0)
+    val (eLo, eHi) = (enc(lo), enc(hi))
+    val keep = m.baseFiles.filter { f =>
+      m.fileStats.get(f).flatMap(_.colStats.get(column)) match {
+        case Some(Seq(mn, mx)) => mn <= eHi && eLo <= mx
+        case _ => true // no stats -> cannot prune
+      }
+    }
+    readFiles(m, keep)
   }
 
   /** Additive schema evolution (Hudi-style): columns new in the batch are
@@ -1161,7 +1225,11 @@ object CowTable {
         case (f, st) => f -> (JObject(List(
           "keyMin" -> JString(st.keyMin),
           "keyMax" -> JString(st.keyMax),
-          "bloomRef" -> JString(st.bloomRef))): JValue)
+          "bloomRef" -> JString(st.bloomRef),
+          "colStats" -> JObject(st.colStats.toSeq.sortBy(_._1).map {
+            case (c, mm) =>
+              c -> (JArray(mm.toList.map(JString(_))): JValue)
+          }.toList))): JValue)
       }.toList),
       "operation" -> JString(m.operation),
       "metrics" -> JObject(m.metrics.toSeq.sortBy(_._1).map {
@@ -1204,7 +1272,14 @@ object CowTable {
               case _ => throw new IllegalArgumentException(
                 s"fileStats[$f] missing $n")
             }
-            f -> FileStat(str("keyMin"), str("keyMax"), str("bloomRef"))
+            val cs = (o \ "colStats") match {
+              case JObject(cols) => cols.collect {
+                case (c, JArray(mm)) =>
+                  c -> mm.collect { case JString(v) => v }
+              }.toMap
+              case _ => Map.empty[String, Seq[String]]
+            }
+            f -> FileStat(str("keyMin"), str("keyMax"), str("bloomRef"), cs)
         }.toMap
         case _ => Map.empty
       },

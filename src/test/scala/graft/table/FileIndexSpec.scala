@@ -83,6 +83,43 @@ class FileIndexSpec extends SparkSpec {
     assert(CowTable.parseManifest(legacy).keyEncoding == 1L)
   }
 
+  test("snapshotForRange skips files outside a stat column's range") {
+    val t = new CowTable(spark, tmpDir("fi-skip"), keyCols = Seq("id"),
+      fileIndexEntries = 1000, statsCols = Seq("ts"))
+    def batch(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-${i / 100 + 1}%02d 00:00:00"), i.toDouble))
+      .toDF("id", "ts", "v")
+    // four append commits, each a distinct day -> disjoint ts ranges
+    t.bulkInsert(batch(0, 100), parallelism = 1)
+    t.insertAppend(batch(100, 200), parallelism = 1)
+    t.insertAppend(batch(200, 300), parallelism = 1)
+    t.insertAppend(batch(300, 400), parallelism = 1)
+    assert(t.manifest.fileStats.values.forall(_.colStats.contains("ts")))
+    // manifest round-trips the column ranges
+    val back = CowTable.parseManifest(CowTable.renderManifest(t.manifest))
+    assert(back == t.manifest)
+
+    val day2 = t.snapshotForRange("ts",
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-02 23:59:59"))
+    assert(day2.inputFiles.length == 1,
+      s"one day must read one file: ${day2.inputFiles.toSeq}")
+    assert(day2.count() == 100)
+    // superset contract: pruned scan + row filter == full filter
+    val full = t.snapshot().filter(
+      col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+    val pruned = day2.filter(
+      col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+    assert(pruned.count() == full.count())
+    // an upsert rewrite keeps stats fresh on the rewritten file
+    t.upsert(Seq((150L, java.sql.Timestamp.valueOf("2024-01-02 12:00:00"),
+      -1.0)).toDF("id", "ts", "v"))
+    assert(t.manifest.fileStats.values.forall(_.colStats.contains("ts")))
+  }
+
   test("lookupByKeys reads only index-matching files") {
     val t = new CowTable(spark, tmpDir("fi"), keyCols = Seq("id"),
       fileIndexEntries = 1000)
