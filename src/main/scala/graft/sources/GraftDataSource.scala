@@ -92,7 +92,20 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     if (!tableExists(options))
       return new GraftWritableTable(base, options, None)
     val m = manifest(options)
-    val files = m.baseFiles.map(f => s"$base/$f")
+    // file-level data skipping through the source API: rangeColumn (+
+    // optional rangeLo / rangeHi) prunes to files whose recorded column
+    // range intersects the bounds BEFORE any footer is opened —
+    //   spark.read.format("graft").option("rangeColumn", "ts")
+    //     .option("rangeLo", "2024-01-02").option("rangeHi", "2024-01-03")
+    //     .load(path)
+    // (superset contract: stat-less files are kept; apply the row filter
+    // on top, which the parquet scan then also pushes down.)
+    val ranged = Option(options.get("rangeColumn")) match {
+      case Some(c) => CowTable.filesForRange(SparkSession.active, m, c,
+        Option(options.get("rangeLo")), Option(options.get("rangeHi")))
+      case None => m.baseFiles
+    }
+    val files = ranged.map(f => s"$base/$f")
     val delegate = ParquetTable(
       s"graft:$base@v${m.version}",
       SparkSession.active,

@@ -561,25 +561,8 @@ class CowTable(
   /** One column's order-preserving string encoding (see keyStringExpr). */
   private def encodeCol(c: String,
       dt: org.apache.spark.sql.types.DataType,
-      enc: Long): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.types._
-    val asLong: Option[org.apache.spark.sql.Column] = dt match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        Some(col(c).cast("long"))
-      case TimestampType | TimestampNTZType => Some(unix_micros(col(c)))
-      case DateType => Some(col(c).cast("int").cast("long"))
-      case _ => None
-    }
-    asLong match {
-      case Some(l) if enc >= 2 =>
-        // order-preserving fixed width: long + 2^63 fits decimal(20,0),
-        // zero-padded to 20 digits; null keys stay null (concat_ws skips)
-        lpad((l.cast(DecimalType(21, 0)) +
-            lit(new java.math.BigDecimal("9223372036854775808")))
-          .cast(DecimalType(20, 0)).cast("string"), 20, "0")
-      case _ => col(c).cast("string")
-    }
-  }
+      enc: Long): org.apache.spark.sql.Column =
+    CowTable.encodeColExpr(c, dt, enc)
 
   /** Split the files of `parts` into (candidates, kept-by-partition):
     * a file is a candidate iff it has no index entry, or at least one
@@ -763,19 +746,8 @@ class CowTable(
     */
   def snapshotForRange(column: String, lo: Any, hi: Any): DataFrame = {
     val m = manifest
-    val dt = m.schema(column).dataType
-    // encode the probe bounds exactly as the stored ranges were written
-    def enc(v: Any): String = spark.range(1)
-      .select(lit(v).cast(dt).as(column))
-      .select(encodeCol(column, dt, m.keyEncoding)).head().getString(0)
-    val (eLo, eHi) = (enc(lo), enc(hi))
-    val keep = m.baseFiles.filter { f =>
-      m.fileStats.get(f).flatMap(_.colStats.get(column)) match {
-        case Some(Seq(mn, mx)) => mn <= eHi && eLo <= mx
-        case _ => true // no stats -> cannot prune
-      }
-    }
-    readFiles(m, keep)
+    readFiles(m,
+      CowTable.filesForRange(spark, m, column, Some(lo), Some(hi)))
   }
 
   /** Additive schema evolution (Hudi-style): columns new in the batch are
@@ -1175,6 +1147,59 @@ object CowTable {
   val FileIndexFpp = 0.001
   /** Key-string encoding written by NEW tables (see keyStringExpr doc). */
   val CurrentKeyEncoding = 2L
+
+  /** Column-expression form of the versioned order-preserving encoding
+    * (shared by the instance index pass and path-level consumers).
+    */
+  private[table] def encodeColExpr(c: String,
+      dt: org.apache.spark.sql.types.DataType,
+      enc: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val asLong: Option[org.apache.spark.sql.Column] = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(col(c).cast("long"))
+      case TimestampType | TimestampNTZType => Some(unix_micros(col(c)))
+      case DateType => Some(col(c).cast("int").cast("long"))
+      case _ => None
+    }
+    asLong match {
+      case Some(l) if enc >= 2 =>
+        // order-preserving fixed width: long + 2^63 fits decimal(20,0),
+        // zero-padded to 20 digits; null keys stay null (concat_ws skips)
+        lpad((l.cast(DecimalType(21, 0)) +
+            lit(new java.math.BigDecimal("9223372036854775808")))
+          .cast(DecimalType(20, 0)).cast("string"), 20, "0")
+      case _ => col(c).cast("string")
+    }
+  }
+
+  /** Data-skipping core: the subset of `m.baseFiles` whose recorded
+    * [min, max] for `column` intersects [lo, hi] (either bound optional =
+    * unbounded). Bounds are cast to the column's type, so string-typed
+    * option values ("2024-01-02", "42") encode exactly like stored stats.
+    * Files without a recorded range are always kept — the result is a
+    * superset of every row matching the range.
+    */
+  def filesForRange(spark: SparkSession, m: Manifest, column: String,
+      lo: Option[Any], hi: Option[Any]): Seq[String] = {
+    val dt = m.schema(column).dataType
+    def enc(v: Any): String = {
+      import spark.implicits._
+      val r = spark.range(1)
+        .select(lit(v).cast(dt).as(column))
+        .select(encodeColExpr(column, dt, m.keyEncoding)).head()
+      require(!r.isNullAt(0), s"range bound $v does not cast to $dt")
+      r.getString(0)
+    }
+    val eLo = lo.map(enc); val eHi = hi.map(enc)
+    m.baseFiles.filter { f =>
+      m.fileStats.get(f).flatMap(_.colStats.get(column)) match {
+        case Some(Seq(mn, mx)) =>
+          eHi.forall(mn <= _) && eLo.forall(_ <= mx)
+        case _ => true // no stats -> cannot prune
+      }
+    }
+  }
 
   /** Read one sidecar bloom (see [[FileStat.bloomRef]]). */
   private[table] def loadBloom(

@@ -152,6 +152,42 @@ class GraftDataSourceSpec extends SparkSpec {
       s"INSERT INTO must upsert by key: $got")
   }
 
+  test("rangeColumn options skip files at the source level") {
+    val path = tmpDir("dsv2-range")
+    val t = new CowTable(spark, path, keyCols = Seq("id"),
+      fileIndexEntries = 1000, statsCols = Seq("ts"))
+    def batch(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-${i / 100 + 1}%02d 00:00:00"), i.toDouble))
+      .toDF("id", "ts", "v")
+    t.bulkInsert(batch(0, 100), parallelism = 1)
+    t.insertAppend(batch(100, 200), parallelism = 1)
+    t.insertAppend(batch(200, 300), parallelism = 1)
+    // Dataset.inputFiles only recognizes FileTable relations, and the
+    // writable wrapper isn't one — read the scan's file index instead
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.toSeq
+      }.flatten
+    val day2 = spark.read.format("graft")
+      .option("rangeColumn", "ts")
+      .option("rangeLo", "2024-01-02 00:00:00")
+      .option("rangeHi", "2024-01-02 23:59:59")
+      .load(path)
+    assert(scannedFiles(day2).length == 1,
+      s"one day must read one file: ${scannedFiles(day2)}")
+    assert(day2.count() == 100)
+    // open-ended bound: everything from day 2 onward
+    val tail = spark.read.format("graft")
+      .option("rangeColumn", "ts")
+      .option("rangeLo", "2024-01-02 00:00:00")
+      .load(path)
+    assert(scannedFiles(tail).length == 2 && tail.count() == 200)
+  }
+
   test("creating a table without keyCols fails with a clear message") {
     val e = intercept[Exception] {
       Seq((1, "a")).toDF("id", "v").write.format("graft")
