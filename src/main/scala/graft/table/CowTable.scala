@@ -73,7 +73,17 @@ final case class Manifest(
       * encoding forever). 1 = plain cast(string); 2 = order-preserving
       * fixed-width for integral/timestamp/date key columns.
       */
-    keyEncoding: Long = 1L) {
+    keyEncoding: Long = 1L,
+    /** Creation-time physical configuration (buckets, clustering, commit
+      * stamping, index sizing). Persisted so [[CowTable.open]] reconstructs
+      * the table EXACTLY as created: without it, a table opened by path
+      * silently stopped stamping commit versions and maintaining its file
+      * index (incremental readers then lose rows written through the
+      * source API). `None` only on pre-round-7 manifests — open() falls
+      * back to inferring from the manifest's schema/stats, and the next
+      * write through a properly-constructed table re-stamps the record.
+      */
+    props: Option[TableProps] = None) {
   def schema: StructType =
     org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
@@ -98,6 +108,20 @@ final case class Manifest(
   * sound in ANY total order as long as probe keys use the SAME key-string
   * encoding; blooms have no false negatives, so pruning never loses rows.
   */
+/** Creation-time table configuration recorded in every manifest (round 7+).
+  * Mirrors the [[CowTable]] constructor knobs that change WRITE behavior —
+  * the ones a path-only `open()` cannot see and must not lose.
+  * `compactEvery` is MOR-only (ignored on COW).
+  */
+final case class TableProps(
+    keepCommits: Int = 10,
+    numBuckets: Int = 0,
+    clusterCols: Seq[String] = Nil,
+    trackCommitVersions: Boolean = false,
+    fileIndexEntries: Int = 0,
+    statsCols: Seq[String] = Nil,
+    compactEvery: Int = 20)
+
 final case class FileStat(keyMin: String, keyMax: String, bloomRef: String,
     /** Optional per-column [min, max] (encoded order-preserving strings)
       * for the table's `statsCols` — file-level data skipping for range
@@ -327,6 +351,23 @@ class CowTable(
 
   /** The storage type recorded in every manifest this table writes. */
   protected def storageTypeName: String = "cow"
+
+  /** MOR inline-compaction cadence for the props record (COW: unused). */
+  protected def inlineCompactEvery: Int = 0
+
+  /** The live object's creation-time config, re-stamped into every commit
+    * (see [[Manifest.props]]) — the record always reflects how the LAST
+    * writer actually behaved, which also heals pre-round-7 manifests on
+    * their first write through a properly-constructed table.
+    */
+  protected def currentProps: TableProps = TableProps(
+    keepCommits = keepCommits,
+    numBuckets = numBuckets,
+    clusterCols = clusterCols,
+    trackCommitVersions = trackCommitVersions,
+    fileIndexEntries = fileIndexEntries,
+    statsCols = statsCols,
+    compactEvery = inlineCompactEvery)
 
   /** Full-replace commit (`SaveMode.Overwrite` through the source API):
     * the new data's files become the ENTIRE base listing; on MOR any
@@ -887,11 +928,12 @@ class CowTable(
     * (`maxConcurrentRuns: 1`), matching its single-writer model.
     */
   protected def writeManifest(m0: Manifest): Unit = {
-    // every commit re-stamps the storage type of the class that wrote it:
-    // pre-round-6 manifests parse with the "cow" default, and m.copy in
-    // the write paths would otherwise carry that default forever — the
-    // first write through the correct class heals the record
-    val m = m0.copy(storageType = storageTypeName)
+    // every commit re-stamps the storage type and creation-time props of
+    // the class that wrote it: pre-round-6/7 manifests parse with defaults,
+    // and m.copy in the write paths would otherwise carry those defaults
+    // forever — the first write through the correct class heals the record
+    val m = m0.copy(storageType = storageTypeName,
+      props = Some(currentProps))
     fs.mkdirs(commitsDir)
     val tmp = new Path(commitsDir, s".v${m.version}.json.tmp")
     val dst = new Path(commitsDir, s"v${m.version}.json")
@@ -1111,12 +1153,41 @@ object CowTable {
     */
   def open(spark: SparkSession, basePath: String): CowTable = {
     val m = openManifest(spark, basePath)
+    val p = m.props.getOrElse(inferProps(m))
     if (m.storageType == "mor")
       new MorTable(spark, basePath, m.keyCols, m.partitionCols,
-        m.precombineField)
+        m.precombineField, keepCommits = p.keepCommits,
+        numBuckets = p.numBuckets, clusterCols = p.clusterCols,
+        compactEvery = p.compactEvery,
+        fileIndexEntries = p.fileIndexEntries, statsCols = p.statsCols)
     else
       new CowTable(spark, basePath, m.keyCols, m.partitionCols,
-        m.precombineField)
+        m.precombineField, keepCommits = p.keepCommits,
+        numBuckets = p.numBuckets, clusterCols = p.clusterCols,
+        trackCommitVersions = p.trackCommitVersions,
+        fileIndexEntries = p.fileIndexEntries, statsCols = p.statsCols)
+  }
+
+  /** Best-effort config reconstruction for PRE-round-7 manifests (no
+    * recorded props): commit-version stamping shows in the recorded schema
+    * (stamped tables always carry [[CommitVerCol]]); a maintained file
+    * index shows as non-empty fileStats (sizing floor falls back to Hudi's
+    * `hoodie.index.bloom.num_entries` default); statsCols are whatever
+    * columns the stats actually cover; bucket routing shows in the
+    * partition-key strings (`__bucket=N` path segments — observed max + 1,
+    * exact for any table whose bucket space is populated). clusterCols are
+    * unrecoverable (sort locality degrades gracefully; recluster restores).
+    */
+  private[table] def inferProps(m: Manifest): TableProps = {
+    val bucketVals = m.partitions.keysIterator
+      .flatMap(_.split('/').find(_.startsWith(BucketCol + "=")))
+      .map(_.substring(BucketCol.length + 1).toInt).toSeq
+    TableProps(
+      numBuckets = if (bucketVals.isEmpty) 0 else bucketVals.max + 1,
+      trackCommitVersions = m.schema.fieldNames.contains(CommitVerCol),
+      fileIndexEntries = if (m.fileStats.nonEmpty) 60000 else 0,
+      statsCols = m.fileStats.valuesIterator
+        .flatMap(_.colStats.keysIterator).toSeq.distinct.sorted)
   }
 
   def openManifest(
@@ -1173,16 +1244,45 @@ object CowTable {
     }
   }
 
+  /** Whether the stored stat strings for a column of type `dt` sort in the
+    * column's NUMERIC/temporal order under plain lexicographic comparison.
+    * Stats are lex min/max of [[encodeColExpr]] output, so range pruning is
+    * only sound when that encoding is order-preserving: integral/timestamp/
+    * date under encoding v2+ (fixed-width offset-binary), and strings (the
+    * encoding is the identity, so lex order IS the column's order).
+    * Floating point and decimal fall back to plain `cast(string)` where lex
+    * order diverges from numeric order ("9.5" > "10.2") — pruning on those
+    * could wrongly skip files, so they are never pruned. Booleans are safe
+    * ("false" < "true") but pruning them is pointless. Key-BLOOM range
+    * checks are unaffected: they only need a consistent total order, not
+    * the column's order (see [[FileStat]] doc).
+    */
+  private[table] def orderPreservingStats(
+      dt: org.apache.spark.sql.types.DataType, enc: Long): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           TimestampType | TimestampNTZType | DateType => enc >= 2
+      case StringType | BooleanType => true
+      case _ => false
+    }
+  }
+
   /** Data-skipping core: the subset of `m.baseFiles` whose recorded
     * [min, max] for `column` intersects [lo, hi] (either bound optional =
     * unbounded). Bounds are cast to the column's type, so string-typed
     * option values ("2024-01-02", "42") encode exactly like stored stats.
-    * Files without a recorded range are always kept — the result is a
-    * superset of every row matching the range.
+    * Files without a recorded range are always kept, and columns whose
+    * stored encoding is not order-preserving (float/double/decimal, or any
+    * numeric on legacy keyEncoding=1 tables) prune nothing — the result is
+    * ALWAYS a superset of every row matching the range.
     */
   def filesForRange(spark: SparkSession, m: Manifest, column: String,
       lo: Option[Any], hi: Option[Any]): Seq[String] = {
     val dt = m.schema(column).dataType
+    // Lex comparison of stats is meaningless for this type under the
+    // table's encoding: keep every file (superset contract over speed).
+    if (!orderPreservingStats(dt, m.keyEncoding)) return m.baseFiles
     def enc(v: Any): String = {
       import spark.implicits._
       val r = spark.range(1)
@@ -1261,7 +1361,19 @@ object CowTable {
         case (k, v) => k -> (JInt(v): JValue)
       }.toList),
       "storageType" -> JString(m.storageType),
-      "keyEncoding" -> JInt(m.keyEncoding)))))
+      "keyEncoding" -> JInt(m.keyEncoding),
+      // json4s drops JNothing pairs at render: pre-props copies stay as-is
+      "props" -> (m.props match {
+        case Some(p) => JObject(List(
+          "keepCommits" -> JInt(p.keepCommits),
+          "numBuckets" -> JInt(p.numBuckets),
+          "clusterCols" -> JArray(p.clusterCols.toList.map(JString(_))),
+          "trackCommitVersions" -> JBool(p.trackCommitVersions),
+          "fileIndexEntries" -> JInt(p.fileIndexEntries),
+          "statsCols" -> JArray(p.statsCols.toList.map(JString(_))),
+          "compactEvery" -> JInt(p.compactEvery))): JValue
+        case None => JNothing
+      })))))
 
   private[table] def parseManifest(txt: String): Manifest = {
     val j = JsonMethods.parse(txt)
@@ -1319,6 +1431,18 @@ object CowTable {
       },
       storageType = (j \ "storageType") match {
         case JString(s) => s; case _ => "cow" }, // pre-round-6 manifests
-      keyEncoding = long(j \ "keyEncoding", 1L)) // legacy = plain strings
+      keyEncoding = long(j \ "keyEncoding", 1L), // legacy = plain strings
+      props = (j \ "props") match {
+        case o: JObject => Some(TableProps(
+          keepCommits = long(o \ "keepCommits", 10L).toInt,
+          numBuckets = long(o \ "numBuckets", 0L).toInt,
+          clusterCols = strs(o \ "clusterCols"),
+          trackCommitVersions = (o \ "trackCommitVersions") match {
+            case JBool(b) => b; case _ => false },
+          fileIndexEntries = long(o \ "fileIndexEntries", 0L).toInt,
+          statsCols = strs(o \ "statsCols"),
+          compactEvery = long(o \ "compactEvery", 20L).toInt))
+        case _ => None // pre-round-7 manifests: open() infers
+      })
   }
 }

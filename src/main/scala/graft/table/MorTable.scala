@@ -53,14 +53,19 @@ class MorTable(
     /** Inline-compact after this many delta commits; 0 disables (the
       * reference's `hoodie.compact.inline=false` mode, :152).
       */
-    val compactEvery: Int = 20)
+    val compactEvery: Int = 20,
+    fileIndexEntries: Int = 0,
+    statsCols: Seq[String] = Nil)
   extends CowTable(spark, basePath, keyCols, partitionCols, precombineField,
-    keepCommits, numBuckets, clusterCols, trackCommitVersions = true) {
+    keepCommits, numBuckets, clusterCols, trackCommitVersions = true,
+    fileIndexEntries = fileIndexEntries, statsCols = statsCols) {
 
   import CowTable._
   import MorTable._
 
   override protected def storageTypeName: String = "mor"
+
+  override protected def inlineCompactEvery: Int = compactEvery
 
   // ------------------------------------------------------------- write path
 

@@ -298,6 +298,52 @@ class CowTableSpec extends SparkSpec {
     assert(t.snapshot().select("id").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("open() restores creation-time config from the manifest props") {
+    val dir = tmpDir("cow-open")
+    val t = new CowTable(spark, dir, keyCols = Seq("id"),
+      partitionCols = Seq("p"), precombineField = "v",
+      keepCommits = 7, numBuckets = 4, trackCommitVersions = true,
+      fileIndexEntries = 500, statsCols = Seq("v2"))
+    t.bulkInsert((0 until 40)
+      .map(i => (s"k$i", s"p${i % 2}", i.toDouble, i.toLong))
+      .toDF("id", "p", "v", "v2"))
+    val m1 = t.manifest
+    assert(m1.props.contains(TableProps(keepCommits = 7, numBuckets = 4,
+      trackCommitVersions = true, fileIndexEntries = 500,
+      statsCols = Seq("v2"), compactEvery = 0)))
+    assert(CowTable.parseManifest(CowTable.renderManifest(m1)) == m1)
+
+    // a path-only open must keep stamping commit versions and maintaining
+    // the index — the round-6 regression was open() silently losing both
+    val o = CowTable.open(spark, dir)
+    o.upsert(Seq(("k1", "p1", 100.0, 999L)).toDF("id", "p", "v", "v2"))
+    val changed = o.changesSince(1L)
+      .select("id", "v").as[(String, Double)].collect().toSeq
+    assert(changed == Seq(("k1", 100.0)),
+      s"opened table must stamp commit versions: $changed")
+    val m2 = o.manifest
+    assert(m2.fileStats.keySet == m2.baseFiles.toSet,
+      "opened table must keep maintaining the file index")
+    assert(m2.fileStats.values.forall(_.colStats.contains("v2")),
+      "opened table must keep recording statsCols ranges")
+    assert(m2.partitions.keySet.forall(_.contains("__bucket=")),
+      "opened table must keep bucket routing")
+  }
+
+  test("inferProps reconstructs legacy manifests without a props record") {
+    val dir = tmpDir("cow-legacy")
+    val t = new CowTable(spark, dir, keyCols = Seq("id"),
+      numBuckets = 3, trackCommitVersions = true, fileIndexEntries = 500,
+      statsCols = Seq("v"))
+    t.bulkInsert((0 until 30).map(i => (s"k$i", i.toDouble)).toDF("id", "v"))
+    val legacy = t.manifest.copy(props = None) // pre-round-7 manifest shape
+    val p = CowTable.inferProps(legacy)
+    assert(p.trackCommitVersions, "CommitVerCol in schema implies tracking")
+    assert(p.fileIndexEntries > 0, "fileStats imply an index")
+    assert(p.statsCols == Seq("v"))
+    assert(p.numBuckets == 3, s"bucket count from partition keys: $p")
+  }
+
   test("manifest render/parse round-trip") {
     val m = Manifest(3L, rows(("a", "p1", 1.0)).schema.json, Seq("id"),
       Seq("p"), "v", Map("p=p1" -> Seq("files/c3/x.parquet"), "" -> Nil),

@@ -120,6 +120,37 @@ class FileIndexSpec extends SparkSpec {
     assert(t.manifest.fileStats.values.forall(_.colStats.contains("ts")))
   }
 
+  test("range pruning never drops rows for float/double stat columns") {
+    // Doubles encode as plain cast(string), where lexicographic order
+    // diverges from numeric order ("9.5" > "10.2"): a lex range check
+    // would wrongly skip the [10.2, 10.9] file for the query [9.5, 10.5].
+    // The superset contract requires NO pruning on such columns.
+    val t = new CowTable(spark, tmpDir("fi-dbl"), keyCols = Seq("id"),
+      fileIndexEntries = 1000, statsCols = Seq("v"))
+    t.bulkInsert(Seq((1L, 10.2), (2L, 10.9)).toDF("id", "v"),
+      parallelism = 1)
+    t.insertAppend(Seq((3L, 2.0), (4L, 3.0)).toDF("id", "v"),
+      parallelism = 1)
+    val m = t.manifest
+    val kept = CowTable.filesForRange(spark, m, "v", Some(9.5), Some(10.5))
+    assert(kept.toSet == m.baseFiles.toSet,
+      s"non-order-preserving stats must not prune: $kept")
+    val got = t.snapshotForRange("v", 9.5, 10.5)
+      .filter(col("v") >= 9.5 && col("v") <= 10.5)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L), s"row 10.2 must survive the range scan: $got")
+    // order-preserving types still prune (the fix must not disable skipping
+    // wholesale): the integral key column under v2 encoding stays prunable
+    assert(CowTable.orderPreservingStats(
+      org.apache.spark.sql.types.LongType, 2L))
+    assert(!CowTable.orderPreservingStats(
+      org.apache.spark.sql.types.LongType, 1L), "legacy enc=1 numerics")
+    assert(!CowTable.orderPreservingStats(
+      org.apache.spark.sql.types.DoubleType, 2L))
+    assert(!CowTable.orderPreservingStats(
+      org.apache.spark.sql.types.DecimalType(10, 2), 2L))
+  }
+
   test("lookupByKeys reads only index-matching files") {
     val t = new CowTable(spark, tmpDir("fi"), keyCols = Seq("id"),
       fileIndexEntries = 1000)
