@@ -209,20 +209,18 @@ private[sources] class GraftWritableTable(
                   }
                 // SQL `INSERT INTO ... VALUES` arrives with positional
                 // column names (col1, col2, ...) because ACCEPT_ANY_SCHEMA
-                // skips Spark's by-name output resolution. When NO incoming
-                // name matches the table, apply SQL's positional semantics;
-                // any name overlap means a by-name DataFrame write (possibly
-                // with additive evolution) and is passed through untouched.
+                // skips Spark's by-name output resolution. Positional
+                // semantics apply ONLY when the batch carries exactly
+                // Spark's synthetic colN names — a genuinely misnamed
+                // by-name write must keep failing loudly on the missing
+                // key columns, not be silently misassigned by position.
                 val aligned =
                   if (t.exists) {
                     val cur = t.manifest.schema.fieldNames
-                    // overlap detection is case-INsensitive, like Spark's
-                    // own resolution: an uppercase re-spelling of a table
-                    // column is a by-name write, not positional VALUES
-                    val curLower = cur.map(_.toLowerCase).toSet
-                    if (data.columns.length == cur.length &&
-                        !data.columns.exists(c =>
-                          curLower.contains(c.toLowerCase)))
+                    val synthetic = data.columns.zipWithIndex.forall {
+                      case (c, i) => c == s"col${i + 1}"
+                    }
+                    if (data.columns.length == cur.length && synthetic)
                       data.toDF(cur.toIndexedSeq: _*)
                     else data
                   } else data

@@ -71,6 +71,12 @@ final class GraftSink(open: () => CowTable) {
 }
 
 object GraftSink {
-  /** Manifest-metrics key holding the last applied streaming batch id. */
-  val BatchIdKey = "stream_batch_id"
+  /** Manifest-metrics key holding the last applied streaming batch id.
+    * Every table commit carries the mark forward (see
+    * [[graft.table.CowTable.StreamBatchIdKey]]), so on post-round-7
+    * tables the HEAD manifest alone answers; the history scan in
+    * [[GraftSink.applyBatch]] remains for tables whose newest commits
+    * predate the carry-forward.
+    */
+  val BatchIdKey = CowTable.StreamBatchIdKey
 }

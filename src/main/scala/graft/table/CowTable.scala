@@ -932,8 +932,27 @@ class CowTable(
     // the class that wrote it: pre-round-6/7 manifests parse with defaults,
     // and m.copy in the write paths would otherwise carry those defaults
     // forever — the first write through the correct class heals the record
-    val m = m0.copy(storageType = storageTypeName,
+    val m1 = m0.copy(storageType = storageTypeName,
       props = Some(currentProps))
+    // the streaming high-water mark must survive EVERY commit: on MOR one
+    // micro-batch can produce several commits (log append + inline
+    // compaction + clean), so a mark carried only by the batch's own
+    // commit ages out of the retained timeline after a few batches and a
+    // delayed foreachBatch replay would re-apply. Carrying the previous
+    // HEAD's mark forward keeps it in the newest manifest forever (one
+    // small JSON read per commit; a full history scan would pay
+    // O(keepCommits) manifest parses on every non-streaming table too).
+    val prevMark =
+      if (m1.version <= 1L) None
+      else scala.util.Try(manifestAt(m1.version - 1)).toOption
+        .flatMap(_.metrics.get(CowTable.StreamBatchIdKey))
+    val mark = (prevMark ++ m1.metrics.get(CowTable.StreamBatchIdKey))
+      .maxOption
+    val m = mark match {
+      case Some(v) => m1.copy(metrics =
+        m1.metrics + (CowTable.StreamBatchIdKey -> v))
+      case None => m1
+    }
     fs.mkdirs(commitsDir)
     val tmp = new Path(commitsDir, s".v${m.version}.json.tmp")
     val dst = new Path(commitsDir, s"v${m.version}.json")
@@ -1211,6 +1230,11 @@ object CowTable {
   val BucketCol = "__bucket"
   /** Row-level commit stamp column (see `trackCommitVersions`). */
   val CommitVerCol = "_graft_commit_version"
+  /** Manifest-metrics key holding the streaming sink's last applied batch
+    * id ([[graft.streaming.GraftSink]]); carried forward by every commit
+    * so replay protection never ages out of the retained timeline.
+    */
+  val StreamBatchIdKey = "stream_batch_id"
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
   /** False-positive probability for per-file key blooms (a false positive
     * only costs an unnecessary file read, never correctness).

@@ -152,6 +152,27 @@ class GraftDataSourceSpec extends SparkSpec {
       s"INSERT INTO must upsert by key: $got")
   }
 
+  test("misnamed by-name writes fail loudly, not positionally") {
+    val path = tmpDir("dsv2-misnamed")
+    Seq((1, "a")).toDF("id", "v").write.format("graft")
+      .option("keyCols", "id").mode("append").save(path)
+    // same arity, zero name overlap, NOT Spark's synthetic col1..colN:
+    // positional misassignment would silently write ("x" -> id); the key
+    // require must reject it instead
+    val ex = intercept[IllegalArgumentException] {
+      Seq((9, "x")).toDF("ident", "val").write.format("graft")
+        .mode("append").save(path)
+    }
+    assert(ex.getMessage.contains("id"),
+      s"must name the missing key column: ${ex.getMessage}")
+    // synthetic positional VALUES names still map
+    Seq((2, "b")).toDF("col1", "col2").write.format("graft")
+      .mode("append").save(path)
+    val got = spark.read.format("graft").load(path)
+      .select("id", "v").as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "a", 2 -> "b"))
+  }
+
   test("rangeColumn options skip files at the source level") {
     val path = tmpDir("dsv2-range")
     val t = new CowTable(spark, path, keyCols = Seq("id"),
