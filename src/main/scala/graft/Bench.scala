@@ -21,7 +21,8 @@ object Bench {
     * behind after the query completes, so across 90+ queries the storage
     * pool accumulates orphaned cached aggregates — memory pressure that
     * lands on whichever later query is running when eviction/GC kicks in.
-    * The cache is dropped after each query's LAST rep (not between reps:
+    * The cache is dropped after each query's last back-to-back rep and
+    * after every certification rep (not between back-to-back reps:
     * Spark's CacheManager matches canonicalized plans, so rep 2 reuses
     * rep 1's cache and the recorded min stays the warm steady-state cost
     * of the plan — the same basis all prior rounds measured).
@@ -56,26 +57,51 @@ object Bench {
       catch { case _: Throwable => () } // failures surface in the timed pass
       clearCaches(spark)
     }
-    // Two timed reps, report the MIN: the per-query minimum is the
-    // steady-state cost of the plan; a transient external load spike during
-    // one rep (observed: the r04 driver run recorded 13x on rollup_revenue
-    // with zero code delta, unreproducible locally) then perturbs at most
-    // one rep instead of the recorded number.
+    // Timing protocol (round 7): per query, `reps` BACK-TO-BACK reps (the
+    // warm steady-state basis every prior round's bands were measured on —
+    // Spark's plan-matching CacheManager keeps rep 2 warm for the
+    // persisting queries; clearing between reps was tried in round 6 and
+    // rejected, it measures cache-build cost, not plan cost), THEN one
+    // extra CERTIFICATION rep per query in a separate full battery pass.
+    // The min is over all reps. Rationale: back-to-back reps share
+    // whatever external contention window covers the query (the r04-r06
+    // driver-slot pattern: minutes-long load spikes recording 4-8x on
+    // whichever queries they overlapped, never reproducible locally), so
+    // min-of-2 bounded nothing under sustained load. The certification
+    // pass re-samples every query a full battery (~1-2 min) later: a
+    // spike now has to span the ENTIRE bench to corrupt a min, and the
+    // per-rep times in BENCH_FULL.json make the artifact self-diagnosing —
+    // contention shows as one perturbed sample with a clean one elsewhere,
+    // a real regression is slow in all three.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val results = picked.map { case (name, fn) =>
-      val best = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try materialize(fn(spark, sfDir))
-        catch {
-          case e: Throwable =>
-            // a failed query must be VISIBLE, not a fast-looking -1
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      clearCaches(spark) // after the last rep; see clearCaches doc
-      name -> best
+    val certReps = sys.env.getOrElse("SPARK_GRAFT_CERT_REPS", "1").toInt
+    val names = picked.toSeq
+    val perRep =
+      scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    def timedRep(name: String, fn: (SparkSession, String) => DataFrame)
+        : Unit = {
+      val t0 = System.nanoTime()
+      try materialize(fn(spark, sfDir))
+      catch {
+        case e: Throwable =>
+          // a failed query must be VISIBLE, not a fast-looking -1
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      perRep.update(name, perRep.getOrElse(name, Vector.empty) :+ dt)
     }
+    names.foreach { case (name, fn) =>
+      (1 to reps).foreach(_ => timedRep(name, fn))
+      clearCaches(spark) // after the last back-to-back rep; see clearCaches
+    }
+    for (_ <- 1 to certReps) names.foreach { case (name, fn) =>
+      timedRep(name, fn)
+      // cert reps run one query per cache lifetime: persisting queries pay
+      // their cache build here (cold), so the warm back-to-back min wins
+      // unless contention perturbed it
+      clearCaches(spark)
+    }
+    val results = perRep.map { case (n, ts) => n -> ts.min }
     // The driver keeps only the LAST 2000 chars of stdout and sbt prints a
     // ~75-char "[success] Total time..." line AFTER ours, so the JSON line
     // must fit in ~1900 chars or its head is cut off and it never parses
@@ -89,8 +115,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val repEntries = perRep.toSeq.sortBy(-_._2.min).map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
+    }
     val fullLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":${entries.mkString("{", ",", "}")},"reps":${repEntries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       fullLine.getBytes("UTF-8"))
