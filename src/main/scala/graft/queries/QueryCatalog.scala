@@ -22,8 +22,25 @@ import graft.text.TextOps
   *   - hashes are the portable md5-based [[Hashing.hash60]];
   *   - `events` plays the CDC-changelog role (`user_id` ≈ record key,
   *     `ts` ≈ transaction order — FIXTURES.md §2).
+  *
+  * Cache contract: a few queries (q2/q11/q15/q20/q21, tfidf, the shared
+  * text scan) `persist()` a subplan that feeds two branches of the SAME
+  * returned DataFrame — decorrelation that halves their fact-scan count.
+  * Spark offers no unpersist-when-this-plan-is-collected hook, and
+  * unpersisting before returning would recompute the subplan per branch,
+  * defeating the point — so the entries stay registered after the caller
+  * materializes the result. Callers running MANY queries in one session
+  * (as `Bench`/`Verify` do) should drop finished queries' entries with
+  * [[releaseCaches]] (= `spark.catalog.clearCache()`); one-shot callers
+  * can ignore this — session teardown releases everything.
   */
 object QueryCatalog {
+
+  /** Drop every cache entry the catalog's queries registered in this
+    * session (see the cache contract in the class doc). Safe at any point:
+    * cached plans rebuild on next use.
+    */
+  def releaseCaches(spark: SparkSession): Unit = spark.catalog.clearCache()
 
   final case class Q(
       fn: (SparkSession, String) => DataFrame,

@@ -35,9 +35,46 @@ import graft.table.CowTable
   * is the read-optimized (`_ro`) view; the merged `_rt` view needs
   * [[graft.table.MorTable.realtime]].
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  // ----- streaming read (table-as-stream; see GraftStreamSource) -----
+  // DataStreamReader falls back to the V1 StreamSourceProvider path when
+  // the provider's table does not declare MICRO_BATCH_READ — exactly the
+  // arrangement here (batch reads stay on the native parquet V2 table).
+
+  private def streamSchema(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String]): StructType =
+    new GraftStreamSource(sqlContext.sparkSession,
+      parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("path") => v
+      }.getOrElse(throw new IllegalArgumentException(
+        "graft streaming read needs a table path: .load(path)")),
+      parameters).schema
+
+  override def sourceSchema(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(streamSchema(sqlContext, parameters)))
+
+  override def createSource(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(sqlContext.sparkSession,
+      parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("path") => v
+      }.getOrElse(throw new IllegalArgumentException(
+        "graft streaming read needs a table path: .load(path)")),
+      parameters)
 
   // Spark calls inferSchema before getTable; the manifest IS the schema.
   override def supportsExternalMetadata(): Boolean = true

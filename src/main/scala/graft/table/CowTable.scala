@@ -256,9 +256,22 @@ class CowTable(
     * superset — every row of each rewritten unit — which consumers de-dup
     * by key.
     */
-  def changesSince(sinceVersion: Long): DataFrame = {
-    val cur = manifest
-    val before = manifestAt(sinceVersion).baseFiles.toSet
+  def changesSince(sinceVersion: Long): DataFrame =
+    changesBetween(sinceVersion, manifest.version)
+
+  /** Incremental query pinned at BOTH ends: rows changed in commit window
+    * (sinceVersion, asOfVersion]. Replayable as long as both versions are
+    * retained (keepCommits bounds how far back) — the contract a streaming
+    * source needs to re-serve a batch after restart. `sinceVersion = 0`
+    * means "from the beginning": the full snapshot as of `asOfVersion`.
+    */
+  def changesBetween(sinceVersion: Long, asOfVersion: Long): DataFrame = {
+    require(sinceVersion <= asOfVersion,
+      s"changesBetween: since=$sinceVersion > asOf=$asOfVersion")
+    val cur = manifestAt(asOfVersion)
+    val before =
+      if (sinceVersion == 0L) Set.empty[String]
+      else manifestAt(sinceVersion).baseFiles.toSet
     val added = readFiles(cur, cur.baseFiles.filterNot(before))
     if (trackCommitVersions) added.filter(col(CommitVerCol) > sinceVersion)
     else added

@@ -181,10 +181,14 @@ class MorTable(
     * the base/log files that commits after it added, merged so each changed
     * key surfaces once (deletes don't surface, matching the COW shape).
     */
-  override def changesSince(sinceVersion: Long): DataFrame = {
-    val cur = manifest
-    val old = manifestAt(sinceVersion)
-    val oldFiles = old.files.toSet
+  override def changesBetween(
+      sinceVersion: Long, asOfVersion: Long): DataFrame = {
+    require(sinceVersion <= asOfVersion,
+      s"changesBetween: since=$sinceVersion > asOf=$asOfVersion")
+    val cur = manifestAt(asOfVersion)
+    val oldFiles =
+      if (sinceVersion == 0L) Set.empty[String]
+      else manifestAt(sinceVersion).files.toSet
     val newBase = cur.baseFiles.filterNot(oldFiles)
     val newLogKeys = cur.logPartitions.filter {
       case (_, fs) => fs.exists(f => !oldFiles(f))

@@ -1,0 +1,23 @@
+package org.apache.spark.sql
+
+/** The one `private[sql]` door a V1 streaming source needs: micro-batch
+  * planning asserts that the DataFrame a `Source.getBatch` returns has
+  * `isStreaming = true`, and the only way to build one over an arbitrary
+  * logical plan is `SparkSession.internalCreateDataFrame` — package-private
+  * to `org.apache.spark.sql`. Declaring this shim inside that package is
+  * the standard connector technique (Delta's `DeltaSource`, spark-avro,
+  * and most third-party streaming sources ship an identical bridge).
+  * Everything else in the repo stays on public API.
+  */
+object GraftStreamShim {
+
+  /** Re-wrap a (lazily planned) batch DataFrame as a streaming one with
+    * the identical schema and physical plan.
+    */
+  def asStreamingDataFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    spark.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.streaming.GraftSink
+import graft.table.{CowTable, MorTable}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Incremental table-as-stream reads (`spark.readStream.format("graft")`)
+  * and exactly-once table→table chaining into [[GraftSink]].
+  */
+class GraftTableStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tableA(path: String) = new CowTable(spark, path,
+    keyCols = Seq("id"), partitionCols = Seq("p"),
+    precombineField = "v", trackCommitVersions = true)
+
+  private def snap(t: CowTable): Map[String, Double] =
+    t.snapshot().select("id", "v").as[(String, Double)].collect().toMap
+
+  test("table A streams into table B and equals batch replay across restart") {
+    val pathA = tmpDir("tstream-a"); val pathB = tmpDir("tstream-b")
+    val ckpt = tmpDir("tstream-ckpt")
+    val a = tableA(pathA)
+    a.bulkInsert(Seq(("k1", "p1", 1.0), ("k2", "p2", 2.0)).toDF("id", "p", "v"))
+
+    val openB = () => {
+      if (CowTable.existsAt(spark, pathB)) CowTable.open(spark, pathB)
+      else new CowTable(spark, pathB, keyCols = Seq("id"),
+        partitionCols = Seq("p"), precombineField = "v")
+    }
+    val sink = new GraftSink(openB)
+    def drain(): Unit = sink.start(
+      spark.readStream.format("graft").load(pathA), ckpt,
+      Trigger.AvailableNow()).awaitTermination()
+
+    // initial snapshot flows as the first batch
+    drain()
+    assert(snap(openB()) == Map("k1" -> 1.0, "k2" -> 2.0))
+
+    // new commits on A: an update, an insert, then a second commit
+    a.upsert(Seq(("k2", "p2", 20.0), ("k3", "p1", 3.0)).toDF("id", "p", "v"))
+    a.upsert(Seq(("k4", "p2", 4.0)).toDF("id", "p", "v"))
+
+    // RESTART: a fresh query on the same checkpoint must pick up from the
+    // committed version offset and fold only the new commits
+    drain()
+    assert(snap(openB()) == snap(a), "chained table must equal the source")
+    assert(snap(openB()) ==
+      Map("k1" -> 1.0, "k2" -> 20.0, "k3" -> 3.0, "k4" -> 4.0))
+
+    // no new commits -> a third run moves nothing (and replays nothing)
+    val verB = openB().manifest.version
+    drain()
+    assert(openB().manifest.version == verB, "idle drain must not commit")
+
+    // equality with a from-scratch batch replay of A
+    val replay = tmpDir("tstream-replay")
+    val r = new CowTable(spark, replay, keyCols = Seq("id"),
+      partitionCols = Seq("p"), precombineField = "v")
+    r.bulkInsert(a.snapshot())
+    assert(snap(openB()) == snap(r))
+  }
+
+  test("maxVersionsPerTrigger paces a backlog one commit per batch") {
+    val pathA = tmpDir("tstream-rate"); val pathB = tmpDir("tstream-rate-b")
+    val a = tableA(pathA)
+    a.bulkInsert(Seq(("k1", "p1", 1.0)).toDF("id", "p", "v"))
+    a.upsert(Seq(("k2", "p1", 2.0)).toDF("id", "p", "v"))
+    a.upsert(Seq(("k3", "p1", 3.0)).toDF("id", "p", "v"))
+    assert(a.manifest.version == 3L)
+
+    var batches = Vector.empty[Long]
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1")
+      .load(pathA)
+      .writeStream
+      .option("checkpointLocation", tmpDir("tstream-rate-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches = batches :+ b.count(); ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches.size == 3, s"one commit per micro-batch: $batches")
+    assert(batches.sum == 3L, s"each row exactly once: $batches")
+    assert(pathB != null)
+  }
+
+  test("MOR source streams merged windows; commit column opt-in") {
+    val pathA = tmpDir("tstream-mor")
+    val a = new MorTable(spark, pathA, keyCols = Seq("id"),
+      precombineField = "v", compactEvery = 0)
+    a.bulkInsert(Seq(("k1", 1.0), ("k2", 2.0)).toDF("id", "v"))
+    a.upsert(Seq(("k1", 10.0)).toDF("id", "v"))   // log commit
+    a.upsert(Seq(("k1", 100.0)).toDF("id", "v"))  // same key again
+
+    val got = scala.collection.mutable.Map[String, (Double, Long)]()
+    val q = spark.readStream.format("graft")
+      .option("includeCommitVersion", "true")
+      .load(pathA)
+      .writeStream
+      .option("checkpointLocation", tmpDir("tstream-mor-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.select("id", "v", CowTable.CommitVerCol)
+          .as[(String, Double, Long)].collect()
+          .foreach { case (k, v, c) => got(k) = (v, c) }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // one batch folds versions (0, 3]: k1's two log records merge
+    // latest-wins, so each key surfaces once with its final image
+    assert(got.toMap == Map("k1" -> ((100.0, 3L)), "k2" -> ((2.0, 1L))),
+      s"merged incremental window: $got")
+  }
+
+  test("streaming read requires commit-version tracking") {
+    val path = tmpDir("tstream-untracked")
+    new CowTable(spark, path, keyCols = Seq("id"))
+      .bulkInsert(Seq(("k1", 1.0)).toDF("id", "v"))
+    val ex = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft").load(path).schema
+    }
+    assert(ex.getMessage.contains("trackCommitVersions"))
+  }
+}
