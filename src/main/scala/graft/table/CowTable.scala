@@ -108,6 +108,14 @@ final case class Manifest(
   * sound in ANY total order as long as probe keys use the SAME key-string
   * encoding; blooms have no false negatives, so pruning never loses rows.
   */
+/** A concurrent writer committed an overlapping change: the losing commit
+  * was cleanly aborted with NO lost update — nothing it wrote is visible,
+  * and its data directories are reclaimed (immediately best-effort, by
+  * `vacuumOrphans` as backstop). Retry the operation against fresh state.
+  */
+final class ConcurrentWriteException(msg: String)
+  extends RuntimeException(msg)
+
 /** Creation-time table configuration recorded in every manifest (round 7+).
   * Mirrors the [[CowTable]] constructor knobs that change WRITE behavior —
   * the ones a path-only `open()` cannot see and must not lose.
@@ -215,7 +223,16 @@ class CowTable(
     spark.sparkContext.hadoopConfiguration
   protected def fs: FileSystem = new Path(basePath).getFileSystem(hadoopConf)
   private def commitsDir = new Path(basePath, "_commits")
-  private def commitDataDir(v: Long) = new Path(basePath, s"files/c$v")
+  /** Commit data directory. The random token makes CONCURRENT writers'
+    * directories distinct: two writers racing toward the same version
+    * number would otherwise both target `files/c{v}` and the second
+    * `mode("overwrite")` parquet write would delete the first writer's
+    * data before either manifest publishes. The version prefix remains a
+    * retention label only — manifests reference full relative paths, so
+    * readers never parse directory names.
+    */
+  private def commitDataDir(v: Long) = new Path(basePath,
+    s"files/c$v-${java.util.UUID.randomUUID.toString.take(8)}")
 
   /** Initial-vs-incremental branch driver — the reference's
     * `isInitalLoad := NOT tableExists` catalog probe (processData.py:134-141).
@@ -928,56 +945,207 @@ class CowTable(
     (old.keySet ++ add.keySet).iterator.map(k =>
       k -> (old.getOrElse(k, Nil) ++ add.getOrElse(k, Nil))).toMap
 
-  /** Atomic publish: manifest written to a tmp name then renamed into place.
-    * (Consistency-check role of `hoodie.consistency.check.enabled`,
-    * reference: processData.py:164.) Readers never see a partial file.
+  /** How long a claimed-but-unpublished version slot can block before the
+    * claimant is presumed crashed and its lock is broken. Bounds the wedge
+    * a writer that died between claim and publish can cause.
+    */
+  protected def lockStaleMs: Long = 60000L
+
+  /** Atomic publish with OPTIMISTIC CONCURRENCY CONTROL.
     *
-    * Conflict detection between racing writers is BEST-EFFORT: the exists()
-    * probe below catches most races, but local filesystems implement
-    * Hadoop rename via POSIX rename(2), which silently replaces an existing
-    * destination — so a true same-millisecond race can still last-write-win.
-    * (HDFS/object-store committers do refuse the overwrite.) Correctness
-    * relies on the reference's serialized-runs assumption
-    * (`maxConcurrentRuns: 1`), matching its single-writer model.
+    * Protocol (the Hudi OCC / filesystem-lock-provider analog):
+    *   1. CLAIM the target version slot with a create-exclusive lock file
+    *      (`_commits/.v{n}.lock`) — atomic on HDFS and object stores with
+    *      conditional create; near-atomic on local posix.
+    *   2. The claimant writes its manifest to a tmp name and renames it
+    *      into place (readers never see a partial file; data files were
+    *      already on disk under a per-attempt unique directory).
+    *   3. A LOSER waits for the winner's `v{n}.json` to appear (or breaks
+    *      a stale lock after [[lockStaleMs]]), then REBASES: if the two
+    *      commits touched disjoint partition/bucket units, the loser's
+    *      listing delta is replayed on top of the new head — its data
+    *      files are reused as-written, no recompute — and publish retries
+    *      at head+1. Overlapping units abort with
+    *      [[ConcurrentWriteException]] (no lost update; the loser's data
+    *      dirs are reclaimed immediately and by [[vacuumOrphans]]).
+    *
+    * At the 100-TB/1000-executor target this is what lets two jobs
+    * loading DISJOINT partitions of one table commit concurrently instead
+    * of serializing whole runs (the reference serializes:
+    * `maxConcurrentRuns: 1`, lib/glue-stack.ts:48-49).
     */
   protected def writeManifest(m0: Manifest): Unit = {
     // every commit re-stamps the storage type and creation-time props of
     // the class that wrote it: pre-round-6/7 manifests parse with defaults,
     // and m.copy in the write paths would otherwise carry those defaults
     // forever — the first write through the correct class heals the record
-    val m1 = m0.copy(storageType = storageTypeName,
+    val stamped = m0.copy(storageType = storageTypeName,
       props = Some(currentProps))
-    // the streaming high-water mark must survive EVERY commit: on MOR one
-    // micro-batch can produce several commits (log append + inline
-    // compaction + clean), so a mark carried only by the batch's own
-    // commit ages out of the retained timeline after a few batches and a
-    // delayed foreachBatch replay would re-apply. Carrying the previous
-    // HEAD's mark forward keeps it in the newest manifest forever (one
-    // small JSON read per commit; a full history scan would pay
-    // O(keepCommits) manifest parses on every non-streaming table too).
+    fs.mkdirs(commitsDir)
+    var attempt = stamped
+    var retries = 0
+    while (true) {
+      if (tryPublish(foldStreamMark(attempt))) return
+      retries += 1
+      if (retries > CowTable.MaxCommitRetries) {
+        dropOurDirs(stamped)
+        throw new ConcurrentWriteException(
+          s"giving up after $retries contended commit attempts at $basePath")
+      }
+      awaitPublished(attempt.version)
+      attempt = rebaseOnto(stamped)
+    }
+  }
+
+  /** The streaming high-water mark must survive EVERY commit: on MOR one
+    * micro-batch can produce several commits (log append + inline
+    * compaction + clean), so a mark carried only by the batch's own commit
+    * ages out of the retained timeline after a few batches and a delayed
+    * foreachBatch replay would re-apply. Carrying the previous HEAD's mark
+    * forward keeps it in the newest manifest forever (one small JSON read
+    * per commit; a full history scan would pay O(keepCommits) manifest
+    * parses on every non-streaming table too).
+    */
+  private def foldStreamMark(m1: Manifest): Manifest = {
     val prevMark =
       if (m1.version <= 1L) None
       else scala.util.Try(manifestAt(m1.version - 1)).toOption
         .flatMap(_.metrics.get(CowTable.StreamBatchIdKey))
-    val mark = (prevMark ++ m1.metrics.get(CowTable.StreamBatchIdKey))
-      .maxOption
-    val m = mark match {
+    (prevMark ++ m1.metrics.get(CowTable.StreamBatchIdKey)).maxOption match {
       case Some(v) => m1.copy(metrics =
         m1.metrics + (CowTable.StreamBatchIdKey -> v))
       case None => m1
     }
-    fs.mkdirs(commitsDir)
-    val tmp = new Path(commitsDir, s".v${m.version}.json.tmp")
+  }
+
+  /** Claim + publish one version slot; false = slot taken (lock or json). */
+  private def tryPublish(m: Manifest): Boolean = {
     val dst = new Path(commitsDir, s"v${m.version}.json")
+    if (fs.exists(dst)) return false
+    val lock = new Path(commitsDir, s".v${m.version}.lock")
+    if (!claimSlot(lock)) return false
+    val tmp = new Path(commitsDir, s".v${m.version}.json." +
+      s"${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(renderManifest(m).getBytes("UTF-8")) finally out.close()
-    if (fs.exists(dst)) {
+    if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"commit conflict: $dst already published by another writer")
-    }
-    if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"commit rename failed: $dst")
+    }
+    true
+  }
+
+  /** Create-exclusive claim of a version slot. Hadoop's local-FS
+    * `create(overwrite = false)` is check-then-act (two simultaneous
+    * claimants can both "win"), so file-scheme paths go through NIO's
+    * `createFile` — a true O_CREAT|O_EXCL. Remote filesystems (HDFS,
+    * object stores with conditional create) are atomic through the Hadoop
+    * API already.
+    */
+  private def claimSlot(lock: Path): Boolean = {
+    val uri = lock.toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(uri.getPath)); true
+      } catch { case _: java.io.IOException => false }
+    else
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
+
+  /** Wait for a contended slot's manifest; break the lock if the claimant
+    * died before publishing.
+    */
+  private def awaitPublished(v: Long): Unit = {
+    val dst = new Path(commitsDir, s"v$v.json")
+    val deadline = System.currentTimeMillis + lockStaleMs
+    while (!fs.exists(dst)) {
+      if (System.currentTimeMillis > deadline) {
+        fs.delete(new Path(commitsDir, s".v$v.lock"), false)
+        return
+      }
+      Thread.sleep(50)
+    }
+  }
+
+  /** Replay OUR commit's listing delta (vs its original base) on top of
+    * the current published head. Succeeds only when the interleaved
+    * commits touched disjoint partition/bucket units.
+    */
+  private def rebaseOnto(ours: Manifest): Manifest = {
+    val head = manifest
+    if (head.version < ours.version) return ours // stale lock broken: retake
+    if (ours.version <= 1L) {
+      dropOurDirs(ours)
+      throw new ConcurrentWriteException(
+        s"concurrent table creation at $basePath")
+    }
+    val base = scala.util.Try(manifestAt(ours.version - 1)).getOrElse {
+      dropOurDirs(ours)
+      throw new ConcurrentWriteException(
+        s"commit base v${ours.version - 1} no longer retained at $basePath " +
+          "(too many commits interleaved)")
+    }
+    def touched(a: Manifest, b: Manifest): Set[String] = {
+      val ks = a.partitions.keySet ++ b.partitions.keySet ++
+        a.logPartitions.keySet ++ b.logPartitions.keySet
+      ks.filter(k => a.partitions.get(k) != b.partitions.get(k) ||
+        a.logPartitions.get(k) != b.logPartitions.get(k))
+    }
+    val oursT = touched(ours, base)
+    val theirsT = touched(head, base)
+    val overlap = oursT.intersect(theirsT)
+    if (overlap.nonEmpty) {
+      dropOurDirs(ours)
+      throw new ConcurrentWriteException(
+        s"concurrent writers touched the same units at $basePath: " +
+          s"${overlap.take(5).mkString(", ")} — aborted with no lost update")
+    }
+    // at most one side may evolve the schema in one window
+    val schemaJson =
+      if (ours.schemaJson == head.schemaJson) ours.schemaJson
+      else if (ours.schemaJson == base.schemaJson) head.schemaJson
+      else if (head.schemaJson == base.schemaJson) ours.schemaJson
+      else {
+        dropOurDirs(ours)
+        throw new ConcurrentWriteException(
+          s"concurrent schema evolution at $basePath")
+      }
+    def replay(headMap: Map[String, Seq[String]],
+        ourMap: Map[String, Seq[String]]): Map[String, Seq[String]] =
+      oursT.foldLeft(headMap) { (acc, k) =>
+        ourMap.get(k) match {
+          case Some(fls) => acc + (k -> fls)
+          case None => acc - k
+        }
+      }
+    val ourRemoved = base.files.toSet -- ours.files.toSet
+    val ourAddedStats = ours.fileStats -- base.fileStats.keySet
+    head.copy(
+      version = head.version + 1,
+      schemaJson = schemaJson,
+      partitions = replay(head.partitions, ours.partitions),
+      logPartitions = replay(head.logPartitions, ours.logPartitions),
+      deltaCommits = head.deltaCommits +
+        math.max(0L, ours.deltaCommits - base.deltaCommits),
+      lastCompaction = math.max(head.lastCompaction, ours.lastCompaction),
+      fileStats = (head.fileStats -- ourRemoved) ++ ourAddedStats,
+      operation = ours.operation,
+      metrics = ours.metrics +
+        ("rebased_over" -> (head.version - base.version)))
+  }
+
+  /** Best-effort immediate reclaim of an aborted attempt's data dirs (the
+    * per-attempt unique `files/c{v}-{token}` dirs this commit wrote);
+    * [[vacuumOrphans]] is the backstop.
+    */
+  private def dropOurDirs(ours: Manifest): Unit = {
+    val token = s"c${ours.version}-"
+    ours.files.map(_.split('/')(1)).distinct
+      .filter(_.startsWith(token))
+      .foreach(d => scala.util.Try(
+        fs.delete(new Path(basePath, s"files/$d"), true)))
   }
 
   /** Compaction: rewrite any partition/bucket unit whose file count exceeds
@@ -1079,17 +1247,17 @@ class CowTable(
     */
   def vacuumOrphans(): Seq[String] = {
     val committed = listVersions(fs, commitsDir).toSet
-    val referenced: Set[Long] = committed.flatMap(v =>
+    // reference tracking is by directory NAME: concurrent writers' dirs
+    // share a version prefix (c6-a1b2 vs c6-9f00) and only the winner's
+    // is referenced — the loser's is exactly the garbage to reclaim
+    val referenced: Set[String] = committed.flatMap(v =>
       scala.util.Try(manifestAt(v)).toOption.toSeq.flatMap(_.files))
-      .map(_.split('/')(1).stripPrefix("c").toLong)
+      .map(_.split('/')(1))
     val filesDir = new Path(basePath, "files")
     if (!fs.exists(filesDir)) return Nil
     fs.listStatus(filesDir).toSeq.map(_.getPath).filter { p =>
       val name = p.getName
-      name.startsWith("c") && name.drop(1).forall(_.isDigit) && {
-        val v = name.drop(1).toLong
-        !referenced.contains(v) && !committed.contains(v)
-      }
+      CowTable.dirVersion(name).nonEmpty && !referenced.contains(name)
     }.map { p => fs.delete(p, true); p.getName }
   }
 
@@ -1129,17 +1297,27 @@ class CowTable(
     val versions = listVersions(fs, commitsDir).sorted
     val retained = versions.takeRight(keepCommits)
     val dropped = versions.dropRight(keepCommits)
-    dropped.foreach(v => fs.delete(new Path(commitsDir, s"v$v.json"), false))
+    dropped.foreach { v =>
+      fs.delete(new Path(commitsDir, s"v$v.json"), false)
+      fs.delete(new Path(commitsDir, s".v$v.lock"), false)
+    }
     if (dropped.nonEmpty) {
-      val live: Set[Long] = retained.flatMap(v => manifestAt(v).files).iterator
-        .map(_.split('/')(1).stripPrefix("c").toLong).toSet
+      val live: Set[String] = retained.flatMap(v => manifestAt(v).files)
+        .iterator.map(_.split('/')(1)).toSet
+      val oldestRetained = retained.min
       val filesDir = new Path(basePath, "files")
       if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { st =>
         val name = st.getPath.getName
-        if (name.startsWith("c") &&
-            name.drop(1).forall(_.isDigit) &&
-            !live.contains(name.drop(1).toLong))
-          fs.delete(st.getPath, true)
+        // delete only PRE-retention-window dirs nothing references: an
+        // in-flight concurrent writer's dir carries a version ABOVE the
+        // window (head+1) and must survive this pass (vacuumOrphans, a
+        // no-writes-in-flight operation, reclaims crashed debris inside
+        // the window)
+        CowTable.dirVersion(name) match {
+          case Some(v) if v < oldestRetained && !live.contains(name) =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
       }
     }
   }
@@ -1255,6 +1433,22 @@ object CowTable {
   val FileIndexFpp = 0.001
   /** Key-string encoding written by NEW tables (see keyStringExpr doc). */
   val CurrentKeyEncoding = 2L
+
+  /** Contended-commit rebase attempts before giving up (each attempt is
+    * an O(manifest) merge, never a data rewrite).
+    */
+  val MaxCommitRetries = 5
+
+  /** Version prefix of a commit data directory name (`c{v}` or
+    * `c{v}-{token}`); None for non-commit directories.
+    */
+  private[table] def dirVersion(name: String): Option[Long] = {
+    if (!name.startsWith("c")) return None
+    val digits = name.drop(1).takeWhile(_.isDigit)
+    val rest = name.drop(1 + digits.length)
+    if (digits.isEmpty || !(rest.isEmpty || rest.startsWith("-"))) None
+    else Some(digits.toLong)
+  }
 
   /** Column-expression form of the versioned order-preserving encoding
     * (shared by the instance index pass and path-level consumers).

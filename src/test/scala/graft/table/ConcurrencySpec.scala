@@ -1,0 +1,114 @@
+package graft.table
+
+import java.util.concurrent.{CyclicBarrier, TimeUnit}
+
+import graft.SparkSpec
+
+/** Optimistic concurrency control on table commits: disjoint-unit writers
+  * both commit (loser rebases, reusing its data files); overlapping
+  * writers abort cleanly with no lost update.
+  */
+class ConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seed(path: String): Unit =
+    new CowTable(spark, path, keyCols = Seq("id"),
+      partitionCols = Seq("p"), precombineField = "v")
+      .bulkInsert(Seq(("a", "p1", 1.0), ("b", "p2", 2.0)).toDF("id", "p", "v"))
+
+  /** Both writers pause at the publish gate until the other arrives, so
+    * both compute against the SAME base version — a guaranteed conflict.
+    */
+  private def racingPair(path: String): (CowTable, CowTable, CyclicBarrier) = {
+    val barrier = new CyclicBarrier(2)
+    class Racing extends CowTable(spark, path, keyCols = Seq("id"),
+      partitionCols = Seq("p"), precombineField = "v") {
+      override protected def writeManifest(m: Manifest): Unit = {
+        barrier.await(60, TimeUnit.SECONDS)
+        super.writeManifest(m)
+      }
+    }
+    (new Racing, new Racing, barrier)
+  }
+
+  private def runBoth(fa: => Unit, fb: => Unit): (Option[Throwable], Option[Throwable]) = {
+    var ea: Option[Throwable] = None; var eb: Option[Throwable] = None
+    val ta = new Thread(() => try fa catch { case t: Throwable => ea = Some(t) })
+    val tb = new Thread(() => try fb catch { case t: Throwable => eb = Some(t) })
+    ta.start(); tb.start(); ta.join(120000); tb.join(120000)
+    (ea, eb)
+  }
+
+  test("disjoint-partition writers both commit; loser rebases") {
+    val path = tmpDir("occ-disjoint")
+    seed(path)
+    val (a, b, _) = racingPair(path)
+    val (ea, eb) = runBoth(
+      a.upsert(Seq(("a", "p1", 10.0), ("c", "p1", 3.0)).toDF("id", "p", "v")),
+      b.upsert(Seq(("b", "p2", 20.0), ("d", "p2", 4.0)).toDF("id", "p", "v")))
+    assert(ea.isEmpty && eb.isEmpty,
+      s"both disjoint writers must commit: $ea / $eb")
+
+    val t = CowTable.open(spark, path)
+    val m = t.manifest
+    assert(m.version == 3L, s"two commits after the seed: v${m.version}")
+    assert(m.metrics.contains("rebased_over"),
+      "the loser must have rebased, not overwritten")
+    val got = t.snapshot().select("id", "v")
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 10.0, "b" -> 20.0, "c" -> 3.0, "d" -> 4.0),
+      s"no lost update: $got")
+    // every file the merged manifest references exists on disk
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    m.files.foreach(f => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(path, f)), s"missing $f"))
+    assert(t.vacuumOrphans().isEmpty, "no orphan dirs after a clean rebase")
+  }
+
+  test("overlapping writers: one clean abort, no lost update") {
+    val path = tmpDir("occ-overlap")
+    seed(path)
+    val (a, b, _) = racingPair(path)
+    val (ea, eb) = runBoth(
+      a.upsert(Seq(("a", "p1", 100.0)).toDF("id", "p", "v")),
+      b.upsert(Seq(("a", "p1", 999.0)).toDF("id", "p", "v")))
+    val failures = Seq(ea, eb).flatten
+    assert(failures.size == 1,
+      s"exactly one writer must abort: ${Seq(ea, eb)}")
+    assert(failures.head.isInstanceOf[ConcurrentWriteException],
+      s"clean typed abort: ${failures.head}")
+
+    val t = CowTable.open(spark, path)
+    assert(t.manifest.version == 2L, "only the winner committed")
+    val v = t.snapshot().filter($"id" === "a")
+      .select("v").as[Double].collect().toSeq
+    assert(v == Seq(100.0) || v == Seq(999.0),
+      s"winner's value intact, no torn state: $v")
+    // the loser's data directories are not referenced and are reclaimed
+    assert(t.vacuumOrphans().isEmpty,
+      "aborted attempt already dropped its dirs")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    t.manifest.files.foreach(f => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(path, f))))
+  }
+
+  test("stale lock from a crashed claimant is broken after timeout") {
+    val path = tmpDir("occ-stale")
+    seed(path)
+    // simulate a claimant that died between claim and publish
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(path, "_commits/.v2.lock"),
+      false).close()
+    val t = new CowTable(spark, path, keyCols = Seq("id"),
+      partitionCols = Seq("p"), precombineField = "v") {
+      override protected def lockStaleMs: Long = 500L
+    }
+    t.upsert(Seq(("a", "p1", 42.0)).toDF("id", "p", "v"))
+    assert(t.manifest.version == 2L, "slot retaken after breaking the lock")
+    assert(t.snapshot().filter($"id" === "a").select("v")
+      .as[Double].collect().toSeq == Seq(42.0))
+  }
+}
