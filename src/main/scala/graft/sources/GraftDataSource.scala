@@ -150,7 +150,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       files.toIndexedSeq,
       Some(schema),
       classOf[ParquetFileFormat])
-    new GraftWritableTable(base, options, Some(delegate))
+    new GraftWritableTable(base, options, Some(delegate),
+      // pushed-filter file skipping starts from the option-ranged listing
+      Some((m, ranged, schema)))
   }
 }
 
@@ -179,7 +181,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 private[sources] class GraftWritableTable(
     base: String,
     options: CaseInsensitiveStringMap,
-    delegate: Option[ParquetTable])
+    delegate: Option[ParquetTable],
+    // (manifest, option-pruned file listing, read schema) — present when
+    // the table exists; drives pushed-filter file skipping in the scan
+    scanCtx: Option[(graft.table.Manifest, Seq[String], StructType)] = None)
   extends Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -206,9 +211,13 @@ private[sources] class GraftWritableTable(
   }
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap) =
-    delegate match {
-      case Some(d) => d.newScanBuilder(opts)
-      case None => throw new IllegalArgumentException(
+    (delegate, scanCtx) match {
+      case (Some(_), Some((m, files, schema))) =>
+        new GraftScanBuilder(
+          org.apache.spark.sql.SparkSession.active, base, m, files,
+          schema, options)
+      case (Some(d), None) => d.newScanBuilder(opts)
+      case _ => throw new IllegalArgumentException(
         s"not a graft table (no _commits): $base")
     }
 

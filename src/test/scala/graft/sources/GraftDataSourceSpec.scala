@@ -173,6 +173,77 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(got == Map(1 -> "a", 2 -> "b"))
   }
 
+  test("pushed-down filters skip files automatically (no options)") {
+    val path = tmpDir("dsv2-autoskip")
+    val t = new CowTable(spark, path, keyCols = Seq("id"),
+      fileIndexEntries = 1000, statsCols = Seq("ts"))
+    def batch(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-${i / 100 + 1}%02d 00:00:00"), i.toDouble))
+      .toDF("id", "ts", "v")
+    t.bulkInsert(batch(0, 100), parallelism = 1)
+    t.insertAppend(batch(100, 200), parallelism = 1)
+    t.insertAppend(batch(200, 300), parallelism = 1)
+    def scanned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+      }.sum
+
+    val all = spark.read.format("graft").load(path)
+    assert(scanned(all) == 3, "three files without a filter")
+
+    // a plain WHERE on the stats column prunes to the matching file
+    val day2 = spark.read.format("graft").load(path)
+      .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+        col("ts") <= lit("2024-01-02 23:59:59").cast("timestamp"))
+    assert(scanned(day2) == 1,
+      s"one day must scan one file, got ${scanned(day2)}")
+    // strict bounds stay supersets: ts < day3-start keeps day 3's file
+    // (its min equals the literal) but never loses rows
+    val strict = spark.read.format("graft").load(path)
+      .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+    assert(scanned(strict) <= 2 && strict.count() == 100)
+    assert(day2.count() == 100)
+    // oracle: pruned result == unpruned result under the same predicate
+    val expect = t.snapshot()
+      .filter(col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+        col("ts") <= lit("2024-01-02 23:59:59").cast("timestamp"))
+      .select("id").as[Long].collect().toSet
+    assert(day2.select("id").as[Long].collect().toSet == expect)
+
+    // row-level filters still apply on top of the file superset
+    val one = spark.read.format("graft").load(path)
+      .filter(col("ts") === lit("2024-01-03 00:00:00").cast("timestamp"))
+    assert(scanned(one) == 1 && one.count() == 100)
+  }
+
+  test("partition equality predicates prune whole partition listings") {
+    val path = tmpDir("dsv2-partskip")
+    val t = new CowTable(spark, path, keyCols = Seq("id"),
+      partitionCols = Seq("p"))
+    t.bulkInsert((0 until 90).map(i => (s"k$i", s"part${i % 3}", i.toDouble))
+      .toDF("id", "p", "v"), parallelism = 3)
+    def scanned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+      }.sum
+    val total = scanned(spark.read.format("graft").load(path))
+    val pruned = spark.read.format("graft").load(path)
+      .filter(col("p") === "part1")
+    assert(scanned(pruned) < total,
+      s"partition filter must drop listings: ${scanned(pruned)}/$total")
+    assert(pruned.count() == 30)
+    assert(pruned.select("id").as[String].collect()
+      .forall(_.drop(1).toInt % 3 == 1))
+  }
+
   test("rangeColumn options skip files at the source level") {
     val path = tmpDir("dsv2-range")
     val t = new CowTable(spark, path, keyCols = Seq("id"),
