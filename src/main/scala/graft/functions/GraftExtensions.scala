@@ -20,8 +20,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session is [[VectorExpressions.registerAll]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // SQL MERGE INTO / UPDATE / DELETE over graft tables (the analyzer
+    // otherwise rejects them for sources without row-level-operation
+    // support) — see graft.sources.GraftSqlRule
+    ext.injectResolutionRule(s => new graft.sources.GraftSqlRule(s))
+  }
 }
 
 object GraftExtensions {

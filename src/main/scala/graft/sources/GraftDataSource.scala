@@ -194,6 +194,11 @@ private[sources] class GraftWritableTable(
   override def name(): String = delegate.map(_.name)
     .getOrElse(s"graft:$base (uncreated)")
 
+  /** Table root on disk — lets the SQL mutation rule re-open the table
+    * through the table-format layer (see [[GraftSqlRule]]).
+    */
+  def graftBasePath: String = base
+
   override def schema(): StructType =
     delegate.map(d => d.schema: StructType).getOrElse(new StructType())
 

@@ -506,9 +506,20 @@ class CowTable(
   def mergeInto(df: DataFrame, parallelism: Int = 0,
       whenMatchedDelete: Column = lit(false),
       whenMatchedUpdate: Column = lit(true),
-      insertUnmatched: Boolean = true): Unit =
-    mergeCommit(df, parallelism, "merge") { (cur, incoming) =>
-      val outCols = incoming.columns.toIndexedSeq // padded/evolved schema
+      insertUnmatched: Boolean = true,
+      /** Gate on UNMATCHED rows (`WHEN NOT MATCHED AND cond THEN INSERT`);
+        * references `i.*` only — there is no stored row to compare.
+        */
+      insertCondition: Column = lit(true),
+      /** Incoming columns visible to the conditions (`i.<col>`) but
+        * EXCLUDED from the written schema — CDC routing columns like `Op`
+        * steer the merge without evolving the table.
+        */
+      conditionCols: Seq[String] = Nil): Unit =
+    mergeCommit(df, parallelism, "merge", excludeCols = conditionCols) {
+      (cur, incoming) =>
+      val outCols = incoming.columns.toIndexedSeq
+        .filterNot(conditionCols.contains) // padded/evolved schema
       val c = cur.withColumn("_c_present", lit(true)).alias("c")
       val i = incoming.withColumn("_i_present", lit(true)).alias("i")
       val cond = mergeIdCols
@@ -520,7 +531,9 @@ class CowTable(
           when(whenMatchedDelete, lit("drop"))
             .otherwise(when(whenMatchedUpdate, lit("i")).otherwise(lit("c"))))
         .otherwise(when(col("c._c_present").isNotNull, lit("c"))
-          .otherwise(if (insertUnmatched) lit("i") else lit("drop")))
+          .otherwise(if (insertUnmatched)
+            when(insertCondition, lit("i")).otherwise(lit("drop"))
+          else lit("drop")))
       c.join(i, cond, "full_outer")
         .withColumn("_take", take)
         .filter(col("_take") =!= "drop")
@@ -558,7 +571,10 @@ class CowTable(
     }
 
   private def mergeCommit(df: DataFrame, parallelism: Int, opName: String,
-      extraMetrics: Map[String, Long] = Map.empty)(
+      extraMetrics: Map[String, Long] = Map.empty,
+      // incoming columns kept through the merge join for the conditions
+      // but excluded from schema evolution and the written output
+      excludeCols: Seq[String] = Nil)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     // pad() null-fills absent columns for additive evolution — but a batch
     // MISSING its record-key columns would merge as null-keyed garbage;
@@ -569,8 +585,13 @@ class CowTable(
     val m = manifest
     val v = m.version + 1
     val stamped = stamp(df, v)
-    val evolved = evolveSchema(m.schema, stamped.schema)
-    val incoming0 = pad(stamped, evolved)
+    val evolved = evolveSchema(m.schema, StructType(
+      stamped.schema.fields.filterNot(f => excludeCols.contains(f.name))))
+    // the incoming side carries its condition-only columns through the
+    // join; the stored side and the written output stay on `evolved`
+    val padTarget = StructType(evolved.fields ++
+      stamped.schema.fields.filter(f => excludeCols.contains(f.name)))
+    val incoming0 = pad(stamped, padTarget)
     val incoming = (if (precombineField.nonEmpty)
       CdcOps.precombine(incoming0, mergeIdCols, precombineField)
     else incoming0).persist()

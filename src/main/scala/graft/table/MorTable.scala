@@ -95,10 +95,12 @@ class MorTable(
   override def mergeInto(df: DataFrame, parallelism: Int = 0,
       whenMatchedDelete: org.apache.spark.sql.Column = lit(false),
       whenMatchedUpdate: org.apache.spark.sql.Column = lit(true),
-      insertUnmatched: Boolean = true): Unit = {
+      insertUnmatched: Boolean = true,
+      insertCondition: org.apache.spark.sql.Column = lit(true),
+      conditionCols: Seq[String] = Nil): Unit = {
     compactLogs(parallelism)
     super.mergeInto(df, parallelism, whenMatchedDelete, whenMatchedUpdate,
-      insertUnmatched)
+      insertUnmatched, insertCondition, conditionCols)
   }
 
   private def logAppend(df: DataFrame, parallelism: Int, op: String,

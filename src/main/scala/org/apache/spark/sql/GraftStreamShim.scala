@@ -20,4 +20,13 @@ object GraftStreamShim {
     spark.internalCreateDataFrame(
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** DataFrame over an already-resolved logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — lets a runnable SQL command re-enter the DataFrame
+    * API with the plan the analyzer handed it.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -14,6 +14,9 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the full extension surface (SQL functions + mutation statements)
+      // is active in every suite, exactly as a library user installs it
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
