@@ -71,12 +71,15 @@ object FileIndexProbe {
         total += sec
         val man = t.manifest
         val m = man.metrics
-        // bytes this commit physically rewrote = size of its new data dir
+        // bytes this commit physically rewrote = size of its new data dirs
+        // (commit dirs carry a per-attempt unique token since round 7)
         val fs = new org.apache.hadoop.fs.Path(t.basePath).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        val dir = new org.apache.hadoop.fs.Path(
-          t.basePath, s"files/c${man.version}")
-        val mb = fs.getContentSummary(dir).getLength / 1e6
+        val dirs = man.files.map(_.split('/')(1))
+          .filter(_.startsWith(s"c${man.version}-")).distinct
+        val mb = dirs.map(d => fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(t.basePath, s"files/$d"))
+          .getLength).sum / 1e6
         println(f"[fiprobe] $tag batch#$b upsert ${sec}%.2fs " +
           f"rewrote ${mb}%.1f MB " +
           s"candidate=${m.getOrElse("files_candidate", -1L)} " +

@@ -45,25 +45,49 @@ object Multimodal {
       lit(null).cast(IntegerType).as("height"),
       lit(null).cast(LongType).as("duration_ms"))
 
-  /** STUB — deterministic fake decode.
-    *
-    * ??? REAL IMPLEMENTATION REQUIRES A CODEC (libjpeg/ffmpeg/…): none are
-    * available in this offline container. The fake derives stable pseudo
-    * metadata + an 8-dim pseudo feature vector from the payload bytes so
-    * the surrounding plumbing (batching, schema, joins) is fully testable;
-    * swap this single function for a real decoder in production.
+  /** The pluggable decode seam: one payload in, metadata + features out.
+    * Implementations MUST be serializable (they execute inside
+    * `mapPartitions` on executors) and are expected to be stateless or to
+    * lazily initialize native resources per JVM (the standard codec-jar
+    * pattern). Drop a real libjpeg/ffmpeg-backed implementation in and
+    * every pipeline stage ([[decodeAssets]], [[resizeMeta]], downstream
+    * similarity search) works unchanged.
     */
-  def fakeDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    if (payload == null) return (0, 0, Array.fill(8)(0f))
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    val w = 64 + math.floorMod(h, 1024).toInt
-    val ht = 64 + math.floorMod(h >> 10, 1024).toInt
-    val vec = Array.tabulate(8)(j =>
-      (math.floorMod(h >> (j * 7), 2048) / 1024.0f) - 1.0f)
-    (w, ht, vec)
+  trait MediaCodec extends Serializable {
+    /** Decode one payload to (width, height, feature vector). Null/empty
+      * payloads must return a deterministic zero shape, never throw.
+      */
+    def decode(mediaType: String, payload: Array[Byte])
+        : (Int, Int, Array[Float])
   }
+
+  /** STUB — the default deterministic fake codec.
+    *
+    * ??? A REAL IMPLEMENTATION REQUIRES A CODEC (libjpeg/ffmpeg/…): none
+    * are available in this offline container. The fake derives stable
+    * pseudo metadata + an 8-dim pseudo feature vector from the payload
+    * bytes so the surrounding plumbing (batching, schema, joins) is fully
+    * testable; production swaps in a [[MediaCodec]] backed by real codec
+    * libraries.
+    */
+  object StubCodec extends MediaCodec {
+    override def decode(mediaType: String, payload: Array[Byte])
+        : (Int, Int, Array[Float]) = {
+      if (payload == null) return (0, 0, Array.fill(8)(0f))
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+      val w = 64 + math.floorMod(h, 1024).toInt
+      val ht = 64 + math.floorMod(h >> 10, 1024).toInt
+      val vec = Array.tabulate(8)(j =>
+        (math.floorMod(h >> (j * 7), 2048) / 1024.0f) - 1.0f)
+      (w, ht, vec)
+    }
+  }
+
+  /** Back-compat alias for the stub (see [[StubCodec]]). */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Array[Float]) =
+    StubCodec.decode("image", payload)
 
   /** Decoded-asset output schema: metadata + feature vector. */
   val DecodedSchema: StructType = StructType(Seq(
@@ -78,9 +102,11 @@ object Multimodal {
 
   /** Partition-batched decode/feature-extract: the `mapInPandas`-shaped
     * stage. Rows stream through per-partition iterators — constant memory,
-    * no driver involvement, parallelism = partition count.
+    * no driver involvement, parallelism = partition count. The codec is
+    * pluggable ([[MediaCodec]]); the default is the labeled stub.
     */
-  def decodeAssets(assets: DataFrame): DataFrame = {
+  def decodeAssets(
+      assets: DataFrame, codec: MediaCodec = StubCodec): DataFrame = {
     val enc = Encoders.row(DecodedSchema)
     val idxId = assets.schema.fieldIndex("asset_id")
     val idxType = assets.schema.fieldIndex("media_type")
@@ -89,8 +115,9 @@ object Multimodal {
       rows.map { r =>
         val payload =
           if (r.isNullAt(idxPayload)) null else r.getAs[Array[Byte]](idxPayload)
-        val (w, h, feat) = fakeDecode(payload)
-        Row(r.getLong(idxId), r.getString(idxType),
+        val mediaType = r.getString(idxType)
+        val (w, h, feat) = codec.decode(mediaType, payload)
+        Row(r.getLong(idxId), mediaType,
           if (payload == null) 0L else payload.length.toLong,
           w, h, feat.toSeq)
       }

@@ -1553,9 +1553,16 @@ object CowTable {
     }
   }
 
+  /** Diagnostic counter: sidecar blooms loaded since JVM start. Probes use
+    * the delta across a lookup to show index fan-out (files CONSULTED per
+    * lookup — the cost bucketing bounds at random keys).
+    */
+  val bloomLoads = new java.util.concurrent.atomic.AtomicLong
+
   /** Read one sidecar bloom (see [[FileStat.bloomRef]]). */
   private[table] def loadBloom(
       fs: FileSystem, p: Path): org.apache.spark.util.sketch.BloomFilter = {
+    bloomLoads.incrementAndGet()
     val in = fs.open(p)
     try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
     finally in.close()

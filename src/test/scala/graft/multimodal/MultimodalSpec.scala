@@ -36,6 +36,36 @@ class MultimodalSpec extends SparkSpec {
     decoded.unpersist()
   }
 
+  test("a custom MediaCodec plugs into the decode stage and roundtrips") {
+    // a "real" codec for a toy format: payload = "WxH:" header followed by
+    // comma-separated floats — decode must surface exactly those values
+    object ToyCodec extends Multimodal.MediaCodec {
+      override def decode(mediaType: String, payload: Array[Byte])
+          : (Int, Int, Array[Float]) = {
+        if (payload == null) return (0, 0, Array.empty[Float])
+        val s = new String(payload, "UTF-8")
+        val Array(dims, feats) = s.split(':')
+        val Array(w, h) = dims.split('x').map(_.toInt)
+        (w, h, feats.split(',').map(_.toFloat))
+      }
+    }
+    val assets = Seq(
+      (1L, "image", "640x480:0.5,-0.25".getBytes("UTF-8")),
+      (2L, "image", "1920x1080:1.0,2.0".getBytes("UTF-8")))
+      .toDF("asset_id", "media_type", "payload")
+    val decoded = Multimodal.decodeAssets(assets, ToyCodec)
+      .select("asset_id", "decoded_width", "decoded_height", "features")
+      .as[(Long, Int, Int, Seq[Float])].collect()
+      .map { case (k, w, h, f) => k -> ((w, h, f)) }.toMap
+    assert(decoded(1L) == ((640, 480, Seq(0.5f, -0.25f))),
+      s"codec output must roundtrip: $decoded")
+    assert(decoded(2L) == ((1920, 1080, Seq(1.0f, 2.0f))))
+    // the default path still runs the labeled stub
+    val stub = Multimodal.decodeAssets(assets).select("decoded_width")
+      .as[Int].collect()
+    assert(stub.forall(_ >= 64), "stub dimensions are hash-derived")
+  }
+
   test("balanceByContent yields the requested partitioning") {
     val assets = Multimodal.ingestDocumentsAsAssets(docs)
     val balanced = Multimodal.balanceByContent(assets, 8)

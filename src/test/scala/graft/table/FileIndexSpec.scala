@@ -211,6 +211,38 @@ class FileIndexSpec extends SparkSpec {
     assert(back == m)
   }
 
+  test("bucket routing bounds random-key point lookups to one bucket") {
+    // random keys make every file's range span the key space — the index
+    // caveat. With numBuckets, a lookup consults only its bucket's blooms.
+    val t = new CowTable(spark, tmpDir("fi-bucket"), keyCols = Seq("k"),
+      numBuckets = 4, fileIndexEntries = 1000)
+    def slice(a: Int) = spark.range(200)
+      .select(xxhash64(col("id") + lit(a * 200L)).as("k"),
+        col("id").cast("double").as("v"))
+    t.bulkInsert(slice(0), parallelism = 4)
+    t.insertAppend(slice(1), parallelism = 4)
+    t.insertAppend(slice(2), parallelism = 4)
+    val m = t.manifest
+    assert(m.partitions.size == 4, s"four buckets: ${m.partitions.keySet}")
+    val filesPerBucket = m.partitions.values.map(_.size).max
+    val totalFiles = m.baseFiles.size
+    assert(totalFiles > filesPerBucket, "buckets must split the files")
+
+    val probeKey = spark.range(1)
+      .select(xxhash64(lit(42L)).as("k")).head().getLong(0)
+    val before = CowTable.bloomLoads.get()
+    val hit = t.lookupByKeys(Seq(probeKey).toDF("k"))
+    assert(hit.count() == 1, "the key must be found")
+    val consulted = CowTable.bloomLoads.get() - before
+    assert(consulted <= filesPerBucket,
+      s"lookup must consult ONE bucket's blooms: $consulted of $totalFiles")
+    assert(hit.inputFiles.length == 1, "bloom narrows the read to one file")
+    // and the read stays inside the routed bucket directory
+    val bucketDirs = hit.inputFiles.flatMap(
+      _.split('/').find(_.startsWith("__p___bucket="))).distinct
+    assert(bucketDirs.length == 1, s"one bucket dir: ${bucketDirs.toSeq}")
+  }
+
   test("composite keys index on the joint key string") {
     val t = new CowTable(spark, tmpDir("fi"), keyCols = Seq("id", "sub"),
       fileIndexEntries = 1000)
