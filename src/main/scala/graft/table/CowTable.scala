@@ -71,7 +71,8 @@ final case class Manifest(
     /** Key-string encoding version for fileStats ranges and bloom
       * contents — fixed at table creation (probes must match the stored
       * encoding forever). 1 = plain cast(string); 2 = order-preserving
-      * fixed-width for integral/timestamp/date key columns.
+      * fixed-width for integral/timestamp/date key columns; 3 = v2 plus
+      * IEEE-754 sign-flip doubles and unscaled fixed-scale decimals.
       */
     keyEncoding: Long = 1L,
     /** Creation-time physical configuration (buckets, clustering, commit
@@ -1452,8 +1453,12 @@ object CowTable {
     * only costs an unnecessary file read, never correctness).
     */
   val FileIndexFpp = 0.001
-  /** Key-string encoding written by NEW tables (see keyStringExpr doc). */
-  val CurrentKeyEncoding = 2L
+  /** Key-string encoding written by NEW tables (see keyStringExpr doc).
+    * 1 = plain cast(string); 2 = fixed-width offset-binary for integral/
+    * timestamp/date; 3 = v2 + IEEE-754 sign-flip doubles and unscaled
+    * fixed-scale decimals (float/double/decimal range skipping).
+    */
+  val CurrentKeyEncoding = 3L
 
   /** Contended-commit rebase attempts before giving up (each attempt is
     * an O(manifest) merge, never a data rewrite).
@@ -1478,21 +1483,34 @@ object CowTable {
       dt: org.apache.spark.sql.types.DataType,
       enc: Long): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types._
+    import org.apache.spark.sql.GraftBridge
     val asLong: Option[org.apache.spark.sql.Column] = dt match {
-      case ByteType | ShortType | IntegerType | LongType =>
+      case ByteType | ShortType | IntegerType | LongType if enc >= 2 =>
         Some(col(c).cast("long"))
-      case TimestampType | TimestampNTZType => Some(unix_micros(col(c)))
-      case DateType => Some(col(c).cast("int").cast("long"))
+      case TimestampType | TimestampNTZType if enc >= 2 =>
+        Some(unix_micros(col(c)))
+      case DateType if enc >= 2 => Some(col(c).cast("int").cast("long"))
+      // v3: IEEE-754 sign-flip bits — float/double keys and stats become
+      // order-preserving (see graft.functions.OrderedDoubleBits)
+      case FloatType | DoubleType if enc >= 3 =>
+        Some(GraftBridge.column(graft.functions.OrderedDoubleBits(
+          GraftBridge.expression(col(c).cast("double")))))
+      // v3: fixed-scale decimals up to 18 digits ride their exact unscaled
+      // long (decimal(12,2) money columns prune like integers)
+      case d: DecimalType if enc >= 3 && d.precision <= 18 =>
+        Some(GraftBridge.column(
+          org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+            GraftBridge.expression(col(c)))))
       case _ => None
     }
     asLong match {
-      case Some(l) if enc >= 2 =>
+      case Some(l) =>
         // order-preserving fixed width: long + 2^63 fits decimal(20,0),
         // zero-padded to 20 digits; null keys stay null (concat_ws skips)
         lpad((l.cast(DecimalType(21, 0)) +
             lit(new java.math.BigDecimal("9223372036854775808")))
           .cast(DecimalType(20, 0)).cast("string"), 20, "0")
-      case _ => col(c).cast("string")
+      case None => col(c).cast("string")
     }
   }
 
@@ -1515,6 +1533,9 @@ object CowTable {
     dt match {
       case ByteType | ShortType | IntegerType | LongType |
            TimestampType | TimestampNTZType | DateType => enc >= 2
+      // v3 added sign-flip float bits and unscaled-decimal encodings
+      case FloatType | DoubleType => enc >= 3
+      case d: DecimalType => enc >= 3 && d.precision <= 18
       case StringType | BooleanType => true
       case _ => false
     }

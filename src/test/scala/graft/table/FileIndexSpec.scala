@@ -55,31 +55,32 @@ class FileIndexSpec extends SparkSpec {
     assert(got.size == 100 && got("k042") == 4200.0 && got("k041") == 41.0)
   }
 
-  test("v2 key encoding keeps numeric ranges in numeric order") {
+  test("fixed-width key encoding keeps numeric ranges in numeric order") {
     // contiguous numeric appends [0,100) and [100,200): legacy cast(string)
-    // ranges OVERLAP lexically ("150" < "99"); v2 fixed-width ranges are
+    // ranges OVERLAP lexically ("150" < "99"); fixed-width ranges are
     // disjoint, so the range phase prunes numeric block probes correctly
     val t = new CowTable(spark, tmpDir("fi-enc"), keyCols = Seq("id"),
       fileIndexEntries = 1000)
     t.bulkInsert(spark.range(0, 100).toDF("id"), parallelism = 1)
     t.insertAppend(spark.range(100, 200).toDF("id"), parallelism = 1)
     val m = t.manifest
-    assert(m.keyEncoding == 2L, "new tables must record the v2 encoding")
+    assert(m.keyEncoding == CowTable.CurrentKeyEncoding,
+      "new tables must record the current encoding")
     val ranges = m.fileStats.values.map(s => (s.keyMin, s.keyMax)).toSeq
       .sortBy(_._1)
     assert(ranges.size == 2)
     assert(ranges(0)._2 < ranges(1)._1,
       s"fixed-width encoded ranges must be disjoint: $ranges")
     assert(ranges.forall(r => r._1.length == 20 && r._2.length == 20),
-      s"v2 integral keys are zero-padded to 20 digits: $ranges")
+      s"integral keys are zero-padded to 20 digits: $ranges")
     // probes still find their rows (encoding matches on both sides)
     val hit = t.lookupByKeys(Seq(150L).toDF("id"))
     assert(hit.inputFiles.length == 1 && hit.count() == 1)
     // manifest round-trip preserves the encoding; legacy JSON defaults to 1
     val back = CowTable.parseManifest(CowTable.renderManifest(m))
-    assert(back.keyEncoding == 2L)
+    assert(back.keyEncoding == CowTable.CurrentKeyEncoding)
     val legacy = CowTable.renderManifest(m)
-      .replaceAll(",?\\s*\"keyEncoding\"\\s*:\\s*2", "")
+      .replaceAll(",?\\s*\"keyEncoding\"\\s*:\\s*\\d+", "")
     assert(CowTable.parseManifest(legacy).keyEncoding == 1L)
   }
 
@@ -120,11 +121,12 @@ class FileIndexSpec extends SparkSpec {
     assert(t.manifest.fileStats.values.forall(_.colStats.contains("ts")))
   }
 
-  test("range pruning never drops rows for float/double stat columns") {
-    // Doubles encode as plain cast(string), where lexicographic order
-    // diverges from numeric order ("9.5" > "10.2"): a lex range check
-    // would wrongly skip the [10.2, 10.9] file for the query [9.5, 10.5].
-    // The superset contract requires NO pruning on such columns.
+  test("double range pruning: correct on v3 tables, disabled on legacy") {
+    // The round-6 bug: doubles encoded as plain cast(string), where lex
+    // order diverges from numeric order ("9.5" > "10.2") — a lex range
+    // check wrongly skipped the [10.2, 10.9] file for the query
+    // [9.5, 10.5]. v3's sign-flip bits encoding prunes CORRECTLY; legacy
+    // encodings (enc <= 2) must not prune doubles at all.
     val t = new CowTable(spark, tmpDir("fi-dbl"), keyCols = Seq("id"),
       fileIndexEntries = 1000, statsCols = Seq("v"))
     t.bulkInsert(Seq((1L, 10.2), (2L, 10.9)).toDF("id", "v"),
@@ -132,23 +134,61 @@ class FileIndexSpec extends SparkSpec {
     t.insertAppend(Seq((3L, 2.0), (4L, 3.0)).toDF("id", "v"),
       parallelism = 1)
     val m = t.manifest
+    // v3: the [10.2, 10.9] file intersects [9.5, 10.5] and is KEPT; the
+    // [2, 3] file does not and is PRUNED
     val kept = CowTable.filesForRange(spark, m, "v", Some(9.5), Some(10.5))
-    assert(kept.toSet == m.baseFiles.toSet,
-      s"non-order-preserving stats must not prune: $kept")
+    assert(kept.size == 1, s"v3 must prune the non-intersecting file: $kept")
     val got = t.snapshotForRange("v", 9.5, 10.5)
       .filter(col("v") >= 9.5 && col("v") <= 10.5)
       .select("id").as[Long].collect().toSet
     assert(got == Set(1L), s"row 10.2 must survive the range scan: $got")
-    // order-preserving types still prune (the fix must not disable skipping
-    // wholesale): the integral key column under v2 encoding stays prunable
+    // negative/zero boundaries: -0.0 encodes as +0.0 so >= 0.0 keeps it
+    assert(graft.functions.OrderedDoubleBits.orderedBits(-0.0) ==
+      graft.functions.OrderedDoubleBits.orderedBits(0.0))
+    assert(graft.functions.OrderedDoubleBits.orderedBits(-1.5) <
+      graft.functions.OrderedDoubleBits.orderedBits(-1.0))
+    assert(graft.functions.OrderedDoubleBits.orderedBits(-1.0) <
+      graft.functions.OrderedDoubleBits.orderedBits(0.0))
+    assert(graft.functions.OrderedDoubleBits.orderedBits(0.0) <
+      graft.functions.OrderedDoubleBits.orderedBits(10.2))
+    assert(graft.functions.OrderedDoubleBits.orderedBits(10.2) <
+      graft.functions.OrderedDoubleBits.orderedBits(
+        Double.PositiveInfinity))
+    assert(graft.functions.OrderedDoubleBits.orderedBits(
+      Double.PositiveInfinity) <
+      graft.functions.OrderedDoubleBits.orderedBits(Double.NaN))
+    // the encoding gates: legacy tables keep the no-pruning guard
     assert(CowTable.orderPreservingStats(
       org.apache.spark.sql.types.LongType, 2L))
     assert(!CowTable.orderPreservingStats(
       org.apache.spark.sql.types.LongType, 1L), "legacy enc=1 numerics")
     assert(!CowTable.orderPreservingStats(
-      org.apache.spark.sql.types.DoubleType, 2L))
+      org.apache.spark.sql.types.DoubleType, 2L), "legacy enc=2 doubles")
+    assert(CowTable.orderPreservingStats(
+      org.apache.spark.sql.types.DoubleType, 3L))
+    assert(CowTable.orderPreservingStats(
+      org.apache.spark.sql.types.DecimalType(12, 2), 3L))
     assert(!CowTable.orderPreservingStats(
-      org.apache.spark.sql.types.DecimalType(10, 2), 2L))
+      org.apache.spark.sql.types.DecimalType(20, 2), 3L),
+      "wide decimals exceed the unscaled-long encoding")
+  }
+
+  test("decimal stats columns prune ranges exactly (v3 unscaled encoding)") {
+    val t = new CowTable(spark, tmpDir("fi-dec"), keyCols = Seq("id"),
+      fileIndexEntries = 1000, statsCols = Seq("price"))
+    // money-typed: decimal(12,2), inside the unscaled-long encoding range
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("id", "p0")
+      .select(col("id"), col("p0").cast("decimal(12,2)").as("price"))
+    t.bulkInsert(batch((1L, "9.50"), (2L, "9.99")), parallelism = 1)
+    t.insertAppend(batch((3L, "10.20"), (4L, "10.90")), parallelism = 1)
+    val m = t.manifest
+    val kept = CowTable.filesForRange(spark, m, "price",
+      Some("10.00"), Some("10.50"))
+    assert(kept.size == 1, s"only the [10.20, 10.90] file intersects: $kept")
+    val got = t.snapshotForRange("price", "10.00", "10.50")
+      .filter(col("price") <= lit("10.50").cast("decimal(12,2)"))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(3L), s"decimal range scan: $got")
   }
 
   test("lookupByKeys reads only index-matching files") {
