@@ -214,6 +214,62 @@ object QueryCatalog {
            |  WHERE d.event_type = 'error' AND d.ts >= TIMESTAMP '2024-01-30'
            |  AND d.user_id = e.user_id)""".stripMargin))
 
+  /** SQL MERGE INTO end-to-end: a REAL graft table (bulk insert, then one
+    * MERGE statement with Op routing through the injected resolution
+    * rule), snapshot compared against the DuckDB set-operation
+    * reconstruction of the same merge. Exercises the full SQL mutation
+    * path at oracle strength — the statement form of K2+K3.
+    */
+  private val mergeIntoSql = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).cast("double").as("bal"))
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-mergesql").toString
+      val tbl = new graft.table.CowTable(s, path, keyCols = Seq("c_custkey"))
+      tbl.bulkInsert(cust.filter(col("c_custkey") <= 1000))
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW merge_sql_t USING graft " +
+        s"OPTIONS (path '$path')")
+      cust.filter(col("c_custkey").between(501, 1500))
+        .select(col("c_custkey"), col("c_name"),
+          (col("bal") + 100.0).as("bal"),
+          when(col("c_custkey") % 7 === 0, "D").otherwise("U").as("op"))
+        .createOrReplaceTempView("merge_sql_src")
+      s.sql("""MERGE INTO merge_sql_t t USING merge_sql_src s
+              |  ON t.c_custkey = s.c_custkey
+              |WHEN MATCHED AND s.op = 'D' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *""".stripMargin)
+      graft.table.CowTable.open(s, path).snapshot()
+        .select(col("c_custkey"), col("c_name"),
+          round(col("bal"), 2).cast("double").as("bal"))
+    },
+    Some("""WITH cust AS (
+           |  SELECT c_custkey, c_name,
+           |         CAST(round(c_acctbal, 2) AS DOUBLE) AS bal
+           |  FROM customer),
+           |tgt AS (SELECT * FROM cust WHERE c_custkey <= 1000),
+           |src AS (SELECT c_custkey, c_name, bal + 100.0 AS bal,
+           |        CASE WHEN c_custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+           |        FROM cust WHERE c_custkey BETWEEN 501 AND 1500)
+           |SELECT t.c_custkey, t.c_name,
+           |       CAST(round(t.bal, 2) AS DOUBLE) AS bal
+           |FROM tgt t
+           |WHERE NOT EXISTS (SELECT 1 FROM src s
+           |                  WHERE s.c_custkey = t.c_custkey)
+           |UNION ALL
+           |SELECT s.c_custkey, s.c_name,
+           |       CAST(round(s.bal, 2) AS DOUBLE) AS bal
+           |FROM src s JOIN tgt t ON t.c_custkey = s.c_custkey
+           |WHERE s.op <> 'D'
+           |UNION ALL
+           |SELECT s.c_custkey, s.c_name,
+           |       CAST(round(s.bal, 2) AS DOUBLE) AS bal
+           |FROM src s
+           |WHERE s.op <> 'D' AND NOT EXISTS (SELECT 1 FROM tgt t
+           |                                  WHERE t.c_custkey = s.c_custkey)
+           |""".stripMargin))
+
   /** M2 — count/introspection actions (reference: processData.py:303). */
   private val m2Counts = Q(
     (s, d) => t(s, d, "events").agg(
@@ -2163,6 +2219,7 @@ object QueryCatalog {
     "precombine_max" -> precombineMax,
     "k2_upsert_merge" -> k2UpsertMerge,
     "k3_delete_merge" -> k3DeleteMerge,
+    "merge_into_sql" -> mergeIntoSql,
     "m2_counts" -> m2Counts,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3TopK,
