@@ -75,6 +75,13 @@ final class GraftStreamSource(
 
   private val includeVer =
     opt("includeCommitVersion").exists(_.toBoolean)
+  /** CHANGE-FEED mode: rows gain [[CowTable.ChangeTypeCol]] ("U" | "D";
+    * "D" rows carry identity columns + stamp, other columns null), so
+    * deletes chain too — [[graft.streaming.GraftSink]] applies such
+    * batches as one atomic conditional merge.
+    */
+  private val includeChanges =
+    opt("includeChangeType").exists(_.toBoolean)
   private val startingVersion =
     opt("startingVersion").map(_.toLong).getOrElse(0L)
   private val maxVersions = opt("maxVersionsPerTrigger").map(_.toLong)
@@ -83,9 +90,15 @@ final class GraftStreamSource(
   // maxVersions per call
   @volatile private var cursor: Long = startingVersion
 
-  override val schema: StructType =
-    if (includeVer) fullSchema
-    else StructType(fullSchema.filterNot(_.name == CowTable.CommitVerCol))
+  override val schema: StructType = {
+    val base =
+      if (includeVer) fullSchema
+      else StructType(fullSchema.filterNot(_.name == CowTable.CommitVerCol))
+    if (includeChanges)
+      base.add(CowTable.ChangeTypeCol, org.apache.spark.sql.types.StringType,
+        nullable = false)
+    else base
+  }
 
   override def getOffset: Option[Offset] = {
     val head = CowTable.openManifest(spark, basePath).version
@@ -140,7 +153,8 @@ final class GraftStreamSource(
     val e = version(end)
     if (e > cursor) cursor = e // restart: resume rate limiting past the log
     val t = CowTable.open(spark, basePath)
-    val changes = t.changesBetween(s, e)
+    val changes =
+      if (includeChanges) t.changeFeed(s, e) else t.changesBetween(s, e)
     // pin the output to the stream's construction-time schema (additive
     // evolution inside the window must not widen a running stream)
     val projected = changes.select(schema.fieldNames.toIndexedSeq.map(col): _*)

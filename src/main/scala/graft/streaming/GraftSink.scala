@@ -32,6 +32,13 @@ final class GraftSink(open: () => CowTable) {
 
   /** Apply one micro-batch; returns false when the batch was already
     * committed (replay) and was skipped.
+    *
+    * A batch carrying [[CowTable.ChangeTypeCol]] (a change FEED — e.g.
+    * `readStream.format("graft").option("includeChangeType", true)`)
+    * applies as ONE conditional merge commit: matched "D" rows delete,
+    * everything else upserts, unmatched "D" rows no-op. One commit keeps
+    * the batch atomic under replay — splitting into upsert + delete
+    * commits would let a crash between them replay only half.
     */
   def applyBatch(batch: DataFrame, batchId: Long): Boolean = {
     val t = open()
@@ -45,8 +52,23 @@ final class GraftSink(open: () => CowTable) {
     if (batchId <= last) false
     else {
       val stamp = Map(GraftSink.BatchIdKey -> batchId)
-      if (t.exists) t.upsert(batch, extraMetrics = stamp)
-      else t.bulkInsert(batch, extraMetrics = stamp)
+      val typed = batch.columns.contains(CowTable.ChangeTypeCol)
+      if (!t.exists) {
+        val rows = if (!typed) batch else batch
+          .filter(org.apache.spark.sql.functions.col(
+            CowTable.ChangeTypeCol) =!= "D")
+          .drop(CowTable.ChangeTypeCol)
+        t.bulkInsert(rows, extraMetrics = stamp)
+      } else if (typed) {
+        import org.apache.spark.sql.functions.{col, lit}
+        t.mergeInto(batch,
+          whenMatchedDelete = col(CowTable.ChangeTypeCol) === "D",
+          whenMatchedUpdate = lit(true),
+          insertUnmatched = true,
+          insertCondition = col(CowTable.ChangeTypeCol) =!= "D",
+          conditionCols = Seq(CowTable.ChangeTypeCol),
+          extraMetrics = stamp)
+      } else t.upsert(batch, extraMetrics = stamp)
       true
     }
   }

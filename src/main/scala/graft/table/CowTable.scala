@@ -84,7 +84,15 @@ final case class Manifest(
       * back to inferring from the manifest's schema/stats, and the next
       * write through a properly-constructed table re-stamps the record.
       */
-    props: Option[TableProps] = None) {
+    props: Option[TableProps] = None,
+    /** Change-feed tombstones: commit version (as string, for JSON) →
+      * parquet files holding the identity columns + commit stamp of keys
+      * that commit DELETED. What lets [[CowTable.changeFeed]] surface
+      * deletes — a COW rewrite otherwise just makes rows vanish. Entries
+      * age out with retention (a feed can look back `keepCommits`, same
+      * bound as every incremental read).
+      */
+    tombstones: Map[String, Seq[String]] = Map.empty) {
   def schema: StructType =
     org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
@@ -291,8 +299,72 @@ class CowTable(
       if (sinceVersion == 0L) Set.empty[String]
       else manifestAt(sinceVersion).baseFiles.toSet
     val added = readFiles(cur, cur.baseFiles.filterNot(before))
-    if (trackCommitVersions) added.filter(col(CommitVerCol) > sinceVersion)
+    if (trackCommitVersions)
+      added.filter(CowTable.changedRowPredicate(sinceVersion))
     else added
+  }
+
+  /** Change feed over commit window (sinceVersion, asOfVersion]: every
+    * changed row typed [[CowTable.ChangeTypeCol]] = "U", plus a "D" row
+    * (identity columns + commit stamp, other columns null) for every key
+    * the window's commits DELETED — the Delta-CDF / Hudi
+    * `_hoodie_is_deleted` analog, which plain [[changesBetween]] cannot
+    * express (a COW rewrite just makes rows vanish). Deletes surface from
+    * [[delete]] commits, conditional [[mergeInto]] deletes, MOR delete
+    * logs and compactions folding them. A "D" superseded by a later
+    * re-insert INSIDE the window is dropped, so applying the feed as one
+    * keyed merge yields the final image. Requires [[trackCommitVersions]]
+    * (the stamp bounds replays exactly); look-back bounded by retention.
+    */
+  def changeFeed(sinceVersion: Long, asOfVersion: Long): DataFrame = {
+    require(trackCommitVersions,
+      s"changeFeed needs trackCommitVersions=true at $basePath")
+    val cur = manifestAt(asOfVersion)
+    val ups = changesBetween(sinceVersion, asOfVersion)
+      .withColumn(ChangeTypeCol, lit("U"))
+    shapeFeed(ups, tombstoneRows(cur, sinceVersion, asOfVersion), cur.schema)
+  }
+
+  /** Window's tombstone rows (idCols + commit stamp) from the manifest's
+    * tombstone record, stamp-filtered (compaction-written tombstones carry
+    * their ORIGINAL delete stamps).
+    */
+  protected def tombstoneRows(
+      cur: Manifest, since: Long, asOf: Long): Option[DataFrame] = {
+    val files = cur.tombstones.collect {
+      case (vs, fs) if vs.toLong > since && vs.toLong <= asOf => fs
+    }.flatten.toSeq
+    if (files.isEmpty) return None
+    val idCols = (keyCols ++ partitionCols).distinct
+    val tsSchema = StructType(
+      cur.schema.fields.filter(f => idCols.contains(f.name)) :+
+        org.apache.spark.sql.types.StructField(CommitVerCol,
+          org.apache.spark.sql.types.LongType))
+    // same changed-row rescue as data scans: an OCC-rebased delete's
+    // tombstone rows keep their tentative stamp (== the t{v}- dir prefix)
+    Some(readFilesWithSchema(tsSchema, files)
+      .filter(CowTable.changedRowPredicate(since) &&
+        col(CommitVerCol) <= asOf))
+  }
+
+  /** Union U rows with D tombstones padded to the row schema, dropping
+    * tombstones a same-window re-insert superseded.
+    */
+  protected def shapeFeed(ups: DataFrame, dels: Option[DataFrame],
+      schema: StructType): DataFrame = dels match {
+    case None => ups
+    case Some(d0) =>
+      val idCols = (keyCols ++ partitionCols).distinct
+      val shaped = d0.select(schema.fields.toIndexedSeq.map { f =>
+        if (idCols.contains(f.name) || f.name == CommitVerCol)
+          col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } :+ lit("D").cast("string").as(ChangeTypeCol): _*)
+      val upKeys = ups.select(idCols.map(col): _*).distinct()
+      val live = shaped.join(upKeys,
+        idCols.map(c => shaped(c) <=> upKeys(c)).reduce(_ && _),
+        "left_anti")
+      ups.unionByName(live)
   }
 
   /** Indexed point lookup: current-snapshot rows whose record key appears
@@ -516,8 +588,28 @@ class CowTable(
         * EXCLUDED from the written schema — CDC routing columns like `Op`
         * steer the merge without evolving the table.
         */
-      conditionCols: Seq[String] = Nil): Unit =
-    mergeCommit(df, parallelism, "merge", excludeCols = conditionCols) {
+      conditionCols: Seq[String] = Nil,
+      extraMetrics: Map[String, Long] = Map.empty): Unit = {
+    // matched-delete keys become change-feed tombstones; skipped when the
+    // delete branch is the literal-false default (no second join pass)
+    val mayDelete = org.apache.spark.sql.GraftBridge
+      .expression(whenMatchedDelete) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(false, _) =>
+        false
+      case _ => true
+    }
+    val deletedKeys: Option[(DataFrame, DataFrame) => DataFrame] =
+      if (!mayDelete) None
+      else Some { (cur, incoming) =>
+        val c = cur.withColumn("_c_present", lit(true)).alias("c")
+        val i = incoming.withColumn("_i_present", lit(true)).alias("i")
+        val cond = mergeIdCols
+          .map(k => col(s"c.$k") <=> col(s"i.$k")).reduce(_ && _)
+        c.join(i, cond, "inner").filter(whenMatchedDelete)
+          .select(mergeIdCols.map(k => col(s"c.$k").as(k)): _*).distinct()
+      }
+    mergeCommit(df, parallelism, "merge", extraMetrics,
+      excludeCols = conditionCols, tombstoneKeys = deletedKeys) {
       (cur, incoming) =>
       val outCols = incoming.columns.toIndexedSeq
         .filterNot(conditionCols.contains) // padded/evolved schema
@@ -542,6 +634,7 @@ class CowTable(
           when(col("_take") === "i", col(s"i.$k"))
             .otherwise(col(s"c.$k")).as(k)): _*)
     }
+  }
 
   /** Partial-column upsert: like [[upsert]], but incoming NULLs mean "keep
     * the stored value" (changed-columns-only CDC payloads). Insert-if-absent
@@ -566,7 +659,10 @@ class CowTable(
     */
   def delete(df: DataFrame, parallelism: Int = 0,
       extraMetrics: Map[String, Long] = Map.empty): Unit =
-    mergeCommit(df, parallelism, "delete", extraMetrics) { (cur, incoming) =>
+    mergeCommit(df, parallelism, "delete", extraMetrics,
+      tombstoneKeys = Some((_, incoming) =>
+        incoming.select(mergeIdCols.map(col): _*).distinct())) {
+      (cur, incoming) =>
       val probe = incoming.select(mergeIdCols.map(col): _*)
       cur.join(probe, idMatch(cur, probe), "left_anti")
     }
@@ -575,7 +671,10 @@ class CowTable(
       extraMetrics: Map[String, Long] = Map.empty,
       // incoming columns kept through the merge join for the conditions
       // but excluded from schema evolution and the written output
-      excludeCols: Seq[String] = Nil)(
+      excludeCols: Seq[String] = Nil,
+      // identity rows of keys this commit DELETES ((cur, incoming) =>
+      // mergeIdCols frame) — recorded as change-feed tombstones
+      tombstoneKeys: Option[(DataFrame, DataFrame) => DataFrame] = None)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     // pad() null-fills absent columns for additive evolution — but a batch
     // MISSING its record-key columns would merge as null-keyed garbage;
@@ -611,12 +710,20 @@ class CowTable(
       val cur = pad(readFiles(m, candFiles), evolved)
       val merged = merge(cur, incoming)
       val newFiles = writeCommit(merged, v, parallelism)
+      val newTombstones = tombstoneKeys match {
+        case Some(keysOf) =>
+          val fls = writeTombstones(keysOf(cur, incoming), v)
+          if (fls.isEmpty) m.tombstones
+          else m.tombstones + (v.toString -> fls)
+        case None => m.tombstones
+      }
       // Partitions whose merged result is empty (fully deleted) simply have
       // no entry in newFiles and drop out of the snapshot (unless they
       // retain pruned files).
       val next = m.copy(version = v, schemaJson = evolved.json,
         partitions =
           m.partitions -- touched ++ mergeListings(keptListing, newFiles),
+        tombstones = newTombstones,
         operation = opName, metrics = CowTable.writeStats(newFiles) +
           // only pre-existing partitions are read+rewritten; brand-new
           // partitions in the batch are pure writes
@@ -931,6 +1038,28 @@ class CowTable(
     listCommitFiles(dir)
   }
 
+  /** Write one commit's change-feed tombstone file (identity columns +
+    * the deleting commit's stamp) under a per-attempt unique `files/t{v}-*`
+    * dir; returns basePath-relative paths (empty when no keys).
+    */
+  protected def writeTombstones(keys: DataFrame, v: Long): Seq[String] = {
+    val stamped =
+      if (keys.columns.contains(CommitVerCol)) keys
+      else keys.withColumn(CommitVerCol, lit(v))
+    val dir = new Path(basePath,
+      s"files/t$v-${java.util.UUID.randomUUID.toString.take(8)}")
+    stamped.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val base = new Path(basePath)
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) out += relativize(base, f)
+    }
+    // a delete of zero keys leaves no tombstone record (and no empty dir)
+    if (out.isEmpty) { fs.delete(dir, true); Nil } else out.toSeq
+  }
+
   /** Recursively list a commit dir's parquet files, keyed by partition. */
   private def listCommitFiles(dir: Path): Map[String, Seq[String]] = {
     val base = new Path(basePath)
@@ -1001,8 +1130,13 @@ class CowTable(
     // the class that wrote it: pre-round-6/7 manifests parse with defaults,
     // and m.copy in the write paths would otherwise carry those defaults
     // forever — the first write through the correct class heals the record
-    val stamped = m0.copy(storageType = storageTypeName,
+    val stamped0 = m0.copy(storageType = storageTypeName,
       props = Some(currentProps))
+    // tombstone records age out with retention — entries older than the
+    // window can no longer anchor a replayable change feed anyway
+    val stamped = stamped0.copy(tombstones = stamped0.tombstones.filter {
+      case (vs, _) => vs.toLong > stamped0.version - keepCommits
+    })
     fs.mkdirs(commitsDir)
     var attempt = stamped
     var retries = 0
@@ -1153,6 +1287,15 @@ class CowTable(
         math.max(0L, ours.deltaCommits - base.deltaCommits),
       lastCompaction = math.max(head.lastCompaction, ours.lastCompaction),
       fileStats = (head.fileStats -- ourRemoved) ++ ourAddedStats,
+      tombstones = {
+        // our attempt's NEW entries re-key to the published version (their
+        // rows keep the tentative stamp — the changed-row predicate's dir
+        // rescue covers readers)
+        val ourNew =
+          (ours.tombstones -- base.tombstones.keySet).values.flatten.toSeq
+        if (ourNew.isEmpty) head.tombstones
+        else head.tombstones + ((head.version + 1).toString -> ourNew)
+      },
       operation = ours.operation,
       metrics = ours.metrics +
         ("rebased_over" -> (head.version - base.version)))
@@ -1273,7 +1416,8 @@ class CowTable(
     // share a version prefix (c6-a1b2 vs c6-9f00) and only the winner's
     // is referenced — the loser's is exactly the garbage to reclaim
     val referenced: Set[String] = committed.flatMap(v =>
-      scala.util.Try(manifestAt(v)).toOption.toSeq.flatMap(_.files))
+      scala.util.Try(manifestAt(v)).toOption.toSeq.flatMap(m =>
+        m.files ++ m.tombstones.valuesIterator.flatten))
       .map(_.split('/')(1))
     val filesDir = new Path(basePath, "files")
     if (!fs.exists(filesDir)) return Nil
@@ -1324,8 +1468,9 @@ class CowTable(
       fs.delete(new Path(commitsDir, s".v$v.lock"), false)
     }
     if (dropped.nonEmpty) {
-      val live: Set[String] = retained.flatMap(v => manifestAt(v).files)
-        .iterator.map(_.split('/')(1)).toSet
+      val live: Set[String] = retained.iterator.map(manifestAt)
+        .flatMap(m => m.files ++ m.tombstones.valuesIterator.flatten)
+        .map(_.split('/')(1)).toSet
       val oldestRetained = retained.min
       val filesDir = new Path(basePath, "files")
       if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { st =>
@@ -1448,6 +1593,25 @@ object CowTable {
     * so replay protection never ages out of the retained timeline.
     */
   val StreamBatchIdKey = "stream_batch_id"
+  /** Change-feed row type column: "U" (upsert image) | "D" (delete). */
+  val ChangeTypeCol = "_graft_change_type"
+
+  /** Row filter for incremental reads over files ADDED in (since, asOf]:
+    * `stamp > since` separates changed rows from carried-over unchanged
+    * copies — EXCEPT that an OCC-rebased commit's rows keep the TENTATIVE
+    * stamp of its original attempt (base+1), which can sit at or below
+    * `since` even though the commit published later. The commit data
+    * directory name (`c{stamp}-token`) records exactly that tentative
+    * stamp, so the rescue disjunct `stamp == dir-stamp(file)` re-admits a
+    * rebased commit's own changes (its carried rows have strictly older
+    * stamps, and the file being in the added-diff proves the commit is
+    * inside the window). Must be applied AT SCAN (input_file_name is
+    * per-task source state; it goes blank after a shuffle).
+    */
+  private[table] def changedRowPredicate(since: Long): Column =
+    col(CommitVerCol) > since ||
+      col(CommitVerCol) === regexp_extract(
+        input_file_name(), "files/[ct](\\d+)[-/]", 1).cast("long")
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
   /** False-positive probability for per-file key blooms (a false positive
     * only costs an unnecessary file read, never correctness).
@@ -1465,11 +1629,11 @@ object CowTable {
     */
   val MaxCommitRetries = 5
 
-  /** Version prefix of a commit data directory name (`c{v}` or
-    * `c{v}-{token}`); None for non-commit directories.
+  /** Version prefix of a commit data (`c{v}[-token]`) or tombstone
+    * (`t{v}-token`) directory name; None for non-commit directories.
     */
   private[table] def dirVersion(name: String): Option[Long] = {
-    if (!name.startsWith("c")) return None
+    if (!name.startsWith("c") && !name.startsWith("t")) return None
     val digits = name.drop(1).takeWhile(_.isDigit)
     val rest = name.drop(1 + digits.length)
     if (digits.isEmpty || !(rest.isEmpty || rest.startsWith("-"))) None
@@ -1642,6 +1806,7 @@ object CowTable {
       }.toList),
       "storageType" -> JString(m.storageType),
       "keyEncoding" -> JInt(m.keyEncoding),
+      "tombstones" -> listing(m.tombstones),
       // json4s drops JNothing pairs at render: pre-props copies stay as-is
       "props" -> (m.props match {
         case Some(p) => JObject(List(
@@ -1712,6 +1877,7 @@ object CowTable {
       storageType = (j \ "storageType") match {
         case JString(s) => s; case _ => "cow" }, // pre-round-6 manifests
       keyEncoding = long(j \ "keyEncoding", 1L), // legacy = plain strings
+      tombstones = files(j \ "tombstones"),
       props = (j \ "props") match {
         case o: JObject => Some(TableProps(
           keepCommits = long(o \ "keepCommits", 10L).toInt,

@@ -97,10 +97,11 @@ class MorTable(
       whenMatchedUpdate: org.apache.spark.sql.Column = lit(true),
       insertUnmatched: Boolean = true,
       insertCondition: org.apache.spark.sql.Column = lit(true),
-      conditionCols: Seq[String] = Nil): Unit = {
+      conditionCols: Seq[String] = Nil,
+      extraMetrics: Map[String, Long] = Map.empty): Unit = {
     compactLogs(parallelism)
     super.mergeInto(df, parallelism, whenMatchedDelete, whenMatchedUpdate,
-      insertUnmatched, insertCondition, conditionCols)
+      insertUnmatched, insertCondition, conditionCols, extraMetrics)
   }
 
   private def logAppend(df: DataFrame, parallelism: Int, op: String,
@@ -163,27 +164,44 @@ class MorTable(
     readFilesWithSchema(logSchema(m.schema),
       partKeys.toSeq.sorted.flatMap(k => m.logPartitions.getOrElse(k, Nil)))
 
-  /** Latest-commit-wins merge of base rows and delta-log records. */
-  private def mergeBaseWithLogs(
-      m: Manifest, base: DataFrame, logs: DataFrame): DataFrame = {
-    val all = base.withColumn(LogOpCol, lit(LogUpsert)).unionByName(logs)
-    // Record identity is (key, partition value) — the non-global index, as
-    // in the COW merge. U and D never share a commit (separate write
-    // calls), so (identity, commit) is unique; the op tie-break only makes
-    // the window deterministic against misuse.
+  /** Latest-commit-wins window keeping each winner's [[LogOpCol]] (and
+    * any extra columns the caller attached). Input rows must already
+    * carry [[LogOpCol]]. Record identity is (key, partition value) — the
+    * non-global index, as in the COW merge. U and D never share a commit
+    * (separate write calls), so (identity, commit) is unique; the op
+    * tie-break only makes the window deterministic against misuse.
+    */
+  private def mergeWinners(m: Manifest, all: DataFrame): DataFrame = {
     val identity = (keyCols ++ partitionCols).distinct.map(col)
     val w = Window.partitionBy(identity: _*)
       .orderBy(col(CommitVerCol).desc, col(LogOpCol).desc)
     all.withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") === 1 && col(LogOpCol) === LogUpsert)
-      .drop("_graft_rn", LogOpCol)
+      .filter(col("_graft_rn") === 1).drop("_graft_rn")
   }
+
+  /** Latest-commit-wins merge of base rows and delta-log records. */
+  private def mergeBaseWithLogs(
+      m: Manifest, base: DataFrame, logs: DataFrame): DataFrame =
+    mergeWinners(m,
+      base.withColumn(LogOpCol, lit(LogUpsert)).unionByName(logs))
+      .filter(col(LogOpCol) === LogUpsert)
+      .drop(LogOpCol)
 
   /** Incremental query on MOR: rows written after `sinceVersion`, from only
     * the base/log files that commits after it added, merged so each changed
     * key surfaces once (deletes don't surface, matching the COW shape).
     */
   override def changesBetween(
+      sinceVersion: Long, asOfVersion: Long): DataFrame =
+    changeWindow(sinceVersion, asOfVersion)
+      .filter(col(LogOpCol) === LogUpsert)
+      .drop(ChangedFlagCol, LogOpCol)
+
+  /** Winners of the window's merge with their log op and changed-row flag
+    * retained — the shared core of [[changesBetween]] (drops deletes) and
+    * [[changeFeed]] (types them "D").
+    */
+  private def changeWindow(
       sinceVersion: Long, asOfVersion: Long): DataFrame = {
     require(sinceVersion <= asOfVersion,
       s"changesBetween: since=$sinceVersion > asOf=$asOfVersion")
@@ -195,12 +213,17 @@ class MorTable(
     val newLogKeys = cur.logPartitions.filter {
       case (_, fs) => fs.exists(f => !oldFiles(f))
     }.keySet
-    val base = readFiles(cur, newBase)
+    // the changed-row predicate reads input_file_name: evaluate AT SCAN,
+    // carry the flag through the merge window on the winning row
+    def flagged(df: DataFrame) = df.withColumn(ChangedFlagCol,
+      CowTable.changedRowPredicate(sinceVersion))
+    val base = flagged(readFiles(cur, newBase))
+      .withColumn(LogOpCol, lit(LogUpsert))
     val merged =
       if (newLogKeys.isEmpty) base
-      else mergeBaseWithLogs(cur, base, readLogs(cur, newLogKeys))
-        .select(cur.schema.fieldNames.toIndexedSeq.map(col): _*)
-    merged.filter(col(CommitVerCol) > sinceVersion)
+      else mergeWinners(cur,
+        base.unionByName(flagged(readLogs(cur, newLogKeys))))
+    merged.filter(col(ChangedFlagCol))
   }
 
   // ------------------------------------------------------------- compaction
@@ -216,21 +239,56 @@ class MorTable(
     val logged = m.logPartitions.keySet
     val base = readFiles(m,
       logged.toSeq.sorted.flatMap(k => m.partitions.getOrElse(k, Nil)))
-    val merged = mergeBaseWithLogs(m, base, readLogs(m, logged))
-      .select(m.schema.fieldNames.toIndexedSeq.map(col): _*)
-    val v = m.version + 1
-    val width = if (parallelism > 0) parallelism else logged.size
-    val newFiles = writeCommit(merged, v, width)
-    writeManifest(withFileStats(
-      m.copy(version = v,
-        partitions = m.partitions -- logged ++ newFiles,
-        logPartitions = Map.empty, deltaCommits = 0, lastCompaction = v,
-        operation = "log_compaction",
-        metrics = CowTable.writeStats(newFiles) +
-          ("units_rewritten" -> logged.size.toLong)),
-      newFiles, m.schema))
+    val winners = mergeWinners(m,
+      base.withColumn(LogOpCol, lit(LogUpsert))
+        .unionByName(readLogs(m, logged))).persist()
+    try {
+      val merged = winners.filter(col(LogOpCol) === LogUpsert)
+        .select(m.schema.fieldNames.toIndexedSeq.map(col): _*)
+      val v = m.version + 1
+      val width = if (parallelism > 0) parallelism else logged.size
+      val newFiles = writeCommit(merged, v, width)
+      // compaction folds delete-log records away: record them as feed
+      // tombstones (original stamps kept) so a change feed spanning the
+      // compaction still surfaces them
+      val dWinners = winners.filter(col(LogOpCol) === LogDelete)
+        .select(((keyCols ++ partitionCols).distinct :+ CommitVerCol)
+          .map(col): _*)
+      val tombstones =
+        if (dWinners.limit(1).isEmpty) m.tombstones
+        else m.tombstones + (v.toString -> writeTombstones(dWinners, v))
+      writeManifest(withFileStats(
+        m.copy(version = v,
+          partitions = m.partitions -- logged ++ newFiles,
+          logPartitions = Map.empty, deltaCommits = 0, lastCompaction = v,
+          tombstones = tombstones,
+          operation = "log_compaction",
+          metrics = CowTable.writeStats(newFiles) +
+            ("units_rewritten" -> logged.size.toLong)),
+        newFiles, m.schema))
+    } finally winners.unpersist()
     clean()
     true
+  }
+
+  /** Change feed on MOR: window winners typed U, delete-log winners and
+    * compaction-folded tombstones typed D (see [[CowTable.changeFeed]]).
+    */
+  override def changeFeed(
+      sinceVersion: Long, asOfVersion: Long): DataFrame = {
+    val cur = manifestAt(asOfVersion)
+    val win = changeWindow(sinceVersion, asOfVersion)
+    val ups = win.filter(col(LogOpCol) === LogUpsert)
+      .drop(ChangedFlagCol, LogOpCol)
+      .withColumn(CowTable.ChangeTypeCol, lit("U"))
+    val idAndVer = ((keyCols ++ partitionCols).distinct :+ CommitVerCol)
+    val logDels = win.filter(col(LogOpCol) === LogDelete)
+      .select(idAndVer.map(col): _*)
+    val dels = tombstoneRows(cur, sinceVersion, asOfVersion) match {
+      case Some(ts) => ts.unionByName(logDels)
+      case None => logDels
+    }
+    shapeFeed(ups, Some(dels), cur.schema)
   }
 
   // ---------------------------------------------------------------- catalog
@@ -252,6 +310,10 @@ object MorTable {
   val LogOpCol = "_graft_log_op"
   val LogUpsert = "U"
   val LogDelete = "D"
+  /** Scan-time changed-row flag carried through the merge window (the
+    * predicate reads input_file_name, which blanks after a shuffle).
+    */
+  val ChangedFlagCol = "_graft_changed"
 
   private[table] def logSchema(tableSchema: StructType): StructType =
     tableSchema.add(LogOpCol, StringType)
