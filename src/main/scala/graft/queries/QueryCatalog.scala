@@ -270,6 +270,45 @@ object QueryCatalog {
            |                                  WHERE t.c_custkey = s.c_custkey)
            |""".stripMargin))
 
+  /** Change feed end-to-end: bulk load + upsert + delete on a REAL
+    * tracked graft table, then `changeFeed` over the (1, 3] window —
+    * updated images typed U, deleted keys typed D (nulled payload) —
+    * reconstructed in DuckDB from the same inputs with set logic.
+    */
+  private val changeFeedQ = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).cast("double").as("bal"))
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-cf").toString
+      val tbl = new graft.table.CowTable(s, path, keyCols = Seq("c_custkey"),
+        trackCommitVersions = true)
+      tbl.bulkInsert(cust.filter(col("c_custkey") <= 1000))           // v1
+      tbl.upsert(cust.filter(col("c_custkey").between(901, 1200))
+        .withColumn("bal", col("bal") + 50.0))                        // v2
+      tbl.delete(cust.filter(col("c_custkey") % 10 === 0 &&
+        col("c_custkey") <= 1000))                                    // v3
+      tbl.changeFeed(1L, 3L).select(
+        col("c_custkey"), col("c_name"),
+        round(col("bal"), 2).cast("double").as("bal"),
+        col(graft.table.CowTable.ChangeTypeCol).as("op"))
+    },
+    Some("""WITH cust AS (
+           |  SELECT c_custkey, c_name,
+           |         CAST(round(c_acctbal, 2) AS DOUBLE) AS bal
+           |  FROM customer),
+           |up AS (SELECT c_custkey, c_name, bal + 50.0 AS bal FROM cust
+           |       WHERE c_custkey BETWEEN 901 AND 1200),
+           |del AS (SELECT c_custkey FROM cust
+           |        WHERE c_custkey % 10 = 0 AND c_custkey <= 1000)
+           |SELECT c_custkey, c_name,
+           |       CAST(round(bal, 2) AS DOUBLE) AS bal, 'U' AS op
+           |FROM up WHERE c_custkey NOT IN (SELECT c_custkey FROM del)
+           |UNION ALL
+           |SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+           |       CAST(NULL AS DOUBLE) AS bal, 'D' AS op
+           |FROM del""".stripMargin))
+
   /** M2 — count/introspection actions (reference: processData.py:303). */
   private val m2Counts = Q(
     (s, d) => t(s, d, "events").agg(
@@ -2220,6 +2259,7 @@ object QueryCatalog {
     "k2_upsert_merge" -> k2UpsertMerge,
     "k3_delete_merge" -> k3DeleteMerge,
     "merge_into_sql" -> mergeIntoSql,
+    "change_feed" -> changeFeedQ,
     "m2_counts" -> m2Counts,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3TopK,
