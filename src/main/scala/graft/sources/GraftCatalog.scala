@@ -1,0 +1,222 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{
+  NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{
+  Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog,
+  TableChange, TableInfo}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.{CowTable, MorTable}
+
+/** Name-based SQL catalog over a warehouse directory of graft tables —
+  * the piece that makes the SQL surface complete without temp views:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/warehouse")
+  *
+  *   CREATE NAMESPACE graft.lake;
+  *   CREATE TABLE graft.lake.users (id BIGINT, v DOUBLE)
+  *     USING graft PARTITIONED BY (p)
+  *     TBLPROPERTIES ('keyCols'='id', 'precombineField'='v');
+  *   INSERT INTO graft.lake.users VALUES (1, 0.5);   -- keyed upsert
+  *   MERGE INTO graft.lake.users t USING src s ON t.id = s.id ...;
+  *   SELECT * FROM graft.lake.users VERSION AS OF 3; -- time travel
+  *   DROP TABLE graft.lake.users;
+  * }}}
+  *
+  * Layout: `warehouse/<namespace...>/<table>` — each table directory is a
+  * normal graft table (`_commits/` timeline), interchangeable with the
+  * path-based API. Table properties at creation: `keyCols` (required),
+  * `partitionCols` (or `PARTITIONED BY` identity transforms),
+  * `precombineField`, `storageType` ('cow' | 'mor'),
+  * `trackCommitVersions`, `numBuckets`, `fileIndexEntries`, `statsCols`.
+  * Time travel maps `VERSION AS OF v` onto the retained commit timeline.
+  * Schema changes ride the table format's additive evolution on write;
+  * ALTER TABLE DDL is intentionally unsupported (loudly).
+  *
+  * MOR tables serve the READ-OPTIMIZED view through SQL (Hudi `_ro`
+  * semantics, same contract as the path source): log appends become
+  * visible at compaction; [[graft.table.MorTable.realtime]] is the merged
+  * view. Tables that track commit versions expose the stamp column in
+  * their declared schema — INSERT statements name their columns.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse")
+    warehouse = new Path(w)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def fs = warehouse.getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def nsPath(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)((p, n) => new Path(p, n))
+
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), ident.name)
+
+  // ----------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => CowTable.existsAt(spark, p.toString))
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    CowTable.existsAt(spark, tablePath(ident).toString)
+
+  override def loadTable(ident: Identifier): Table = {
+    val base = tablePath(ident).toString
+    if (!CowTable.existsAt(spark, base)) throw new NoSuchTableException(ident)
+    GraftDataSource.tableFor(spark, base,
+      CowTable.openManifest(spark, base), CaseInsensitiveStringMap.empty(),
+      acceptAnySchema = false)
+  }
+
+  /** SQL time travel: `VERSION AS OF v` (any retained commit). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val base = tablePath(ident).toString
+    if (!CowTable.existsAt(spark, base)) throw new NoSuchTableException(ident)
+    GraftDataSource.tableFor(spark, base,
+      CowTable.openManifest(spark, base, Some(version.toLong)),
+      CaseInsensitiveStringMap.empty(), acceptAnySchema = false)
+  }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = info.properties().asScala
+    def prop(key: String): Option[String] = props.collectFirst {
+      // DDL OPTIONS arrive prefixed, TBLPROPERTIES arrive bare
+      case (k, v) if k.equalsIgnoreCase(key) ||
+        k.equalsIgnoreCase(TableCatalog.OPTION_PREFIX + key) => v
+    }
+    def propList(key: String): Seq[String] =
+      prop(key).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    val keyCols = propList("keyCols")
+    require(keyCols.nonEmpty,
+      "CREATE TABLE ... USING graft needs TBLPROPERTIES ('keyCols'='...')")
+    val partitionCols = {
+      val fromTransforms = info.partitions().toSeq.map {
+        case t if t.name == "identity" =>
+          t.references()(0).fieldNames.mkString(".")
+        case other => throw new UnsupportedOperationException(
+          s"graft tables partition by identity columns only, got $other")
+      }
+      if (fromTransforms.nonEmpty) fromTransforms else propList("partitionCols")
+    }
+    val base = tablePath(ident).toString
+    val t =
+      if (prop("storageType").contains("mor"))
+        new MorTable(spark, base, keyCols, partitionCols,
+          prop("precombineField").getOrElse(""),
+          numBuckets = prop("numBuckets").map(_.toInt).getOrElse(0),
+          fileIndexEntries =
+            prop("fileIndexEntries").map(_.toInt).getOrElse(0),
+          statsCols = propList("statsCols"))
+      else
+        new CowTable(spark, base, keyCols, partitionCols,
+          prop("precombineField").getOrElse(""),
+          numBuckets = prop("numBuckets").map(_.toInt).getOrElse(0),
+          trackCommitVersions =
+            prop("trackCommitVersions").exists(_.toBoolean),
+          fileIndexEntries =
+            prop("fileIndexEntries").map(_.toInt).getOrElse(0),
+          statsCols = propList("statsCols"))
+    t.createEmpty(info.schema())
+    loadTable(ident)
+  }
+
+  override def alterTable(
+      ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft tables evolve additively on write; ALTER TABLE is unsupported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!CowTable.existsAt(spark, p.toString)) false
+    else fs.delete(p, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    fs.mkdirs(nsPath(to.namespace))
+    if (!fs.rename(tablePath(from), tablePath(to)))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
+
+  // ------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!fs.exists(warehouse)) return Array.empty
+    fs.listStatus(warehouse).filter(_.isDirectory)
+      .filterNot(s => CowTable.existsAt(spark, s.getPath.toString))
+      .map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    fs.listStatus(dir).filter(_.isDirectory)
+      .filterNot(s => CowTable.existsAt(spark, s.getPath.toString))
+      .map(s => namespace :+ s.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs.exists(nsPath(namespace))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace)
+    Map("location" -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String], metadata: JMap[String, String]): Unit =
+    fs.mkdirs(nsPath(namespace))
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no mutable metadata")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) false
+    else {
+      if (!cascade && fs.listStatus(dir).nonEmpty)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(dir, true)
+    }
+  }
+}

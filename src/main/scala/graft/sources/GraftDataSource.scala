@@ -128,7 +128,25 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val base = basePath(options)
     if (!tableExists(options))
       return new GraftWritableTable(base, options, None)
-    val m = manifest(options)
+    GraftDataSource.tableFor(SparkSession.active, base, manifest(options),
+      options, Some(schema))
+  }
+}
+
+object GraftDataSource {
+  /** Build the served V2 table for an existing manifest: the native
+    * parquet delegate over the (option-ranged) snapshot file listing plus
+    * the pushed-filter skipping context. Shared by the path provider and
+    * [[GraftCatalog]].
+    */
+  private[sources] def tableFor(
+      spark: SparkSession,
+      base: String,
+      m: graft.table.Manifest,
+      options: CaseInsensitiveStringMap,
+      schemaOverride: Option[StructType] = None,
+      acceptAnySchema: Boolean = true): GraftWritableTable = {
+    val schema = schemaOverride.getOrElse(m.schema)
     // file-level data skipping through the source API: rangeColumn (+
     // optional rangeLo / rangeHi) prunes to files whose recorded column
     // range intersects the bounds BEFORE any footer is opened —
@@ -138,21 +156,21 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     // (superset contract: stat-less files are kept; apply the row filter
     // on top, which the parquet scan then also pushes down.)
     val ranged = Option(options.get("rangeColumn")) match {
-      case Some(c) => CowTable.filesForRange(SparkSession.active, m, c,
+      case Some(c) => CowTable.filesForRange(spark, m, c,
         Option(options.get("rangeLo")), Option(options.get("rangeHi")))
       case None => m.baseFiles
     }
     val files = ranged.map(f => s"$base/$f")
     val delegate = ParquetTable(
       s"graft:$base@v${m.version}",
-      SparkSession.active,
+      spark,
       options,
       files.toIndexedSeq,
       Some(schema),
       classOf[ParquetFileFormat])
     new GraftWritableTable(base, options, Some(delegate),
       // pushed-filter file skipping starts from the option-ranged listing
-      Some((m, ranged, schema)))
+      Some((m, ranged, schema)), acceptAnySchema)
   }
 }
 
@@ -184,7 +202,14 @@ private[sources] class GraftWritableTable(
     delegate: Option[ParquetTable],
     // (manifest, option-pruned file listing, read schema) — present when
     // the table exists; drives pushed-filter file skipping in the scan
-    scanCtx: Option[(graft.table.Manifest, Seq[String], StructType)] = None)
+    scanCtx: Option[(graft.table.Manifest, Seq[String], StructType)] = None,
+    // Catalog-served tables declare their real schema instead of
+    // ACCEPT_ANY_SCHEMA: the analyzer then resolves INSERT/MERGE against
+    // it normally (with ACCEPT_ANY_SCHEMA Spark skips MERGE resolution
+    // entirely, expecting the connector to finish it — the Delta
+    // arrangement; path-based writes keep the capability so the table
+    // layer's additive evolution owns column validation).
+    acceptAnySchema: Boolean = true)
   extends Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -211,7 +236,7 @@ private[sources] class GraftWritableTable(
     caps.add(TableCapability.BATCH_WRITE)
     caps.add(TableCapability.V1_BATCH_WRITE)
     caps.add(TableCapability.TRUNCATE)
-    caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
 

@@ -431,6 +431,30 @@ class CowTable(
     partitionCols.foldLeft(schema)((s, c) => s.add(dirCol(c), byName(c).dataType))
   }
 
+  /** DDL-style creation: publish version 1 with the declared schema and
+    * an EMPTY file listing (no data). Subsequent writes go through the
+    * normal keyed paths — an upsert against the empty snapshot is a pure
+    * insert. What `CREATE TABLE ... USING graft` maps to.
+    */
+  def createEmpty(schema0: StructType): Unit = {
+    require(!exists, s"createEmpty on existing table $basePath")
+    require(keyCols.forall(schema0.fieldNames.contains),
+      s"schema must carry the record key columns $keyCols; " +
+        s"got ${schema0.fieldNames.toSeq}")
+    require(partitionCols.forall(schema0.fieldNames.contains),
+      s"schema must carry the partition columns $partitionCols")
+    val schema =
+      if (trackCommitVersions &&
+          !schema0.fieldNames.contains(CommitVerCol))
+        schema0.add(CommitVerCol, org.apache.spark.sql.types.LongType)
+      else schema0
+    writeManifest(Manifest(1L, schema.json, keyCols, partitionCols,
+      precombineField, Map.empty,
+      operation = "create",
+      storageType = storageTypeName,
+      keyEncoding = CowTable.CurrentKeyEncoding))
+  }
+
   /** K1 — bulk insert: first write of a brand-new table
     * (reference: processData.py:337-342, bulk_insert config :207-213).
     */
@@ -504,7 +528,8 @@ class CowTable(
     * reference: processData.py:348-358). No anti-join, no rewrite: new files
     * are ADDED to each partition's listing.
     */
-  def insertAppend(df: DataFrame, parallelism: Int = 0): Unit = {
+  def insertAppend(df: DataFrame, parallelism: Int = 0,
+      extraMetrics: Map[String, Long] = Map.empty): Unit = {
     val m = manifest
     val v = m.version + 1
     val stamped = stamp(df, v)
@@ -515,7 +540,8 @@ class CowTable(
     writeManifest(withFileStats(
       m.copy(version = v, schemaJson = evolved.json,
         partitions = merged,
-        operation = "insert_append", metrics = CowTable.writeStats(newFiles)),
+        operation = "insert_append",
+        metrics = CowTable.writeStats(newFiles) ++ extraMetrics),
       newFiles, evolved))
     clean()
   }

@@ -69,10 +69,24 @@ class MorTable(
 
   // ------------------------------------------------------------- write path
 
-  /** K2 on MOR: append an upsert delta log (no base rewrite). */
+  /** K2 on MOR: append an upsert delta log (no base rewrite). Cold-start
+    * exception: a table with NO files at all (DDL-created empty) has
+    * nothing to merge against, so the first batch writes BASE files —
+    * the read-optimized view starts non-empty instead of hiding the
+    * initial data behind the compaction cadence.
+    */
   override def upsert(df: DataFrame, parallelism: Int = 0,
-      extraMetrics: Map[String, Long] = Map.empty): Unit =
-    logAppend(df, parallelism, LogUpsert, extraMetrics)
+      extraMetrics: Map[String, Long] = Map.empty): Unit = {
+    val m = manifest
+    if (m.files.isEmpty) {
+      // intra-batch conflict resolution still applies on the cold start
+      val incoming =
+        if (precombineField.nonEmpty)
+          CdcOps.precombine(df, mergeIdCols, precombineField)
+        else df
+      insertAppend(incoming, parallelism, extraMetrics)
+    } else logAppend(df, parallelism, LogUpsert, extraMetrics)
+  }
 
   /** K3 on MOR: append delete tombstones (no base rewrite). */
   override def delete(df: DataFrame, parallelism: Int = 0,
