@@ -94,6 +94,51 @@ class ConcurrencySpec extends SparkSpec {
       fs.exists(new org.apache.hadoop.fs.Path(path, f))))
   }
 
+  test("incremental reads see a rebased commit's rows (stamp rescue)") {
+    // A rebased commit publishes at head+1 while its rows keep the
+    // TENTATIVE stamp of the original attempt (base+1). changesSince must
+    // still surface them — via the commit-dir stamp rescue — for every
+    // consumer position, including one that already consumed the winner.
+    val path = tmpDir("occ-stamps")
+    new CowTable(spark, path, keyCols = Seq("id"), partitionCols = Seq("p"),
+      precombineField = "v", trackCommitVersions = true)
+      .bulkInsert(Seq(("a", "p1", 1.0), ("b", "p2", 2.0)).toDF("id", "p", "v"))
+    val barrier = new CyclicBarrier(2)
+    class Racing extends CowTable(spark, path, keyCols = Seq("id"),
+      partitionCols = Seq("p"), precombineField = "v",
+      trackCommitVersions = true) {
+      override protected def writeManifest(m: Manifest): Unit = {
+        barrier.await(60, TimeUnit.SECONDS)
+        super.writeManifest(m)
+      }
+    }
+    val (a, b) = (new Racing, new Racing)
+    val (ea, eb) = runBoth(
+      a.upsert(Seq(("a", "p1", 10.0)).toDF("id", "p", "v")),
+      b.upsert(Seq(("b", "p2", 20.0)).toDF("id", "p", "v")))
+    assert(ea.isEmpty && eb.isEmpty, s"$ea / $eb")
+    val t = CowTable.open(spark, path)
+    assert(t.manifest.version == 3L)
+    def changed(since: Long): Set[(String, Double)] =
+      t.changesSince(since).select("id", "v")
+        .as[(String, Double)].collect().toSet
+    // from the seed: both writers' rows
+    assert(changed(1L) == Set(("a", 10.0), ("b", 20.0)),
+      s"both commits' changes must surface: ${changed(1L)}")
+    // from the WINNER's version: exactly the rebased commit's row — its
+    // stamp is 2 (tentative) but its commit is v3; without the dir-stamp
+    // rescue this set would be empty (silent data loss)
+    val afterWinner = changed(2L)
+    assert(afterWinner.size == 1 &&
+      Set(("a", 10.0), ("b", 20.0)).contains(afterWinner.head),
+      s"the rebased commit's change must surface past the winner: " +
+        s"$afterWinner")
+    // change feed agrees
+    val feed = t.changeFeed(1L, 3L)
+      .select("id", "v").as[(String, Double)].collect().toSet
+    assert(feed == Set(("a", 10.0), ("b", 20.0)))
+  }
+
   test("stale lock from a crashed claimant is broken after timeout") {
     val path = tmpDir("occ-stale")
     seed(path)

@@ -37,6 +37,19 @@ class TableOpsPropertySpec extends SparkSpec {
     var history = Map.empty[Long, Model]
     def record(): Unit = { history += t.manifest.version -> model }
 
+    // Change-feed invariant: applying the (s, e] feed to the state at s
+    // reproduces the state at e. Holds for every CDC op (upsert, delete,
+    // conditional merge) and for services (their rewrites carry old
+    // stamps, so the feed stays change-only); overwrite and restore are
+    // whole-table listing swaps, not row changes, and reset the anchor.
+    def applyFeed(base: Model, s: Long, e: Long): Model =
+      t.changeFeed(s, e).select(col("id"), col("part"), col("v"),
+          col(CowTable.ChangeTypeCol))
+        .as[(String, String, Option[Double], String)].collect()
+        .foldLeft(base) { case (m, (id, p, v, op)) =>
+          if (op == "D") m - ((id, p)) else m + ((id, p) -> v.get)
+        }
+
     t.bulkInsert(df(dedup(randRows(20)).toSeq.map {
       case ((i, p), v) => (i, p, v) }))
     model = dedup(randRows(0)) // rebuilt below from the actual insert
@@ -44,6 +57,7 @@ class TableOpsPropertySpec extends SparkSpec {
       .as[(String, String, Double)].collect()
       .map(r => ((r._1, r._2), r._3)).toMap
     record()
+    var feedAnchor: Option[(Long, Model)] = Some(t.manifest.version -> model)
 
     (0 until nOps).foreach { step =>
       val op = rnd.nextInt(100)
@@ -95,13 +109,23 @@ class TableOpsPropertySpec extends SparkSpec {
       assert(got == model,
         s"seed=$seed step=$step op=$op diverged:\n got  ${got.toSeq.sorted}" +
           s"\n want ${model.toSeq.sorted}")
+      val curV = t.manifest.version
+      if (op < 70 || (op >= 75 && op < 85)) feedAnchor.foreach {
+        case (pv, pm) =>
+          val applied = applyFeed(pm, pv, curV)
+          assert(applied == model,
+            s"seed=$seed step=$step op=$op feed ($pv, $curV] diverged:\n" +
+              s" got  ${applied.toSeq.sorted}\n want ${model.toSeq.sorted}")
+      }
+      feedAnchor = Some(curV -> model)
     }
   }
 
   test("COW: random op sequences equal the model replay at every step") {
     drive(new CowTable(spark, tmpDir("props-cow"), keyCols = Seq("id"),
       partitionCols = Seq("part"), precombineField = "v",
-      fileIndexEntries = 1000), seed = 11, nOps = 22)
+      fileIndexEntries = 1000, trackCommitVersions = true),
+      seed = 11, nOps = 22)
   }
 
   test("MOR: random op sequences equal the model replay at every step") {
