@@ -1636,8 +1636,11 @@ object CowTable {
     */
   private[table] def changedRowPredicate(since: Long): Column =
     col(CommitVerCol) > since ||
+      // greedy prefix anchors to the LAST files/<dir> segment, so a base
+      // path that itself happens to contain "files/c<digits>-" can't
+      // shadow the actual commit dir
       col(CommitVerCol) === regexp_extract(
-        input_file_name(), "files/[ct](\\d+)[-/]", 1).cast("long")
+        input_file_name(), ".*/files/[ct](\\d+)[-/]", 1).cast("long")
   val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
   /** False-positive probability for per-file key blooms (a false positive
     * only costs an unnecessary file read, never correctness).
