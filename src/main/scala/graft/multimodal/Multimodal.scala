@@ -7,8 +7,12 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payload
   * columns with typed metadata, processed in per-partition batches.
   *
-  * The DECODE step is a clearly-marked deterministic stub (no codec
-  * libraries exist in this environment — see `fakeDecode`); everything
+  * Decoding is pluggable ([[MediaCodec]]). Images and PCM audio decode FOR
+  * REAL via pure-JDK codecs ([[ImageIoCodec]] — javax.imageio PNG/JPEG/BMP/
+  * GIF; [[WavCodec]] — javax.sound.sampled RIFF/WAV): true dimensions,
+  * channel statistics, resized pixels. Video remains a clearly-marked
+  * deterministic stub ([[StubCodec]]) — the JDK ships no container/video
+  * parser and none exists in this offline environment. Everything
   * Spark-side is real and tested: the asset schema, binary ingestion,
   * partition-batched transformation (`mapPartitions`, the JVM analog of
   * `mapInPandas` batch shape), metadata extraction, and content-hash
@@ -88,6 +92,232 @@ object Multimodal {
   /** Back-compat alias for the stub (see [[StubCodec]]). */
   def fakeDecode(payload: Array[Byte]): (Int, Int, Array[Float]) =
     StubCodec.decode("image", payload)
+
+  /** REAL image codec backed by the JDK's own `javax.imageio` — PNG, JPEG,
+    * BMP and GIF readers ship inside every JDK (java.desktop module), so no
+    * external native codec library is needed for still images.
+    *
+    * Output: true pixel dimensions plus an 8-dim feature vector —
+    * `[meanR, meanG, meanB, lumaHist0..3, aspect]` where channel means are
+    * in [0,1], the luma histogram is the fraction of pixels in 4 equal
+    * 8-bit-luma bins, and aspect = w/(w+h). Undecodable or empty payloads
+    * return the deterministic zero shape (never throw), matching the
+    * [[MediaCodec]] contract. Pixels are read a row at a time (bulk
+    * `getRGB`), so memory stays O(width) regardless of image size.
+    */
+  object ImageIoCodec extends MediaCodec {
+    override def decode(mediaType: String, payload: Array[Byte])
+        : (Int, Int, Array[Float]) = {
+      if (payload == null || payload.isEmpty) return (0, 0, Array.fill(8)(0f))
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null) return (0, 0, Array.fill(8)(0f))
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return (0, 0, Array.fill(8)(0f))
+      var sr, sg, sb = 0.0
+      val hist = new Array[Long](4)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sr += r; sg += g; sb += b
+          val luma = (0.299 * r + 0.587 * g + 0.114 * b).toInt
+          hist(math.min(3, luma >> 6)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      val feat = Array(
+        (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+        (sb / n / 255.0).toFloat,
+        (hist(0) / n).toFloat, (hist(1) / n).toFloat,
+        (hist(2) / n).toFloat, (hist(3) / n).toFloat,
+        (w.toDouble / (w + h)).toFloat)
+      (w, h, feat)
+    }
+  }
+
+  /** REAL audio codec for PCM WAV via the JDK's `javax.sound.sampled` —
+    * RIFF/WAV parsing also ships in every JDK. Returns
+    * `(channels, sampleRateHz)` in the width/height slots (documented field
+    * reuse — the decoded-asset schema is medium-agnostic) and an 8-dim
+    * feature vector `[durationSec, rms, zeroCrossRate, peak, q1Rms..q4Rms]`
+    * over the channel-mixed signal (quarter-segment RMS gives a coarse
+    * temporal envelope). Non-PCM or undecodable payloads return the zero
+    * shape.
+    */
+  object WavCodec extends MediaCodec {
+    override def decode(mediaType: String, payload: Array[Byte])
+        : (Int, Int, Array[Float]) = {
+      if (payload == null || payload.isEmpty) return (0, 0, Array.fill(8)(0f))
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val pcm = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16
+        if (!pcm) { ais.close(); return (0, 0, Array.fill(8)(0f)) }
+        val channels = fmt.getChannels
+        val rate = fmt.getSampleRate
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val frameBytes = 2 * channels
+        val nFrames = bytes.length / frameBytes
+        if (nFrames == 0) return (channels, rate.toInt, Array.fill(8)(0f))
+        // channel-mixed normalized samples in [-1,1]
+        val mono = new Array[Double](nFrames)
+        val big = fmt.isBigEndian
+        var i = 0
+        while (i < nFrames) {
+          var acc = 0.0
+          var c = 0
+          while (c < channels) {
+            val o = i * frameBytes + 2 * c
+            val s =
+              if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+              else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+            acc += s / 32768.0
+            c += 1
+          }
+          mono(i) = acc / channels
+          i += 1
+        }
+        var sumSq = 0.0
+        var crossings = 0L
+        var peak = 0.0
+        i = 0
+        while (i < nFrames) {
+          val v = mono(i)
+          sumSq += v * v
+          peak = math.max(peak, math.abs(v))
+          if (i > 0 && (v >= 0) != (mono(i - 1) >= 0)) crossings += 1
+          i += 1
+        }
+        val qRms = Array.tabulate(4) { q =>
+          val lo = (q.toLong * nFrames / 4).toInt
+          val hi = ((q + 1).toLong * nFrames / 4).toInt
+          if (hi <= lo) 0f
+          else {
+            var s = 0.0
+            var j = lo
+            while (j < hi) { s += mono(j) * mono(j); j += 1 }
+            math.sqrt(s / (hi - lo)).toFloat
+          }
+        }
+        val feat = Array(
+          (nFrames / rate.toDouble).toFloat,
+          math.sqrt(sumSq / nFrames).toFloat,
+          (crossings.toDouble / nFrames).toFloat,
+          peak.toFloat,
+          qRms(0), qRms(1), qRms(2), qRms(3))
+        (channels, rate.toInt, feat)
+      } catch { case _: Exception => (0, 0, Array.fill(8)(0f)) }
+    }
+  }
+
+  /** The production default for real payloads: routes images to
+    * [[ImageIoCodec]] and audio to [[WavCodec]] (both pure-JDK, genuinely
+    * decoding bytes); video falls back to the labeled [[StubCodec]] — the
+    * JDK has no container/video parser, so that medium stays honestly
+    * stubbed until an ffmpeg-backed [[MediaCodec]] is dropped in.
+    */
+  object JdkCodec extends MediaCodec {
+    override def decode(mediaType: String, payload: Array[Byte])
+        : (Int, Int, Array[Float]) = mediaType match {
+      case "image" => ImageIoCodec.decode(mediaType, payload)
+      case "audio" => WavCodec.decode(mediaType, payload)
+      case _       => StubCodec.decode(mediaType, payload)
+    }
+  }
+
+  /** Deterministic solid-colour image encoder (PNG by default — lossless,
+    * so decode recovers the exact fill colour). Used by specs and the
+    * oracle-checked `image_decode` query to synthesize real image payloads
+    * from numeric columns on executors.
+    */
+  def encodeSolidImage(w: Int, h: Int, r: Int, g: Int, b: Int,
+      format: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    val row = Array.fill(w)(rgb)
+    var y = 0
+    while (y < h) { img.setRGB(0, y, w, 1, row, 0, w); y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** REAL pixel resize stage: decodes each image payload with ImageIO,
+    * scales the longest side down to `maxSide` (bilinear), re-encodes, and
+    * emits the asset row with the new payload/width/height. Non-image or
+    * undecodable payloads pass through unchanged. Runs per-partition on
+    * executors — the payload never visits the driver; memory is bounded by
+    * one decoded image per task at a time.
+    */
+  def resizeAssets(assets: DataFrame, maxSide: Int,
+      format: String = "png"): DataFrame = {
+    val enc = Encoders.row(AssetSchema)
+    val schema = assets.schema
+    val iId = schema.fieldIndex("asset_id")
+    val iType = schema.fieldIndex("media_type")
+    val iPayload = schema.fieldIndex("payload")
+    val iSource = schema.fieldIndex("source")
+    val iW = schema.fieldIndex("width")
+    val iH = schema.fieldIndex("height")
+    val iDur = schema.fieldIndex("duration_ms")
+    assets.mapPartitions { rows =>
+      rows.map { r =>
+        val mediaType = r.getString(iType)
+        val payload =
+          if (r.isNullAt(iPayload)) null else r.getAs[Array[Byte]](iPayload)
+        val src = if (r.isNullAt(iSource)) null else r.getString(iSource)
+        val dur = if (r.isNullAt(iDur)) null else java.lang.Long.valueOf(r.getLong(iDur))
+        val img =
+          if (mediaType != "image" || payload == null || payload.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+        if (img == null) {
+          Row(r.getLong(iId), mediaType, payload, src,
+            if (r.isNullAt(iW)) null else r.get(iW),
+            if (r.isNullAt(iH)) null else r.get(iH), dur)
+        } else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val longest = math.max(w, h)
+          if (longest <= maxSide) {
+            Row(r.getLong(iId), mediaType, payload, src, w, h, dur)
+          } else {
+            val scale = maxSide.toDouble / longest
+            val nw = math.ceil(w * scale).toInt
+            val nh = math.ceil(h * scale).toInt
+            val out = new java.awt.image.BufferedImage(
+              nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val gfx = out.createGraphics()
+            gfx.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            gfx.drawImage(img, 0, 0, nw, nh, null)
+            gfx.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, format, bos)
+            Row(r.getLong(iId), mediaType, bos.toByteArray, src, nw, nh, dur)
+          }
+        }
+      }
+    }(enc)
+  }
 
   /** Decoded-asset output schema: metadata + feature vector. */
   val DecodedSchema: StructType = StructType(Seq(

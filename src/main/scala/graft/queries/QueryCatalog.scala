@@ -1319,6 +1319,55 @@ object QueryCatalog {
            |  frame_idx * 100 AS frame_ts_ms
            |FROM fr""".stripMargin))
 
+  /** REAL image decoding through the JDK ImageIO codec: synthesizes a
+    * solid-colour PNG per document on executors (dimensions and fill
+    * colour are pure functions of `doc_id`), decodes it back with
+    * [[graft.multimodal.Multimodal.ImageIoCodec]], and reports the decoded
+    * dimensions plus the channel means recovered FROM THE PIXELS. PNG is
+    * lossless, so the recovered means match the fill colour exactly — the
+    * DuckDB oracle recomputes both from the `doc_id` formulas, making this
+    * an end-to-end certificate that the codec genuinely decodes bytes
+    * (a stub or hash-fake cannot reproduce these values). Payloads are
+    * encoded and decoded per-partition; nothing but the final longs leaves
+    * the executors.
+    */
+  private val imageDecode = Q(
+    (s, d) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val assetSchema = StructType(Seq(
+        StructField("asset_id", LongType, nullable = false),
+        StructField("media_type", StringType, nullable = false),
+        StructField("payload", BinaryType, nullable = true)))
+      val assets = t(s, d, "documents").select(col("doc_id"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val w = (id % 57 + 8).toInt
+            val h = (id % 41 + 8).toInt
+            Row(id, "image", graft.multimodal.Multimodal.encodeSolidImage(
+              w, h, (id % 256).toInt, (id * 7 % 256).toInt,
+              (id * 13 % 256).toInt))
+          }
+        }(Encoders.row(assetSchema))
+      graft.multimodal.Multimodal
+        .decodeAssets(assets, graft.multimodal.Multimodal.ImageIoCodec)
+        .select(
+          col("asset_id"),
+          col("decoded_width").cast("long").as("decoded_width"),
+          col("decoded_height").cast("long").as("decoded_height"),
+          round(element_at(col("features"), 1) * 255).cast("long").as("mean_r"),
+          round(element_at(col("features"), 2) * 255).cast("long").as("mean_g"),
+          round(element_at(col("features"), 3) * 255).cast("long").as("mean_b"))
+    },
+    Some("""SELECT doc_id AS asset_id,
+           |  doc_id % 57 + 8 AS decoded_width,
+           |  doc_id % 41 + 8 AS decoded_height,
+           |  doc_id % 256 AS mean_r,
+           |  doc_id * 7 % 256 AS mean_g,
+           |  doc_id * 13 % 256 AS mean_b
+           |FROM documents""".stripMargin))
+
   /** Mean embedding per language (centroid building / mean pooling — the
     * group-wise vector aggregation a training pipeline uses for cluster
     * prototypes). Exploded per dimension; the per-(lang,dim) mean uses an
@@ -2311,6 +2360,7 @@ object QueryCatalog {
     "ivf_search" -> ivfSearch,
     "multimodal_bytes" -> multimodalBytes,
     "multimodal_frames" -> multimodalFrames,
+    "image_decode" -> imageDecode,
     "mean_embedding_by_lang" -> meanEmbeddingByLang,
     "pivot_revenue" -> pivotRevenue,
     "cube_counts" -> cubeCounts,

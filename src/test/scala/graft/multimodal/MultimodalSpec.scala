@@ -100,6 +100,129 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_._3).toSeq == Seq(0L, 500L, 1000L, 1500L))
   }
 
+  test("ImageIoCodec really decodes PNG/BMP: exact dims and channel means") {
+    // PNG and BMP are lossless -> recovered channel means equal the fill
+    // colour exactly; dimensions are the true pixel dimensions.
+    for (fmt <- Seq("png", "bmp")) {
+      val payload = Multimodal.encodeSolidImage(37, 21, 200, 50, 125, fmt)
+      val (w, h, feat) = Multimodal.ImageIoCodec.decode("image", payload)
+      assert((w, h) == ((37, 21)), s"$fmt dims")
+      assert(math.round(feat(0) * 255) == 200, s"$fmt meanR ${feat(0)}")
+      assert(math.round(feat(1) * 255) == 50, s"$fmt meanG")
+      assert(math.round(feat(2) * 255) == 125, s"$fmt meanB")
+      // luma of (200,50,125) = 103.3 -> all pixels in bin 1
+      assert(feat(4) == 1.0f, s"$fmt luma hist")
+      assert(math.abs(feat(7) - 37.0f / 58) < 1e-6, s"$fmt aspect")
+    }
+  }
+
+  test("ImageIoCodec decodes JPEG with lossy-tolerant means") {
+    val payload = Multimodal.encodeSolidImage(64, 48, 180, 90, 30, "jpg")
+    val (w, h, feat) = Multimodal.ImageIoCodec.decode("image", payload)
+    assert((w, h) == ((64, 48)))
+    assert(math.abs(feat(0) * 255 - 180) < 6, s"jpeg meanR ${feat(0) * 255}")
+    assert(math.abs(feat(1) * 255 - 90) < 6)
+    assert(math.abs(feat(2) * 255 - 30) < 6)
+  }
+
+  test("ImageIoCodec never throws: garbage and empty payloads -> zero shape") {
+    for (bad <- Seq(Array[Byte](9), Array[Byte](1, 2, 3), null,
+        Array.empty[Byte])) {
+      val (w, h, f) = Multimodal.ImageIoCodec.decode("image", bad)
+      assert(w == 0 && h == 0 && f.length == 8 && f.forall(_ == 0f))
+    }
+  }
+
+  test("WavCodec really parses PCM WAV: rate, channels, duration, envelope") {
+    // synthesize 0.5 s of stereo 16-bit PCM at 8 kHz: silence in the first
+    // half, full-scale square wave at 400 Hz in the second half
+    val rate = 8000
+    val n = rate / 2
+    val pcm = new Array[Byte](n * 4)
+    for (i <- n / 2 until n) {
+      val v: Short = if ((i * 400 * 2 / rate) % 2 == 0) 30000 else -30000
+      for (c <- 0 until 2) {
+        pcm(i * 4 + 2 * c) = (v & 0xff).toByte
+        pcm(i * 4 + 2 * c + 1) = ((v >> 8) & 0xff).toByte
+      }
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val (channels, hz, feat) =
+      Multimodal.WavCodec.decode("audio", bos.toByteArray)
+    assert(channels == 2 && hz == rate)
+    assert(math.abs(feat(0) - 0.5f) < 1e-3, s"duration ${feat(0)}")
+    assert(feat(4) == 0f && feat(5) == 0f, "first half silent")
+    assert(feat(6) > 0.8f && feat(7) > 0.8f, "second half loud")
+    assert(feat(3) > 0.9f, "peak near full scale")
+    // garbage payload -> zero shape, no throw
+    val (zw, zh, zf) = Multimodal.WavCodec.decode("audio", Array[Byte](1, 2))
+    assert(zw == 0 && zh == 0 && zf.forall(_ == 0f))
+  }
+
+  test("JdkCodec routes by media type; video stays the labeled stub") {
+    val png = Multimodal.encodeSolidImage(10, 10, 1, 2, 3)
+    assert(Multimodal.JdkCodec.decode("image", png)._1 == 10)
+    val viaStub = Multimodal.StubCodec.decode("video", png)
+    val viaJdk = Multimodal.JdkCodec.decode("video", png)
+    assert(viaJdk._1 == viaStub._1 && viaJdk._3.toSeq == viaStub._3.toSeq)
+  }
+
+  test("resizeAssets really rescales pixels, preserving aspect and colour") {
+    import spark.implicits._
+    val big = Multimodal.encodeSolidImage(400, 100, 10, 200, 60)
+    val small = Multimodal.encodeSolidImage(50, 40, 7, 8, 9)
+    val assets = Seq(
+      (1L, "image", big, "src", 400, 100, Option.empty[Long]),
+      (2L, "image", small, "src", 50, 40, Option.empty[Long]),
+      (3L, "audio", Array[Byte](1, 2, 3), "src", 0, 0, Option.empty[Long]))
+      .toDF("asset_id", "media_type", "payload", "source", "width",
+        "height", "duration_ms")
+    val resized = Multimodal.resizeAssets(assets, maxSide = 200)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(resized(1L).getInt(4) == 200 && resized(1L).getInt(5) == 50)
+    // re-decode the resized payload: its REAL pixels are 200x50 and keep
+    // the fill colour (bilinear over a solid image is exact)
+    val (rw, rh, rf) = Multimodal.ImageIoCodec.decode(
+      "image", resized(1L).getAs[Array[Byte]](2))
+    assert((rw, rh) == ((200, 50)))
+    assert(math.round(rf(0) * 255) == 10 && math.round(rf(1) * 255) == 200)
+    // already-small image passes through byte-identical
+    assert(resized(2L).getAs[Array[Byte]](2).toSeq == small.toSeq)
+    // non-image passes through untouched
+    assert(resized(3L).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3))
+  }
+
+  test("decodeAssets with the real codec runs distributed over synthetic PNGs") {
+    import spark.implicits._
+    val ids = spark.range(0, 64).select(col("id").as("asset_id"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("asset_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("media_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType, nullable = true)))
+    val assets = ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        org.apache.spark.sql.Row(id, "image",
+          Multimodal.encodeSolidImage((id % 30 + 4).toInt, (id % 20 + 4).toInt,
+            (id % 256).toInt, 0, 0))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    val dec = Multimodal.decodeAssets(assets, Multimodal.ImageIoCodec)
+      .select($"asset_id", $"decoded_width", $"decoded_height")
+      .as[(Long, Int, Int)].collect()
+    assert(dec.length == 64)
+    assert(dec.forall { case (id, w, h) =>
+      w == (id % 30 + 4).toInt && h == (id % 20 + 4).toInt })
+  }
+
   test("decoded features feed the similarity operators") {
     val decoded = Multimodal.decodeAssets(
       Multimodal.ingestDocumentsAsAssets(docs))
