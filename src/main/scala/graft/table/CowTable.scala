@@ -6,7 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DateType, NumericType, StructType, TimestampType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -1024,7 +1024,11 @@ class CowTable(
     */
   protected def writeCommit(
       df: DataFrame, v: Long, parallelism: Int,
-      rangeSortCols: Seq[String] = Nil): Map[String, Seq[String]] = {
+      rangeSortCols: Seq[String] = Nil,
+      // synthetic sort-key columns (e.g. the Z-order key) dropped after
+      // shaping, before the files are written — projection preserves the
+      // established intra-partition order
+      dropCols: Seq[String] = Nil): Map[String, Seq[String]] = {
     val dir = commitDataDir(v)
     val dup0 = partitionCols.foldLeft(df)(
       (d, c) => d.withColumn(dirCol(c), col(c)))
@@ -1058,7 +1062,8 @@ class CowTable(
         else shaped0.sortWithinPartitions(
           (dirColsAll ++ clusterCols).map(col).toIndexedSeq: _*)
       }
-    val w = shaped.write.mode("overwrite")
+    val w = (if (dropCols.nonEmpty) shaped.drop(dropCols: _*) else shaped)
+      .write.mode("overwrite")
     (if (dirColsAll.nonEmpty) w.partitionBy(dirColsAll.toIndexedSeq: _*)
     else w).parquet(dir.toString)
     listCommitFiles(dir)
@@ -1388,6 +1393,61 @@ class CowTable(
     val newFiles = writeCommit(data, v, width, rangeSortCols = sortCols)
     writeManifest(withFileStats(
       m.copy(version = v, partitions = newFiles, operation = "cluster",
+        metrics = CowTable.writeStats(newFiles) +
+          ("units_rewritten" -> m.partitions.size.toLong)),
+      newFiles, m.schema))
+    clean()
+    true
+  }
+
+  /** Z-order clustering service: rewrite ALL base files with rows ordered
+    * by the 2-D Morton code of the two columns ([[graft.functions
+    * .BitInterleave]] — codegen'd), after min/max range-scaling each to a
+    * dense `bits`-wide integer domain. Where [[recluster]]'s lexicographic
+    * sort gives tight per-file statistics on the LEADING column only,
+    * Z-order gives near-tight min/max on BOTH columns simultaneously, so
+    * `statsCols` file skipping ([[snapshotForRange]], the pushed-filter
+    * DSv2 path) prunes range predicates on either axis — the standard
+    * lakehouse Z-ordering trade (each axis prunes ~sqrt as sharply as a
+    * dedicated sort, but both axes prune). Columns must be numeric,
+    * timestamp or date (range-scaling needs an order-preserving cast to
+    * double); two scans total — one bounded min/max aggregate, one
+    * rewrite. MOR delta logs are untouched, like [[recluster]].
+    */
+  def reclusterZOrder(colA: String, colB: String, parallelism: Int = 0,
+      bits: Int = 20): Boolean = {
+    val m = manifest
+    if (m.partitions.isEmpty) return false
+    val sch = m.schema
+    for (c <- Seq(colA, colB)) {
+      require(sch.fieldNames.contains(c), s"no such column $c")
+      val ok = sch(c).dataType match {
+        case _: NumericType | _: TimestampType | _: DateType => true
+        case _ => false
+      }
+      require(ok, s"z-order needs a numeric/timestamp/date column; " +
+        s"$c is ${sch(c).dataType}")
+    }
+    val v = m.version + 1
+    val data = readFiles(m, m.baseFiles)
+    val Seq(aD, bD) = Seq(colA, colB).map(c => col(c).cast("double"))
+    val s = data.agg(min(aD), max(aD), min(bD), max(bD)).head()
+    if (s.isNullAt(0) || s.isNullAt(2)) return false // all-null axis: no-op
+    val top = (1L << bits) - 1
+    def scaled(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(greatest(
+        ((c - lo) / (hi - lo) * top).cast("long"), lit(0L)), lit(top))
+    val zkey = graft.functions.ZOrder.zorder2(
+      scaled(aD, s.getDouble(0), s.getDouble(1)),
+      scaled(bD, s.getDouble(2), s.getDouble(3)))
+    val zc = "_graft_zkey"
+    val width = if (parallelism > 0) parallelism
+      else math.max(m.partitions.size, 1)
+    val newFiles = writeCommit(data.withColumn(zc, zkey), v, width,
+      rangeSortCols = Seq(zc), dropCols = Seq(zc))
+    writeManifest(withFileStats(
+      m.copy(version = v, partitions = newFiles, operation = "cluster_z",
         metrics = CowTable.writeStats(newFiles) +
           ("units_rewritten" -> m.partitions.size.toLong)),
       newFiles, m.schema))

@@ -55,6 +55,64 @@ class TableServicesSpec extends SparkSpec {
     assert(t.snapshot().as[(String, String, Double)].collect().toSet == snap0)
   }
 
+  test("reclusterZOrder prunes range scans on BOTH axes; data identical") {
+    val t = new CowTable(spark, tmpDir("svc-z"), keyCols = Seq("id"),
+      fileIndexEntries = 1000, statsCols = Seq("a", "b"))
+    // two independent axes: a = 0..799 in order, b = a fixed-seed shuffle
+    val rnd = new scala.util.Random(11)
+    val bs = rnd.shuffle((0 until 800).toVector)
+    val data = (0 until 800).map(i =>
+      (f"k$i%04d", i.toLong, bs(i).toLong, i.toDouble))
+    t.bulkInsert(rnd.shuffle(data).toDF("id", "a", "b", "v"),
+      parallelism = 8)
+    val total = t.manifest.baseFiles.size
+    assert(total >= 4, s"need a multi-file layout, got $total")
+    // a narrow (1/16-domain) range probe per axis
+    def cand(c: String): Int = CowTable.filesForRange(
+      spark, t.manifest, c, Some(300L), Some(349L)).size
+    assert(cand("a") == total && cand("b") == total,
+      "shuffled files span both domains: nothing prunes")
+    val snap0 = t.snapshot().as[(String, Long, Long, Double)].collect().toSet
+
+    assert(t.recluster(Seq("a"), parallelism = 8))
+    assert(cand("a") <= 2, s"linear sort prunes its own axis: ${cand("a")}")
+    assert(cand("b") >= total - 1,
+      s"linear sort cannot prune the other axis: ${cand("b")}/$total")
+
+    assert(t.reclusterZOrder("a", "b", parallelism = 8))
+    assert(t.manifest.operation == "cluster_z")
+    val (ca, cb) = (cand("a"), cand("b"))
+    // at F=8 the sqrt(F) z-curve behavior is noisy per axis; require both
+    // axes to prune and the AVERAGE to hit half the files or better
+    assert(ca < total && cb < total && ca + cb <= total + 1,
+      s"z-order must prune BOTH axes: a=$ca b=$cb of $total")
+    // the synthetic z-key never lands in the files
+    assert(t.snapshot().columns.toSeq ==
+      Seq("id", "a", "b", "v"))
+    assert(t.snapshot().as[(String, Long, Long, Double)].collect().toSet
+      == snap0)
+    // stats refreshed: every live file indexed
+    assert(t.manifest.fileStats.keySet ==
+      t.manifest.partitions.valuesIterator.flatten.toSet)
+  }
+
+  test("reclusterZOrder rejects non-numeric axes and no-ops on empty") {
+    import org.apache.spark.sql.types._
+    val t = new CowTable(spark, tmpDir("svc-z-bad"), keyCols = Seq("id"),
+      fileIndexEntries = 1000, statsCols = Seq("a"))
+    t.createEmpty(StructType(Seq(
+      StructField("id", StringType), StructField("a", LongType),
+      StructField("b", StringType), StructField("v", DoubleType))))
+    assert(!t.reclusterZOrder("a", "a"), "empty table: clean no-op")
+    t.insertAppend(Seq(("x", 1L, "s", 1.0), ("y", 2L, "t", 2.0))
+      .toDF("id", "a", "b", "v"))
+    intercept[IllegalArgumentException] { t.reclusterZOrder("a", "b") }
+    intercept[IllegalArgumentException] { t.reclusterZOrder("a", "nope") }
+    // same-column z-order degenerates to a plain sort but stays legal
+    assert(t.reclusterZOrder("a", "a"))
+    assert(t.snapshot().count() == 2)
+  }
+
   test("restoreTo publishes a new commit with the old state") {
     val t = new CowTable(spark, tmpDir("svc-restore"), keyCols = Seq("id"),
       precombineField = "v")
