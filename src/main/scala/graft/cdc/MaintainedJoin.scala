@@ -1,0 +1,216 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.table.CowTable
+
+/** Incrementally maintained LEFT-OUTER enrichment join: a materialized
+  * `A LEFT JOIN B ON A.fk = B.id` stored as its own [[CowTable]], kept
+  * current from the two source tables' change feeds ([[CowTable.changeFeed]])
+  * — maintenance cost scales with the CHURN of A and B, not with |A ⋈ B|.
+  *
+  * WHY left-outer (not inner): the view then contains EVERY A row — matched
+  * or not — so the rows affected by B-side churn (including a B insert that
+  * creates a brand-new match) are found by probing the view's own stored fk
+  * columns. An inner-join view loses unmatched A rows and cannot recover
+  * them without a secondary index on A.fk; inner semantics remain one
+  * `WHERE b_id IS NOT NULL` filter away. The delta algebra per refresh
+  * window:
+  *
+  *   - ΔA upserts: new A images, re-joined against CURRENT B → upsert view.
+  *   - ΔA deletes: drop the view rows by A identity.
+  *   - ΔB (U or D): view rows whose fk hits a changed B identity are
+  *     re-joined (a B delete leaves them with null payload — left-outer
+  *     semantics; a B insert/update refreshes them). ΔA images win over
+  *     stale view images for keys in both sets.
+  *
+  * The B-side probe is a point read through B's record-key file index
+  * ([[CowTable.lookupByKeys]]); the view-side fk probe benefits from the
+  * view table's `clusterCols`/`statsCols` on fk (set automatically) — at
+  * 100 TB run `recluster(fk)` (or [[CowTable.reclusterZOrder]] with a
+  * second access axis) on the view on the usual service cadence to keep
+  * that probe file-pruned.
+  *
+  * High-water marks (the last folded version of each source) ride the
+  * view's OWN commit metrics — the view is its own exactly-once ledger,
+  * like [[graft.streaming.GraftSink]]'s batch marks. If a mark falls out
+  * of a source's retained timeline the refresh transparently reseeds by
+  * full recompute (same contract as a streaming source falling behind
+  * retention).
+  *
+  * Requirements: both sources track commit versions (feeds need stamps);
+  * `on` maps A columns onto ALL of B's merge identity columns (key +
+  * partition — the probe must prune); A and B payload column names must
+  * not collide (pass `bPrefix` to rename B's payload into the view).
+  * Like [[IncrementalAgg.MaintainedView]], sources must be COW (MOR point
+  * lookups do not see unmerged log rows).
+  */
+final class MaintainedJoin(
+    spark: SparkSession,
+    viewPath: String,
+    a: CowTable,
+    b: CowTable,
+    /** A-column -> B-identity-column join map; must cover b.mergeIdCols. */
+    on: Seq[(String, String)],
+    /** Prefix for B's payload columns in the view (avoids collisions). */
+    bPrefix: String = "") {
+
+  require(a.trackCommitVersions && b.trackCommitVersions,
+    "MaintainedJoin sources must track commit versions (change feeds)")
+  require(!a.isInstanceOf[graft.table.MorTable] &&
+    !b.isInstanceOf[graft.table.MorTable],
+    "MaintainedJoin requires COW sources (MOR point lookups do not see " +
+      "unmerged log rows)")
+  require(on.map(_._2).toSet == b.mergeIdCols.toSet,
+    s"`on` must map onto exactly B's merge identity ${b.mergeIdCols}; " +
+      s"got ${on.map(_._2)}")
+
+  private val fkCols = on.map(_._1)
+  private def aCols: Seq[String] =
+    a.manifest.schema.fieldNames.toSeq.filterNot(_ == CowTable.CommitVerCol)
+  private def bPayloadCols: Seq[String] =
+    b.manifest.schema.fieldNames.toSeq
+      .filterNot(b.mergeIdCols.contains)
+      .filterNot(_ == CowTable.CommitVerCol)
+  private def viewBCols: Seq[String] = bPayloadCols.map(bPrefix + _)
+
+  /** The view table: keyed by A's merge identity, fk-clustered so B-churn
+    * probes prune files after a recluster service pass.
+    */
+  val table = new CowTable(spark, viewPath, keyCols = a.mergeIdCols,
+    clusterCols = fkCols, fileIndexEntries = 60000, statsCols = fkCols)
+
+  // monotone-mark metrics: folded forward into every view commit by the
+  // table layer, so the ledger survives unrelated service commits and is
+  // always readable from the head manifest
+  private val MarkA = CowTable.MonotoneMarkPrefix + "mj_src_a_version"
+  private val MarkB = CowTable.MonotoneMarkPrefix + "mj_src_b_version"
+
+  /** The maintained join as stored (A columns, then B payload columns). */
+  def current: DataFrame = {
+    val cols = aCols ++ viewBCols
+    table.snapshot().select(cols.map(col): _*)
+  }
+
+  /** Recompute the view content from the sources' current snapshots — the
+    * seed path and the test oracle. One shuffle join; the incremental path
+    * exists so this never has to run on a 100-TB table twice.
+    */
+  def recompute(): DataFrame =
+    joinAgainstB(a.snapshot().select(aCols.map(col): _*), b.snapshot())
+
+  /** Left-join `aRows` against the given B rows on the fk map, renaming B
+    * payload columns with the prefix.
+    */
+  private def joinAgainstB(aRows: DataFrame, bRows: DataFrame): DataFrame = {
+    val bSel = bRows.select(
+      (b.mergeIdCols.map(c => bRows(c).as(s"__b_$c")) ++
+        bPayloadCols.map(c => bRows(c).as(bPrefix + c))).toIndexedSeq: _*)
+    val cond = on.map { case (f, k) => aRows(f) === bSel(s"__b_$k") }
+      .reduce(_ && _)
+    aRows.join(bSel, cond, "left")
+      .select((aCols.map(aRows.apply) ++ viewBCols.map(bSel.apply))
+        .toIndexedSeq: _*)
+  }
+
+  private def marks(): (Long, Long) = {
+    val m = table.manifest.metrics
+    (m.getOrElse(MarkA, 0L), m.getOrElse(MarkB, 0L))
+  }
+
+  /** Fold all source commits since the last refresh into the view — or
+    * seed/reseed by full recompute when the view doesn't exist yet or the
+    * marks fell behind source retention. Returns the refreshed view.
+    */
+  def refresh(): DataFrame = {
+    val ea = a.manifest.version
+    val eb = b.manifest.version
+    if (!table.exists) return seed(ea, eb)
+    val (sa, sb) = marks()
+    if (sa == ea && sb == eb) return current // nothing to fold
+    val windows =
+      try Some((
+        if (sa < ea) Some(a.changeFeed(sa, ea).localCheckpoint()) else None,
+        if (sb < eb) Some(b.changeFeed(sb, eb).localCheckpoint()) else None))
+      catch {
+        // a mark aged out of a source's retained timeline: reseed
+        case _: IllegalArgumentException | _: java.io.FileNotFoundException =>
+          None
+      }
+    windows match {
+      case None => reseed(ea, eb)
+      case Some((feedA, feedB)) => fold(feedA, feedB, ea, eb)
+    }
+  }
+
+  private def seed(ea: Long, eb: Long): DataFrame = {
+    table.bulkInsert(recompute(),
+      extraMetrics = Map(MarkA -> ea, MarkB -> eb))
+    current
+  }
+
+  private def reseed(ea: Long, eb: Long): DataFrame = {
+    table.overwrite(recompute(),
+      extraMetrics = Map(MarkA -> ea, MarkB -> eb))
+    current
+  }
+
+  private def fold(feedA: Option[DataFrame], feedB: Option[DataFrame],
+      ea: Long, eb: Long): DataFrame = {
+    val ct = CowTable.ChangeTypeCol
+    // --- A-side churn: authoritative new images + deletes
+    val upsA = feedA.map(_.filter(col(ct) === "U")
+      .select(aCols.map(col): _*))
+    val delA = feedA.map(_.filter(col(ct) === "D")
+      .select(a.mergeIdCols.map(col): _*))
+    // --- B-side churn: view rows whose fk hits a changed B identity.
+    // The view holds every A row (left-outer), so this finds them ALL —
+    // including rows a new B key now matches for the first time.
+    val hitByB = feedB.map { fb =>
+      val bIds = fb.select(b.mergeIdCols.map(col): _*).distinct()
+      val viewRows = table.snapshot()
+      val cond = on.map { case (f, k) => viewRows(f) <=> bIds(k) }
+        .reduce(_ && _)
+      viewRows.join(bIds, cond, "left_semi")
+        .select(aCols.map(col): _*)
+    }
+    // ΔA images win over view images for identities in both sets
+    val affected = (upsA, hitByB) match {
+      case (Some(u), Some(h)) =>
+        val uIds = u.select(a.mergeIdCols.map(col): _*)
+        val cond = a.mergeIdCols.map(c => h(c) <=> uIds(c)).reduce(_ && _)
+        u.unionByName(h.join(uIds, cond, "left_anti"))
+      case (Some(u), None) => u
+      case (None, Some(h)) => h
+      case (None, None) => null
+    }
+    val marksM = Map(MarkA -> ea, MarkB -> eb)
+    var marksRecorded = false
+    if (affected != null && !affected.isEmpty) {
+      // point-read the B rows these fks reference, then re-join
+      val probe = affected
+        .select(on.map { case (f, k) => col(f).as(k) }.toIndexedSeq: _*)
+        .distinct()
+      val bRows = b.lookupByKeys(probe)
+      table.upsert(joinAgainstB(affected, bRows), extraMetrics = marksM)
+      marksRecorded = true
+    }
+    delA match {
+      case Some(d) if !d.isEmpty =>
+        // delete needs the full view row shape; only identity matters
+        val padded = table.manifest.schema.fieldNames.foldLeft(d)((df, c) =>
+          if (df.columns.contains(c)) df
+          else df.withColumn(c,
+            lit(null).cast(table.manifest.schema(c).dataType)))
+        table.delete(padded, extraMetrics = marksM)
+        marksRecorded = true
+      case _ =>
+    }
+    if (!marksRecorded) {
+      // feeds held only superseded/no-op rows: still advance the ledger
+      table.delete(current.limit(0), extraMetrics = marksM)
+    }
+    current
+  }
+}

@@ -309,6 +309,70 @@ object QueryCatalog {
            |       CAST(NULL AS DOUBLE) AS bal, 'D' AS op
            |FROM del""".stripMargin))
 
+  /** Incrementally maintained join view end-to-end: REAL source tables
+    * (orders-shaped fact A, customer-shaped dim B, both commit-stamped),
+    * seeded, then churned on BOTH sides — fk-changing upserts and deletes
+    * on A; re-labels, NEW keys and deletes on B — with the view refreshed
+    * from the change feeds ([[graft.cdc.MaintainedJoin]]). The DuckDB
+    * oracle recomputes the final LEFT JOIN from the same deterministic
+    * churn formulas, so a green row certifies the delta-join algebra
+    * (ΔA⋈B, view-probe for ΔB, delete folding) reproduces the full join
+    * exactly — while the engine only ever touched the churn.
+    */
+  private val maintainedJoinQ = Q(
+    (s, d) => {
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice"), 2).cast("double").as("price"))
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        round(col("c_acctbal"), 2).cast("double").as("bal"))
+      def tmp(tag: String) =
+        java.nio.file.Files.createTempDirectory(s"graft-mj-$tag").toString
+      val a = new graft.table.CowTable(s, tmp("a"),
+        keyCols = Seq("o_orderkey"), trackCommitVersions = true)
+      val b = new graft.table.CowTable(s, tmp("b"),
+        keyCols = Seq("c_custkey"), trackCommitVersions = true)
+      a.bulkInsert(orders.filter(col("o_orderkey") % 7 === 0))
+      b.bulkInsert(cust.filter(col("c_custkey") % 3 === 0))
+      val mj = new graft.cdc.MaintainedJoin(s, tmp("v"), a, b,
+        on = Seq("o_custkey" -> "c_custkey"))
+      mj.refresh() // seed
+      // A churn: reprice + SHIFT THE FK on multiples of 14; drop 21s
+      a.upsert(orders.filter(col("o_orderkey") % 14 === 0).select(
+        col("o_orderkey"), (col("o_custkey") + 1L).as("o_custkey"),
+        (col("price") + 1000.0).as("price")))
+      a.delete(orders.filter(col("o_orderkey") % 21 === 0))
+      // B churn: double 5s' balances (inserts custs A never matched
+      // before!), drop 6s
+      b.upsert(cust.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), (col("bal") * 2).as("bal")))
+      b.delete(cust.filter(col("c_custkey") % 6 === 0))
+      mj.refresh()
+        .select(col("o_orderkey"), col("o_custkey"), col("price"),
+          col("bal"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+           |         CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+           |         FROM orders),
+           |c AS (SELECT c_custkey,
+           |      CAST(round(c_acctbal, 2) AS DOUBLE) AS bal FROM customer),
+           |a_final AS (
+           |  SELECT o_orderkey,
+           |    CASE WHEN o_orderkey % 14 = 0 THEN o_custkey + 1
+           |         ELSE o_custkey END AS o_custkey,
+           |    CASE WHEN o_orderkey % 14 = 0 THEN price + 1000.0
+           |         ELSE price END AS price
+           |  FROM o WHERE o_orderkey % 7 = 0 AND o_orderkey % 21 <> 0),
+           |b_final AS (
+           |  SELECT c_custkey,
+           |    CASE WHEN c_custkey % 5 = 0 THEN bal * 2 ELSE bal END AS bal
+           |  FROM c
+           |  WHERE (c_custkey % 3 = 0 OR c_custkey % 5 = 0)
+           |    AND c_custkey % 6 <> 0)
+           |SELECT a.o_orderkey, a.o_custkey, a.price, b.bal
+           |FROM a_final a
+           |LEFT JOIN b_final b ON a.o_custkey = b.c_custkey""".stripMargin))
+
   /** M2 — count/introspection actions (reference: processData.py:303). */
   private val m2Counts = Q(
     (s, d) => t(s, d, "events").agg(
@@ -2309,6 +2373,7 @@ object QueryCatalog {
     "k3_delete_merge" -> k3DeleteMerge,
     "merge_into_sql" -> mergeIntoSql,
     "change_feed" -> changeFeedQ,
+    "maintained_join" -> maintainedJoinQ,
     "m2_counts" -> m2Counts,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3TopK,

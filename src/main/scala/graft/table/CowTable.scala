@@ -501,11 +501,12 @@ class CowTable(
     * pending delta logs are dropped with the data they amended. History
     * stays time-travelable within retention.
     */
-  def overwrite(df: DataFrame, parallelism: Int = 0): Unit = {
+  def overwrite(df: DataFrame, parallelism: Int = 0,
+      extraMetrics: Map[String, Long] = Map.empty): Unit = {
     require(keyCols.forall(df.columns.contains),
       s"overwrite batch must carry the record key columns $keyCols; " +
         s"got ${df.columns.toSeq}")
-    if (!exists) { bulkInsert(df, parallelism); return }
+    if (!exists) { bulkInsert(df, parallelism, extraMetrics); return }
     val m = manifest
     val v = m.version + 1
     val stamped = stamp(df, v)
@@ -514,7 +515,8 @@ class CowTable(
     writeManifest(withFileStats(
       m.copy(version = v, schemaJson = evolved.json, partitions = newFiles,
         logPartitions = Map.empty, deltaCommits = 0L,
-        operation = "overwrite", metrics = CowTable.writeStats(newFiles)),
+        operation = "overwrite",
+        metrics = CowTable.writeStats(newFiles) ++ extraMetrics),
       newFiles, evolved))
     clean()
   }
@@ -1184,24 +1186,31 @@ class CowTable(
     }
   }
 
-  /** The streaming high-water mark must survive EVERY commit: on MOR one
-    * micro-batch can produce several commits (log append + inline
-    * compaction + clean), so a mark carried only by the batch's own commit
-    * ages out of the retained timeline after a few batches and a delayed
-    * foreachBatch replay would re-apply. Carrying the previous HEAD's mark
-    * forward keeps it in the newest manifest forever (one small JSON read
-    * per commit; a full history scan would pay O(keepCommits) manifest
-    * parses on every non-streaming table too).
+  /** High-water marks must survive EVERY commit: on MOR one micro-batch
+    * can produce several commits (log append + inline compaction + clean),
+    * so a mark carried only by the batch's own commit ages out of the
+    * retained timeline after a few batches and a delayed foreachBatch
+    * replay would re-apply. Carrying the previous HEAD's marks forward
+    * keeps them in the newest manifest forever (one small JSON read per
+    * commit; a full history scan would pay O(keepCommits) manifest parses
+    * on every non-streaming table too). Folded keys: the streaming batch
+    * id, plus every [[CowTable.MonotoneMarkPrefix]]-prefixed metric —
+    * the ledger consumers like [[graft.cdc.MaintainedJoin]] ride on.
+    * Marks are folded with `max` (monotone by contract).
     */
   private def foldStreamMark(m1: Manifest): Manifest = {
-    val prevMark =
+    val prev =
       if (m1.version <= 1L) None
       else scala.util.Try(manifestAt(m1.version - 1)).toOption
-        .flatMap(_.metrics.get(CowTable.StreamBatchIdKey))
-    (prevMark ++ m1.metrics.get(CowTable.StreamBatchIdKey)).maxOption match {
-      case Some(v) => m1.copy(metrics =
-        m1.metrics + (CowTable.StreamBatchIdKey -> v))
+    prev match {
       case None => m1
+      case Some(p) =>
+        val isMark = (k: String) => k == CowTable.StreamBatchIdKey ||
+          k.startsWith(CowTable.MonotoneMarkPrefix)
+        val keys = (p.metrics.keySet ++ m1.metrics.keySet).filter(isMark)
+        if (keys.isEmpty) m1
+        else m1.copy(metrics = m1.metrics ++ keys.flatMap(k =>
+          (p.metrics.get(k) ++ m1.metrics.get(k)).maxOption.map(k -> _)))
     }
   }
 
@@ -1679,6 +1688,13 @@ object CowTable {
     * so replay protection never ages out of the retained timeline.
     */
   val StreamBatchIdKey = "stream_batch_id"
+  /** Metrics keys with this prefix are MONOTONE HIGH-WATER MARKS: every
+    * commit folds the previous head's value forward (max), so a mark is
+    * always readable from the LATEST manifest no matter how many
+    * unrelated commits (services, other writers) land — the durable
+    * ledger consumers like [[graft.cdc.MaintainedJoin]] need.
+    */
+  val MonotoneMarkPrefix = "mark_"
   /** Change-feed row type column: "U" (upsert image) | "D" (delete). */
   val ChangeTypeCol = "_graft_change_type"
 

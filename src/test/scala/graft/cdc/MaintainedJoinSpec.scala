@@ -1,0 +1,170 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.table.CowTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MaintainedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def srcA(path: String) = new CowTable(spark, path,
+    keyCols = Seq("k"), precombineField = "v", trackCommitVersions = true)
+  private def srcB(path: String) = new CowTable(spark, path,
+    keyCols = Seq("cust"), precombineField = "seg",
+    trackCommitVersions = true)
+
+  private def aRows(xs: (String, String, Double)*): DataFrame =
+    xs.toDF("k", "cust", "v")
+  private def bRows(xs: (String, String)*): DataFrame =
+    xs.toDF("cust", "seg")
+
+  private def asMap(df: DataFrame): Map[String, (String, Double, Option[String])] =
+    df.select("k", "cust", "v", "seg")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getDouble(2),
+          Option(r.getString(3))))).toMap
+
+  test("golden: churn on both sides folds into the view exactly") {
+    val a = srcA(tmpDir("mj-a"))
+    val b = srcB(tmpDir("mj-b"))
+    a.bulkInsert(aRows(("o1", "c1", 10), ("o2", "c2", 20), ("o3", "c9", 30)))
+    b.bulkInsert(bRows(("c1", "gold"), ("c2", "silver")))
+    val mj = new MaintainedJoin(spark, tmpDir("mj-v"), a, b,
+      on = Seq("cust" -> "cust"))
+
+    // seed: left join, unmatched fk c9 kept with null payload
+    assert(asMap(mj.refresh()) == Map(
+      "o1" -> (("c1", 10.0, Some("gold"))),
+      "o2" -> (("c2", 20.0, Some("silver"))),
+      "o3" -> (("c9", 30.0, None))))
+
+    // A churn: update o1 (fk change c1->c2!), delete o2, insert o4
+    a.upsert(aRows(("o1", "c2", 11), ("o4", "c1", 40)))
+    a.delete(aRows(("o2", "c2", 0)))
+    assert(asMap(mj.refresh()) == Map(
+      "o1" -> (("c2", 11.0, Some("silver"))),
+      "o3" -> (("c9", 30.0, None)),
+      "o4" -> (("c1", 40.0, Some("gold")))))
+
+    // B churn only: c9 appears (new match for o3!), c2 re-labeled,
+    // c1 deleted (o4 falls back to null payload — left-outer semantics)
+    b.upsert(bRows(("c9", "bronze"), ("c2", "plat")))
+    b.delete(bRows(("c1", "")))
+    assert(asMap(mj.refresh()) == Map(
+      "o1" -> (("c2", 11.0, Some("plat"))),
+      "o3" -> (("c9", 30.0, Some("bronze"))),
+      "o4" -> (("c1", 40.0, None))))
+
+    // no-op refresh: marks already at head, nothing recommitted
+    val vBefore = mj.table.manifest.version
+    mj.refresh()
+    assert(mj.table.manifest.version == vBefore)
+  }
+
+  test("same-window upsert+delete and re-insert fold to the final image") {
+    val a = srcA(tmpDir("mj2-a"))
+    val b = srcB(tmpDir("mj2-b"))
+    a.bulkInsert(aRows(("o1", "c1", 1)))
+    b.bulkInsert(bRows(("c1", "gold"), ("c2", "silver")))
+    val mj = new MaintainedJoin(spark, tmpDir("mj2-v"), a, b,
+      on = Seq("cust" -> "cust"))
+    mj.refresh()
+    // one refresh window sees: o1 deleted THEN re-inserted (lands on c2),
+    // o9 inserted then deleted (net absent)
+    a.delete(aRows(("o1", "c1", 0)))
+    a.upsert(aRows(("o1", "c2", 2), ("o9", "c1", 9)))
+    a.delete(aRows(("o9", "c1", 0)))
+    assert(asMap(mj.refresh()) == Map(
+      "o1" -> (("c2", 2.0, Some("silver")))))
+  }
+
+  test("marks survive unrelated service commits on the view") {
+    val a = srcA(tmpDir("mj3-a"))
+    val b = srcB(tmpDir("mj3-b"))
+    a.bulkInsert(aRows(("o1", "c1", 1), ("o2", "c2", 2)))
+    b.bulkInsert(bRows(("c1", "gold"), ("c2", "silver")))
+    val mj = new MaintainedJoin(spark, tmpDir("mj3-v"), a, b,
+      on = Seq("cust" -> "cust"))
+    mj.refresh()
+    // a dozen service commits: more than keepCommits would retain of the
+    // refresh commit itself — the folded mark must still be in the head
+    (1 to 12).foreach(_ => mj.table.recluster(Seq("cust")))
+    b.upsert(bRows(("c1", "plat")))
+    assert(asMap(mj.refresh())("o1") == (("c1", 1.0, Some("plat"))))
+    // and the refresh was incremental, not a reseed
+    assert(mj.table.manifest.operation != "overwrite")
+  }
+
+  test("marks fallen behind source retention trigger a clean reseed") {
+    val a = new CowTable(spark, tmpDir("mj4-a"), keyCols = Seq("k"),
+      precombineField = "v", trackCommitVersions = true, keepCommits = 3)
+    val b = srcB(tmpDir("mj4-b"))
+    a.bulkInsert(aRows(("o1", "c1", 1)))
+    b.bulkInsert(bRows(("c1", "gold")))
+    val mj = new MaintainedJoin(spark, tmpDir("mj4-v"), a, b,
+      on = Seq("cust" -> "cust"))
+    mj.refresh()
+    // push the A mark out of retention (keepCommits=3, 6 commits)
+    (1 to 6).foreach(i => a.upsert(aRows((s"x$i", "c1", i.toDouble))))
+    val got = asMap(mj.refresh())
+    assert(got.keySet == Set("o1") ++ (1 to 6).map("x" + _),
+      s"reseed must recover every row: ${got.keySet}")
+    assert(mj.table.manifest.operation == "overwrite", "reseed path")
+    // and subsequent refreshes are incremental again
+    a.upsert(aRows(("o2", "c1", 2)))
+    assert(asMap(mj.refresh()).contains("o2"))
+    assert(mj.table.manifest.operation != "overwrite")
+  }
+
+  test("model check: random churn on both sides == full recompute") {
+    val a = srcA(tmpDir("mj5-a"))
+    val b = srcB(tmpDir("mj5-b"))
+    val rnd = new scala.util.Random(42)
+    val aKeys = (0 until 30).map("o" + _)
+    val custs = (0 until 8).map("c" + _) :+ "dangling"
+    a.bulkInsert(aRows(aKeys.take(10).map(k =>
+      (k, custs(rnd.nextInt(custs.size)), rnd.nextInt(100).toDouble)): _*))
+    b.bulkInsert(bRows(custs.take(4).map(c =>
+      (c, "seg" + rnd.nextInt(5))): _*))
+    val mj = new MaintainedJoin(spark, tmpDir("mj5-v"), a, b,
+      on = Seq("cust" -> "cust"))
+    mj.refresh()
+    (1 to 8).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 => a.upsert(aRows((1 to 1 + rnd.nextInt(4)).map(_ =>
+          (aKeys(rnd.nextInt(aKeys.size)),
+            custs(rnd.nextInt(custs.size)),
+            rnd.nextInt(100).toDouble)): _*))
+        case 1 =>
+          val k = aKeys(rnd.nextInt(aKeys.size))
+          a.delete(aRows((k, "c0", 0)))
+        case 2 => b.upsert(bRows((1 to 1 + rnd.nextInt(2)).map(_ =>
+          (custs(rnd.nextInt(custs.size)), "seg" + rnd.nextInt(5))): _*))
+        case 3 =>
+          val c = custs(rnd.nextInt(custs.size))
+          b.delete(bRows((c, "")))
+      }
+      // refresh only every other step: windows fold multiple commits
+      if (step % 2 == 0) {
+        val got = asMap(mj.refresh())
+        val want = asMap(mj.recompute())
+        assert(got == want, s"step $step: view drifted\n got=$got\nwant=$want")
+      }
+    }
+  }
+
+  test("requires stamped COW sources and a full B-identity map") {
+    val plain = new CowTable(spark, tmpDir("mj6-p"), keyCols = Seq("k"))
+    val stamped = srcB(tmpDir("mj6-b"))
+    intercept[IllegalArgumentException] {
+      new MaintainedJoin(spark, tmpDir("mj6-v1"), plain, stamped,
+        on = Seq("cust" -> "cust"))
+    }
+    val a = srcA(tmpDir("mj6-a"))
+    intercept[IllegalArgumentException] {
+      new MaintainedJoin(spark, tmpDir("mj6-v2"), a, stamped,
+        on = Seq("cust" -> "nope"))
+    }
+  }
+}
