@@ -154,6 +154,87 @@ class MaintainedJoinSpec extends SparkSpec {
     }
   }
 
+  test("views chain: (A JOIN B) JOIN C maintained end-to-end") {
+    val a = srcA(tmpDir("mj7-a"))
+    val b = new CowTable(spark, tmpDir("mj7-b"), keyCols = Seq("cust"),
+      trackCommitVersions = true)
+    val c = new CowTable(spark, tmpDir("mj7-c"), keyCols = Seq("nat"),
+      trackCommitVersions = true)
+    a.bulkInsert(aRows(("o1", "c1", 10), ("o2", "c2", 20)))
+    b.bulkInsert(Seq(("c1", "de"), ("c2", "fr")).toDF("cust", "nat"))
+    c.bulkInsert(Seq(("de", "EU")).toDF("nat", "region"))
+    // first hop tracks ITS OWN versions so the second hop can feed on it
+    val mj1 = new MaintainedJoin(spark, tmpDir("mj7-v1"), a, b,
+      on = Seq("cust" -> "cust"), trackViewVersions = true)
+    mj1.refresh()
+    val mj2 = new MaintainedJoin(spark, tmpDir("mj7-v2"), mj1.table, c,
+      on = Seq("nat" -> "nat"))
+    def level2: Map[String, (String, Option[String], Option[String])] =
+      mj2.refresh().select("k", "cust", "nat", "region").collect()
+        .map(r => r.getString(0) ->
+          ((r.getString(1), Option(r.getString(2)),
+            Option(r.getString(3))))).toMap
+    assert(level2 == Map(
+      "o1" -> (("c1", Some("de"), Some("EU"))),
+      "o2" -> (("c2", Some("fr"), None))))
+
+    // churn every level: A insert, B re-route c2->de, C gains fr
+    a.upsert(aRows(("o3", "c1", 30)))
+    b.upsert(Seq(("c2", "de")).toDF("cust", "nat"))
+    c.upsert(Seq(("fr", "EU-W")).toDF("nat", "region"))
+    mj1.refresh()
+    assert(level2 == Map(
+      "o1" -> (("c1", Some("de"), Some("EU"))),
+      "o2" -> (("c2", Some("de"), Some("EU"))),
+      "o3" -> (("c1", Some("de"), Some("EU")))))
+
+    // deletes propagate through both hops
+    a.delete(aRows(("o1", "c1", 0)))
+    c.delete(Seq(("de", "")).toDF("nat", "region"))
+    mj1.refresh()
+    assert(level2 == Map(
+      "o2" -> (("c2", Some("de"), None)),
+      "o3" -> (("c1", Some("de"), None))))
+  }
+
+  test("mor-backed view: churn folds as log appends, compaction-safe") {
+    val a = srcA(tmpDir("mj8-a"))
+    val b = srcB(tmpDir("mj8-b"))
+    a.bulkInsert(aRows(("o1", "c1", 10), ("o2", "c2", 20), ("o3", "c9", 30)))
+    b.bulkInsert(bRows(("c1", "gold"), ("c2", "silver")))
+    val mj = new MaintainedJoin(spark, tmpDir("mj8-v"), a, b,
+      on = Seq("cust" -> "cust"), viewStorage = "mor")
+    assert(asMap(mj.refresh()) == Map(
+      "o1" -> (("c1", 10.0, Some("gold"))),
+      "o2" -> (("c2", 20.0, Some("silver"))),
+      "o3" -> (("c9", 30.0, None))))
+    val baseFilesAfterSeed = mj.table.manifest.baseFiles.size
+
+    // the full golden churn sequence: fk rewire, deletes both sides,
+    // brand-new B match — all folded as MOR delta logs
+    a.upsert(aRows(("o1", "c2", 11), ("o4", "c1", 40)))
+    a.delete(aRows(("o2", "c2", 0)))
+    mj.refresh()
+    b.upsert(bRows(("c9", "bronze"), ("c2", "plat")))
+    b.delete(bRows(("c1", "")))
+    val expected = Map(
+      "o1" -> (("c2", 11.0, Some("plat"))),
+      "o3" -> (("c9", 30.0, Some("bronze"))),
+      "o4" -> (("c1", 40.0, None)))
+    assert(asMap(mj.refresh()) == expected)
+    // churn never rewrote the seeded base files
+    assert(mj.table.manifest.baseFiles.size == baseFilesAfterSeed)
+
+    // compaction folds the logs; result and marks unchanged, so the next
+    // refresh after more churn still folds incrementally
+    val mor = mj.table.asInstanceOf[graft.table.MorTable]
+    assert(mor.compactLogs())
+    assert(asMap(mj.current) == expected)
+    a.upsert(aRows(("o5", "c2", 50)))
+    assert(asMap(mj.refresh()) == expected +
+      ("o5" -> (("c2", 50.0, Some("plat")))))
+  }
+
   test("requires stamped COW sources and a full B-identity map") {
     val plain = new CowTable(spark, tmpDir("mj6-p"), keyCols = Seq("k"))
     val stamped = srcB(tmpDir("mj6-b"))
