@@ -319,38 +319,41 @@ object QueryCatalog {
     * (ΔA⋈B, view-probe for ΔB, delete folding) reproduces the full join
     * exactly — while the engine only ever touched the churn.
     */
+  private def maintainedJoinRun(s: SparkSession, d: String,
+      viewStorage: String): DataFrame = {
+    val orders = t(s, d, "orders").select(col("o_orderkey"),
+      col("o_custkey"),
+      round(col("o_totalprice"), 2).cast("double").as("price"))
+    val cust = t(s, d, "customer").select(col("c_custkey"),
+      round(col("c_acctbal"), 2).cast("double").as("bal"))
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft-mj-$tag").toString
+    val a = new graft.table.CowTable(s, tmp("a"),
+      keyCols = Seq("o_orderkey"), trackCommitVersions = true)
+    val b = new graft.table.CowTable(s, tmp("b"),
+      keyCols = Seq("c_custkey"), trackCommitVersions = true)
+    a.bulkInsert(orders.filter(col("o_orderkey") % 7 === 0))
+    b.bulkInsert(cust.filter(col("c_custkey") % 3 === 0))
+    val mj = new graft.cdc.MaintainedJoin(s, tmp("v"), a, b,
+      on = Seq("o_custkey" -> "c_custkey"), viewStorage = viewStorage)
+    mj.refresh() // seed
+    // A churn: reprice + SHIFT THE FK on multiples of 14; drop 21s
+    a.upsert(orders.filter(col("o_orderkey") % 14 === 0).select(
+      col("o_orderkey"), (col("o_custkey") + 1L).as("o_custkey"),
+      (col("price") + 1000.0).as("price")))
+    a.delete(orders.filter(col("o_orderkey") % 21 === 0))
+    // B churn: double 5s' balances (inserts custs A never matched
+    // before!), drop 6s
+    b.upsert(cust.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), (col("bal") * 2).as("bal")))
+    b.delete(cust.filter(col("c_custkey") % 6 === 0))
+    mj.refresh()
+      .select(col("o_orderkey"), col("o_custkey"), col("price"),
+        col("bal"))
+  }
+
   private val maintainedJoinQ = Q(
-    (s, d) => {
-      val orders = t(s, d, "orders").select(col("o_orderkey"),
-        col("o_custkey"),
-        round(col("o_totalprice"), 2).cast("double").as("price"))
-      val cust = t(s, d, "customer").select(col("c_custkey"),
-        round(col("c_acctbal"), 2).cast("double").as("bal"))
-      def tmp(tag: String) =
-        java.nio.file.Files.createTempDirectory(s"graft-mj-$tag").toString
-      val a = new graft.table.CowTable(s, tmp("a"),
-        keyCols = Seq("o_orderkey"), trackCommitVersions = true)
-      val b = new graft.table.CowTable(s, tmp("b"),
-        keyCols = Seq("c_custkey"), trackCommitVersions = true)
-      a.bulkInsert(orders.filter(col("o_orderkey") % 7 === 0))
-      b.bulkInsert(cust.filter(col("c_custkey") % 3 === 0))
-      val mj = new graft.cdc.MaintainedJoin(s, tmp("v"), a, b,
-        on = Seq("o_custkey" -> "c_custkey"))
-      mj.refresh() // seed
-      // A churn: reprice + SHIFT THE FK on multiples of 14; drop 21s
-      a.upsert(orders.filter(col("o_orderkey") % 14 === 0).select(
-        col("o_orderkey"), (col("o_custkey") + 1L).as("o_custkey"),
-        (col("price") + 1000.0).as("price")))
-      a.delete(orders.filter(col("o_orderkey") % 21 === 0))
-      // B churn: double 5s' balances (inserts custs A never matched
-      // before!), drop 6s
-      b.upsert(cust.filter(col("c_custkey") % 5 === 0)
-        .select(col("c_custkey"), (col("bal") * 2).as("bal")))
-      b.delete(cust.filter(col("c_custkey") % 6 === 0))
-      mj.refresh()
-        .select(col("o_orderkey"), col("o_custkey"), col("price"),
-          col("bal"))
-    },
+    (s, d) => maintainedJoinRun(s, d, "cow"),
     Some("""WITH o AS (SELECT o_orderkey, o_custkey,
            |         CAST(round(o_totalprice, 2) AS DOUBLE) AS price
            |         FROM orders),
@@ -372,6 +375,15 @@ object QueryCatalog {
            |SELECT a.o_orderkey, a.o_custkey, a.price, b.bal
            |FROM a_final a
            |LEFT JOIN b_final b ON a.o_custkey = b.c_custkey""".stripMargin))
+
+  /** Same end-to-end churn as [[maintainedJoinQ]] with the VIEW backed by
+    * MOR storage (`viewStorage = "mor"`): every fold lands as delta logs —
+    * zero base-file rewrites — and the realtime read must merge base +
+    * logs into exactly the recomputed join. Same DuckDB oracle.
+    */
+  private val maintainedJoinMorQ = Q(
+    (s, d) => maintainedJoinRun(s, d, "mor"),
+    maintainedJoinQ.oracle)
 
   /** M2 — count/introspection actions (reference: processData.py:303). */
   private val m2Counts = Q(
@@ -2374,6 +2386,7 @@ object QueryCatalog {
     "merge_into_sql" -> mergeIntoSql,
     "change_feed" -> changeFeedQ,
     "maintained_join" -> maintainedJoinQ,
+    "maintained_join_mor" -> maintainedJoinMorQ,
     "m2_counts" -> m2Counts,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3TopK,
