@@ -209,28 +209,33 @@ final class MaintainedJoin(
       case (None, None) => null
     }
     val marksM = Map(MarkA -> ea, MarkB -> eb)
-    var marksRecorded = false
-    if (affected != null && !affected.isEmpty) {
+    val hasUps = affected != null && !affected.isEmpty
+    val hasDel = delA.exists(!_.isEmpty)
+    // Only the LAST commit of the fold advances the marks: a crash after
+    // an earlier commit leaves the marks behind, so the next refresh
+    // replays the window — image folds are idempotent (the images are a
+    // deterministic function of the feed window + source snapshots), so
+    // re-applying is exact. Marks advanced PAST a lost delete commit
+    // would corrupt the view permanently.
+    if (hasUps) {
       // point-read the B rows these fks reference, then re-join
       val probe = affected
         .select(on.map { case (f, k) => col(f).as(k) }.toIndexedSeq: _*)
         .distinct()
       val bRows = b.lookupByKeys(probe)
-      table.upsert(joinAgainstB(affected, bRows), extraMetrics = marksM)
-      marksRecorded = true
+      table.upsert(joinAgainstB(affected, bRows),
+        extraMetrics = if (hasDel) Map.empty else marksM)
     }
-    delA match {
-      case Some(d) if !d.isEmpty =>
-        // delete needs the full view row shape; only identity matters
-        val padded = table.manifest.schema.fieldNames.foldLeft(d)((df, c) =>
-          if (df.columns.contains(c)) df
-          else df.withColumn(c,
-            lit(null).cast(table.manifest.schema(c).dataType)))
-        table.delete(padded, extraMetrics = marksM)
-        marksRecorded = true
-      case _ =>
+    if (hasDel) {
+      val d = delA.get
+      // delete needs the full view row shape; only identity matters
+      val padded = table.manifest.schema.fieldNames.foldLeft(d)((df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c,
+          lit(null).cast(table.manifest.schema(c).dataType)))
+      table.delete(padded, extraMetrics = marksM)
     }
-    if (!marksRecorded) {
+    if (!hasUps && !hasDel) {
       // feeds held only superseded/no-op rows: still advance the ledger
       table.delete(current.limit(0), extraMetrics = marksM)
     }

@@ -385,6 +385,75 @@ object QueryCatalog {
     (s, d) => maintainedJoinRun(s, d, "mor"),
     maintainedJoinQ.oracle)
 
+  /** The full star-schema IVM chain end-to-end: fact and dim tables →
+    * [[graft.cdc.MaintainedJoin]] view (stamping its own commits) →
+    * [[graft.cdc.MaintainedAgg]] revenue-per-segment, BOTH maintained
+    * purely from change feeds across churn on both sources (fk rewires,
+    * deletes, new dim keys). The DuckDB oracle recomputes
+    * `SELECT seg, count, sum FROM final_join GROUP BY seg` from the churn
+    * formulas — a green row certifies two stacked delta algebras (join
+    * images, then +U/−B aggregate folds) against the ground truth.
+    */
+  private val maintainedAggQ = Q(
+    (s, d) => {
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice"), 2).cast("double").as("price"))
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        col("c_mktsegment").as("seg"))
+      def tmp(tag: String) =
+        java.nio.file.Files.createTempDirectory(s"graft-ma-$tag").toString
+      val a = new graft.table.CowTable(s, tmp("a"),
+        keyCols = Seq("o_orderkey"), trackCommitVersions = true)
+      val b = new graft.table.CowTable(s, tmp("b"),
+        keyCols = Seq("c_custkey"), trackCommitVersions = true)
+      a.bulkInsert(orders.filter(col("o_orderkey") % 7 === 0))
+      b.bulkInsert(cust.filter(col("c_custkey") % 3 === 0))
+      val mj = new graft.cdc.MaintainedJoin(s, tmp("v"), a, b,
+        on = Seq("o_custkey" -> "c_custkey"), trackViewVersions = true)
+      mj.refresh()
+      val ma = new graft.cdc.MaintainedAgg(s, tmp("agg"), mj.table,
+        graft.cdc.IncrementalAgg.AggSpec(Seq("seg"), "price"))
+      ma.refresh()
+      // churn both sources (same shapes as maintained_join), then fold
+      // through BOTH maintained levels
+      a.upsert(orders.filter(col("o_orderkey") % 14 === 0).select(
+        col("o_orderkey"), (col("o_custkey") + 1L).as("o_custkey"),
+        (col("price") + 1000.0).as("price")))
+      a.delete(orders.filter(col("o_orderkey") % 21 === 0))
+      b.upsert(cust.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), concat(col("seg"), lit("*")).as("seg")))
+      b.delete(cust.filter(col("c_custkey") % 6 === 0))
+      mj.refresh()
+      ma.refresh()
+      ma.current.select(col("seg"), col("cnt"),
+        col("total").cast("double").as("total"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+           |         CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+           |         FROM orders),
+           |c AS (SELECT c_custkey, c_mktsegment AS seg FROM customer),
+           |a_final AS (
+           |  SELECT o_orderkey,
+           |    CASE WHEN o_orderkey % 14 = 0 THEN o_custkey + 1
+           |         ELSE o_custkey END AS o_custkey,
+           |    CASE WHEN o_orderkey % 14 = 0 THEN price + 1000.0
+           |         ELSE price END AS price
+           |  FROM o WHERE o_orderkey % 7 = 0 AND o_orderkey % 21 <> 0),
+           |b_final AS (
+           |  SELECT c_custkey,
+           |    CASE WHEN c_custkey % 5 = 0 THEN seg || '*' ELSE seg END
+           |      AS seg
+           |  FROM c
+           |  WHERE (c_custkey % 3 = 0 OR c_custkey % 5 = 0)
+           |    AND c_custkey % 6 <> 0)
+           |SELECT b.seg, count(*) AS cnt,
+           |       CAST(sum(CAST(a.price AS DECIMAL(28,6))) AS DOUBLE)
+           |         AS total
+           |FROM a_final a
+           |LEFT JOIN b_final b ON a.o_custkey = b.c_custkey
+           |GROUP BY b.seg""".stripMargin))
+
   /** M2 — count/introspection actions (reference: processData.py:303). */
   private val m2Counts = Q(
     (s, d) => t(s, d, "events").agg(
@@ -2387,6 +2456,7 @@ object QueryCatalog {
     "change_feed" -> changeFeedQ,
     "maintained_join" -> maintainedJoinQ,
     "maintained_join_mor" -> maintainedJoinMorQ,
+    "maintained_agg" -> maintainedAggQ,
     "m2_counts" -> m2Counts,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3TopK,

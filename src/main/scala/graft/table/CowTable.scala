@@ -325,6 +325,33 @@ class CowTable(
     shapeFeed(ups, tombstoneRows(cur, sinceVersion, asOfVersion), cur.schema)
   }
 
+  /** [[changeFeed]] plus Delta-CDF-style BEFORE-images: one "B" row per
+    * window-touched identity that existed at `sinceVersion`, carrying the
+    * stored image as of then (padded to the current schema if it evolved).
+    * An insert has U only; an update has U + B; a delete has D + B; a key
+    * inserted AND deleted inside the window has neither U nor B — its net
+    * effect is zero. Feed-driven consumers get exact retraction algebra
+    * with no second probe: +U, -B, ignore D (its B carries the
+    * retraction) reproduces any abelian aggregate of the table.
+    */
+  def changeFeedWithPreimages(
+      sinceVersion: Long, asOfVersion: Long): DataFrame = {
+    val feed = changeFeed(sinceVersion, asOfVersion)
+    if (sinceVersion == 0L) return feed // nothing existed before
+    val cur = manifestAt(asOfVersion)
+    val idCols = (keyCols ++ partitionCols).distinct
+    val probe = feed.select(idCols.map(col): _*).distinct()
+    val before = pad(preimagesAt(sinceVersion, probe), cur.schema)
+    feed.unionByName(
+      before.withColumn(ChangeTypeCol, lit("B").cast("string")))
+  }
+
+  /** Stored images of the probed identities as of `version` — COW resolves
+    * through the historical manifest's file index (pruned point read).
+    */
+  protected def preimagesAt(version: Long, probe: DataFrame): DataFrame =
+    lookupIn(manifestAt(version), probe)
+
   /** Window's tombstone rows (idCols + commit stamp) from the manifest's
     * tombstone record, stamp-filtered (compaction-written tombstones carry
     * their ORIGINAL delete stamps).
@@ -376,8 +403,18 @@ class CowTable(
     * probe's file fan-out, not the table. With the index off it degrades
     * to the partition-pruned scan.
     */
-  def lookupByKeys(probe: DataFrame): DataFrame = {
-    val m = manifest
+  def lookupByKeys(probe: DataFrame): DataFrame = lookupIn(manifest, probe)
+
+  /** [[lookupByKeys]] pinned at a historical version — the stored images
+    * the keys had THEN (bounded by retention, like [[snapshotAt]]). The
+    * retraction read of feed-driven incremental maintenance: old images
+    * come from the version the consumer's mark pins, not from whatever
+    * the table has moved on to.
+    */
+  def lookupByKeysAt(version: Long, probe: DataFrame): DataFrame =
+    lookupIn(manifestAt(version), probe)
+
+  protected def lookupIn(m: Manifest, probe: DataFrame): DataFrame = {
     val existing = touchedPartitionKeys(probe).intersect(m.partitions.keySet)
     val (candFiles, _) =
       if (fileIndexEntries > 0) pruneCandidateFiles(m, existing, probe)

@@ -305,6 +305,18 @@ class MorTable(
     shapeFeed(ups, Some(dels), cur.schema)
   }
 
+  /** Preimages on MOR must merge delta logs — unmerged log rows are
+    * invisible to the base-file index — so resolve through the realtime
+    * view pinned at `version` (unpruned; bounded by the probe semi join).
+    */
+  override protected def preimagesAt(
+      version: Long, probe: DataFrame): DataFrame = {
+    val rt = realtimeAt(version)
+    val idCols = (keyCols ++ partitionCols).distinct
+    val p = probe.select(idCols.map(col): _*).distinct()
+    rt.join(p, idCols.map(c => rt(c) <=> p(c)).reduce(_ && _), "left_semi")
+  }
+
   // ---------------------------------------------------------------- catalog
 
   /** K6 on MOR: sync BOTH query views, named like the reference's Hive

@@ -1,0 +1,118 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.table.CowTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Feed-driven maintained aggregate: exact parity with recompute across
+  * churn windows, group movement/vanishing, ledger semantics, and the
+  * end-to-end star-schema chain (fact ⟕ dim view → GROUP BY).
+  */
+class MaintainedAggSpec extends SparkSpec {
+  import spark.implicits._
+  import IncrementalAgg.AggSpec
+
+  private def rows(xs: (String, String, Double)*): DataFrame =
+    xs.toDF("k", "grp", "v")
+
+  private def state(df: DataFrame): Map[String, (Long, Double)] =
+    df.select(col("grp"), col("cnt"), col("total").cast("double"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+
+  private def oracle(t: CowTable): Map[String, (Long, Double)] =
+    state(IncrementalAgg.recompute(t.snapshot(),
+      AggSpec(Seq("grp"), "v")).withColumnRenamed("total", "total"))
+
+  test("churn windows fold to exactly the recomputed aggregate") {
+    val src = new CowTable(spark, tmpDir("ma-src"), keyCols = Seq("k"),
+      precombineField = "v", trackCommitVersions = true)
+    src.bulkInsert(rows(("a", "g1", 1), ("b", "g1", 2), ("c", "g2", 3)))
+    val ma = new MaintainedAgg(spark, tmpDir("ma-st"), src,
+      AggSpec(Seq("grp"), "v"))
+    assert(state(ma.refresh()) == Map("g1" -> ((2L, 3.0)),
+      "g2" -> ((1L, 3.0))))
+
+    // window: update moves a row ACROSS groups, insert, delete
+    src.upsert(rows(("b", "g2", 20), ("d", "g3", 4)))
+    src.delete(rows(("c", "g2", 0)))
+    assert(state(ma.refresh()) == oracle(src))
+    assert(state(ma.current) == Map("g1" -> ((1L, 1.0)),
+      "g2" -> ((1L, 20.0)), "g3" -> ((1L, 4.0))))
+
+    // window: a group fully retracts (g3 vanishes), same-window
+    // insert-then-delete nets zero, value-only update
+    src.upsert(rows(("a", "g1", 10), ("e", "g9", 9)))
+    src.delete(rows(("d", "g3", 0), ("e", "g9", 0)))
+    assert(state(ma.refresh()) == oracle(src))
+    assert(!state(ma.current).contains("g3") &&
+      !state(ma.current).contains("g9"))
+
+    // no-op refresh: marks at head, no new commit
+    val v = ma.table.manifest.version
+    ma.refresh()
+    assert(ma.table.manifest.version == v)
+
+    // multi-commit window folds in one refresh
+    src.upsert(rows(("f", "g1", 5)))
+    src.upsert(rows(("f", "g1", 50)))
+    src.delete(rows(("a", "g1", 0)))
+    assert(state(ma.refresh()) == oracle(src))
+  }
+
+  test("star-schema chain: fact x dim -> maintained join -> maintained agg") {
+    val fact = new CowTable(spark, tmpDir("ma2-f"), keyCols = Seq("k"),
+      precombineField = "v", trackCommitVersions = true)
+    val dim = new CowTable(spark, tmpDir("ma2-d"), keyCols = Seq("cust"),
+      trackCommitVersions = true)
+    fact.bulkInsert(Seq(("o1", "c1", 10.0), ("o2", "c2", 20.0),
+      ("o3", "c1", 30.0)).toDF("k", "cust", "v"))
+    dim.bulkInsert(Seq(("c1", "de"), ("c2", "fr")).toDF("cust", "nat"))
+    // the view stamps its own commits so the aggregate can feed on it
+    val mj = new MaintainedJoin(spark, tmpDir("ma2-v"), fact, dim,
+      on = Seq("cust" -> "cust"), trackViewVersions = true)
+    mj.refresh()
+    // revenue per nation, maintained off the VIEW's change feed
+    val ma = new MaintainedAgg(spark, tmpDir("ma2-a"), mj.table,
+      AggSpec(Seq("nat"), "v"))
+    def agg: Map[Option[String], (Long, Double)] =
+      ma.current.select(col("nat"), col("cnt"),
+          col("total").cast("double"))
+        .collect().map(r => Option(r.getString(0)) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+    ma.refresh()
+    assert(agg == Map(Some("de") -> ((2L, 40.0)),
+      Some("fr") -> ((1L, 20.0))))
+
+    // churn EVERY level: fact insert + reroute, dim re-label + delete
+    fact.upsert(Seq(("o4", "c2", 40.0), ("o1", "c2", 11.0))
+      .toDF("k", "cust", "v"))
+    dim.delete(Seq(("c1", "")).toDF("cust", "nat"))
+    mj.refresh()
+    ma.refresh()
+    // o3 keeps cust=c1 but its nation is now null (left-outer dim delete)
+    assert(agg == Map(Some("fr") -> ((3L, 71.0)), None -> ((1L, 30.0))))
+
+    // fact delete propagates through both maintained levels
+    fact.delete(Seq(("o2", "c2", 0.0)).toDF("k", "cust", "v"))
+    mj.refresh()
+    ma.refresh()
+    assert(agg == Map(Some("fr") -> ((2L, 51.0)), None -> ((1L, 30.0))))
+  }
+
+  test("mark ages out of source retention: transparent reseed") {
+    val src = new CowTable(spark, tmpDir("ma3-src"), keyCols = Seq("k"),
+      trackCommitVersions = true, keepCommits = 2)
+    src.bulkInsert(rows(("a", "g1", 1)))
+    val ma = new MaintainedAgg(spark, tmpDir("ma3-st"), src,
+      AggSpec(Seq("grp"), "v"))
+    ma.refresh()
+    // push far past retention, cleaning as the table layer would
+    (2 to 8).foreach { i =>
+      src.upsert(rows((s"x$i", "g2", i * 1.0)))
+      src.clean()
+    }
+    assert(state(ma.refresh()) == oracle(src))
+  }
+}

@@ -107,4 +107,60 @@ class ChangeFeedSpec extends SparkSpec {
     assert(!snap(openB()).contains("k1") &&
       snap(openB())("k2") == 222.0)
   }
+
+  private def feedB(t: CowTable, s: Long, e: Long) =
+    t.changeFeedWithPreimages(s, e)
+      .select(col("id"), col("v"), col(CowTable.ChangeTypeCol).as("op"))
+      .as[(String, Option[Double], String)].collect()
+      .map { case (k, v, op) => (k, op, v) }.toSet
+
+  test("preimages: B rows carry the image as of the window start") {
+    val t = new CowTable(spark, tmpDir("cf-pre"), keyCols = Seq("id"),
+      precombineField = "v", trackCommitVersions = true)
+    t.bulkInsert(Seq(("k1", 1.0), ("k2", 2.0), ("k3", 3.0)).toDF("id", "v"))
+    t.upsert(Seq(("k2", 20.0), ("k4", 4.0)).toDF("id", "v"))  // v2: upd+ins
+    t.delete(Seq(("k3", 0.0)).toDF("id", "v"))                // v3
+    // update has U+B, insert has U only, delete has D+B
+    assert(feedB(t, 1L, 3L) == Set(
+      ("k2", "U", Some(20.0)), ("k2", "B", Some(2.0)),
+      ("k4", "U", Some(4.0)),
+      ("k3", "D", None), ("k3", "B", Some(3.0))))
+    // sinceVersion=0: nothing existed before, plain feed
+    assert(feedB(t, 0L, 1L) == Set(
+      ("k1", "U", Some(1.0)), ("k2", "U", Some(2.0)),
+      ("k3", "U", Some(3.0))))
+    // insert-then-delete INSIDE the window: D survives (no prior image,
+    // no B); update-then-delete: D + B at the window-start image
+    t.upsert(Seq(("k9", 9.0), ("k2", 200.0)).toDF("id", "v"))  // v4
+    t.delete(Seq(("k9", 0.0), ("k2", 0.0)).toDF("id", "v"))    // v5
+    assert(feedB(t, 3L, 5L) == Set(
+      ("k9", "D", None),
+      ("k2", "D", None), ("k2", "B", Some(20.0))))
+  }
+
+  test("preimages on MOR see unmerged log rows at the window start") {
+    val t = new MorTable(spark, tmpDir("cf-pre-mor"), keyCols = Seq("id"),
+      compactEvery = 0)
+    t.bulkInsert(Seq(("k1", 1.0), ("k2", 2.0)).toDF("id", "v"))
+    t.upsert(Seq(("k2", 20.0)).toDF("id", "v"))   // v2: LOG row, unmerged
+    t.upsert(Seq(("k2", 200.0)).toDF("id", "v"))  // v3
+    t.delete(Seq(("k1", 0.0)).toDF("id", "v"))    // v4
+    // window starts at v2: k2's preimage is the LOGGED 20.0, not base 2.0
+    assert(feedB(t, 2L, 4L) == Set(
+      ("k2", "U", Some(200.0)), ("k2", "B", Some(20.0)),
+      ("k1", "D", None), ("k1", "B", Some(1.0))))
+  }
+
+  test("lookupByKeysAt returns the images a historical version stored") {
+    val t = new CowTable(spark, tmpDir("cf-lka"), keyCols = Seq("id"),
+      trackCommitVersions = true, fileIndexEntries = 1000)
+    t.bulkInsert((1 to 50).map(i => (s"k$i", i * 1.0)).toDF("id", "v"))
+    t.upsert(Seq(("k7", 700.0)).toDF("id", "v"))
+    t.delete(Seq(("k9", 0.0)).toDF("id", "v"))
+    val probe = Seq("k7", "k9", "k11").toDF("id")
+    def got(ver: Long) = t.lookupByKeysAt(ver, probe)
+      .select("id", "v").as[(String, Double)].collect().toMap
+    assert(got(1L) == Map("k7" -> 7.0, "k9" -> 9.0, "k11" -> 11.0))
+    assert(got(t.manifest.version) == Map("k7" -> 700.0, "k11" -> 11.0))
+  }
 }
