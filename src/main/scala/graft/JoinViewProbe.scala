@@ -136,6 +136,26 @@ object JoinViewProbe {
       mjm.refresh()
     }
 
+    // --- fk-LINEAR-clustered MOR view + LOCALIZED dim churn (a key
+    // range — "this batch of customers re-scored"): discovery prunes to
+    // the churn's fk stripe (snapshotForValues over the fk stats) and
+    // the fold is a log append — the best-case dim-churn refresh.
+    // Scattered churn (above) cannot prune: 150 uniform keys land in
+    // every ~59-value stripe, and under COW the REWRITE (driven by the
+    // hit rows' scattered A-keys) dominates regardless of discovery.
+    val mjl = new MaintainedJoin(spark, tmp("vl"), a, b,
+      on = Seq("o_custkey" -> "c_custkey"), viewStorage = "mor")
+    measure("mor fk-linear view: seed") { mjl.refresh() }
+    measure("recluster(o_custkey) linear") {
+      mjl.table.recluster(Seq("o_custkey"), parallelism = 256)
+    }
+    b.upsert(cust.filter(col("c_custkey").between(3000, 3150))
+      .withColumn("c_acctbal", col("c_acctbal") * 5))
+    measure("refresh after LOCALIZED dim churn (151 keys) " +
+        "[mor fk-linear]") {
+      mjl.refresh()
+    }
+
     // the alternative at every window: full recompute. Raw parquet is the
     // floor (loses the file index, stats, change feed); the REAL
     // alternative reseeds through the table so the view keeps serving.

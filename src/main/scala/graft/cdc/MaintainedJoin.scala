@@ -137,6 +137,24 @@ final class MaintainedJoin(
         .toIndexedSeq: _*)
   }
 
+  /** The view read backing the B-churn probe: the view is fk-clustered
+    * with fk column stats (set at construction), so a BOUNDED churn key
+    * set prunes to the files whose fk stripe it touches
+    * ([[CowTable.snapshotForValues]] — superset contract, so the semi
+    * join stays exact). Composite fks prune on the first mapped column.
+    * Unbounded churn (> [[MaintainedJoin.MaxProbeValues]] distinct keys)
+    * falls back to the full scan — at that churn the stripes cover the
+    * view anyway.
+    */
+  private def viewRowsForBIds(bIds: DataFrame): DataFrame = {
+    val (f, k) = on.head
+    val vals = bIds.select(col(k)).distinct()
+      .limit(MaintainedJoin.MaxProbeValues + 1)
+      .collect().map(_.get(0)).toSeq
+    if (vals.size > MaintainedJoin.MaxProbeValues) table.snapshot()
+    else table.snapshotForValues(f, vals)
+  }
+
   private def marks(): (Long, Long) = {
     val m = table.manifest.metrics
     (m.getOrElse(MarkA, 0L), m.getOrElse(MarkB, 0L))
@@ -192,7 +210,7 @@ final class MaintainedJoin(
     // including rows a new B key now matches for the first time.
     val hitByB = feedB.map { fb =>
       val bIds = fb.select(b.mergeIdCols.map(col): _*).distinct()
-      val viewRows = table.snapshot()
+      val viewRows = viewRowsForBIds(bIds)
       val cond = on.map { case (f, k) => viewRows(f) <=> bIds(k) }
         .reduce(_ && _)
       viewRows.join(bIds, cond, "left_semi")
@@ -241,4 +259,12 @@ final class MaintainedJoin(
     }
     current
   }
+}
+
+object MaintainedJoin {
+  /** Churn-key cap for the fk-pruned B-probe read: beyond this many
+    * distinct changed fks the probe scans the view (the driver-side
+    * value collect stays bounded, and stripes would cover it anyway).
+    */
+  val MaxProbeValues = 10000
 }

@@ -1015,6 +1015,19 @@ class CowTable(
       CowTable.filesForRange(spark, m, column, Some(lo), Some(hi)))
   }
 
+  /** Data-skipping scan for a VALUE SET: the snapshot restricted to files
+    * whose recorded [min, max] for `column` contains at least one of
+    * `values` — the point-probe sibling of [[snapshotForRange]], same
+    * ALWAYS-a-superset contract (no stats / non-order-preserving encoding
+    * / null probe values → no pruning). What makes a bounded fk-churn
+    * probe against a fk-clustered view read the churn's file stripe, not
+    * the view ([[graft.cdc.MaintainedJoin]]'s B-side discovery).
+    */
+  def snapshotForValues(column: String, values: Seq[Any]): DataFrame = {
+    val m = manifest
+    readFiles(m, CowTable.filesForValues(spark, m, column, values))
+  }
+
   /** Additive schema evolution (Hudi-style): columns new in the batch are
     * APPENDED to the table schema; stored rows read back as null for them.
     * Existing columns keep their stored type (incoming values are cast).
@@ -1875,6 +1888,43 @@ object CowTable {
       m.fileStats.get(f).flatMap(_.colStats.get(column)) match {
         case Some(Seq(mn, mx)) =>
           eHi.forall(mn <= _) && eLo.forall(_ <= mx)
+        case _ => true // no stats -> cannot prune
+      }
+    }
+  }
+
+  /** Value-set data-skipping core: the subset of `m.baseFiles` whose
+    * recorded [min, max] for `column` contains at least one of `values`.
+    * Same superset contract and order-preserving-encoding guard as
+    * [[filesForRange]]. One Spark job encodes the whole set; a null probe
+    * value disables pruning entirely (stats are computed over non-null
+    * values, so a file of all-null rows may carry a range that excludes
+    * it — null-safe probes must see every file).
+    */
+  def filesForValues(spark: SparkSession, m: Manifest, column: String,
+      values: Seq[Any]): Seq[String] = {
+    if (values.isEmpty) return Nil
+    if (values.exists(_ == null)) return m.baseFiles
+    val dt = m.schema(column).dataType
+    if (!orderPreservingStats(dt, m.keyEncoding)) return m.baseFiles
+    val encoded: Array[String] = spark.range(1)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(
+          values.map(v => lit(v).cast(dt)).toIndexedSeq: _*)).as(column))
+      .select(encodeColExpr(column, dt, m.keyEncoding))
+      .collect().map(_.getString(0)).sorted
+    def anyIn(mn: String, mx: String): Boolean = {
+      // first encoded value >= mn, then check it is <= mx
+      var lo = 0; var hi = encoded.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (encoded(mid) < mn) lo = mid + 1 else hi = mid
+      }
+      lo < encoded.length && encoded(lo) <= mx
+    }
+    m.baseFiles.filter { f =>
+      m.fileStats.get(f).flatMap(_.colStats.get(column)) match {
+        case Some(Seq(mn, mx)) => anyIn(mn, mx)
         case _ => true // no stats -> cannot prune
       }
     }

@@ -305,6 +305,30 @@ class MorTable(
     shapeFeed(ups, Some(dels), cur.schema)
   }
 
+  /** Value-set skipping on MOR: prune BASE files by stats (superset
+    * contract holds — a pruned base row cannot match the probe), but keep
+    * ALL pending logs in the merge (log rows are unindexed; a log winner
+    * whose base row was pruned still surfaces on its own).
+    */
+  override def snapshotForValues(
+      column: String, values: Seq[Any]): DataFrame = {
+    val m = manifest
+    val cand =
+      CowTable.filesForValues(spark, m, column, values).toSet
+    if (m.logPartitions.isEmpty) return readFiles(m, m.baseFiles.filter(cand))
+    val logged = m.logPartitions.keySet
+    val untouched = readFiles(m,
+      (m.partitions -- logged).toSeq.sortBy(_._1).flatMap(_._2)
+        .filter(cand))
+    val touchedBase = readFiles(m,
+      logged.toSeq.sorted.flatMap(k => m.partitions.getOrElse(k, Nil))
+        .filter(cand))
+    val logs = readLogs(m, logged)
+    untouched.unionByName(
+      mergeBaseWithLogs(m, touchedBase, logs).select(
+        m.schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
   /** Preimages on MOR must merge delta logs — unmerged log rows are
     * invisible to the base-file index — so resolve through the realtime
     * view pinned at `version` (unpruned; bounded by the probe semi join).

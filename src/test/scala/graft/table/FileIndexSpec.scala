@@ -121,6 +121,43 @@ class FileIndexSpec extends SparkSpec {
     assert(t.manifest.fileStats.values.forall(_.colStats.contains("ts")))
   }
 
+  test("snapshotForValues skips files whose stat range misses every value") {
+    val t = new CowTable(spark, tmpDir("fi-vals"), keyCols = Seq("id"),
+      fileIndexEntries = 1000, statsCols = Seq("fk"))
+    def batch(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, i.toLong, i.toDouble)).toDF("id", "fk", "v")
+    // four appends -> four files with disjoint fk ranges
+    t.bulkInsert(batch(0, 100), parallelism = 1)
+    t.insertAppend(batch(100, 200), parallelism = 1)
+    t.insertAppend(batch(200, 300), parallelism = 1)
+    t.insertAppend(batch(300, 400), parallelism = 1)
+
+    // values land in files 1 and 3 only
+    val hit = t.snapshotForValues("fk", Seq(42L, 250L, 260L))
+    assert(hit.inputFiles.length == 2,
+      s"two stripes expected: ${hit.inputFiles.toSeq}")
+    assert(hit.filter(col("fk").isin(42L, 250L, 260L)).count() == 3)
+    // miss everything -> nothing read
+    assert(t.snapshotForValues("fk", Seq(9999L)).inputFiles.isEmpty)
+    // a null probe value disables pruning (null-safe probes must see all)
+    assert(t.snapshotForValues("fk", Seq(42L, null))
+      .inputFiles.length == 4)
+
+    // MOR: pruned base still merges ALL pending logs
+    val mt = new MorTable(spark, tmpDir("fi-vals-mor"), keyCols = Seq("id"),
+      compactEvery = 0, fileIndexEntries = 1000, statsCols = Seq("fk"))
+    mt.bulkInsert(batch(0, 100), parallelism = 1)
+    mt.insertAppend(batch(100, 200), parallelism = 1)
+    // log rows: update fk=42's value, and a NEW key with fk=5000
+    mt.upsert(Seq((42L, 42L, -42.0), (900L, 5000L, 9.0))
+      .toDF("id", "fk", "v"))
+    val morHit = mt.snapshotForValues("fk", Seq(42L, 5000L))
+      .filter(col("fk").isin(42L, 5000L))
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(morHit == Map(42L -> -42.0, 900L -> 9.0),
+      "log winners must surface through the pruned read")
+  }
+
   test("double range pruning: correct on v3 tables, disabled on legacy") {
     // The round-6 bug: doubles encoded as plain cast(string), where lex
     // order diverges from numeric order ("9.5" > "10.2") — a lex range
