@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{
   And, AttributeReference, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+  GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.connector.read.{
   Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -81,9 +81,42 @@ private[sources] class GraftScanBuilder(
     val conjuncts = filters.flatMap(splitAnd)
     val byPartition = partitionPrune(conjuncts)
     val bounds = rangeBounds(conjuncts)
-    bounds.foldLeft(byPartition) { case (files, (column, (lo, hi))) =>
-      val ranged = CowTable.filesForRange(spark, m, column, lo, hi).toSet
-      files.filter(ranged)
+    val ranged = bounds.foldLeft(byPartition) {
+      case (files, (column, (lo, hi))) =>
+        val keep = CowTable.filesForRange(spark, m, column, lo, hi).toSet
+        files.filter(keep)
+    }
+    valueSets(conjuncts).foldLeft(ranged) { case (files, (column, vals)) =>
+      val keep = CowTable.filesForValues(spark, m, column, vals).toSet
+      files.filter(keep)
+    }
+  }
+
+  /** IN-list conjuncts on stat columns → value-set skipping
+    * ([[CowTable.filesForValues]] — a file survives iff its [min, max]
+    * contains at least one listed value). Lists above the cap skip
+    * pruning (the literal-encode job grows with the list; at that size
+    * stripes cover the table anyway).
+    */
+  private def valueSets(conjuncts: Seq[Expression])
+      : Seq[(String, Seq[Any])] = {
+    val statCols = m.fileStats.valuesIterator
+      .flatMap(_.colStats.keysIterator).toSet
+    val cap = 1000
+    conjuncts.flatMap {
+      case In(a: AttributeReference, list)
+        if statCols(a.name) && list.nonEmpty && list.size <= cap &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        val conv =
+          CatalystTypeConverters.createToScalaConverter(a.dataType)
+        Seq(a.name -> list.map(l =>
+          conv(l.asInstanceOf[Literal].value)))
+      case InSet(a: AttributeReference, hset)
+        if statCols(a.name) && hset.nonEmpty && hset.size <= cap =>
+        val conv =
+          CatalystTypeConverters.createToScalaConverter(a.dataType)
+        Seq(a.name -> hset.toSeq.map(conv))
+      case _ => Nil
     }
   }
 

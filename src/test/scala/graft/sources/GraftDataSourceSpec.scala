@@ -219,6 +219,15 @@ class GraftDataSourceSpec extends SparkSpec {
     val one = spark.read.format("graft").load(path)
       .filter(col("ts") === lit("2024-01-03 00:00:00").cast("timestamp"))
     assert(scanned(one) == 1 && one.count() == 100)
+
+    // IN-list predicates prune by value set: days 1 and 3, never day 2
+    val inq = spark.read.format("graft").load(path)
+      .filter(col("ts").isin(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+    assert(scanned(inq) == 2,
+      s"IN over two days must scan two files, got ${scanned(inq)}")
+    assert(inq.count() == 200)
   }
 
   test("partition equality predicates prune whole partition listings") {
