@@ -1,17 +1,17 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.table.CowTable
 
-/** FEED-DRIVEN maintained grouped aggregate: COUNT + SUM state over any
-  * commit-stamped table, kept current from the table's own change feed
-  * ([[CowTable.changeFeedWithPreimages]]) — no pipeline hook required, so
-  * it chains off anything that commits: a CDC-written table, a
-  * [[MaintainedJoin]] view with `trackViewVersions = true` (the star-schema
-  * pipeline fact ⟕ dim → GROUP BY, maintained end-to-end), or a table fed
-  * by the streaming sink.
+/** FEED-DRIVEN maintained grouped aggregate: COUNT + SUM (and optionally
+  * MIN/MAX) state over any commit-stamped table, kept current from the
+  * table's own change feed ([[CowTable.changeFeedWithPreimages]]) — no
+  * pipeline hook required, so it chains off anything that commits: a
+  * CDC-written table, a [[MaintainedJoin]] view with
+  * `trackViewVersions = true` (the star-schema pipeline fact ⟕ dim →
+  * GROUP BY, maintained end-to-end), or a table fed by the streaming sink.
   *
   * Delta algebra straight off the feed: U rows add (+1, +value), B
   * (preimage) rows retract (-1, -value), D rows contribute nothing (their
@@ -20,10 +20,23 @@ import graft.table.CowTable
   * fold∘feed over any commit sequence equals recomputing from the
   * snapshot — per refresh the engine touches the churn, not the table.
   *
+  * MIN/MAX (`minMaxCols`) are NOT retractable — the textbook non-abelian
+  * case — so they maintain optimistically: window inserts fold with
+  * `least`/`greatest`; a retracted image STRICTLY inside a group's stored
+  * (min, max) cannot move either bound and costs nothing; only a
+  * retraction that ties a stored extreme triggers an authoritative
+  * re-aggregation OF THAT GROUP from the source, group-scoped through
+  * [[CowTable.snapshotForValuesAt]] (value-set file skipping, pinned at
+  * the window end) — so the repair cost scales with the hit groups'
+  * stripes, not the table.
+  *
   * The high-water mark (last folded source version) rides the aggregate
   * table's own commit metrics (monotone — survives service commits), the
-  * same exactly-once ledger as [[MaintainedJoin]]. A mark that ages out of
-  * the source's retained timeline reseeds by full recompute.
+  * same exactly-once ledger as [[MaintainedJoin]]; the whole fold
+  * (updates + vanished-group deletes + mark) lands in ONE `mergeInto`
+  * commit, so there is no crash window where the mark outruns the state.
+  * A mark that ages out of the source's retained timeline reseeds by
+  * full recompute.
   *
   * vs [[IncrementalAgg.MaintainedView]]: that form captures deltas inside
   * the CDC pipeline's pre-merge hook (no stamps needed on the source);
@@ -35,7 +48,11 @@ final class MaintainedAgg(
     spark: SparkSession,
     aggPath: String,
     src: CowTable,
-    spec: IncrementalAgg.AggSpec) {
+    spec: IncrementalAgg.AggSpec,
+    /** Columns to maintain min/max over (optimistic + group-scoped
+      * repair). Empty = count/sum only.
+      */
+    minMaxCols: Seq[String] = Nil) {
 
   require(src.trackCommitVersions,
     "MaintainedAgg sources must track commit versions (change feeds)")
@@ -45,14 +62,31 @@ final class MaintainedAgg(
 
   private val Mark = CowTable.MonotoneMarkPrefix + "ma_src_version"
   private val ct = CowTable.ChangeTypeCol
+  private val g = spec.groupCols
 
-  /** The maintained aggregate as stored: groupCols..., cnt, total. */
+  private def stateCols: Seq[String] =
+    g ++ Seq("cnt", "total") ++
+      minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+
+  /** The maintained aggregate as stored: groupCols..., cnt, total
+    * [, min_c, max_c per minMaxCols entry].
+    */
   def current: DataFrame =
-    table.snapshot().select(
-      (spec.groupCols.map(col) :+ col("cnt") :+ col("total")): _*)
+    table.snapshot().select(stateCols.map(col): _*)
 
-  private def dec(c: org.apache.spark.sql.Column) =
+  private def dec(c: Column) =
     c.cast(org.apache.spark.sql.types.DecimalType(28, 6))
+
+  /** The full aggregate state of `df` from scratch (seed/reseed path and
+    * the recompute oracle for tests).
+    */
+  def recompute(df: DataFrame): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("cnt"),
+        sum(dec(col(spec.valueCol))).as("total")) ++
+      minMaxCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(g.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Fold all source commits since the last refresh — or seed/reseed by
     * recompute when the state doesn't exist or the mark fell behind
@@ -61,7 +95,7 @@ final class MaintainedAgg(
   def refresh(): DataFrame = {
     val head = src.manifest.version
     if (!table.exists) {
-      table.bulkInsert(IncrementalAgg.recompute(src.snapshot(), spec),
+      table.bulkInsert(recompute(src.snapshot()),
         extraMetrics = Map(Mark -> head))
       return current
     }
@@ -72,16 +106,16 @@ final class MaintainedAgg(
       catch {
         // mark aged out of the source's retained timeline: reseed
         case _: IllegalArgumentException | _: java.io.FileNotFoundException =>
-          table.overwrite(IncrementalAgg.recompute(src.snapshot(), spec),
+          table.overwrite(recompute(src.snapshot()),
             extraMetrics = Map(Mark -> head))
           return current
       }
     val signed = feed.filter(col(ct).isin("U", "B")).select(
-      (spec.groupCols.map(col) :+
+      (g.map(col) :+
         when(col(ct) === "U", 1L).otherwise(-1L).as("w") :+
         when(col(ct) === "U", dec(col(spec.valueCol)))
           .otherwise(-dec(col(spec.valueCol))).as("v")): _*)
-    val delta = signed.groupBy(spec.groupCols.map(col): _*)
+    val delta = signed.groupBy(g.map(col): _*)
       .agg(sum(col("w")).as("d_cnt"), sum(col("v")).as("d_total"))
     val marksM = Map(Mark -> head)
     if (delta.isEmpty) {
@@ -89,18 +123,29 @@ final class MaintainedAgg(
       table.delete(current.limit(0), extraMetrics = marksM)
       return current
     }
+    val nextBase = IncrementalAgg.apply(
+      current.select((g.map(col) :+ col("cnt") :+ col("total")): _*),
+      delta, spec).localCheckpoint()
     val next =
-      IncrementalAgg.apply(current, delta, spec).localCheckpoint()
+      (if (minMaxCols.isEmpty) nextBase
+       else withExtremes(nextBase, feed, head)).localCheckpoint()
     // groups fully retracted this window (cnt hit zero): next no longer
     // carries them, so route them through the merge's delete branch.
     // ONE commit applies updates + deletes + the mark advance atomically —
     // a two-commit fold could crash with the mark already advanced and
     // the deletes lost, and (unlike MaintainedJoin's image folds) an agg
     // delta re-applied on replay would double-count.
-    val gone = current.select(spec.groupCols.map(col): _*)
-      .except(next.select(spec.groupCols.map(col): _*))
-      .withColumn("cnt", lit(0L))
-      .withColumn("total", lit(null).cast(next.schema("total").dataType))
+    val gone = minMaxCols.foldLeft(
+        current.select(g.map(col): _*)
+          .except(next.select(g.map(col): _*))
+          .withColumn("cnt", lit(0L))
+          .withColumn("total",
+            lit(null).cast(next.schema("total").dataType))) { (df, c) =>
+        df.withColumn(s"min_$c",
+            lit(null).cast(next.schema(s"min_$c").dataType))
+          .withColumn(s"max_$c",
+            lit(null).cast(next.schema(s"max_$c").dataType))
+      }
       .withColumn("_ma_del", lit(true))
     table.mergeInto(next.withColumn("_ma_del", lit(false))
         .unionByName(gone),
@@ -110,4 +155,92 @@ final class MaintainedAgg(
       extraMetrics = marksM)
     current
   }
+
+  /** Attach maintained min/max to the folded count/sum state. Null-safe
+    * group joins throughout — a null group value (e.g. the unmatched side
+    * of a maintained left join) is a real group.
+    */
+  private def withExtremes(
+      nextBase: DataFrame, feed: DataFrame, head: Long): DataFrame = {
+    val ups = feed.filter(col(ct) === "U")
+    val rets = feed.filter(col(ct) === "B")
+    val st = table.snapshot()
+
+    // hit groups: a retracted image TIES a stored extreme — the only case
+    // where the bound may shrink and needs source truth
+    val stX = st.select((g.map(c => col(c).as(s"_g_$c")) ++
+      minMaxCols.flatMap(c =>
+        Seq(col(s"min_$c").as(s"_mn_$c"), col(s"max_$c").as(s"_mx_$c"))))
+      .toIndexedSeq: _*)
+    val hitCond = g.map(c => rets(c) <=> stX(s"_g_$c")).reduce(_ && _)
+    val hits = rets.join(stX, hitCond, "inner")
+      .filter(minMaxCols.map(c =>
+          rets(c) <=> stX(s"_mn_$c") || rets(c) <=> stX(s"_mx_$c"))
+        .reduce(_ || _))
+      .select(g.map(c => rets(c).as(c)): _*).distinct().localCheckpoint()
+
+    // authoritative re-aggregation of the hit groups, group-scoped and
+    // pinned at the window end
+    val srcRows = groupScopedRead(head, hits)
+    val recCond = g.map(c => srcRows(c) <=> hits(c)).reduce(_ && _)
+    val recAggs = minMaxCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val rec = srcRows.join(hits, recCond, "left_semi")
+      .groupBy(g.map(col): _*).agg(recAggs.head, recAggs.tail: _*)
+
+    // optimistic fold for everything else: stored extremes (minus hit
+    // groups) ⊕ window-insert extremes
+    val upAggs = minMaxCols.flatMap(c =>
+      Seq(min(col(c)).as(s"u_min_$c"), max(col(c)).as(s"u_max_$c")))
+    val upExt0 = ups.groupBy(g.map(col): _*)
+      .agg(upAggs.head, upAggs.tail: _*)
+    // hit groups are REPAIRED authoritatively — they must not also
+    // surface through the insert-fold side (two ext rows per group would
+    // race in the merge)
+    val upKeepCond = g.map(c => upExt0(c) <=> hits(c)).reduce(_ && _)
+    val upExt = upExt0.join(hits, upKeepCond, "left_anti")
+    val stKeepCond = g.map(c => st(c) <=> hits(c)).reduce(_ && _)
+    val stNoHit = st.join(hits, stKeepCond, "left_anti")
+      .select((g.map(col) ++
+        minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))))
+        .toIndexedSeq: _*)
+    val optCond = g.map(c => stNoHit(c) <=> upExt(c)).reduce(_ && _)
+    val opt = stNoHit.join(upExt, optCond, "full_outer")
+      .select((g.map(c => coalesce(stNoHit(c), upExt(c)).as(c)) ++
+        minMaxCols.flatMap(c => Seq(
+          least(stNoHit(s"min_$c"), upExt(s"u_min_$c")).as(s"min_$c"),
+          greatest(stNoHit(s"max_$c"), upExt(s"u_max_$c")).as(s"max_$c"))))
+        .toIndexedSeq: _*)
+
+    val ext = opt.unionByName(rec) // disjoint: opt excludes hit groups
+    val joinCond = g.map(c => nextBase(c) <=> ext(c)).reduce(_ && _)
+    nextBase.join(ext, joinCond, "left")
+      .select((g.map(c => nextBase(c).as(c)) ++
+        Seq(nextBase("cnt"), nextBase("total")) ++
+        minMaxCols.flatMap(c => Seq(ext(s"min_$c"), ext(s"max_$c"))))
+        .toIndexedSeq: _*)
+  }
+
+  /** Source rows for the hit groups, pinned at `version`: value-set file
+    * skipping on a single group column (bounded driver collect), the
+    * pinned full snapshot otherwise — the left-semi join on top keeps
+    * either read exact.
+    */
+  private def groupScopedRead(version: Long, hits: DataFrame): DataFrame = {
+    if (g.size == 1) {
+      val vals = hits.limit(MaintainedAgg.MaxRepairGroups + 1)
+        .collect().map(_.get(0)).toSeq
+      if (vals.size <= MaintainedAgg.MaxRepairGroups)
+        return src.snapshotForValuesAt(version, g.head, vals)
+    }
+    src.snapshotAt(version)
+  }
+}
+
+object MaintainedAgg {
+  /** Hit-group cap for the group-scoped repair read: beyond this many
+    * groups the repair reads the pinned snapshot (the driver-side value
+    * collect stays bounded; at that churn stripes cover the table).
+    */
+  val MaxRepairGroups = 10000
 }

@@ -413,7 +413,8 @@ object QueryCatalog {
         on = Seq("o_custkey" -> "c_custkey"), trackViewVersions = true)
       mj.refresh()
       val ma = new graft.cdc.MaintainedAgg(s, tmp("agg"), mj.table,
-        graft.cdc.IncrementalAgg.AggSpec(Seq("seg"), "price"))
+        graft.cdc.IncrementalAgg.AggSpec(Seq("seg"), "price"),
+        minMaxCols = Seq("price"))
       ma.refresh()
       // churn both sources (same shapes as maintained_join), then fold
       // through BOTH maintained levels
@@ -427,7 +428,8 @@ object QueryCatalog {
       mj.refresh()
       ma.refresh()
       ma.current.select(col("seg"), col("cnt"),
-        col("total").cast("double").as("total"))
+        col("total").cast("double").as("total"),
+        col("min_price"), col("max_price"))
     },
     Some("""WITH o AS (SELECT o_orderkey, o_custkey,
            |         CAST(round(o_totalprice, 2) AS DOUBLE) AS price
@@ -449,7 +451,8 @@ object QueryCatalog {
            |    AND c_custkey % 6 <> 0)
            |SELECT b.seg, count(*) AS cnt,
            |       CAST(sum(CAST(a.price AS DECIMAL(28,6))) AS DOUBLE)
-           |         AS total
+           |         AS total,
+           |       min(a.price) AS min_price, max(a.price) AS max_price
            |FROM a_final a
            |LEFT JOIN b_final b ON a.o_custkey = b.c_custkey
            |GROUP BY b.seg""".stripMargin))

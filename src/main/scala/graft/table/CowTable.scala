@@ -1028,6 +1028,17 @@ class CowTable(
     readFiles(m, CowTable.filesForValues(spark, m, column, values))
   }
 
+  /** [[snapshotForValues]] pinned at a historical version (retention-
+    * bounded) — group-scoped rereads for feed-driven maintenance stay on
+    * the version the consumer's window ends at, immune to concurrent
+    * source commits.
+    */
+  def snapshotForValuesAt(
+      version: Long, column: String, values: Seq[Any]): DataFrame = {
+    val m = manifestAt(version)
+    readFiles(m, CowTable.filesForValues(spark, m, column, values))
+  }
+
   /** Additive schema evolution (Hudi-style): columns new in the batch are
     * APPENDED to the table schema; stored rows read back as null for them.
     * Existing columns keep their stored type (incoming values are cast).

@@ -311,8 +311,15 @@ class MorTable(
     * whose base row was pruned still surfaces on its own).
     */
   override def snapshotForValues(
-      column: String, values: Seq[Any]): DataFrame = {
-    val m = manifest
+      column: String, values: Seq[Any]): DataFrame =
+    morSnapshotForValues(manifest, column, values)
+
+  override def snapshotForValuesAt(
+      version: Long, column: String, values: Seq[Any]): DataFrame =
+    morSnapshotForValues(manifestAt(version), column, values)
+
+  private def morSnapshotForValues(
+      m: Manifest, column: String, values: Seq[Any]): DataFrame = {
     val cand =
       CowTable.filesForValues(spark, m, column, values).toSet
     if (m.logPartitions.isEmpty) return readFiles(m, m.baseFiles.filter(cand))

@@ -101,6 +101,97 @@ class MaintainedAggSpec extends SparkSpec {
     assert(agg == Map(Some("fr") -> ((2L, 51.0)), None -> ((1L, 30.0))))
   }
 
+  test("min/max maintenance: optimistic fold + repair on extreme loss") {
+    val src = new CowTable(spark, tmpDir("ma4-src"), keyCols = Seq("k"),
+      precombineField = "v", trackCommitVersions = true,
+      fileIndexEntries = 1000, statsCols = Seq("grp"))
+    src.bulkInsert(rows(("a", "g1", 5), ("b", "g1", 1), ("c", "g1", 9),
+      ("d", "g2", 4)))
+    val ma = new MaintainedAgg(spark, tmpDir("ma4-st"), src,
+      AggSpec(Seq("grp"), "v"), minMaxCols = Seq("v"))
+    def mm: Map[String, (Long, Double, Double, Double)] =
+      ma.current.select(col("grp"), col("cnt"),
+          col("total").cast("double"), col("min_v"), col("max_v"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4)))).toMap
+    def oracleMM: Map[String, (Long, Double, Double, Double)] =
+      ma.recompute(src.snapshot())
+        .select(col("grp"), col("cnt"), col("total").cast("double"),
+          col("min_v"), col("max_v"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4)))).toMap
+    ma.refresh()
+    assert(mm == Map("g1" -> ((3L, 15.0, 1.0, 9.0)),
+      "g2" -> ((1L, 4.0, 4.0, 4.0))))
+
+    // inside-the-bounds churn: no repair needed, optimistic fold exact
+    src.upsert(rows(("a", "g1", 6), ("e", "g1", 3)))
+    assert({ ma.refresh(); mm } == oracleMM)
+    assert(mm("g1") == ((4L, 19.0, 1.0, 9.0)))
+
+    // insert a new max: optimistic greatest
+    src.upsert(rows(("f", "g1", 20)))
+    assert({ ma.refresh(); mm } == oracleMM)
+    assert(mm("g1")._4 == 20.0)
+
+    // DELETE the max: tie with stored extreme -> group-scoped repair
+    src.delete(rows(("f", "g1", 0)))
+    assert({ ma.refresh(); mm } == oracleMM)
+    assert(mm("g1")._4 == 9.0)
+
+    // update the min AWAY (value moves up): old image ties min -> repair
+    src.upsert(rows(("b", "g1", 7)))
+    assert({ ma.refresh(); mm } == oracleMM)
+    assert(mm("g1")._3 == 3.0)
+
+    // tied extremes: two rows at the max, delete one -> max survives
+    src.upsert(rows(("x", "g2", 10), ("y", "g2", 10)))
+    ma.refresh()
+    src.delete(rows(("x", "g2", 0)))
+    assert({ ma.refresh(); mm } == oracleMM)
+    assert(mm("g2")._4 == 10.0)
+
+    // same-window churn storm across groups + a group vanishing
+    src.upsert(rows(("p", "g3", 2), ("q", "g3", 8)))
+    src.delete(rows(("d", "g2", 0), ("y", "g2", 0)))
+    src.upsert(rows(("q", "g3", 1)))
+    assert({ ma.refresh(); mm } == oracleMM)
+    assert(mm("g3") == ((2L, 3.0, 1.0, 2.0)) && !mm.contains("g2"))
+  }
+
+  test("min/max over the maintained-join chain with null groups") {
+    val fact = new CowTable(spark, tmpDir("ma5-f"), keyCols = Seq("k"),
+      precombineField = "v", trackCommitVersions = true)
+    val dim = new CowTable(spark, tmpDir("ma5-d"), keyCols = Seq("cust"),
+      trackCommitVersions = true)
+    fact.bulkInsert(Seq(("o1", "c1", 10.0), ("o2", "c9", 20.0))
+      .toDF("k", "cust", "v"))
+    dim.bulkInsert(Seq(("c1", "de")).toDF("cust", "nat"))
+    val mj = new MaintainedJoin(spark, tmpDir("ma5-v"), fact, dim,
+      on = Seq("cust" -> "cust"), trackViewVersions = true)
+    mj.refresh()
+    val ma = new MaintainedAgg(spark, tmpDir("ma5-a"), mj.table,
+      AggSpec(Seq("nat"), "v"), minMaxCols = Seq("v"))
+    ma.refresh()
+    def mm: Map[Option[String], (Long, Double, Double)] =
+      ma.current.select(col("nat"), col("cnt"), col("min_v"), col("max_v"))
+        .collect().map(r => Option(r.getString(0)) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(mm == Map(Some("de") -> ((1L, 10.0, 10.0)),
+      None -> ((1L, 20.0, 20.0))))
+    // null-group extreme retraction repairs through the chain: o2 gains a
+    // match (leaves the null group), o3 lands in it
+    fact.upsert(Seq(("o3", "c8", 5.0)).toDF("k", "cust", "v"))
+    dim.upsert(Seq(("c9", "fr")).toDF("cust", "nat"))
+    mj.refresh()
+    ma.refresh()
+    assert(mm == Map(Some("de") -> ((1L, 10.0, 10.0)),
+      Some("fr") -> ((1L, 20.0, 20.0)),
+      None -> ((1L, 5.0, 5.0))))
+  }
+
   test("mark ages out of source retention: transparent reseed") {
     val src = new CowTable(spark, tmpDir("ma3-src"), keyCols = Seq("k"),
       trackCommitVersions = true, keepCommits = 2)
