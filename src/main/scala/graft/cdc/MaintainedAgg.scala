@@ -52,7 +52,15 @@ final class MaintainedAgg(
     /** Columns to maintain min/max over (optimistic + group-scoped
       * repair). Empty = count/sum only.
       */
-    minMaxCols: Seq[String] = Nil) {
+    minMaxCols: Seq[String] = Nil,
+    /** Also maintain the sum of squares (`total_sq`) of the value column —
+      * squares are as abelian as sums, so it folds exactly through the
+      * same +U/−B algebra, and variance/stddev derive at read time:
+      * `var = total_sq/cnt − (total/cnt)²`. What makes per-group quality
+      * dashboards (mean ± σ of a score column) maintainable without ever
+      * rescanning the table.
+      */
+    trackSquares: Boolean = false) {
 
   require(src.trackCommitVersions,
     "MaintainedAgg sources must track commit versions (change feeds)")
@@ -66,6 +74,7 @@ final class MaintainedAgg(
 
   private def stateCols: Seq[String] =
     g ++ Seq("cnt", "total") ++
+      (if (trackSquares) Seq("total_sq") else Nil) ++
       minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
 
   /** The maintained aggregate as stored: groupCols..., cnt, total
@@ -77,15 +86,47 @@ final class MaintainedAgg(
   private def dec(c: Column) =
     c.cast(org.apache.spark.sql.types.DecimalType(28, 6))
 
+  /** v² at a FIXED decimal type: recompute and the signed fold must
+    * produce bit-identical values or retraction drifts, so both route
+    * through this one expression. Inputs cast to (18,6) so the product
+    * lands at (37,12) — within Spark's 38-digit cap, so no precision-loss
+    * scale adjustment fires and the square is EXACT for any |v| < 10¹²
+    * (beyond that the (18,6) cast nulls, a loud failure, not drift).
+    */
+  private def sq(c: Column) = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    (c.cast(d18) * c.cast(d18))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 12))
+  }
+
   /** The full aggregate state of `df` from scratch (seed/reseed path and
     * the recompute oracle for tests).
     */
   def recompute(df: DataFrame): DataFrame = {
     val aggs = Seq(count(lit(1)).as("cnt"),
         sum(dec(col(spec.valueCol))).as("total")) ++
+      (if (trackSquares)
+         Seq(sum(sq(col(spec.valueCol))).as("total_sq")) else Nil) ++
       minMaxCols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     df.groupBy(g.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[current]] plus derived `mean`, `variance` (population) and
+    * `stddev` — the read-time payoff of `trackSquares`: per-group
+    * dispersion stats that stay current off the change feed without ever
+    * rescanning the source. Doubles (dispersion is inherently a
+    * floating-point readout); the STORED state stays exact decimal.
+    */
+  def currentWithStats: DataFrame = {
+    require(trackSquares, "currentWithStats requires trackSquares = true")
+    val m = col("total").cast("double") / col("cnt")
+    current
+      .withColumn("mean", m)
+      // clamp: total_sq/cnt - mean² can go ~-1e-12 under double rounding
+      .withColumn("variance", greatest(
+        col("total_sq").cast("double") / col("cnt") - m * m, lit(0.0)))
+      .withColumn("stddev", sqrt(col("variance")))
   }
 
   /** Fold all source commits since the last refresh — or seed/reseed by
@@ -114,18 +155,36 @@ final class MaintainedAgg(
       (g.map(col) :+
         when(col(ct) === "U", 1L).otherwise(-1L).as("w") :+
         when(col(ct) === "U", dec(col(spec.valueCol)))
-          .otherwise(-dec(col(spec.valueCol))).as("v")): _*)
-    val delta = signed.groupBy(g.map(col): _*)
-      .agg(sum(col("w")).as("d_cnt"), sum(col("v")).as("d_total"))
+          .otherwise(-dec(col(spec.valueCol))).as("v")) ++
+      (if (trackSquares)
+         Seq(when(col(ct) === "U", sq(col(spec.valueCol)))
+           .otherwise(-sq(col(spec.valueCol))).as("vsq")) else Nil): _*)
+    val dAggs = Seq(sum(col("w")).as("d_cnt"), sum(col("v")).as("d_total")) ++
+      (if (trackSquares) Seq(sum(col("vsq")).as("d_total_sq")) else Nil)
+    val delta = signed.groupBy(g.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
     val marksM = Map(Mark -> head)
     if (delta.isEmpty) {
       // stamp-filtered feed held nothing: still advance the ledger
       table.delete(current.limit(0), extraMetrics = marksM)
       return current
     }
-    val nextBase = IncrementalAgg.apply(
-      current.select((g.map(col) :+ col("cnt") :+ col("total")): _*),
-      delta, spec).localCheckpoint()
+    val nextBase = (if (!trackSquares)
+        IncrementalAgg.apply(
+          current.select((g.map(col) :+ col("cnt") :+ col("total")): _*),
+          delta, spec)
+      else {
+        // same abelian fold as IncrementalAgg.apply with total_sq riding
+        // along — squares retract as exactly as sums (fixed decimal type)
+        val sums = Seq("cnt", "total", "total_sq")
+        current.select((g.map(col) ++ sums.map(col)): _*)
+          .unionByName(delta.select((g.map(col) :+
+            col("d_cnt").as("cnt") :+ col("d_total").as("total") :+
+            col("d_total_sq").as("total_sq")): _*))
+          .groupBy(g.map(col): _*)
+          .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"),
+            sum(col("total_sq")).as("total_sq"))
+          .filter(col("cnt") =!= 0)
+      }).localCheckpoint()
     val next =
       (if (minMaxCols.isEmpty) nextBase
        else withExtremes(nextBase, feed, head)).localCheckpoint()
@@ -135,12 +194,17 @@ final class MaintainedAgg(
     // a two-commit fold could crash with the mark already advanced and
     // the deletes lost, and (unlike MaintainedJoin's image folds) an agg
     // delta re-applied on replay would double-count.
-    val gone = minMaxCols.foldLeft(
-        current.select(g.map(col): _*)
-          .except(next.select(g.map(col): _*))
-          .withColumn("cnt", lit(0L))
-          .withColumn("total",
-            lit(null).cast(next.schema("total").dataType))) { (df, c) =>
+    val goneBase = {
+      val b = current.select(g.map(col): _*)
+        .except(next.select(g.map(col): _*))
+        .withColumn("cnt", lit(0L))
+        .withColumn("total", lit(null).cast(next.schema("total").dataType))
+      if (trackSquares)
+        b.withColumn("total_sq",
+          lit(null).cast(next.schema("total_sq").dataType))
+      else b
+    }
+    val gone = minMaxCols.foldLeft(goneBase) { (df, c) =>
         df.withColumn(s"min_$c",
             lit(null).cast(next.schema(s"min_$c").dataType))
           .withColumn(s"max_$c",
@@ -217,6 +281,7 @@ final class MaintainedAgg(
     nextBase.join(ext, joinCond, "left")
       .select((g.map(c => nextBase(c).as(c)) ++
         Seq(nextBase("cnt"), nextBase("total")) ++
+        (if (trackSquares) Seq(nextBase("total_sq")) else Nil) ++
         minMaxCols.flatMap(c => Seq(ext(s"min_$c"), ext(s"max_$c"))))
         .toIndexedSeq: _*)
   }

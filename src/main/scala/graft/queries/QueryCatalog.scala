@@ -414,7 +414,7 @@ object QueryCatalog {
       mj.refresh()
       val ma = new graft.cdc.MaintainedAgg(s, tmp("agg"), mj.table,
         graft.cdc.IncrementalAgg.AggSpec(Seq("seg"), "price"),
-        minMaxCols = Seq("price"))
+        minMaxCols = Seq("price"), trackSquares = true)
       ma.refresh()
       // churn both sources (same shapes as maintained_join), then fold
       // through BOTH maintained levels
@@ -427,8 +427,13 @@ object QueryCatalog {
       b.delete(cust.filter(col("c_custkey") % 6 === 0))
       mj.refresh()
       ma.refresh()
+      // total_sq stays DECIMAL(38,12): DuckDB's decimal→double cast is
+      // not correctly rounded at this magnitude (one-ulp divergence from
+      // Spark/JVM), while the exact decimal matches bit-for-bit when both
+      // sides agree on the scale.
       ma.current.select(col("seg"), col("cnt"),
         col("total").cast("double").as("total"),
+        col("total_sq"),
         col("min_price"), col("max_price"))
     },
     Some("""WITH o AS (SELECT o_orderkey, o_custkey,
@@ -452,6 +457,8 @@ object QueryCatalog {
            |SELECT b.seg, count(*) AS cnt,
            |       CAST(sum(CAST(a.price AS DECIMAL(28,6))) AS DOUBLE)
            |         AS total,
+           |       sum(CAST(a.price AS DECIMAL(19,6)) *
+           |           CAST(a.price AS DECIMAL(19,6))) AS total_sq,
            |       min(a.price) AS min_price, max(a.price) AS max_price
            |FROM a_final a
            |LEFT JOIN b_final b ON a.o_custkey = b.c_custkey

@@ -192,6 +192,63 @@ class MaintainedAggSpec extends SparkSpec {
       None -> ((1L, 5.0, 5.0))))
   }
 
+  test("sum-of-squares maintenance: variance derives from folded state") {
+    val src = new CowTable(spark, tmpDir("ma6-src"), keyCols = Seq("k"),
+      precombineField = "v", trackCommitVersions = true)
+    src.bulkInsert(rows(("a", "g1", 1), ("b", "g1", 2), ("c", "g2", 3)))
+    // squares + min/max together: exercises the extremes pass-through
+    val ma = new MaintainedAgg(spark, tmpDir("ma6-st"), src,
+      AggSpec(Seq("grp"), "v"), minMaxCols = Seq("v"),
+      trackSquares = true)
+    def st: Map[String, (Long, Double, Double, Double, Double)] =
+      ma.current.select(col("grp"), col("cnt"),
+          col("total").cast("double"), col("total_sq").cast("double"),
+          col("min_v"), col("max_v"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5)))).toMap
+    def orc: Map[String, (Long, Double, Double, Double, Double)] =
+      ma.recompute(src.snapshot())
+        .select(col("grp"), col("cnt"), col("total").cast("double"),
+          col("total_sq").cast("double"), col("min_v"), col("max_v"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5)))).toMap
+    ma.refresh()
+    assert(st == orc)
+    assert(st("g1") == ((2L, 3.0, 5.0, 1.0, 2.0)))
+
+    // churn: cross-group move, insert, delete — squares retract exactly
+    src.upsert(rows(("b", "g2", 20), ("d", "g3", 4)))
+    src.delete(rows(("c", "g2", 0)))
+    assert({ ma.refresh(); st } == orc)
+    assert(st("g2") == ((1L, 20.0, 400.0, 20.0, 20.0)))
+
+    // derived dispersion matches Spark's var_pop on the live snapshot
+    src.upsert(rows(("e", "g1", 7), ("f", "g1", 4)))
+    ma.refresh()
+    val got = ma.currentWithStats
+      .select(col("grp"), col("mean"), col("variance"), col("stddev"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val want = src.snapshot().groupBy("grp")
+      .agg(avg(col("v")).as("m"), var_pop(col("v")).as("vp"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (m, vp)) =>
+      assert(math.abs(got(k)._1 - m) < 1e-9, s"mean $k")
+      assert(math.abs(got(k)._2 - vp) < 1e-9, s"variance $k")
+      assert(math.abs(got(k)._3 - math.sqrt(vp)) < 1e-9, s"stddev $k")
+    }
+
+    // group vanishes; multi-commit window folds in one refresh
+    src.delete(rows(("d", "g3", 0)))
+    src.upsert(rows(("a", "g1", 10)))
+    assert({ ma.refresh(); st } == orc)
+    assert(!st.contains("g3"))
+  }
+
   test("mark ages out of source retention: transparent reseed") {
     val src = new CowTable(spark, tmpDir("ma3-src"), keyCols = Seq("k"),
       trackCommitVersions = true, keepCommits = 2)
