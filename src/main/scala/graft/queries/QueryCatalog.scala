@@ -464,6 +464,68 @@ object QueryCatalog {
            |LEFT JOIN b_final b ON a.o_custkey = b.c_custkey
            |GROUP BY b.seg""".stripMargin))
 
+  /** Storage-partitioned join end-to-end over REAL testdata: customers
+    * and a per-customer order rollup land in two CO-BUCKETED graft tables
+    * (numBuckets=8, keyed on the join column), registered in a
+    * [[graft.sources.GraftCatalog]], and joined with V2 bucketing ON —
+    * the physical plan has NO exchange on either side (certified by
+    * GraftSpjSpec's plan asserts); this row certifies the VALUES against
+    * DuckDB's recompute of the same join. Confs are scoped: the join
+    * materializes eagerly (localCheckpoint) before they are restored.
+    */
+  private val spjJoinQ = Q(
+    (s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-spj").toString
+      val cat = "spjq_" + wh.replaceAll(".*-", "")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+      s.sql(s"""CREATE TABLE $cat.lake.cust
+        (c_custkey BIGINT, seg STRING, bal DOUBLE) USING graft
+        TBLPROPERTIES ('keyCols'='c_custkey', 'numBuckets'='8')""")
+      s.sql(s"""CREATE TABLE $cat.lake.rollup
+        (o_custkey BIGINT, cnt BIGINT, spend DOUBLE) USING graft
+        TBLPROPERTIES ('keyCols'='o_custkey', 'numBuckets'='8')""")
+      t(s, d, "customer").select(col("c_custkey"),
+          col("c_mktsegment").as("seg"),
+          round(col("c_acctbal"), 2).cast("double").as("bal"))
+        .createOrReplaceTempView("spj_cust_src")
+      t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice"), 2)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            .cast("double").as("spend"))
+        .createOrReplaceTempView("spj_rollup_src")
+      s.sql(s"INSERT INTO $cat.lake.cust SELECT * FROM spj_cust_src")
+      s.sql(s"INSERT INTO $cat.lake.rollup SELECT * FROM spj_rollup_src")
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val olds = confs.map { case (k, _) =>
+        k -> scala.util.Try(s.conf.get(k)).toOption }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try
+        s.sql(s"""SELECT c.c_custkey, c.seg, c.bal, r.cnt, r.spend
+          FROM $cat.lake.cust c
+          JOIN $cat.lake.rollup r ON c.c_custkey = r.o_custkey""")
+          .localCheckpoint()
+      finally olds.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+    Some("""WITH r AS (SELECT o_custkey, count(*) AS cnt,
+           |  CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(28,6)))
+           |    AS DOUBLE) AS spend
+           |  FROM orders GROUP BY o_custkey)
+           |SELECT c.c_custkey, c.c_mktsegment AS seg,
+           |       CAST(round(c.c_acctbal, 2) AS DOUBLE) AS bal,
+           |       r.cnt, r.spend
+           |FROM customer c JOIN r ON c.c_custkey = r.o_custkey"""
+      .stripMargin))
+
   /** M2 — count/introspection actions (reference: processData.py:303). */
   private val m2Counts = Q(
     (s, d) => t(s, d, "events").agg(
@@ -2467,6 +2529,7 @@ object QueryCatalog {
     "maintained_join" -> maintainedJoinQ,
     "maintained_join_mor" -> maintainedJoinMorQ,
     "maintained_agg" -> maintainedAggQ,
+    "spj_join" -> spjJoinQ,
     "m2_counts" -> m2Counts,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3TopK,

@@ -7,10 +7,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{
-  NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+  NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException,
+  TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog,
-  TableChange, TableInfo}
+  FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table,
+  TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.table.{CowTable, MorTable}
@@ -48,7 +50,8 @@ import graft.table.{CowTable, MorTable}
   * view. Tables that track commit versions expose the stamp column in
   * their declared schema — INSERT statements name their columns.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -168,6 +171,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.rename(tablePath(from), tablePath(to)))
       throw new IllegalStateException(s"rename $from -> $to failed")
   }
+
+  // ------------------------------------------------------- functions
+
+  /** The catalog serves exactly one function: the key-hash `bucket`
+    * transform ([[GraftBucketFunction]]). Spark resolves a bucketed
+    * scan's reported `KeyGroupedPartitioning(bucket(n, keys))` through
+    * this hook — the step that lets two co-bucketed graft tables join
+    * storage-partitioned, with no shuffle.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace)
+    Array(Identifier.of(namespace, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
 
   // ------------------------------------------------------- namespaces
 

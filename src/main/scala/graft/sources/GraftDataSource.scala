@@ -227,6 +227,19 @@ private[sources] class GraftWritableTable(
   override def schema(): StructType =
     delegate.map(d => d.schema: StructType).getOrElse(new StructType())
 
+  /** Declared layout: identity transforms for the hive-style partition
+    * columns plus the key-hash bucket transform when the table is
+    * bucketed ([[GraftBucketFunction]] semantics).
+    */
+  override def partitioning(): Array[Transform] =
+    scanCtx.map { case (m, _, _) =>
+      (m.partitionCols.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)) ++
+        m.props.filter(_.numBuckets > 0).map(p =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(p.numBuckets, m.keyCols: _*))).toArray
+    }.getOrElse(Array.empty)
+
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability]()
     delegate.foreach(d => caps.addAll(d.capabilities()))

@@ -72,7 +72,29 @@ private[sources] class GraftScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     inner.pruneColumns(requiredSchema)
 
-  override def build(): Scan = inner.build()
+  /** Serve the bucket-aware scan ([[GraftBucketScan]], storage-partitioned
+    * joins) when the table is bucket-only laid out and the session opted
+    * into V2 bucketing; otherwise the plain size-split parquet scan.
+    * Partitioned-AND-bucketed tables stay on the plain scan: their
+    * grouping key would need the partition values too, and the common
+    * co-location layout for fact-to-fact joins is bucket-only.
+    */
+  override def build(): Scan = {
+    val scan = inner.build()
+    val spjEnabled = spark.sessionState.conf
+      .getConfString("spark.sql.sources.v2.bucketing.enabled", "false")
+      .toBoolean
+    val bucketSeg = CowTable.DirColPrefix + CowTable.BucketCol + "="
+    m.props.map(_.numBuckets).filter(_ > 0) match {
+      case Some(n) if spjEnabled && m.partitionCols.isEmpty &&
+          scan.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan] &&
+          m.baseFiles.forall(_.contains(bucketSeg)) =>
+        GraftBucketScan(
+          scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan],
+          n, m.keyCols)
+      case _ => scan
+    }
+  }
 
   // ------------------------------------------------------- file pruning
 
