@@ -69,15 +69,16 @@ object IncrementalAgg {
     val touchedKeys = upserts.select(probeCols.map(col): _*)
       .union(deleteKeys.select(probeCols.map(col): _*))
     val old = before.lookupByKeys(touchedKeys)
+    // _ia_-reserved internal aliases: group columns may be named "v"/"w"
     val adds = liveUpserts.select(
-      (groups(liveUpserts) :+ lit(1L).as("w") :+
-        dec(col(spec.valueCol)).as("v")): _*)
+      (groups(liveUpserts) :+ lit(1L).as("_ia_w") :+
+        dec(col(spec.valueCol)).as("_ia_v")): _*)
     val retracts = old.select(
-      (groups(old) :+ lit(-1L).as("w") :+
-        (-dec(col(spec.valueCol))).as("v")): _*)
+      (groups(old) :+ lit(-1L).as("_ia_w") :+
+        (-dec(col(spec.valueCol))).as("_ia_v")): _*)
     adds.unionByName(retracts)
       .groupBy(spec.groupCols.map(col): _*)
-      .agg(sum(col("w")).as("d_cnt"), sum(col("v")).as("d_total"))
+      .agg(sum(col("_ia_w")).as("d_cnt"), sum(col("_ia_v")).as("d_total"))
   }
 
   /** A PERSISTED maintained aggregate: the grouped count/sum state stored
@@ -155,12 +156,12 @@ object IncrementalAgg {
     */
   def apply(agg: DataFrame, d: DataFrame, spec: AggSpec): DataFrame = {
     val g = spec.groupCols
-    agg.select((g.map(col) :+ col("cnt").as("w") :+
-        col("total").as("v")): _*)
-      .unionByName(d.select((g.map(col) :+ col("d_cnt").as("w") :+
-        col("d_total").as("v")): _*))
+    agg.select((g.map(col) :+ col("cnt").as("_ia_w") :+
+        col("total").as("_ia_v")): _*)
+      .unionByName(d.select((g.map(col) :+ col("d_cnt").as("_ia_w") :+
+        col("d_total").as("_ia_v")): _*))
       .groupBy(g.map(col): _*)
-      .agg(sum(col("w")).as("cnt"), sum(col("v")).as("total"))
+      .agg(sum(col("_ia_w")).as("cnt"), sum(col("_ia_v")).as("total"))
       .filter(col("cnt") =!= 0)
   }
 }

@@ -60,13 +60,35 @@ final class MaintainedAgg(
       * dashboards (mean ± σ of a score column) maintainable without ever
       * rescanning the table.
       */
-    trackSquares: Boolean = false) {
+    trackSquares: Boolean = false,
+    /** Maintain the aggregate over only the rows satisfying this
+      * predicate (a maintained FILTERED aggregate, e.g. revenue of
+      * non-cancelled orders). Applied identically to the recompute seed
+      * and to both feed sides, so a row UPDATE that crosses the filter
+      * boundary folds correctly: the new image adds iff it passes, the
+      * preimage retracts iff it passed.
+      */
+    rowFilter: Option[Column] = None,
+    /** Stamp the STATE table's own commits so it can feed further
+      * consumers — the [[MaintainedJoin]] `trackViewVersions` analog;
+      * what [[MaintainedDistinct]] stacks on.
+      */
+    trackStateVersions: Boolean = false,
+    /** Key-hash buckets for the STATE table. Essential when the state is
+      * large (many groups — [[MaintainedDistinct]]'s support level is
+      * |distinct (group, value)| rows): an unbucketed state table is ONE
+      * copy-on-write unit, so every fold rewrites the whole state and
+      * maintenance cost degenerates to state size. Bucketed, a fold
+      * rewrites only the buckets its delta touches.
+      */
+    stateBuckets: Int = 0) {
 
   require(src.trackCommitVersions,
     "MaintainedAgg sources must track commit versions (change feeds)")
 
   /** The aggregate state table, keyed by the group columns. */
-  val table = new CowTable(spark, aggPath, keyCols = spec.groupCols)
+  val table = new CowTable(spark, aggPath, keyCols = spec.groupCols,
+    trackCommitVersions = trackStateVersions, numBuckets = stateBuckets)
 
   private val Mark = CowTable.MonotoneMarkPrefix + "ma_src_version"
   private val ct = CowTable.ChangeTypeCol
@@ -102,7 +124,8 @@ final class MaintainedAgg(
   /** The full aggregate state of `df` from scratch (seed/reseed path and
     * the recompute oracle for tests).
     */
-  def recompute(df: DataFrame): DataFrame = {
+  def recompute(df0: DataFrame): DataFrame = {
+    val df = rowFilter.map(df0.filter).getOrElse(df0)
     val aggs = Seq(count(lit(1)).as("cnt"),
         sum(dec(col(spec.valueCol))).as("total")) ++
       (if (trackSquares)
@@ -143,40 +166,57 @@ final class MaintainedAgg(
     val mark = table.manifest.metrics.getOrElse(Mark, 0L)
     if (mark == head) return current
     val feed =
-      try src.changeFeedWithPreimages(mark, head).localCheckpoint()
-      catch {
+      try {
+        val f0 = src.changeFeedWithPreimages(mark, head)
+        // filtered aggregates: U adds iff the new image passes, B
+        // retracts iff the old image passed — one row-level filter
+        rowFilter.map(f0.filter).getOrElse(f0).localCheckpoint()
+      } catch {
         // mark aged out of the source's retained timeline: reseed
         case _: IllegalArgumentException | _: java.io.FileNotFoundException =>
           table.overwrite(recompute(src.snapshot()),
             extraMetrics = Map(Mark -> head))
           return current
       }
+    // internal aliases are _ma_-reserved: a GROUP column may legitimately
+    // be named "v"/"w" (e.g. MaintainedDistinct's support level groups by
+    // the value column)
     val signed = feed.filter(col(ct).isin("U", "B")).select(
       (g.map(col) :+
-        when(col(ct) === "U", 1L).otherwise(-1L).as("w") :+
+        when(col(ct) === "U", 1L).otherwise(-1L).as("_ma_w") :+
         when(col(ct) === "U", dec(col(spec.valueCol)))
-          .otherwise(-dec(col(spec.valueCol))).as("v")) ++
+          .otherwise(-dec(col(spec.valueCol))).as("_ma_v")) ++
       (if (trackSquares)
          Seq(when(col(ct) === "U", sq(col(spec.valueCol)))
-           .otherwise(-sq(col(spec.valueCol))).as("vsq")) else Nil): _*)
-    val dAggs = Seq(sum(col("w")).as("d_cnt"), sum(col("v")).as("d_total")) ++
-      (if (trackSquares) Seq(sum(col("vsq")).as("d_total_sq")) else Nil)
-    val delta = signed.groupBy(g.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
+           .otherwise(-sq(col(spec.valueCol))).as("_ma_vsq")) else Nil): _*)
+    val dAggs = Seq(sum(col("_ma_w")).as("d_cnt"),
+        sum(col("_ma_v")).as("d_total")) ++
+      (if (trackSquares)
+        Seq(sum(col("_ma_vsq")).as("d_total_sq")) else Nil)
+    val delta = signed.groupBy(g.map(col): _*)
+      .agg(dAggs.head, dAggs.tail: _*).localCheckpoint()
     val marksM = Map(Mark -> head)
     if (delta.isEmpty) {
       // stamp-filtered feed held nothing: still advance the ledger
       table.delete(current.limit(0), extraMetrics = marksM)
       return current
     }
+    // fold ONLY the touched groups: a POINT READ of the delta's group
+    // keys (bucket/file-index pruned on a bucketed state table) replaces
+    // a full state scan, so refresh cost scales with the window's churn
+    // — never with the number of groups the state has accumulated. The
+    // untouched groups are simply not part of the merge.
+    val affected = table.lookupByKeys(delta.select(g.map(col): _*))
+      .select(stateCols.map(col): _*).localCheckpoint()
     val nextBase = (if (!trackSquares)
         IncrementalAgg.apply(
-          current.select((g.map(col) :+ col("cnt") :+ col("total")): _*),
+          affected.select((g.map(col) :+ col("cnt") :+ col("total")): _*),
           delta, spec)
       else {
         // same abelian fold as IncrementalAgg.apply with total_sq riding
         // along — squares retract as exactly as sums (fixed decimal type)
         val sums = Seq("cnt", "total", "total_sq")
-        current.select((g.map(col) ++ sums.map(col)): _*)
+        affected.select((g.map(col) ++ sums.map(col)): _*)
           .unionByName(delta.select((g.map(col) :+
             col("d_cnt").as("cnt") :+ col("d_total").as("total") :+
             col("d_total_sq").as("total_sq")): _*))
@@ -187,7 +227,7 @@ final class MaintainedAgg(
       }).localCheckpoint()
     val next =
       (if (minMaxCols.isEmpty) nextBase
-       else withExtremes(nextBase, feed, head)).localCheckpoint()
+       else withExtremes(nextBase, feed, head, affected)).localCheckpoint()
     // groups fully retracted this window (cnt hit zero): next no longer
     // carries them, so route them through the merge's delete branch.
     // ONE commit applies updates + deletes + the mark advance atomically —
@@ -195,7 +235,7 @@ final class MaintainedAgg(
     // the deletes lost, and (unlike MaintainedJoin's image folds) an agg
     // delta re-applied on replay would double-count.
     val goneBase = {
-      val b = current.select(g.map(col): _*)
+      val b = affected.select(g.map(col): _*)
         .except(next.select(g.map(col): _*))
         .withColumn("cnt", lit(0L))
         .withColumn("total", lit(null).cast(next.schema("total").dataType))
@@ -222,13 +262,15 @@ final class MaintainedAgg(
 
   /** Attach maintained min/max to the folded count/sum state. Null-safe
     * group joins throughout — a null group value (e.g. the unmatched side
-    * of a maintained left join) is a real group.
+    * of a maintained left join) is a real group. `st` is the point-read
+    * state subset for the window's touched groups — every group this
+    * method must produce extremes for is in it (retractions and inserts
+    * both contribute their groups to the delta).
     */
-  private def withExtremes(
-      nextBase: DataFrame, feed: DataFrame, head: Long): DataFrame = {
+  private def withExtremes(nextBase: DataFrame, feed: DataFrame,
+      head: Long, st: DataFrame): DataFrame = {
     val ups = feed.filter(col(ct) === "U")
     val rets = feed.filter(col(ct) === "B")
-    val st = table.snapshot()
 
     // hit groups: a retracted image TIES a stored extreme — the only case
     // where the bound may shrink and needs source truth
@@ -244,8 +286,9 @@ final class MaintainedAgg(
       .select(g.map(c => rets(c).as(c)): _*).distinct().localCheckpoint()
 
     // authoritative re-aggregation of the hit groups, group-scoped and
-    // pinned at the window end
-    val srcRows = groupScopedRead(head, hits)
+    // pinned at the window end (same row filter as every other read)
+    val srcRows0 = groupScopedRead(head, hits)
+    val srcRows = rowFilter.map(srcRows0.filter).getOrElse(srcRows0)
     val recCond = g.map(c => srcRows(c) <=> hits(c)).reduce(_ && _)
     val recAggs = minMaxCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))

@@ -464,6 +464,47 @@ object QueryCatalog {
            |LEFT JOIN b_final b ON a.o_custkey = b.c_custkey
            |GROUP BY b.seg""".stripMargin))
 
+  /** Maintained EXACT COUNT(DISTINCT) end-to-end: a commit-stamped
+    * orders table churned across two windows (priority re-labels,
+    * custkey rewires into a smaller id space — multiplicity collisions
+    * by construction — and deletes), with the two-level
+    * [[graft.cdc.MaintainedDistinct]] fold refreshed per window. DuckDB
+    * recomputes `count(DISTINCT)` from the churn formulas; a green row
+    * certifies the stacked delta algebra (support multiplicities →
+    * distinct counts) against ground truth.
+    */
+  private val maintainedDistinctQ = Q(
+    (s, d) => {
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("pri"), col("o_custkey"))
+      def tmp(tag: String) =
+        java.nio.file.Files.createTempDirectory(s"graft-md-$tag").toString
+      val src = new graft.table.CowTable(s, tmp("src"),
+        keyCols = Seq("o_orderkey"), trackCommitVersions = true)
+      src.bulkInsert(orders.filter(col("o_orderkey") % 3 === 0))
+      val md = new graft.cdc.MaintainedDistinct(s, tmp("md"), src,
+        Seq("pri"), "o_custkey")
+      md.refresh()
+      // churn: re-label priorities and squash custkeys into %100 (forces
+      // shared values per group), then delete a slice
+      src.upsert(orders.filter(col("o_orderkey") % 6 === 0).select(
+        col("o_orderkey"), concat(col("pri"), lit("*")).as("pri"),
+        (col("o_custkey") % 100).as("o_custkey")))
+      src.delete(orders.filter(col("o_orderkey") % 9 === 0))
+      md.refresh()
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderpriority AS pri,
+           |            o_custkey FROM orders),
+           |fin AS (SELECT o_orderkey,
+           |    CASE WHEN o_orderkey % 6 = 0 THEN pri || '*'
+           |         ELSE pri END AS pri,
+           |    CASE WHEN o_orderkey % 6 = 0 THEN o_custkey % 100
+           |         ELSE o_custkey END AS o_custkey
+           |  FROM o WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
+           |SELECT pri, count(DISTINCT o_custkey) AS distinct_cnt,
+           |       count(o_custkey) AS value_cnt
+           |FROM fin GROUP BY pri""".stripMargin))
+
   /** Storage-partitioned join end-to-end over REAL testdata: customers
     * and a per-customer order rollup land in two CO-BUCKETED graft tables
     * (numBuckets=8, keyed on the join column), registered in a
@@ -2530,6 +2571,7 @@ object QueryCatalog {
     "maintained_join_mor" -> maintainedJoinMorQ,
     "maintained_agg" -> maintainedAggQ,
     "spj_join" -> spjJoinQ,
+    "maintained_distinct" -> maintainedDistinctQ,
     "m2_counts" -> m2Counts,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3TopK,

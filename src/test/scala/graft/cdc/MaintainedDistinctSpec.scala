@@ -1,0 +1,105 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.table.CowTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact maintained COUNT(DISTINCT): the two-level fold must equal a
+  * from-scratch `count(DISTINCT v)` after every churn window — value
+  * moves, multiplicity drops, NULLs, vanishing groups, filtered aggs.
+  */
+class MaintainedDistinctSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(xs: (String, String, java.lang.Double)*): DataFrame =
+    xs.toDF("k", "grp", "v")
+
+  private def state(md: MaintainedDistinct): Map[String, (Long, Long)] =
+    md.current.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2)))).toMap
+
+  private def oracle(t: CowTable): Map[String, (Long, Long)] =
+    t.snapshot().groupBy("grp")
+      .agg(count_distinct(col("v")).as("d"), count(col("v")).as("c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("stacked folds equal count(DISTINCT) across churn windows") {
+    val src = new CowTable(spark, tmpDir("md-src"), keyCols = Seq("k"),
+      precombineField = "v", trackCommitVersions = true)
+    src.bulkInsert(rows(("a", "g1", 1.0), ("b", "g1", 1.0),
+      ("c", "g1", 2.0), ("d", "g2", 5.0)))
+    val md = new MaintainedDistinct(spark, tmpDir("md-st"), src,
+      Seq("grp"), "v")
+    assert({ md.refresh(); state(md) } == oracle(src))
+    assert(state(md) == Map("g1" -> ((2L, 3L)), "g2" -> ((1L, 1L))))
+
+    // multiplicity drop without distinct change: one of the two 1.0s
+    // moves to 2.0 (distinct stays 2); then the LAST 1.0 moves (drops)
+    src.upsert(rows(("b", "g1", 2.0)))
+    assert({ md.refresh(); state(md) } == oracle(src))
+    assert(state(md)("g1") == ((2L, 3L)))
+    src.upsert(rows(("a", "g1", 2.0)))
+    assert({ md.refresh(); state(md) } == oracle(src))
+    assert(state(md)("g1") == ((1L, 3L)))
+
+    // new value, cross-group move, delete; multi-commit window
+    src.upsert(rows(("e", "g1", 9.0), ("d", "g1", 5.0)))
+    src.delete(rows(("c", "g1", 0.0)))
+    assert({ md.refresh(); state(md) } == oracle(src))
+    assert(!state(md).contains("g2") && state(md)("g1") == ((3L, 4L)))
+
+    // NULL values: excluded from both counts, group kept alive
+    src.upsert(rows(("f", "g3", null), ("g", "g3", 7.0)))
+    assert({ md.refresh(); state(md) } == oracle(src) + ("g3" -> ((1L, 1L))))
+    src.delete(rows(("g", "g3", 0.0)))
+    md.refresh()
+    // SQL count(distinct) still reports the all-NULL group with 0
+    assert(state(md)("g3") == ((0L, 0L)))
+
+    // group fully vanishes
+    src.delete(rows(("f", "g3", 0.0)))
+    assert({ md.refresh(); state(md) } == oracle(src))
+    assert(!state(md).contains("g3"))
+
+    // no-op refresh advances nothing
+    val v = md.counts.table.manifest.version
+    md.refresh()
+    assert(md.counts.table.manifest.version == v)
+  }
+
+  test("rowFilter maintains a filtered aggregate exactly") {
+    val src = new CowTable(spark, tmpDir("mf-src"), keyCols = Seq("k"),
+      precombineField = "v", trackCommitVersions = true)
+    src.bulkInsert(rows(("a", "g1", 1.0), ("b", "g1", -2.0),
+      ("c", "g2", 3.0)))
+    val ma = new MaintainedAgg(spark, tmpDir("mf-st"), src,
+      IncrementalAgg.AggSpec(Seq("grp"), "v"),
+      rowFilter = Some(col("v") > 0))
+    def st: Map[String, (Long, Double)] =
+      ma.current.select(col("grp"), col("cnt"),
+          col("total").cast("double"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+    ma.refresh()
+    assert(st == Map("g1" -> ((1L, 1.0)), "g2" -> ((1L, 3.0))))
+
+    // updates CROSS the filter boundary both ways: b enters (-2 -> 5),
+    // a leaves (1 -> -1); c updates within
+    src.upsert(rows(("b", "g1", 5.0), ("a", "g1", -1.0),
+      ("c", "g2", 4.0)))
+    ma.refresh()
+    assert(st == Map("g1" -> ((1L, 5.0)), "g2" -> ((1L, 4.0))))
+
+    // delete a passing row; group g2 leaves the filtered state entirely
+    src.delete(rows(("c", "g2", 0.0)))
+    ma.refresh()
+    assert(st == Map("g1" -> ((1L, 5.0))))
+    // recompute oracle agrees (filter applied on the seed path too)
+    assert(st == ma.recompute(src.snapshot())
+      .select(col("grp"), col("cnt"), col("total").cast("double"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap)
+  }
+}
