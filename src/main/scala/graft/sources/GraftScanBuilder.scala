@@ -5,8 +5,10 @@ import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{
   And, AttributeReference, EqualTo, Expression, GreaterThan,
   GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{
-  Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+  Scan, ScanBuilder, SupportsPushDownAggregates,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -45,6 +47,7 @@ private[sources] class GraftScanBuilder(
     options: CaseInsensitiveStringMap)
   extends ScanBuilder
   with SupportsPushDownCatalystFilters
+  with SupportsPushDownAggregates
   with SupportsPushDownRequiredColumns {
 
   private def mkInner(files: Seq[String]): FileScanBuilder =
@@ -72,6 +75,39 @@ private[sources] class GraftScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     inner.pruneColumns(requiredSchema)
 
+  // ------------------------------------------- aggregate pushdown (DSv2)
+
+  private var aggPushed = false
+
+  /** MIN/MAX/COUNT/COUNT(*) answered from parquet FOOTER statistics —
+    * delegated to Spark's native parquet scan builder (gated by its
+    * `spark.sql.parquet.aggregatePushDown` conf; Spark only offers the
+    * aggregation when every filter was already pushed, and the parquet
+    * builder itself refuses when row-level data filters remain, so a
+    * pushed aggregate is always exact). Correctness is per-file: the
+    * listing IS the rows this scan would have produced, and footer
+    * stats summarize exactly those files — so version-pinned reads
+    * (`versionAsOf`) and bucket layouts push cleanly, while ANY user
+    * filter (even on a partition-valued column, which is a data column
+    * to the inner parquet scan) falls back to the exact row-level path.
+    * At 100 TB this turns full-table count/min/max into a
+    * metadata-only job: one footer read per file, zero data pages. The
+    * manifest-level sibling ([[graft.table.CowTable.fastCount]])
+    * answers plain `count(*)` with zero tasks.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    inner match {
+      case b: SupportsPushDownAggregates => b.supportCompletePushDown(agg)
+      case _ => false
+    }
+
+  override def pushAggregation(agg: Aggregation): Boolean = inner match {
+    case b: SupportsPushDownAggregates =>
+      aggPushed = b.pushAggregation(agg)
+      aggPushed
+    case _ => false
+  }
+
   /** Serve the bucket-aware scan ([[GraftBucketScan]], storage-partitioned
     * joins) when the table is bucket-only laid out and the session opted
     * into V2 bucketing; otherwise the plain size-split parquet scan.
@@ -86,7 +122,9 @@ private[sources] class GraftScanBuilder(
       .toBoolean
     val bucketSeg = CowTable.DirColPrefix + CowTable.BucketCol + "="
     m.props.map(_.numBuckets).filter(_ > 0) match {
-      case Some(n) if spjEnabled && m.partitionCols.isEmpty &&
+      // a pushed aggregation changed the scan's row shape to aggregate
+      // buckets — the key-grouped SPJ wrap no longer applies
+      case Some(n) if !aggPushed && spjEnabled && m.partitionCols.isEmpty &&
           scan.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan] &&
           m.baseFiles.forall(_.contains(bucketSeg)) =>
         GraftBucketScan(

@@ -145,7 +145,13 @@ final case class FileStat(keyMin: String, keyMax: String, bloomRef: String,
       * scans on non-key columns (the Delta data-skipping analog;
       * `recluster` on a column is what makes its ranges tight).
       */
-    colStats: Map[String, Seq[String]] = Map.empty)
+    colStats: Map[String, Seq[String]] = Map.empty,
+    /** Exact row count of the file (rides the same index-building pass
+      * that sizes the bloom). −1 on entries written before the field
+      * existed — consumers ([[CowTable.fastCount]]) must treat those as
+      * unknown, never as zero.
+      */
+    rows: Long = -1L)
 
 /** A keyed, partitioned, mutable table over plain Parquet — the native
   * re-implementation of the subset of Hudi copy-on-write semantics the
@@ -962,9 +968,11 @@ class CowTable(
           .create(expected, CowTable.FileIndexFpp)
         var mn: String = null
         var mx: String = null
+        var nRows = 0L
         val smn = Array.fill[String](nStats)(null)
         val smx = Array.fill[String](nStats)(null)
         it.foreach { case (_, k, st) =>
+          nRows += 1
           bloom.putString(k)
           if (mn == null || k < mn) mn = k
           if (mx == null || k > mx) mx = k
@@ -980,14 +988,14 @@ class CowTable(
         }
         val bos = new java.io.ByteArrayOutputStream()
         bloom.writeTo(bos)
-        (f, mn, mx, bos.toByteArray, smn.toSeq, smx.toSeq)
+        (f, mn, mx, bos.toByteArray, smn.toSeq, smx.toSeq, nRows)
       }.collect()
     // Sidecars live INSIDE the commit's data dir (`<file>.bloom` next to
     // its parquet), so cleaner/vacuum lifecycle covers them for free and
     // data reads (explicit .parquet lists) never see them. Bytes through
     // the driver are bounded by the files THIS COMMIT wrote.
     val base = new Path(basePath).toUri.getPath.stripSuffix("/")
-    collected.iterator.map { case (f, mn, mx, bytes, smn, smx) =>
+    collected.iterator.map { case (f, mn, mx, bytes, smn, smx, nRows) =>
       val p = new Path(f).toUri.getPath
       val relPath =
         if (p.startsWith(base + "/")) p.substring(base.length + 1) else p
@@ -997,7 +1005,7 @@ class CowTable(
       val cs = liveStats.zipWithIndex.collect {
         case (c, i) if smn(i) != null => c -> Seq(smn(i), smx(i))
       }.toMap
-      relPath -> FileStat(mn, mx, ref, cs)
+      relPath -> FileStat(mn, mx, ref, cs, rows = nRows)
     }.toMap
   }
 
@@ -1026,6 +1034,28 @@ class CowTable(
   def snapshotForValues(column: String, values: Seq[Any]): DataFrame = {
     val m = manifest
     readFiles(m, CowTable.filesForValues(spark, m, column, values))
+  }
+
+  /** Metadata-only EXACT `count(*)`: the sum of the per-file row counts
+    * the index-building pass records in each [[FileStat]] — zero Spark
+    * jobs, zero file opens, O(|manifest|) driver work. `None` (fall back
+    * to counting the snapshot) when the count cannot be certified exact:
+    * live MOR delta logs (unmerged updates change the row count), any
+    * base file without a recorded count (index off, or an entry written
+    * before the field existed), or an empty-but-live file the stats pass
+    * never saw. At 100 TB this answers the commonest operational query —
+    * "how many rows is this table?" — from the manifest alone; the scan
+    * path's footer-level aggregate pushdown ([[graft.sources
+    * .GraftScanBuilder]]) covers filtered/min-max shapes.
+    */
+  def fastCount(): Option[Long] = {
+    val m = manifest
+    if (m.logPartitions.valuesIterator.exists(_.nonEmpty)) return None
+    val fs = m.baseFiles
+    val known = fs.flatMap(f => m.fileStats.get(f).map(_.rows))
+    if (known.size == fs.size && known.forall(_ >= 0L)) Some(known.sum)
+    else if (fs.isEmpty) Some(0L)
+    else None
   }
 
   /** [[snapshotForValues]] pinned at a historical version (retention-
@@ -1998,6 +2028,7 @@ object CowTable {
           "keyMin" -> JString(st.keyMin),
           "keyMax" -> JString(st.keyMax),
           "bloomRef" -> JString(st.bloomRef),
+          "rows" -> JInt(st.rows),
           "colStats" -> JObject(st.colStats.toSeq.sortBy(_._1).map {
             case (c, mm) =>
               c -> (JArray(mm.toList.map(JString(_))): JValue)
@@ -2064,7 +2095,8 @@ object CowTable {
               }.toMap
               case _ => Map.empty[String, Seq[String]]
             }
-            f -> FileStat(str("keyMin"), str("keyMax"), str("bloomRef"), cs)
+            f -> FileStat(str("keyMin"), str("keyMax"), str("bloomRef"), cs,
+              rows = long(o \ "rows", -1L))
         }.toMap
         case _ => Map.empty
       },
