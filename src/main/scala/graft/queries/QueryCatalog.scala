@@ -505,6 +505,48 @@ object QueryCatalog {
            |       count(o_custkey) AS value_cnt
            |FROM fin GROUP BY pri""".stripMargin))
 
+  /** Metadata-only aggregates end-to-end: lineitem lands in an indexed
+    * graft table; `count(*)` comes from [[graft.table.CowTable.fastCount]]
+    * (manifest row counts, zero jobs) and min/max/count ride the DSv2
+    * footer-stats aggregate pushdown (`spark.sql.parquet
+    * .aggregatePushdown`, delegated in [[graft.sources.GraftScanBuilder]]).
+    * The plan is asserted to actually push (no silent fallback to a data
+    * scan), and DuckDB recomputes all four from the raw rows — a green
+    * row certifies that metadata answers equal data answers after a
+    * delete rewrote part of the table.
+    */
+  private val metaAggQ = Q(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val tbl = new graft.table.CowTable(s,
+        java.nio.file.Files.createTempDirectory("graft-metaagg").toString,
+        keyCols = Seq("l_orderkey", "l_linenumber"),
+        fileIndexEntries = 10000)
+      tbl.bulkInsert(li)
+      tbl.delete(li.filter(col("l_orderkey") % 10 === 7))
+      val mc = tbl.fastCount().getOrElse(
+        sys.error("fastCount must certify an indexed COW table"))
+      val prev = s.conf.getOption("spark.sql.parquet.aggregatePushdown")
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      try {
+        val agg = s.read.format("graft").load(tbl.basePath)
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_partkey")).as("min_part"),
+            max(col("l_partkey")).as("max_part"))
+        require(agg.queryExecution.executedPlan.toString
+            .contains("PushedAggregation: [COUNT"),
+          "footer aggregate must push down")
+        agg.withColumn("manifest_rows", lit(mc))
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None => s.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+    },
+    Some("""SELECT count(*) AS n_rows, min(l_partkey) AS min_part,
+           |       max(l_partkey) AS max_part, count(*) AS manifest_rows
+           |FROM lineitem WHERE l_orderkey % 10 <> 7""".stripMargin))
+
   /** Storage-partitioned join end-to-end over REAL testdata: customers
     * and a per-customer order rollup land in two CO-BUCKETED graft tables
     * (numBuckets=8, keyed on the join column), registered in a
@@ -2572,6 +2614,7 @@ object QueryCatalog {
     "maintained_agg" -> maintainedAggQ,
     "spj_join" -> spjJoinQ,
     "maintained_distinct" -> maintainedDistinctQ,
+    "meta_agg_pushdown" -> metaAggQ,
     "m2_counts" -> m2Counts,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3TopK,
