@@ -270,7 +270,7 @@ class CowTable(
   }
 
   /** Current snapshot as a DataFrame (Hudi snapshot query equivalent). */
-  def snapshot(): DataFrame = readFiles(manifest, manifest.baseFiles)
+  def snapshot(): DataFrame = { val m = manifest; readFiles(m, m.baseFiles) }
 
   /** Time travel: the table exactly as of `version` (any retained commit —
     * Hudi's "as.of.instant" queries; retention bounds how far back).
@@ -1692,11 +1692,33 @@ object CowTable {
     else fs.listStatus(commitsDir).iterator.map(_.getPath.getName)
       .collect { case ManifestName(n) => n.toLong }.toSeq
 
+  /** Parsed-manifest cache. Version files are WRITE-ONCE (exclusive slot
+    * claim + rename in `tryPublish`; losers never overwrite), so a parsed
+    * manifest is immutable for the life of its file — the cache key adds
+    * (mtime, length) anyway so a table deleted and recreated at the same
+    * path (tests, reruns) can never serve stale state. Matters because
+    * `manifest` is read on EVERY table operation and parse cost is
+    * O(files × stats): at a 10k-file table each JSON parse is tens of ms,
+    * and a pipeline step does dozens of manifest reads. Bounded by entry
+    * count with full clear on overflow (manifests of big tables are MBs;
+    * an LRU would buy little over clearing a driver-side cache).
+    */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Manifest]()
+  private val ManifestCacheMax = 64
+
   private[table] def readManifestFile(fs: FileSystem, p: Path): Manifest = {
+    val st = fs.getFileStatus(p)
+    val key = (p.toString, st.getModificationTime, st.getLen)
+    val hit = manifestCache.get(key)
+    if (hit != null) return hit
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    parseManifest(txt)
+    val m = parseManifest(txt)
+    if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()
+    manifestCache.put(key, m)
+    m
   }
 
   /** Read a table's manifest given only its path — the entry point for
@@ -2010,8 +2032,14 @@ object CowTable {
       case (k, fsq) => k -> JArray(fsq.toList.map(JString(_)))
     }.toList)
 
-  private[table] def renderManifest(m: Manifest): String =
-    JsonMethods.pretty(JsonMethods.render(JObject(List(
+  private[table] def renderManifest(m: Manifest): String = {
+    // pretty JSON is for humans debugging small tables; past a few
+    // thousand file entries the indentation roughly doubles manifest
+    // bytes paid on every commit write + (cold) read, so render compact
+    val render: JValue => String =
+      if (m.files.size > 2000) JsonMethods.compact(_)
+      else JsonMethods.pretty(_)
+    render(JsonMethods.render(JObject(List(
       "version" -> JInt(m.version),
       "schemaJson" -> JString(m.schemaJson),
       "keyCols" -> JArray(m.keyCols.toList.map(JString(_))),
@@ -2053,8 +2081,9 @@ object CowTable {
           "compactEvery" -> JInt(p.compactEvery))): JValue
         case None => JNothing
       })))))
+  }
 
-  private[table] def parseManifest(txt: String): Manifest = {
+  private[graft] def parseManifest(txt: String): Manifest = {
     val j = JsonMethods.parse(txt)
     def strs(v: JValue): Seq[String] =
       v match { case JArray(xs) => xs.collect { case JString(s) => s }
