@@ -609,6 +609,57 @@ object QueryCatalog {
            |FROM customer c JOIN r ON c.c_custkey = r.o_custkey"""
       .stripMargin))
 
+  /** Runtime (dynamic) file pruning end-to-end: events land in a keyed
+    * graft table across four time-ordered ingest commits (`event_id`
+    * rides ingest time in this stream, so each commit is an `event_id`
+    * stripe with recorded per-file stats). The audit join then fetches
+    * full rows for error events flagged in the final days — the flagged
+    * keys reach the fact scan as a RUNTIME IN-filter from the broadcast
+    * build side ([[graft.sources.GraftRuntimeScan]]), pruning the scan
+    * to the late stripes with NO static predicate on the fact in the
+    * query text. DuckDB recomputes the join from the raw rows — a green
+    * row certifies the dynamically-pruned read loses nothing.
+    */
+  private val dppJoinQ = Q(
+    (s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"),
+        round(col("value"), 2).cast("double").as("value"))
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-dpp").toString
+      val tbl = new graft.table.CowTable(s, path, keyCols = Seq("event_id"),
+        fileIndexEntries = 4096, statsCols = Seq("event_id"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val q = math.max((maxId + 1) / 4, 1L)
+      Seq(0L, q, 2 * q, 3 * q, maxId + 1).sliding(2).zipWithIndex.foreach {
+        case (Seq(lo, hi), i) =>
+          val part = ev.filter(col("event_id") >= lo && col("event_id") < hi)
+          if (i == 0) tbl.bulkInsert(part, parallelism = 1)
+          else tbl.insertAppend(part, parallelism = 1)
+        case _ => ()
+      }
+      val fact = s.read.format("graft").load(path)
+      val flagged = t(s, d, "events")
+        .filter(col("event_type") === "error" &&
+          col("ts") >= lit("2024-01-28").cast("timestamp"))
+        .select(col("event_id"))
+      fact.join(flagged, Seq("event_id"))
+        .agg(count(lit(1)).as("n_flagged"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(dec2(col("value"))).cast("double").as("flagged_value"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+    },
+    Some("""SELECT count(*) AS n_flagged,
+           |       count(DISTINCT user_id) AS n_users,
+           |       CAST(sum(CAST(round(value, 2) AS DECIMAL(12,2)))
+           |         AS DOUBLE) AS flagged_value,
+           |       min(event_id) AS min_id, max(event_id) AS max_id
+           |FROM events
+           |WHERE event_id IN (SELECT event_id FROM events
+           |  WHERE event_type = 'error'
+           |    AND ts >= TIMESTAMP '2024-01-28')""".stripMargin))
+
   /** M2 — count/introspection actions (reference: processData.py:303). */
   private val m2Counts = Q(
     (s, d) => t(s, d, "events").agg(
@@ -2615,6 +2666,7 @@ object QueryCatalog {
     "spj_join" -> spjJoinQ,
     "maintained_distinct" -> maintainedDistinctQ,
     "meta_agg_pushdown" -> metaAggQ,
+    "dpp_join" -> dppJoinQ,
     "m2_counts" -> m2Counts,
     "q1_agg" -> q1Agg,
     "q3_topk" -> q3TopK,

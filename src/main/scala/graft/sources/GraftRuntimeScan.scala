@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read.{
+  Batch, Scan, Statistics, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.table.{CowTable, Manifest}
+
+/** Runtime file pruning for graft scans — the DSv2 analog of dynamic
+  * partition pruning, extended to ANY column with recorded file stats.
+  *
+  * When a graft table joins a dimension that carries a selective filter,
+  * Spark's `PartitionPruning` rule plants a `DynamicPruningSubquery` on
+  * the graft side because this scan advertises the prunable columns via
+  * [[filterAttributes]]. At execution, the build side's distinct join
+  * keys arrive here as an `IN` runtime filter ([[filter]]); the file
+  * listing is re-intersected with the manifest's per-file stats
+  * ([[CowTable.filesForValues]] for `statsCols`, rendered-segment match
+  * for string partition directories) and the inner parquet scan is
+  * rebuilt over the survivors — with the original pushed filters and
+  * column pruning re-applied, so row-group skipping and vectorized
+  * reading are unchanged on top.
+  *
+  * At 100 TB this is the star-schema workhorse: a fact table clustered
+  * by its fk reads only the file stripe matching the dimension's
+  * surviving keys, decided at RUNTIME from the broadcast result —
+  * no static predicate needed in the query text.
+  *
+  * Superset contract throughout: unknown filter shapes, null values,
+  * non-order-preserving encodings, stat-less files, and oversized value
+  * sets ([[GraftRuntimeScan.MaxRuntimeValues]]) all prune NOTHING —
+  * Spark still evaluates the join itself, so pruning is only ever an
+  * IO optimization, never a correctness dependency.
+  */
+final class GraftRuntimeScan(
+    spark: SparkSession,
+    base: String,
+    m: Manifest,
+    files0: Seq[String],
+    rebuild: Seq[String] => Scan,
+    initialScan: Scan)
+  extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics {
+
+  @volatile private var files: Seq[String] = files0
+  @volatile private var inner: Scan = initialScan
+
+  /** Post-runtime-filter listing (probes/specs; driver-side only). */
+  def currentFiles: Seq[String] = files
+
+  /** The wrapped parquet scan (probes/specs; driver-side only). */
+  def innerScan: Scan = inner
+
+  // ------------------------------------------------ delegation to inner
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = inner.toBatch
+  override def description(): String =
+    s"GraftRuntimeScan(files=${files.size}/${files0.size}) " +
+      inner.description()
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    inner.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def estimateStatistics(): Statistics = inner match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+
+  // ------------------------------------------------- runtime filtering
+
+  /** Columns Spark may plant a DynamicPruningSubquery on: every column
+    * with recorded per-file [min, max] stats, plus string-typed hive
+    * partition columns (whose rendered `col=value` path segments prune
+    * whole partition listings).
+    */
+  override def filterAttributes(): Array[NamedReference] = {
+    val statCols = m.fileStats.valuesIterator
+      .flatMap(_.colStats.keysIterator)
+      .filter(c => m.schema.fieldNames.contains(c)).toSet
+    // PartitionPruning resolves each ref against the scan relation's
+    // OUTPUT, which is the column-pruned schema — advertising a pruned
+    // column is an analysis error, so intersect with what's still read
+    val visible = inner.readSchema().fieldNames.toSet
+    (statCols ++ stringPartitionCols ++ indexedKeyCol)
+      .filter(visible).toArray.map(Expressions.column)
+  }
+
+  /** Single-column record keys prune through the key index (range +
+    * sidecar bloom) even without a `statsCols` declaration.
+    */
+  private def indexedKeyCol: Set[String] =
+    if (m.keyCols.size == 1 && m.fileStats.nonEmpty) m.keyCols.toSet
+    else Set.empty
+
+  private def stringPartitionCols: Set[String] =
+    m.partitionCols.filter(c =>
+      m.schema.fields.exists(f => f.name == c && f.dataType == StringType))
+      .toSet
+
+  override def filter(filters: Array[Filter]): Unit = {
+    var keep = files
+    filters.foreach {
+      case In(att, values) if values != null && !values.contains(null) =>
+        keep = pruneByValues(keep, att, values.toSeq)
+      case EqualTo(att, v) if v != null =>
+        keep = pruneByValues(keep, att, Seq(v))
+      case _ => () // unknown shape: prune nothing
+    }
+    if (keep.size < files.size) {
+      GraftRuntimeScan.pruneLog.put(base, (files.size, keep.size))
+      files = keep
+      inner = rebuild(keep)
+    }
+  }
+
+  private def pruneByValues(
+      current: Seq[String], column: String, values: Seq[Any]): Seq[String] = {
+    if (values.isEmpty || values.size > GraftRuntimeScan.MaxRuntimeValues)
+      return current
+    var keep = current
+    if (stringPartitionCols(column)) {
+      val rendered = values.map(String.valueOf).toSet
+      val live = m.partitions.filter { case (key, _) =>
+        key.split('/').forall { seg =>
+          val i = seg.indexOf('=')
+          i < 0 || seg.substring(0, i) != column ||
+            rendered(seg.substring(i + 1))
+        }
+      }.values.flatten.toSet
+      keep = keep.filter(live)
+    }
+    val hasStats = m.fileStats.valuesIterator
+      .exists(_.colStats.contains(column))
+    if (hasStats && m.schema.fieldNames.contains(column)) {
+      // chunked so the literal-array encode job stays codegen-friendly;
+      // a file survives iff ANY chunk's value set intersects its range
+      val live = values.grouped(512)
+        .flatMap(chunk => CowTable.filesForValues(spark, m, column, chunk))
+        .toSet
+      keep = keep.filter(live)
+    }
+    if (indexedKeyCol(column)) {
+      val live = CowTable.filesForKeyValues(spark, base, m, values).toSet
+      keep = keep.filter(live)
+    }
+    keep
+  }
+}
+
+object GraftRuntimeScan {
+  /** Runtime IN-sets above this skip pruning: the per-value encode cost
+    * grows linearly while the expected skipping shrinks (that many
+    * distinct build-side keys almost always stripe the whole table).
+    */
+  val MaxRuntimeValues = 8192
+
+  /** (files before, files after) of the last runtime prune per table
+    * base path — diagnostic for probes and specs; driver-side only.
+    */
+  val pruneLog = new ConcurrentHashMap[String, (Int, Int)]()
+}

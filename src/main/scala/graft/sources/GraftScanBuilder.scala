@@ -62,9 +62,19 @@ private[sources] class GraftScanBuilder(
 
   private var inner: FileScanBuilder = mkInner(initialFiles)
 
+  // captured push-down state so the runtime-filter scan can rebuild the
+  // inner parquet scan over a SMALLER listing with identical semantics
+  private var currentFiles: Seq[String] = initialFiles
+  private var savedPushed: Seq[Expression] = Nil
+  private var savedRequired: Option[StructType] = None
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val pruned = pruneFiles(filters)
-    if (pruned.size < initialFiles.size) inner = mkInner(pruned)
+    if (pruned.size < currentFiles.size) {
+      currentFiles = pruned
+      inner = mkInner(pruned)
+    }
+    savedPushed = filters
     inner.pushFilters(filters)
   }
 
@@ -72,8 +82,10 @@ private[sources] class GraftScanBuilder(
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner.pushedFilters
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    savedRequired = Some(requiredSchema)
     inner.pruneColumns(requiredSchema)
+  }
 
   // ------------------------------------------- aggregate pushdown (DSv2)
 
@@ -130,6 +142,19 @@ private[sources] class GraftScanBuilder(
         GraftBucketScan(
           scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan],
           n, m.keyCols)
+      // plain data scan: advertise runtime (DPP-style) file pruning.
+      // Skipped when an aggregate was pushed (the scan's row shape is
+      // aggregate buckets) and for the key-grouped SPJ scan (runtime
+      // pruning may not change a KeyGroupedPartitioning's group set).
+      case _ if !aggPushed && scan.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.v2.FileScan] =>
+        val rebuildScan = (fs: Seq[String]) => {
+          val b = mkInner(fs)
+          b.pushFilters(savedPushed)
+          savedRequired.foreach(b.pruneColumns)
+          b.build()
+        }
+        new GraftRuntimeScan(spark, base, m, currentFiles, rebuildScan, scan)
       case _ => scan
     }
   }

@@ -1993,6 +1993,55 @@ object CowTable {
     }
   }
 
+  /** RECORD-KEY-index variant of [[filesForValues]] for single-column-key
+    * tables: the subset of `m.baseFiles` whose key index might contain at
+    * least one of `values` — range check against the per-file
+    * [keyMin, keyMax], then a sidecar-bloom probe loaded LAZILY for range
+    * survivors only (bytes ∝ files we might read anyway). Runtime join
+    * pruning uses this so key-equality joins skip files without the user
+    * declaring the key in `statsCols`. Superset contract: composite keys,
+    * null probe values, and unindexed files prune nothing.
+    */
+  def filesForKeyValues(spark: SparkSession, basePath: String, m: Manifest,
+      values: Seq[Any]): Seq[String] = {
+    if (m.keyCols.size != 1 || values.isEmpty) return m.baseFiles
+    if (values.exists(_ == null)) return m.baseFiles
+    val c = m.keyCols.head
+    val dt = m.schema(c).dataType
+    // chunked literal arrays keep each encode job codegen-friendly while
+    // blooms below still load at most once per file
+    val encoded: Array[String] = values.grouped(512).flatMap { chunk =>
+      spark.range(1)
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array(
+            chunk.map(v => lit(v).cast(dt)).toIndexedSeq: _*)).as(c))
+        .select(encodeColExpr(c, dt, m.keyEncoding))
+        .collect().map(_.getString(0))
+    }.toArray.sorted
+    val fs = new Path(basePath).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    m.baseFiles.filter { f =>
+      m.fileStats.get(f) match {
+        case Some(st) if st.keyMin != null && st.keyMax != null =>
+          var lo = 0; var hi = encoded.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (encoded(mid) < st.keyMin) lo = mid + 1 else hi = mid
+          }
+          lo < encoded.length && encoded(lo) <= st.keyMax && {
+            val bloom = loadBloom(fs, new Path(basePath, st.bloomRef))
+            var i = lo; var hit = false
+            while (!hit && i < encoded.length && encoded(i) <= st.keyMax) {
+              if (bloom.mightContainString(encoded(i))) hit = true
+              i += 1
+            }
+            hit
+          }
+        case _ => true // no usable index entry -> cannot prune
+      }
+    }
+  }
+
   /** Diagnostic counter: sidecar blooms loaded since JVM start. Probes use
     * the delta across a lookup to show index fan-out (files CONSULTED per
     * lookup — the cost bucketing bounds at random keys).

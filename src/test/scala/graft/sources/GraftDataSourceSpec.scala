@@ -187,7 +187,10 @@ class GraftDataSourceSpec extends SparkSpec {
     def scanned(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collectLeaves().collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[
+          (b.scan match {
+            case g: graft.sources.GraftRuntimeScan => g.innerScan
+            case s => s
+          }).asInstanceOf[
             org.apache.spark.sql.execution.datasources.v2.FileScan]
             .fileIndex.inputFiles.length
       }.sum
@@ -239,7 +242,10 @@ class GraftDataSourceSpec extends SparkSpec {
     def scanned(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.executedPlan.collectLeaves().collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[
+          (b.scan match {
+            case g: graft.sources.GraftRuntimeScan => g.innerScan
+            case s => s
+          }).asInstanceOf[
             org.apache.spark.sql.execution.datasources.v2.FileScan]
             .fileIndex.inputFiles.length
       }.sum
@@ -269,7 +275,10 @@ class GraftDataSourceSpec extends SparkSpec {
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.executedPlan.collectLeaves().collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[
+          (b.scan match {
+            case g: graft.sources.GraftRuntimeScan => g.innerScan
+            case s => s
+          }).asInstanceOf[
             org.apache.spark.sql.execution.datasources.v2.FileScan]
             .fileIndex.inputFiles.toSeq
       }.flatten
