@@ -30,6 +30,7 @@ object DppProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -73,20 +74,28 @@ object DppProbe {
     def drive(tag: String, dppOn: Boolean): Unit = {
       spark.conf.set(
         "spark.sql.optimizer.dynamicPartitionPruning.enabled", dppOn)
-      GraftRuntimeScan.pruneLog.remove(path)
-      val factDf = spark.read.format("graft").load(path)
-      val dim = spark.read.parquet(dimPath).filter(col("tag") === "flagged")
-      val q = factDf.join(dim, Seq("k"))
+      // a FRESH DataFrame per rep: BatchScanExec caches its filtered
+      // partition listing per plan instance, so reusing one frame would
+      // measure a pre-pruned scan and never re-fire the runtime filter
+      def q() = spark.read.format("graft").load(path)
+        .join(spark.read.parquet(dimPath).filter(col("tag") === "flagged"),
+          Seq("k"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
-      q.collect() // warm (fs cache, broadcast build)
+      q().collect() // warm (fs cache, parquet footers, broadcast build)
       GraftRuntimeScan.pruneLog.remove(path)
-      val t = System.nanoTime
-      val row = q.collect()(0)
-      val secs = (System.nanoTime - t) / 1e9
+      val reps = (1 to 3).map { _ =>
+        val t = System.nanoTime
+        val row = q().collect()(0)
+        ((System.nanoTime - t) / 1e9, row.getLong(0))
+      }
       val pruned = Option(GraftRuntimeScan.pruneLog.get(path))
         .map { case (b, a) => s"$a/$b" }.getOrElse(s"$commits/$commits")
-      println(f"[dppprobe] $tag: $secs%.2fs, files read $pruned, " +
-        s"rows=${row.getLong(0)}")
+      val timing = Option(GraftRuntimeScan.timingLog.get(path))
+        .map { case (p, r) => f" (prune ${p}%.0fms, rebuild ${r}%.0fms)" }
+        .getOrElse("")
+      println(f"[dppprobe] $tag: ${reps.map(_._1).min}%.2fs " +
+        s"(reps ${reps.map(r => f"${r._1}%.2f").mkString("/")}), " +
+        s"files read $pruned, rows=${reps.head._2}$timing")
     }
     drive("runtime pruning OFF", dppOn = false)
     drive("runtime pruning ON ", dppOn = true)

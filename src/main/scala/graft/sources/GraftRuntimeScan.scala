@@ -109,6 +109,7 @@ final class GraftRuntimeScan(
       .toSet
 
   override def filter(filters: Array[Filter]): Unit = {
+    val t0 = System.nanoTime
     var keep = files
     filters.foreach {
       case In(att, values) if values != null && !values.contains(null) =>
@@ -117,11 +118,14 @@ final class GraftRuntimeScan(
         keep = pruneByValues(keep, att, Seq(v))
       case _ => () // unknown shape: prune nothing
     }
+    val t1 = System.nanoTime
     if (keep.size < files.size) {
       GraftRuntimeScan.pruneLog.put(base, (files.size, keep.size))
       files = keep
       inner = rebuild(keep)
     }
+    GraftRuntimeScan.timingLog.put(base,
+      ((t1 - t0) / 1e6, (System.nanoTime - t1) / 1e6))
   }
 
   private def pruneByValues(
@@ -143,14 +147,12 @@ final class GraftRuntimeScan(
     val hasStats = m.fileStats.valuesIterator
       .exists(_.colStats.contains(column))
     if (hasStats && m.schema.fieldNames.contains(column)) {
-      // chunked so the literal-array encode job stays codegen-friendly;
-      // a file survives iff ANY chunk's value set intersects its range
-      val live = values.grouped(512)
-        .flatMap(chunk => CowTable.filesForValues(spark, m, column, chunk))
-        .toSet
+      val live = CowTable.filesForValues(spark, m, column, values).toSet
       keep = keep.filter(live)
-    }
-    if (indexedKeyCol(column)) {
+    } else if (indexedKeyCol(column)) {
+      // key-index (range + sidecar bloom) path only when the column has
+      // no recorded stats — when it does, the range check above already
+      // pruned on the same [min, max] without touching bloom bytes
       val live = CowTable.filesForKeyValues(spark, base, m, values).toSet
       keep = keep.filter(live)
     }
@@ -169,4 +171,9 @@ object GraftRuntimeScan {
     * base path — diagnostic for probes and specs; driver-side only.
     */
   val pruneLog = new ConcurrentHashMap[String, (Int, Int)]()
+
+  /** (prune ms, rebuild ms) of the last runtime filter per table base
+    * path — diagnostic, driver-side only.
+    */
+  val timingLog = new ConcurrentHashMap[String, (Double, Double)]()
 }

@@ -1863,26 +1863,35 @@ object CowTable {
     */
   private[table] def encodeColExpr(c: String,
       dt: org.apache.spark.sql.types.DataType,
+      enc: Long): org.apache.spark.sql.Column =
+    encodeExpr(col(c), dt, enc)
+
+  /** [[encodeColExpr]] over an arbitrary input column — lets probe values
+    * encode as literal expressions (driver-side foldable) with the exact
+    * same byte-for-byte output as the stored stats.
+    */
+  private[table] def encodeExpr(in: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType,
       enc: Long): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.GraftBridge
     val asLong: Option[org.apache.spark.sql.Column] = dt match {
       case ByteType | ShortType | IntegerType | LongType if enc >= 2 =>
-        Some(col(c).cast("long"))
+        Some(in.cast("long"))
       case TimestampType | TimestampNTZType if enc >= 2 =>
-        Some(unix_micros(col(c)))
-      case DateType if enc >= 2 => Some(col(c).cast("int").cast("long"))
+        Some(unix_micros(in))
+      case DateType if enc >= 2 => Some(in.cast("int").cast("long"))
       // v3: IEEE-754 sign-flip bits — float/double keys and stats become
       // order-preserving (see graft.functions.OrderedDoubleBits)
       case FloatType | DoubleType if enc >= 3 =>
         Some(GraftBridge.column(graft.functions.OrderedDoubleBits(
-          GraftBridge.expression(col(c).cast("double")))))
+          GraftBridge.expression(in.cast("double")))))
       // v3: fixed-scale decimals up to 18 digits ride their exact unscaled
       // long (decimal(12,2) money columns prune like integers)
       case d: DecimalType if enc >= 3 && d.precision <= 18 =>
         Some(GraftBridge.column(
           org.apache.spark.sql.catalyst.expressions.UnscaledValue(
-            GraftBridge.expression(col(c)))))
+            GraftBridge.expression(in))))
       case _ => None
     }
     asLong match {
@@ -1892,7 +1901,46 @@ object CowTable {
         lpad((l.cast(DecimalType(21, 0)) +
             lit(new java.math.BigDecimal("9223372036854775808")))
           .cast(DecimalType(20, 0)).cast("string"), 20, "0")
-      case None => col(c).cast("string")
+      case None => in.cast("string")
+    }
+  }
+
+  /** Encode probe `values` exactly as stored stats for `column`, WITHOUT
+    * launching a Spark job: each chunk becomes one projection of literal
+    * encode expressions over a one-row LocalRelation, which the
+    * optimizer's ConvertToLocalRelation rule evaluates driver-side — so
+    * runtime join pruning and IN-list skipping cost microseconds, not a
+    * task-scheduling round trip. Throws if a value does not cast to the
+    * column type (callers treat probe values as trusted query constants).
+    */
+  private[table] def encodeValues(spark: SparkSession, column: String,
+      dt: org.apache.spark.sql.types.DataType, enc: Long,
+      values: Seq[Any]): Array[String] = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    // fast path: values as ROWS of a LocalRelation, one encode expression
+    // — the plan is constant-size regardless of |values|, and the
+    // optimizer's ConvertToLocalRelation rule evaluates the projection
+    // driver-side (no job, no codegen). Value types that don't match the
+    // column's external type (e.g. string-typed range-bound options)
+    // throw in row conversion and take the literal-cast path below.
+    try {
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+        values.size)
+      values.foreach(v => rows.add(org.apache.spark.sql.Row(v)))
+      spark.createDataFrame(rows, StructType(Seq(StructField(column, dt))))
+        .select(encodeColExpr(column, dt, enc))
+        .collect().map(_.getString(0))
+    } catch { case scala.util.control.NonFatal(_) =>
+      val one = spark.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row.empty),
+        StructType(Nil))
+      // 512-wide chunks keep each projection's schema bounded
+      values.grouped(512).flatMap { chunk =>
+        val row = one.select(chunk.zipWithIndex.map { case (v, i) =>
+          encodeExpr(lit(v).cast(dt), dt, enc).as(s"_e$i")
+        }.toIndexedSeq: _*).head()
+        chunk.indices.map(row.getString)
+      }.toArray
     }
   }
 
@@ -1939,12 +1987,9 @@ object CowTable {
     // table's encoding: keep every file (superset contract over speed).
     if (!orderPreservingStats(dt, m.keyEncoding)) return m.baseFiles
     def enc(v: Any): String = {
-      import spark.implicits._
-      val r = spark.range(1)
-        .select(lit(v).cast(dt).as(column))
-        .select(encodeColExpr(column, dt, m.keyEncoding)).head()
-      require(!r.isNullAt(0), s"range bound $v does not cast to $dt")
-      r.getString(0)
+      val r = encodeValues(spark, column, dt, m.keyEncoding, Seq(v)).head
+      require(r != null, s"range bound $v does not cast to $dt")
+      r
     }
     val eLo = lo.map(enc); val eHi = hi.map(enc)
     m.baseFiles.filter { f =>
@@ -1970,12 +2015,8 @@ object CowTable {
     if (values.exists(_ == null)) return m.baseFiles
     val dt = m.schema(column).dataType
     if (!orderPreservingStats(dt, m.keyEncoding)) return m.baseFiles
-    val encoded: Array[String] = spark.range(1)
-      .select(org.apache.spark.sql.functions.explode(
-        org.apache.spark.sql.functions.array(
-          values.map(v => lit(v).cast(dt)).toIndexedSeq: _*)).as(column))
-      .select(encodeColExpr(column, dt, m.keyEncoding))
-      .collect().map(_.getString(0)).sorted
+    val encoded: Array[String] =
+      encodeValues(spark, column, dt, m.keyEncoding, values).sorted
     def anyIn(mn: String, mx: String): Boolean = {
       // first encoded value >= mn, then check it is <= mx
       var lo = 0; var hi = encoded.length
@@ -2008,16 +2049,8 @@ object CowTable {
     if (values.exists(_ == null)) return m.baseFiles
     val c = m.keyCols.head
     val dt = m.schema(c).dataType
-    // chunked literal arrays keep each encode job codegen-friendly while
-    // blooms below still load at most once per file
-    val encoded: Array[String] = values.grouped(512).flatMap { chunk =>
-      spark.range(1)
-        .select(org.apache.spark.sql.functions.explode(
-          org.apache.spark.sql.functions.array(
-            chunk.map(v => lit(v).cast(dt)).toIndexedSeq: _*)).as(c))
-        .select(encodeColExpr(c, dt, m.keyEncoding))
-        .collect().map(_.getString(0))
-    }.toArray.sorted
+    val encoded: Array[String] =
+      encodeValues(spark, c, dt, m.keyEncoding, values).sorted
     val fs = new Path(basePath).getFileSystem(
       spark.sessionState.newHadoopConf())
     m.baseFiles.filter { f =>
