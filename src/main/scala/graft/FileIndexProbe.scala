@@ -31,7 +31,7 @@ object FileIndexProbe {
 
     val inflate = if (args.length > 4) args(4).toInt else 10
     val base = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.queries.QueryCatalog.normalizeEventsTs)
     val baseN = base.count()
     // inflate the corpus (disjoint id ranges) so per-file payload dominates
     // fixed job overhead — the regime the index exists for

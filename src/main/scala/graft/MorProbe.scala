@@ -28,7 +28,8 @@ object MorProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("ts div 1000"))
+      .transform(graft.queries.QueryCatalog.normalizeEventsTs)
+      .withColumn("ts", unix_micros(col("ts")))
       .select("event_id", "user_id", "event_type", "value", "ts")
     val n = events.count()
     def batch(i: Int) = events

@@ -32,7 +32,7 @@ object ReclusterProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.queries.QueryCatalog.normalizeEventsTs)
     val baseN = base.count()
     val events = base.crossJoin(
         spark.range(inflate).select(col("id").as("__rep")))

@@ -47,16 +47,27 @@ object QueryCatalog {
       oracle: Option[String],
       note: String = "")
 
+  /** Normalize `events.ts` across testdata generations. Early drops stored
+    * TIMESTAMP(NANOS) parquet (read as Long nanos under
+    * spark.sql.legacy.parquet.nanosAsLong); later drops store
+    * TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ. Both become a
+    * micros-truncated UTC TimestampType column — the representation every
+    * query, test and probe was written against, and what DuckDB sees for
+    * either physical type (sessions pin spark.sql.session.timeZone=UTC, so
+    * the NTZ→TZ cast is value-identity).
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark reads as Long only
-    // under spark.sql.legacy.parquet.nanosAsLong (set by Verify/Bench/tests).
-    // Truncate to micros exactly like DuckDB's ns->us conversion so both
-    // engines see identical timestamps.
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventsTs(df) else df
   }
 
   private val H = (e: String) => Hashing.hash60Sql(e)

@@ -52,7 +52,7 @@ class CdcOpsSpec extends SparkSpec {
 
   test("W1 agg form (max_by) is equivalent to the window form") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.queries.QueryCatalog.normalizeEventsTs)
     val win = CdcOps.latestPerKey(ev, Seq("user_id"), "ts",
         Seq(col("event_id").desc)).drop(CdcOps.SeqByPk)
       .select("user_id", "event_id").as[(Long, Long)].collect().toMap

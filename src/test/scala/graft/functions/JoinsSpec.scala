@@ -56,7 +56,8 @@ class JoinsSpec extends SparkSpec {
 
   test("asofJoin matches a naive per-row computation on real data") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("ts div 1000"))
+      .transform(graft.queries.QueryCatalog.normalizeEventsTs)
+      .withColumn("ts", unix_micros(col("ts")))
     val clicks = ev.filter($"event_type" === "click")
       .select("event_id", "user_id", "ts")
     val purchases = ev.filter($"event_type" === "purchase")

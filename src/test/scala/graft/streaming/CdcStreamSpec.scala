@@ -98,7 +98,7 @@ class CdcStreamSpec extends SparkSpec {
     val dir = tmpDir("events")
     import spark.implicits._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.queries.QueryCatalog.normalizeEventsTs)
     ev.write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema(ev.schema).parquet(dir)
     StreamOps.runToMemory(
@@ -245,7 +245,7 @@ class CdcStreamSpec extends SparkSpec {
     import org.apache.spark.sql.streaming.Trigger
     val dir = tmpDir("sess_parity")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.queries.QueryCatalog.normalizeEventsTs)
       .select("user_id", "event_id", "ts", "value")
     ev.write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema(ev.schema).parquet(dir)
@@ -345,7 +345,7 @@ class CdcStreamSpec extends SparkSpec {
   test("watermarked STREAMING session windows match the batch result") {
     val dir = tmpDir("sess-stream")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.queries.QueryCatalog.normalizeEventsTs)
     ev.write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema(ev.schema).parquet(dir)
     StreamOps.runToMemory(
@@ -373,7 +373,7 @@ class CdcStreamSpec extends SparkSpec {
 
   test("session windows via native session_window in batch mode") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.queries.QueryCatalog.normalizeEventsTs)
     val sessions = StreamOps.sessionWindowAgg(ev)
     assert(sessions.count() > 0)
     // per-user session event counts must sum to total events
