@@ -235,7 +235,11 @@ final case class GraftUpdateCommand(
 }
 
 /** DELETE execution: matched snapshot rows become the tombstone batch for
-  * the anti-join delete commit.
+  * the anti-join delete commit — EXCEPT when the predicate references only
+  * partition columns, where the whole statement is one metadata-only
+  * [[CowTable.dropPartitions]] commit (the Delta/Hudi partition-delete
+  * optimization: `DELETE FROM t WHERE day < '2026-01-01'` on a 100-TB
+  * table writes one manifest instead of scanning and rewriting).
   */
 final case class GraftDeleteCommand(
     path: String,
@@ -243,7 +247,16 @@ final case class GraftDeleteCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     val t = CowTable.open(spark, path)
-    t.delete(t.snapshot().filter(condition))
+    val pred = spark.sessionState.sqlParser.parseExpression(condition)
+    val refs = pred.collect {
+      case u: UnresolvedAttribute => u.nameParts.last
+    }.toSet
+    val partitionOnly = t.partitionCols.nonEmpty && refs.nonEmpty &&
+      refs.subsetOf(t.partitionCols.toSet) && pred.deterministic &&
+      !pred.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+    if (partitionOnly) t.dropPartitions(expr(condition))
+    else t.delete(t.snapshot().filter(condition))
     Nil
   }
 }

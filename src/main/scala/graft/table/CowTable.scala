@@ -92,7 +92,17 @@ final case class Manifest(
       * age out with retention (a feed can look back `keepCommits`, same
       * bound as every incremental read).
       */
-    tombstones: Map[String, Seq[String]] = Map.empty) {
+    tombstones: Map[String, Seq[String]] = Map.empty,
+    /** Partition-drop records: commit version (as string, for JSON) → the
+      * base/log listings of partitions that commit dropped WITHOUT reading
+      * or writing any data (the Hudi `delete_partition` / `ALTER TABLE
+      * DROP PARTITION` analog). The dropped files themselves serve as the
+      * change-feed tombstone source — [[CowTable.changeFeed]] reads their
+      * identity columns lazily and stamps them with the drop version, so a
+      * 100-TB retention drop costs one manifest write, not a scan. Entries
+      * age out with retention, exactly like [[tombstones]].
+      */
+    drops: Map[String, DropRecord] = Map.empty) {
   def schema: StructType =
     org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
@@ -101,6 +111,24 @@ final case class Manifest(
     (partitions.valuesIterator ++ logPartitions.valuesIterator).flatten.toSeq
   /** Base files only (the read-optimized listing). */
   def baseFiles: Seq[String] = partitions.valuesIterator.flatten.toSeq
+  /** Files the change feed still needs even though no live listing
+    * references them: delete tombstones plus dropped-partition listings.
+    * Cleaner/vacuum liveness must cover these or a retained feed window
+    * would read deleted files.
+    */
+  def feedAnchoredFiles: Seq[String] =
+    (tombstones.valuesIterator.flatten ++ drops.valuesIterator.flatMap(
+      _.files)).toSeq
+}
+
+/** One [[Manifest.drops]] entry: the dropped partitions' base and delta-log
+  * listings as they stood at the drop commit (basePath-relative paths).
+  */
+final case class DropRecord(
+    partitions: Map[String, Seq[String]],
+    logPartitions: Map[String, Seq[String]] = Map.empty) {
+  def files: Seq[String] =
+    (partitions.valuesIterator ++ logPartitions.valuesIterator).flatten.toSeq
 }
 
 /** One base file's record-key index entry: lexicographic min/max of the
@@ -151,7 +179,14 @@ final case class FileStat(keyMin: String, keyMax: String, bloomRef: String,
       * existed — consumers ([[CowTable.fastCount]]) must treat those as
       * unknown, never as zero.
       */
-    rows: Long = -1L)
+    rows: Long = -1L,
+    /** On-disk size of the file in bytes (one FS stat at commit time,
+      * bounded by the files the commit wrote). −1 = unknown (pre-field
+      * entry) — consumers ([[CowTable.compactBySize]]) stat the file
+      * then. At scale this is what lets size-based maintenance plan from
+      * the manifest alone, with zero object-store LIST/HEAD calls.
+      */
+    bytes: Long = -1L)
 
 /** A keyed, partitioned, mutable table over plain Parquet — the native
   * re-implementation of the subset of Hudi copy-on-write semantics the
@@ -367,7 +402,6 @@ class CowTable(
     val files = cur.tombstones.collect {
       case (vs, fs) if vs.toLong > since && vs.toLong <= asOf => fs
     }.flatten.toSeq
-    if (files.isEmpty) return None
     val idCols = (keyCols ++ partitionCols).distinct
     val tsSchema = StructType(
       cur.schema.fields.filter(f => idCols.contains(f.name)) :+
@@ -375,9 +409,23 @@ class CowTable(
           org.apache.spark.sql.types.LongType))
     // same changed-row rescue as data scans: an OCC-rebased delete's
     // tombstone rows keep their tentative stamp (== the t{v}- dir prefix)
-    Some(readFilesWithSchema(tsSchema, files)
-      .filter(CowTable.changedRowPredicate(since) &&
-        col(CommitVerCol) <= asOf))
+    val fileRows =
+      if (files.isEmpty) Nil
+      else Seq(readFilesWithSchema(tsSchema, files)
+        .filter(CowTable.changedRowPredicate(since) &&
+          col(CommitVerCol) <= asOf))
+    // metadata-only partition drops: every identity live at the drop is a
+    // "D" stamped with the DROP version (rows in the dropped files carry
+    // their original write stamps — irrelevant here; the drop is the
+    // deleting commit)
+    val dropRows = cur.drops.toSeq.collect {
+      case (vs, rec) if vs.toLong > since && vs.toLong <= asOf =>
+        droppedIdentities(cur, rec)
+          .withColumn(CommitVerCol, lit(vs.toLong))
+          .select(tsSchema.fieldNames.toIndexedSeq.map(col): _*)
+    }
+    val all = fileRows ++ dropRows
+    if (all.isEmpty) None else Some(all.reduce(_ unionByName _))
   }
 
   /** Union U rows with D tombstones padded to the row schema, dropping
@@ -738,6 +786,102 @@ class CowTable(
       cur.join(probe, idMatch(cur, probe), "left_anti")
     }
 
+  /** Partition lifecycle (the Hudi `delete_partition` / `ALTER TABLE …
+    * DROP PARTITION` analog): drop every partition whose partition-column
+    * values satisfy `predicate`, as ONE metadata-only commit — no data is
+    * read or written, so a retention/TTL drop on a 100-TB table costs one
+    * manifest write instead of a tombstone anti-join rewrite. The dropped
+    * listings are recorded in the manifest ([[Manifest.drops]]) so
+    * [[changeFeed]] still surfaces every dropped row as a "D" (identities
+    * read lazily from the dropped files, which the cleaner retains while
+    * the record is inside the feed window). SQL semantics: a partition is
+    * dropped when the predicate evaluates TRUE on its values (a null
+    * partition value satisfies nothing unless the predicate tests null
+    * explicitly) — so for partition-only predicates this is exactly
+    * row-level DELETE, which is what lets the SQL rule route those
+    * deletes here. Returns the number of partition units dropped.
+    */
+  def dropPartitions(predicate: Column): Int = {
+    require(partitionCols.nonEmpty,
+      s"dropPartitions needs a partitioned table at $basePath")
+    val m = manifest
+    val keys = (m.partitions.keySet ++ m.logPartitions.keySet).toSeq.sorted
+    if (keys.isEmpty) return 0
+    val matched = partitionKeysMatching(m, keys, predicate)
+    if (matched.isEmpty) return 0
+    val v = m.version + 1
+    val rec = DropRecord(
+      m.partitions.filter(e => matched(e._1)),
+      m.logPartitions.filter(e => matched(e._1)))
+    val droppedFiles = rec.files.toSet
+    writeManifest(m.copy(version = v,
+      partitions = m.partitions -- matched,
+      logPartitions = m.logPartitions -- matched,
+      fileStats = m.fileStats -- droppedFiles,
+      drops = m.drops + (v.toString -> rec),
+      operation = "drop_partitions",
+      metrics = Map(
+        "units_dropped" -> matched.size.toLong,
+        "files_dropped" -> droppedFiles.size.toLong)))
+    clean()
+    matched.size
+  }
+
+  /** TTL convenience over [[dropPartitions]]: drop partitions whose
+    * `column` value sorts strictly below the `olderThan` cutoff (the
+    * retention sweep a date/hour-partitioned 100-TB table runs on a
+    * cadence). Returns the number of partition units dropped.
+    */
+  def expirePartitions(column: String, olderThan: Any): Int = {
+    require(partitionCols.contains(column),
+      s"expirePartitions: $column is not a partition column " +
+        s"(${partitionCols.mkString(", ")})")
+    dropPartitions(col(column) < lit(olderThan))
+  }
+
+  /** Manifest partition keys whose decoded partition-column values satisfy
+    * `predicate`. Evaluated over a partition-cardinality LocalRelation
+    * (bounded by partition count, never a data scan; the optimizer folds
+    * it driver-side) with values cast back to the table's column types, so
+    * predicate semantics match a row-level filter exactly.
+    */
+  protected def partitionKeysMatching(m: Manifest, keys: Seq[String],
+      predicate: Column): Set[String] = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val sch = m.schema
+    val rows = new java.util.ArrayList[Row](keys.size)
+    keys.foreach { k =>
+      val vals = k.split('/').iterator.map { seg =>
+        val eq = seg.indexOf('=')
+        seg.substring(0, eq) -> seg.substring(eq + 1)
+      }.toMap
+      rows.add(Row.fromSeq(k +: partitionCols.map(c =>
+        vals.get(c) match {
+          case Some(HiveDefaultPartition) | None => null
+          case Some(s) => s
+        })))
+    }
+    val raw = spark.createDataFrame(rows,
+      StructType(StructField("_graft_pk", StringType) +:
+        partitionCols.map(c => StructField(c, StringType)).toIndexedSeq))
+    raw.select(col("_graft_pk") +: partitionCols.map(c =>
+        col(c).cast(sch(c).dataType).as(c)).toIndexedSeq: _*)
+      .filter(predicate).select("_graft_pk").collect()
+      .map(_.getString(0)).toSet
+  }
+
+  /** Live identities of a dropped-partition record — the change-feed "D"
+    * source for metadata-only drops. COW: the base files hold exactly the
+    * partition's live rows. [[MorTable]] overrides to fold pending delta
+    * logs (a log-deleted key was already dead before the drop and must
+    * not resurface as a drop delete).
+    */
+  protected def droppedIdentities(m: Manifest, rec: DropRecord): DataFrame = {
+    val idCols = (keyCols ++ partitionCols).distinct
+    readFiles(m, rec.partitions.valuesIterator.flatten.toSeq)
+      .select(idCols.map(col): _*)
+  }
+
   private def mergeCommit(df: DataFrame, parallelism: Int, opName: String,
       extraMetrics: Map[String, Long] = Map.empty,
       // incoming columns kept through the merge join for the conditions
@@ -1005,7 +1149,9 @@ class CowTable(
       val cs = liveStats.zipWithIndex.collect {
         case (c, i) if smn(i) != null => c -> Seq(smn(i), smx(i))
       }.toMap
-      relPath -> FileStat(mn, mx, ref, cs, rows = nRows)
+      val fileBytes = scala.util.Try(
+        fs.getFileStatus(new Path(basePath, relPath)).getLen).getOrElse(-1L)
+      relPath -> FileStat(mn, mx, ref, cs, rows = nRows, bytes = fileBytes)
     }.toMap
   }
 
@@ -1256,11 +1402,13 @@ class CowTable(
     // forever — the first write through the correct class heals the record
     val stamped0 = m0.copy(storageType = storageTypeName,
       props = Some(currentProps))
-    // tombstone records age out with retention — entries older than the
-    // window can no longer anchor a replayable change feed anyway
-    val stamped = stamped0.copy(tombstones = stamped0.tombstones.filter {
-      case (vs, _) => vs.toLong > stamped0.version - keepCommits
-    })
+    // tombstone and drop records age out with retention — entries older
+    // than the window can no longer anchor a replayable change feed anyway
+    def inWindow(vs: String): Boolean =
+      vs.toLong > stamped0.version - keepCommits
+    val stamped = stamped0.copy(
+      tombstones = stamped0.tombstones.filter(e => inWindow(e._1)),
+      drops = stamped0.drops.filter(e => inWindow(e._1)))
     fs.mkdirs(commitsDir)
     var attempt = stamped
     var retries = 0
@@ -1427,6 +1575,16 @@ class CowTable(
         if (ourNew.isEmpty) head.tombstones
         else head.tombstones + ((head.version + 1).toString -> ourNew)
       },
+      drops = {
+        // same re-keying for drop records: the dropped files were part of
+        // `base`'s listing, and disjointness (checked above) guarantees the
+        // interleaved head did not rewrite them
+        val ourNew = (ours.drops -- base.drops.keySet).values.toSeq
+        if (ourNew.isEmpty) head.drops
+        else head.drops + ((head.version + 1).toString -> DropRecord(
+          ourNew.map(_.partitions).reduce(_ ++ _),
+          ourNew.map(_.logPartitions).reduce(_ ++ _)))
+      },
       operation = ours.operation,
       metrics = ours.metrics +
         ("rebased_over" -> (head.version - base.version)))
@@ -1466,6 +1624,72 @@ class CowTable(
         partitions = m.partitions -- crowded ++ newFiles,
         operation = "compact", metrics = CowTable.writeStats(newFiles) +
           ("units_rewritten" -> crowded.size.toLong)),
+      newFiles, m.schema))
+    clean()
+    true
+  }
+
+  /** Size-aware compaction (the Hudi small-file-management analog): for
+    * each partition/bucket unit, bin-pack base files smaller than
+    * `smallBytes` (default `targetBytes / 2`) into rewrite groups of
+    * ~`targetBytes` and fold each group into a fresh file; files at or
+    * above the small threshold are kept VERBATIM — so unlike [[compact]]
+    * (which rewrites whole crowded units) the rewrite cost scales with
+    * the small-file debris, not the unit size. Sizes come from the
+    * manifest's per-file stats when recorded (zero FS calls — the 100-TB
+    * planning path); unknown entries fall back to one FS stat each.
+    * One commit; returns false when no unit had two or more small files.
+    */
+  def compactBySize(targetBytes: Long = 128L << 20, smallBytes: Long = 0L,
+      parallelism: Int = 0): Boolean = {
+    val small = if (smallBytes > 0L) smallBytes else targetBytes / 2
+    val m = manifest
+    def sizeOf(f: String): Long =
+      m.fileStats.get(f).map(_.bytes).filter(_ >= 0L).getOrElse(
+        scala.util.Try(fs.getFileStatus(new Path(basePath, f)).getLen)
+          .getOrElse(Long.MaxValue)) // unstat-able: treat as big, keep
+    val toFold: Map[String, Seq[String]] = m.partitions.flatMap {
+      case (k, fls) =>
+        val smalls = fls.filter(sizeOf(_) < small)
+        if (smalls.size < 2) None else Some(k -> smalls)
+    }
+    if (toFold.isEmpty) return false
+    // first-fit bin-packing over each unit's size-sorted small files:
+    // every bin lands under ~targetBytes (a single file never splits)
+    val bins = scala.collection.mutable.Buffer.empty[Seq[String]]
+    toFold.toSeq.sortBy(_._1).foreach { case (_, fls) =>
+      var cur = Vector.empty[String]; var curBytes = 0L
+      fls.sortBy(sizeOf).foreach { f =>
+        val b = sizeOf(f)
+        if (cur.nonEmpty && curBytes + b > targetBytes) {
+          bins += cur; cur = Vector(f); curBytes = b
+        } else { cur :+= f; curBytes += b }
+      }
+      if (cur.nonEmpty) bins += cur
+    }
+    val v = m.version + 1
+    val binCol = "_graft_szbin"
+    val binned = bins.zipWithIndex.map { case (fls, i) =>
+      readFiles(m, fls).withColumn(binCol, lit(i))
+    }.reduce(_ unionByName _)
+    val width = if (parallelism > 0) parallelism else bins.size
+    // range-repartition on (dir cols, bin) gives ~one task per bin; the
+    // bin column is dropped before writing; cluster columns keep their
+    // within-file locality
+    val newFiles = writeCommit(binned, v, width,
+      rangeSortCols = binCol +: clusterCols, dropCols = Seq(binCol))
+    val foldedSet = toFold.valuesIterator.flatten.toSet
+    val kept = toFold.map { case (k, smalls) =>
+      k -> m.partitions(k).filterNot(smalls.toSet)
+    }
+    writeManifest(withFileStats(
+      m.copy(version = v,
+        partitions =
+          m.partitions -- toFold.keySet ++ mergeListings(kept, newFiles),
+        fileStats = m.fileStats -- foldedSet,
+        operation = "compact_size",
+        metrics = CowTable.writeStats(newFiles) +
+          ("files_folded" -> foldedSet.size.toLong)),
       newFiles, m.schema))
     clean()
     true
@@ -1603,7 +1827,7 @@ class CowTable(
     // is referenced — the loser's is exactly the garbage to reclaim
     val referenced: Set[String] = committed.flatMap(v =>
       scala.util.Try(manifestAt(v)).toOption.toSeq.flatMap(m =>
-        m.files ++ m.tombstones.valuesIterator.flatten))
+        m.files ++ m.feedAnchoredFiles))
       .map(_.split('/')(1))
     val filesDir = new Path(basePath, "files")
     if (!fs.exists(filesDir)) return Nil
@@ -1655,7 +1879,7 @@ class CowTable(
     }
     if (dropped.nonEmpty) {
       val live: Set[String] = retained.iterator.map(manifestAt)
-        .flatMap(m => m.files ++ m.tombstones.valuesIterator.flatten)
+        .flatMap(m => m.files ++ m.feedAnchoredFiles)
         .map(_.split('/')(1)).toSet
       val oldestRetained = retained.min
       val filesDir = new Path(basePath, "files")
@@ -2139,6 +2363,7 @@ object CowTable {
           "keyMax" -> JString(st.keyMax),
           "bloomRef" -> JString(st.bloomRef),
           "rows" -> JInt(st.rows),
+          "bytes" -> JInt(st.bytes),
           "colStats" -> JObject(st.colStats.toSeq.sortBy(_._1).map {
             case (c, mm) =>
               c -> (JArray(mm.toList.map(JString(_))): JValue)
@@ -2151,6 +2376,13 @@ object CowTable {
       "storageType" -> JString(m.storageType),
       "keyEncoding" -> JInt(m.keyEncoding),
       "tombstones" -> listing(m.tombstones),
+      // json4s drops JNothing pairs at render: pre-drops copies stay as-is
+      "drops" -> (if (m.drops.isEmpty) JNothing
+        else JObject(m.drops.toSeq.sortBy(_._1).map { case (v, r) =>
+          v -> (JObject(List(
+            "partitions" -> listing(r.partitions),
+            "logPartitions" -> listing(r.logPartitions))): JValue)
+        }.toList)),
       // json4s drops JNothing pairs at render: pre-props copies stay as-is
       "props" -> (m.props match {
         case Some(p) => JObject(List(
@@ -2207,7 +2439,8 @@ object CowTable {
               case _ => Map.empty[String, Seq[String]]
             }
             f -> FileStat(str("keyMin"), str("keyMax"), str("bloomRef"), cs,
-              rows = long(o \ "rows", -1L))
+              rows = long(o \ "rows", -1L),
+              bytes = long(o \ "bytes", -1L))
         }.toMap
         case _ => Map.empty
       },
@@ -2224,6 +2457,13 @@ object CowTable {
         case JString(s) => s; case _ => "cow" }, // pre-round-6 manifests
       keyEncoding = long(j \ "keyEncoding", 1L), // legacy = plain strings
       tombstones = files(j \ "tombstones"),
+      drops = (j \ "drops") match {
+        case JObject(ds) => ListMap(ds.map { case (v, o) =>
+          v -> DropRecord(files(o \ "partitions"),
+            files(o \ "logPartitions"))
+        }: _*)
+        case _ => ListMap.empty
+      },
       props = (j \ "props") match {
         case o: JObject => Some(TableProps(
           keepCommits = long(o \ "keepCommits", 10L).toInt,

@@ -348,6 +348,21 @@ class MorTable(
     rt.join(p, idCols.map(c => rt(c) <=> p(c)).reduce(_ && _), "left_semi")
   }
 
+  /** Drop-record identities on MOR fold the dropped partitions' pending
+    * delta logs: a key whose latest log record is a delete was already
+    * dead before the drop and must not resurface as a drop "D"; a key
+    * living only in logs (inserted after the last compaction) must.
+    */
+  override protected def droppedIdentities(
+      m: Manifest, rec: DropRecord): DataFrame = {
+    if (rec.logPartitions.isEmpty) return super.droppedIdentities(m, rec)
+    val idCols = (keyCols ++ partitionCols).distinct
+    val base = readFiles(m, rec.partitions.valuesIterator.flatten.toSeq)
+    val logs = readFilesWithSchema(MorTable.logSchema(m.schema),
+      rec.logPartitions.valuesIterator.flatten.toSeq)
+    mergeBaseWithLogs(m, base, logs).select(idCols.map(col): _*)
+  }
+
   // ---------------------------------------------------------------- catalog
 
   /** K6 on MOR: sync BOTH query views, named like the reference's Hive

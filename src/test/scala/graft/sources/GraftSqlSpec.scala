@@ -124,4 +124,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(ex.getMessage.contains("key"),
       s"non-key ON must be rejected: ${ex.getMessage}")
   }
+
+  test("partition-only SQL DELETE takes the metadata-only drop path") {
+    val path = tmpDir("sql-pdel")
+    val t = new CowTable(spark, path, keyCols = Seq("id"),
+      partitionCols = Seq("p"), trackCommitVersions = true)
+    t.bulkInsert(Seq(("k1", "p1", 1.0), ("k2", "p1", 2.0), ("k3", "p2", 3.0))
+      .toDF("id", "p", "v"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW pdel_t USING graft " +
+      s"OPTIONS (path '$path')")
+
+    spark.sql("DELETE FROM pdel_t WHERE p = 'p1'")
+    assert(t.manifest.operation == "drop_partitions",
+      "partition-only predicate must be a metadata-only drop, " +
+        s"got ${t.manifest.operation}")
+    assert(t.snapshot().select("id").as[String].collect().toSet
+      == Set("k3"))
+    // the feed still reports the dropped rows
+    val dels = t.changeFeed(1L, t.manifest.version)
+      .filter(col(CowTable.ChangeTypeCol) === "D")
+      .select("id").as[String].collect().toSet
+    assert(dels == Set("k1", "k2"))
+
+    // a mixed predicate (row + partition columns) stays on the anti-join
+    spark.sql("DELETE FROM pdel_t WHERE p = 'p2' AND v > 100.0")
+    assert(t.manifest.operation == "delete",
+      s"row-level predicate must not drop partitions: ${t.manifest.operation}")
+    assert(t.snapshot().count() == 1L)
+  }
 }

@@ -113,6 +113,42 @@ class TableServicesSpec extends SparkSpec {
     assert(t.snapshot().count() == 2)
   }
 
+  test("compactBySize folds only small-file debris, keeps big files") {
+    val t = new CowTable(spark, tmpDir("szc"), keyCols = Seq("id"),
+      partitionCols = Seq("p"), fileIndexEntries = 1000)
+    // one big-ish initial file per partition...
+    t.bulkInsert((0 until 4000).map(i => (s"k$i", s"p${i % 2}", i.toDouble))
+      .toDF("id", "p", "v"), parallelism = 1)
+    // ...then small-file debris from append-ish upserts
+    (0 until 4).foreach { b =>
+      t.upsert((0 until 20).map(i => (s"n$b-$i", s"p${i % 2}", i.toDouble))
+        .toDF("id", "p", "v"), parallelism = 1)
+    }
+    val m0 = t.manifest
+    val sizes = m0.fileStats
+    assert(sizes.valuesIterator.forall(_.bytes > 0L),
+      "every indexed file must record its on-disk size")
+    val big = m0.baseFiles.filter(f => sizes(f).bytes >= 10000L).toSet
+    val smallCount = m0.baseFiles.count(f => sizes(f).bytes < 10000L)
+    assert(big.nonEmpty && smallCount >= 4,
+      s"setup needs big+small mix, got ${sizes.map(_._2.bytes)}")
+    val snap0 = t.snapshot().as[(String, String, Double)].collect().toSet
+
+    assert(t.compactBySize(targetBytes = 8000L, smallBytes = 10000L))
+    val m1 = t.manifest
+    assert(m1.operation == "compact_size")
+    assert(big.subsetOf(m1.baseFiles.toSet),
+      "files at or above the small threshold are kept verbatim")
+    assert(m1.baseFiles.size < m0.baseFiles.size,
+      s"debris must fold: ${m0.baseFiles.size} -> ${m1.baseFiles.size}")
+    assert(t.snapshot().as[(String, String, Double)].collect().toSet
+      == snap0)
+    // stats stay consistent: every live file has an entry, no dead ones
+    assert(m1.fileStats.keySet == m1.baseFiles.toSet)
+    // second run: nothing left to fold
+    assert(!t.compactBySize(targetBytes = 8000L, smallBytes = 10000L))
+  }
+
   test("restoreTo publishes a new commit with the old state") {
     val t = new CowTable(spark, tmpDir("svc-restore"), keyCols = Seq("id"),
       precombineField = "v")
