@@ -320,6 +320,41 @@ object QueryCatalog {
            |       CAST(NULL AS DOUBLE) AS bal, 'D' AS op
            |FROM del""".stripMargin))
 
+  /** Partition lifecycle end-to-end: a REAL partitioned graft table, one
+    * SQL DELETE whose predicate touches only the partition column — the
+    * statement must route through the METADATA-ONLY drop path (asserted
+    * on the commit record: no data read or written), and the surviving
+    * snapshot must equal DuckDB's row-level reconstruction of the same
+    * delete. Certifies that partition-value matching is exactly row
+    * predicate semantics, the contract that makes the rewrite-free TTL
+    * path safe at 100 TB.
+    */
+  private val dropPartitionSql = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        col("c_mktsegment"),
+        round(col("c_acctbal"), 2).cast("double").as("bal"))
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-dropp").toString
+      val tbl = new graft.table.CowTable(s, path,
+        keyCols = Seq("c_custkey"), partitionCols = Seq("c_mktsegment"))
+      tbl.bulkInsert(cust)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW dropp_t USING graft " +
+        s"OPTIONS (path '$path')")
+      s.sql("DELETE FROM dropp_t " +
+        "WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')")
+      val re = graft.table.CowTable.open(s, path)
+      require(re.manifest.operation == "drop_partitions",
+        s"partition-only DELETE must be metadata-only, " +
+          s"got ${re.manifest.operation}")
+      re.snapshot().select("c_custkey", "c_mktsegment", "bal")
+    },
+    Some("""SELECT c_custkey, c_mktsegment,
+           |       CAST(round(c_acctbal, 2) AS DOUBLE) AS bal
+           |FROM customer
+           |WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')"""
+      .stripMargin))
+
   /** Incrementally maintained join view end-to-end: REAL source tables
     * (orders-shaped fact A, customer-shaped dim B, both commit-stamped),
     * seeded, then churned on BOTH sides — fk-changing upserts and deletes
@@ -2671,6 +2706,7 @@ object QueryCatalog {
     "k3_delete_merge" -> k3DeleteMerge,
     "merge_into_sql" -> mergeIntoSql,
     "change_feed" -> changeFeedQ,
+    "drop_partition_sql" -> dropPartitionSql,
     "maintained_join" -> maintainedJoinQ,
     "maintained_join_mor" -> maintainedJoinMorQ,
     "maintained_agg" -> maintainedAggQ,

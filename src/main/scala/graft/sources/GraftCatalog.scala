@@ -10,9 +10,10 @@ import org.apache.spark.sql.catalyst.analysis.{
   NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException,
   TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{
-  FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table,
-  TableCatalog, TableChange, TableInfo}
+  FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog,
+  SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.table.{CowTable, MorTable}
@@ -51,7 +52,7 @@ import graft.table.{CowTable, MorTable}
   * their declared schema — INSERT statements name their columns.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with FunctionCatalog {
+  with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -189,6 +190,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
     else throw new NoSuchFunctionException(ident)
+
+  // ------------------------------------------------------ procedures
+
+  /** Table-maintenance stored procedures under the `system` namespace
+    * (`CALL <cat>.system.compact(table => 'ns.t')` — the Iceberg CALL
+    * surface; see [[GraftProcedures]] for the full set). The `table`
+    * argument is a catalog-relative dotted name.
+    */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val known = ident.namespace.isEmpty ||
+      ident.namespace.sameElements(Array("system"))
+    val p =
+      if (known) GraftProcedures.load(ident.name, ref => {
+        val path = ref.split('.').foldLeft(warehouse)(
+          (a, n) => new Path(a, n)).toString
+        if (!CowTable.existsAt(spark, path))
+          throw new NoSuchTableException(
+            Identifier.of(ref.split('.').dropRight(1),
+              ref.split('.').last))
+        CowTable.open(spark, path)
+      })
+      else None
+    p.getOrElse(throw new RuntimeException(
+      s"no such procedure: ${ident.namespace.mkString(".")}.${ident.name} " +
+        s"(known: system.{${GraftProcedures.names.mkString(", ")}})"))
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")) || namespace.isEmpty)
+      GraftProcedures.names
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // ------------------------------------------------------- namespaces
 

@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{
+  BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.table.{CowTable, MorTable}
+
+/** Table-maintenance stored procedures (the Iceberg `CALL cat.system.…`
+  * surface) over graft tables — SQL access to every table service, so an
+  * operator can run the 100-TB maintenance cadence from SQL text alone:
+  *
+  * {{{
+  *   CALL graft.system.compact(table => 'lake.users');
+  *   CALL graft.system.compact_by_size(table => 'lake.users',
+  *     target_bytes => 134217728);
+  *   CALL graft.system.recluster(table => 'lake.users', sort_cols => 'ts');
+  *   CALL graft.system.zorder(table => 'lake.users',
+  *     col_a => 'ts', col_b => 'user_id');
+  *   CALL graft.system.drop_partitions(table => 'lake.users',
+  *     predicate => "day < '2026-01-01'");
+  *   CALL graft.system.expire_partitions(table => 'lake.users',
+  *     column => 'day', older_than => '2026-01-01');
+  *   CALL graft.system.restore(table => 'lake.users', version => 3);
+  *   CALL graft.system.clean(table => 'lake.users');
+  *   CALL graft.system.vacuum(table => 'lake.users');
+  * }}}
+  *
+  * Each call returns one (metric, value) result set summarizing what the
+  * service did. Registered by [[GraftCatalog]] under the `system`
+  * namespace ([[GraftCatalog.loadProcedure]]).
+  */
+private[sources] object GraftProcedures {
+
+  /** One procedure: its SQL parameters (name, type, optional default —
+    * required params lead, as CALL binding demands) and its action.
+    */
+  final case class Spec(
+      name: String,
+      description: String,
+      params: Seq[(String, DataType, Option[String])],
+      run: (CowTable, InternalRow) => Seq[(String, Long)])
+
+  private def b2l(b: Boolean): Long = if (b) 1L else 0L
+
+  val specs: Seq[Spec] = Seq(
+    Spec("compact",
+      "fold crowded units (COW) or pending delta logs (MOR)",
+      Seq(("table", StringType, None),
+        ("max_files_per_unit", IntegerType, Some("4"))),
+      (t, in) => Seq("compacted" -> b2l(t match {
+        case m: MorTable => m.compactLogs()
+        case c => c.compact(in.getInt(1))
+      }))),
+    Spec("compact_by_size",
+      "bin-pack small base files toward the target file size",
+      Seq(("table", StringType, None),
+        ("target_bytes", LongType, Some("134217728")),
+        ("small_bytes", LongType, Some("0"))),
+      (t, in) => Seq("compacted" ->
+        b2l(t.compactBySize(in.getLong(1), in.getLong(2))))),
+    Spec("recluster",
+      "rewrite base files range-sorted by the given columns",
+      Seq(("table", StringType, None), ("sort_cols", StringType, None)),
+      (t, in) => Seq("reclustered" -> b2l(t.recluster(
+        in.getUTF8String(1).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq)))),
+    Spec("zorder",
+      "rewrite base files in 2-D Morton order over two columns",
+      Seq(("table", StringType, None),
+        ("col_a", StringType, None), ("col_b", StringType, None)),
+      (t, in) => Seq("reclustered" -> b2l(t.reclusterZOrder(
+        in.getUTF8String(1).toString, in.getUTF8String(2).toString)))),
+    Spec("drop_partitions",
+      "metadata-only drop of partitions matching a partition predicate",
+      Seq(("table", StringType, None), ("predicate", StringType, None)),
+      (t, in) => Seq("units_dropped" ->
+        t.dropPartitions(expr(in.getUTF8String(1).toString)).toLong)),
+    Spec("expire_partitions",
+      "metadata-only TTL drop of partitions below the cutoff",
+      Seq(("table", StringType, None),
+        ("column", StringType, None), ("older_than", StringType, None)),
+      (t, in) => Seq("units_dropped" -> t.expirePartitions(
+        in.getUTF8String(1).toString,
+        in.getUTF8String(2).toString).toLong)),
+    Spec("restore",
+      "publish a retained version's state as the new head commit",
+      Seq(("table", StringType, None), ("version", LongType, None)),
+      (t, in) => { t.restoreTo(in.getLong(1))
+        Seq("restored_version" -> in.getLong(1)) }),
+    Spec("clean",
+      "apply commit retention and reclaim unreferenced data dirs",
+      Seq(("table", StringType, None)),
+      (t, _) => { t.clean(); Seq("cleaned" -> 1L) }),
+    Spec("vacuum",
+      "reclaim crashed/aborted commit debris (no writer may be inflight)",
+      Seq(("table", StringType, None)),
+      (t, _) => Seq("orphans_removed" -> t.vacuumOrphans().size.toLong)))
+
+  def names: Seq[String] = specs.map(_.name)
+
+  def load(name: String, resolve: String => CowTable): Option[UnboundProcedure] =
+    specs.find(_.name.equalsIgnoreCase(name))
+      .map(new GraftProcedure(_, resolve))
+}
+
+/** Adapter from a [[GraftProcedures.Spec]] to Spark's two-phase procedure
+  * API. Binding is trivial (parameters are statically typed); `call`
+  * resolves the table by catalog-relative name and returns one in-memory
+  * (metric, value) result scan.
+  */
+private[sources] final class GraftProcedure(
+    spec: GraftProcedures.Spec,
+    resolve: String => CowTable)
+  extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = spec.name
+  override def description(): String = spec.description
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] =
+    spec.params.map { case (n, dt, dflt) =>
+      val b = ProcedureParameter.in(n, dt)
+      dflt.foreach(b.defaultValue)
+      b.build()
+    }.toArray
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val t = resolve(input.getUTF8String(0).toString)
+    val out = spec.run(t, input)
+    val schema = StructType(Seq(
+      StructField("metric", StringType, nullable = false),
+      StructField("value", LongType, nullable = false)))
+    val rows = out.map { case (k, v) =>
+      new GenericInternalRow(
+        Array[Any](UTF8String.fromString(k), v)): InternalRow
+    }.toArray
+    Collections.singletonList[Scan](
+      GraftProcedureResult(schema, rows)).iterator()
+  }
+}
+
+private[sources] final case class GraftProcedureResult(
+    schema: StructType, data: Array[InternalRow]) extends LocalScan {
+  override def rows(): Array[InternalRow] = data
+  override def readSchema(): StructType = schema
+}

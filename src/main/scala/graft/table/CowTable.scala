@@ -1219,9 +1219,29 @@ class CowTable(
     * APPENDED to the table schema; stored rows read back as null for them.
     * Existing columns keep their stored type (incoming values are cast).
     */
+  /** Additive schema evolution plus SAFE TYPE WIDENING: new incoming
+    * columns append; a common column whose incoming type is strictly
+    * wider (byte→short→int→long, float→double, same-scale decimal
+    * precision growth) widens the STORED type — old files read back
+    * through the widened schema via Parquet's type-promotion support
+    * (SPARK-40876), so no rewrite happens. Anything else keeps the
+    * stored type (incoming casts to it on [[pad]], the historical
+    * behavior — a lossy type change must never corrupt stored data).
+    */
   protected def evolveSchema(cur: StructType, in: StructType): StructType = {
     val known = cur.fieldNames.toSet
-    StructType(cur.fields ++ in.fields.filterNot(f => known(f.name)))
+    val inByName = in.fields.iterator.map(f => f.name -> f).toMap
+    val widened = cur.fields.map { f =>
+      inByName.get(f.name) match {
+        case Some(g) if g.dataType != f.dataType =>
+          CowTable.widerType(f.dataType, g.dataType) match {
+            case Some(w) if w != f.dataType => f.copy(dataType = w)
+            case _ => f
+          }
+        case _ => f
+      }
+    }
+    StructType(widened ++ in.fields.filterNot(f => known(f.name)))
   }
 
   /** Conform a frame to the target schema: order columns, cast to stored
@@ -1902,6 +1922,31 @@ class CowTable(
 
 object CowTable {
   private val ManifestName = "v(\\d+)\\.json".r
+
+  /** The wider of two types when one safely contains the other (see
+    * [[CowTable.evolveSchema]]); None for incompatible pairs. Key,
+    * partition and stats columns stay sound under these widenings: the
+    * v2+ index encoding already routes all integrals through long, and
+    * partition-value strings render identically.
+    */
+  private[table] def widerType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val intOrder: Seq[DataType] =
+      Seq(ByteType, ShortType, IntegerType, LongType)
+    (a, b) match {
+      case _ if a == b => Some(a)
+      case (x, y) if intOrder.contains(x) && intOrder.contains(y) =>
+        Some(if (intOrder.indexOf(x) >= intOrder.indexOf(y)) x else y)
+      case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+        Some(DoubleType)
+      case (x: DecimalType, y: DecimalType) if x.scale == y.scale =>
+        Some(if (x.precision >= y.precision) x else y)
+      case _ => None
+    }
+  }
 
   /** Cheap commit counters from the write's own file listing. */
   private[table] def writeStats(

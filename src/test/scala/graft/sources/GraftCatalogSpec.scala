@@ -113,4 +113,55 @@ class GraftCatalogSpec extends SparkSpec {
     assert(t.asInstanceOf[graft.table.MorTable].realtime()
       .select("v").as[Double].collect().toSeq == Seq(10.0))
   }
+
+  test("CALL procedures drive the table services from SQL") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lake")
+    spark.sql("""CREATE TABLE gcat.lake.svc (id BIGINT, day STRING,
+      v DOUBLE) USING graft PARTITIONED BY (day)
+      TBLPROPERTIES ('keyCols'='id', 'trackCommitVersions'='true')""")
+    spark.sql("INSERT INTO gcat.lake.svc (id, day, v) VALUES " +
+      "(1, '2026-01-01', 1.0), (2, '2026-02-01', 2.0), " +
+      "(3, '2026-03-01', 3.0)")
+
+    // metadata-only TTL drop, result row surfaced to SQL
+    val r = spark.sql("CALL gcat.system.expire_partitions(" +
+      "table => 'lake.svc', column => 'day', older_than => '2026-02-15')")
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("units_dropped" -> 2L), s"got $r")
+    val t = CowTable.open(spark, s"$wh/lake/svc")
+    assert(t.manifest.operation == "drop_partitions")
+    assert(spark.sql("SELECT id FROM gcat.lake.svc")
+      .as[Long].collect().toSeq == Seq(3L))
+
+    // predicate-form drop + maintenance calls run end to end
+    spark.sql(
+      "INSERT INTO gcat.lake.svc (id, day, v) VALUES (4, '2026-04-01', 4.0)")
+    val r2 = spark.sql("CALL gcat.system.drop_partitions(" +
+      "table => 'lake.svc', predicate => \"day = '2026-03-01'\")")
+      .as[(String, Long)].collect().toMap
+    assert(r2 == Map("units_dropped" -> 1L))
+    assert(spark.sql("CALL gcat.system.compact(table => 'lake.svc')")
+      .as[(String, Long)].collect().toMap.keySet == Set("compacted"))
+    assert(spark.sql(
+      "CALL gcat.system.compact_by_size(table => 'lake.svc')")
+      .as[(String, Long)].collect().toMap.keySet == Set("compacted"))
+    assert(spark.sql("CALL gcat.system.vacuum(table => 'lake.svc')")
+      .as[(String, Long)].collect().toMap == Map("orphans_removed" -> 0L))
+    assert(spark.sql("CALL gcat.system.clean(table => 'lake.svc')")
+      .as[(String, Long)].collect().toMap == Map("cleaned" -> 1L))
+    // restore the pre-drop state by version
+    val preDrop = t.manifest.version - 1
+    spark.sql(s"CALL gcat.system.restore(" +
+      s"table => 'lake.svc', version => $preDrop)")
+    assert(spark.sql("SELECT id FROM gcat.lake.svc")
+      .as[Long].collect().toSet == Set(3L, 4L))
+
+    // unknown procedure fails loudly with the known set
+    val ex = intercept[Exception] {
+      spark.sql("CALL gcat.system.nope(table => 'lake.svc')").collect()
+    }
+    assert(ex.getMessage.contains("no such procedure") ||
+      ex.getMessage.contains("nope"), ex.getMessage)
+  }
 }

@@ -298,6 +298,36 @@ class CowTableSpec extends SparkSpec {
     assert(t.snapshot().select("id").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("type widening evolves the stored schema; old files upcast") {
+    import org.apache.spark.sql.types._
+    val t = new CowTable(spark, tmpDir("widen"), keyCols = Seq("id"))
+    t.bulkInsert(Seq(("a", 1, 1.5f), ("b", 2, 2.5f)).toDF("id", "n", "f"))
+    assert(t.manifest.schema("n").dataType == IntegerType)
+    // a batch with wider types: int->long (beyond Int range), float->double
+    t.upsert(Seq(("b", 5000000000L, 2.25), ("c", 3L, 3.25))
+      .toDF("id", "n", "f"))
+    val sch = t.manifest.schema
+    assert(sch("n").dataType == LongType, s"int widens to long: $sch")
+    assert(sch("f").dataType == DoubleType, s"float widens to double: $sch")
+    // OLD files (written as int/float) read back through the widened
+    // schema — no rewrite happened, Parquet promotes at scan
+    val got = t.snapshot().select("id", "n", "f")
+      .as[(String, Long, Double)].collect()
+      .map { case (i, n, f) => i -> ((n, f)) }.toMap
+    assert(got == Map("a" -> ((1L, 1.5)), "b" -> ((5000000000L, 2.25)),
+      "c" -> ((3L, 3.25))), s"got $got")
+    // a NARROWER batch does not un-widen; values upcast on pad
+    t.upsert(Seq(("d", 4, 4.5f)).toDF("id", "n", "f"))
+    assert(t.manifest.schema("n").dataType == LongType)
+    assert(t.snapshot().filter($"id" === "d").select("n")
+      .as[Long].head() == 4L)
+    // an incompatible type change keeps the stored type (cast semantics)
+    t.upsert(Seq(("e", "7", "9.5")).toDF("id", "n", "f"))
+    assert(t.manifest.schema("n").dataType == LongType)
+    assert(t.snapshot().filter($"id" === "e").select("n", "f")
+      .as[(Long, Double)].head() == ((7L, 9.5)))
+  }
+
   test("open() restores creation-time config from the manifest props") {
     val dir = tmpDir("cow-open")
     val t = new CowTable(spark, dir, keyCols = Seq("id"),
