@@ -355,6 +355,52 @@ object QueryCatalog {
            |WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')"""
       .stripMargin))
 
+  /** Schema-evolution DDL end-to-end: a catalog table takes `ALTER TABLE
+    * ADD COLUMNS` and a safe `ALTER COLUMN ... TYPE` widening as
+    * METADATA-ONLY commits (no data file read or written at any table
+    * size), then mixes pre-DDL files (int32 pages, no `seg` column) with
+    * post-DDL files (int64, `seg` present) under the one widened schema.
+    * The oracle reconstructs the same final state row-level in DuckDB, so
+    * a green row certifies parquet type promotion + null-fill read-back —
+    * the contract that makes DDL free at 100 TB.
+    */
+  private val alterTableSql = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer")
+      val wh = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-alter-wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gq_alter", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq_alter.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq_alter.q")
+      // catalog instances cache their warehouse per session: unique TABLE
+      // names keep bench reps independent under the one warehouse
+      val tbl =
+        s"gq_alter.q.at_${java.util.UUID.randomUUID.toString.take(8)}"
+      s.sql(s"""CREATE TABLE $tbl (c_custkey BIGINT, n INT)
+        USING graft TBLPROPERTIES ('keyCols'='c_custkey')""")
+      cust.filter(col("c_custkey") <= 900)
+        .select(col("c_custkey"), col("c_nationkey").cast("int").as("n"))
+        .createOrReplaceTempView("gq_alter_base")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM gq_alter_base")
+      s.sql(s"ALTER TABLE $tbl ADD COLUMNS (seg STRING)")
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN n TYPE BIGINT")
+      cust.filter(col("c_custkey").between(901, 1000))
+        .select(col("c_custkey"),
+          (col("c_nationkey").cast("long") + 100L).as("n"),
+          col("c_mktsegment").as("seg"))
+        .createOrReplaceTempView("gq_alter_new")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM gq_alter_new")
+      s.sql(s"SELECT c_custkey, n, seg FROM $tbl")
+    },
+    Some("""SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS n,
+           |       CAST(NULL AS VARCHAR) AS seg
+           |FROM customer WHERE c_custkey <= 900
+           |UNION ALL
+           |SELECT c_custkey, CAST(c_nationkey AS BIGINT) + 100 AS n,
+           |       c_mktsegment AS seg
+           |FROM customer WHERE c_custkey BETWEEN 901 AND 1000"""
+      .stripMargin))
+
   /** Incrementally maintained join view end-to-end: REAL source tables
     * (orders-shaped fact A, customer-shaped dim B, both commit-stamped),
     * seeded, then churned on BOTH sides — fk-changing upserts and deletes
@@ -2707,6 +2753,7 @@ object QueryCatalog {
     "merge_into_sql" -> mergeIntoSql,
     "change_feed" -> changeFeedQ,
     "drop_partition_sql" -> dropPartitionSql,
+    "alter_table_sql" -> alterTableSql,
     "maintained_join" -> maintainedJoinQ,
     "maintained_join_mor" -> maintainedJoinMorQ,
     "maintained_agg" -> maintainedAggQ,

@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.catalog.{
   SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.table.{CowTable, MorTable}
@@ -41,9 +42,12 @@ import graft.table.{CowTable, MorTable}
   * `partitionCols` (or `PARTITIONED BY` identity transforms),
   * `precombineField`, `storageType` ('cow' | 'mor'),
   * `trackCommitVersions`, `numBuckets`, `fileIndexEntries`, `statsCols`.
-  * Time travel maps `VERSION AS OF v` onto the retained commit timeline.
-  * Schema changes ride the table format's additive evolution on write;
-  * ALTER TABLE DDL is intentionally unsupported (loudly).
+  * Time travel maps `VERSION AS OF v` onto the retained commit timeline
+  * and `TIMESTAMP AS OF t` onto manifest commit times (newest commit at
+  * or before t). Schema changes ride the table format's additive
+  * evolution on write, plus explicit `ALTER TABLE ADD COLUMNS` /
+  * `ALTER COLUMN ... TYPE` safe widening as metadata-only commits;
+  * lossy DDL (DROP/RENAME COLUMN) is intentionally unsupported (loudly).
   *
   * MOR tables serve the READ-OPTIMIZED view through SQL (Hudi `_ro`
   * semantics, same contract as the path source): log appends become
@@ -109,6 +113,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       CaseInsensitiveStringMap.empty(), acceptAnySchema = false)
   }
 
+  /** SQL time travel: `TIMESTAMP AS OF t` — newest retained commit at or
+    * before `t` (Spark hands the resolved timestamp in MICROseconds).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val base = tablePath(ident).toString
+    if (!CowTable.existsAt(spark, base)) throw new NoSuchTableException(ident)
+    val v = CowTable.open(spark, base)
+      .versionAtTimestamp(Math.floorDiv(timestamp, 1000L))
+    GraftDataSource.tableFor(spark, base,
+      CowTable.openManifest(spark, base, Some(v)),
+      CaseInsensitiveStringMap.empty(), acceptAnySchema = false)
+  }
+
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val props = info.properties().asScala
@@ -154,10 +171,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** `ALTER TABLE`: exactly the table format's metadata-only evolutions —
+    * `ADD COLUMNS` (nullable, appended) and `ALTER COLUMN ... TYPE`
+    * (safe widening) — applied as ONE schema commit
+    * ([[graft.table.CowTable.alterSchema]]; no data IO at any table
+    * size). Everything else (DROP/RENAME COLUMN, repositioning,
+    * nullability changes) fails loudly: without per-column IDs in the
+    * data files those need a full rewrite, and silently rewriting
+    * 100 TB behind a DDL statement is the wrong default.
+    */
   override def alterTable(
-      ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft tables evolve additively on write; ALTER TABLE is unsupported")
+      ident: Identifier, changes: TableChange*): Table = {
+    val base = tablePath(ident).toString
+    if (!CowTable.existsAt(spark, base)) throw new NoSuchTableException(ident)
+    def top(names: Array[String], what: String): String = {
+      if (names.length != 1) throw new UnsupportedOperationException(
+        s"ALTER TABLE: nested $what (${names.mkString(".")}) is unsupported")
+      names(0)
+    }
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      if (a.position() != null) throw new UnsupportedOperationException(
+        "ALTER TABLE ADD COLUMNS: FIRST/AFTER positions are unsupported " +
+          "(columns append; stored files carry no column ids to remap)")
+      val meta = Option(a.comment()).map(c =>
+        new MetadataBuilder().putString("comment", c).build())
+        .getOrElse(Metadata.empty)
+      StructField(top(a.fieldNames(), "column add"), a.dataType(),
+        nullable = a.isNullable, metadata = meta)
+    }
+    val widens = changes.collect { case u: TableChange.UpdateColumnType =>
+      top(u.fieldNames(), "column type change") -> u.newDataType()
+    }
+    val rest = changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn]
+      || c.isInstanceOf[TableChange.UpdateColumnType])
+    if (rest.nonEmpty) throw new UnsupportedOperationException(
+      "graft ALTER TABLE supports ADD COLUMNS and safe type widening " +
+        s"only; got: ${rest.map(_.getClass.getSimpleName).mkString(", ")}")
+    if (adds.nonEmpty || widens.nonEmpty)
+      CowTable.open(spark, base).alterSchema(adds, widens)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)

@@ -31,6 +31,7 @@ import graft.table.{CowTable, MorTable}
   *   CALL graft.system.restore(table => 'lake.users', version => 3);
   *   CALL graft.system.clean(table => 'lake.users');
   *   CALL graft.system.vacuum(table => 'lake.users');
+  *   CALL graft.system.history(table => 'lake.users', limit => 10);
   * }}}
   *
   * Each call returns one (metric, value) result set summarizing what the
@@ -46,7 +47,13 @@ private[sources] object GraftProcedures {
       name: String,
       description: String,
       params: Seq[(String, DataType, Option[String])],
-      run: (CowTable, InternalRow) => Seq[(String, Long)])
+      run: (CowTable, InternalRow) => Seq[(String, Long)],
+      /** Procedures whose natural result is a TABLE, not a metric list
+        * (e.g. `history`): when set, overrides `run` with an explicit
+        * (schema, rows) result scan.
+        */
+      runTable: Option[(CowTable, InternalRow) =>
+        (StructType, Array[InternalRow])] = None)
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
 
@@ -102,7 +109,36 @@ private[sources] object GraftProcedures {
     Spec("vacuum",
       "reclaim crashed/aborted commit debris (no writer may be inflight)",
       Seq(("table", StringType, None)),
-      (t, _) => Seq("orphans_removed" -> t.vacuumOrphans().size.toLong)))
+      (t, _) => Seq("orphans_removed" -> t.vacuumOrphans().size.toLong)),
+    Spec("history",
+      "the retained commit timeline, newest first (DESCRIBE HISTORY)",
+      Seq(("table", StringType, None),
+        ("limit", IntegerType, Some("100"))),
+      (_, _) => Nil,
+      runTable = Some { (t, in) =>
+        val schema = StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("commit_time", TimestampType, nullable = true),
+          StructField("operation", StringType, nullable = false),
+          StructField("files", LongType, nullable = false),
+          StructField("units", LongType, nullable = false),
+          StructField("metrics", StringType, nullable = false)))
+        val rows = t.history()
+          .select("version", "commit_time", "operation", "files", "units",
+            "metrics")
+          .limit(in.getInt(1)).collect().map { r =>
+          new GenericInternalRow(Array[Any](
+            r.getLong(0),
+            if (r.isNullAt(1)) null
+            else r.getTimestamp(1).getTime * 1000L,
+            UTF8String.fromString(r.getString(2)),
+            r.getLong(3), r.getLong(4),
+            UTF8String.fromString(r.getMap[String, Long](5).toSeq
+              .sortBy(_._1).map { case (k, v) => s"$k=$v" }
+              .mkString(", ")))): InternalRow
+        }
+        (schema, rows)
+      }))
 
   def names: Seq[String] = specs.map(_.name)
 
@@ -135,14 +171,18 @@ private[sources] final class GraftProcedure(
 
   override def call(input: InternalRow): JIterator[Scan] = {
     val t = resolve(input.getUTF8String(0).toString)
-    val out = spec.run(t, input)
-    val schema = StructType(Seq(
-      StructField("metric", StringType, nullable = false),
-      StructField("value", LongType, nullable = false)))
-    val rows = out.map { case (k, v) =>
-      new GenericInternalRow(
-        Array[Any](UTF8String.fromString(k), v)): InternalRow
-    }.toArray
+    val (schema, rows) = spec.runTable match {
+      case Some(f) => f(t, input)
+      case None =>
+        val out = spec.run(t, input)
+        (StructType(Seq(
+          StructField("metric", StringType, nullable = false),
+          StructField("value", LongType, nullable = false))),
+          out.map { case (k, v) =>
+            new GenericInternalRow(
+              Array[Any](UTF8String.fromString(k), v)): InternalRow
+          }.toArray)
+    }
     Collections.singletonList[Scan](
       GraftProcedureResult(schema, rows)).iterator()
   }

@@ -6,7 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, NumericType, StructType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, NumericType, StructField, StructType, TimestampType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -102,7 +102,14 @@ final case class Manifest(
       * 100-TB retention drop costs one manifest write, not a scan. Entries
       * age out with retention, exactly like [[tombstones]].
       */
-    drops: Map[String, DropRecord] = Map.empty) {
+    drops: Map[String, DropRecord] = Map.empty,
+    /** Wall-clock commit time (epoch ms), stamped at publish — drives
+      * `TIMESTAMP AS OF` time travel. 0 on pre-round-8 manifests (those
+      * versions sort before any real timestamp, so timestamp travel on an
+      * upgraded table resolves them only for timestamps predating the
+      * first stamped commit).
+      */
+    commitTimeMs: Long = 0L) {
   def schema: StructType =
     org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
@@ -302,6 +309,24 @@ class CowTable(
         s"version $v is not retained at $basePath " +
           s"(cleaner keeps the latest $keepCommits commits)")
     readManifestFile(fs, p)
+  }
+
+  /** Newest retained version whose commit time is at or before `tsMs`
+    * (epoch ms) — the `TIMESTAMP AS OF` resolution rule (Delta/Iceberg
+    * semantics: latest commit not after the requested time). Pre-stamp
+    * manifests (commitTimeMs = 0) sort before any real timestamp. Errors
+    * when the timestamp predates every retained commit: resolving it to
+    * the oldest retained version would silently misreport a state the
+    * retention window no longer holds.
+    */
+  def versionAtTimestamp(tsMs: Long): Long = {
+    val vs = listVersions(fs, commitsDir).sorted
+    require(vs.nonEmpty, s"table does not exist at $basePath")
+    val at = vs.reverseIterator.find(v => manifestAt(v).commitTimeMs <= tsMs)
+    at.getOrElse(throw new IllegalArgumentException(
+      s"timestamp $tsMs predates the earliest retained commit at " +
+        s"$basePath (cleaner keeps the latest $keepCommits commits; " +
+        s"earliest retained commit time: ${manifestAt(vs.min).commitTimeMs})"))
   }
 
   /** Current snapshot as a DataFrame (Hudi snapshot query equivalent). */
@@ -1244,6 +1269,73 @@ class CowTable(
     StructType(widened ++ in.fields.filterNot(f => known(f.name)))
   }
 
+  /** Metadata-only DDL commit (SQL `ALTER TABLE`): append nullable
+    * columns and/or widen existing column types, in ONE commit. No data
+    * file is read or written at any table size — stored rows read back
+    * null-filled for added columns (parquet missing-column semantics) and
+    * through Parquet type promotion for widened ones (SPARK-40876), the
+    * same mechanics [[evolveSchema]] uses on write. Checked loudly:
+    * added columns must be nullable (stored rows HAVE no value for them)
+    * and must not collide case-insensitively with existing or reserved
+    * (`_graft*`) names; widenings must be safe per [[CowTable.widerType]]
+    * (byte→short→int→long, float→double, same-scale decimal precision
+    * growth); key, partition and precombine columns never change type
+    * (bucket routing and the record-key index encode their exact types).
+    * Widened stats columns KEEP pruning: every permitted widening
+    * preserves the stats-string encoding byte-for-byte (integrals encode
+    * through long, float→double is value-exact under the sign-flip,
+    * same-scale decimals ride the same unscaled long) — except decimals
+    * widened past 18 digits, which leave the order-preserving class and
+    * simply stop pruning (the superset contract holds either way).
+    */
+  def alterSchema(
+      addCols: Seq[StructField] = Nil,
+      widenCols: Seq[(String, DataType)] = Nil): Unit = {
+    require(addCols.nonEmpty || widenCols.nonEmpty,
+      "alterSchema: nothing to change")
+    val m = manifest
+    val cur = m.schema
+    val byLower = cur.fields.iterator.map(f => f.name.toLowerCase -> f).toMap
+    val fixed = (m.keyCols ++ m.partitionCols ++
+      Option(m.precombineField).filter(_.nonEmpty))
+      .map(_.toLowerCase).toSet
+    addCols.foreach { f =>
+      require(f.nullable,
+        s"ALTER TABLE ADD COLUMNS: ${f.name} must be nullable — " +
+          "stored rows have no value for it")
+      require(!f.name.toLowerCase.startsWith("_graft"),
+        s"ALTER TABLE: ${f.name} is a reserved graft name")
+      require(!byLower.contains(f.name.toLowerCase),
+        s"ALTER TABLE: column ${f.name} already exists")
+    }
+    val added = addCols.map(_.name.toLowerCase)
+    require(added.distinct.size == added.size,
+      s"ALTER TABLE: duplicate added column among ${addCols.map(_.name)}")
+    val widened = widenCols.foldLeft(cur.fields.toSeq) {
+      case (fields, (n, to)) =>
+        val f = byLower.getOrElse(n.toLowerCase,
+          throw new IllegalArgumentException(
+            s"ALTER TABLE: no such column $n"))
+        require(!fixed.contains(f.name.toLowerCase),
+          s"ALTER TABLE: $n is a key/partition/precombine column; its " +
+            "type is fixed (bucket routing and the record-key index " +
+            "encode its exact type)")
+        require(
+          CowTable.widerType(f.dataType, to).contains(to) &&
+            to != f.dataType,
+          s"ALTER TABLE: ${f.dataType.simpleString} -> ${to.simpleString} " +
+            s"for $n is not a safe widening (byte→short→int→long, " +
+            "float→double, same-scale decimal precision growth)")
+        fields.map(g => if (g.name == f.name) g.copy(dataType = to) else g)
+    }
+    writeManifest(m.copy(version = m.version + 1,
+      schemaJson = StructType(widened ++ addCols).json,
+      operation = "alter_schema",
+      metrics = Map(
+        "columns_added" -> addCols.size.toLong,
+        "columns_widened" -> widenCols.size.toLong)))
+  }
+
   /** Conform a frame to the target schema: order columns, cast to stored
     * types, null-fill columns the frame lacks (absent payload columns in
     * delete batches; newly evolved columns in old snapshots).
@@ -1421,7 +1513,8 @@ class CowTable(
     // and m.copy in the write paths would otherwise carry those defaults
     // forever — the first write through the correct class heals the record
     val stamped0 = m0.copy(storageType = storageTypeName,
-      props = Some(currentProps))
+      props = Some(currentProps),
+      commitTimeMs = System.currentTimeMillis)
     // tombstone and drop records age out with retention — entries older
     // than the window can no longer anchor a replayable change feed anyway
     def inWindow(vs: String): Boolean =
@@ -1857,25 +1950,28 @@ class CowTable(
     }.map { p => fs.delete(p, true); p.getName }
   }
 
-  /** Commit timeline as a DataFrame (Hudi's `show commits` analog): one
-    * row per RETAINED version with its operation and write metrics.
-    * Reads only the manifest JSONs — bounded by `keepCommits`, never data.
+  /** Commit timeline as a DataFrame, NEWEST FIRST (`DESCRIBE HISTORY` /
+    * Hudi's `show commits` analog): one row per RETAINED version with its
+    * wall-clock commit time, the operation that produced it, live
+    * file/unit counts and the commit's recorded write metrics. Reads only
+    * the manifest JSONs — bounded by `keepCommits`, never data; the same
+    * cost at 100 TB as at 100 rows.
     */
   def history(): DataFrame = {
     import spark.implicits._
     // flatMap + re-check: a concurrent writer's clean() may drop the
     // oldest manifest between the listing and the read — skip vanished
     // versions instead of failing the whole timeline query
-    listVersions(fs, commitsDir).sorted.flatMap { v =>
-      scala.util.Try(manifestAt(v)).toOption
+    listVersions(fs, commitsDir).sorted(Ordering[Long].reverse).flatMap {
+      v => scala.util.Try(manifestAt(v)).toOption
     }.map { m =>
-      (m.version, m.operation,
-        m.metrics.getOrElse("files_added", 0L),
-        m.metrics.getOrElse("units_written", 0L),
-        m.metrics.getOrElse("units_rewritten", 0L),
-        m.deltaCommits, m.lastCompaction)
-    }.toDF("version", "operation", "files_added", "units_written",
-      "units_rewritten", "delta_commits", "last_compaction")
+      (m.version,
+        if (m.commitTimeMs > 0) Some(new java.sql.Timestamp(m.commitTimeMs))
+        else None,
+        m.operation, m.files.size.toLong, m.partitions.size.toLong,
+        m.deltaCommits, m.lastCompaction, m.metrics)
+    }.toDF("version", "commit_time", "operation", "files", "units",
+      "delta_commits", "last_compaction", "metrics")
   }
 
   /** K6 — catalog integration: expose the current snapshot as a temp view
@@ -2420,6 +2516,9 @@ object CowTable {
       }.toList),
       "storageType" -> JString(m.storageType),
       "keyEncoding" -> JInt(m.keyEncoding),
+      // json4s drops JNothing pairs at render: pre-stamp copies stay as-is
+      "commitTimeMs" -> (if (m.commitTimeMs > 0) JInt(m.commitTimeMs)
+        else JNothing),
       "tombstones" -> listing(m.tombstones),
       // json4s drops JNothing pairs at render: pre-drops copies stay as-is
       "drops" -> (if (m.drops.isEmpty) JNothing
@@ -2501,6 +2600,7 @@ object CowTable {
       storageType = (j \ "storageType") match {
         case JString(s) => s; case _ => "cow" }, // pre-round-6 manifests
       keyEncoding = long(j \ "keyEncoding", 1L), // legacy = plain strings
+      commitTimeMs = long(j \ "commitTimeMs", 0L),
       tombstones = files(j \ "tombstones"),
       drops = (j \ "drops") match {
         case JObject(ds) => ListMap(ds.map { case (v, o) =>

@@ -1,0 +1,185 @@
+package graft.sources
+
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.SparkSpec
+import graft.table.CowTable
+
+/** SQL `ALTER TABLE` (metadata-only schema commits) and `TIMESTAMP AS OF`
+  * time travel through the graft catalog.
+  */
+class AlterTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh = tmpDir("alter-wh")
+  private def init(): Unit = {
+    spark.conf.set("spark.sql.catalog.acat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.acat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS acat.lake")
+  }
+
+  test("ADD COLUMNS null-fills stored rows; new writes carry the column") {
+    init()
+    spark.sql("""CREATE TABLE acat.lake.ac (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('keyCols'='id')""")
+    spark.sql("INSERT INTO acat.lake.ac VALUES (1, 1.0), (2, 2.0)")
+    spark.sql(
+      "ALTER TABLE acat.lake.ac ADD COLUMNS (note STRING, score INT)")
+
+    // stored rows read back null for the added columns — no file rewrite
+    val t = CowTable.open(spark, s"$wh/lake/ac")
+    assert(t.manifest.operation == "alter_schema")
+    assert(t.manifest.metrics.get("files_added").forall(_ == 0L))
+    val before = spark.sql(
+      "SELECT id, note, score FROM acat.lake.ac ORDER BY id")
+      .as[(Long, Option[String], Option[Int])].collect()
+    assert(before.toSeq == Seq((1L, None, None), (2L, None, None)))
+
+    spark.sql(
+      "INSERT INTO acat.lake.ac VALUES (3, 3.0, 'hi', 7)")
+    val got = spark.sql(
+      "SELECT id, v, note, score FROM acat.lake.ac ORDER BY id")
+      .as[(Long, Double, Option[String], Option[Int])].collect()
+    assert(got.toSeq == Seq((1L, 1.0, None, None), (2L, 2.0, None, None),
+      (3L, 3.0, Some("hi"), Some(7))), got.mkString(", "))
+  }
+
+  test("ALTER COLUMN TYPE widens safely; lossy and keyed changes refuse") {
+    init()
+    spark.sql("""CREATE TABLE acat.lake.wd (id BIGINT, n INT, f FLOAT)
+      USING graft TBLPROPERTIES ('keyCols'='id')""")
+    spark.sql("INSERT INTO acat.lake.wd VALUES (1, 10, CAST(1.5 AS FLOAT))")
+    spark.sql("ALTER TABLE acat.lake.wd ALTER COLUMN n TYPE BIGINT")
+    spark.sql("ALTER TABLE acat.lake.wd ALTER COLUMN f TYPE DOUBLE")
+
+    val t = CowTable.open(spark, s"$wh/lake/wd")
+    val sch = t.manifest.schema
+    assert(sch("n").dataType == LongType && sch("f").dataType == DoubleType)
+    // old int32/float parquet pages read through the widened schema
+    val got = spark.sql("SELECT id, n, f FROM acat.lake.wd")
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 10L, 1.5)))
+    // and new writes mix with old files under one schema
+    spark.sql(
+      "INSERT INTO acat.lake.wd VALUES (2, 9999999999, 2.25)")
+    assert(spark.sql("SELECT sum(n) FROM acat.lake.wd")
+      .as[Long].head() == 10000000009L)
+
+    // narrowing is refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE acat.lake.wd ALTER COLUMN n TYPE INT")
+    }
+    // key column type is fixed
+    intercept[Exception] {
+      spark.sql("ALTER TABLE acat.lake.wd ALTER COLUMN id TYPE DECIMAL(20,0)")
+    }
+    // lossy DDL is refused loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE acat.lake.wd DROP COLUMN f")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE acat.lake.wd RENAME COLUMN f TO g")
+    }
+    // NOT NULL add is refused (stored rows have no value)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE acat.lake.wd ADD COLUMNS (x INT NOT NULL)")
+    }
+    // untouched by the refusals
+    assert(CowTable.open(spark, s"$wh/lake/wd").manifest.schema == sch)
+  }
+
+  test("alterSchema on MOR applies to both read views") {
+    init()
+    spark.sql("""CREATE TABLE acat.lake.am (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('keyCols'='id', 'storageType'='mor',
+        'precombineField'='v')""")
+    spark.sql("INSERT INTO acat.lake.am (id, v) VALUES (1, 1.0)")
+    spark.sql("INSERT INTO acat.lake.am (id, v) VALUES (1, 2.0), (2, 1.0)")
+    spark.sql("ALTER TABLE acat.lake.am ADD COLUMNS (tag STRING)")
+    val t = CowTable.open(spark, s"$wh/lake/am")
+      .asInstanceOf[graft.table.MorTable]
+    assert(t.manifest.schema.fieldNames.contains("tag"))
+    assert(t.realtime().columns.contains("tag"))
+    val rt = t.realtime().selectExpr("id", "v", "tag")
+      .as[(Long, Double, Option[String])].collect().toSet
+    assert(rt == Set((1L, 2.0, None), (2L, 1.0, None)), rt)
+  }
+
+  test("widened stats column keeps pruning with valid bounds") {
+    val dir = tmpDir("alter-stats")
+    val t = new CowTable(spark, dir, keyCols = Seq("id"),
+      partitionCols = Seq("p"),
+      fileIndexEntries = 1 << 20, statsCols = Seq("n"))
+    t.bulkInsert(Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "p", "n"))
+    t.alterSchema(widenCols = Seq("n" -> LongType))
+    // stats recorded as int encode identically to long probes: the
+    // range scan still prunes to the one file (= partition) overlapping
+    // [15, 25] — a pruning regression would surface the n=10 row here
+    val m = CowTable.openManifest(spark, dir)
+    assert(m.schema("n").dataType == LongType)
+    val got = t.snapshotForRange("n", 15L, 25L)
+      .select($"id", $"n".cast("long")).as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((2L, 20L)))
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest commit at or before t") {
+    init()
+    spark.sql("""CREATE TABLE acat.lake.tt (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('keyCols'='id')""")
+    spark.sql("INSERT INTO acat.lake.tt VALUES (1, 1.0)")
+    val t = CowTable.open(spark, s"$wh/lake/tt")
+    val afterV1 = t.manifest.commitTimeMs
+    assert(afterV1 > 0, "commits must stamp wall-clock time")
+    Thread.sleep(15)
+    spark.sql("INSERT INTO acat.lake.tt VALUES (2, 2.0)")
+    val afterV2 = t.manifest.commitTimeMs
+    assert(afterV2 > afterV1)
+
+    def at(ms: Long): Set[Long] = spark.sql(
+      s"SELECT id FROM acat.lake.tt TIMESTAMP AS OF timestamp_millis($ms)")
+      .as[Long].collect().toSet
+    assert(at(afterV1) == Set(1L), "travel to the first commit")
+    assert(at(afterV2) == Set(1L, 2L), "travel to the head commit")
+    assert(at(afterV2 + 60000) == Set(1L, 2L), "future = head")
+    // predating every retained commit errors rather than misreporting
+    intercept[Exception] { at(afterV1 - 10000) }
+    // version travel still works alongside (v1 = CREATE TABLE, empty)
+    assert(spark.sql("SELECT id FROM acat.lake.tt VERSION AS OF 2")
+      .as[Long].collect().toSet == Set(1L))
+  }
+
+  test("CALL system.history returns the timeline through SQL") {
+    init()
+    spark.sql("""CREATE TABLE acat.lake.h (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('keyCols'='id')""")
+    spark.sql("INSERT INTO acat.lake.h VALUES (1, 1.0)")
+    spark.sql("ALTER TABLE acat.lake.h ADD COLUMNS (tag STRING)")
+    val h = spark.sql("CALL acat.system.history(table => 'lake.h')")
+      .collect()
+    assert(h.length == 3, h.mkString(", "))
+    assert(h.head.getLong(0) == 3L &&
+      h.head.getString(2) == "alter_schema", h.head.toString)
+    assert(h.last.getString(2) == "create")
+    assert(h.forall(!_.isNullAt(1)), "commit_time stamped on every row")
+    assert(h.head.getString(5).contains("columns_added=1"),
+      s"metrics rendered: ${h.head.getString(5)}")
+    val limited = spark.sql(
+      "CALL acat.system.history(table => 'lake.h', limit => 1)").collect()
+    assert(limited.length == 1 && limited.head.getLong(0) == 3L)
+  }
+
+  test("versionAtTimestamp walks the retained timeline") {
+    val dir = tmpDir("alter-ts")
+    val t = new CowTable(spark, dir, keyCols = Seq("id"))
+    t.bulkInsert(Seq((1L, "a")).toDF("id", "s"))
+    val t1 = t.manifest.commitTimeMs
+    Thread.sleep(15)
+    t.upsert(Seq((2L, "b")).toDF("id", "s"))
+    assert(t.versionAtTimestamp(t1) == 1L)
+    assert(t.versionAtTimestamp(System.currentTimeMillis) ==
+      t.manifest.version)
+    assert(t.snapshotAt(t.versionAtTimestamp(t1)).count() == 1L)
+    intercept[IllegalArgumentException] { t.versionAtTimestamp(t1 - 5000) }
+  }
+}

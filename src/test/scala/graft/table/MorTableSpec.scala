@@ -48,8 +48,8 @@ class MorTableSpec extends SparkSpec {
     // and reads back as the timeline DataFrame
     val hist = t.history().select("version", "operation")
       .as[(Long, String)].collect().toSeq
-    assert(hist == Seq((1L, "bulk_insert"), (2L, "log_upsert"),
-      (3L, "log_delete"), (4L, "log_compaction")))
+    assert(hist == Seq((4L, "log_compaction"), (3L, "log_delete"),
+      (2L, "log_upsert"), (1L, "bulk_insert")), s"newest first: $hist")
   }
 
   test("upsert/delete append logs; _ro stays stale, _rt merges") {

@@ -226,4 +226,22 @@ class TableServicesSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap ==
       Map("a" -> 1.0, "b" -> 2.0), "read-optimized view back to v1 base")
   }
+
+  test("history lists the retained timeline newest first with times") {
+    val t = new CowTable(spark, tmpDir("svc-hist"), keyCols = Seq("id"))
+    t.bulkInsert(Seq(("a", 1.0)).toDF("id", "v"))                  // v1
+    t.upsert(Seq(("b", 2.0)).toDF("id", "v"))                      // v2
+    t.delete(Seq(("a", 0.0)).toDF("id", "v"))                      // v3
+    val h = t.history()
+      .select("version", "operation", "files")
+      .as[(Long, String, Long)].collect()
+    assert(h.map(_._1).toSeq == Seq(3L, 2L, 1L), h.mkString(", "))
+    assert(h.map(_._2).toSeq == Seq("delete", "upsert", "bulk_insert"),
+      s"operations: ${h.mkString(", ")}")
+    val times = t.history().select("commit_time")
+      .collect().map(_.getTimestamp(0))
+    assert(times.forall(_ != null) &&
+      times.zip(times.tail).forall { case (a, b) => !a.before(b) },
+      s"commit times must be non-increasing newest-first: ${times.toSeq}")
+  }
 }
