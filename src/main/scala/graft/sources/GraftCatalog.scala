@@ -157,7 +157,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           numBuckets = prop("numBuckets").map(_.toInt).getOrElse(0),
           fileIndexEntries =
             prop("fileIndexEntries").map(_.toInt).getOrElse(0),
-          statsCols = propList("statsCols"))
+          statsCols = propList("statsCols"),
+          bloomCols = propList("bloomCols"))
       else
         new CowTable(spark, base, keyCols, partitionCols,
           prop("precombineField").getOrElse(""),
@@ -166,7 +167,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             prop("trackCommitVersions").exists(_.toBoolean),
           fileIndexEntries =
             prop("fileIndexEntries").map(_.toInt).getOrElse(0),
-          statsCols = propList("statsCols"))
+          statsCols = propList("statsCols"),
+          bloomCols = propList("bloomCols"))
     t.createEmpty(info.schema())
     loadTable(ident)
   }

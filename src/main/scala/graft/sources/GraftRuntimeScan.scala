@@ -147,7 +147,7 @@ final class GraftRuntimeScan(
     val hasStats = m.fileStats.valuesIterator
       .exists(_.colStats.contains(column))
     if (hasStats && m.schema.fieldNames.contains(column)) {
-      val live = CowTable.filesForValues(spark, m, column, values).toSet
+      val live = CowTable.filesForValues(spark, m, column, values, base).toSet
       keep = keep.filter(live)
     } else if (indexedKeyCol(column)) {
       // key-index (range + sidecar bloom) path only when the column has

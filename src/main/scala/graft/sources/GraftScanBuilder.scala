@@ -172,7 +172,7 @@ private[sources] class GraftScanBuilder(
         files.filter(keep)
     }
     valueSets(conjuncts).foldLeft(ranged) { case (files, (column, vals)) =>
-      val keep = CowTable.filesForValues(spark, m, column, vals).toSet
+      val keep = CowTable.filesForValues(spark, m, column, vals, base).toSet
       files.filter(keep)
     }
   }

@@ -172,7 +172,8 @@ final case class TableProps(
     trackCommitVersions: Boolean = false,
     fileIndexEntries: Int = 0,
     statsCols: Seq[String] = Nil,
-    compactEvery: Int = 20)
+    compactEvery: Int = 20,
+    bloomCols: Seq[String] = Nil)
 
 final case class FileStat(keyMin: String, keyMax: String, bloomRef: String,
     /** Optional per-column [min, max] (encoded order-preserving strings)
@@ -193,7 +194,15 @@ final case class FileStat(keyMin: String, keyMax: String, bloomRef: String,
       * then. At scale this is what lets size-based maintenance plan from
       * the manifest alone, with zero object-store LIST/HEAD calls.
       */
-    bytes: Long = -1L)
+    bytes: Long = -1L,
+    /** Sidecar bloom refs for the table's `bloomCols` (column →
+      * basePath-relative path, `<file>.<col>.bloom`): equality/IN
+      * skipping on high-cardinality NON-clustered columns, where
+      * [min, max] ranges span everything and prune nothing (the Hudi
+      * metadata-bloom / Delta bloom-filter-index analog). Loaded
+      * lazily, only for files that already passed the range phase.
+      */
+    colBloomRefs: Map[String, String] = Map.empty)
 
 /** A keyed, partitioned, mutable table over plain Parquet — the native
   * re-implementation of the subset of Hudi copy-on-write semantics the
@@ -260,7 +269,16 @@ class CowTable(
       * [[snapshotForRange]] file-level data skipping. Only effective with
       * `fileIndexEntries > 0` (the stats ride the same index pass).
       */
-    val statsCols: Seq[String] = Nil) {
+    val statsCols: Seq[String] = Nil,
+    /** `statsCols` members to ALSO build per-file sidecar BLOOMS for:
+      * equality/IN probes on a high-cardinality column that is NOT
+      * clustered (every file's [min, max] spans ~everything, so range
+      * stats prune nothing) skip files through the bloom instead — the
+      * Hudi metadata-bloom / Delta bloom-filter-index analog. Blooms
+      * ride the same index pass, sized to each file's actual row count,
+      * and load lazily only for range-phase survivors.
+      */
+    val bloomCols: Seq[String] = Nil) {
 
   import CowTable._
 
@@ -610,7 +628,8 @@ class CowTable(
     trackCommitVersions = trackCommitVersions,
     fileIndexEntries = fileIndexEntries,
     statsCols = statsCols,
-    compactEvery = inlineCompactEvery)
+    compactEvery = inlineCompactEvery,
+    bloomCols = bloomCols)
 
   /** Full-replace commit (`SaveMode.Overwrite` through the source API):
     * the new data's files become the ENTIRE base listing; on MOR any
@@ -1127,6 +1146,10 @@ class CowTable(
       .as[(String, Long)].collect().toMap
     val bCounts = spark.sparkContext.broadcast(counts)
     val nStats = liveStats.size
+    // bloomCols ride the same pass: indices into the liveStats array of
+    // the columns that also get a per-file sidecar bloom
+    val bloomIdx = bloomCols.filter(liveStats.contains)
+      .map(liveStats.indexOf).toArray
     val collected = df
       .select(col("f"), col("k"),
         array(liveStats.map(c => col(s"__st_$c")): _*).as("st"))
@@ -1135,6 +1158,9 @@ class CowTable(
         val expected = math.max(bCounts.value.getOrElse(f, floor), floor)
         val bloom = org.apache.spark.util.sketch.BloomFilter
           .create(expected, CowTable.FileIndexFpp)
+        val colBlooms = bloomIdx.map(_ =>
+          org.apache.spark.util.sketch.BloomFilter
+            .create(expected, CowTable.FileIndexFpp))
         var mn: String = null
         var mx: String = null
         var nRows = 0L
@@ -1154,29 +1180,49 @@ class CowTable(
             }
             i += 1
           }
+          var j = 0
+          while (j < bloomIdx.length) {
+            val v = st(bloomIdx(j)) // nulls stay out, like the range
+            if (v != null) colBlooms(j).putString(v)
+            j += 1
+          }
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        bloom.writeTo(bos)
-        (f, mn, mx, bos.toByteArray, smn.toSeq, smx.toSeq, nRows)
+        def bytesOf(b: org.apache.spark.util.sketch.BloomFilter) = {
+          val bos = new java.io.ByteArrayOutputStream()
+          b.writeTo(bos)
+          bos.toByteArray
+        }
+        (f, mn, mx, bytesOf(bloom), smn.toSeq, smx.toSeq, nRows,
+          colBlooms.map(bytesOf).toSeq)
       }.collect()
     // Sidecars live INSIDE the commit's data dir (`<file>.bloom` next to
     // its parquet), so cleaner/vacuum lifecycle covers them for free and
     // data reads (explicit .parquet lists) never see them. Bytes through
     // the driver are bounded by the files THIS COMMIT wrote.
     val base = new Path(basePath).toUri.getPath.stripSuffix("/")
-    collected.iterator.map { case (f, mn, mx, bytes, smn, smx, nRows) =>
+    val bloomColNames = bloomIdx.map(liveStats(_))
+    collected.iterator.map {
+      case (f, mn, mx, bytes, smn, smx, nRows, cbBytes) =>
       val p = new Path(f).toUri.getPath
       val relPath =
         if (p.startsWith(base + "/")) p.substring(base.length + 1) else p
       val ref = relPath + ".bloom"
       val out = fs.create(new Path(basePath, ref), true)
       try out.write(bytes) finally out.close()
+      val cbRefs = bloomColNames.iterator.zip(cbBytes.iterator).map {
+        case (c, cb) =>
+          val r = s"$relPath.$c.bloom"
+          val o = fs.create(new Path(basePath, r), true)
+          try o.write(cb) finally o.close()
+          c -> r
+      }.toMap
       val cs = liveStats.zipWithIndex.collect {
         case (c, i) if smn(i) != null => c -> Seq(smn(i), smx(i))
       }.toMap
       val fileBytes = scala.util.Try(
         fs.getFileStatus(new Path(basePath, relPath)).getLen).getOrElse(-1L)
-      relPath -> FileStat(mn, mx, ref, cs, rows = nRows, bytes = fileBytes)
+      relPath -> FileStat(mn, mx, ref, cs, rows = nRows, bytes = fileBytes,
+        colBloomRefs = cbRefs)
     }.toMap
   }
 
@@ -1204,7 +1250,8 @@ class CowTable(
     */
   def snapshotForValues(column: String, values: Seq[Any]): DataFrame = {
     val m = manifest
-    readFiles(m, CowTable.filesForValues(spark, m, column, values))
+    readFiles(m,
+      CowTable.filesForValues(spark, m, column, values, basePath))
   }
 
   /** Metadata-only EXACT `count(*)`: the sum of the per-file row counts
@@ -1237,7 +1284,8 @@ class CowTable(
   def snapshotForValuesAt(
       version: Long, column: String, values: Seq[Any]): DataFrame = {
     val m = manifestAt(version)
-    readFiles(m, CowTable.filesForValues(spark, m, column, values))
+    readFiles(m,
+      CowTable.filesForValues(spark, m, column, values, basePath))
   }
 
   /** Additive schema evolution (Hudi-style): columns new in the batch are
@@ -2109,13 +2157,15 @@ object CowTable {
         m.precombineField, keepCommits = p.keepCommits,
         numBuckets = p.numBuckets, clusterCols = p.clusterCols,
         compactEvery = p.compactEvery,
-        fileIndexEntries = p.fileIndexEntries, statsCols = p.statsCols)
+        fileIndexEntries = p.fileIndexEntries, statsCols = p.statsCols,
+        bloomCols = p.bloomCols)
     else
       new CowTable(spark, basePath, m.keyCols, m.partitionCols,
         m.precombineField, keepCommits = p.keepCommits,
         numBuckets = p.numBuckets, clusterCols = p.clusterCols,
         trackCommitVersions = p.trackCommitVersions,
-        fileIndexEntries = p.fileIndexEntries, statsCols = p.statsCols)
+        fileIndexEntries = p.fileIndexEntries, statsCols = p.statsCols,
+        bloomCols = p.bloomCols)
   }
 
   /** Best-effort config reconstruction for PRE-round-7 manifests (no
@@ -2375,25 +2425,45 @@ object CowTable {
     * it — null-safe probes must see every file).
     */
   def filesForValues(spark: SparkSession, m: Manifest, column: String,
-      values: Seq[Any]): Seq[String] = {
+      values: Seq[Any], basePath: String = null): Seq[String] = {
     if (values.isEmpty) return Nil
     if (values.exists(_ == null)) return m.baseFiles
     val dt = m.schema(column).dataType
     if (!orderPreservingStats(dt, m.keyEncoding)) return m.baseFiles
     val encoded: Array[String] =
       encodeValues(spark, column, dt, m.keyEncoding, values).sorted
-    def anyIn(mn: String, mx: String): Boolean = {
-      // first encoded value >= mn, then check it is <= mx
+    // first encoded value >= mn (binary search start for the range scan)
+    def lowerBound(mn: String): Int = {
       var lo = 0; var hi = encoded.length
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
         if (encoded(mid) < mn) lo = mid + 1 else hi = mid
       }
-      lo < encoded.length && encoded(lo) <= mx
+      lo
     }
+    // bloom phase (callers that pass basePath): probe the column's
+    // sidecar bloom with the in-range values only — loaded lazily, only
+    // for range survivors; no false negatives, so still a superset
+    lazy val bloomFs = new Path(basePath).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def bloomHit(st: FileStat, from: Int, mx: String): Boolean =
+      (basePath == null) || (st.colBloomRefs.get(column) match {
+        case None => true
+        case Some(ref) =>
+          val bloom = loadBloom(bloomFs, new Path(basePath, ref))
+          var i = from; var hit = false
+          while (!hit && i < encoded.length && encoded(i) <= mx) {
+            if (bloom.mightContainString(encoded(i))) hit = true
+            i += 1
+          }
+          hit
+      })
     m.baseFiles.filter { f =>
       m.fileStats.get(f).flatMap(_.colStats.get(column)) match {
-        case Some(Seq(mn, mx)) => anyIn(mn, mx)
+        case Some(Seq(mn, mx)) =>
+          val from = lowerBound(mn)
+          from < encoded.length && encoded(from) <= mx &&
+            bloomHit(m.fileStats(f), from, mx)
         case _ => true // no stats -> cannot prune
       }
     }
@@ -2447,12 +2517,36 @@ object CowTable {
   val bloomLoads = new java.util.concurrent.atomic.AtomicLong
 
   /** Read one sidecar bloom (see [[FileStat.bloomRef]]). */
+  /** Bloom sidecars are WRITE-ONCE (a rewritten file gets a new path
+    * under a fresh commit dir), so a path-keyed LRU is always coherent —
+    * no invalidation, ever. Bounded by entry count (~550 KB per
+    * 312k-entry bloom at the 1e-3 fpp → ≲70 MB at the cap); repeated
+    * probes against the same files (maintained-view refreshes, runtime
+    * join pruning, point-lookup loops) pay the sidecar read once.
+    * `bloomLoads` counts CONSULTATIONS (hit or miss) — the index-probe
+    * metric specs and probes assert on — not IO.
+    */
+  private val BloomCacheCap = 128
+  private val bloomCache = new java.util.LinkedHashMap[
+      String, org.apache.spark.util.sketch.BloomFilter](
+      BloomCacheCap, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        String, org.apache.spark.util.sketch.BloomFilter]): Boolean =
+      size() > BloomCacheCap
+  }
+
   private[table] def loadBloom(
       fs: FileSystem, p: Path): org.apache.spark.util.sketch.BloomFilter = {
     bloomLoads.incrementAndGet()
-    val in = fs.open(p)
-    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-    finally in.close()
+    val key = p.toString
+    val cached = bloomCache.synchronized(Option(bloomCache.get(key)))
+    cached.getOrElse {
+      val in = fs.open(p)
+      val b = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        finally in.close()
+      bloomCache.synchronized(bloomCache.put(key, b))
+      b
+    }
   }
 
   def dirCol(c: String): String = DirColPrefix + c
@@ -2508,7 +2602,12 @@ object CowTable {
           "colStats" -> JObject(st.colStats.toSeq.sortBy(_._1).map {
             case (c, mm) =>
               c -> (JArray(mm.toList.map(JString(_))): JValue)
-          }.toList))): JValue)
+          }.toList),
+          // json4s drops JNothing at render: bloom-less entries unchanged
+          "colBlooms" -> (if (st.colBloomRefs.isEmpty) JNothing
+            else JObject(st.colBloomRefs.toSeq.sortBy(_._1).map {
+              case (c, ref) => c -> (JString(ref): JValue)
+            }.toList)))): JValue)
       }.toList),
       "operation" -> JString(m.operation),
       "metrics" -> JObject(m.metrics.toSeq.sortBy(_._1).map {
@@ -2536,7 +2635,9 @@ object CowTable {
           "trackCommitVersions" -> JBool(p.trackCommitVersions),
           "fileIndexEntries" -> JInt(p.fileIndexEntries),
           "statsCols" -> JArray(p.statsCols.toList.map(JString(_))),
-          "compactEvery" -> JInt(p.compactEvery))): JValue
+          "compactEvery" -> JInt(p.compactEvery),
+          "bloomCols" -> (if (p.bloomCols.isEmpty) JNothing
+            else JArray(p.bloomCols.toList.map(JString(_)))))): JValue
         case None => JNothing
       })))))
   }
@@ -2582,9 +2683,16 @@ object CowTable {
               }.toMap
               case _ => Map.empty[String, Seq[String]]
             }
+            val cb = (o \ "colBlooms") match {
+              case JObject(cols) => cols.collect {
+                case (c, JString(ref)) => c -> ref
+              }.toMap
+              case _ => Map.empty[String, String]
+            }
             f -> FileStat(str("keyMin"), str("keyMax"), str("bloomRef"), cs,
               rows = long(o \ "rows", -1L),
-              bytes = long(o \ "bytes", -1L))
+              bytes = long(o \ "bytes", -1L),
+              colBloomRefs = cb)
         }.toMap
         case _ => Map.empty
       },
@@ -2618,7 +2726,8 @@ object CowTable {
             case JBool(b) => b; case _ => false },
           fileIndexEntries = long(o \ "fileIndexEntries", 0L).toInt,
           statsCols = strs(o \ "statsCols"),
-          compactEvery = long(o \ "compactEvery", 20L).toInt))
+          compactEvery = long(o \ "compactEvery", 20L).toInt,
+          bloomCols = strs(o \ "bloomCols")))
         case _ => None // pre-round-7 manifests: open() infers
       })
   }

@@ -55,10 +55,12 @@ class MorTable(
       */
     val compactEvery: Int = 20,
     fileIndexEntries: Int = 0,
-    statsCols: Seq[String] = Nil)
+    statsCols: Seq[String] = Nil,
+    bloomCols: Seq[String] = Nil)
   extends CowTable(spark, basePath, keyCols, partitionCols, precombineField,
     keepCommits, numBuckets, clusterCols, trackCommitVersions = true,
-    fileIndexEntries = fileIndexEntries, statsCols = statsCols) {
+    fileIndexEntries = fileIndexEntries, statsCols = statsCols,
+    bloomCols = bloomCols) {
 
   import CowTable._
   import MorTable._
@@ -321,7 +323,7 @@ class MorTable(
   private def morSnapshotForValues(
       m: Manifest, column: String, values: Seq[Any]): DataFrame = {
     val cand =
-      CowTable.filesForValues(spark, m, column, values).toSet
+      CowTable.filesForValues(spark, m, column, values, basePath).toSet
     if (m.logPartitions.isEmpty) return readFiles(m, m.baseFiles.filter(cand))
     val logged = m.logPartitions.keySet
     val untouched = readFiles(m,

@@ -158,6 +158,44 @@ class FileIndexSpec extends SparkSpec {
       "log winners must surface through the pruned read")
   }
 
+  test("column blooms prune equality probes where ranges cannot") {
+    // interleaved fk values: every file's [min, max] spans ~the whole
+    // domain, so range stats keep everything — only the bloom can prune
+    val t = new CowTable(spark, tmpDir("fi-cbloom"), keyCols = Seq("id"),
+      fileIndexEntries = 1000, statsCols = Seq("fk"),
+      bloomCols = Seq("fk"))
+    def batch(res: Int) = (0 until 100)
+      .map(i => ((i * 8 + res).toLong, (i * 8 + res).toLong, 1.0))
+      .toDF("id", "fk", "v")
+    t.bulkInsert(batch(0), parallelism = 1)      // fks ≡ 0 (mod 8)
+    t.insertAppend(batch(1), parallelism = 1)    // fks ≡ 1 (mod 8)
+    t.insertAppend(batch(2), parallelism = 1)
+    t.insertAppend(batch(3), parallelism = 1)
+    val m = t.manifest
+    assert(m.fileStats.valuesIterator.forall(_.colBloomRefs.contains("fk")),
+      "every file records an fk bloom sidecar")
+
+    // ranges all contain 40 and 201; blooms know better: 2 files max
+    // (fpp can theoretically add one, but not at 100 entries / tiny fpp)
+    val hit = t.snapshotForValues("fk", Seq(40L, 201L))
+    assert(hit.inputFiles.length == 2,
+      s"bloom must cut 4 overlapping stripes to 2: ${hit.inputFiles.toSeq}")
+    assert(hit.filter(col("fk").isin(40L, 201L)).count() == 2)
+    // a value inside every file's range but ≡ 4 (mod 8): absent from
+    // all four files — blooms reject everything, ranges couldn't
+    assert(t.snapshotForValues("fk", Seq(4L)).inputFiles.isEmpty,
+      "absent in-range probe must prune every file")
+
+    // a table opened by path keeps building blooms (props round-trip)
+    val re = CowTable.open(spark, t.basePath)
+    assert(re.bloomCols == Seq("fk"), s"bloomCols lost: ${re.bloomCols}")
+    re.insertAppend(Seq((9000L, 9000L, 1.0)).toDF("id", "fk", "v"),
+      parallelism = 1)
+    val st = re.manifest.fileStats
+    assert(st.valuesIterator.forall(_.colBloomRefs.contains("fk")),
+      "files written through open() must carry blooms too")
+  }
+
   test("double range pruning: correct on v3 tables, disabled on legacy") {
     // The round-6 bug: doubles encoded as plain cast(string), where lex
     // order diverges from numeric order ("9.5" > "10.2") — a lex range
