@@ -256,16 +256,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val known = ident.namespace.isEmpty ||
       ident.namespace.sameElements(Array("system"))
+    def pathOf(ref: String): String = ref.split('.')
+      .foldLeft(warehouse)((a, n) => new Path(a, n)).toString
     val p =
       if (known) GraftProcedures.load(ident.name, ref => {
-        val path = ref.split('.').foldLeft(warehouse)(
-          (a, n) => new Path(a, n)).toString
+        val path = pathOf(ref)
         if (!CowTable.existsAt(spark, path))
           throw new NoSuchTableException(
             Identifier.of(ref.split('.').dropRight(1),
               ref.split('.').last))
         CowTable.open(spark, path)
-      })
+      }, pathOf)
       else None
     p.getOrElse(throw new RuntimeException(
       s"no such procedure: ${ident.namespace.mkString(".")}.${ident.name} " +

@@ -160,7 +160,7 @@ object GraftDataSource {
         Option(options.get("rangeLo")), Option(options.get("rangeHi")))
       case None => m.baseFiles
     }
-    val files = ranged.map(f => s"$base/$f")
+    val files = ranged.map(f => CowTable.resolveFile(base, f))
     val delegate = ParquetTable(
       s"graft:$base@v${m.version}",
       spark,

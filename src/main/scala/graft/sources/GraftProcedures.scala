@@ -57,7 +57,10 @@ private[sources] object GraftProcedures {
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
 
-  val specs: Seq[Spec] = Seq(
+  /** `pathOf` maps a catalog-relative dotted table name to its warehouse
+    * path — for procedures whose target does NOT exist yet (clone dest).
+    */
+  def specs(pathOf: String => String): Seq[Spec] = Seq(
     Spec("compact",
       "fold crowded units (COW) or pending delta logs (MOR)",
       Seq(("table", StringType, None),
@@ -110,6 +113,18 @@ private[sources] object GraftProcedures {
       "reclaim crashed/aborted commit debris (no writer may be inflight)",
       Seq(("table", StringType, None)),
       (t, _) => Seq("orphans_removed" -> t.vacuumOrphans().size.toLong)),
+    Spec("clone",
+      "zero-copy shallow clone into a new table (one manifest write)",
+      Seq(("table", StringType, None), ("dest", StringType, None),
+        ("version", LongType, Some("0"))),
+      (t, in) => {
+        val destRef = in.getUTF8String(1).toString
+        val v = in.getLong(2)
+        val c = t.cloneTo(pathOf(destRef),
+          if (v > 0) Some(v) else None)
+        Seq("cloned_from_version" ->
+          c.manifest.metrics("cloned_from_version"))
+      }),
     Spec("history",
       "the retained commit timeline, newest first (DESCRIBE HISTORY)",
       Seq(("table", StringType, None),
@@ -140,10 +155,11 @@ private[sources] object GraftProcedures {
         (schema, rows)
       }))
 
-  def names: Seq[String] = specs.map(_.name)
+  def names: Seq[String] = specs(identity).map(_.name)
 
-  def load(name: String, resolve: String => CowTable): Option[UnboundProcedure] =
-    specs.find(_.name.equalsIgnoreCase(name))
+  def load(name: String, resolve: String => CowTable,
+      pathOf: String => String): Option[UnboundProcedure] =
+    specs(pathOf).find(_.name.equalsIgnoreCase(name))
       .map(new GraftProcedure(_, resolve))
 }
 

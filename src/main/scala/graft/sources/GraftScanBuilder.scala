@@ -55,7 +55,7 @@ private[sources] class GraftScanBuilder(
       s"graft:$base@v${m.version}",
       spark,
       options,
-      files.map(f => s"$base/$f").toIndexedSeq,
+      files.map(f => CowTable.resolveFile(base, f)).toIndexedSeq,
       Some(schema),
       classOf[ParquetFileFormat])
       .newScanBuilder(options).asInstanceOf[FileScanBuilder]

@@ -553,7 +553,7 @@ class CowTable(
         java.util.Collections.emptyList[Row](), schema)
     else
       spark.read.schema(addDirCols(schema))
-        .parquet(files.map(f => s"$basePath/$f"): _*)
+        .parquet(files.map(f => CowTable.resolveFile(basePath, f)): _*)
         .select(cols: _*)
   }
 
@@ -1958,6 +1958,75 @@ class CowTable(
     clean()
   }
 
+  /** Zero-copy SHALLOW CLONE (the Delta `CLONE` analog): publish a new,
+    * independent table at `destPath` whose first manifest references THIS
+    * table's data files by absolute URI — one manifest write, no data
+    * read or copied at any table size (the 100-TB dev/test-snapshot
+    * primitive). The clone:
+    *
+    *   - CONTINUES the source's version counter (its first commit is the
+    *     source's `version`), so `_graft_commit_version` stamps inside
+    *     cloned files stay semantically correct — `changesSince(cloneV)`
+    *     on the clone sees exactly the clone's own later commits, never
+    *     false positives from source-era stamps;
+    *   - keeps the source's creation-time config (keys, buckets,
+    *     clustering, index, stats/bloom columns, storage type) and all
+    *     per-file index entries/bloom refs (absolutized — probes keep
+    *     pruning);
+    *   - starts a FRESH change-feed timeline: tombstone/drop records are
+    *     not carried (pre-clone feed windows aren't retained anyway);
+    *   - never touches source files afterwards: its writes produce new
+    *     LOCAL files (relative listings), its cleaner/vacuum reclaim only
+    *     local commit dirs, and COW rewrites replace absolute refs with
+    *     local copies as units churn.
+    *
+    * CAVEAT (same as Delta shallow clones): the clone depends on the
+    * source's files existing. A source `clean()`/`vacuum()`/partition
+    * drop that reclaims files the clone still references breaks the
+    * clone — shallow clones are for short-lived dev/test work, not
+    * archival; deep-copy with a bulk insert for that.
+    */
+  def cloneTo(destPath: String, version: Option[Long] = None): CowTable = {
+    val src = version.map(manifestAt).getOrElse(manifest)
+    require(!CowTable.existsAt(spark, destPath),
+      s"cloneTo: a table already exists at $destPath")
+    val absBase = fs.makeQualified(new Path(basePath)).toString
+      .stripSuffix("/")
+    def abs(f: String) =
+      if (CowTable.isAbsoluteRef(f)) f else s"$absBase/$f"
+    def absL(m: Map[String, Seq[String]]) =
+      m.map { case (k, v) => k -> v.map(abs) }
+    val p = src.props.getOrElse(CowTable.inferProps(src))
+    val dest: CowTable =
+      if (src.storageType == "mor")
+        new MorTable(spark, destPath, src.keyCols, src.partitionCols,
+          src.precombineField, keepCommits = p.keepCommits,
+          numBuckets = p.numBuckets, clusterCols = p.clusterCols,
+          compactEvery = p.compactEvery,
+          fileIndexEntries = p.fileIndexEntries, statsCols = p.statsCols,
+          bloomCols = p.bloomCols)
+      else
+        new CowTable(spark, destPath, src.keyCols, src.partitionCols,
+          src.precombineField, keepCommits = p.keepCommits,
+          numBuckets = p.numBuckets, clusterCols = p.clusterCols,
+          trackCommitVersions = p.trackCommitVersions,
+          fileIndexEntries = p.fileIndexEntries, statsCols = p.statsCols,
+          bloomCols = p.bloomCols)
+    dest.writeManifest(src.copy(
+      partitions = absL(src.partitions),
+      logPartitions = absL(src.logPartitions),
+      fileStats = src.fileStats.map { case (f, st) =>
+        abs(f) -> st.copy(bloomRef = abs(st.bloomRef),
+          colBloomRefs = st.colBloomRefs.map {
+            case (c, r) => c -> abs(r) })
+      },
+      tombstones = Map.empty,
+      drops = Map.empty,
+      operation = "clone",
+      metrics = Map("cloned_from_version" -> src.version)))
+    dest
+  }
+
   /** Max value of a metrics key across the RETAINED commit timeline — for
     * marks that must survive interleaved service commits (a streaming
     * sink's batch-id high-water mark is still valid when a compaction or
@@ -2250,6 +2319,23 @@ object CowTable {
     * only costs an unnecessary file read, never correctness).
     */
   val FileIndexFpp = 0.001
+
+  /** Manifest listings are basePath-relative — except in shallow clones
+    * ([[CowTable.cloneTo]]), whose manifests reference the SOURCE table's
+    * files by absolute URI. Every read-side path join resolves through
+    * here; write paths always produce relative entries. A listing entry
+    * is absolute iff it starts with `/` or carries a URI scheme (Hadoop
+    * renders local URIs as `file:/tmp/...` — single slash, so a bare
+    * `://` check misses them).
+    */
+  def resolveFile(basePath: String, f: String): String =
+    if (isAbsoluteRef(f)) f else s"$basePath/$f"
+
+  private[graft] def isAbsoluteRef(f: String): Boolean =
+    f.startsWith("/") || {
+      val c = f.indexOf(':')
+      c > 0 && { val s = f.indexOf('/'); s < 0 || c < s }
+    }
   /** Key-string encoding written by NEW tables (see keyStringExpr doc).
     * 1 = plain cast(string); 2 = fixed-width offset-binary for integral/
     * timestamp/date; 3 = v2 + IEEE-754 sign-flip doubles and unscaled
