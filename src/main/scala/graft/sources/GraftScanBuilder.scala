@@ -201,6 +201,19 @@ private[sources] class GraftScanBuilder(
         val conv =
           CatalystTypeConverters.createToScalaConverter(a.dataType)
         Seq(a.name -> hset.toSeq.map(conv))
+      // plain equality = a 1-value set: the range phase already narrows
+      // to [x, x], but routing it through the value path ALSO probes the
+      // column's sidecar bloom (bloomCols) — on a non-clustered column
+      // that is the difference between reading every file and reading
+      // the files that contain x
+      case EqualTo(a: AttributeReference, l: Literal)
+        if statCols(a.name) && l.value != null =>
+        Seq(a.name -> Seq(CatalystTypeConverters
+          .createToScalaConverter(a.dataType)(l.value)))
+      case EqualTo(l: Literal, a: AttributeReference)
+        if statCols(a.name) && l.value != null =>
+        Seq(a.name -> Seq(CatalystTypeConverters
+          .createToScalaConverter(a.dataType)(l.value)))
       case _ => Nil
     }
   }

@@ -233,6 +233,42 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(inq.count() == 200)
   }
 
+  test("plain equality on a bloomCols column prunes through the bloom") {
+    val path = tmpDir("dsv2-eqbloom")
+    // fk values interleave mod 4 across three files: every file's
+    // [min, max] covers the whole domain — only the bloom can prune
+    val t = new CowTable(spark, path, keyCols = Seq("id"),
+      fileIndexEntries = 1000, statsCols = Seq("fk"),
+      bloomCols = Seq("fk"))
+    def batch(res: Int) = (0 until 100)
+      .map(i => ((i * 4 + res).toLong, (i * 4 + res).toLong, 1.0))
+      .toDF("id", "fk", "v")
+    t.bulkInsert(batch(0), parallelism = 1)
+    t.insertAppend(batch(1), parallelism = 1)
+    t.insertAppend(batch(2), parallelism = 1)
+    def scanned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          (b.scan match {
+            case g: graft.sources.GraftRuntimeScan => g.innerScan
+            case s => s
+          }).asInstanceOf[
+            org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+      }.sum
+    // fk = 41 ≡ 1 (mod 4): only the second file can contain it
+    val one = spark.read.format("graft").load(path)
+      .filter(col("fk") === 41L)
+    assert(scanned(one) == 1,
+      s"equality must reach the bloom: ${scanned(one)} files")
+    assert(one.count() == 1)
+    // fk = 3 ≡ 3 (mod 4): in-range everywhere, present nowhere
+    val none = spark.read.format("graft").load(path)
+      .filter(col("fk") === 3L)
+    assert(scanned(none) == 0 && none.count() == 0,
+      "absent in-range value must scan zero files")
+  }
+
   test("partition equality predicates prune whole partition listings") {
     val path = tmpDir("dsv2-partskip")
     val t = new CowTable(spark, path, keyCols = Seq("id"),
