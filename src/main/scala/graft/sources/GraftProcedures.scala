@@ -125,6 +125,38 @@ private[sources] object GraftProcedures {
         Seq("cloned_from_version" ->
           c.manifest.metrics("cloned_from_version"))
       }),
+    Spec("partitions",
+      "per-partition files/rows/bytes from the manifest (SHOW PARTITIONS)",
+      Seq(("table", StringType, None)),
+      (_, _) => Nil,
+      runTable = Some { (t, _) =>
+        val m = t.manifest
+        val schema = StructType(Seq(
+          StructField("partition", StringType, nullable = false),
+          StructField("files", LongType, nullable = false),
+          StructField("log_files", LongType, nullable = false),
+          StructField("rows", LongType, nullable = true),
+          StructField("bytes", LongType, nullable = true)))
+        val keys =
+          (m.partitions.keySet ++ m.logPartitions.keySet).toSeq.sorted
+        val rows = keys.map { k =>
+          val base = m.partitions.getOrElse(k, Nil)
+          val logs = m.logPartitions.getOrElse(k, Nil)
+          // exact only when every file has a recorded stat; else null —
+          // never a misleading partial sum
+          def sumStat(get: graft.table.FileStat => Long): Any = {
+            val vs = base.map(f => m.fileStats.get(f).map(get))
+            if (logs.isEmpty && vs.forall(_.exists(_ >= 0L)))
+              vs.flatten.sum
+            else null
+          }
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(if (k.isEmpty) "<unpartitioned>" else k),
+            base.size.toLong, logs.size.toLong,
+            sumStat(_.rows), sumStat(_.bytes))): InternalRow
+        }.toArray
+        (schema, rows)
+      }),
     Spec("history",
       "the retained commit timeline, newest first (DESCRIBE HISTORY)",
       Seq(("table", StringType, None),

@@ -169,6 +169,23 @@ class AlterTableSpec extends SparkSpec {
     assert(limited.length == 1 && limited.head.getLong(0) == 3L)
   }
 
+  test("CALL system.partitions reports manifest stats per partition") {
+    init()
+    spark.sql("""CREATE TABLE acat.lake.pp (id BIGINT, p STRING,
+      v DOUBLE) USING graft PARTITIONED BY (p)
+      TBLPROPERTIES ('keyCols'='id', 'fileIndexEntries'='1000')""")
+    spark.sql("INSERT INTO acat.lake.pp VALUES " +
+      "(1, 'a', 1.0), (2, 'a', 2.0), (3, 'b', 3.0)")
+    val rows = spark.sql(
+      "CALL acat.system.partitions(table => 'lake.pp')").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("p=a", "p=b"),
+      rows.mkString(", "))
+    val a = rows.find(_.getString(0) == "p=a").get
+    assert(a.getLong(1) >= 1 && a.getLong(3) == 2L,
+      s"p=a: files=${a.getLong(1)} rows=${a.get(3)}")
+    assert(!a.isNullAt(4) && a.getLong(4) > 0L, "bytes from the index")
+  }
+
   test("versionAtTimestamp walks the retained timeline") {
     val dir = tmpDir("alter-ts")
     val t = new CowTable(spark, dir, keyCols = Seq("id"))
