@@ -95,12 +95,23 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       Option[((String, Option[String]), graft.table.Manifest)] = None
 
   private def manifest(options: CaseInsensitiveStringMap) = {
-    val key = (basePath(options), Option(options.get("versionAsOf")))
+    // timestampAsOf (epoch ms or "yyyy-MM-dd[ HH:mm:ss]") resolves to a
+    // concrete version FIRST, so the cache key — and therefore schema +
+    // file list — stays pinned even if a commit lands mid-resolution
+    val spark = SparkSession.active
+    val base = basePath(options)
+    val version = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf")).map { raw =>
+        val ms = raw.toLongOption.getOrElse(
+          java.sql.Timestamp.valueOf(
+            if (raw.length == 10) raw + " 00:00:00" else raw).getTime)
+        CowTable.open(spark, base).versionAtTimestamp(ms)
+      })
+    val key = (base, version.map(_.toString))
     cached match {
       case Some((k, m)) if k == key => m
       case _ =>
-        val m = CowTable.openManifest(SparkSession.active, key._1,
-          key._2.map(_.toLong))
+        val m = CowTable.openManifest(spark, key._1, version)
         cached = Some((key, m))
         m
     }

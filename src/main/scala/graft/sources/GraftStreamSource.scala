@@ -48,7 +48,9 @@ import graft.table.CowTable
   *     in one stream, like Delta's initial snapshot. Pass
   *     `startingVersion` = v to begin after an already-copied version.
   *   - `maxVersionsPerTrigger` bounds how many commits one micro-batch
-  *     folds (rate limiting for backlogged streams).
+  *     folds (rate limiting for backlogged streams);
+  *     `maxBytesPerTrigger` bounds the window by ADDED bytes instead
+  *     (per-file manifest stats; at least one version always admits).
   *
   * Schema is pinned at stream construction (additive table evolution mid-
   * stream needs a restart, as in Delta/Hudi); the commit-stamp column is
@@ -85,6 +87,49 @@ final class GraftStreamSource(
   private val startingVersion =
     opt("startingVersion").map(_.toLong).getOrElse(0L)
   private val maxVersions = opt("maxVersionsPerTrigger").map(_.toLong)
+  /** Byte-bounded admission: cap one micro-batch's window at the sum of
+    * bytes its commits ADDED (the operational knob when commit sizes
+    * vary — a backfill commit shouldn't ride the same trigger as ten
+    * trickle commits). Bytes come from the manifest's per-file stats
+    * (file index on), falling back to one FS stat per new file; always
+    * admits at least one version so the stream can't stall on a single
+    * over-bound commit.
+    */
+  private val maxBytes = opt("maxBytesPerTrigger").map(_.toLong)
+
+  /** Window end for a batch starting after `start`: version cap first,
+    * then walk forward accumulating added bytes until the bound.
+    */
+  private def admitTo(start: Long, head: Long): Long = {
+    val capped = maxVersions match {
+      case Some(n) => math.min(head, start + n)
+      case None => head
+    }
+    maxBytes match {
+      case None => capped
+      case Some(bound) =>
+        val fs = new org.apache.hadoop.fs.Path(basePath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        var prev: Set[String] = scala.util.Try(
+          CowTable.openManifest(spark, basePath, Some(start)).files.toSet)
+          .getOrElse(Set.empty)
+        var end = start
+        var acc = 0L
+        while (end < capped && acc < bound) {
+          val m = CowTable.openManifest(spark, basePath, Some(end + 1))
+          val added = m.files.filterNot(prev)
+          acc += added.iterator.map { f =>
+            m.fileStats.get(f).map(_.bytes).filter(_ >= 0L).getOrElse(
+              scala.util.Try(fs.getFileStatus(new org.apache.hadoop.fs
+                .Path(CowTable.resolveFile(basePath, f))).getLen)
+                .getOrElse(0L))
+          }.sum
+          prev = m.files.toSet
+          end += 1
+        }
+        end
+    }
+  }
   // rate-limit cursor: the highest offset already handed to the engine
   // (never below startingVersion); getOffset advances it by at most
   // maxVersions per call
@@ -102,10 +147,7 @@ final class GraftStreamSource(
 
   override def getOffset: Option[Offset] = {
     val head = CowTable.openManifest(spark, basePath).version
-    val next = maxVersions match {
-      case Some(n) => math.min(head, cursor + n)
-      case None => head
-    }
+    val next = admitTo(cursor, head)
     if (next > cursor) cursor = next
     if (cursor <= startingVersion) None else Some(LongOffset(cursor))
   }
@@ -123,8 +165,8 @@ final class GraftStreamSource(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(CowTable.openManifest(spark, basePath).version)
 
-  // version-count pacing is applied inside latestOffset; rows/bytes limits
-  // don't map to a commit-window source
+  // version-count and added-bytes pacing are applied inside latestOffset
+  // (admitTo); the engine-level ReadLimit stays allAvailable
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
@@ -137,10 +179,7 @@ final class GraftStreamSource(
       .map(o => o.json.trim.toLong).getOrElse(startingVersion)
     val head = availableNowCap
       .getOrElse(CowTable.openManifest(spark, basePath).version)
-    val target = maxVersions match {
-      case Some(n) => math.min(head, start + n)
-      case None => head
-    }
+    val target = admitTo(start, head)
     if (target <= start) null else LongOffset(target)
   }
 

@@ -334,6 +334,36 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(scannedFiles(tail).length == 2 && tail.count() == 200)
   }
 
+  test("timestampAsOf load option time-travels like versionAsOf") {
+    val path = tmpDir("dsv2-tsasof")
+    val t = new CowTable(spark, path, keyCols = Seq("id"))
+    t.bulkInsert(Seq((1L, "a")).toDF("id", "s"))
+    val t1 = t.manifest.commitTimeMs
+    Thread.sleep(15)
+    t.upsert(Seq((2L, "b")).toDF("id", "s"))
+
+    val atT1 = spark.read.format("graft")
+      .option("timestampAsOf", t1.toString).load(path)
+    assert(atT1.select("id").as[Long].collect().toSet == Set(1L))
+    val now = spark.read.format("graft")
+      .option("timestampAsOf", System.currentTimeMillis.toString)
+      .load(path)
+    assert(now.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // date-time string form resolves through Timestamp.valueOf; a
+    // future-by-seconds string lands at the head like any future ts
+    val str = new java.sql.Timestamp(
+      ((System.currentTimeMillis / 1000) + 5) * 1000)
+      .toString.takeWhile(_ != '.')
+    val byStr = spark.read.format("graft")
+      .option("timestampAsOf", str).load(path)
+    assert(byStr.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    intercept[Exception] {
+      spark.read.format("graft")
+        .option("timestampAsOf", (t1 - 60000).toString).load(path)
+        .collect()
+    }
+  }
+
   test("creating a table without keyCols fails with a clear message") {
     val e = intercept[Exception] {
       Seq((1, "a")).toDF("id", "v").write.format("graft")

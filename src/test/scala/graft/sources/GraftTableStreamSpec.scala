@@ -87,6 +87,48 @@ class GraftTableStreamSpec extends SparkSpec {
     assert(pathB != null)
   }
 
+  test("maxBytesPerTrigger paces a backlog by added bytes") {
+    val pathA = tmpDir("tstream-bytes")
+    val a = tableA(pathA)
+    a.bulkInsert(Seq(("k1", "p1", 1.0)).toDF("id", "p", "v"))
+    a.upsert(Seq(("k2", "p1", 2.0)).toDF("id", "p", "v"))
+    a.upsert(Seq(("k3", "p1", 3.0)).toDF("id", "p", "v"))
+
+    // 1 byte/trigger: each commit's files blow the bound on their own,
+    // so admission degrades to exactly one version per batch (the
+    // at-least-one rule) — byte pacing can never stall
+    var batches = Vector.empty[Long]
+    val q = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", "1")
+      .load(pathA)
+      .writeStream
+      .option("checkpointLocation", tmpDir("tstream-bytes-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches = batches :+ b.count(); ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches.size == 3, s"one commit per micro-batch: $batches")
+    assert(batches.sum == 3L, s"each row exactly once: $batches")
+
+    // a generous bound folds the whole backlog into one batch
+    var big = Vector.empty[Long]
+    val q2 = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", (64L << 20).toString)
+      .load(pathA)
+      .writeStream
+      .option("checkpointLocation", tmpDir("tstream-bytes-ckpt2"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        big = big :+ b.count(); ()
+      }
+      .start()
+    q2.awaitTermination()
+    assert(big.size == 1 && big.sum == 3L,
+      s"64MB bound must take all three commits at once: $big")
+  }
+
   test("MOR source streams merged windows; commit column opt-in") {
     val pathA = tmpDir("tstream-mor")
     val a = new MorTable(spark, pathA, keyCols = Seq("id"),
