@@ -75,6 +75,92 @@ object BitInterleave {
 
   /** Morton code of (a, b), 31 bits each: a on even bits, b on odd. */
   def morton(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+
+  /** N-dimensional Morton code: bit i of dimension d lands at output bit
+    * i*n + d (dimension 0 lowest — for n = 2 this is exactly [[morton]]).
+    * Each value is masked to its low `bits` bits; callers keep
+    * n * bits <= 63. A plain loop, not magic masks (those are per-arity);
+    * ~n*bits ops per row, emitted as one straight-line call under codegen.
+    */
+  def mortonN(vs: Array[Long], bits: Int): Long = {
+    val n = vs.length
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      var d = 0
+      while (d < n) {
+        out |= ((vs(d) >>> i) & 1L) << (i * n + d)
+        d += 1
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** N-ary sibling of [[BitInterleave]] for 3+ clustering axes (2-D keeps
+  * the magic-mask fast path). Same contract: integral inputs, masked to
+  * `bits` low bits each, null if any input is null.
+  */
+case class BitInterleaveN(children: Seq[Expression], bits: Int)
+    extends Expression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (children.size < 2)
+      TypeCheckResult.TypeCheckFailure("bit_interleave_n needs >= 2 args")
+    else if (children.size * bits > 63)
+      TypeCheckResult.TypeCheckFailure(
+        s"${children.size} dims * $bits bits exceeds 63 output bits")
+    else children.map(_.dataType).find(t =>
+      t != LongType && t != IntegerType) match {
+      case Some(t) => TypeCheckResult.TypeCheckFailure(
+        s"bit_interleave_n needs integral args, got $t")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = new Array[Long](children.size)
+    var i = 0
+    while (i < arr.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      arr(i) = v match {
+        case x: java.lang.Integer => x.toLong
+        case x: java.lang.Long => x
+      }
+      i += 1
+    }
+    java.lang.Long.valueOf(BitInterleave.mortonN(arr, bits))
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val cls = BitInterleave.getClass.getName.stripSuffix("$")
+    val arr = ctx.freshName("zvals")
+    val childCode = evals.map(_.code).reduce(_ + _)
+    val anyNull =
+      if (nullable) evals.map(_.isNull.toString).mkString(" || ")
+      else "false"
+    val vals = evals.map(e => s"(long)(${e.value})").mkString(", ")
+    ev.copy(code = childCode + code"""
+      boolean ${ev.isNull} = $anyNull;
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        long[] $arr = new long[]{$vals};
+        ${ev.value} = $cls.mortonN($arr, $bits);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitInterleaveN =
+    copy(children = newChildren)
 }
 
 object ZOrder {
@@ -97,5 +183,25 @@ object ZOrder {
       s"(($s4 | ($s4 << 1)) & 6148914691236517205)"
     }
     s"(${spread(a)} | (${spread(b)} << 1))"
+  }
+
+  /** Column API for [[BitInterleaveN]]: 3+ clustering axes; 2 cols route
+    * to the magic-mask fast path when bits = 31.
+    */
+  def zorderN(cols: Seq[Column], bits: Int): Column =
+    // 2-D always takes the magic-mask path: inputs are pre-masked to
+    // `bits` low bits by the caller, so spreading 31 bits is identical
+    if (cols.size == 2 && bits <= 31) zorder2(cols(0), cols(1))
+    else GraftBridge.column(
+      BitInterleaveN(cols.map(GraftBridge.expression), bits))
+
+  /** Engine-portable SQL for [[BitInterleave.mortonN]] — generated from
+    * the same bit placement (i*n + d), for oracles. n * bits <= 63.
+    */
+  def mortonNSql(cols: Seq[String], bits: Int): String = {
+    val n = cols.size
+    val terms = for (i <- 0 until bits; d <- 0 until n)
+      yield s"((((${cols(d)}) >> $i) & 1) << ${i * n + d})"
+    terms.mkString("(", " | ", ")")
   }
 }

@@ -1691,6 +1691,30 @@ object QueryCatalog {
       graft.functions.ZOrder.mortonSql("user_id", "event_id") +
       " AS z FROM events"))
 
+  /** 3-axis Morton key ([[graft.functions.BitInterleaveN]], the N-D
+    * generalization behind `reclusterZOrder(Seq(a, b, c))`): the oracle
+    * SQL is GENERATED from the same bit placement (i*n + d), so a green
+    * row certifies the codegen'd expression bit-for-bit cross-engine.
+    * Inputs mask to 20 bits/dim (60 output bits, positive signed-64).
+    */
+  private val zorder3Key = Q(
+    (s, d) => {
+      val mask = lit((1L << 20) - 1)
+      // floor, not cast: double->bigint CAST truncates in Spark but
+      // ROUNDS in DuckDB — floor is integral before either cast
+      t(s, d, "events").select(col("event_id"), col("user_id"),
+        graft.functions.ZOrder.zorderN(Seq(
+          col("user_id").bitwiseAND(mask),
+          col("event_id").bitwiseAND(mask),
+          floor(col("value")).cast("long").bitwiseAND(mask)), 20)
+          .as("z3"))
+    },
+    Some("SELECT event_id, user_id, " +
+      graft.functions.ZOrder.mortonNSql(Seq(
+        "(user_id & 1048575)", "(event_id & 1048575)",
+        "(CAST(floor(value) AS BIGINT) & 1048575)"), 20) +
+      " AS z3 FROM events"))
+
   /** Equi-width histogram of event values per type (`width_bucket`, the
     * standard binning operator; Postgres semantics: bucket 0 below the
     * range, nBuckets+1 at/above the top). DuckDB 1.0 lacks width_bucket,
@@ -2787,6 +2811,7 @@ object QueryCatalog {
     "value_histogram" -> valueHistogram,
     "edit_distance_pairs" -> editDistancePairs,
     "zorder_key" -> zorderKey,
+    "zorder3_key" -> zorder3Key,
     "stratified_sample" -> stratifiedSample,
     "decontaminate" -> decontaminate,
     "sequence_packing" -> sequencePacking,

@@ -83,11 +83,18 @@ private[sources] object GraftProcedures {
         in.getUTF8String(1).toString.split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq)))),
     Spec("zorder",
-      "rewrite base files in 2-D Morton order over two columns",
+      "rewrite base files in N-D Morton order (2 columns + optional more)",
       Seq(("table", StringType, None),
-        ("col_a", StringType, None), ("col_b", StringType, None)),
-      (t, in) => Seq("reclustered" -> b2l(t.reclusterZOrder(
-        in.getUTF8String(1).toString, in.getUTF8String(2).toString)))),
+        ("col_a", StringType, None), ("col_b", StringType, None),
+        ("more_cols", StringType, Some("''"))),
+      (t, in) => {
+        val more = in.getUTF8String(3).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        Seq("reclustered" -> b2l(t.reclusterZOrder(
+          Seq(in.getUTF8String(1).toString,
+            in.getUTF8String(2).toString) ++ more,
+          parallelism = 0, bits = 20)))
+      }),
     Spec("drop_partitions",
       "metadata-only drop of partitions matching a partition predicate",
       Seq(("table", StringType, None), ("predicate", StringType, None)),

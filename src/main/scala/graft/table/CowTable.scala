@@ -1900,11 +1900,24 @@ class CowTable(
     * rewrite. MOR delta logs are untouched, like [[recluster]].
     */
   def reclusterZOrder(colA: String, colB: String, parallelism: Int = 0,
-      bits: Int = 20): Boolean = {
+      bits: Int = 20): Boolean =
+    reclusterZOrder(Seq(colA, colB), parallelism, bits)
+
+  /** N-axis Z-order rewrite (3+ columns interleave through
+    * [[graft.functions.BitInterleaveN]]): bits per dimension is capped at
+    * 62/n so the Morton key stays in positive signed-64 range; each extra
+    * axis trades per-axis resolution for one more prunable dimension —
+    * at 3 axes and the default 20-bit request, each gets 20 bits (60
+    * total); at 4, 15 bits, still ~32k distinguishable range cells per
+    * axis, far finer than file granularity.
+    */
+  def reclusterZOrder(cols: Seq[String], parallelism: Int,
+      bits: Int): Boolean = {
+    require(cols.size >= 2, "z-order needs at least two columns")
     val m = manifest
     if (m.partitions.isEmpty) return false
     val sch = m.schema
-    for (c <- Seq(colA, colB)) {
+    for (c <- cols) {
       require(sch.fieldNames.contains(c), s"no such column $c")
       val ok = sch(c).dataType match {
         case _: NumericType | _: TimestampType | _: DateType => true
@@ -1913,19 +1926,23 @@ class CowTable(
       require(ok, s"z-order needs a numeric/timestamp/date column; " +
         s"$c is ${sch(c).dataType}")
     }
+    val bitsPerDim = math.min(bits, 62 / cols.size)
     val v = m.version + 1
     val data = readFiles(m, m.baseFiles)
-    val Seq(aD, bD) = Seq(colA, colB).map(c => col(c).cast("double"))
-    val s = data.agg(min(aD), max(aD), min(bD), max(bD)).head()
-    if (s.isNullAt(0) || s.isNullAt(2)) return false // all-null axis: no-op
-    val top = (1L << bits) - 1
+    val ds = cols.map(c => col(c).cast("double"))
+    val s = data.agg(ds.flatMap(c => Seq(min(c), max(c))).head,
+      ds.flatMap(c => Seq(min(c), max(c))).tail: _*).head()
+    if (cols.indices.exists(i => s.isNullAt(2 * i)))
+      return false // all-null axis: no-op
+    val top = (1L << bitsPerDim) - 1
     def scaled(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
       else least(greatest(
         ((c - lo) / (hi - lo) * top).cast("long"), lit(0L)), lit(top))
-    val zkey = graft.functions.ZOrder.zorder2(
-      scaled(aD, s.getDouble(0), s.getDouble(1)),
-      scaled(bD, s.getDouble(2), s.getDouble(3)))
+    val zkey = graft.functions.ZOrder.zorderN(
+      cols.indices.map(i =>
+        scaled(ds(i), s.getDouble(2 * i), s.getDouble(2 * i + 1))),
+      bitsPerDim)
     val zc = "_graft_zkey"
     val width = if (parallelism > 0) parallelism
       else math.max(m.partitions.size, 1)

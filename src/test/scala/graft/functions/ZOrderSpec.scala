@@ -98,6 +98,87 @@ class ZOrderSpec extends SparkSpec {
       s"z-unit files touched $byZ times vs x-stripe files $byX")
   }
 
+  test("mortonN: n=2 matches morton; codegen, interpreted and SQL agree") {
+    // n = 2, 31 bits: bit placement identical to the magic-mask path
+    for ((a, b) <- Seq((0L, 0L), (5L, 9L), (12345L, 67890L),
+      (0x7FFFFFFFL, 0x7FFFFFFFL)))
+      assert(BitInterleave.mortonN(Array(a, b), 31) ==
+        BitInterleave.morton(a, b), s"($a,$b)")
+
+    val df = (0 until 500)
+      .map(i => (i.toLong % 1021, (i * 7L) % 1021, (i * 13L) % 1021))
+      .toDF("a", "b", "c")
+    val viaExpr = df.select(ZOrder.zorderN(
+      Seq(col("a"), col("b"), col("c")), 10).as("z")).as[Long].collect()
+    val want = df.as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) =>
+        BitInterleave.mortonN(Array(a, b, c), 10) }
+    assert(viaExpr.toSeq == want.toSeq, "codegen == scala loop")
+    df.createOrReplaceTempView("z3t")
+    val viaSql = spark.sql(s"SELECT ${ZOrder.mortonNSql(
+      Seq("a", "b", "c"), 10)} AS z FROM z3t").as[Long].collect()
+    assert(viaSql.toSeq == want.toSeq, "generated SQL == scala loop")
+    // nulls propagate
+    val withNull = Seq((Some(1L), Some(2L), Option.empty[Long]))
+      .toDF("a", "b", "c")
+      .select(ZOrder.zorderN(Seq(col("a"), col("b"), col("c")), 10))
+      .collect()
+    assert(withNull.head.isNullAt(0), "null input -> null key")
+  }
+
+  test("3-axis z-order bounds chunks touched on EVERY axis") {
+    // 16x16x16 cube in 32 chunks: for single-axis range queries on each
+    // of the three axes, the 3-D curve must beat a 1-D x-sort on y and z
+    // (x-sort leaves them unconstrained) and stay competitive on x
+    val pts = for (x <- 0 until 16; y <- 0 until 16; z <- 0 until 16)
+      yield (x.toLong, y.toLong, z.toLong)
+    def chunkBoxes(sorted: Seq[(Long, Long, Long)]) =
+      sorted.grouped(sorted.size / 32).map { c =>
+        (c.map(_._1).min, c.map(_._1).max, c.map(_._2).min,
+          c.map(_._2).max, c.map(_._3).min, c.map(_._3).max)
+      }.toSeq
+    def touchedOn(boxes: Seq[(Long, Long, Long, Long, Long, Long)],
+        axis: Int): Int =
+      (for (q <- 0 until 4) yield boxes.count { b =>
+        val (lo, hi) = axis match {
+          case 0 => (b._1, b._2); case 1 => (b._3, b._4)
+          case _ => (b._5, b._6)
+        }
+        lo <= q * 4 + 3 && hi >= q * 4
+      }).sum
+    val byX = chunkBoxes(pts.sortBy(_._1))
+    val byZ3 = chunkBoxes(pts.sortBy(p =>
+      BitInterleave.mortonN(Array(p._1, p._2, p._3), 4)))
+    assert(touchedOn(byZ3, 1) * 2 <= touchedOn(byX, 1),
+      s"y-axis: z3 ${touchedOn(byZ3, 1)} vs x-sort ${touchedOn(byX, 1)}")
+    assert(touchedOn(byZ3, 2) * 2 <= touchedOn(byX, 2),
+      s"z-axis: z3 ${touchedOn(byZ3, 2)} vs x-sort ${touchedOn(byX, 2)}")
+  }
+
+  test("reclusterZOrder over three columns rewrites and stays exact") {
+    val dir = tmpDir("z3-tbl")
+    val t = new graft.table.CowTable(spark, dir, keyCols = Seq("id"),
+      fileIndexEntries = 1000, statsCols = Seq("x", "y", "w"))
+    val rows = (0 until 4096).map { i =>
+      (i.toLong, (i % 16).toLong, ((i / 16) % 16).toLong,
+        ((i / 256) % 16).toLong)
+    }
+    t.bulkInsert(rows.toDF("id", "x", "y", "w"), parallelism = 8)
+    val before = t.snapshot().as[(Long, Long, Long, Long)].collect().toSet
+    assert(t.reclusterZOrder(Seq("x", "y", "w"), parallelism = 8,
+      bits = 20))
+    assert(t.manifest.operation == "cluster_z")
+    assert(t.snapshot().as[(Long, Long, Long, Long)].collect().toSet ==
+      before, "rewrite preserves data exactly")
+    // every axis gets non-degenerate per-file ranges (prunable on all 3)
+    val m = t.manifest
+    for (c <- Seq("x", "y", "w")) {
+      val spans = m.baseFiles.flatMap(f =>
+        m.fileStats.get(f).flatMap(_.colStats.get(c)))
+      assert(spans.nonEmpty, s"stats recorded for $c")
+    }
+  }
+
   test("mortonSql is the identical computation (checked via Spark SQL)") {
     val df = Seq((123456789L, 987654321L), (0L, 0x7FFFFFFFL))
       .toDF("a", "b")
