@@ -116,6 +116,19 @@ private[sources] object GraftProcedures {
       "apply commit retention and reclaim unreferenced data dirs",
       Seq(("table", StringType, None)),
       (t, _) => { t.clean(); Seq("cleaned" -> 1L) }),
+    Spec("expire_commits",
+      "time-based retention: drop commits older than a timestamp",
+      Seq(("table", StringType, None),
+        ("older_than", StringType, None),
+        ("keep_last", IntegerType, Some("1"))),
+      (t, in) => {
+        val raw = in.getUTF8String(1).toString
+        val ms = raw.toLongOption.getOrElse(
+          java.sql.Timestamp.valueOf(
+            if (raw.length == 10) raw + " 00:00:00" else raw).getTime)
+        Seq("versions_expired" ->
+          t.expireCommits(ms, in.getInt(2)).toLong)
+      }),
     Spec("vacuum",
       "reclaim crashed/aborted commit debris (no writer may be inflight)",
       Seq(("table", StringType, None)),

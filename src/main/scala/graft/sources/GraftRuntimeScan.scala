@@ -44,7 +44,13 @@ final class GraftRuntimeScan(
     m: Manifest,
     files0: Seq[String],
     rebuild: Seq[String] => Scan,
-    initialScan: Scan)
+    initialScan: Scan,
+    /** True when NO data filter was pushed into the inner scan — the
+      * scan returns every row of its files, so the manifest's per-file
+      * row counts sum to an EXACT numRows (file/partition pruning only
+      * narrows which files, never which rows of a file).
+      */
+    rowsExact: Boolean = false)
   extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   @volatile private var files: Seq[String] = files0
@@ -69,11 +75,31 @@ final class GraftRuntimeScan(
     inner.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     inner.columnarSupportMode()
-  override def estimateStatistics(): Statistics = inner match {
-    case s: SupportsReportStatistics => s.estimateStatistics()
-    case _ => new Statistics {
-      override def sizeInBytes() = java.util.OptionalLong.empty()
-      override def numRows() = java.util.OptionalLong.empty()
+  override def estimateStatistics(): Statistics = {
+    val innerStats = inner match {
+      case s: SupportsReportStatistics => Some(s.estimateStatistics())
+      case _ => None
+    }
+    // exact numRows from the manifest's per-file counts (over the
+    // CURRENT file set — runtime pruning narrows it): a certified row
+    // count beats the parquet scan's size-derived estimate for CBO join
+    // sizing. Only when every live file has a recorded count and no
+    // row-level filter was pushed.
+    val exact: Option[Long] =
+      if (!rowsExact) None
+      else {
+        val counts = files.map(f => m.fileStats.get(f).map(_.rows))
+        if (counts.forall(_.exists(_ >= 0L)))
+          Some(counts.flatten.sum) else None
+      }
+    new Statistics {
+      override def sizeInBytes() = innerStats
+        .map(_.sizeInBytes()).getOrElse(java.util.OptionalLong.empty())
+      override def numRows() = exact match {
+        case Some(n) => java.util.OptionalLong.of(n)
+        case None => innerStats.map(_.numRows())
+          .getOrElse(java.util.OptionalLong.empty())
+      }
     }
   }
 

@@ -154,7 +154,8 @@ private[sources] class GraftScanBuilder(
           savedRequired.foreach(b.pruneColumns)
           b.build()
         }
-        new GraftRuntimeScan(spark, base, m, currentFiles, rebuildScan, scan)
+        new GraftRuntimeScan(spark, base, m, currentFiles, rebuildScan,
+          scan, rowsExact = savedPushed.isEmpty)
       case _ => scan
     }
   }

@@ -2121,8 +2121,36 @@ class CowTable(
     */
   def clean(): Unit = {
     val versions = listVersions(fs, commitsDir).sorted
-    val retained = versions.takeRight(keepCommits)
-    val dropped = versions.dropRight(keepCommits)
+    dropVersions(versions.dropRight(keepCommits),
+      versions.takeRight(keepCommits))
+  }
+
+  /** TIME-based retention (Iceberg `expire_snapshots(older_than)` /
+    * Delta `logRetentionDuration` analog, enabled by the manifests'
+    * commit timestamps): drop retained versions whose commit time is
+    * strictly before `olderThanMs`, always keeping the newest
+    * `keepLast` (>= 1 — the head is never expirable). Complements the
+    * count-based [[clean]]: count bounds replay depth, time bounds how
+    * long history is legally retained (compliance windows). Pre-stamp
+    * manifests (commitTimeMs = 0) count as infinitely old. Returns the
+    * number of versions expired. Same liveness rule as [[clean]]: a
+    * data dir is reclaimed only when no surviving manifest references
+    * it.
+    */
+  def expireCommits(olderThanMs: Long, keepLast: Int = 1): Int = {
+    val versions = listVersions(fs, commitsDir).sorted
+    val protectedTail = versions.takeRight(math.max(keepLast, 1)).toSet
+    // longest droppable PREFIX only: the retained timeline must stay
+    // contiguous (incremental windows walk version-by-version), so one
+    // young-looking manifest mid-history shields everything above it
+    val dropped = versions.takeWhile(v =>
+      !protectedTail(v) && manifestAt(v).commitTimeMs < olderThanMs)
+    dropVersions(dropped, versions.drop(dropped.size))
+    dropped.size
+  }
+
+  private def dropVersions(
+      dropped: Seq[Long], retained: Seq[Long]): Unit = {
     dropped.foreach { v =>
       fs.delete(new Path(commitsDir, s"v$v.json"), false)
       fs.delete(new Path(commitsDir, s".v$v.lock"), false)
@@ -2131,7 +2159,8 @@ class CowTable(
       val live: Set[String] = retained.iterator.map(manifestAt)
         .flatMap(m => m.files ++ m.feedAnchoredFiles)
         .map(_.split('/')(1)).toSet
-      val oldestRetained = retained.min
+      val oldestRetained =
+        if (retained.nonEmpty) retained.min else Long.MaxValue
       val filesDir = new Path(basePath, "files")
       if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { st =>
         val name = st.getPath.getName

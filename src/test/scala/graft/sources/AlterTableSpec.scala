@@ -186,6 +186,23 @@ class AlterTableSpec extends SparkSpec {
     assert(!a.isNullAt(4) && a.getLong(4) > 0L, "bytes from the index")
   }
 
+  test("CALL system.expire_commits applies time-based retention") {
+    init()
+    spark.sql("""CREATE TABLE acat.lake.ex (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('keyCols'='id')""")
+    spark.sql("INSERT INTO acat.lake.ex VALUES (1, 1.0)")
+    val t = CowTable.open(spark, s"$wh/lake/ex")
+    val cut = t.manifest.commitTimeMs + 1
+    Thread.sleep(15)
+    spark.sql("INSERT INTO acat.lake.ex VALUES (2, 2.0)")
+    val out = spark.sql("CALL acat.system.expire_commits(" +
+      s"table => 'lake.ex', older_than => '$cut')").collect()
+    assert(out.head.getString(0) == "versions_expired" &&
+      out.head.getLong(1) == 2L, out.mkString(", "))
+    assert(spark.sql("SELECT count(*) FROM acat.lake.ex")
+      .as[Long].head() == 2L, "data unaffected by expiry")
+  }
+
   test("versionAtTimestamp walks the retained timeline") {
     val dir = tmpDir("alter-ts")
     val t = new CowTable(spark, dir, keyCols = Seq("id"))

@@ -334,6 +334,33 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(scannedFiles(tail).length == 2 && tail.count() == 200)
   }
 
+  test("scan statistics report exact numRows from the manifest") {
+    val path = tmpDir("dsv2-stats")
+    val t = new CowTable(spark, path, keyCols = Seq("id"),
+      fileIndexEntries = 1000)
+    t.bulkInsert((0 until 500).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "v"), parallelism = 4)
+    val df = spark.read.format("graft").load(path)
+    val scan = df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.head
+    val stats = scan.asInstanceOf[GraftRuntimeScan].estimateStatistics()
+    assert(stats.numRows().isPresent && stats.numRows().getAsLong == 500L,
+      s"exact rows from the manifest: ${stats.numRows()}")
+    // a pushed row-level filter must not claim the UNFILTERED total as
+    // exact (it may delegate to the inner scan's estimate or stay empty)
+    val filtered = spark.read.format("graft").load(path)
+      .filter(col("v") > 99999.0) // selects nothing
+    val fscan = filtered.queryExecution.executedPlan.collectLeaves()
+      .collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.scan
+      }.head
+    assert(filtered.count() == 0)
+    fscan.asInstanceOf[GraftRuntimeScan].estimateStatistics() // no crash
+  }
+
   test("timestampAsOf load option time-travels like versionAsOf") {
     val path = tmpDir("dsv2-tsasof")
     val t = new CowTable(spark, path, keyCols = Seq("id"))

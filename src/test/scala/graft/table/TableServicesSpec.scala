@@ -227,6 +227,28 @@ class TableServicesSpec extends SparkSpec {
       Map("a" -> 1.0, "b" -> 2.0), "read-optimized view back to v1 base")
   }
 
+  test("expireCommits drops old versions by time, keeps contiguity") {
+    val t = new CowTable(spark, tmpDir("svc-exp"), keyCols = Seq("id"),
+      keepCommits = 100)
+    t.bulkInsert(Seq(("a", 1.0)).toDF("id", "v"))                  // v1
+    t.upsert(Seq(("b", 2.0)).toDF("id", "v"))                      // v2
+    val cut = t.manifest.commitTimeMs + 1
+    Thread.sleep(15)
+    t.upsert(Seq(("c", 3.0)).toDF("id", "v"))                      // v3
+    t.upsert(Seq(("d", 4.0)).toDF("id", "v"))                      // v4
+
+    assert(t.expireCommits(cut) == 2, "v1 and v2 predate the cutoff")
+    val left = t.history().select("version").as[Long].collect().toSeq.sorted
+    assert(left == Seq(3L, 4L), s"contiguous tail: $left")
+    // data still complete (v3/v4 manifests list all live files)
+    assert(t.snapshot().count() == 4)
+    // head is never expirable even with a future cutoff
+    assert(t.expireCommits(Long.MaxValue) == 1, "only v3 may drop")
+    assert(t.manifest.version == 4L)
+    assert(t.expireCommits(Long.MaxValue) == 0)
+    assert(t.snapshot().count() == 4)
+  }
+
   test("history lists the retained timeline newest first with times") {
     val t = new CowTable(spark, tmpDir("svc-hist"), keyCols = Seq("id"))
     t.bulkInsert(Seq(("a", 1.0)).toDF("id", "v"))                  // v1
