@@ -138,6 +138,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       prop(key).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
     val keyCols = propList("keyCols")
+    // constraint expressions contain commas (function calls): split the
+    // property on ';' instead of the generic list separator
+    val checks = prop("checkConstraints")
+      .map(_.split(';').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
     require(keyCols.nonEmpty,
       "CREATE TABLE ... USING graft needs TBLPROPERTIES ('keyCols'='...')")
     val partitionCols = {
@@ -158,7 +163,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           fileIndexEntries =
             prop("fileIndexEntries").map(_.toInt).getOrElse(0),
           statsCols = propList("statsCols"),
-          bloomCols = propList("bloomCols"))
+          bloomCols = propList("bloomCols"),
+          checkConstraints = checks)
       else
         new CowTable(spark, base, keyCols, partitionCols,
           prop("precombineField").getOrElse(""),
@@ -168,7 +174,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           fileIndexEntries =
             prop("fileIndexEntries").map(_.toInt).getOrElse(0),
           statsCols = propList("statsCols"),
-          bloomCols = propList("bloomCols"))
+          bloomCols = propList("bloomCols"),
+          checkConstraints = checks)
     t.createEmpty(info.schema())
     loadTable(ident)
   }

@@ -46,7 +46,9 @@ import graft.table.CowTable
   *   - The first batch (start = None, or `startingVersion` = 0) is the
   *     full snapshot as of the current version — initial load + chaining
   *     in one stream, like Delta's initial snapshot. Pass
-  *     `startingVersion` = v to begin after an already-copied version.
+  *     `startingVersion` = v to begin after an already-copied version,
+  *     or `startingTimestamp` (epoch ms / date-time string) to begin
+  *     after the newest commit at-or-before that wall-clock time.
   *   - `maxVersionsPerTrigger` bounds how many commits one micro-batch
   *     folds (rate limiting for backlogged streams);
   *     `maxBytesPerTrigger` bounds the window by ADDED bytes instead
@@ -85,7 +87,17 @@ final class GraftStreamSource(
   private val includeChanges =
     opt("includeChangeType").exists(_.toBoolean)
   private val startingVersion =
-    opt("startingVersion").map(_.toLong).getOrElse(0L)
+    opt("startingVersion").map(_.toLong)
+      .orElse(opt("startingTimestamp").map { raw =>
+        // start AFTER the newest commit at-or-before the timestamp —
+        // the stream serves commits (v, head], mirroring Delta's
+        // startingTimestamp semantics on a version timeline
+        val ms = raw.toLongOption.getOrElse(
+          java.sql.Timestamp.valueOf(
+            if (raw.length == 10) raw + " 00:00:00" else raw).getTime)
+        CowTable.open(spark, basePath).versionAtTimestamp(ms)
+      })
+      .getOrElse(0L)
   private val maxVersions = opt("maxVersionsPerTrigger").map(_.toLong)
   /** Byte-bounded admission: cap one micro-batch's window at the sum of
     * bytes its commits ADDED (the operational knob when commit sizes

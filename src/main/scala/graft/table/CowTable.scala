@@ -173,7 +173,8 @@ final case class TableProps(
     fileIndexEntries: Int = 0,
     statsCols: Seq[String] = Nil,
     compactEvery: Int = 20,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    checkConstraints: Seq[String] = Nil)
 
 final case class FileStat(keyMin: String, keyMax: String, bloomRef: String,
     /** Optional per-column [min, max] (encoded order-preserving strings)
@@ -278,7 +279,16 @@ class CowTable(
       * ride the same index pass, sized to each file's actual row count,
       * and load lazily only for range-phase survivors.
       */
-    val bloomCols: Seq[String] = Nil) {
+    val bloomCols: Seq[String] = Nil,
+    /** SQL CHECK constraints (boolean expressions over the table's
+      * columns), enforced on EVERY write fused into the write scan —
+      * see `withChecks`. SQL semantics: a row passes when the
+      * expression is TRUE or NULL; a FALSE row fails the whole write
+      * before its commit publishes. Creation-time config (persisted in
+      * `TableProps`); expressions referencing columns a batch lacks
+      * (absent-payload deletes) pass vacuously.
+      */
+    val checkConstraints: Seq[String] = Nil) {
 
   import CowTable._
 
@@ -629,7 +639,8 @@ class CowTable(
     fileIndexEntries = fileIndexEntries,
     statsCols = statsCols,
     compactEvery = inlineCompactEvery,
-    bloomCols = bloomCols)
+    bloomCols = bloomCols,
+    checkConstraints = checkConstraints)
 
   /** Full-replace commit (`SaveMode.Overwrite` through the source API):
     * the new data's files become the ENTIRE base listing; on MOR any
@@ -1421,6 +1432,29 @@ class CowTable(
     * columns for the hive-style directory layout so the data files keep the
     * originals (see class doc).
     */
+  /** Fuse CHECK-constraint enforcement into the write scan: valid rows
+    * pass the filter's left side; a violating row short-circuits into
+    * `raise_error` and fails the write job BEFORE its manifest publishes
+    * (the partial commit dir is normal crash debris — vacuumOrphans
+    * territory). SQL-standard semantics: NULL passes (delete/tombstone
+    * batches carry null payloads by design). ONE pass, zero extra jobs —
+    * validation rides the same scan that writes the files; rewrite paths
+    * re-validate stored rows for free (constraints are creation-time, so
+    * stored data has satisfied them since birth).
+    */
+  private def withChecks(df: DataFrame): DataFrame =
+    checkConstraints.foldLeft(df) { (d, c) =>
+      // guard against constraints referencing columns this batch lacks
+      // (absent-payload deletes): missing references null-pass like SQL
+      val refs = spark.sessionState.sqlParser.parseExpression(c)
+        .references.map(_.name.toLowerCase)
+      val have = d.columns.map(_.toLowerCase).toSet
+      if (!refs.forall(have)) d
+      else d.filter(coalesce(expr(c), lit(true)) ||
+        raise_error(concat(lit(s"graft CHECK constraint violated: [$c] "),
+          lit("in a row of this write batch"))).cast("boolean"))
+    }
+
   protected def writeCommit(
       df: DataFrame, v: Long, parallelism: Int,
       rangeSortCols: Seq[String] = Nil,
@@ -1429,7 +1463,7 @@ class CowTable(
       // established intra-partition order
       dropCols: Seq[String] = Nil): Map[String, Seq[String]] = {
     val dir = commitDataDir(v)
-    val dup0 = partitionCols.foldLeft(df)(
+    val dup0 = partitionCols.foldLeft(withChecks(df))(
       (d, c) => d.withColumn(dirCol(c), col(c)))
     val dup =
       if (numBuckets > 0) dup0.withColumn(dirCol(BucketCol), bucketExpr)
@@ -2021,14 +2055,14 @@ class CowTable(
           numBuckets = p.numBuckets, clusterCols = p.clusterCols,
           compactEvery = p.compactEvery,
           fileIndexEntries = p.fileIndexEntries, statsCols = p.statsCols,
-          bloomCols = p.bloomCols)
+          bloomCols = p.bloomCols, checkConstraints = p.checkConstraints)
       else
         new CowTable(spark, destPath, src.keyCols, src.partitionCols,
           src.precombineField, keepCommits = p.keepCommits,
           numBuckets = p.numBuckets, clusterCols = p.clusterCols,
           trackCommitVersions = p.trackCommitVersions,
           fileIndexEntries = p.fileIndexEntries, statsCols = p.statsCols,
-          bloomCols = p.bloomCols)
+          bloomCols = p.bloomCols, checkConstraints = p.checkConstraints)
     dest.writeManifest(src.copy(
       partitions = absL(src.partitions),
       logPartitions = absL(src.logPartitions),
@@ -2273,14 +2307,14 @@ object CowTable {
         numBuckets = p.numBuckets, clusterCols = p.clusterCols,
         compactEvery = p.compactEvery,
         fileIndexEntries = p.fileIndexEntries, statsCols = p.statsCols,
-        bloomCols = p.bloomCols)
+        bloomCols = p.bloomCols, checkConstraints = p.checkConstraints)
     else
       new CowTable(spark, basePath, m.keyCols, m.partitionCols,
         m.precombineField, keepCommits = p.keepCommits,
         numBuckets = p.numBuckets, clusterCols = p.clusterCols,
         trackCommitVersions = p.trackCommitVersions,
         fileIndexEntries = p.fileIndexEntries, statsCols = p.statsCols,
-        bloomCols = p.bloomCols)
+        bloomCols = p.bloomCols, checkConstraints = p.checkConstraints)
   }
 
   /** Best-effort config reconstruction for PRE-round-7 manifests (no
@@ -2769,7 +2803,9 @@ object CowTable {
           "statsCols" -> JArray(p.statsCols.toList.map(JString(_))),
           "compactEvery" -> JInt(p.compactEvery),
           "bloomCols" -> (if (p.bloomCols.isEmpty) JNothing
-            else JArray(p.bloomCols.toList.map(JString(_)))))): JValue
+            else JArray(p.bloomCols.toList.map(JString(_)))),
+          "checkConstraints" -> (if (p.checkConstraints.isEmpty) JNothing
+            else JArray(p.checkConstraints.toList.map(JString(_)))))): JValue
         case None => JNothing
       })))))
   }
@@ -2859,7 +2895,8 @@ object CowTable {
           fileIndexEntries = long(o \ "fileIndexEntries", 0L).toInt,
           statsCols = strs(o \ "statsCols"),
           compactEvery = long(o \ "compactEvery", 20L).toInt,
-          bloomCols = strs(o \ "bloomCols")))
+          bloomCols = strs(o \ "bloomCols"),
+          checkConstraints = strs(o \ "checkConstraints")))
         case _ => None // pre-round-7 manifests: open() infers
       })
   }

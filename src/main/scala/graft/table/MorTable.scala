@@ -56,11 +56,12 @@ class MorTable(
     val compactEvery: Int = 20,
     fileIndexEntries: Int = 0,
     statsCols: Seq[String] = Nil,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    checkConstraints: Seq[String] = Nil)
   extends CowTable(spark, basePath, keyCols, partitionCols, precombineField,
     keepCommits, numBuckets, clusterCols, trackCommitVersions = true,
     fileIndexEntries = fileIndexEntries, statsCols = statsCols,
-    bloomCols = bloomCols) {
+    bloomCols = bloomCols, checkConstraints = checkConstraints) {
 
   import CowTable._
   import MorTable._

@@ -87,6 +87,30 @@ class GraftTableStreamSpec extends SparkSpec {
     assert(pathB != null)
   }
 
+  test("startingTimestamp begins after the commit at that time") {
+    val pathA = tmpDir("tstream-sts")
+    val a = tableA(pathA)
+    a.bulkInsert(Seq(("k1", "p1", 1.0)).toDF("id", "p", "v"))
+    val t1 = a.manifest.commitTimeMs
+    Thread.sleep(15)
+    a.upsert(Seq(("k2", "p1", 2.0)).toDF("id", "p", "v"))
+
+    val got = scala.collection.mutable.Set[String]()
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", t1.toString)
+      .load(pathA)
+      .writeStream
+      .option("checkpointLocation", tmpDir("tstream-sts-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.select("id").as[String].collect().foreach(got += _); ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(got == Set("k2"),
+      s"only the post-timestamp commit streams: $got")
+  }
+
   test("maxBytesPerTrigger paces a backlog by added bytes") {
     val pathA = tmpDir("tstream-bytes")
     val a = tableA(pathA)
