@@ -211,13 +211,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val widens = changes.collect { case u: TableChange.UpdateColumnType =>
       top(u.fieldNames(), "column type change") -> u.newDataType()
     }
+    val setProps = changes.collect {
+      case sp: TableChange.SetProperty => sp.property -> sp.value
+    }
     val rest = changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn]
-      || c.isInstanceOf[TableChange.UpdateColumnType])
+      || c.isInstanceOf[TableChange.UpdateColumnType]
+      || c.isInstanceOf[TableChange.SetProperty])
     if (rest.nonEmpty) throw new UnsupportedOperationException(
-      "graft ALTER TABLE supports ADD COLUMNS and safe type widening " +
-        s"only; got: ${rest.map(_.getClass.getSimpleName).mkString(", ")}")
+      "graft ALTER TABLE supports ADD COLUMNS, safe type widening and " +
+        "SET TBLPROPERTIES (mutable knobs) only; got: " +
+        rest.map(_.getClass.getSimpleName).mkString(", "))
     if (adds.nonEmpty || widens.nonEmpty)
       CowTable.open(spark, base).alterSchema(adds, widens)
+    if (setProps.nonEmpty)
+      CowTable.open(spark, base).alterProps(setProps.toMap)
     loadTable(ident)
   }
 

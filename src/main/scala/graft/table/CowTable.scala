@@ -1395,6 +1395,78 @@ class CowTable(
         "columns_widened" -> widenCols.size.toLong)))
   }
 
+  /** Metadata-only table-property change (SQL `ALTER TABLE SET
+    * TBLPROPERTIES`): updates the MUTABLE knobs — `keepCommits`,
+    * `compactEvery`, `fileIndexEntries`, `statsCols`, `bloomCols`,
+    * `checkConstraints` — in one props-only commit, and returns a NEW
+    * handle configured with them (the commit is written BY that handle,
+    * so the manifest's healed props are the new ones; the single-writer
+    * model means callers reopen after DDL — a stale handle's next write
+    * would re-stamp its creation-time props). Structural knobs (keys,
+    * partitioning, buckets, clustering, storage type, commit tracking)
+    * refuse loudly: files already on disk encode them.
+    *
+    * Effect timing is honest about existing files: new `statsCols`/
+    * `bloomCols` apply to files written FROM NOW ON (stat-less old files
+    * never prune — the superset contract absorbs the transition;
+    * `recluster`/`compact` rewrites backfill them); GROWN
+    * `checkConstraints` validate the CURRENT snapshot first (one scan,
+    * the Delta ADD CONSTRAINT cost) and refuse if any stored row
+    * violates.
+    */
+  def alterProps(updates: Map[String, String]): CowTable = {
+    val allowed = Set("keepCommits", "compactEvery", "fileIndexEntries",
+      "statsCols", "bloomCols", "checkConstraints")
+    val bad = updates.keys.filterNot(k =>
+      allowed.exists(_.equalsIgnoreCase(k)))
+    require(bad.isEmpty,
+      s"ALTER TABLE SET TBLPROPERTIES: ${bad.mkString(", ")} " +
+        s"not alterable (mutable: ${allowed.mkString(", ")}) — keys, " +
+        "partitioning, buckets, clustering and storage type are fixed " +
+        "by the files already written")
+    def get(k: String): Option[String] =
+      updates.collectFirst { case (kk, v) if kk.equalsIgnoreCase(k) => v }
+    def list(k: String, cur: Seq[String], sep: Char = ','): Seq[String] =
+      get(k).map(_.split(sep).map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(cur)
+    val m = manifest
+    val p0 = currentProps
+    val p = p0.copy(
+      keepCommits = get("keepCommits").map(_.toInt)
+        .getOrElse(p0.keepCommits),
+      compactEvery = get("compactEvery").map(_.toInt)
+        .getOrElse(p0.compactEvery),
+      fileIndexEntries = get("fileIndexEntries").map(_.toInt)
+        .getOrElse(p0.fileIndexEntries),
+      statsCols = list("statsCols", p0.statsCols),
+      bloomCols = list("bloomCols", p0.bloomCols),
+      checkConstraints =
+        list("checkConstraints", p0.checkConstraints, sep = ';'))
+    require(p.bloomCols.forall(p.statsCols.contains),
+      s"bloomCols must be a subset of statsCols " +
+        s"(${p.bloomCols} vs ${p.statsCols})")
+    // Delta ADD CONSTRAINT semantics: a new constraint must already hold
+    // over the stored data, or the DDL refuses — otherwise reads would
+    // serve rows the table's own contract forbids
+    val grown = p.checkConstraints.filterNot(checkConstraints.contains)
+    grown.foreach { c =>
+      val snap = snapshot()
+      val refs = spark.sessionState.sqlParser.parseExpression(c)
+        .references.map(_.name.toLowerCase)
+      require(refs.forall(snap.columns.map(_.toLowerCase).toSet),
+        s"CHECK constraint references unknown columns: $c")
+      val violations = snap.filter(!coalesce(expr(c), lit(true))).count()
+      require(violations == 0L,
+        s"cannot add CHECK constraint [$c]: $violations stored rows " +
+          "violate it")
+    }
+    val dest = CowTable.openWithProps(spark, basePath, m, p)
+    dest.writeManifest(m.copy(version = m.version + 1,
+      operation = "alter_props",
+      metrics = Map("props_changed" -> updates.size.toLong)))
+    dest
+  }
+
   /** Conform a frame to the target schema: order columns, cast to stored
     * types, null-fill columns the frame lacks (absent payload columns in
     * delete batches; newly evolved columns in old snapshots).
@@ -2300,7 +2372,14 @@ object CowTable {
     */
   def open(spark: SparkSession, basePath: String): CowTable = {
     val m = openManifest(spark, basePath)
-    val p = m.props.getOrElse(inferProps(m))
+    openWithProps(spark, basePath, m, m.props.getOrElse(inferProps(m)))
+  }
+
+  /** [[open]]'s constructor dispatch with EXPLICIT props — the piece
+    * [[CowTable.alterProps]] reuses to build the post-DDL handle.
+    */
+  private[table] def openWithProps(spark: SparkSession, basePath: String,
+      m: Manifest, p: TableProps): CowTable = {
     if (m.storageType == "mor")
       new MorTable(spark, basePath, m.keyCols, m.partitionCols,
         m.precombineField, keepCommits = p.keepCommits,

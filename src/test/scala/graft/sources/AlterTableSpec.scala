@@ -149,6 +149,45 @@ class AlterTableSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L))
   }
 
+  test("SET TBLPROPERTIES alters mutable knobs; structural ones refuse") {
+    init()
+    spark.sql("""CREATE TABLE acat.lake.sp (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('keyCols'='id')""")
+    spark.sql("INSERT INTO acat.lake.sp VALUES (1, 1.0)")
+
+    // retention + index knobs stick and persist through open()
+    spark.sql("""ALTER TABLE acat.lake.sp SET TBLPROPERTIES (
+      'keepCommits'='25', 'fileIndexEntries'='1000',
+      'statsCols'='v', 'bloomCols'='v')""")
+    val re = CowTable.open(spark, s"$wh/lake/sp")
+    assert(re.keepCommits == 25 && re.fileIndexEntries == 1000 &&
+      re.statsCols == Seq("v") && re.bloomCols == Seq("v"),
+      s"props: ${re.keepCommits}/${re.fileIndexEntries}/${re.statsCols}")
+    assert(re.manifest.operation == "alter_props")
+    // a write through the reopened handle builds the new index
+    spark.sql("INSERT INTO acat.lake.sp VALUES (2, 2.0)")
+    val st = CowTable.open(spark, s"$wh/lake/sp").manifest.fileStats
+    assert(st.values.exists(_.colStats.contains("v")),
+      "post-DDL files carry the new stats")
+
+    // ADD CONSTRAINT validates stored data first
+    spark.sql("""ALTER TABLE acat.lake.sp SET TBLPROPERTIES (
+      'checkConstraints'='v > 0')""")
+    intercept[Exception] {
+      spark.sql("INSERT INTO acat.lake.sp VALUES (3, -1.0)")
+    }
+    // a constraint stored data VIOLATES refuses at DDL time
+    intercept[Exception] {
+      spark.sql("""ALTER TABLE acat.lake.sp SET TBLPROPERTIES (
+        'checkConstraints'='v > 100')""")
+    }
+    // structural knobs refuse loudly
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE acat.lake.sp SET TBLPROPERTIES ('numBuckets'='8')")
+    }
+  }
+
   test("CALL system.history returns the timeline through SQL") {
     init()
     spark.sql("""CREATE TABLE acat.lake.h (id BIGINT, v DOUBLE)
