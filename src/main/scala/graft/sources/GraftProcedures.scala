@@ -116,6 +116,17 @@ private[sources] object GraftProcedures {
       "apply commit retention and reclaim unreferenced data dirs",
       Seq(("table", StringType, None)),
       (t, _) => { t.clean(); Seq("cleaned" -> 1L) }),
+    Spec("savepoint",
+      "pin a retained version against clean/expire (durable restore " +
+        "point)",
+      Seq(("table", StringType, None), ("version", LongType, None)),
+      (t, in) => { t.savepoint(in.getLong(1))
+        Seq("savepointed_version" -> in.getLong(1)) }),
+    Spec("release_savepoint",
+      "drop a savepoint; the next clean may reclaim the version",
+      Seq(("table", StringType, None), ("version", LongType, None)),
+      (t, in) => Seq("released" ->
+        b2l(t.releaseSavepoint(in.getLong(1))))),
     Spec("expire_commits",
       "time-based retention: drop commits older than a timestamp",
       Seq(("table", StringType, None),

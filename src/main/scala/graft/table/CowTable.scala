@@ -2255,14 +2255,46 @@ class CowTable(
     dropped.size
   }
 
+  /** SAVEPOINT a retained version (Hudi savepoint analog): the version's
+    * manifest — and every data file it references — survives [[clean]]
+    * and [[expireCommits]] until [[releaseSavepoint]], making it a
+    * durable [[restoreTo]]/[[snapshotAt]]/[[cloneTo]] target beyond the
+    * retention window. Marker-file based (`_commits/.sp-v{N}`), so
+    * savepoints survive process restarts and cost nothing per commit.
+    */
+  def savepoint(version: Long): Unit = {
+    manifestAt(version) // loud if not (or no longer) retained
+    val out = fs.create(new Path(commitsDir, s".sp-v$version"), true)
+    out.close()
+  }
+
+  /** Drop a savepoint; the next [[clean]] may reclaim the version. */
+  def releaseSavepoint(version: Long): Boolean =
+    fs.delete(new Path(commitsDir, s".sp-v$version"), false)
+
+  /** Currently savepointed versions (sorted). */
+  def savepoints(): Seq[Long] =
+    if (!fs.exists(commitsDir)) Nil
+    else fs.listStatus(commitsDir).iterator.map(_.getPath.getName)
+      .collect { case CowTable.SavepointName(n) => n.toLong }
+      .toSeq.sorted
+
   private def dropVersions(
-      dropped: Seq[Long], retained: Seq[Long]): Unit = {
+      dropped0: Seq[Long], retained: Seq[Long]): Unit = {
+    // savepointed versions never drop; their manifests join the liveness
+    // set so their data dirs survive reclaim, while the reclaim WINDOW
+    // floor stays the natural retention boundary (dirs between an old
+    // savepoint and the window are reclaimed unless a kept manifest
+    // references them)
+    val sp = savepoints().toSet
+    val dropped = dropped0.filterNot(sp)
+    val keptManifests = (retained ++ dropped0.filter(sp)).distinct
     dropped.foreach { v =>
       fs.delete(new Path(commitsDir, s"v$v.json"), false)
       fs.delete(new Path(commitsDir, s".v$v.lock"), false)
     }
     if (dropped.nonEmpty) {
-      val live: Set[String] = retained.iterator.map(manifestAt)
+      val live: Set[String] = keptManifests.iterator.map(manifestAt)
         .flatMap(m => m.files ++ m.feedAnchoredFiles)
         .map(_.split('/')(1)).toSet
       val oldestRetained =
@@ -2287,6 +2319,7 @@ class CowTable(
 
 object CowTable {
   private val ManifestName = "v(\\d+)\\.json".r
+  private[table] val SavepointName = "\\.sp-v(\\d+)".r
 
   /** The wider of two types when one safely contains the other (see
     * [[CowTable.evolveSchema]]); None for incompatible pairs. Key,

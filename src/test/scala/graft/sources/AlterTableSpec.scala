@@ -242,6 +242,23 @@ class AlterTableSpec extends SparkSpec {
       .as[Long].head() == 2L, "data unaffected by expiry")
   }
 
+  test("CALL system.savepoint pins and releases versions through SQL") {
+    init()
+    spark.sql("""CREATE TABLE acat.lake.sv (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('keyCols'='id')""")
+    spark.sql("INSERT INTO acat.lake.sv VALUES (1, 1.0)")
+    val out = spark.sql(
+      "CALL acat.system.savepoint(table => 'lake.sv', version => 2)")
+      .collect()
+    assert(out.head.getString(0) == "savepointed_version" &&
+      out.head.getLong(1) == 2L)
+    assert(CowTable.open(spark, s"$wh/lake/sv").savepoints() == Seq(2L))
+    val rel = spark.sql("CALL acat.system.release_savepoint(" +
+      "table => 'lake.sv', version => 2)").collect()
+    assert(rel.head.getLong(1) == 1L)
+    assert(CowTable.open(spark, s"$wh/lake/sv").savepoints().isEmpty)
+  }
+
   test("versionAtTimestamp walks the retained timeline") {
     val dir = tmpDir("alter-ts")
     val t = new CowTable(spark, dir, keyCols = Seq("id"))

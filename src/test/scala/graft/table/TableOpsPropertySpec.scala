@@ -88,14 +88,28 @@ class TableOpsPropertySpec extends SparkSpec {
           .map { case ((i, p), v) => (i, p, v) }
         t.overwrite(df(rows))
         model = dedup(rows)
-      } else if (op < 85) { // layout services: state must NOT change
+      } else if (op < 82) { // layout services: state must NOT change
         if (rnd.nextBoolean()) t.recluster(Seq("id"))
         else t.compact(maxFilesPerUnit = 2)
-      } else { // restore to a recent version still inside retention
-        // (MOR ops can advance several commits per step — inline compaction
-        // — so filter to versions provably within keepCommits)
+      } else if (op < 87) { // time-based retention: state must NOT change
+        // expire up to the commit 6 below head, but never the current
+        // feed anchor (the feed invariant reads from it next step)
+        val floor = math.min(
+          feedAnchor.map(_._1).getOrElse(Long.MaxValue),
+          t.manifest.version - 6)
+        scala.util.Try(t.manifestAt(floor)).foreach { mf =>
+          if (mf.commitTimeMs > 0) t.expireCommits(mf.commitTimeMs)
+        }
+      } else if (op < 92) { // metadata-only DDL: state must NOT change
+        // (reads select the original columns; the added one null-fills)
+        t.alterSchema(addCols = Seq(org.apache.spark.sql.types
+          .StructField(s"x$step", org.apache.spark.sql.types.IntegerType)))
+      } else { // restore to a recent RETAINED version (expiry/cleaner may
+        // have dropped part of the window)
         val recent = history.keys.toSeq.sorted
-          .filter(_ >= t.manifest.version - 6).takeRight(4)
+          .filter(_ >= t.manifest.version - 6)
+          .filter(v => scala.util.Try(t.manifestAt(v)).isSuccess)
+          .takeRight(4)
         if (recent.nonEmpty) {
           val target = recent(rnd.nextInt(recent.size))
           t.restoreTo(target)
@@ -110,7 +124,10 @@ class TableOpsPropertySpec extends SparkSpec {
         s"seed=$seed step=$step op=$op diverged:\n got  ${got.toSeq.sorted}" +
           s"\n want ${model.toSeq.sorted}")
       val curV = t.manifest.version
-      if (op < 70 || (op >= 75 && op < 85)) feedAnchor.foreach {
+      // feed-safe ops: CDC changes, layout services, retention expiry and
+      // schema DDL (the latter three must produce an EMPTY feed window);
+      // overwrite and restore swap listings wholesale and reset the anchor
+      if (op < 70 || (op >= 75 && op < 92)) feedAnchor.foreach {
         case (pv, pm) =>
           val applied = applyFeed(pm, pv, curV)
           assert(applied == model,
@@ -119,6 +136,13 @@ class TableOpsPropertySpec extends SparkSpec {
       }
       feedAnchor = Some(curV -> model)
     }
+
+    // a zero-copy clone of the final state equals the model too
+    val clone = t.cloneTo(t.basePath + "-clone")
+    val cloned = clone.snapshot().select("id", "part", "v")
+      .as[(String, String, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(cloned == model, s"seed=$seed clone diverged")
   }
 
   test("COW: random op sequences equal the model replay at every step") {

@@ -249,6 +249,43 @@ class TableServicesSpec extends SparkSpec {
     assert(t.snapshot().count() == 4)
   }
 
+  test("savepoints survive retention; release reclaims") {
+    val t = new CowTable(spark, tmpDir("svc-sp"), keyCols = Seq("id"),
+      keepCommits = 3)
+    t.bulkInsert(Seq(("a", 1.0)).toDF("id", "v"))                  // v1
+    t.upsert(Seq(("b", 2.0)).toDF("id", "v"))                      // v2
+    t.savepoint(2L)
+    // push v2 far outside the 3-commit retention window
+    (3 to 8).foreach(i => t.upsert(Seq((s"k$i", i.toDouble))
+      .toDF("id", "v")))
+    assert(t.manifest.version == 8L)
+    val retained = t.history().select("version").as[Long].collect().toSet
+    assert(retained.contains(2L),
+      s"savepointed v2 must survive the cleaner: $retained")
+    assert(!retained.contains(3L), "non-savepointed old versions drop")
+    // the savepointed snapshot still READS (its data dirs are live)
+    assert(t.snapshotAt(2L).select("id").as[String].collect().toSet ==
+      Set("a", "b"))
+    // durable restore target beyond the window
+    t.restoreTo(2L)
+    assert(t.snapshot().select("id").as[String].collect().toSet ==
+      Set("a", "b"))
+    // expiry skips savepoints too
+    t.upsert(Seq(("c", 3.0)).toDF("id", "v"))
+    assert(t.expireCommits(Long.MaxValue) >= 1)
+    assert(t.history().select("version").as[Long].collect()
+      .toSet.contains(2L), "expire must skip savepoints")
+
+    t.releaseSavepoint(2L)
+    // retention is over EXISTING versions: push three more so v2 falls
+    // out of the newest-3 tail, then clean
+    (1 to 3).foreach(i => t.upsert(Seq((s"d$i", i.toDouble))
+      .toDF("id", "v")))
+    t.clean()
+    assert(!t.history().select("version").as[Long].collect().toSet
+      .contains(2L), "released savepoint reclaims on the next clean")
+  }
+
   test("history lists the retained timeline newest first with times") {
     val t = new CowTable(spark, tmpDir("svc-hist"), keyCols = Seq("id"))
     t.bulkInsert(Seq(("a", 1.0)).toDF("id", "v"))                  // v1
