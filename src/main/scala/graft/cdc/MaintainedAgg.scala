@@ -90,7 +90,15 @@ final class MaintainedAgg(
   val table = new CowTable(spark, aggPath, keyCols = spec.groupCols,
     trackCommitVersions = trackStateVersions, numBuckets = stateBuckets)
 
-  private val Mark = CowTable.MonotoneMarkPrefix + "ma_src_version"
+  // registration surface for the automatic materialized-view rewrite
+  // (graft.sources.MvRegistry.register(this))
+  private[graft] def sourceTable: CowTable = src
+  private[graft] def aggSpec: IncrementalAgg.AggSpec = spec
+  private[graft] def aggMinMaxCols: Seq[String] = minMaxCols
+  private[graft] def aggTracksSquares: Boolean = trackSquares
+  private[graft] def hasRowFilter: Boolean = rowFilter.nonEmpty
+
+  private val Mark = MaintainedAgg.SrcVersionMark
   private val ct = CowTable.ChangeTypeCol
   private val g = spec.groupCols
 
@@ -346,6 +354,12 @@ final class MaintainedAgg(
 }
 
 object MaintainedAgg {
+  /** Commit-metrics key carrying the last folded source version — the
+    * freshness signal the materialized-view rewrite gate reads
+    * ([[graft.sources.MvRewriteRule]]).
+    */
+  val SrcVersionMark: String = CowTable.MonotoneMarkPrefix + "ma_src_version"
+
   /** Hit-group cap for the group-scoped repair read: beyond this many
     * groups the repair reads the pinned snapshot (the driver-side value
     * collect stays bounded; at that churn stripes cover the table).

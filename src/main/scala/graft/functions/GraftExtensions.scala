@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // otherwise rejects them for sources without row-level-operation
     // support) — see graft.sources.GraftSqlRule
     ext.injectResolutionRule(s => new graft.sources.GraftSqlRule(s))
+    // materialized-view rewrite: GROUP BY over a registered source table
+    // answers from its MaintainedAgg state when provably fresh — see
+    // graft.sources.MvRewriteRule (runs before V2 scan planning)
+    ext.injectOptimizerRule(s => new graft.sources.MvRewriteRule(s))
   }
 }
 

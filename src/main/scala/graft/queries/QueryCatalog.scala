@@ -597,6 +597,64 @@ object QueryCatalog {
            |       count(o_custkey) AS value_cnt
            |FROM fin GROUP BY pri""".stripMargin))
 
+  /** Materialized-view rewrite end-to-end: an orders-shaped source table
+    * churns (reprices + deletes), a [[graft.cdc.MaintainedAgg]] folds the
+    * change feed, the view registers with [[graft.sources.MvRegistry]] —
+    * and the returned query is a plain `GROUP BY` over the SOURCE that the
+    * optimizer answers from the view ([[graft.sources.MvRewriteRule]];
+    * fired-ness is `require`d off the rule's hit log, so a silent
+    * fall-through to the source cannot masquerade as a pass). DuckDB
+    * recomputes the aggregate from the churn formulas: a green row
+    * certifies the REWRITTEN answers — maintained count/sum/min/max state
+    * — against ground truth. The 100-TB shape this certifies: a full
+    * fact-table aggregation served by a group-cardinality state read.
+    */
+  private val mvRewriteQ = Q(
+    (s, d) => {
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("pri"),
+        round(col("o_totalprice"), 2).cast("decimal(12,2)").as("price"))
+      def tmp(tag: String) =
+        java.nio.file.Files.createTempDirectory(s"graft-mv-$tag").toString
+      val src = new graft.table.CowTable(s, tmp("src"),
+        keyCols = Seq("o_orderkey"), trackCommitVersions = true)
+      src.bulkInsert(orders.filter(col("o_orderkey") % 3 === 0))
+      val ma = new graft.cdc.MaintainedAgg(s, tmp("view"), src,
+        graft.cdc.IncrementalAgg.AggSpec(Seq("pri"), "price"),
+        minMaxCols = Seq("price"))
+      ma.refresh()
+      src.upsert(orders.filter(col("o_orderkey") % 6 === 0).select(
+        col("o_orderkey"), col("pri"),
+        (col("price") + 10).cast("decimal(12,2)").as("price")))
+      src.delete(orders.filter(col("o_orderkey") % 9 === 0))
+      ma.refresh()
+      graft.sources.MvRegistry.register(ma)
+      val before = graft.sources.MvRewriteRule.hitLog
+        .getOrElse(ma.table.basePath, 0L)
+      val q = s.read.format("graft").load(src.basePath)
+        .groupBy(col("pri"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price")).as("total"),
+          min(col("price")).as("min_price"),
+          max(col("price")).as("max_price"))
+      q.queryExecution.optimizedPlan // force optimization → rewrite fires
+      require(graft.sources.MvRewriteRule.hitLog
+          .getOrElse(ma.table.basePath, 0L) > before,
+        "mv_rewrite: the GROUP BY must answer from the maintained view")
+      q
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderpriority AS pri,
+           |      CAST(round(o_totalprice, 2) AS DECIMAL(12,2)) AS price
+           |      FROM orders),
+           |f AS (SELECT o_orderkey, pri,
+           |    CASE WHEN o_orderkey % 6 = 0
+           |         THEN CAST(price + 10 AS DECIMAL(12,2))
+           |         ELSE price END AS price
+           |  FROM o WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
+           |SELECT pri, count(*) AS cnt,
+           |       CAST(sum(price) AS DECIMAL(22,2)) AS total,
+           |       min(price) AS min_price, max(price) AS max_price
+           |FROM f GROUP BY pri""".stripMargin))
+
   /** Metadata-only aggregates end-to-end: lineitem lands in an indexed
     * graft table; `count(*)` comes from [[graft.table.CowTable.fastCount]]
     * (manifest row counts, zero jobs) and min/max/count ride the DSv2
@@ -2783,6 +2841,7 @@ object QueryCatalog {
     "maintained_agg" -> maintainedAggQ,
     "spj_join" -> spjJoinQ,
     "maintained_distinct" -> maintainedDistinctQ,
+    "mv_rewrite" -> mvRewriteQ,
     "meta_agg_pushdown" -> metaAggQ,
     "dpp_join" -> dppJoinQ,
     "m2_counts" -> m2Counts,

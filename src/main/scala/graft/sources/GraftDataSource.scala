@@ -235,6 +235,15 @@ private[sources] class GraftWritableTable(
     */
   def graftBasePath: String = base
 
+  /** Scan-shape introspection for the materialized-view rewrite gate
+    * ([[MvRewriteRule]]): the manifest this relation reads, and the
+    * (possibly option-pruned) file listing it scans.
+    */
+  private[sources] def graftScanManifest: Option[graft.table.Manifest] =
+    scanCtx.map(_._1)
+  private[sources] def graftScanFiles: Option[Seq[String]] =
+    scanCtx.map(_._2)
+
   override def schema(): StructType =
     delegate.map(d => d.schema: StructType).getOrElse(new StructType())
 
