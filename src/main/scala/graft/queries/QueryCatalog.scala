@@ -1318,6 +1318,44 @@ object QueryCatalog {
            |SELECT doc_id, term, tf, df, tfidf, rnk FROM r WHERE rnk <= 3"""
       .stripMargin))
 
+  /** BM25 lexical retrieval ([[graft.text.TextOps.bm25TopDocs]]): top-20
+    * documents for a 3-term query, Robertson idf, k1=1.2 b=0.75. The
+    * per-term contributions round to 6 dp and sum as DECIMAL(18,6), so
+    * the score is order-independent — the DuckDB recompute must match to
+    * the last decimal digit. The explode is filtered to the query terms
+    * before any shuffle (cost tracks hits, not corpus tokens).
+    */
+  private val bm25Rank = Q(
+    (s, d) => TextOps.bm25TopDocs(t(s, d, "documents"),
+      Seq("spark", "join", "vector")),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |    FROM documents),
+           |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+           |st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+           |    CAST(count(*) AS DOUBLE) AS n FROM dl),
+           |hits AS (SELECT doc_id, unnest(toks) AS term FROM d),
+           |tf AS (SELECT h.doc_id, dl.dl, h.term,
+           |    CAST(count(*) AS DOUBLE) AS tf
+           |  FROM hits h JOIN dl ON h.doc_id = dl.doc_id
+           |  WHERE h.term IN ('spark', 'join', 'vector')
+           |  GROUP BY 1, 2, 3),
+           |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+           |  FROM tf GROUP BY 1),
+           |c AS (SELECT tf.doc_id, tf.dl,
+           |    CAST(round(
+           |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+           |        (tf * 2.2) /
+           |        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+           |      AS DECIMAL(18,6)) AS contrib
+           |  FROM tf JOIN dfq ON tf.term = dfq.term, st),
+           |sc AS (SELECT doc_id, dl,
+           |    CAST(sum(contrib) AS DECIMAL(28,6)) AS score
+           |  FROM c GROUP BY 1, 2),
+           |r AS (SELECT *, row_number() OVER (
+           |    ORDER BY score DESC, doc_id) AS rnk FROM sc)
+           |SELECT doc_id, dl, score, rnk FROM r WHERE rnk <= 20"""
+      .stripMargin))
+
   /** Deterministic (hash-bucket) stratified sample: ~30% per key, exactly
     * reproducible in any engine with the same portable hash.
     */
@@ -2880,6 +2918,7 @@ object QueryCatalog {
     "token_count_bpe" -> tokenCountBpe,
     "rolling_fingerprint" -> rollingFingerprint,
     "tfidf_top_terms" -> tfidfTopTerms,
+    "bm25_rank" -> bm25Rank,
     "deterministic_sample" -> deterministicSample,
     "text_normalize" -> textNormalize,
     "json_extract_props" -> jsonExtract,

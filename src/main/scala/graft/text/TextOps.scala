@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Hashing
 
@@ -469,6 +470,57 @@ object TextOps {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+  }
+
+  /** BM25 relevance ranking of the corpus against a (small) query-term
+    * set — the standard lexical retrieval scorer, and the batch shape of a
+    * training-data relevance filter ("keep documents that look like this
+    * query/domain"). Per document:
+    *
+    *   score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))        (Robertson/Lucene)
+    *
+    * Scale shape: ONE corpus scan computes token arrays; the explode is
+    * filtered to the query-term set BEFORE any shuffle, so the aggregated
+    * term table carries only matching (doc, term) rows — cost tracks hit
+    * count, not corpus token count; df is a per-term count over that same
+    * table (broadcastable — at most |query| rows). avgdl is an exact
+    * integer-sum average (one lightweight agg). Per-term contributions are
+    * rounded to 6 dp and summed as DECIMAL(18,6), so the final score is
+    * an order-independent exact decimal — reproducible across engines and
+    * partitionings (a raw double Σ would depend on Spark's merge order).
+    * Output: topK docs by (score desc, doc_id) with their rank.
+    */
+  def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    val n = docs.count()
+    val withDl = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val avgdl = withDl.agg(sum(col("dl")).cast("double") / count(lit(1)))
+      .head.getDouble(0)
+    val hits = withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = hits.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)
+    val contrib = idf * (col("tf") * (k1 + 1.0)) / norm
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("contrib",
+        round(contrib, 6).cast(DecimalType(18, 6)))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("contrib")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("dl"), col("score"), col("rnk"))
   }
 
   /** Duplicate clusters: connected components over near-dup pairs via

@@ -255,4 +255,22 @@ class TextOpsSpec extends SparkSpec {
     val top2 = TextOps.vocabulary(d, 2).as[(String, Long)].collect().toSeq
     assert(top2 == Seq(("a", 2L), ("c", 2L)))
   }
+
+  test("bm25TopDocs ranks tf-saturated and rare-term docs correctly") {
+    val d = Seq(
+      (1L, "x x x x x x x x"), // heavy tf on a common term, long doc
+      (2L, "x y"),             // one hit each on both query terms
+      (3L, "y z z z"),         // rare-ish term y only
+      (4L, "z z z z"))         // no query terms: must not appear
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25TopDocs(d, Seq("x", "y"), topK = 10)
+      .select("doc_id", "rnk").as[(Long, Int)].collect().toMap
+    assert(!got.contains(4L), "doc without query terms must not score")
+    assert(got.size == 3)
+    // doc 2 hits BOTH terms in a short doc: best; tf saturation keeps
+    // doc 1's eight x's from outranking it
+    assert(got(2L) == 1, s"expected doc 2 first, got $got")
+    // ranks are a permutation of 1..3
+    assert(got.values.toSet == Set(1, 2, 3))
+  }
 }
