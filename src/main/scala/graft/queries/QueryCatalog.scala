@@ -355,6 +355,61 @@ object QueryCatalog {
            |WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')"""
       .stripMargin))
 
+  /** Drop-column lifecycle end-to-end through SQL: `DROP COLUMN` is a
+    * metadata commit (old files keep the bytes, reads exclude the name),
+    * the shadow blocks a re-add, `CALL system.purge_dropped_columns`
+    * rewrites the files (Delta REORG PURGE analog), and the re-added
+    * column comes back null for every pre-purge row — certified against
+    * DuckDB's reconstruction. The `require`s pin the metadata-only /
+    * purge commit shapes so a silent rewrite can't masquerade as a pass.
+    */
+  private val dropColumnSql = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer")
+      val wh = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-dropc-wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gq_dropc", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq_dropc.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq_dropc.q")
+      val short = s"dc_${java.util.UUID.randomUUID.toString.take(8)}"
+      val tbl = s"gq_dropc.q.$short"
+      s.sql(s"""CREATE TABLE $tbl (c_custkey BIGINT, n BIGINT, seg STRING)
+        USING graft TBLPROPERTIES ('keyCols'='c_custkey')""")
+      cust.filter(col("c_custkey") <= 600)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("n"),
+          col("c_mktsegment").as("seg"))
+        .createOrReplaceTempView("gq_dropc_base")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM gq_dropc_base")
+      s.sql(s"ALTER TABLE $tbl DROP COLUMN n")
+      val path = s"$wh/q/$short"
+      val afterDrop = graft.table.CowTable.openManifest(s, path)
+      require(afterDrop.operation == "alter_schema" &&
+        afterDrop.metrics.get("files_added").forall(_ == 0L),
+        "DROP COLUMN must be metadata-only")
+      cust.filter(col("c_custkey").between(601, 800))
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+        .createOrReplaceTempView("gq_dropc_mid")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM gq_dropc_mid")
+      s.sql(s"CALL gq_dropc.system.purge_dropped_columns('q.$short')")
+      require(graft.table.CowTable.openManifest(s, path)
+          .droppedCols.isEmpty, "purge must clear the shadow")
+      s.sql(s"ALTER TABLE $tbl ADD COLUMNS (n BIGINT)")
+      cust.filter(col("c_custkey").between(801, 900))
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          (col("c_nationkey").cast("long") + 500L).as("n"))
+        .createOrReplaceTempView("gq_dropc_new")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM gq_dropc_new")
+      s.sql(s"SELECT c_custkey, seg, n FROM $tbl")
+    },
+    Some("""SELECT c_custkey, c_mktsegment AS seg,
+           |       CAST(NULL AS BIGINT) AS n
+           |FROM customer WHERE c_custkey <= 800
+           |UNION ALL
+           |SELECT c_custkey, c_mktsegment AS seg,
+           |       CAST(c_nationkey AS BIGINT) + 500 AS n
+           |FROM customer WHERE c_custkey BETWEEN 801 AND 900"""
+      .stripMargin))
+
   /** Schema-evolution DDL end-to-end: a catalog table takes `ALTER TABLE
     * ADD COLUMNS` and a safe `ALTER COLUMN ... TYPE` widening as
     * METADATA-ONLY commits (no data file read or written at any table
@@ -2874,6 +2929,7 @@ object QueryCatalog {
     "change_feed" -> changeFeedQ,
     "drop_partition_sql" -> dropPartitionSql,
     "alter_table_sql" -> alterTableSql,
+    "drop_column_sql" -> dropColumnSql,
     "maintained_join" -> maintainedJoinQ,
     "maintained_join_mor" -> maintainedJoinMorQ,
     "maintained_agg" -> maintainedAggQ,

@@ -181,10 +181,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `ALTER TABLE`: exactly the table format's metadata-only evolutions —
-    * `ADD COLUMNS` (nullable, appended) and `ALTER COLUMN ... TYPE`
-    * (safe widening) — applied as ONE schema commit
-    * ([[graft.table.CowTable.alterSchema]]; no data IO at any table
-    * size). Everything else (DROP/RENAME COLUMN, repositioning,
+    * `ADD COLUMNS` (nullable, appended), `ALTER COLUMN ... TYPE` (safe
+    * widening) and `DROP COLUMN` (shadowed until
+    * [[graft.table.CowTable.purgeDroppedColumns]] rewrites the old
+    * files; re-adds of the name are refused meanwhile) — applied as ONE
+    * schema commit ([[graft.table.CowTable.alterSchema]]; no data IO at
+    * any table size). Everything else (RENAME COLUMN, repositioning,
     * nullability changes) fails loudly: without per-column IDs in the
     * data files those need a full rewrite, and silently rewriting
     * 100 TB behind a DDL statement is the wrong default.
@@ -211,18 +213,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val widens = changes.collect { case u: TableChange.UpdateColumnType =>
       top(u.fieldNames(), "column type change") -> u.newDataType()
     }
+    val drops = changes.collect { case d: TableChange.DeleteColumn =>
+      top(d.fieldNames(), "column drop")
+    }
     val setProps = changes.collect {
       case sp: TableChange.SetProperty => sp.property -> sp.value
     }
     val rest = changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn]
       || c.isInstanceOf[TableChange.UpdateColumnType]
+      || c.isInstanceOf[TableChange.DeleteColumn]
       || c.isInstanceOf[TableChange.SetProperty])
     if (rest.nonEmpty) throw new UnsupportedOperationException(
-      "graft ALTER TABLE supports ADD COLUMNS, safe type widening and " +
-        "SET TBLPROPERTIES (mutable knobs) only; got: " +
+      "graft ALTER TABLE supports ADD COLUMNS, safe type widening, " +
+        "DROP COLUMN and SET TBLPROPERTIES (mutable knobs) only; got: " +
         rest.map(_.getClass.getSimpleName).mkString(", "))
-    if (adds.nonEmpty || widens.nonEmpty)
-      CowTable.open(spark, base).alterSchema(adds, widens)
+    if (adds.nonEmpty || widens.nonEmpty || drops.nonEmpty)
+      CowTable.open(spark, base).alterSchema(adds, widens, drops)
     if (setProps.nonEmpty)
       CowTable.open(spark, base).alterProps(setProps.toMap)
     loadTable(ident)

@@ -116,6 +116,11 @@ private[sources] object GraftProcedures {
       "apply commit retention and reclaim unreferenced data dirs",
       Seq(("table", StringType, None)),
       (t, _) => { t.clean(); Seq("cleaned" -> 1L) }),
+    Spec("purge_dropped_columns",
+      "rewrite base files so dropped columns' values are physically " +
+        "gone; re-adding their names unlocks (Delta REORG PURGE analog)",
+      Seq(("table", StringType, None)),
+      (t, _) => Seq("purged" -> b2l(t.purgeDroppedColumns()))),
     Spec("savepoint",
       "pin a retained version against clean/expire (durable restore " +
         "point)",

@@ -109,7 +109,16 @@ final case class Manifest(
       * upgraded table resolves them only for timestamps predating the
       * first stamped commit).
       */
-    commitTimeMs: Long = 0L) {
+    commitTimeMs: Long = 0L,
+    /** Shadow tombstones for `ALTER TABLE DROP COLUMN` (lowercased
+      * names): a metadata-only drop leaves the column's VALUES in every
+      * file written before it, so re-adding the name would resurrect
+      * them (parquet reads by name). Names stay here — and re-adds are
+      * refused, writes carrying them rejected — until
+      * [[CowTable.purgeDroppedColumns]] rewrites the files (the Delta
+      * `REORG ... APPLY (PURGE)` analog) and clears the list.
+      */
+    droppedCols: Seq[String] = Nil) {
   def schema: StructType =
     org.apache.spark.sql.types.DataType.fromJson(schemaJson)
       .asInstanceOf[StructType]
@@ -656,7 +665,7 @@ class CowTable(
     val m = manifest
     val v = m.version + 1
     val stamped = stamp(df, v)
-    val evolved = evolveSchema(m.schema, stamped.schema)
+    val evolved = evolveSchema(m, stamped.schema)
     val newFiles = writeCommit(pad(stamped, evolved), v, parallelism)
     writeManifest(withFileStats(
       m.copy(version = v, schemaJson = evolved.json, partitions = newFiles,
@@ -681,7 +690,7 @@ class CowTable(
     val m = manifest
     val v = m.version + 1
     val stamped = stamp(df, v)
-    val evolved = evolveSchema(m.schema, stamped.schema)
+    val evolved = evolveSchema(m, stamped.schema)
     val incoming = pad(stamped, evolved)
     val newFiles = writeCommit(incoming, v, parallelism)
     val merged = mergeListings(m.partitions, newFiles)
@@ -955,7 +964,7 @@ class CowTable(
     val m = manifest
     val v = m.version + 1
     val stamped = stamp(df, v)
-    val evolved = evolveSchema(m.schema, StructType(
+    val evolved = evolveSchema(m, StructType(
       stamped.schema.fields.filterNot(f => excludeCols.contains(f.name))))
     // the incoming side carries its condition-only columns through the
     // join; the stored side and the written output stay on `evolved`
@@ -1312,6 +1321,22 @@ class CowTable(
     * stored type (incoming casts to it on [[pad]], the historical
     * behavior — a lossy type change must never corrupt stored data).
     */
+  /** [[evolveSchema]] with the manifest's drop-shadow guard: an incoming
+    * batch may not re-introduce a dropped-but-unpurged column name (its
+    * old values still live in pre-drop files; see [[Manifest.droppedCols]]).
+    */
+  protected def evolveSchema(m: Manifest, in: StructType): StructType = {
+    if (m.droppedCols.nonEmpty) {
+      val cur = m.schema.fieldNames.map(_.toLowerCase).toSet
+      in.fieldNames.filterNot(f => cur(f.toLowerCase)).foreach { f =>
+        require(!m.droppedCols.contains(f.toLowerCase),
+          s"write carries column $f, which was DROPPED and not yet " +
+            "purged — purgeDroppedColumns() before re-introducing it")
+      }
+    }
+    evolveSchema(m.schema, in)
+  }
+
   protected def evolveSchema(cur: StructType, in: StructType): StructType = {
     val known = cur.fieldNames.toSet
     val inByName = in.fields.iterator.map(f => f.name -> f).toMap
@@ -1349,8 +1374,9 @@ class CowTable(
     */
   def alterSchema(
       addCols: Seq[StructField] = Nil,
-      widenCols: Seq[(String, DataType)] = Nil): Unit = {
-    require(addCols.nonEmpty || widenCols.nonEmpty,
+      widenCols: Seq[(String, DataType)] = Nil,
+      dropCols: Seq[String] = Nil): CowTable = {
+    require(addCols.nonEmpty || widenCols.nonEmpty || dropCols.nonEmpty,
       "alterSchema: nothing to change")
     val m = manifest
     val cur = m.schema
@@ -1366,6 +1392,39 @@ class CowTable(
         s"ALTER TABLE: ${f.name} is a reserved graft name")
       require(!byLower.contains(f.name.toLowerCase),
         s"ALTER TABLE: column ${f.name} already exists")
+      require(!m.droppedCols.contains(f.name.toLowerCase),
+        s"ALTER TABLE: ${f.name} was DROPPED and its values still live " +
+          "in files written before the drop — parquet reads by name, so " +
+          "re-adding it would resurrect them. Run purgeDroppedColumns() " +
+          "(rewrites those files) first")
+    }
+    val dropLower = dropCols.map(_.toLowerCase)
+    require(dropLower.distinct.size == dropLower.size,
+      s"ALTER TABLE: duplicate dropped column among $dropCols")
+    val p = m.props.getOrElse(CowTable.inferProps(m))
+    dropCols.foreach { n =>
+      val f = byLower.getOrElse(n.toLowerCase,
+        throw new IllegalArgumentException(s"ALTER TABLE: no such column $n"))
+      require(!fixed.contains(f.name.toLowerCase),
+        s"ALTER TABLE: $n is a key/partition/precombine column and " +
+          "cannot be dropped")
+      require(!p.clusterCols.exists(_.equalsIgnoreCase(n)),
+        s"ALTER TABLE: $n is a cluster column — remove it from " +
+          "clusterCols (ALTER TABLE SET TBLPROPERTIES) before dropping")
+      require(!widenCols.exists(_._1.equalsIgnoreCase(n)) &&
+        !addCols.exists(_.name.equalsIgnoreCase(n)),
+        s"ALTER TABLE: $n appears in both a drop and an add/widen")
+      // a CHECK constraint referencing the column would start failing
+      // resolution on every subsequent write — refuse up front
+      p.checkConstraints.foreach { c =>
+        val refs = spark.sessionState.sqlParser.parseExpression(c).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            => a.name.toLowerCase
+        }
+        require(!refs.contains(n.toLowerCase),
+          s"ALTER TABLE: CHECK constraint ($c) references $n — drop the " +
+            "constraint first")
+      }
     }
     val added = addCols.map(_.name.toLowerCase)
     require(added.distinct.size == added.size,
@@ -1387,12 +1446,62 @@ class CowTable(
             "float→double, same-scale decimal precision growth)")
         fields.map(g => if (g.name == f.name) g.copy(dataType = to) else g)
     }
-    writeManifest(m.copy(version = m.version + 1,
-      schemaJson = StructType(widened ++ addCols).json,
+    val kept = widened.filterNot(f => dropLower.contains(f.name.toLowerCase))
+    // a dropped stats/bloom column simply stops being maintained — its
+    // now-orphaned per-file entries are keyed by a name no query can
+    // reference, and purge's rewrite replaces them wholesale. The commit
+    // is written BY a handle configured with the updated props
+    // (writeManifest stamps the writer's own props — the alterProps
+    // arrangement), and that handle is returned for further use.
+    val nextProps = p.copy(
+      statsCols = p.statsCols
+        .filterNot(c => dropLower.contains(c.toLowerCase)),
+      bloomCols = p.bloomCols
+        .filterNot(c => dropLower.contains(c.toLowerCase)))
+    val dest =
+      if (dropCols.isEmpty) this
+      else CowTable.openWithProps(spark, basePath, m, nextProps)
+    dest.writeManifest(m.copy(version = m.version + 1,
+      schemaJson = StructType(kept ++ addCols).json,
+      droppedCols = (m.droppedCols ++ dropLower).distinct,
       operation = "alter_schema",
       metrics = Map(
         "columns_added" -> addCols.size.toLong,
-        "columns_widened" -> widenCols.size.toLong)))
+        "columns_widened" -> widenCols.size.toLong,
+        "columns_dropped" -> dropCols.size.toLong)))
+    dest
+  }
+
+  /** Rewrite every base file so dropped columns' values are physically
+    * gone, then clear the shadow list — the Delta `REORG TABLE ... APPLY
+    * (PURGE)` analog, and the one data-touching step of the drop-column
+    * lifecycle (`DROP COLUMN` itself is a metadata commit at any size).
+    * The rewrite reads with the CURRENT schema (dropped names excluded),
+    * preserves stored commit-version stamps (it is a reorganization, not
+    * a change — feed windows over it stay empty, like [[recluster]] /
+    * [[compact]]), and publishes as ONE commit. On MOR, pending delta
+    * logs are compacted first so no log file carries the old column
+    * either. After purge, `ALTER TABLE ADD COLUMNS` accepts the name
+    * again. No-op (false) when nothing was ever dropped.
+    */
+  def purgeDroppedColumns(parallelism: Int = 0): Boolean = {
+    if (manifest.droppedCols.isEmpty) return false
+    if (manifest.logPartitions.nonEmpty) compact(maxFilesPerUnit = 1)
+    val m = manifest
+    val v = m.version + 1
+    val width = if (parallelism > 0) parallelism
+      else math.max(m.partitions.size, 1)
+    val newFiles =
+      if (m.partitions.isEmpty) Map.empty[String, Seq[String]]
+      else writeCommit(readFiles(m, m.baseFiles), v, width)
+    writeManifest(withFileStats(
+      m.copy(version = v, partitions = newFiles, droppedCols = Nil,
+        operation = "purge_dropped_columns",
+        metrics = CowTable.writeStats(newFiles) +
+          ("units_rewritten" -> m.partitions.size.toLong)),
+      newFiles, m.schema))
+    clean()
+    true
   }
 
   /** Metadata-only table-property change (SQL `ALTER TABLE SET
@@ -2897,6 +3006,9 @@ object CowTable {
       "commitTimeMs" -> (if (m.commitTimeMs > 0) JInt(m.commitTimeMs)
         else JNothing),
       "tombstones" -> listing(m.tombstones),
+      // json4s drops JNothing pairs at render: pre-drop copies stay as-is
+      "droppedCols" -> (if (m.droppedCols.isEmpty) JNothing
+        else JArray(m.droppedCols.toList.map(JString(_)))),
       // json4s drops JNothing pairs at render: pre-drops copies stay as-is
       "drops" -> (if (m.drops.isEmpty) JNothing
         else JObject(m.drops.toSeq.sortBy(_._1).map { case (v, r) =>
@@ -2989,6 +3101,7 @@ object CowTable {
         case JString(s) => s; case _ => "cow" }, // pre-round-6 manifests
       keyEncoding = long(j \ "keyEncoding", 1L), // legacy = plain strings
       commitTimeMs = long(j \ "commitTimeMs", 0L),
+      droppedCols = strs(j \ "droppedCols"),
       tombstones = files(j \ "tombstones"),
       drops = (j \ "drops") match {
         case JObject(ds) => ListMap(ds.map { case (v, o) =>

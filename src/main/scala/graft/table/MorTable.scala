@@ -126,7 +126,7 @@ class MorTable(
     val m = manifest
     val v = m.version + 1
     val stamped = stamp(df, v)
-    val evolved = evolveSchema(m.schema, stamped.schema)
+    val evolved = evolveSchema(m, stamped.schema)
     val incoming0 = pad(stamped, evolved)
     // Same intra-batch conflict resolution as the COW write path.
     val incoming =

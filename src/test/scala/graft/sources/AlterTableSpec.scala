@@ -74,9 +74,10 @@ class AlterTableSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("ALTER TABLE acat.lake.wd ALTER COLUMN id TYPE DECIMAL(20,0)")
     }
-    // lossy DDL is refused loudly
+    // lossy DDL is refused loudly (DROP COLUMN is legal — covered in its
+    // own test — but a KEY column can never be dropped)
     intercept[Exception] {
-      spark.sql("ALTER TABLE acat.lake.wd DROP COLUMN f")
+      spark.sql("ALTER TABLE acat.lake.wd DROP COLUMN id")
     }
     intercept[Exception] {
       spark.sql("ALTER TABLE acat.lake.wd RENAME COLUMN f TO g")
@@ -271,5 +272,81 @@ class AlterTableSpec extends SparkSpec {
       t.manifest.version)
     assert(t.snapshotAt(t.versionAtTimestamp(t1)).count() == 1L)
     intercept[IllegalArgumentException] { t.versionAtTimestamp(t1 - 5000) }
+  }
+
+  test("DROP COLUMN is metadata-only; purge unlocks re-add without " +
+    "resurrection") {
+    init()
+    spark.sql("""CREATE TABLE acat.lake.dc (id BIGINT, v DOUBLE,
+      tag STRING) USING graft TBLPROPERTIES ('keyCols'='id')""")
+    spark.sql(
+      "INSERT INTO acat.lake.dc VALUES (1, 1.0, 'a'), (2, 2.0, 'b')")
+    spark.sql("ALTER TABLE acat.lake.dc DROP COLUMN tag")
+    val p = s"$wh/lake/dc"
+    val t = CowTable.open(spark, p)
+    assert(t.manifest.operation == "alter_schema")
+    assert(t.manifest.metrics.get("files_added").forall(_ == 0L),
+      "drop must not write data files")
+    assert(t.manifest.droppedCols == Seq("tag"))
+    assert(!t.snapshot().columns.contains("tag"))
+    assert(spark.sql("SELECT * FROM acat.lake.dc").columns.toSeq ==
+      Seq("id", "v"))
+    // re-add while shadowed: refused (old files still hold the values;
+    // the SQL path wraps the driver-side require)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE acat.lake.dc ADD COLUMNS (tag STRING)")
+    }
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "|" + msgs(x.getCause)
+    assert(msgs(e).contains("purge"), msgs(e))
+    // a write carrying the shadowed name: refused (surfacing exceptions
+    // may wrap driver-side requires — match on the message)
+    val bad = Seq((3L, 3.0, "c")).toDF("id", "v", "tag")
+    val e2 = intercept[Exception] { t.upsert(bad) }
+    def chain(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "|" + chain(x.getCause)
+    assert(chain(e2).contains("DROPPED"), chain(e2))
+    // purge rewrites the files and clears the shadow
+    assert(t.purgeDroppedColumns())
+    assert(t.manifest.droppedCols.isEmpty)
+    assert(t.manifest.operation == "purge_dropped_columns")
+    spark.sql("ALTER TABLE acat.lake.dc ADD COLUMNS (tag STRING)")
+    val got = spark.sql(
+      "SELECT id, v, tag FROM acat.lake.dc ORDER BY id")
+      .as[(Long, Double, Option[String])].collect()
+    assert(got.toSeq == Seq((1L, 1.0, None), (2L, 2.0, None)),
+      s"purged values must NOT resurrect: ${got.mkString(", ")}")
+    // SQL procedure surface: no-op after the purge (metric-row result)
+    val purged = spark.sql(
+      "CALL acat.system.purge_dropped_columns('lake.dc')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(purged("purged") == 0L, purged.toString)
+  }
+
+  test("DROP COLUMN guards: keyed/cluster/constraint columns refuse, " +
+    "stats columns unlist") {
+    val t = new CowTable(spark, tmpDir("drop-guard"), keyCols = Seq("id"),
+      fileIndexEntries = 100, statsCols = Seq("v", "w"),
+      checkConstraints = Seq("v >= 0"))
+    t.bulkInsert(Seq((1L, 2.0, 3.0, "x")).toDF("id", "v", "w", "tag"))
+    intercept[IllegalArgumentException] {
+      t.alterSchema(dropCols = Seq("id"))
+    }
+    intercept[IllegalArgumentException] { // constraint references v
+      t.alterSchema(dropCols = Seq("v"))
+    }
+    intercept[IllegalArgumentException] { // no such column
+      t.alterSchema(dropCols = Seq("nope"))
+    }
+    t.alterSchema(dropCols = Seq("w")) // stats col: drops + unlists
+    val m = CowTable.openManifest(spark, t.basePath)
+    assert(m.props.get.statsCols == Seq("v"))
+    assert(m.droppedCols == Seq("w"))
+    // feed/commit-stamp behavior: a reopened handle keeps writing fine
+    // without the dropped column
+    val t2 = CowTable.open(spark, t.basePath)
+    t2.upsert(Seq((2L, 5.0, "y")).toDF("id", "v", "tag"))
+    assert(t2.snapshot().columns.toSeq == Seq("id", "v", "tag"))
+    assert(t2.snapshot().count() == 2L)
   }
 }
