@@ -410,6 +410,53 @@ object QueryCatalog {
            |FROM customer WHERE c_custkey BETWEEN 801 AND 900"""
       .stripMargin))
 
+  /** Rename-column lifecycle end-to-end through SQL: `RENAME COLUMN` is
+    * a pure metadata commit on a field-id-stamped table — files written
+    * under the OLD name resolve by their stable parquet field id
+    * ([[graft.table.CowTable.renameColumn]]), new writes land under the
+    * new name, and the mixed listing reads back exactly. DuckDB
+    * reconstructs the final state; the `require` pins the
+    * no-data-IO commit shape.
+    */
+  private val renameColumnSql = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer")
+      val wh = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-renc-wh").getAbsolutePath
+      s.conf.set("spark.sql.catalog.gq_renc", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq_renc.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq_renc.q")
+      val short = s"rc_${java.util.UUID.randomUUID.toString.take(8)}"
+      val tbl = s"gq_renc.q.$short"
+      s.sql(s"""CREATE TABLE $tbl (c_custkey BIGINT, n BIGINT, seg STRING)
+        USING graft TBLPROPERTIES ('keyCols'='c_custkey')""")
+      cust.filter(col("c_custkey") <= 600)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("n"),
+          col("c_mktsegment").as("seg"))
+        .createOrReplaceTempView("gq_renc_base")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM gq_renc_base")
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN n TO nation")
+      val m = graft.table.CowTable.openManifest(s, s"$wh/q/$short")
+      require(m.operation == "rename_column" &&
+        m.metrics.get("files_added").forall(_ == 0L),
+        "RENAME COLUMN must be metadata-only")
+      cust.filter(col("c_custkey").between(601, 800))
+        .select(col("c_custkey"),
+          (col("c_nationkey").cast("long") + 100L).as("nation"),
+          col("c_mktsegment").as("seg"))
+        .createOrReplaceTempView("gq_renc_new")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM gq_renc_new")
+      s.sql(s"SELECT c_custkey, nation, seg FROM $tbl")
+    },
+    Some("""SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+           |       c_mktsegment AS seg
+           |FROM customer WHERE c_custkey <= 600
+           |UNION ALL
+           |SELECT c_custkey, CAST(c_nationkey AS BIGINT) + 100 AS nation,
+           |       c_mktsegment AS seg
+           |FROM customer WHERE c_custkey BETWEEN 601 AND 800"""
+      .stripMargin))
+
   /** Schema-evolution DDL end-to-end: a catalog table takes `ALTER TABLE
     * ADD COLUMNS` and a safe `ALTER COLUMN ... TYPE` widening as
     * METADATA-ONLY commits (no data file read or written at any table
@@ -2930,6 +2977,7 @@ object QueryCatalog {
     "drop_partition_sql" -> dropPartitionSql,
     "alter_table_sql" -> alterTableSql,
     "drop_column_sql" -> dropColumnSql,
+    "rename_column_sql" -> renameColumnSql,
     "maintained_join" -> maintainedJoinQ,
     "maintained_join_mor" -> maintainedJoinMorQ,
     "maintained_agg" -> maintainedAggQ,

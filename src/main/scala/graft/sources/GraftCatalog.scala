@@ -182,14 +182,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `ALTER TABLE`: exactly the table format's metadata-only evolutions —
     * `ADD COLUMNS` (nullable, appended), `ALTER COLUMN ... TYPE` (safe
-    * widening) and `DROP COLUMN` (shadowed until
+    * widening), `DROP COLUMN` (shadowed until
     * [[graft.table.CowTable.purgeDroppedColumns]] rewrites the old
-    * files; re-adds of the name are refused meanwhile) — applied as ONE
-    * schema commit ([[graft.table.CowTable.alterSchema]]; no data IO at
-    * any table size). Everything else (RENAME COLUMN, repositioning,
-    * nullability changes) fails loudly: without per-column IDs in the
-    * data files those need a full rewrite, and silently rewriting
-    * 100 TB behind a DDL statement is the wrong default.
+    * files; re-adds of the name are refused meanwhile) and
+    * `RENAME COLUMN` (field-id-stamped tables only — files resolve the
+    * column by its stable parquet field id, so the name change is pure
+    * metadata; [[graft.table.CowTable.renameColumn]]) — each applied as
+    * a schema commit with no data IO at any table size. Everything else
+    * (repositioning, nullability changes) fails loudly: those need a
+    * full rewrite, and silently rewriting 100 TB behind a DDL statement
+    * is the wrong default.
     */
   override def alterTable(
       ident: Identifier, changes: TableChange*): Table = {
@@ -216,19 +218,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val drops = changes.collect { case d: TableChange.DeleteColumn =>
       top(d.fieldNames(), "column drop")
     }
+    val renames = changes.collect { case r: TableChange.RenameColumn =>
+      top(r.fieldNames(), "column rename") -> r.newName()
+    }
     val setProps = changes.collect {
       case sp: TableChange.SetProperty => sp.property -> sp.value
     }
     val rest = changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn]
       || c.isInstanceOf[TableChange.UpdateColumnType]
       || c.isInstanceOf[TableChange.DeleteColumn]
+      || c.isInstanceOf[TableChange.RenameColumn]
       || c.isInstanceOf[TableChange.SetProperty])
     if (rest.nonEmpty) throw new UnsupportedOperationException(
       "graft ALTER TABLE supports ADD COLUMNS, safe type widening, " +
-        "DROP COLUMN and SET TBLPROPERTIES (mutable knobs) only; got: " +
-        rest.map(_.getClass.getSimpleName).mkString(", "))
+        "DROP/RENAME COLUMN and SET TBLPROPERTIES (mutable knobs) only; " +
+        "got: " + rest.map(_.getClass.getSimpleName).mkString(", "))
     if (adds.nonEmpty || widens.nonEmpty || drops.nonEmpty)
       CowTable.open(spark, base).alterSchema(adds, widens, drops)
+    renames.foreach { case (from, to) =>
+      CowTable.open(spark, base).renameColumn(from, to)
+    }
     if (setProps.nonEmpty)
       CowTable.open(spark, base).alterProps(setProps.toMap)
     loadTable(ident)

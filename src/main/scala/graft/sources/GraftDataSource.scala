@@ -36,9 +36,32 @@ import graft.table.CowTable
   * [[graft.table.MorTable.realtime]].
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
-  with org.apache.spark.sql.sources.StreamSourceProvider {
+  with org.apache.spark.sql.sources.StreamSourceProvider
+  with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  // ----- streaming write (exactly-once upsert; see GraftStreamSink) -----
+  // DataStreamWriter falls back to the V1 StreamSinkProvider path when
+  // the provider's table does not declare STREAMING_WRITE — mirroring
+  // the streaming-read arrangement above.
+
+  override def createSink(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft sink: set partitioning via option(\"partitionCols\", ...) " +
+        "(table creation config), not partitionBy()")
+    val path = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("path") => v
+    }.getOrElse(throw new IllegalArgumentException(
+      "graft sink needs a table path: .start(path) or option(\"path\",...)"))
+    new graft.streaming.GraftStreamSink(
+      sqlContext.sparkSession, path, parameters, outputMode)
+  }
 
   // ----- streaming read (table-as-stream; see GraftStreamSource) -----
   // DataStreamReader falls back to the V1 StreamSourceProvider path when
@@ -137,6 +160,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val base = basePath(options)
+    // id-based column resolution for renamed columns (no-op otherwise)
+    graft.table.CowTable.ensureFieldIdConfs(SparkSession.active)
     if (!tableExists(options))
       return new GraftWritableTable(base, options, None)
     GraftDataSource.tableFor(SparkSession.active, base, manifest(options),

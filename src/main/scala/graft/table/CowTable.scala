@@ -301,6 +301,11 @@ class CowTable(
 
   import CowTable._
 
+  // id-based column resolution must be on before any file of an
+  // id-stamped table is read or written in this session (see
+  // CowTable.ensureFieldIdConfs — a no-op for everything else)
+  CowTable.ensureFieldIdConfs(spark)
+
   /** Key-hash bucket expression (numBuckets > 0): Hudi-file-group-style
     * sub-partitioning. Records hash-route to a stable bucket, so a merge
     * rewrites only the buckets that contain matched keys — at 100 TB the
@@ -601,7 +606,8 @@ class CowTable(
           !schema0.fieldNames.contains(CommitVerCol))
         schema0.add(CommitVerCol, org.apache.spark.sql.types.LongType)
       else schema0
-    writeManifest(Manifest(1L, schema.json, keyCols, partitionCols,
+    writeManifest(Manifest(1L,
+      withFieldIds(stripFieldIds(schema)).json, keyCols, partitionCols,
       precombineField, Map.empty,
       operation = "create",
       storageType = storageTypeName,
@@ -617,7 +623,13 @@ class CowTable(
     require(keyCols.forall(df.columns.contains),
       s"bulkInsert data must carry the record key columns $keyCols; " +
         s"got ${df.columns.toSeq}")
-    val data = stamp(df, 1L)
+    // new tables stamp stable parquet field ids from file one — the
+    // precondition for metadata-only RENAME COLUMN (see
+    // CowTable.FieldIdKey)
+    val data = {
+      val stamped = stamp(df, 1L)
+      pad(stamped, withFieldIds(stripFieldIds(stamped.schema)))
+    }
     val files = writeCommit(data, 1L, parallelism)
     writeManifest(withFileStats(
       Manifest(1L, data.schema.json, keyCols, partitionCols,
@@ -666,7 +678,8 @@ class CowTable(
     val v = m.version + 1
     val stamped = stamp(df, v)
     val evolved = evolveSchema(m, stamped.schema)
-    val newFiles = writeCommit(pad(stamped, evolved), v, parallelism)
+    val newFiles = writeCommit(pad(stamped, evolved), v, parallelism,
+      idSchema = evolved)
     writeManifest(withFileStats(
       m.copy(version = v, schemaJson = evolved.json, partitions = newFiles,
         logPartitions = Map.empty, deltaCommits = 0L,
@@ -692,7 +705,8 @@ class CowTable(
     val stamped = stamp(df, v)
     val evolved = evolveSchema(m, stamped.schema)
     val incoming = pad(stamped, evolved)
-    val newFiles = writeCommit(incoming, v, parallelism)
+    val newFiles = writeCommit(incoming, v, parallelism,
+      idSchema = evolved)
     val merged = mergeListings(m.partitions, newFiles)
     writeManifest(withFileStats(
       m.copy(version = v, schemaJson = evolved.json,
@@ -988,7 +1002,8 @@ class CowTable(
           m.partitions.getOrElse(k, Nil)), Map.empty[String, Seq[String]])
       val cur = pad(readFiles(m, candFiles), evolved)
       val merged = merge(cur, incoming)
-      val newFiles = writeCommit(merged, v, parallelism)
+      val newFiles = writeCommit(merged, v, parallelism,
+        idSchema = evolved)
       val newTombstones = tombstoneKeys match {
         case Some(keysOf) =>
           val fls = writeTombstones(keysOf(cur, incoming), v)
@@ -1334,7 +1349,12 @@ class CowTable(
             "purged — purgeDroppedColumns() before re-introducing it")
       }
     }
-    evolveSchema(m.schema, in)
+    // incoming frames can carry STRAY field-id metadata (a df derived
+    // from another table's snapshot) — authority over ids is the stored
+    // schema: strip incoming ids, keep stored ones, mint fresh ids for
+    // genuinely new columns on id-stamped tables
+    val ev = evolveSchema(m.schema, CowTable.stripFieldIds(in))
+    if (CowTable.hasFieldIds(m.schema)) CowTable.withFieldIds(ev) else ev
   }
 
   protected def evolveSchema(cur: StructType, in: StructType): StructType = {
@@ -1461,14 +1481,90 @@ class CowTable(
     val dest =
       if (dropCols.isEmpty) this
       else CowTable.openWithProps(spark, basePath, m, nextProps)
+    val next0 = StructType(
+      kept ++ CowTable.stripFieldIds(StructType(addCols)).fields)
+    val next = if (CowTable.hasFieldIds(cur)) CowTable.withFieldIds(next0)
+      else next0
     dest.writeManifest(m.copy(version = m.version + 1,
-      schemaJson = StructType(kept ++ addCols).json,
+      schemaJson = next.json,
       droppedCols = (m.droppedCols ++ dropLower).distinct,
       operation = "alter_schema",
       metrics = Map(
         "columns_added" -> addCols.size.toLong,
         "columns_widened" -> widenCols.size.toLong,
         "columns_dropped" -> dropCols.size.toLong)))
+    dest
+  }
+
+  /** Metadata-only `ALTER TABLE RENAME COLUMN` — the Delta
+    * column-mapping-mode-"id" arrangement: the manifest schema field
+    * changes NAME while keeping its stable parquet field id, and because
+    * every file of an id-stamped table carries ids (written since
+    * creation; see [[CowTable.FieldIdKey]]), readers resolve the renamed
+    * column in old and new files alike by ID. No data file is read or
+    * written at any table size. Refused on legacy tables whose files
+    * carry no ids (name matching is all they have), for key/partition/
+    * precombine columns (bucket routing, dir layout and the record-key
+    * index bake the name in), for collisions (case-insensitive, incl.
+    * dropped-but-unpurged names), and when a CHECK constraint references
+    * the old name (constraints are SQL text — update them first).
+    * Cluster/stats/bloom column lists rename in place, and the per-file
+    * stats/bloom SIDECAR references re-key so data skipping on the
+    * renamed column keeps working without a rewrite.
+    */
+  def renameColumn(from: String, to: String): CowTable = {
+    val m = manifest
+    val cur = m.schema
+    require(CowTable.hasFieldIds(cur),
+      s"RENAME COLUMN needs a field-id-stamped table (created round 10+);" +
+        s" files at $basePath resolve columns by name only — " +
+        "rewrite into a new table to rename")
+    val f = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+      throw new IllegalArgumentException(
+        s"RENAME COLUMN: no such column $from"))
+    require(CowTable.fieldId(f).nonEmpty,
+      s"RENAME COLUMN: $from predates this table's field ids " +
+        "(added by DDL before round 10) — files match it by name")
+    val fixed = (m.keyCols ++ m.partitionCols ++
+      Option(m.precombineField).filter(_.nonEmpty)).map(_.toLowerCase).toSet
+    require(!fixed.contains(f.name.toLowerCase),
+      s"RENAME COLUMN: $from is a key/partition/precombine column; its " +
+        "name is baked into the dir layout / record-key index")
+    require(!to.toLowerCase.startsWith("_graft"),
+      s"RENAME COLUMN: $to is a reserved graft name")
+    require(!cur.fields.exists(_.name.equalsIgnoreCase(to)),
+      s"RENAME COLUMN: column $to already exists")
+    require(!m.droppedCols.contains(to.toLowerCase),
+      s"RENAME COLUMN: $to was dropped and not yet purged")
+    val p = m.props.getOrElse(CowTable.inferProps(m))
+    p.checkConstraints.foreach { c =>
+      val refs = spark.sessionState.sqlParser.parseExpression(c).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          => a.name.toLowerCase
+      }
+      require(!refs.contains(f.name.toLowerCase),
+        s"RENAME COLUMN: CHECK constraint ($c) references $from — " +
+          "update the constraint first")
+    }
+    def ren(c: String): String = if (c.equalsIgnoreCase(from)) to else c
+    val nextSchema = StructType(cur.fields.map(g =>
+      if (g.name.equalsIgnoreCase(from)) g.copy(name = to) else g))
+    // per-file column stats / bloom refs re-key to the new name so
+    // filesForRange / filesForValues keep pruning old files
+    val nextStats = m.fileStats.map { case (path, st) =>
+      path -> st.copy(
+        colStats = st.colStats.map { case (c, v) => ren(c) -> v },
+        colBloomRefs = st.colBloomRefs.map { case (c, v) => ren(c) -> v })
+    }
+    val dest = CowTable.openWithProps(spark, basePath, m, p.copy(
+      clusterCols = p.clusterCols.map(ren),
+      statsCols = p.statsCols.map(ren),
+      bloomCols = p.bloomCols.map(ren)))
+    dest.writeManifest(m.copy(version = m.version + 1,
+      schemaJson = nextSchema.json,
+      fileStats = nextStats,
+      operation = "rename_column",
+      metrics = Map("columns_renamed" -> 1L)))
     dest
   }
 
@@ -1493,7 +1589,8 @@ class CowTable(
       else math.max(m.partitions.size, 1)
     val newFiles =
       if (m.partitions.isEmpty) Map.empty[String, Seq[String]]
-      else writeCommit(readFiles(m, m.baseFiles), v, width)
+      else writeCommit(readFiles(m, m.baseFiles), v, width,
+        idSchema = m.schema)
     writeManifest(withFileStats(
       m.copy(version = v, partitions = newFiles, droppedCols = Nil,
         operation = "purge_dropped_columns",
@@ -1582,9 +1679,11 @@ class CowTable(
     */
   protected def pad(df: DataFrame, target: StructType): DataFrame = {
     val have = df.columns.toSet
+    // aliases carry the target field's metadata so parquet field ids
+    // (CowTable.FieldIdKey) reach the written files
     df.select(target.fields.toIndexedSeq.map(f =>
-      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)): _*)
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name, f.metadata)
+      else lit(null).cast(f.dataType).as(f.name, f.metadata)): _*)
   }
 
   /** Distinct partition values of the incoming batch, as manifest keys.
@@ -1642,9 +1741,16 @@ class CowTable(
       // synthetic sort-key columns (e.g. the Z-order key) dropped after
       // shaping, before the files are written — projection preserves the
       // established intra-partition order
-      dropCols: Seq[String] = Nil): Map[String, Seq[String]] = {
+      dropCols: Seq[String] = Nil,
+      // id-authoritative schema (the evolved/recorded schema this commit
+      // publishes): field-id metadata is RE-APPLIED by name here, at the
+      // single funnel to parquet, because merge/coalesce projections
+      // upstream legally drop column metadata — a file written without
+      // ids under an id-carrying recorded schema would be unreadable
+      idSchema: StructType = null): Map[String, Seq[String]] = {
     val dir = commitDataDir(v)
-    val dup0 = partitionCols.foldLeft(withChecks(df))(
+    val dup0 = partitionCols.foldLeft(
+      withChecks(CowTable.reapplyFieldIds(df, idSchema)))(
       (d, c) => d.withColumn(dirCol(c), col(c)))
     val dup =
       if (numBuckets > 0) dup0.withColumn(dirCol(BucketCol), bucketExpr)
@@ -1994,7 +2100,7 @@ class CowTable(
     // default shuffle width = one task per rewritten unit -> one output
     // file per unit (the point of compaction)
     val width = if (parallelism > 0) parallelism else crowded.size
-    val newFiles = writeCommit(data, v, width)
+    val newFiles = writeCommit(data, v, width, idSchema = m.schema)
     writeManifest(withFileStats(
       m.copy(version = v,
         partitions = m.partitions -- crowded ++ newFiles,
@@ -2053,7 +2159,8 @@ class CowTable(
     // bin column is dropped before writing; cluster columns keep their
     // within-file locality
     val newFiles = writeCommit(binned, v, width,
-      rangeSortCols = binCol +: clusterCols, dropCols = Seq(binCol))
+      rangeSortCols = binCol +: clusterCols, dropCols = Seq(binCol),
+      idSchema = m.schema)
     val foldedSet = toFold.valuesIterator.flatten.toSet
     val kept = toFold.map { case (k, smalls) =>
       k -> m.partitions(k).filterNot(smalls.toSet)
@@ -2090,7 +2197,8 @@ class CowTable(
     val data = readFiles(m, m.baseFiles)
     val width = if (parallelism > 0) parallelism
       else math.max(m.partitions.size, 1)
-    val newFiles = writeCommit(data, v, width, rangeSortCols = sortCols)
+    val newFiles = writeCommit(data, v, width, rangeSortCols = sortCols,
+      idSchema = m.schema)
     writeManifest(withFileStats(
       m.copy(version = v, partitions = newFiles, operation = "cluster",
         metrics = CowTable.writeStats(newFiles) +
@@ -2162,7 +2270,7 @@ class CowTable(
     val width = if (parallelism > 0) parallelism
       else math.max(m.partitions.size, 1)
     val newFiles = writeCommit(data.withColumn(zc, zkey), v, width,
-      rangeSortCols = Seq(zc), dropCols = Seq(zc))
+      rangeSortCols = Seq(zc), dropCols = Seq(zc), idSchema = m.schema)
     writeManifest(withFileStats(
       m.copy(version = v, partitions = newFiles, operation = "cluster_z",
         metrics = CowTable.writeStats(newFiles) +
@@ -2648,6 +2756,94 @@ object CowTable {
     * an O(manifest) merge, never a data rewrite).
     */
   val MaxCommitRetries = 5
+
+  // ------------------------------------------------ parquet field ids
+
+  /** Spark's parquet field-id metadata key (ParquetUtils.FIELD_ID_
+    * METADATA_KEY): a schema field carrying it is matched against file
+    * chunks BY ID rather than by name when `spark.sql.parquet.fieldId
+    * .read.enabled` is on. Tables created since round 10 stamp stable
+    * ids into every recorded schema field and every written file, which
+    * is what makes `ALTER TABLE RENAME COLUMN` a pure metadata commit
+    * (the Delta column-mapping mode "id" arrangement): the name changes
+    * in the manifest schema, the id does not, and files written under
+    * the old name keep resolving. Legacy tables (files without ids)
+    * never get id metadata — an id-carrying request over an id-less
+    * file is a loud read error by Spark's design, so the rename DDL
+    * refuses on them instead.
+    */
+  val FieldIdKey = "parquet.field.id"
+
+  /** Next ids continue from the max ever assigned; fields keep theirs. */
+  private[table] def withFieldIds(schema: StructType): StructType = {
+    if (schema.fields.isEmpty) return schema
+    var next = schema.fields.iterator.map(fieldId(_).getOrElse(0L)).max + 1
+    if (next < 1) next = 1
+    StructType(schema.fields.map { f =>
+      if (fieldId(f).nonEmpty) f
+      else {
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldIdKey, next).build()
+        next += 1
+        f.copy(metadata = md)
+      }
+    })
+  }
+
+  private[table] def fieldId(
+      f: org.apache.spark.sql.types.StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+    else None
+
+  private[table] def hasFieldIds(schema: StructType): Boolean =
+    schema.fields.exists(fieldId(_).nonEmpty)
+
+  /** Re-attach field-id metadata (by case-insensitive name) from the
+    * id-authoritative schema — see writeCommit's `idSchema` doc. Columns
+    * the schema doesn't know (synthetic sort keys, condition columns)
+    * pass through; a no-op select is skipped entirely.
+    */
+  private[table] def reapplyFieldIds(
+      df: org.apache.spark.sql.DataFrame,
+      idSchema: StructType): org.apache.spark.sql.DataFrame = {
+    if (idSchema == null || !hasFieldIds(idSchema)) return df
+    val byName =
+      idSchema.fields.iterator.map(f => f.name.toLowerCase -> f).toMap
+    val needs = df.schema.fields.exists { f =>
+      byName.get(f.name.toLowerCase)
+        .exists(t => fieldId(t) != fieldId(f))
+    }
+    if (!needs) return df
+    df.select(df.schema.fields.toIndexedSeq.map { f =>
+      byName.get(f.name.toLowerCase) match {
+        case Some(t) if fieldId(t).nonEmpty =>
+          col(f.name).as(f.name, t.metadata)
+        case _ => col(f.name)
+      }
+    }: _*)
+  }
+
+  private[table] def stripFieldIds(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (fieldId(f).isEmpty) f
+      else {
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(FieldIdKey).build()
+        f.copy(metadata = md)
+      }
+    })
+
+  /** Id-based matching is opt-in session-wide; graft sessions need it on
+    * (no-op for schemas without id metadata, so enabling it globally
+    * changes nothing for other parquet reads). Writers populate ids by
+    * default, but a session that disabled writing would produce id-less
+    * files under an id-carrying schema — unreadable — so both confs are
+    * pinned at every graft entry point.
+    */
+  def ensureFieldIdConfs(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+  }
 
   /** Version prefix of a commit data (`c{v}[-token]`) or tombstone
     * (`t{v}-token`) directory name; None for non-commit directories.

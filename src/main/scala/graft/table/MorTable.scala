@@ -134,7 +134,7 @@ class MorTable(
         CdcOps.precombine(incoming0, mergeIdCols, precombineField)
       else incoming0
     val newLogs = writeCommit(incoming.withColumn(LogOpCol, lit(op)), v,
-      parallelism)
+      parallelism, idSchema = evolved)
     writeManifest(m.copy(version = v, schemaJson = evolved.json,
       logPartitions = mergeListings(m.logPartitions, newLogs),
       deltaCommits = m.deltaCommits + 1,
@@ -264,7 +264,7 @@ class MorTable(
         .select(m.schema.fieldNames.toIndexedSeq.map(col): _*)
       val v = m.version + 1
       val width = if (parallelism > 0) parallelism else logged.size
-      val newFiles = writeCommit(merged, v, width)
+      val newFiles = writeCommit(merged, v, width, idSchema = m.schema)
       // compaction folds delete-log records away: record them as feed
       // tombstones (original stamps kept) so a change feed spanning the
       // compaction still surfaces them

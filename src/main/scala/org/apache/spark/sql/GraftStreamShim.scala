@@ -21,6 +21,20 @@ object GraftStreamShim {
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
 
+  /** The inverse door, for a V1 streaming SINK: `Sink.addBatch` receives
+    * a DataFrame bound to the micro-batch's INCREMENTAL execution — new
+    * queries over it (the joins/aggregations a table merge needs) assert.
+    * Re-wrapping its physical RDD as a plain batch DataFrame detaches it
+    * (the `DeltaSink` technique); downstream actions re-run the
+    * micro-batch lineage, which is deterministic for the planned offsets.
+    */
+  def asBatchDataFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    spark.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
+
   /** DataFrame over an already-resolved logical plan (`Dataset.ofRows` is
     * `private[sql]`) — lets a runnable SQL command re-enter the DataFrame
     * API with the plan the analyzer handed it.

@@ -79,8 +79,9 @@ class AlterTableSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("ALTER TABLE acat.lake.wd DROP COLUMN id")
     }
+    // rename works (its own test) — but a COLLIDING rename refuses
     intercept[Exception] {
-      spark.sql("ALTER TABLE acat.lake.wd RENAME COLUMN f TO g")
+      spark.sql("ALTER TABLE acat.lake.wd RENAME COLUMN f TO n")
     }
     // NOT NULL add is refused (stored rows have no value)
     intercept[Exception] {
@@ -321,6 +322,23 @@ class AlterTableSpec extends SparkSpec {
       "CALL acat.system.purge_dropped_columns('lake.dc')").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(purged("purged") == 0L, purged.toString)
+  }
+
+  test("RENAME COLUMN through SQL is metadata-only and keeps old files") {
+    init()
+    spark.sql("""CREATE TABLE acat.lake.rc (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('keyCols'='id')""")
+    spark.sql("INSERT INTO acat.lake.rc VALUES (1, 1.5), (2, 2.5)")
+    spark.sql("ALTER TABLE acat.lake.rc RENAME COLUMN v TO score")
+    val t = CowTable.open(spark, s"$wh/lake/rc")
+    assert(t.manifest.operation == "rename_column")
+    assert(t.manifest.metrics.get("files_added").forall(_ == 0L))
+    spark.sql("INSERT INTO acat.lake.rc VALUES (3, 3.5)")
+    val got = spark.sql(
+      "SELECT id, score FROM acat.lake.rc ORDER BY id")
+      .as[(Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)),
+      got.mkString(", "))
   }
 
   test("DROP COLUMN guards: keyed/cluster/constraint columns refuse, " +
