@@ -1102,6 +1102,24 @@ class CowTable(
         }
         hits.iterator
       }.distinct().collect().toSet
+      def materialize(hit: Set[String])
+          : (Seq[String], Map[String, Seq[String]]) = {
+        val candidates = files.collect {
+          case (_, f) if hit(f) || !m.fileStats.contains(f) => f
+        }
+        val kept = files.filterNot { case (_, f) => candidates.contains(f) }
+        (candidates,
+          kept.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2) })
+      }
+      // Bloom phase cost model: a file survives the bloom only if NONE of
+      // the K probe keys hits it — probability ~e^(-K/files) under spread
+      // keys. At K >= 20x the in-range file count that is ~zero: loading
+      // every sidecar bloom (MBs each) would prune nothing. Spread bulk
+      // churn takes the range-phase answer directly; sparse point probes
+      // (the lookup pattern the blooms exist for) still go through them.
+      val keyCount = keys.count()
+      if (keyCount >= 20L * math.max(inRange.size, 1))
+        return materialize(inRange)
       val bBlooms = spark.sparkContext.broadcast(
         inRange.toSeq.sorted.map { f =>
           f -> loadBloom(fs, new Path(basePath, m.fileStats(f).bloomRef))
@@ -1119,12 +1137,7 @@ class CowTable(
         }
         hits.iterator
       }.distinct().collect().toSet
-      val candidates = files.collect {
-        case (_, f) if hit(f) || !m.fileStats.contains(f) => f
-      }
-      val kept = files.filterNot { case (_, f) => candidates.contains(f) }
-      (candidates,
-        kept.groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2) })
+      materialize(hit)
     } finally keys.unpersist()
   }
 
