@@ -757,6 +757,54 @@ object QueryCatalog {
            |       min(price) AS min_price, max(price) AS max_price
            |FROM f GROUP BY pri""".stripMargin))
 
+  /** Roll-up flavor of [[mvRewriteQ]]: the maintained view groups by
+    * (pri, status) but the query groups by STATUS ONLY — a strict
+    * subset — so [[graft.sources.MvRewriteRule]] must RE-AGGREGATE the
+    * state (Σ cnt, Σ total, min/max of stored extremes) instead of
+    * projecting it. DuckDB recomputes from the churn formulas; firing
+    * is `require`d off the hit log.
+    */
+  private val mvRollupRewriteQ = Q(
+    (s, d) => {
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("pri"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice"), 2).cast("decimal(12,2)").as("price"))
+      def tmp(tag: String) =
+        java.nio.file.Files.createTempDirectory(s"graft-mvr-$tag").toString
+      val src = new graft.table.CowTable(s, tmp("src"),
+        keyCols = Seq("o_orderkey"), trackCommitVersions = true)
+      src.bulkInsert(orders.filter(col("o_orderkey") % 3 === 0))
+      val ma = new graft.cdc.MaintainedAgg(s, tmp("view"), src,
+        graft.cdc.IncrementalAgg.AggSpec(Seq("pri", "status"), "price"),
+        minMaxCols = Seq("price"))
+      ma.refresh()
+      src.delete(orders.filter(col("o_orderkey") % 9 === 0))
+      ma.refresh()
+      graft.sources.MvRegistry.register(ma)
+      val before = graft.sources.MvRewriteRule.hitLog
+        .getOrElse(ma.table.basePath, 0L)
+      val q = s.read.format("graft").load(src.basePath)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price")).as("total"),
+          min(col("price")).as("min_price"),
+          max(col("price")).as("max_price"))
+      q.queryExecution.optimizedPlan
+      require(graft.sources.MvRewriteRule.hitLog
+          .getOrElse(ma.table.basePath, 0L) > before,
+        "mv_rollup_rewrite: the subset GROUP BY must fold the view state")
+      q
+    },
+    Some("""WITH o AS (SELECT o_orderkey, o_orderstatus AS status,
+           |      CAST(round(o_totalprice, 2) AS DECIMAL(12,2)) AS price
+           |      FROM orders),
+           |f AS (SELECT * FROM o
+           |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
+           |SELECT status, count(*) AS cnt,
+           |       CAST(sum(price) AS DECIMAL(22,2)) AS total,
+           |       min(price) AS min_price, max(price) AS max_price
+           |FROM f GROUP BY status""".stripMargin))
+
   /** Metadata-only aggregates end-to-end: lineitem lands in an indexed
     * graft table; `count(*)` comes from [[graft.table.CowTable.fastCount]]
     * (manifest row counts, zero jobs) and min/max/count ride the DSv2
@@ -2984,6 +3032,7 @@ object QueryCatalog {
     "spj_join" -> spjJoinQ,
     "maintained_distinct" -> maintainedDistinctQ,
     "mv_rewrite" -> mvRewriteQ,
+    "mv_rollup_rewrite" -> mvRollupRewriteQ,
     "meta_agg_pushdown" -> metaAggQ,
     "dpp_join" -> dppJoinQ,
     "m2_counts" -> m2Counts,

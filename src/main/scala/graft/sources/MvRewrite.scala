@@ -83,8 +83,10 @@ object MvRegistry {
   *    file listing (so `versionAsOf` / `rangeColumn` reads keep their
   *    own semantics);
   *  - the view's folded mark equals that head version (freshness);
-  *  - grouping is exactly the view's group columns (as attributes), and
-  *    every aggregate is `count(literal)`, `sum(valueCol)` or
+  *  - grouping is the view's group columns (as attributes) — exactly
+  *    (direct state projection) or a SUBSET including the empty global
+  *    aggregate (roll-up: the group-cardinality state re-aggregates) —
+  *    and every aggregate is `count(literal)`, `sum(valueCol)` or
   *    `min/max(minMaxCol)` — no DISTINCT, no FILTER clause;
   *  - the sum's input type folds EXACTLY through the state's
   *    DECIMAL(28,6) accumulator: integral types, or decimals with scale
@@ -151,27 +153,48 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def buildRewrite(
       agg: Aggregate, e: MvRegistry.Entry): Option[LogicalPlan] = {
-    // grouping must be plain attributes covering exactly the view's
-    // group columns
+    // grouping must be plain attributes covering the view's group
+    // columns EXACTLY (direct projection of the state) or a SUBSET of
+    // them (roll-up: the state re-aggregates — count and sum are sums
+    // of the per-group state, min/max fold through min/max — the
+    // classic cube-materialization rewrite; a global aggregate is the
+    // empty subset)
     val groupAttrs = agg.groupingExpressions.map {
       case a: AttributeReference => a
       case _ => return None
     }
     val groupNames = groupAttrs.map(_.name.toLowerCase).toSet
-    if (groupNames != e.groupCols.map(_.toLowerCase).toSet ||
-      groupAttrs.size != groupNames.size) return None
+    val viewGroups = e.groupCols.map(_.toLowerCase).toSet
+    if (groupAttrs.size != groupNames.size ||
+      !groupNames.subsetOf(viewGroups)) return None
+    if (groupNames == viewGroups) buildDirect(agg, e)
+    else buildRollup(agg, e, groupAttrs)
+  }
 
-    val view = session.read.format("graft").load(e.viewPath)
+  private def viewPlan(e: MvRegistry.Entry): LogicalPlan =
+    session.read.format("graft").load(e.viewPath)
       .queryExecution.analyzed
+
+  private def tz = Some(session.sessionState.conf.sessionLocalTimeZone)
+  private def exactCast(from: Expression, to: DataType): Expression =
+    if (from.dataType == to) from else Cast(from, to, tz)
+  private def shaped(ne: NamedExpression, expr: Expression)
+      : NamedExpression = {
+    val typed = exactCast(expr, ne.dataType)
+    val narrowed =
+      if (!ne.nullable && typed.nullable) KnownNotNull(typed) else typed
+    Alias(narrowed, ne.name)(exprId = ne.exprId)
+  }
+
+  private def buildDirect(
+      agg: Aggregate, e: MvRegistry.Entry): Option[LogicalPlan] = {
+    val groupNames = agg.groupingExpressions
+      .collect { case a: AttributeReference => a.name.toLowerCase }.toSet
+    val view = viewPlan(e)
     // a missing state column throws; apply()'s NonFatal catch keeps the
     // original aggregate (can only happen on a view schema mismatch)
     def viewCol(n: String): Attribute =
       view.output.find(_.name.equalsIgnoreCase(n)).get
-
-    val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
-    def exact(from: Expression, to: DataType): Expression =
-      if (from.dataType == to) from else Cast(from, to, tz)
-
     val projectList: Seq[NamedExpression] = agg.aggregateExpressions.map {
       ne =>
         val rewritten: Expression = ne match {
@@ -181,13 +204,76 @@ class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
             rewriteAgg(ae, e, viewCol).getOrElse(return None)
           case _ => return None
         }
-        val typed = exact(rewritten, ne.dataType)
-        val narrowed =
-          if (!ne.nullable && typed.nullable) KnownNotNull(typed) else typed
-        Alias(narrowed, ne.name)(exprId = ne.exprId)
+        shaped(ne, rewritten)
     }
     MvRewriteRule.logHit(e.viewPath)
     Some(Project(projectList, view))
+  }
+
+  /** Coarser-grain rewrite: GROUP BY a strict subset of the view's group
+    * columns re-aggregates the (group-cardinality) state instead of the
+    * fact — `count(*)` = Σ cnt, `sum(v)` = Σ total (exact decimals),
+    * `min/max(c)` = min/max of the stored extremes. The global-aggregate
+    * case (empty subset) coalesces Σ cnt to 0: an aggregate over an
+    * EMPTY table still returns one row, and its count is 0, not null.
+    */
+  private def buildRollup(agg: Aggregate, e: MvRegistry.Entry,
+      groupAttrs: Seq[AttributeReference]): Option[LogicalPlan] = {
+    val viewDf = session.read.format("graft").load(e.viewPath)
+    def stateCol(ae: AggregateExpression)
+        : Option[org.apache.spark.sql.Column] = {
+      if (ae.isDistinct || ae.filter.nonEmpty || ae.mode != Complete)
+        return None
+      import org.apache.spark.sql.functions.{
+        coalesce, lit, max => fmax, min => fmin, sum => fsum}
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(_, _))) =>
+          Some(coalesce(fsum(viewDf.col("cnt")), lit(0L)))
+        case Sum(a: AttributeReference, _)
+            if a.name.equalsIgnoreCase(e.valueCol) &&
+              sumFoldsExactly(a.dataType) =>
+          Some(fsum(viewDf.col("total")))
+        case Min(a: AttributeReference)
+            if e.minMaxCols.exists(_.equalsIgnoreCase(a.name)) =>
+          Some(fmin(viewDf.col(s"min_${a.name}")))
+        case Max(a: AttributeReference)
+            if e.minMaxCols.exists(_.equalsIgnoreCase(a.name)) =>
+          Some(fmax(viewDf.col(s"max_${a.name}")))
+        case _ => None
+      }
+    }
+    val groupNames = groupAttrs.map(_.name.toLowerCase).toSet
+    // one synthetic output column per original aggregate call, in order
+    var i = -1
+    val aggCols = agg.aggregateExpressions.collect {
+      case Alias(ae: AggregateExpression, _) =>
+        i += 1
+        stateCol(ae).getOrElse(return None).as(s"_mv_$i")
+    }
+    val rolled0 = viewDf.groupBy(
+      groupAttrs.map(a => viewDf.col(a.name)): _*)
+    val rolledDf = aggCols match {
+      case head +: tail => rolled0.agg(head, tail: _*)
+      case _ => return None // grouping-only aggregate: nothing to fold
+    }
+    val rolled = rolledDf.queryExecution.analyzed
+    def out(n: String): Attribute =
+      rolled.output.find(_.name.equalsIgnoreCase(n)).get
+    var j = -1
+    val projectList: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      ne =>
+        val rewritten: Expression = ne match {
+          case a: AttributeReference if groupNames(a.name.toLowerCase) =>
+            out(a.name)
+          case Alias(_: AggregateExpression, _) =>
+            j += 1
+            out(s"_mv_$j")
+          case _ => return None
+        }
+        shaped(ne, rewritten)
+    }
+    MvRewriteRule.logHit(e.viewPath)
+    Some(Project(projectList, rolled))
   }
 
   /** The state column (exact-cast later) answering one aggregate call —

@@ -115,6 +115,54 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRegistry.unregister(src.basePath)
   }
 
+  test("roll-up rewrite: subset and global groupings fold the state") {
+    val src = new CowTable(spark, tmpDir("mv-src2"), keyCols = Seq("id"),
+      trackCommitVersions = true)
+    val rows = (1 to 300).map(i => (i.toLong, s"a${i % 5}", s"b${i % 3}",
+      BigDecimal(i).setScale(2))).toDF("id", "g1", "g2", "v")
+      .select($"id", $"g1", $"g2", $"v".cast("decimal(12,2)").as("v"))
+    src.bulkInsert(rows)
+    val ma = new MaintainedAgg(spark, tmpDir("mv-view2"), src,
+      IncrementalAgg.AggSpec(Seq("g1", "g2"), "v"),
+      minMaxCols = Seq("v"))
+    ma.refresh()
+    assert(MvRegistry.register(ma))
+    try {
+      def hits = MvRewriteRule.hitLog.getOrElse(ma.table.basePath, 0L)
+      val before = hits
+      // coarser grouping: g1 only
+      val q = spark.read.format("graft").load(src.basePath)
+        .groupBy($"g1")
+        .agg(count(lit(1)).as("cnt"), sum($"v").as("total"),
+          min($"v").as("mn"), max($"v").as("mx"))
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toString, r.getDecimal(3).toString,
+        r.getDecimal(4).toString)).sortBy(_._1)
+      assert(hits == before + 1, "roll-up rewrite did not fire")
+      assert(!q.queryExecution.executedPlan.toString
+        .contains(src.basePath))
+      val want = src.snapshot().groupBy($"g1")
+        .agg(count(lit(1)).as("cnt"), sum($"v").as("total"),
+          min($"v").as("mn"), max($"v").as("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).toString, r.getDecimal(3).toString,
+          r.getDecimal(4).toString)).sortBy(_._1)
+      assert(got.toSeq == want.toSeq)
+      // global aggregate: the empty subset
+      val g = spark.read.format("graft").load(src.basePath)
+        .agg(count(lit(1)).as("cnt"), sum($"v").as("total"))
+      val row = g.collect().head
+      assert(hits == before + 2, "global rewrite did not fire")
+      assert(row.getLong(0) == 300L)
+      assert(row.getDecimal(1).toString ==
+        src.snapshot().agg(sum($"v")).head.getDecimal(0).toString)
+      // grouping by a non-view column is NOT a subset: falls through
+      spark.read.format("graft").load(src.basePath)
+        .groupBy($"g1", $"id").agg(count(lit(1))).collect()
+      assert(hits == before + 2)
+    } finally MvRegistry.unregister(src.basePath)
+  }
+
   test("filtered views refuse registration") {
     val src = new CowTable(spark, tmpDir("mv-srcf"), keyCols = Seq("id"),
       trackCommitVersions = true)
