@@ -160,6 +160,29 @@ final class MaintainedAgg(
       .withColumn("stddev", sqrt(col("variance")))
   }
 
+  /** Persist the view's definition next to its state (`_mv.json`) so a
+    * NEW session can re-arm the rewrite from the path alone
+    * ([[graft.sources.MvRegistry.registerPath]]) — the in-memory
+    * registry is per-process; the sidecar is the durable record (the
+    * catalog-of-MV-definitions a warehouse engine keeps).
+    */
+  private def writeMvSidecar(): Unit = {
+    def js(s: String) = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    def arr(xs: Seq[String]) = xs.map(js).mkString("[", ",", "]")
+    val txt = s"""{"srcPath":${js(src.basePath)},""" +
+      s""""groupCols":${arr(spec.groupCols)},""" +
+      s""""valueCol":${js(spec.valueCol)},""" +
+      s""""minMaxCols":${arr(minMaxCols)},""" +
+      s""""trackSquares":$trackSquares,""" +
+      s""""rewriteEligible":${rowFilter.isEmpty}}"""
+    val fs = new org.apache.hadoop.fs.Path(aggPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(aggPath, MaintainedAgg.MvSidecar), true)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Fold all source commits since the last refresh — or seed/reseed by
     * recompute when the state doesn't exist or the mark fell behind
     * retention. Returns the refreshed aggregate.
@@ -169,6 +192,7 @@ final class MaintainedAgg(
     if (!table.exists) {
       table.bulkInsert(recompute(src.snapshot()),
         extraMetrics = Map(Mark -> head))
+      writeMvSidecar()
       return current
     }
     val mark = table.manifest.metrics.getOrElse(Mark, 0L)
@@ -359,6 +383,9 @@ object MaintainedAgg {
     * ([[graft.sources.MvRewriteRule]]).
     */
   val SrcVersionMark: String = CowTable.MonotoneMarkPrefix + "ma_src_version"
+
+  /** Durable view-definition sidecar file name (see writeMvSidecar). */
+  val MvSidecar: String = "_mv.json"
 
   /** Hit-group cap for the group-scoped repair read: beyond this many
     * groups the repair reads the pinned snapshot (the driver-side value

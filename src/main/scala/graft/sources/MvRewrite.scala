@@ -64,6 +64,46 @@ object MvRegistry {
   def clear(): Unit = entries.clear()
   def isEmpty: Boolean = entries.isEmpty
   def lookup(srcPath: String): Option[Entry] = entries.get(norm(srcPath))
+
+  /** Re-arm a view from its durable `_mv.json` sidecar (written by the
+    * MaintainedAgg that owns the state — see
+    * [[graft.cdc.MaintainedAgg.MvSidecar]]): what a NEW session calls so
+    * rewrites survive process restarts without re-constructing the
+    * MaintainedAgg object. Returns false when the sidecar is absent or
+    * the view is rewrite-ineligible (filtered).
+    */
+  def registerPath(spark: SparkSession, viewPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      viewPath, graft.cdc.MaintainedAgg.MvSidecar)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val in = fs.open(p)
+    val txt =
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 65536, false)
+        new String(bytes.toByteArray, "UTF-8")
+      } finally in.close()
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(txt)
+    def str(n: String) = (j \ n).asInstanceOf[JString].s
+    def strs(n: String) = (j \ n) match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    val eligible = (j \ "rewriteEligible") match {
+      case JBool(b) => b; case _ => false
+    }
+    if (!eligible) return false
+    val squares = (j \ "trackSquares") match {
+      case JBool(b) => b; case _ => false
+    }
+    entries.put(norm(str("srcPath")),
+      Entry(norm(str("srcPath")), viewPath, strs("groupCols"),
+        str("valueCol"), strs("minMaxCols"), squares))
+    true
+  }
 }
 
 /** Optimizer rule (installed by [[graft.functions.GraftExtensions]],

@@ -607,7 +607,8 @@ class CowTable(
         schema0.add(CommitVerCol, org.apache.spark.sql.types.LongType)
       else schema0
     writeManifest(Manifest(1L,
-      withFieldIds(stripFieldIds(schema)).json, keyCols, partitionCols,
+      withFieldIds(nullableSchema(stripFieldIds(schema))).json,
+      keyCols, partitionCols,
       precombineField, Map.empty,
       operation = "create",
       storageType = storageTypeName,
@@ -628,7 +629,9 @@ class CowTable(
     // CowTable.FieldIdKey)
     val data = {
       val stamped = stamp(df, 1L)
-      pad(stamped, withFieldIds(stripFieldIds(stamped.schema)))
+      // nullable-normalized (see evolveSchema) + field-id-stamped
+      pad(stamped,
+        withFieldIds(nullableSchema(stripFieldIds(stamped.schema))))
     }
     val files = writeCommit(data, 1L, parallelism)
     writeManifest(withFileStats(
@@ -1365,8 +1368,14 @@ class CowTable(
     // incoming frames can carry STRAY field-id metadata (a df derived
     // from another table's snapshot) — authority over ids is the stored
     // schema: strip incoming ids, keep stored ones, mint fresh ids for
-    // genuinely new columns on id-stamped tables
-    val ev = evolveSchema(m.schema, CowTable.stripFieldIds(in))
+    // genuinely new columns on id-stamped tables. The result normalizes
+    // to nullable (asNullable, metadata-preserving): nested NOT NULL
+    // survives inside DataTypes, and a recorded STRUCT<x NOT NULL>
+    // would reject every later batch whose struct is nullable — Cast
+    // refuses nullable→non-null nested fields (the Delta arrangement:
+    // stored schemas are nullable, files keep whatever they carry).
+    val ev = CowTable.nullableSchema(
+      evolveSchema(m.schema, CowTable.stripFieldIds(in)))
     if (CowTable.hasFieldIds(m.schema)) CowTable.withFieldIds(ev) else ev
   }
 
@@ -2834,6 +2843,26 @@ object CowTable {
         case _ => col(f.name)
       }
     }: _*)
+  }
+
+  /** Recursive nullable normalization (Spark's StructType.asNullable is
+    * private): stored schemas never carry NOT NULL — nested or top-level
+    * — so later batches with nullable shapes always cast (metadata,
+    * including field ids, is preserved).
+    */
+  private[table] def nullableSchema(s: StructType): StructType =
+    allNullable(s).asInstanceOf[StructType]
+
+  private def allNullable(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = allNullable(f.dataType), nullable = true)))
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(
+        allNullable(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(
+        allNullable(k), allNullable(v), valueContainsNull = true)
+    case other => other
   }
 
   private[table] def stripFieldIds(schema: StructType): StructType =

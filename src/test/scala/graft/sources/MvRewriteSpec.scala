@@ -163,6 +163,21 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRegistry.unregister(src.basePath)
   }
 
+  test("registerPath re-arms a view from its durable sidecar") {
+    val (src, ma) = freshPair()
+    // simulate a NEW session: no in-memory registration at all
+    MvRegistry.unregister(src.basePath)
+    try {
+      assert(MvRegistry.registerPath(spark, ma.table.basePath))
+      val before = hits(ma)
+      spark.read.format("graft").load(src.basePath)
+        .groupBy($"g").agg(count(lit(1))).collect()
+      assert(hits(ma) == before + 1, "sidecar registration must rewrite")
+      // absent sidecar refuses
+      assert(!MvRegistry.registerPath(spark, tmpDir("mv-nothing")))
+    } finally MvRegistry.unregister(src.basePath)
+  }
+
   test("filtered views refuse registration") {
     val src = new CowTable(spark, tmpDir("mv-srcf"), keyCols = Seq("id"),
       trackCommitVersions = true)
