@@ -193,6 +193,49 @@ private[sources] object GraftProcedures {
         }.toArray
         (schema, rows)
       }),
+    Spec("detail",
+      "one-row table summary from the manifest (DESCRIBE DETAIL)",
+      Seq(("table", StringType, None)),
+      (_, _) => Nil,
+      runTable = Some { (t, _) =>
+        val m = t.manifest
+        val p = m.props.getOrElse(graft.table.CowTable.inferProps(m))
+        val schema = StructType(Seq(
+          StructField("location", StringType, nullable = false),
+          StructField("storage_type", StringType, nullable = false),
+          StructField("version", LongType, nullable = false),
+          StructField("key_cols", StringType, nullable = false),
+          StructField("partition_cols", StringType, nullable = false),
+          StructField("num_buckets", LongType, nullable = false),
+          StructField("num_files", LongType, nullable = false),
+          StructField("num_log_files", LongType, nullable = false),
+          StructField("num_rows", LongType, nullable = true),
+          StructField("size_bytes", LongType, nullable = true),
+          StructField("dropped_cols", StringType, nullable = false),
+          StructField("check_constraints", StringType, nullable = false)))
+        val files = m.baseFiles
+        // exact only when every base file has stats and no logs pend
+        def total(get: graft.table.FileStat => Long): Any = {
+          val vs = files.map(f => m.fileStats.get(f).map(get))
+          if (m.logPartitions.valuesIterator.flatten.isEmpty &&
+            vs.forall(_.exists(_ >= 0L))) vs.flatten.sum
+          else null
+        }
+        val row = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(t.basePath),
+          UTF8String.fromString(m.storageType),
+          m.version,
+          UTF8String.fromString(m.keyCols.mkString(",")),
+          UTF8String.fromString(m.partitionCols.mkString(",")),
+          p.numBuckets.toLong,
+          files.size.toLong,
+          m.logPartitions.valuesIterator.flatten.size.toLong,
+          total(_.rows), total(_.bytes),
+          UTF8String.fromString(m.droppedCols.mkString(",")),
+          UTF8String.fromString(
+            p.checkConstraints.mkString("; ")))): InternalRow
+        (schema, Array(row))
+      }),
     Spec("history",
       "the retained commit timeline, newest first (DESCRIBE HISTORY)",
       Seq(("table", StringType, None),

@@ -2678,7 +2678,7 @@ object CowTable {
     * exact for any table whose bucket space is populated). clusterCols are
     * unrecoverable (sort locality degrades gracefully; recluster restores).
     */
-  private[table] def inferProps(m: Manifest): TableProps = {
+  private[graft] def inferProps(m: Manifest): TableProps = {
     val bucketVals = m.partitions.keysIterator
       .flatMap(_.split('/').find(_.startsWith(BucketCol + "=")))
       .map(_.substring(BucketCol.length + 1).toInt).toSeq

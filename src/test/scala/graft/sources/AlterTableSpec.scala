@@ -324,6 +324,21 @@ class AlterTableSpec extends SparkSpec {
     assert(purged("purged") == 0L, purged.toString)
   }
 
+  test("CALL system.detail summarizes the table in one row") {
+    init()
+    spark.sql("""CREATE TABLE acat.lake.dt (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('keyCols'='id')""")
+    spark.sql("INSERT INTO acat.lake.dt VALUES (1, 1.0), (2, 2.0)")
+    val row = spark.sql("CALL acat.system.detail('lake.dt')").collect().head
+    def s(n: String) = row.getString(row.fieldIndex(n))
+    def l(n: String) = row.getLong(row.fieldIndex(n))
+    assert(s("storage_type") == "cow")
+    assert(s("key_cols") == "id")
+    assert(l("version") >= 2L)
+    assert(l("num_files") >= 1L)
+    assert(s("dropped_cols") == "")
+  }
+
   test("RENAME COLUMN through SQL is metadata-only and keeps old files") {
     init()
     spark.sql("""CREATE TABLE acat.lake.rc (id BIGINT, v DOUBLE)

@@ -49,6 +49,47 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(CowTable.open(spark, path).manifest.version == vBefore)
   }
 
+  test("windowed stream aggregation converges through update-mode upsert") {
+    val src = tmpDir("wsa-src")
+    val path = tmpDir("wsa-table")
+    val chk = tmpDir("wsa-ckpt")
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    Seq((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(12), "b", 5.0))
+      .toDF("ts", "user", "v").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    // a 1-hour delay keeps the second delivery's 10:03 event inside the
+    // watermark (with 0s it is correctly DROPPED as late — streaming
+    // semantics, not a sink bug)
+    def run(): Unit = spark.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "10 minutes"), $"user")
+      .agg(count(lit(1)).as("n"), sum($"v").as("total"))
+      .select($"window.start".as("ws"), $"user", $"n", $"total")
+      .writeStream.format("graft")
+      .option("checkpointLocation", chk)
+      .option("keyCols", "ws,user")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(path).awaitTermination()
+    run()
+    // second delivery updates window 10:00/a and adds 10:10/a
+    Seq((ts(3), "a", 4.0), (ts(15), "a", 7.0))
+      .toDF("ts", "user", "v").write.mode("append").parquet(src)
+    run()
+    val got = CowTable.open(spark, path).snapshot()
+      .select($"ws", $"user", $"n", $"total")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+      .map(r => (r._1.toString, r._2, r._3, r._4)).sortBy(x => (x._1, x._2))
+    val want = spark.read.parquet(src)
+      .groupBy(window($"ts", "10 minutes"), $"user")
+      .agg(count(lit(1)).as("n"), sum($"v").as("total"))
+      .select($"window.start".as("ws"), $"user", $"n", $"total")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+      .map(r => (r._1.toString, r._2, r._3, r._4)).sortBy(x => (x._1, x._2))
+    assert(got.toSeq == want.toSeq,
+      s"streamed ${got.toSeq} vs batch ${want.toSeq}")
+  }
+
   test("complete mode and partitionBy refuse loudly") {
     val src = tmpDir("wss-src2")
     Seq((1L, "a")).toDF("id", "g").write.mode("append").parquet(src)
