@@ -163,6 +163,24 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvRegistry.unregister(src.basePath)
   }
 
+  test("SQL text over a catalog table rewrites too") {
+    val (src, ma) = freshPair()
+    assert(MvRegistry.register(ma))
+    try {
+      val wh = new java.io.File(src.basePath).getParent
+      spark.conf.set("spark.sql.catalog.mvcat", classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.mvcat.warehouse", wh)
+      val name = new java.io.File(src.basePath).getName
+      val before = hits(ma)
+      val rows = spark.sql(
+        s"SELECT g, count(*) AS cnt, sum(v) AS total FROM mvcat.`$name` " +
+          "GROUP BY g").collect()
+      assert(rows.length == 5)
+      assert(hits(ma) == before + 1,
+        "the SQL path must rewrite like the DataFrame path")
+    } finally MvRegistry.unregister(src.basePath)
+  }
+
   test("registerPath re-arms a view from its durable sidecar") {
     val (src, ma) = freshPair()
     // simulate a NEW session: no in-memory registration at all

@@ -97,6 +97,29 @@ class RenameColumnSpec extends SparkSpec {
     assert(e.getMessage.contains("field-id"), e.getMessage)
   }
 
+  test("rename and drop work on MOR: logs resolve by id, purge compacts") {
+    val t = new MorTable(spark, tmpDir("ren-mor"), keyCols = Seq("id"),
+      precombineField = "v")
+    t.bulkInsert(Seq((1L, 1.0, "a"), (2L, 2.0, "b")).toDF("id", "v", "tag"))
+    t.upsert(Seq((2L, 20.0, "b2")).toDF("id", "v", "tag")) // pending log
+    val t2 = t.renameColumn("tag", "label")
+      .asInstanceOf[MorTable]
+    // realtime view merges base (old name in files) + log by field id
+    val rt = t2.realtime().select("id", "v", "label")
+      .as[(Long, Double, String)].collect().sortBy(_._1)
+    assert(rt.toSeq == Seq((1L, 1.0, "a"), (2L, 20.0, "b2")),
+      rt.mkString(", "))
+    // drop + purge: purge compacts pending logs first, then rewrites
+    t2.alterSchema(dropCols = Seq("label"))
+    val t3 = CowTable.open(spark, t.basePath)
+    assert(t3.purgeDroppedColumns())
+    assert(CowTable.openManifest(spark, t.basePath).droppedCols.isEmpty)
+    val after = t3.asInstanceOf[MorTable].realtime()
+    assert(after.columns.toSeq.filterNot(_.startsWith("_graft")) ==
+      Seq("id", "v"))
+    assert(after.count() == 2)
+  }
+
   test("rename chains through change feeds and incremental reads") {
     val t = new CowTable(spark, tmpDir("ren-feed"), keyCols = Seq("id"),
       trackCommitVersions = true)
