@@ -116,6 +116,12 @@ private[sources] object GraftProcedures {
       "apply commit retention and reclaim unreferenced data dirs",
       Seq(("table", StringType, None)),
       (t, _) => { t.clean(); Seq("cleaned" -> 1L) }),
+    Spec("maintain",
+      "one-call housekeeping: fold MOR logs, bin-pack small files, " +
+        "apply retention, reclaim crash debris",
+      Seq(("table", StringType, None),
+        ("target_bytes", LongType, Some("134217728"))),
+      (t, in) => t.maintain(in.getLong(1)).toSeq.sortBy(_._1)),
     Spec("purge_dropped_columns",
       "rewrite base files so dropped columns' values are physically " +
         "gone; re-adding their names unlocks (Delta REORG PURGE analog)",

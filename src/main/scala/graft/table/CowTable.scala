@@ -2412,6 +2412,30 @@ class CowTable(
     * a concurrent writer's not-yet-published commit dir looks exactly like
     * an orphan. Returns the removed directory names.
     */
+  /** One-call housekeeping bundle (the OPTIMIZE-style maintenance pass a
+    * scheduler runs): fold pending MOR delta logs, bin-pack small base
+    * files toward the target size, apply commit retention, and reclaim
+    * crash debris — each step the existing audited service commit, each
+    * skipped when it has nothing to do. Returns what happened, for the
+    * scheduler's log: `logs_compacted` / `files_binpacked` (0|1),
+    * `orphan_dirs_removed`.
+    */
+  def maintain(targetFileBytes: Long = 128L << 20,
+      smallBytes: Long = 0L): Map[String, Long] = {
+    val logsFolded = this match {
+      case mor: MorTable if manifest.logPartitions.nonEmpty =>
+        mor.compactLogs()
+      case _ => false
+    }
+    val packed = compactBySize(targetFileBytes, smallBytes)
+    clean()
+    val orphans = vacuumOrphans()
+    Map(
+      "logs_compacted" -> (if (logsFolded) 1L else 0L),
+      "files_binpacked" -> (if (packed) 1L else 0L),
+      "orphan_dirs_removed" -> orphans.size.toLong)
+  }
+
   def vacuumOrphans(): Seq[String] = {
     val committed = listVersions(fs, commitsDir).toSet
     // reference tracking is by directory NAME: concurrent writers' dirs

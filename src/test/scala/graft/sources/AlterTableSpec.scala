@@ -339,6 +339,21 @@ class AlterTableSpec extends SparkSpec {
     assert(s("dropped_cols") == "")
   }
 
+  test("CALL system.maintain bundles the housekeeping services") {
+    init()
+    spark.sql("""CREATE TABLE acat.lake.mt (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('keyCols'='id', 'storageType'='mor',
+        'precombineField'='v')""")
+    spark.sql("INSERT INTO acat.lake.mt (id, v) VALUES (1, 1.0)")
+    spark.sql("INSERT INTO acat.lake.mt (id, v) VALUES (1, 2.0), (2, 1.0)")
+    val got = spark.sql("CALL acat.system.maintain('lake.mt')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("logs_compacted") == 1L, got.toString)
+    val t = CowTable.open(spark, s"$wh/lake/mt")
+    assert(t.manifest.logPartitions.isEmpty)
+    assert(t.snapshot().count() == 2)
+  }
+
   test("RENAME COLUMN through SQL is metadata-only and keeps old files") {
     init()
     spark.sql("""CREATE TABLE acat.lake.rc (id BIGINT, v DOUBLE)
