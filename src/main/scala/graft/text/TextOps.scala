@@ -503,8 +503,11 @@ object TextOps {
     val hits = withDl
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
-    val tf = hits.groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    // persisted: the (small, hits-only) tf table feeds BOTH the scoring
+    // join and the df side — one corpus scan + explode, not two
+    val tf = materialized(hits.groupBy(col("doc_id"), col("dl"),
+        col("term"))
+      .agg(count(lit(1)).cast("double").as("tf")))
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1.0) +
