@@ -1664,6 +1664,70 @@ object QueryCatalog {
          |FROM embeddings, q WHERE vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin))
 
+  /** Hybrid retrieval: BM25 lexical top-50 ⊕ cosine semantic top-50
+    * fused by reciprocal rank ([[graft.sim.Similarity.rrfFuse]], k=60 —
+    * the standard RAG combiner). Both inputs are bounded top-N lists, so
+    * the fuse joins two 50-row sides regardless of corpus size. The
+    * DuckDB oracle recomputes both rankers AND the fusion.
+    */
+  private val rrfFusion = Q(
+    (s, d) => {
+      val lex = TextOps.bm25TopDocs(t(s, d, "documents"),
+        Seq("spark", "join", "vector"), topK = 50)
+        .select(col("doc_id"), col("rnk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sim").desc, col("vec_id"))
+      val sem = Similarity.cosineTopK(t(s, d, "embeddings"), 0L, 50)
+        .withColumn("rnk", row_number().over(w))
+        .select(col("vec_id"), col("rnk"))
+      Similarity.rrfFuse(lex, sem)
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |    FROM documents),
+           |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+           |st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+           |    CAST(count(*) AS DOUBLE) AS n FROM dl),
+           |hits AS (SELECT doc_id, unnest(toks) AS term FROM d),
+           |tf AS (SELECT h.doc_id, dl.dl, h.term,
+           |    CAST(count(*) AS DOUBLE) AS tf
+           |  FROM hits h JOIN dl ON h.doc_id = dl.doc_id
+           |  WHERE h.term IN ('spark', 'join', 'vector')
+           |  GROUP BY 1, 2, 3),
+           |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+           |  FROM tf GROUP BY 1),
+           |c AS (SELECT tf.doc_id, tf.dl,
+           |    CAST(round(
+           |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+           |        (tf * 2.2) /
+           |        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+           |      AS DECIMAL(18,6)) AS contrib
+           |  FROM tf JOIN dfq ON tf.term = dfq.term, st),
+           |sc AS (SELECT doc_id,
+           |    CAST(sum(contrib) AS DECIMAL(28,6)) AS score
+           |  FROM c GROUP BY 1),
+           |lex AS (SELECT doc_id AS id, rnk AS rnk_a FROM (
+           |    SELECT doc_id, row_number() OVER (
+           |      ORDER BY score DESC, doc_id) AS rnk FROM sc)
+           |  WHERE rnk <= 50),
+           |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id = 0),
+           |cs AS (SELECT vec_id,
+           |    ${cosSql("CAST(embedding AS DOUBLE[])", "qv")} AS sim
+           |  FROM embeddings, q WHERE vec_id <> 0),
+           |sem AS (SELECT vec_id AS id, row_number() OVER (
+           |    ORDER BY sim DESC, vec_id) AS rnk_b FROM (
+           |    SELECT * FROM cs ORDER BY sim DESC, vec_id LIMIT 50)),
+           |f AS (SELECT coalesce(lex.id, sem.id) AS id, rnk_a, rnk_b,
+           |    round(
+           |      coalesce(CAST(1.0 AS DOUBLE) / (60 + rnk_a), 0) +
+           |      coalesce(CAST(1.0 AS DOUBLE) / (60 + rnk_b), 0), 9)
+           |      AS rrf
+           |  FROM lex FULL JOIN sem ON lex.id = sem.id),
+           |r AS (SELECT *, row_number() OVER (
+           |    ORDER BY rrf DESC, id) AS rnk FROM f)
+           |SELECT id, rnk_a, rnk_b, rrf, rnk FROM r WHERE rnk <= 20"""
+      .stripMargin))
+
   private val signLshBuckets = Q(
     (s, d) => Similarity.signBuckets(t(s, d, "embeddings"), 8),
     Some {
@@ -3082,6 +3146,7 @@ object QueryCatalog {
     "near_dup_lsh" -> nearDupLsh,
     "dedup_clusters" -> dedupClusters,
     "cosine_topk" -> cosineTopK,
+    "rrf_fusion" -> rrfFusion,
     "cosine_near_dup" -> cosineNearDup,
     "sign_lsh_buckets" -> signLshBuckets,
     "ivf_assign" -> ivfAssign,

@@ -76,6 +76,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (lexical BM25 ranks ⊕ semantic cosine ranks, or any two rankers):
+    * score(d) = Σ_r 1/(k + rank_r(d)), documents absent from a ranker
+    * contribute 0 from it. Inputs are (id, rnk) frames (first column =
+    * id); both are top-N lists, so the fuse is a join of two bounded
+    * sides — cost is independent of corpus size. The fused score rounds
+    * to 9 dp (two fixed-order double terms — deterministic cross-engine)
+    * and ties break on id.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 60,
+      topK: Int = 20): DataFrame = {
+    require(k > 0 && topK > 0, "rrf: k and topK must be positive")
+    def shaped(df: DataFrame, tag: String) =
+      df.select(col(df.columns(0)).as("id"), col("rnk").as(s"rnk_$tag"))
+    val fused = shaped(a, "a").join(shaped(b, "b"), Seq("id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k) + col("rnk_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("rnk_b")), lit(0.0)), 9))
+    val w = Window.orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("id", "rnk_a", "rnk_b", "rrf", "rnk")
+  }
+
   /** Sign-LSH bucket code from the first `bits` coordinates: bit i set iff
     * coordinate i is non-negative. Vectors sharing a bucket are ANN
     * candidates; expected bucket population is corpus/2^bits.

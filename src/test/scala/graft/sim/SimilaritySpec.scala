@@ -209,4 +209,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) == 1.0)
     assert(got(2L) > 0.99, "max over eval vecs, not any single one")
   }
+
+  test("rrfFuse combines two rank lists, absent sides contribute zero") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rnk")
+    val sem = Seq((20L, 1), (40L, 2)).toDF("vec_id", "rnk")
+    val got = Similarity.rrfFuse(lex, sem, k = 60, topK = 10)
+      .select("id", "rrf", "rnk")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    // doc 20 is in both lists (rank 2 + rank 1): best fused score
+    assert(got.head._1 == 20L)
+    assert(math.abs(got.head._2 - (1.0 / 62 + 1.0 / 61)) < 1e-9)
+    // singles follow by their own rank; ranks are a permutation
+    assert(got.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L),
+      got.mkString(", "))
+    assert(got.map(_._3).toSeq == Seq(1, 2, 3, 4))
+  }
 }
