@@ -2363,6 +2363,47 @@ object QueryCatalog {
            |    AS n_kept
            |FROM r GROUP BY doc_id""".stripMargin))
 
+  /** Duplicate-span removal ([[graft.text.TextOps.dupSpanRemoval]], 5-token
+    * windows) — distributed exact-substring dedup (Lee et al. 2022 shape):
+    * non-first occurrences of any repeated 5-token window are merged into
+    * maximal spans and stripped from the text; first occurrences survive.
+    */
+  private val dupSpanRemoval = Q(
+    (s, d) => TextOps.dupSpanRemoval(t(s, d, "documents"), 5),
+    Some(s"""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 5))
+           |    AS p, toks
+           |  FROM t WHERE len(toks) >= 5),
+           |e AS (SELECT doc_id, p,
+           |    ${H("array_to_string(toks[p+1 : p+5], ' ')")} AS h
+           |  FROM g),
+           |r AS (SELECT doc_id, p, row_number() OVER (
+           |    PARTITION BY h ORDER BY doc_id, p) AS rn
+           |  FROM e),
+           |f AS (SELECT DISTINCT doc_id, pos FROM (
+           |    SELECT doc_id, unnest(generate_series(p, p + 4)) AS pos
+           |    FROM r WHERE rn > 1)),
+           |i AS (SELECT doc_id, pos, pos - row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY pos) AS grp
+           |  FROM f),
+           |d AS (SELECT doc_id, count(*) AS n_dup_tokens,
+           |    count(DISTINCT grp) AS n_dup_spans
+           |  FROM i GROUP BY doc_id),
+           |k AS (SELECT doc_id, unnest(toks) AS tok,
+           |    unnest(generate_series(0, len(toks) - 1)) AS pos
+           |  FROM t),
+           |c AS (SELECT k.doc_id,
+           |    string_agg(k.tok, ' ' ORDER BY k.pos) AS clean_text
+           |  FROM k LEFT JOIN f ON k.doc_id = f.doc_id AND k.pos = f.pos
+           |  WHERE f.pos IS NULL GROUP BY k.doc_id)
+           |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           |  COALESCE(d.n_dup_tokens, 0) AS n_dup_tokens,
+           |  COALESCE(d.n_dup_spans, 0) AS n_dup_spans,
+           |  COALESCE(c.clean_text, '') AS clean_text
+           |FROM t LEFT JOIN d USING (doc_id) LEFT JOIN c USING (doc_id)"""
+      .stripMargin))
+
   /** TPC-H Q14 shape — conditional-aggregation ratio (promo revenue share
     * of a ship-quarter). The CASE lives inside the aggregate, so one pass
     * computes both sums; part is a broadcastable dim and the shipdate range
@@ -3165,6 +3206,7 @@ object QueryCatalog {
     "kmv_distinct_users" -> kmvDistinctUsers,
     "embedding_quantize" -> embeddingQuantize,
     "chunk_dedup" -> chunkDedup,
+    "dup_span_removal" -> dupSpanRemoval,
     "q14_promo_share" -> q14PromoShare,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q19_disjunctive" -> q19Disjunctive,

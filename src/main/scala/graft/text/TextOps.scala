@@ -712,6 +712,74 @@ object TextOps {
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Exact duplicate-SPAN removal — the distributed shape of suffix-style
+    * substring dedup ("Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022): instead of a corpus-wide suffix array
+    * (inherently sequential), every `span`-token window is hashed and
+    * counted globally; any window occurrence that is NOT the global first
+    * occurrence of its hash (first = min (doc_id, position)) marks its
+    * `span` token positions as duplicated. Per document, the flagged
+    * positions are merged into maximal spans (gaps-and-islands) and the
+    * cleaned text — original tokens minus flagged positions — is emitted,
+    * so exactly one copy of every long repeated passage survives in the
+    * corpus, at its first occurrence.
+    *
+    * Output: doc_id, n_tokens, n_dup_tokens, n_dup_spans, clean_text.
+    * Docs shorter than `span` have no windows and pass through unchanged.
+    *
+    * Plan shape (all linear in corpus token count): per-row windowing (no
+    * shuffle), one shuffle by 8-byte window hash for the first-occurrence
+    * rank, a bounded ≤span× position explode of ONLY the duplicated
+    * occurrences, one shuffle by doc_id that serves both the span merge
+    * (window) and the rollup (groupBy reuses the window's partitioning),
+    * and one join back to the token arrays keyed by doc_id. No stage ever
+    * shuffles document text — only compact (doc_id, pos, hash) triples.
+    * The token-filter rebuild is O(tokens × flagged) per doc via
+    * array_contains; flagged counts are span-bounded per duplicated
+    * window, and truly pathological docs (everything duplicated) cost
+    * O(n·n/span) only on their own row.
+    */
+  def dupSpanRemoval(docs: DataFrame, span: Int): DataFrame = {
+    require(span > 0, "span must be positive")
+    val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // 0-based window starts; guarded so short docs yield no windows
+    // (unguarded sequence(0, negative) would DESCEND in Spark).
+    val starts = when(size(col("toks")) >= span,
+      sequence(lit(0L), (size(col("toks")) - span).cast("long")))
+      .otherwise(array().cast("array<long>"))
+    val e = toksDf
+      .select(col("doc_id"), explode(starts).as("p"), col("toks"))
+      .select(col("doc_id"), col("p"),
+        Hashing.hash60(concat_ws(" ",
+          slice(col("toks"), (col("p") + 1).cast("int"), lit(span))))
+          .as("h"))
+    val firstSeen = Window.partitionBy("h").orderBy(col("doc_id"), col("p"))
+    val flagged = e
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (span - 1))).as("pos"))
+      .distinct()
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val perDoc = flagged
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_tokens"),
+        countDistinct(col("grp")).as("n_dup_spans"),
+        sort_array(collect_list(col("pos"))).as("flagged"))
+    toksDf
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("flagged").isNull, concat_ws(" ", col("toks")))
+          .otherwise(concat_ws(" ",
+            filter(col("toks"), (_, i) =>
+              !array_contains(col("flagged"), i.cast("long")))))
+          .as("clean_text"))
+  }
+
   /** SimHash (16-bit, portable hash): per bit j, sign of the sum over tokens
     * (with multiplicity) of +-1 according to bit j of the token hash.
     */

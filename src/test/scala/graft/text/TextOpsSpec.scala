@@ -37,6 +37,31 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("dupSpanRemoval strips repeated spans, keeps first occurrence") {
+    // Doc 1 holds the original passage; doc 2 embeds the same 6 tokens
+    // (two overlapping duplicated 5-windows -> ONE merged span); doc 3 is
+    // clean and shorter than the span size (guard path).
+    val passage = "p1 p2 p3 p4 p5 p6"
+    val d = Seq(
+      (1L, s"a b $passage c d"),
+      (2L, s"x y z $passage w"),
+      (3L, "u v")).toDF("doc_id", "text")
+    val got = TextOps.dupSpanRemoval(d, 5)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((10L, 0L, 0L, s"a b $passage c d")))
+    assert(got(2L) == ((10L, 6L, 1L, "x y z w")))
+    assert(got(3L) == ((2L, 0L, 0L, "u v")))
+  }
+
+  test("dupSpanRemoval: within-doc repetition keeps only the first copy") {
+    val d = Seq((7L, "m1 m2 m3 m4 m5 gap m1 m2 m3 m4 m5"))
+      .toDF("doc_id", "text")
+    val row = TextOps.dupSpanRemoval(d, 5)
+      .as[(Long, Long, Long, Long, String)].collect().head
+    assert(row == ((7L, 11L, 5L, 1L, "m1 m2 m3 m4 m5 gap")))
+  }
+
   test("lshNearDupPairs candidates contain every exact near-dup (recall)") {
     // On the real corpus: LSH-verified pairs must be a subset of the exact
     // pairs (precision exact) and here happen to achieve full recall.
