@@ -37,6 +37,13 @@ object GraphOps {
     * counts, checkpoint every ~20 rounds. Overflow bound: requires
     * `85 * |V| * init < 2^63` (≈10^8 nodes at the default init 10^12 —
     * shrink `init` for bigger graphs).
+    *
+    * The degree-annotated edge table and degree table are loop-invariant
+    * and referenced by every round, so both are `persist()`ed — without
+    * this, EVERY iteration's lineage re-derives the edge list from its
+    * base scans (observed: ~10 redundant fact scans at 3 rounds). Cache
+    * contract as in [[graft.queries.QueryCatalog]]: entries release via
+    * `spark.catalog.clearCache()` (Bench/Verify do) or session teardown.
     */
   def pageRank(
       edges: DataFrame,
@@ -45,8 +52,8 @@ object GraphOps {
     require(iters >= 1, "iters must be >= 1")
     val teleport = init / 100L * 15L
     val e = edges.select(col("src"), col("dst"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val ed = e.join(deg, "src").persist()
     val ids = deg.select(col("src").as("id"))
     var r = ids.select(col("id"), lit(init).as("rank"))
     for (_ <- 1 to iters) {

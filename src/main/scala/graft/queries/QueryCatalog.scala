@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.CdcOps
 import graft.functions.Hashing
+import graft.graph.GraphOps
 import graft.sim.Similarity
 import graft.text.TextOps
 
@@ -2404,6 +2405,51 @@ object QueryCatalog {
            |FROM t LEFT JOIN d USING (doc_id) LEFT JOIN c USING (doc_id)"""
       .stripMargin))
 
+  /** Fixed-point PageRank ([[graft.graph.GraphOps.pageRank]], 3 rounds)
+    * over the undirected customer–supplier trade graph (distinct pairs via
+    * lineitem ⋈ orders). Exact bigint mass arithmetic — bit-identical
+    * across engines/partitionings — so the oracle is the same power
+    * iteration unrolled as SQL CTEs.
+    */
+  private val pagerankCentrality = {
+    val init = 1000000000000L
+    val teleport = init / 100L * 15L
+    def iterSql(i: Int): String =
+      s"""c$i AS (SELECT e.dst AS id, sum(r.rank // e.deg) AS s
+         |  FROM ed e JOIN r${i - 1} r ON e.src = r.id GROUP BY e.dst),
+         |r$i AS (SELECT d.id,
+         |    CAST($teleport + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT)
+         |      AS rank
+         |  FROM ids d LEFT JOIN c$i ON d.id = c$i.id)""".stripMargin
+    Q(
+      (s, d) => {
+        val pairs = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b"))
+          .distinct()
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        GraphOps.pageRank(edges, 3, init)
+      },
+      Some(s"""WITH p AS (
+             |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |edges AS (SELECT a AS src, b AS dst FROM p
+             |  UNION ALL SELECT b AS src, a AS dst FROM p),
+             |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+             |ed AS (SELECT e.src, e.dst, d.deg
+             |  FROM edges e JOIN deg d ON e.src = d.src),
+             |ids AS (SELECT src AS id FROM deg),
+             |r0 AS (SELECT id, CAST($init AS BIGINT) AS rank FROM ids),
+             |${iterSql(1)},
+             |${iterSql(2)},
+             |${iterSql(3)}
+             |SELECT id, rank FROM r3""".stripMargin))
+  }
+
   /** TPC-H Q14 shape — conditional-aggregation ratio (promo revenue share
     * of a ship-quarter). The CASE lives inside the aggregate, so one pass
     * computes both sums; part is a broadcastable dim and the shipdate range
@@ -3207,6 +3253,7 @@ object QueryCatalog {
     "embedding_quantize" -> embeddingQuantize,
     "chunk_dedup" -> chunkDedup,
     "dup_span_removal" -> dupSpanRemoval,
+    "pagerank_centrality" -> pagerankCentrality,
     "q14_promo_share" -> q14PromoShare,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q19_disjunctive" -> q19Disjunctive,

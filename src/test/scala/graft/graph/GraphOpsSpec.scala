@@ -1,0 +1,35 @@
+package graft.graph
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: hand-computed fixed-point ranks on a 3-node path") {
+    // Undirected path b - a - c (both directions passed explicitly).
+    // init=1e6, teleport=150000. Hand iteration:
+    //   r1(a) = 150000 + 85*(1e6 + 1e6) div 100           = 1850000
+    //   r1(b) = r1(c) = 150000 + 85*(1e6 div 2) div 100   =  575000
+    //   r2(a) = 150000 + 85*(575000 + 575000) div 100     = 1127500
+    //   r2(b) = r2(c) = 150000 + 85*(1850000 div 2) div 100 = 936250
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val r = GraphOps.pageRank(edges, 2, 1000000L)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("a" -> 1127500L, "b" -> 936250L, "c" -> 936250L))
+  }
+
+  test("pageRank: determinism across partitionings") {
+    val edges = (1 to 50).flatMap { i =>
+      val hub = "h" + (i % 3)
+      Seq((s"n$i", hub), (hub, s"n$i"))
+    }.toDF("src", "dst")
+    val one = GraphOps.pageRank(edges.repartition(1), 3).collect().toSet
+    val many = GraphOps.pageRank(edges.repartition(7), 3).collect().toSet
+    assert(one == many)
+    // hubs accumulate strictly more mass than leaves
+    val m = one.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("h0") > m("n1") && m("h1") > m("n2"))
+  }
+}
