@@ -95,6 +95,57 @@ object Sketches {
        |  CAST(count(*) AS BIGINT) AS sketch_size
        |FROM r WHERE rn <= $k GROUP BY $groupCol""".stripMargin
 
+  /** Count-Min Sketch build: `depth × width` bounded counter state over a
+    * single string column `v` (Cormode & Muthukrishnan 2005). Each value
+    * lands in one bucket per row via the portable salted hash
+    * `hash60('cms' || seed || '|' || v) mod width`, so the sketch — like
+    * every sketch in this file — is a pure function of the input multiset:
+    * partitioning-, merge-order- and engine-independent, hence
+    * oracle-checkable.
+    *
+    * Plan shape: one explode (×depth) of 8-byte (seed, bucket) pairs and
+    * one map-side-combinable groupBy — per-partition state collapses to at
+    * most depth×width counters before the shuffle, so the shuffled volume
+    * is O(depth × width × partitions) no matter how many input rows. This
+    * is the 100-TB path for frequency stats: a (3 × 64k) sketch answers
+    * point-frequency queries over any corpus size with ~1.5 MB of state,
+    * where the exact groupBy shuffles the full token stream.
+    */
+  def cmsBuild(values: DataFrame, depth: Int = 3, width: Int = 1024)
+      : DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    values
+      .select(col("v"),
+        explode(typedLit((0 until depth).toList)).as("seed"))
+      .select(col("seed"),
+        (Hashing.hash60(concat(lit("cms"), col("seed"), lit("|"), col("v")))
+          % width).as("bucket"))
+      .groupBy("seed", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `candidates` (column `v`, other columns
+    * carried through): `min` over the depth rows of the candidate's bucket
+    * counters — never an underestimate, overestimates bounded by
+    * `e·N/width` with probability `1 - e^-depth`. The probe side is a
+    * candidate-list × depth nested-loop against a depth×width sketch —
+    * both tiny; broadcastable at any corpus size.
+    */
+  def cmsLookup(
+      sketch: DataFrame, candidates: DataFrame,
+      depth: Int = 3, width: Int = 1024): DataFrame = {
+    val carried = candidates.columns.toSeq
+    val probes = candidates
+      .select(col("*"), explode(typedLit((0 until depth).toList)).as("seed"))
+      .select(col("*"),
+        (Hashing.hash60(concat(lit("cms"), col("seed"), lit("|"), col("v")))
+          % width).as("bucket"))
+    probes
+      .join(broadcast(sketch), Seq("seed", "bucket"), "left")
+      .groupBy(carried.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_n"))
+  }
+
   def kmvDistinctSql(table: String, e: String, k: Int = 256): String =
     s"""WITH h AS (SELECT DISTINCT ${Hashing.hash60Sql(s"CAST($e AS VARCHAR)")} AS h
        |  FROM $table),

@@ -2405,6 +2405,48 @@ object QueryCatalog {
            |FROM t LEFT JOIN d USING (doc_id) LEFT JOIN c USING (doc_id)"""
       .stripMargin))
 
+  /** Count-Min-Sketch heavy-hitter estimation
+    * ([[graft.functions.Sketches.cmsBuild]]/`cmsLookup`, depth 3 × width
+    * 64): exact vs sketched frequencies for the 20 most frequent tokens.
+    * Width 64 is deliberately small so bucket collisions actually occur
+    * and the min-of-rows estimator is exercised (cms_n >= exact_n).
+    */
+  private val cmsHeavyHitters = {
+    val (depth, width, topK) = (3, 64, 20)
+    Q(
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("v"))
+        val exact = toks.groupBy("v")
+          .agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("v").asc)
+          .limit(topK)
+        graft.functions.Sketches.cmsLookup(
+          graft.functions.Sketches.cmsBuild(toks, depth, width),
+          exact, depth, width)
+          .select(col("v").as("token"), col("exact_n"), col("cms_n"))
+      },
+      Some(s"""WITH v AS (
+             |  SELECT unnest(string_split(text, ' ')) AS v FROM documents),
+             |seeds AS (SELECT unnest(generate_series(0, ${depth - 1}))
+             |  AS seed),
+             |ex AS (SELECT v, count(*) AS exact_n FROM v
+             |  GROUP BY v ORDER BY exact_n DESC, v LIMIT $topK),
+             |sk AS (SELECT seed,
+             |    ${H("concat('cms', seed, '|', v)")} % $width AS bucket,
+             |    count(*) AS cnt
+             |  FROM v CROSS JOIN seeds GROUP BY seed, bucket),
+             |lk AS (SELECT ex.v, ex.exact_n, seeds.seed,
+             |    ${H("concat('cms', seeds.seed, '|', ex.v)")} % $width
+             |      AS bucket
+             |  FROM ex CROSS JOIN seeds)
+             |SELECT lk.v AS token, lk.exact_n,
+             |  CAST(min(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_n
+             |FROM lk LEFT JOIN sk
+             |  ON lk.seed = sk.seed AND lk.bucket = sk.bucket
+             |GROUP BY lk.v, lk.exact_n""".stripMargin))
+  }
+
   /** Fixed-point PageRank ([[graft.graph.GraphOps.pageRank]], 3 rounds)
     * over the undirected customer–supplier trade graph (distinct pairs via
     * lineitem ⋈ orders). Exact bigint mass arithmetic — bit-identical
@@ -3254,6 +3296,7 @@ object QueryCatalog {
     "chunk_dedup" -> chunkDedup,
     "dup_span_removal" -> dupSpanRemoval,
     "pagerank_centrality" -> pagerankCentrality,
+    "cms_heavy_hitters" -> cmsHeavyHitters,
     "q14_promo_share" -> q14PromoShare,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q19_disjunctive" -> q19Disjunctive,

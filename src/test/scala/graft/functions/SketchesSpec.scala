@@ -6,6 +6,36 @@ import org.apache.spark.sql.functions._
 class SketchesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cms estimates are never under, exact at ample width") {
+    // 200 values with known frequencies: value i appears i+1 times.
+    val df = (0 until 200).flatMap(i => Seq.fill(i + 1)(s"v$i")).toDF("v")
+    val cands = (0 until 200 by 17).map(i => (s"v$i", (i + 1).toLong))
+      .toDF("v", "exact_n")
+    // ample width: no collisions plausible at 200 values x 8192 buckets?
+    // not guaranteed — so assert the CMS invariant (>=) at narrow width
+    // and exactness of at least half the candidates at wide width.
+    val wide = Sketches.cmsLookup(
+      Sketches.cmsBuild(df, 3, 8192), cands, 3, 8192)
+      .as[(String, Long, Long)].collect()
+    assert(wide.forall { case (_, ex, est) => est >= ex })
+    assert(wide.count { case (_, ex, est) => est == ex } >= wide.length / 2)
+    val narrow = Sketches.cmsLookup(
+      Sketches.cmsBuild(df, 3, 16), cands, 3, 16)
+      .as[(String, Long, Long)].collect()
+    assert(narrow.forall { case (_, ex, est) => est >= ex })
+    // absent value reads 0 (or a collision count), never negative
+    val absent = Sketches.cmsLookup(
+      Sketches.cmsBuild(df, 3, 8192),
+      Seq(("nope", 0L)).toDF("v", "exact_n"), 3, 8192)
+      .as[(String, Long, Long)].collect().head
+    assert(absent._3 >= 0L)
+  }
+
+  test("cms sketch state is bounded by depth x width") {
+    val df = (0 until 5000).map(i => s"t$i").toDF("v")
+    assert(Sketches.cmsBuild(df, 3, 32).count() <= 3 * 32)
+  }
+
   test("kmvDistinct is exact below k") {
     val df = (0 until 500).map(i => i % 37).toDF("v")
     val row = Sketches.kmvDistinct(df, col("v"), k = 256).collect().head
