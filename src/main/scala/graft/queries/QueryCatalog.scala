@@ -1665,6 +1665,27 @@ object QueryCatalog {
          |FROM embeddings, q WHERE vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin))
 
+  /** Hard-negative mining ([[graft.sim.Similarity.hardNegatives]]): top-5
+    * most-similar DIFFERENT-label vectors per anchor — the contrastive-
+    * training pair miner. Query side broadcast; per-anchor top-k plans as
+    * WindowGroupLimit (pre-shuffle pruning).
+    */
+  private val hardNegatives = Q(
+    (s, d) => Similarity.hardNegatives(t(s, d, "embeddings"),
+      Seq(0L, 1L, 2L), 5),
+    Some(
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+         |    CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |s AS (SELECT q.q_id, e.vec_id,
+         |    ${cosSql("CAST(e.embedding AS DOUBLE[])", "q.qv")} AS sim
+         |  FROM embeddings e JOIN q ON e.label <> q.q_label),
+         |r AS (SELECT q_id, vec_id, sim, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM s)
+         |SELECT q_id, vec_id, sim, rnk FROM r WHERE rnk <= 5"""
+        .stripMargin))
+
   /** Hybrid retrieval: BM25 lexical top-50 ⊕ cosine semantic top-50
     * fused by reciprocal rank ([[graft.sim.Similarity.rrfFuse]], k=60 —
     * the standard RAG combiner). Both inputs are bounded top-N lists, so
@@ -3275,6 +3296,7 @@ object QueryCatalog {
     "near_dup_lsh" -> nearDupLsh,
     "dedup_clusters" -> dedupClusters,
     "cosine_topk" -> cosineTopK,
+    "hard_negatives" -> hardNegatives,
     "rrf_fusion" -> rrfFusion,
     "cosine_near_dup" -> cosineNearDup,
     "sign_lsh_buckets" -> signLshBuckets,

@@ -76,6 +76,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive training: for every query vector
+    * in a bounded query set, the k most-similar corpus vectors carrying a
+    * DIFFERENT label — the "close but wrong" examples a contrastive /
+    * embedding-finetune pipeline pairs with each anchor (in-batch easy
+    * negatives teach nothing; mined hard negatives carry the gradient).
+    *
+    * Plan shape: the query set is broadcast, so the corpus is scanned ONCE
+    * with a BroadcastNestedLoopJoin fanning each row out to |Q| (query,
+    * candidate) pairs filtered on label mismatch; the per-query top-k
+    * ranks with `row_number <= k`, which Spark plans as WindowGroupLimit —
+    * each partition pre-prunes to its local top-k per query BEFORE the
+    * shuffle, so the exchange carries at most |partitions|·|Q|·k rows, not
+    * the corpus. Corpus-scale cost is |corpus|·|Q| dot products; for large
+    * query sets, route through the IVF/sign-LSH candidates instead
+    * ([[ivfSearchWith]]) and rank only within probed cells.
+    */
+  def hardNegatives(embs: DataFrame, queryIds: Seq[Long], k: Int)
+      : DataFrame = {
+    require(queryIds.nonEmpty && k > 0, "need query ids and k > 0")
+    val q = broadcast(embs
+      .filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        toDoubleVec(col("embedding")).as("qv")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    embs
+      .select(col("vec_id"), col("label"),
+        toDoubleVec(col("embedding")).as("v"))
+      .join(q, col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
     * (lexical BM25 ranks ⊕ semantic cosine ranks, or any two rankers):
     * score(d) = Σ_r 1/(k + rank_r(d)), documents absent from a ranker

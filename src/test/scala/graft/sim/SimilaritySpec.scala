@@ -40,6 +40,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("hardNegatives: same-label excluded, ranked by sim, self allowed out") {
+    val d = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),   // anchor, label 1
+      (1L, Seq(1.0f, 0.1f), 1),   // same label: must never appear
+      (2L, Seq(0.9f, 0.1f), 2),   // hard negative (closest, wrong label)
+      (3L, Seq(0.0f, 1.0f), 2),   // easy negative
+      (4L, Seq(0.8f, 0.3f), 3))   // mid negative
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(d, Seq(0L), 2)
+      .select("q_id", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((0L, 2L, 1), (0L, 4L, 2)))
+  }
+
+  test("hardNegatives: real corpus rows never share the anchor's label") {
+    val got = Similarity.hardNegatives(embs, Seq(0L, 1L), 5)
+    val labels = embs.select(col("vec_id"), col("label")).as[(Long, Int)]
+      .collect().toMap
+    val rows = got.select("q_id", "vec_id").as[(Long, Long)].collect()
+    assert(rows.length == 10)
+    assert(rows.forall { case (q, v) => labels(q) != labels(v) })
+  }
+
   test("signBucket splits corpus into expected code space") {
     val got = Similarity.signBuckets(embs, 8)
     assert(got.count() == embs.count())
