@@ -139,6 +139,18 @@ final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
 /** Open-session state for [[StatefulOps.sessionizeStateful]] (epoch ms). */
 final case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
+/** A document arriving on the ingest stream, already reduced to its
+  * 8-byte content hash (hash upstream — e.g. `Hashing.hash60(text)` — so
+  * no text ever enters the state store).
+  */
+final case class HashedDoc(doc_id: Long, content_hash: Long)
+
+/** First-occurrence admission emitted by [[StatefulOps.firstSeenStateful]]. */
+final case class FirstSeen(content_hash: Long, doc_id: Long)
+
+/** Per-hash state for [[StatefulOps.firstSeenStateful]]. */
+final case class SeenState(first_doc_id: Long, n_dups: Long)
+
 /** Custom streaming state via `mapGroupsWithState`: the W1 latest-per-key
   * dedup maintained as LIVE state across micro-batches — each batch emits
   * the current winner per key plus how many events have ever updated it.
@@ -259,6 +271,42 @@ object StatefulOps {
               math.max(deadline, state.getCurrentWatermarkMs() + 1))
           }
           closed.reverseIterator
+        }
+      }
+  }
+
+  /** Streaming exact dedup with ALL-TIME state: only the first occurrence
+    * of each content hash — across every micro-batch since stream start —
+    * is admitted downstream; replays and late duplicates emit nothing.
+    *
+    * This is the corpus-ingestion shape `dropDuplicatesWithinWatermark`
+    * cannot provide: watermark state EXPIRES, so a duplicate arriving
+    * after the horizon is re-admitted — correct for event streams, wrong
+    * for training-corpus dedup where "seen once, ever" is the contract.
+    * The price is state that grows with distinct content: 16 bytes per
+    * hash (the input is pre-hashed; no text enters the store), sharded by
+    * the groupBy shuffle — at 10^10 distinct docs that is ~160 GB across
+    * the cluster's RocksDB state stores, which is exactly what they're
+    * for. Within one micro-batch the winner is the smallest doc_id
+    * (deterministic under replay); `n_dups` counts suppressed arrivals.
+    */
+  def firstSeenStateful(docs: Dataset[HashedDoc]): Dataset[FirstSeen] = {
+    implicit val stateEnc = Encoders.product[SeenState]
+    implicit val outEnc = Encoders.product[FirstSeen]
+    implicit val keyEnc = Encoders.scalaLong
+    docs.groupByKey(_.content_hash)
+      .flatMapGroupsWithState[SeenState, FirstSeen](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        val batch = rows.toSeq
+        state.getOption match {
+          case Some(s) =>
+            state.update(SeenState(s.first_doc_id, s.n_dups + batch.size))
+            Iterator.empty
+          case None =>
+            val first = batch.minBy(_.doc_id)
+            state.update(SeenState(first.doc_id, batch.size - 1L))
+            Iterator.single(FirstSeen(key, first.doc_id))
         }
       }
   }

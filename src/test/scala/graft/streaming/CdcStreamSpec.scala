@@ -342,6 +342,32 @@ class CdcStreamSpec extends SparkSpec {
       "redelivered events inside the watermark must dedup to one row each")
   }
 
+  test("firstSeenStateful admits each content hash once, ever") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir("firstseen")
+    // batch 1: two distinct contents, one intra-batch duplicate pair
+    Seq(HashedDoc(10L, 111L), HashedDoc(11L, 111L), HashedDoc(12L, 222L))
+      .toDF().write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir).as[HashedDoc]
+    val out = StatefulOps.firstSeenStateful(stream)
+    val q = out.writeStream.format("memory").queryName("firstseen_test")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    q.processAllAvailable()
+    // batch 2: a LATE duplicate of 111 (must stay suppressed — no
+    // watermark horizon to age past) and one genuinely new content
+    Seq(HashedDoc(13L, 111L), HashedDoc(14L, 333L))
+      .toDF().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("firstseen_test")
+      .as[FirstSeen].collect().map(f => f.content_hash -> f.doc_id).toMap
+    assert(got == Map(111L -> 10L, 222L -> 12L, 333L -> 14L),
+      "each hash admitted exactly once, smallest doc_id wins in-batch")
+  }
+
   test("watermarked STREAMING session windows match the batch result") {
     val dir = tmpDir("sess-stream")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
