@@ -70,4 +70,36 @@ object GraphOps {
     }
     r
   }
+
+  /** Bounded-hop BFS distances from a source set — the min-propagation
+    * counterpart of [[pageRank]]'s sum-propagation: each round extends the
+    * reached frontier one edge and keeps the per-node minimum, so after
+    * `maxHops` rounds every node within that many hops carries its exact
+    * shortest hop count (k-hop neighborhood expansion: link-graph crawl
+    * frontiers, contamination blast-radius, feature neighborhoods).
+    *
+    * Per round: one join of the edge list against the current reach and
+    * one min-groupBy on node id — both on compact (id, long) pairs, both
+    * map-side combinable. Unlike frontier-delta BFS implementations this
+    * re-propagates the whole reach each round (simpler, deterministic
+    * plans); rounds are expected SMALL (neighborhood expansion, not
+    * diameter sweeps) — for deep traversals iterate with a convergence
+    * check and checkpoint instead.
+    */
+  def hopDistances(
+      edges: DataFrame,
+      sources: Seq[String],
+      maxHops: Int): DataFrame = {
+    require(sources.nonEmpty && maxHops >= 1, "need sources and hops >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst")).persist()
+    var d = sources.toDF("id").select(col("id"), lit(0L).as("dist"))
+    for (_ <- 1 to maxHops) {
+      val prop = e.join(d, e("src") === d("id"))
+        .select(e("dst").as("id"), (d("dist") + 1L).as("dist"))
+      d = d.unionAll(prop).groupBy("id").agg(min(col("dist")).as("dist"))
+    }
+    d
+  }
 }

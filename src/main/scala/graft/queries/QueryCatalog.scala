@@ -2513,6 +2513,44 @@ object QueryCatalog {
              |SELECT id, rank FROM r3""".stripMargin))
   }
 
+  /** Bounded-hop BFS ([[graft.graph.GraphOps.hopDistances]], 3 hops from
+    * customer c1) over the same trade graph as `pagerank_centrality` —
+    * min-propagation per round, exact hop counts, oracle = the rounds
+    * unrolled as CTEs.
+    */
+  private val hopDistances = {
+    def iterSql(i: Int): String =
+      s"""d$i AS (SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, d.dist + 1 AS dist
+         |    FROM edges e JOIN d${i - 1} d ON e.src = d.id)
+         |  GROUP BY id)""".stripMargin
+    Q(
+      (s, d) => {
+        val pairs = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("a"),
+            concat(lit("s"), col("l_suppkey")).as("b"))
+          .distinct()
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        GraphOps.hopDistances(edges, Seq("c1"), 3)
+      },
+      Some(s"""WITH p AS (
+             |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |edges AS (SELECT a AS src, b AS dst FROM p
+             |  UNION ALL SELECT b AS src, a AS dst FROM p),
+             |d0 AS (SELECT 'c1' AS id, CAST(0 AS BIGINT) AS dist),
+             |${iterSql(1)},
+             |${iterSql(2)},
+             |${iterSql(3)}
+             |SELECT id, dist FROM d3""".stripMargin))
+  }
+
   /** TPC-H Q14 shape — conditional-aggregation ratio (promo revenue share
     * of a ship-quarter). The CASE lives inside the aggregate, so one pass
     * computes both sums; part is a broadcastable dim and the shipdate range
@@ -3319,6 +3357,7 @@ object QueryCatalog {
     "dup_span_removal" -> dupSpanRemoval,
     "pagerank_centrality" -> pagerankCentrality,
     "cms_heavy_hitters" -> cmsHeavyHitters,
+    "hop_distances" -> hopDistances,
     "q14_promo_share" -> q14PromoShare,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q19_disjunctive" -> q19Disjunctive,

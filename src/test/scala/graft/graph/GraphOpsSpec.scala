@@ -20,6 +20,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(r == Map("a" -> 1127500L, "b" -> 936250L, "c" -> 936250L))
   }
 
+  test("hopDistances: exact hop counts, bounded frontier") {
+    // path a - b - c - d (undirected), plus a shortcut a - c
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val two = GraphOps.hopDistances(edges, Seq("a"), 2)
+      .as[(String, Long)].collect().toMap
+    // shortcut wins: c is 1 hop, d reachable at 2
+    assert(two == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+    val one = GraphOps.hopDistances(edges, Seq("a"), 1)
+      .as[(String, Long)].collect().toMap
+    assert(one == Map("a" -> 0L, "b" -> 1L, "c" -> 1L),
+      "d is outside the 1-hop frontier")
+    // multi-source: min over sources
+    val ms = GraphOps.hopDistances(edges, Seq("a", "d"), 1)
+      .as[(String, Long)].collect().toMap
+    assert(ms == Map("a" -> 0L, "d" -> 0L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("pageRank: determinism across partitionings") {
     val edges = (1 to 50).flatMap { i =>
       val hub = "h" + (i % 3)
