@@ -2551,6 +2551,37 @@ object QueryCatalog {
              |SELECT id, dist FROM d3""".stripMargin))
   }
 
+  /** Hourly resample + forward fill
+    * ([[graft.timeseries.TimeSeriesOps.resampleHourlyFfill]]): one row per
+    * (user, hour) across each user's observed span, gaps carrying the
+    * last observation forward. Values pass through without arithmetic, so
+    * doubles are bit-identical by construction.
+    */
+  private val resampleFfill = Q(
+    (s, d) => graft.timeseries.TimeSeriesOps
+      .resampleHourlyFfill(t(s, d, "events")),
+    Some("""WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+           |    ts, event_id, value FROM events),
+           |h AS (SELECT user_id, hour, value FROM (
+           |    SELECT user_id, hour, value, row_number() OVER (
+           |      PARTITION BY user_id, hour ORDER BY ts DESC, event_id DESC)
+           |      AS rn
+           |    FROM e) WHERE rn = 1),
+           |s AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+           |    date_trunc('hour', max(ts)) AS h1
+           |  FROM events GROUP BY user_id),
+           |g AS (SELECT user_id,
+           |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+           |  FROM s)
+           |SELECT g.user_id, g.hour,
+           |  last_value(h.value IGNORE NULLS) OVER (
+           |    PARTITION BY g.user_id ORDER BY g.hour
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS filled_value,
+           |  h.value IS NULL AS is_gap
+           |FROM g LEFT JOIN h
+           |  ON g.user_id = h.user_id AND g.hour = h.hour""".stripMargin))
+
   /** TPC-H Q14 shape — conditional-aggregation ratio (promo revenue share
     * of a ship-quarter). The CASE lives inside the aggregate, so one pass
     * computes both sums; part is a broadcastable dim and the shipdate range
@@ -3358,6 +3389,7 @@ object QueryCatalog {
     "pagerank_centrality" -> pagerankCentrality,
     "cms_heavy_hitters" -> cmsHeavyHitters,
     "hop_distances" -> hopDistances,
+    "resample_ffill" -> resampleFfill,
     "q14_promo_share" -> q14PromoShare,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q19_disjunctive" -> q19Disjunctive,
