@@ -62,6 +62,29 @@ class GraftTableStreamSpec extends SparkSpec {
     assert(snap(openB()) == snap(r))
   }
 
+  test("stream-static enrichment join against a graft dim table") {
+    val pathA = tmpDir("ss-fact"); val dimPath = tmpDir("ss-dim")
+    val a = tableA(pathA)
+    a.bulkInsert(Seq(("k1", "p1", 1.0), ("k2", "p2", 2.0)).toDF("id", "p", "v"))
+    val dim = new CowTable(spark, dimPath,
+      keyCols = Seq("p"), partitionCols = Seq())
+    dim.bulkInsert(Seq(("p1", "region-east"), ("p2", "region-west"))
+      .toDF("p", "region"))
+
+    // static side resolved ONCE at query start: per-batch rows enrich
+    // against that snapshot (document: later dim commits need a query
+    // restart to be seen — the standard stream-static contract)
+    val enriched = spark.readStream.format("graft").load(pathA)
+      .join(spark.read.format("graft").load(dimPath), "p")
+      .select($"id", $"v", $"region")
+    val q = enriched.writeStream.format("memory").queryName("ss_enrich")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ss_enrich")
+      .as[(String, Double, String)].collect().toSet
+    assert(got == Set(("k1", 1.0, "region-east"), ("k2", 2.0, "region-west")))
+  }
+
   test("maxVersionsPerTrigger paces a backlog one commit per batch") {
     val pathA = tmpDir("tstream-rate"); val pathB = tmpDir("tstream-rate-b")
     val a = tableA(pathA)
