@@ -780,6 +780,45 @@ object TextOps {
           .as("clean_text"))
   }
 
+  /** SimHash hamming near-dup pairs via pigeonhole banding (the Manku-
+    * Jain-Sarma WWW'07 construction): split each 16-bit fingerprint into
+    * 4 bands of 4 bits — any two fingerprints within hamming distance 3
+    * MUST agree on at least one whole band (pigeonhole), so banding finds
+    * every such pair while comparing only same-band-value candidates,
+    * never all pairs. Candidates are verified with an exact
+    * `bit_count(xor)` and deduped (a close pair can collide in several
+    * bands).
+    *
+    * Plan shape: one 4× band explode of (doc_id, fingerprint, band key)
+    * rows, one self-join shuffled by (band, key), per-bucket pairing.
+    * Bucket population — hence cost — is corpus/2^bits per band; the
+    * 16-bit fingerprint (4-bit bands, 16 buckets) is the oracle-portable
+    * DEMO size. At corpus scale use 64-bit fingerprints with 16-bit
+    * bands (65k buckets per band, same `maxHamming<=3` pigeonhole) —
+    * the construction is identical, only the constants grow.
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole guarantees recall only for hamming <= 3")
+    val sh = simhash16(docs)
+    val banded = sh.select(col("doc_id"), col("simhash16"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash16"), b * 4).bitwiseAND(15).cast("long")): _*))
+        .as(Seq("band", "bkey")))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash16").as("ha"), col("b.simhash16").as("hb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash (16-bit, portable hash): per bit j, sign of the sum over tokens
     * (with multiplicity) of +-1 according to bit j of the token hash.
     */

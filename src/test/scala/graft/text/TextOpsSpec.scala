@@ -62,6 +62,21 @@ class TextOpsSpec extends SparkSpec {
     assert(row == ((7L, 11L, 5L, 1L, "m1 m2 m3 m4 m5 gap")))
   }
 
+  test("simhashNearDupPairs: full recall vs brute force (pigeonhole)") {
+    // every pair within hamming 3 must agree on one of the 4 bands, so
+    // the banded join must find EXACTLY the brute-force pair set
+    val fp = TextOps.simhash16(docs)
+      .as[(Long, Long)].collect().toSeq
+    val brute = (for {
+      (a, ha) <- fp; (b, hb) <- fp if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val banded = TextOps.simhashNearDupPairs(docs, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "corpus should contain close fingerprints")
+  }
+
   test("lshNearDupPairs candidates contain every exact near-dup (recall)") {
     // On the real corpus: LSH-verified pairs must be a subset of the exact
     // pairs (precision exact) and here happen to achieve full recall.
