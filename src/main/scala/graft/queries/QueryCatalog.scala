@@ -1564,6 +1564,26 @@ object QueryCatalog {
         .stripMargin
     })
 
+  /** Model-scored quality filter ([[graft.text.TextOps.qualityClassify]]):
+    * frozen-weight linear scorer in fixed-point integers (per-row, no
+    * shuffle, bit-identical cross-engine) + keep/drop at threshold 0.
+    */
+  private val qualityClassifier = Q(
+    (s, d) => TextOps.qualityClassify(t(s, d, "documents"), 0L),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |  FROM documents),
+           |f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS nu,
+           |    CAST(len(list_filter(toks, x -> x IN
+           |      ('the','a','of','and','to','in'))) AS BIGINT) AS ns
+           |  FROM t)
+           |SELECT doc_id,
+           |  -2000 + (3000 * nu) // n + (5000 * ns) // n
+           |    + 4 * least(n, 200) AS q_score,
+           |  (-2000 + (3000 * nu) // n + (5000 * ns) // n
+           |    + 4 * least(n, 200)) >= 0 AS keep
+           |FROM f""".stripMargin))
+
   /** SimHash hamming near-dup pairs
     * ([[graft.text.TextOps.simhashNearDupPairs]]) — 4-band pigeonhole
     * candidates + exact bit_count(xor) verify. maxHamming=1 here: the
@@ -3373,6 +3393,7 @@ object QueryCatalog {
     "dedup_exact" -> dedupExact,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
+    "quality_classifier" -> qualityClassifier,
     "pii_scrub" -> piiScrub,
     "value_histogram" -> valueHistogram,
     "edit_distance_pairs" -> editDistancePairs,

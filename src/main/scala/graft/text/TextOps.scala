@@ -780,6 +780,38 @@ object TextOps {
           .as("clean_text"))
   }
 
+  /** Frozen coefficients of the linear quality classifier — arbitrary but
+    * FROZEN constants (like [[graft.functions.Hashing.MinhashA]]): the
+    * oracle embeds the same numbers. Real deployments drop in weights
+    * fitted offline (a fastText-style quality model distilled to a linear
+    * scorer); the engine contract is the deterministic integer scoring
+    * harness, not these demo values.
+    */
+  val QualityWeights: (Long, Long, Long, Long) = (-2000L, 3000L, 5000L, 4L)
+
+  /** Model-scored quality filtering with fixed-point integer arithmetic:
+    * `score = bias + wUniq*(uniq/n) + wStop*(stop/n) + wLen*min(n,200)`
+    * where the ratio terms are integer-scaled (`(w*num) div n` — all
+    * operands positive, so trunc and floor division agree cross-engine)
+    * and `keep = score >= threshold`. Per-row only — no shuffle, no
+    * floats, bit-identical on any engine/partitioning — which is what
+    * lets a corpus-selection decision be audited and replayed exactly.
+    */
+  def qualityClassify(docs: DataFrame, threshold: Long = 0L): DataFrame = {
+    val (bias, wUniq, wStop, wLen) = QualityWeights
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n"),
+        size(array_distinct(col("toks"))).cast("long").as("nu"),
+        stopwordCount(col("toks"), Stopwords).cast("long").as("ns"))
+      .select(col("doc_id"),
+        (lit(bias) + expr(s"($wUniq * nu) div n") +
+          expr(s"($wStop * ns) div n") +
+          lit(wLen) * least(col("n"), lit(200L))).as("q_score"))
+      .withColumn("keep", col("q_score") >= threshold)
+  }
+
   /** SimHash hamming near-dup pairs via pigeonhole banding (the Manku-
     * Jain-Sarma WWW'07 construction): split each 16-bit fingerprint into
     * 4 bands of 4 bits — any two fingerprints within hamming distance 3

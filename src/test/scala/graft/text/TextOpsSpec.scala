@@ -62,6 +62,20 @@ class TextOpsSpec extends SparkSpec {
     assert(row == ((7L, 11L, 5L, 1L, "m1 m2 m3 m4 m5 gap")))
   }
 
+  test("qualityClassify: hand-computed fixed-point score") {
+    // n=10, uniq=9 ("x" repeats), stops=2 ("the","a"):
+    // -2000 + (3000*9) div 10 + (5000*2) div 10 + 4*10
+    //   = -2000 + 2700 + 1000 + 40 = 1740 -> keep at threshold 0
+    val d = Seq((1L, "the a x x w1 w2 w3 w4 w5 w6"),
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")) // -2000+3000+0+40 = 1040
+      .toDF("doc_id", "text")
+    val got = TextOps.qualityClassify(d, 1100L)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (i, s, k) => i -> ((s, k)) }.toMap
+    assert(got(1L) == ((1740L, true)))
+    assert(got(2L) == ((1040L, false)))
+  }
+
   test("simhashNearDupPairs: full recall vs brute force (pigeonhole)") {
     // every pair within hamming 3 must agree on one of the 4 bands, so
     // the banded join must find EXACTLY the brute-force pair set
