@@ -1,0 +1,144 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.table.CowTable
+
+/** Incremental near-duplicate detection against a PERSISTED MinHash-LSH
+  * index — the "corpus grows every day" production shape. Batch near-dup
+  * ([[TextOps.lshNearDupPairs]]) re-bands the whole corpus per run (cost ∝
+  * corpus); here each batch's band keys are stored in a graft table, so
+  * ingesting a new batch costs:
+  *
+  *   - banding the BATCH (∝ batch size),
+  *   - an IN-list-pruned read of ONLY the index files whose `bh` ranges
+  *     intersect the batch's bucket hashes ([[CowTable.snapshotForValues]]
+  *     over a `bh`-clustered, stats-indexed table — NOT a corpus scan),
+  *   - exact-Jaccard verification of the surviving candidate pairs against
+  *     the corpus table (point lookups by candidate doc id),
+  *   - one upsert appending the batch's band rows (idempotent re-ingest:
+  *     (band, bh, doc_id) is the record key).
+  *
+  * State is 4 rows of 3 longs per document, and per-batch cost is
+  * independent of corpus size except for genuinely matched buckets — the
+  * same asymptotics the streaming-first dedup engines (and the bookmark
+  * pipeline of the reference, processData.py:298) get from their
+  * persistent indexes. The IN-list probe is bounded by batch size
+  * (bands × batch docs distinct values through the driver).
+  */
+final class LshDedupIndex(
+    spark: SparkSession,
+    path: String,
+    n: Int = 3,
+    rows: Int = 2) {
+  require(Hashing.MinhashA.length % rows == 0, "rows must divide signature")
+
+  private val bandCount = Hashing.MinhashA.length / rows
+
+  private def open(): Option[CowTable] =
+    if (CowTable.existsAt(spark, path)) Some(CowTable.open(spark, path))
+    else None
+
+  private def create(): CowTable = new CowTable(spark, path,
+    keyCols = Seq("band", "bh", "doc_id"),
+    clusterCols = Seq("bh"), statsCols = Seq("bh"),
+    fileIndexEntries = 60000)
+
+  /** (doc_id, band, bh): one scalar 60-bit bucket hash per signature band
+    * — the banded-struct bucket of [[TextOps.minhashCandidatePairs]]
+    * folded to a storable/indexable column.
+    */
+  def bandKeys(docs: DataFrame): DataFrame = {
+    val sig = TextOps.minhashSignatures(docs, n)
+    val bands = (0 until bandCount).map { b =>
+      struct(lit(b).as("band"),
+        Hashing.hash60(concat_ws(",", lit(b) +:
+          (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
+          .as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
+  /** Ingest one batch: returns VERIFIED near-dup pairs (indexed-vs-new
+    * with the indexed doc as `doc_a`, plus new-vs-new with `doc_a <
+    * doc_b`), exact word-n-gram Jaccard >= num/den, then indexes the
+    * batch. `corpusText` must resolve (doc_id, text) for every candidate
+    * id — typically the corpus lake table (point reads by key).
+    */
+  def ingest(
+      newDocs: DataFrame,
+      corpusText: DataFrame,
+      num: Int,
+      den: Int): DataFrame = {
+    val nb = nb0(newDocs)
+    val bhVals = nb.select("bh").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val existing = open() match {
+      case Some(t) =>
+        t.snapshotForValues("bh", bhVals).select("band", "bh", "doc_id")
+      case None =>
+        spark.emptyDataFrame
+          .select(lit(0).as("band"), lit(0L).as("bh"), lit(0L).as("doc_id"))
+          .limit(0)
+    }
+    val candOldNew = nb
+      .join(existing.withColumnRenamed("doc_id", "doc_a"), Seq("band", "bh"))
+      .filter(col("doc_a") =!= col("doc_id"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+    val candNewNew = nb.alias("x")
+      .join(nb.alias("y"), col("x.band") === col("y.band") &&
+        col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = candOldNew.unionAll(candNewNew).distinct()
+    val verified = verify(cand, corpusText, num, den)
+    val batchRows = nb.select(col("band"), col("bh"), col("doc_id"))
+    open() match {
+      case Some(t) => t.upsert(batchRows)
+      case None => create().bulkInsert(batchRows)
+    }
+    nb.unpersist()
+    verified
+  }
+
+  private def nb0(newDocs: DataFrame): DataFrame =
+    bandKeys(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact-Jaccard verification of candidate pairs: shingle sets are built
+    * ONLY for candidate doc ids (a semi-join prune of the corpus), then
+    * each pair intersects its two arrays — same check as
+    * [[TextOps.lshNearDupPairs]]'s verify stage. Eagerly collected: the
+    * result is bounded (it's a verified near-dup list) and eager
+    * evaluation pins it BEFORE the index upsert below mutates the table.
+    */
+  private def verify(
+      cand: DataFrame, corpusText: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    val ids = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val withSh = corpusText.join(ids, "doc_id")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("toks"), n)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = cand
+      .join(withSh.alias("a"), col("doc_a") === col("a.doc_id"))
+      .join(withSh.alias("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long")
+          .as("inter"),
+        size(col("a.sh")).cast("long").as("na"),
+        size(col("b.sh")).cast("long").as("nb"))
+      .filter(col("inter") * den >=
+        (col("na") + col("nb") - col("inter")) * num)
+      .select("doc_a", "doc_b")
+    val rows = out.collect()
+    withSh.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+  }
+}
