@@ -13,20 +13,22 @@ import graft.table.CowTable
   * ingesting a new batch costs:
   *
   *   - banding the BATCH (∝ batch size),
-  *   - an IN-list-pruned read of ONLY the index files whose `bh` ranges
-  *     intersect the batch's bucket hashes ([[CowTable.snapshotForValues]]
-  *     over a `bh`-clustered, stats-indexed table — NOT a corpus scan),
+  *   - a probe of the index ([[CowTable.snapshotForValues]] with the
+  *     batch's bucket hashes — the IN-list is bounded by bands × batch
+  *     docs). Honest cost accounting: bucket hashes are uniform, so
+  *     min/max file stats rarely exclude a file once the IN-list is wide —
+  *     the probe then reads the index, which is 4 rows of 3 longs per
+  *     document (~500× smaller than re-tokenizing and re-minhashing the
+  *     corpus text, which is what the batch rerun pays),
   *   - exact-Jaccard verification of the surviving candidate pairs against
   *     the corpus table (point lookups by candidate doc id),
   *   - one upsert appending the batch's band rows (idempotent re-ingest:
   *     (band, bh, doc_id) is the record key).
   *
-  * State is 4 rows of 3 longs per document, and per-batch cost is
-  * independent of corpus size except for genuinely matched buckets — the
-  * same asymptotics the streaming-first dedup engines (and the bookmark
-  * pipeline of the reference, processData.py:298) get from their
-  * persistent indexes. The IN-list probe is bounded by batch size
-  * (bands × batch docs distinct values through the driver).
+  * Measured (LshIngestProbe, BASELINE.md): a fixed 2k-doc batch ingests in
+  * 5.4 / 6.2 / 10.4 s against 100k / 400k / 1.6M-doc corpora while the
+  * full rerun pays 3.1 / 5.4 / 12.2 s and keeps growing — the incremental
+  * path's growth term is the compact index scan, not the corpus text.
   */
 final class LshDedupIndex(
     spark: SparkSession,
