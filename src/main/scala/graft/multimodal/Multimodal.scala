@@ -258,6 +258,31 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic WAV test-asset generator: a constant-amplitude mono
+    * 16-bit PCM_SIGNED little-endian RIFF/WAV. A constant signal makes
+    * every [[WavCodec]] feature integer-exact (amplitude/32768 is a
+    * power-of-two division, so rms == peak == that exact value and the
+    * zero-crossing rate is 0), which is what lets the audio battery row
+    * oracle-check a REAL DSP decode against closed-form integers.
+    */
+  def encodeConstWav(rate: Int, nFrames: Int, amplitude: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      data(2 * i) = (amplitude & 0xff).toByte
+      data(2 * i + 1) = ((amplitude >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** REAL pixel resize stage: decodes each image payload with ImageIO,
     * scales the longest side down to `maxSide` (bilinear), re-encodes, and
     * emits the asset row with the new payload/width/height. Non-image or

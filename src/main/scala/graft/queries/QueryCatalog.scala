@@ -2220,6 +2220,55 @@ object QueryCatalog {
            |  doc_id * 13 % 256 AS mean_b
            |FROM documents""".stripMargin))
 
+  /** REAL audio decode through the pure-JDK [[graft.multimodal.Multimodal
+    * .WavCodec]]: per-doc constant-amplitude PCM WAVs are genuinely parsed
+    * (header, frames, channel mix, rms/peak/zero-crossing DSP) and the
+    * features compare against closed-form integers — constant signals
+    * make rms == peak == amplitude/32768 EXACTLY (power-of-two division,
+    * exact float), so the oracle needs no floating tolerance.
+    */
+  private val audioDecode = Q(
+    (s, d) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val assetSchema = StructType(Seq(
+        StructField("asset_id", LongType, nullable = false),
+        StructField("media_type", StringType, nullable = false),
+        StructField("payload", BinaryType, nullable = true)))
+      val assets = t(s, d, "documents").select(col("doc_id"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            Row(id, "audio", graft.multimodal.Multimodal.encodeConstWav(
+              8000 + (id % 8).toInt * 1000,
+              800 + (id % 401).toInt,
+              1 + (id % 32000).toInt))
+          }
+        }(Encoders.row(assetSchema))
+      graft.multimodal.Multimodal
+        .decodeAssets(assets, graft.multimodal.Multimodal.WavCodec)
+        .select(
+          col("asset_id"),
+          col("decoded_width").cast("long").as("channels"),
+          col("decoded_height").cast("long").as("sample_rate"),
+          round(element_at(col("features"), 1) * col("decoded_height"))
+            .cast("long").as("n_frames"),
+          round(element_at(col("features"), 2) * 32768).cast("long")
+            .as("rms_amp"),
+          round(element_at(col("features"), 4) * 32768).cast("long")
+            .as("peak_amp"),
+          round(element_at(col("features"), 3) * 1000).cast("long")
+            .as("zcr_milli"))
+    },
+    Some("""SELECT doc_id AS asset_id,
+           |  CAST(1 AS BIGINT) AS channels,
+           |  8000 + (doc_id % 8) * 1000 AS sample_rate,
+           |  800 + doc_id % 401 AS n_frames,
+           |  1 + doc_id % 32000 AS rms_amp,
+           |  1 + doc_id % 32000 AS peak_amp,
+           |  CAST(0 AS BIGINT) AS zcr_milli
+           |FROM documents""".stripMargin))
+
   /** Mean embedding per language (centroid building / mean pooling — the
     * group-wise vector aggregation a training pipeline uses for cluster
     * prototypes). Exploded per dimension; the per-(lang,dim) mean uses an
@@ -3429,6 +3478,7 @@ object QueryCatalog {
     "multimodal_bytes" -> multimodalBytes,
     "multimodal_frames" -> multimodalFrames,
     "image_decode" -> imageDecode,
+    "audio_decode" -> audioDecode,
     "mean_embedding_by_lang" -> meanEmbeddingByLang,
     "pivot_revenue" -> pivotRevenue,
     "cube_counts" -> cubeCounts,

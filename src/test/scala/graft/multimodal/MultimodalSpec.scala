@@ -133,6 +133,17 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("encodeConstWav round-trips exactly through WavCodec") {
+    val amp = 12345
+    val (ch, hz, feat) = Multimodal.WavCodec.decode("audio",
+      Multimodal.encodeConstWav(11000, 901, amp))
+    assert(ch == 1 && hz == 11000)
+    assert(math.round(feat(0) * 11000) == 901L, "n_frames from duration")
+    // constant signal: rms == peak == amp/32768 EXACTLY (power-of-two div)
+    assert(feat(1) == amp / 32768.0f && feat(3) == amp / 32768.0f)
+    assert(feat(2) == 0f, "no zero crossings")
+  }
+
   test("WavCodec really parses PCM WAV: rate, channels, duration, envelope") {
     // synthesize 0.5 s of stereo 16-bit PCM at 8 kHz: silence in the first
     // half, full-scale square wave at 400 Hz in the second half
