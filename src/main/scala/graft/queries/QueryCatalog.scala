@@ -2269,6 +2269,31 @@ object QueryCatalog {
            |  CAST(0 AS BIGINT) AS zcr_milli
            |FROM documents""".stripMargin))
 
+  /** UNPIVOT/melt — wide metric columns stacked to (metric, value) rows
+    * (Spark's native `unpivot`, which plans as a Generate-style Expand:
+    * no shuffle beyond the feeding aggregate). Oracle = the equivalent
+    * UNION ALL stack. Decimal-exact sums, double output per the money
+    * convention.
+    */
+  private val unpivotMetrics = Q(
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(money(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        money(sum(dec2(col("l_extendedprice")))).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "metric", "value"),
+    Some(s"""WITH w AS (SELECT l_returnflag,
+           |    ${moneySql("sum(CAST(l_quantity AS DECIMAL(12,2)))")}
+           |      AS sum_qty,
+           |    ${moneySql("sum(CAST(l_extendedprice AS DECIMAL(12,2)))")}
+           |      AS sum_price
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value
+           |FROM w
+           |UNION ALL
+           |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value
+           |FROM w""".stripMargin))
+
   /** Mean embedding per language (centroid building / mean pooling — the
     * group-wise vector aggregation a training pipeline uses for cluster
     * prototypes). Exploded per dimension; the per-(lang,dim) mean uses an
@@ -3481,6 +3506,7 @@ object QueryCatalog {
     "audio_decode" -> audioDecode,
     "mean_embedding_by_lang" -> meanEmbeddingByLang,
     "pivot_revenue" -> pivotRevenue,
+    "unpivot_metrics" -> unpivotMetrics,
     "cube_counts" -> cubeCounts,
     "intersect_users" -> intersectUsers,
     "q13_order_distribution" -> q13OrderDistribution,
