@@ -2269,6 +2269,32 @@ object QueryCatalog {
            |  CAST(0 AS BIGINT) AS zcr_milli
            |FROM documents""".stripMargin))
 
+  /** Token-id encoding ([[graft.text.TextOps.encodeTokenIds]], vocab 30):
+    * documents as integer id sequences with OOV→0 — the tokenizer-encode
+    * step before sequence packing. The sequence is emitted as a
+    * comma-joined string (arrow list child names are writer-specific and
+    * would never type-match the oracle — see TextOps.encodeTokenIds).
+    */
+  private val encodeTokenIds = Q(
+    (s, d) => TextOps.encodeTokenIds(t(s, d, "documents"), 30),
+    Some("""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |  FROM documents),
+           |tok AS (SELECT doc_id, unnest(toks) AS tok,
+           |    unnest(generate_series(0, len(toks) - 1)) AS pos
+           |  FROM t0),
+           |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+           |voc AS (SELECT tok, id FROM (
+           |    SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS id
+           |    FROM cnt) WHERE id <= 30),
+           |e AS (SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+           |  FROM tok t LEFT JOIN voc v USING (tok))
+           |SELECT doc_id,
+           |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)
+           |    AS token_ids,
+           |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_oov
+           |FROM e GROUP BY doc_id""".stripMargin))
+
   /** UNPIVOT/melt — wide metric columns stacked to (metric, value) rows
     * (Spark's native `unpivot`, which plans as a Generate-style Expand:
     * no shuffle beyond the feeding aggregate). Oracle = the equivalent
@@ -3476,6 +3502,7 @@ object QueryCatalog {
     "stratified_sample" -> stratifiedSample,
     "decontaminate" -> decontaminate,
     "sequence_packing" -> sequencePacking,
+    "encode_token_ids" -> encodeTokenIds,
     "repetition_stats" -> repetitionStats,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,

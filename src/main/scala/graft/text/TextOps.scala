@@ -780,6 +780,43 @@ object TextOps {
           .as("clean_text"))
   }
 
+  /** Token-id encoding — the "tokenizer encode" step that turns curated
+    * text into training-ready integer sequences: a corpus-frequency vocab
+    * of `vocabSize` entries (rank = count desc, token asc — deterministic),
+    * every document re-emitted as its id array with out-of-vocabulary
+    * tokens mapped to 0 and counted.
+    *
+    * Plan shape: one token-count aggregate + a rank-topK window build the
+    * vocab (bounded, broadcast); documents then explode WITH positions,
+    * probe the broadcast vocab, and regroup by doc_id — order restored by
+    * sorting the collected (pos, id) structs, not by any shuffle-order
+    * assumption. Shuffled rows are (doc_id, pos, id) triples.
+    */
+  def encodeTokenIds(docs: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val rank = Window.orderBy(col("n").desc, col("tok").asc)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .withColumn("id", row_number().over(rank).cast("long"))
+      .filter(col("id") <= vocabSize)
+      .select("tok", "id")
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0L)).as("id"))
+      .groupBy("doc_id")
+      .agg(
+        // sequence emitted as a comma-joined STRING, not array<long>:
+        // arrow list types carry a writer-specific child field name
+        // ("element" for parquet-mr vs "l" for DuckDB) that the driver's
+        // type compare distinguishes, so list-typed battery outputs can
+        // never hash-match — scalar representation sidesteps it
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            e => e.getField("id").cast("string"))).as("token_ids"),
+        sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** Frozen coefficients of the linear quality classifier — arbitrary but
     * FROZEN constants (like [[graft.functions.Hashing.MinhashA]]): the
     * oracle embeds the same numbers. Real deployments drop in weights

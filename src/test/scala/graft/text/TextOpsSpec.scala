@@ -62,6 +62,17 @@ class TextOpsSpec extends SparkSpec {
     assert(row == ((7L, 11L, 5L, 1L, "m1 m2 m3 m4 m5 gap")))
   }
 
+  test("encodeTokenIds: rank order, OOV mapping, position order") {
+    // counts: b=4, a=3, c=2, d=1 -> vocab(3) = b:1, a:2, c:3; d -> OOV 0
+    val d = Seq((1L, "a b c b"), (2L, "b d a c a b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.encodeTokenIds(d, 3)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("2,1,3,1", 0L)))
+    assert(got(2L) == (("1,0,2,3,2,1", 1L)))
+  }
+
   test("qualityClassify: hand-computed fixed-point score") {
     // n=10, uniq=9 ("x" repeats), stops=2 ("the","a"):
     // -2000 + (3000*9) div 10 + (5000*2) div 10 + 4*10
