@@ -2295,6 +2295,90 @@ object QueryCatalog {
            |    AS n_oov
            |FROM e GROUP BY doc_id""".stripMargin))
 
+  /** Ordered funnel analysis (view → click-after-view →
+    * purchase-after-click): per stage, the count of users whose EARLIEST
+    * qualifying event strictly follows their previous stage's — the
+    * product-analytics sequence query. Each stage is one groupBy(user) of
+    * an already-narrowed event subset joined to the (shrinking) previous
+    * stage: shuffles stay keyed by user_id and each hop carries fewer
+    * rows, the shape that survives 100× event volume.
+    */
+  private val funnelStages = Q(
+    (s, d) => {
+      val e = t(s, d, "events").select(col("user_id"), col("event_type"),
+        col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+      v.agg(count(lit(1)).as("users")).select(lit("1_view").as("stage"),
+          col("users"))
+        .unionAll(c.agg(count(lit(1)).as("users"))
+          .select(lit("2_click_after_view").as("stage"), col("users")))
+        .unionAll(p.agg(count(lit(1)).as("users"))
+          .select(lit("3_purchase_after_click").as("stage"), col("users")))
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+           |  WHERE event_type = 'view' GROUP BY user_id),
+           |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+           |  FROM events e JOIN v ON e.user_id = v.user_id
+           |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+           |  GROUP BY e.user_id),
+           |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+           |  FROM events e JOIN c ON e.user_id = c.user_id
+           |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+           |  GROUP BY e.user_id)
+           |SELECT '1_view' AS stage, count(*) AS users FROM v
+           |UNION ALL
+           |SELECT '2_click_after_view', count(*) FROM c
+           |UNION ALL
+           |SELECT '3_purchase_after_click', count(*) FROM p"""
+      .stripMargin))
+
+  /** Per-group z-score outlier detection: group mean/stddev from EXACT
+    * decimal sums (order-independent) with the float ops confined to a
+    * fixed sequence of double divisions/sqrt — deterministic cross-engine
+    * — then every event more than 2.5σ from its type's mean. One grouped
+    * aggregate + a broadcast join back to the stream; no window, no sort.
+    */
+  private val zscoreOutliers = Q(
+    (s, d) => {
+      val e = t(s, d, "events")
+      val stats = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).as("s"),
+        sum(dec2(col("value")) * dec2(col("value"))).as("sq"))
+        .select(col("event_type"),
+          (col("s").cast("double") / col("n")).as("mean"),
+          sqrt(col("sq").cast("double") / col("n") -
+            (col("s").cast("double") / col("n")) *
+              (col("s").cast("double") / col("n"))).as("sd"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mean")) / col("sd"))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 6).as("z"))
+    },
+    Some("""WITH st AS (SELECT event_type,
+           |    count(*) AS n,
+           |    sum(CAST(value AS DECIMAL(12,2))) AS s,
+           |    sum(CAST(value AS DECIMAL(12,2)) *
+           |        CAST(value AS DECIMAL(12,2))) AS sq
+           |  FROM events GROUP BY event_type),
+           |m AS (SELECT event_type,
+           |    CAST(s AS DOUBLE) / n AS mean,
+           |    sqrt(CAST(sq AS DOUBLE) / n -
+           |      (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+           |  FROM st)
+           |SELECT e.event_id, e.event_type, e.value,
+           |  round((e.value - m.mean) / m.sd, 6) AS z
+           |FROM events e JOIN m ON e.event_type = m.event_type
+           |WHERE abs((e.value - m.mean) / m.sd) > 2.5""".stripMargin))
+
   /** UNPIVOT/melt — wide metric columns stacked to (metric, value) rows
     * (Spark's native `unpivot`, which plans as a Generate-style Expand:
     * no shuffle beyond the feeding aggregate). Oracle = the equivalent
@@ -3534,6 +3618,8 @@ object QueryCatalog {
     "mean_embedding_by_lang" -> meanEmbeddingByLang,
     "pivot_revenue" -> pivotRevenue,
     "unpivot_metrics" -> unpivotMetrics,
+    "funnel_stages" -> funnelStages,
+    "zscore_outliers" -> zscoreOutliers,
     "cube_counts" -> cubeCounts,
     "intersect_users" -> intersectUsers,
     "q13_order_distribution" -> q13OrderDistribution,
