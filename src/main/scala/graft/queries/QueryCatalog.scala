@@ -1507,6 +1507,30 @@ object QueryCatalog {
            |SELECT doc_id, dl, score, rnk FROM r WHERE rnk <= 20"""
       .stripMargin))
 
+  /** Bigram-LM fluency scoring ([[graft.text.TextOps.bigramLmScore]]):
+    * add-one-smoothed corpus bigram model, per-doc average negative
+    * log-likelihood — the statistical quality filter.
+    */
+  private val lmBigramScore = Q(
+    (s, d) => TextOps.bigramLmScore(t(s, d, "documents")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           |    FROM documents),
+           |bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+           |    unnest(t[2:len(t)]) AS w2 FROM toks),
+           |c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+           |c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1
+           |  FROM c2 GROUP BY 1),
+           |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz
+           |  FROM (SELECT unnest(t) AS tok FROM toks)),
+           |sc AS (SELECT bg.doc_id,
+           |    CAST(round(-ln((n2 + 1.0) / (n1 + vsz)), 6)
+           |      AS DECIMAL(18,6)) AS nll
+           |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(nll) AS DECIMAL(28,6)) AS nll_total,
+           |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+           |FROM sc GROUP BY doc_id""".stripMargin))
+
   /** Deterministic (hash-bucket) stratified sample: ~30% per key, exactly
     * reproducible in any engine with the same portable hash.
     */
@@ -1859,6 +1883,71 @@ object QueryCatalog {
          |FROM embeddings e, q
          |WHERE e.vec_id IN (SELECT vec_id FROM cand)
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin))
+
+  /** Shared oracle CTEs for the product-quantization queries: per-subspace
+    * slices (8 subspaces × 8 dims), the deterministic first-16 codebook,
+    * and the per-(vector, subspace) nearest-centroid assignment (squared-L2
+    * argmin via three dot products, rounded 6 dp, ties by centroid id) —
+    * mirroring [[graft.sim.Similarity.pqAssign]].
+    */
+  private val pqSubSql =
+    """sub AS (
+      |  SELECT vec_id, m,
+      |    (CAST(embedding AS DOUBLE[]))[(m*8+1):(m*8+8)] AS sv
+      |  FROM embeddings, range(8) t(m)),
+      |cents AS (SELECT m, vec_id AS centroid_id, sv AS cv
+      |  FROM sub WHERE vec_id < 16)""".stripMargin
+
+  private def pqAsgSql(excl: String) =
+    s"""asg AS (SELECT vec_id, m, centroid_id FROM (
+       |  SELECT s.vec_id, s.m, c.centroid_id, row_number() OVER (
+       |      PARTITION BY s.vec_id, s.m ORDER BY
+       |      round(list_dot_product(s.sv, s.sv)
+       |        - 2*list_dot_product(s.sv, c.cv)
+       |        + list_dot_product(c.cv, c.cv), 6), c.centroid_id) AS rn
+       |  FROM sub s JOIN cents c ON s.m = c.m$excl) WHERE rn = 1)"""
+      .stripMargin
+
+  /** Product-quantization encode ([[graft.sim.Similarity.pqEncode]]):
+    * every vector compressed to ONE packed BIGINT of 8 four-bit codes —
+    * the stored ANN index (8 bytes vs 256 raw float bytes, 32×).
+    */
+  private val pqEncode = Q(
+    (s, d) => Similarity.pqEncode(t(s, d, "embeddings"),
+      numSub = 8, subDim = 8, k = 16),
+    Some(
+      s"""WITH $pqSubSql,
+         |${pqAsgSql("")}
+         |SELECT vec_id,
+         |  CAST(sum(centroid_id * (16 ** m)) AS BIGINT) AS code
+         |FROM asg GROUP BY vec_id""".stripMargin))
+
+  /** PQ-ADC search ([[graft.sim.Similarity.pqSearch]]): approximate top-50
+    * shortlist from the code index + broadcast lookup table, exact cosine
+    * re-rank to top-10 — the classical two-stage ANN query.
+    */
+  private val pqSearch = Q(
+    (s, d) => Similarity.pqSearch(t(s, d, "embeddings"), queryId = 0L,
+      numSub = 8, subDim = 8, k = 16, shortlist = 50, topK = 10),
+    Some(
+      s"""WITH $pqSubSql,
+         |${pqAsgSql(" WHERE s.vec_id <> 0")},
+         |qs AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = 0),
+         |lut AS (SELECT c.m, c.centroid_id,
+         |    CAST(round(list_dot_product(qs.qsv, qs.qsv)
+         |      - 2*list_dot_product(qs.qsv, c.cv)
+         |      + list_dot_product(c.cv, c.cv), 6) AS DECIMAL(18,6)) AS qd2
+         |  FROM cents c JOIN qs ON c.m = qs.m),
+         |ad AS (SELECT a.vec_id, CAST(sum(l.qd2) AS DECIMAL(28,6)) AS adist
+         |  FROM asg a JOIN lut l
+         |    ON a.m = l.m AND a.centroid_id = l.centroid_id
+         |  GROUP BY a.vec_id ORDER BY adist, vec_id LIMIT 50),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ad.adist,
+         |  ${cosSql("CAST(e.embedding AS DOUBLE[])", "qv")} AS sim
+         |FROM embeddings e JOIN ad ON e.vec_id = ad.vec_id, q
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin))
 
   /** Duplicate clusters: connected components over LSH-verified near-dup
     * pairs (iterative min-label propagation in Spark; recursive CTE in the
@@ -2378,6 +2467,51 @@ object QueryCatalog {
            |  round((e.value - m.mean) / m.sd, 6) AS z
            |FROM events e JOIN m ON e.event_type = m.event_type
            |WHERE abs((e.value - m.mean) / m.sd) > 2.5""".stripMargin))
+
+  /** Pearson correlation + sample covariance per group, built from DECIMAL
+    * moment sums (n, Σx, Σy, Σx², Σy², Σxy) — one grouped pass with
+    * map-side partial aggregation, then closed-form doubles. Spark's
+    * native `corr`/`covar_samp` fold doubles in partition order (result
+    * varies with partitioning); exact decimal moments make the statistics
+    * deterministic AND cross-engine-reproducible, the same trick as
+    * `zscore_outliers`.
+    */
+  private val corrMetrics = Q(
+    (s, d) => {
+      val l = t(s, d, "lineitem")
+      val qn = dec2(col("l_quantity"))
+      val pr = dec2(col("l_extendedprice"))
+      val m = l.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(qn).as("sx"), sum(pr).as("sy"),
+        sum(qn * qn).as("sxx"), sum(pr * pr).as("syy"),
+        sum(qn * pr).as("sxy"))
+      val n = col("n")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+      val sxy = col("sxy").cast("double")
+      val num = sxy - sx * sy / n
+      m.select(col("l_returnflag"), n,
+        round(num / (n - lit(1)), 6).as("covar_samp"),
+        round(num / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+          .as("corr"))
+    },
+    Some("""WITH m AS (SELECT l_returnflag, count(*) AS n,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+           |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+           |      AS DOUBLE) AS sy,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+           |      CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+           |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+           |      CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) *
+           |      CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag, n,
+           |  round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+           |  round((sxy - sx * sy / n) /
+           |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr
+           |FROM m""".stripMargin))
 
   /** UNPIVOT/melt — wide metric columns stacked to (metric, value) rows
     * (Spark's native `unpivot`, which plans as a Generate-style Expand:
@@ -3594,6 +3728,7 @@ object QueryCatalog {
     "rolling_fingerprint" -> rollingFingerprint,
     "tfidf_top_terms" -> tfidfTopTerms,
     "bm25_rank" -> bm25Rank,
+    "lm_bigram_score" -> lmBigramScore,
     "deterministic_sample" -> deterministicSample,
     "text_normalize" -> textNormalize,
     "json_extract_props" -> jsonExtract,
@@ -3611,6 +3746,8 @@ object QueryCatalog {
     "sign_lsh_buckets" -> signLshBuckets,
     "ivf_assign" -> ivfAssign,
     "ivf_search" -> ivfSearch,
+    "pq_encode" -> pqEncode,
+    "pq_search" -> pqSearch,
     "multimodal_bytes" -> multimodalBytes,
     "multimodal_frames" -> multimodalFrames,
     "image_decode" -> imageDecode,
@@ -3620,6 +3757,7 @@ object QueryCatalog {
     "unpivot_metrics" -> unpivotMetrics,
     "funnel_stages" -> funnelStages,
     "zscore_outliers" -> zscoreOutliers,
+    "corr_metrics" -> corrMetrics,
     "cube_counts" -> cubeCounts,
     "intersect_users" -> intersectUsers,
     "q13_order_distribution" -> q13OrderDistribution,

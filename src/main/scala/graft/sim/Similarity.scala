@@ -319,6 +319,147 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Per-subspace slices of the embedding: `(vec_id, m, sv)` with
+    * `sv = embedding[m*subDim .. (m+1)*subDim)` for m in [0, numSub).
+    * The slice set is produced by ONE posexplode over an array of slices —
+    * a single pass per row, no self-joins.
+    */
+  def pqSubvectors(embs: DataFrame, numSub: Int, subDim: Int): DataFrame = {
+    require(numSub > 0 && subDim > 0, "pq: numSub and subDim must be positive")
+    val v = toDoubleVec(col("embedding"))
+    val slices = array((0 until numSub).map(m =>
+      slice(v, m * subDim + 1, subDim)): _*)
+    embs.select(col("vec_id"), posexplode(slices).as(Seq("m", "sv")))
+  }
+
+  /** The deterministic product-quantization codebook: subspace `m`'s
+    * centroids are the m-th subvectors of the first `k` stored vectors
+    * (`m, centroid_id, cv`). Like [[firstKCodebook]] this is the
+    * reproducible-oracle variant; training each subspace's codebook with
+    * k-means over [[pqSubvectors]] output drops in the same shape.
+    */
+  def pqCodebook(embs: DataFrame, numSub: Int, subDim: Int, k: Int)
+      : DataFrame =
+    pqSubvectors(embs.filter(col("vec_id") < k), numSub, subDim)
+      .select(col("m"), col("vec_id").as("centroid_id"), col("sv").as("cv"))
+
+  /** Train a product-quantization codebook with per-subspace k-means
+    * (the production path; [[pqCodebook]] is the reproducible-oracle
+    * default). Each subspace trains independently on its slice of the
+    * corpus via [[kmeansCentroids]] — numSub small trainings whose models
+    * are k×subDim doubles each.
+    */
+  def pqTrainedCodebook(embs: DataFrame, numSub: Int, subDim: Int, k: Int,
+      iters: Int): DataFrame = {
+    val sub = pqSubvectors(embs, numSub, subDim)
+    (0 until numSub).map { m =>
+      kmeansCentroids(
+        sub.filter(col("m") === m)
+          .select(col("vec_id"), col("sv").as("embedding")), k, iters)
+        .select(lit(m).as("m"), col("centroid_id"), col("cv"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Squared L2 between two double vectors via three dot products —
+    * the same fixed-order fold on both engines, rounded to 6 dp so the
+    * nearest-centroid argmin is deterministic cross-engine.
+    */
+  private def d2(x: Column, c: Column): Column =
+    round(dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c), 6)
+
+  /** Product-quantization assignment: each vector's nearest centroid per
+    * subspace (squared-L2 argmin, ties by centroid id) —
+    * `(vec_id, m, centroid_id)`. The codebook (numSub*k rows) broadcasts;
+    * the corpus is scanned once and fans out to numSub rows per vector.
+    */
+  def pqAssign(embs: DataFrame, cents: DataFrame, numSub: Int,
+      subDim: Int): DataFrame = {
+    val scored = pqSubvectors(embs, numSub, subDim)
+      .join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("centroid_id"),
+        d2(col("sv"), col("cv")).as("dist2"))
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist2"), col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "m", "centroid_id")
+  }
+
+  /** Product-quantization encode: pack each vector's per-subspace codes
+    * into ONE BIGINT (`code = Σ_m code_m · k^m`, so k^numSub must fit 63
+    * bits — e.g. 16 centroids × 8 subspaces = 32 bits). This is the stored
+    * PQ index: 8 bytes/vector versus 4·dim for the raw floats (32× for
+    * dim 64) — the compression that lets a 100-TB embedding corpus's index
+    * live in cluster memory. The pack multiplies longs by an exact power
+    * (k^m < 2^63), and the per-vector sum is order-independent.
+    */
+  def pqEncode(embs: DataFrame, numSub: Int, subDim: Int, k: Int)
+      : DataFrame = {
+    require(numSub * math.log(k.toDouble) / math.log(2) <= 62,
+      s"pq: $k^$numSub codes overflow a long")
+    pqEncodeWith(embs, pqCodebook(embs, numSub, subDim, k), numSub, subDim, k)
+  }
+
+  /** [[pqEncode]] against an explicit codebook. */
+  def pqEncodeWith(embs: DataFrame, cents: DataFrame, numSub: Int,
+      subDim: Int, k: Int): DataFrame =
+    pqAssign(embs, cents, numSub, subDim)
+      .groupBy(col("vec_id"))
+      .agg(sum(col("centroid_id") *
+        pow(lit(k.toDouble), col("m")).cast("long")).as("code"))
+
+  /** PQ-ADC approximate search with exact re-rank — the classical two-stage
+    * ANN query (Jégou et al.'s IVFADC scan stage, expressed Spark-first):
+    *
+    *   1. the query's per-subspace distance to every centroid forms a
+    *      numSub×k LOOKUP TABLE (broadcast — it derives from one stored
+    *      row and the codebook, never from the corpus);
+    *   2. each corpus vector's approximate distance is the SUM of table
+    *      entries selected by its stored codes — a scan of the compact
+    *      code index (map-side broadcast join + one narrow shuffle on
+    *      vec_id), never of the raw vectors;
+    *   3. the `shortlist` best candidates by approximate distance are
+    *      re-ranked with EXACT cosine against the raw vectors — a
+    *      shortlist-sized semi-join pulls only those rows.
+    *
+    * Per-subspace distances round to 6 dp and accumulate as
+    * DECIMAL(28,6) (order-independent), so the shortlist cut and final
+    * ranking are deterministic cross-engine. Ties break by vec_id.
+    */
+  def pqSearch(embs: DataFrame, queryId: Long, numSub: Int, subDim: Int,
+      k: Int, shortlist: Int, topK: Int): DataFrame =
+    pqSearchWith(embs, queryId, pqCodebook(embs, numSub, subDim, k),
+      numSub, subDim, shortlist, topK)
+
+  /** [[pqSearch]] against an explicit — typically [[pqTrainedCodebook]]-
+    * trained — codebook.
+    */
+  def pqSearchWith(embs: DataFrame, queryId: Long, cents: DataFrame,
+      numSub: Int, subDim: Int, shortlist: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val codes = pqAssign(embs.filter(col("vec_id") =!= queryId),
+      cents, numSub, subDim)
+    val qsub = pqSubvectors(embs.filter(col("vec_id") === queryId),
+      numSub, subDim).select(col("m"), col("sv").as("qsv"))
+    val lut = cents.join(qsub, Seq("m"))
+      .select(col("m"), col("centroid_id"),
+        d2(col("qsv"), col("cv")).cast(DecimalType(18, 6)).as("qd2"))
+    val adist = codes.join(broadcast(lut), Seq("m", "centroid_id"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qd2")).as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(shortlist)
+    val q = embs.filter(col("vec_id") === queryId)
+      .select(toDoubleVec(col("embedding")).as("qv"))
+    embs.join(broadcast(adist), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("adist"),
+        round(cosine(toDoubleVec(col("embedding")), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(topK)
+      .select("vec_id", "adist", "sim")
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4x storage/bandwidth compression applied before shipping a corpus's
     * vectors to an ANN index or a training job: per row, scale by

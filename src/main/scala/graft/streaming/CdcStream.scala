@@ -99,17 +99,24 @@ object StreamOps {
     *
     * Column convention: left carries (keyCol, ts, ...), right is renamed to
     * `r_ts` + payload to keep the join condition unambiguous.
+    *
+    * `joinType` supports "left_outer" as well: unmatched left events emit
+    * with null right columns once the right-side watermark passes their
+    * interval's upper bound (Spark holds them in state exactly that long —
+    * the time condition is what makes outer emission decidable on an
+    * unbounded stream). Identical semantics on batch frames, immediately.
     */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       before: String,
-      after: String): DataFrame = {
+      after: String,
+      joinType: String = "inner"): DataFrame = {
     val r = right.withColumnRenamed("ts", "r_ts")
     left.join(r, left(keyCol) === r(keyCol) &&
         col("r_ts") >= col("ts") - expr(s"INTERVAL $before") &&
-        col("r_ts") <= col("ts") + expr(s"INTERVAL $after"))
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $after"), joinType)
       .drop(r(keyCol))
   }
 

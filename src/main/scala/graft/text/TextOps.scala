@@ -526,6 +526,49 @@ object TextOps {
       .select(col("doc_id"), col("dl"), col("score"), col("rnk"))
   }
 
+  /** Bigram language-model fluency scoring — the classical statistical
+    * quality filter (the shape CCNet/Gopher-style pipelines use with a
+    * trained LM): train add-one-smoothed bigram counts over the corpus
+    * itself, then score every document by its average per-bigram negative
+    * log-likelihood. Gibberish and boilerplate (improbable token
+    * transitions) score high; fluent text scores low — threshold on
+    * `avg_nll` to filter. A model trained on an external reference corpus
+    * drops into the same plan by swapping the counts input.
+    *
+    * p(w2|w1) = (C(w1,w2) + 1) / (C(w1·) + V), where C(w1·) sums bigram
+    * counts with prefix w1 and V is the corpus unigram vocabulary.
+    *
+    * Plan shape: ONE token explode produces the bigram stream (persisted —
+    * it feeds both the count build and the scoring join); counts shuffle by
+    * bigram (vocabulary²-bounded, far smaller than the corpus at scale);
+    * scoring is two joins back onto the stream keyed by bigram/prefix and
+    * one per-doc fold. Per-bigram NLLs round to 6 dp and accumulate as
+    * DECIMAL (order-independent), so scores are exact cross-engine.
+    * Single-token and empty docs have no bigrams and drop out.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val bg = materialized(toks.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0)))))
+          .as("p"))
+      .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2")))
+    val c2 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+    val v = toks.select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok"))).head.getLong(0)
+    val nll = round(-log((col("n2") + lit(1.0)) / (col("n1") + lit(v))), 6)
+      .cast(DecimalType(18, 6))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"), nll.as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_total"))
+      .withColumn("avg_nll",
+        round(col("nll_total").cast("double") / col("n_bigrams"), 6))
+  }
+
   /** Duplicate clusters: connected components over near-dup pairs via
     * iterative min-label propagation. Each round every vertex adopts the
     * smallest label among itself and its neighbors; convergence takes

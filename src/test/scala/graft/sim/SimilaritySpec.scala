@@ -232,6 +232,53 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) > 0.99, "max over eval vecs, not any single one")
   }
 
+  test("pqEncode: codebook vectors encode to their own repeated code") {
+    val got = Similarity.pqEncode(embs, numSub = 8, subDim = 8, k = 16)
+    assert(got.count() == embs.count())
+    // vec i < 16 is its own nearest centroid in EVERY subspace, so its
+    // packed code is i replicated across all 8 nibbles: i * 0x11111111
+    val own = got.filter($"vec_id" < 16)
+      .as[(Long, Long)].collect().toMap
+    (0L until 16L).foreach(i => assert(own(i) == i * 0x11111111L))
+    val codes = got.select("code").as[Long].collect()
+    assert(codes.forall(c => c >= 0L && c < (1L << 32)))
+  }
+
+  test("pqSearch with corpus-wide shortlist degrades to exact top-k") {
+    val exact = Similarity.cosineTopK(embs, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val pq = Similarity.pqSearch(embs, 0L, numSub = 8, subDim = 8, k = 16,
+      shortlist = 1000, topK = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pq == exact,
+      "shortlist covering the corpus must re-rank to the exact result")
+  }
+
+  test("pqSearch: bounded shortlist keeps shape and descending order") {
+    val got = Similarity.pqSearch(embs, 0L, numSub = 8, subDim = 8, k = 16,
+      shortlist = 50, topK = 10)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(got.length == 10)
+    assert(got.map(_._2).sliding(2).forall(p => p(0) >= p(1)),
+      "re-ranked sims must be non-increasing")
+    assert(!got.map(_._1).contains(0L), "query never returns itself")
+  }
+
+  test("trained PQ codebook matches or beats first-k on recall@10") {
+    val exact = Similarity.cosineTopK(embs, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    def recall(cents: org.apache.spark.sql.DataFrame) =
+      Similarity.pqSearchWith(embs, 0L, cents, numSub = 8, subDim = 8,
+        shortlist = 50, topK = 10)
+        .select("vec_id").as[Long].collect().toSet.intersect(exact).size
+    val firstK = recall(Similarity.pqCodebook(embs, 8, 8, 16))
+    val trained = recall(Similarity.pqTrainedCodebook(embs, 8, 8, 16,
+      iters = 3))
+    assert(trained >= firstK,
+      s"trained codebook recall $trained < first-k recall $firstK")
+    assert(trained >= 5, s"trained recall@10 unreasonably low: $trained")
+  }
+
   test("rrfFuse combines two rank lists, absent sides contribute zero") {
     val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rnk")
     val sem = Seq((20L, 1), (40L, 2)).toDF("vec_id", "rnk")

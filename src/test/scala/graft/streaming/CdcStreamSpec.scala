@@ -322,6 +322,57 @@ class CdcStreamSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched after watermark") {
+    import spark.implicits._
+    val lDir = tmpDir("oj-left"); val rDir = tmpDir("oj-right")
+    def df(rows: Seq[(Long, String, Double)]) = rows
+      .map { case (u, t, v) => (u, java.sql.Timestamp.valueOf(t), v) }
+      .toDF("user_id", "ts", "value")
+    // the GLOBAL watermark is the MIN over both inputs, so BOTH sides
+    // need a late sentinel: without one on the left, the left stream's
+    // own max event time caps the watermark below every click's interval
+    // bound and no outer row could ever flush
+    val clicks = df(Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),   // matched
+      (2L, "2024-01-01 10:00:00", 2.0),   // NO purchase: outer row
+      (3L, "2024-01-01 10:05:00", 3.0),   // purchase outside interval: outer
+      (8L, "2024-01-01 18:00:00", 0.0)))  // left sentinel (stays open)
+    val purchases = df(Seq(
+      (1L, "2024-01-01 10:02:00", 10.0),
+      (3L, "2024-01-01 11:00:00", 30.0),
+      (9L, "2024-01-01 18:00:00", 0.0)))  // right sentinel
+    clicks.write.mode("overwrite").parquet(lDir)
+    purchases.write.mode("overwrite").parquet(rDir)
+
+    val expected = Set(
+      (1L, 1.0, Some(10.0)), (2L, 2.0, None), (3L, 3.0, None))
+    val batch = StreamOps.intervalJoin(
+        clicks, purchases.withColumnRenamed("value", "r_value"),
+        "user_id", "10 minutes", "5 minutes", "left_outer")
+      .select("user_id", "value", "r_value")
+      .as[(Long, Double, Option[Double])].collect().toSet
+    // batch emits every unmatched left row immediately, sentinel included
+    assert(batch == expected + ((8L, 0.0, None)))
+
+    val ls = spark.readStream.schema(clicks.schema).parquet(lDir)
+      .withWatermark("ts", "1 minute")
+    val rs = spark.readStream.schema(purchases.schema).parquet(rDir)
+      .withColumnRenamed("value", "r_value")
+      .withWatermark("ts", "1 minute")
+    StreamOps.runToMemory(
+      StreamOps.intervalJoin(ls, rs, "user_id", "10 minutes", "5 minutes",
+        "left_outer").select("user_id", "value", "r_value"),
+      "oj_test", "append")
+    // the left sentinel's own interval bound (18:05) sits past the final
+    // watermark (17:59), so it legitimately stays in state — everything
+    // whose bound the watermark DID pass must have flushed
+    val streamed = spark.table("oj_test")
+      .as[(Long, Double, Option[Double])].collect().toSet
+    assert(streamed == expected,
+      s"outer rows must flush once the watermark passes their bound: " +
+        s"missing=${expected -- streamed} extra=${streamed -- expected}")
+  }
+
   test("dropDuplicatesWithinWatermark dedups a replayed file stream") {
     import spark.implicits._
     val dir = tmpDir("ddw")

@@ -338,4 +338,29 @@ class TextOpsSpec extends SparkSpec {
     // ranks are a permutation of 1..3
     assert(got.values.toSet == Set(1, 2, 3))
   }
+
+  test("bigramLmScore: hand-checked add-one model; short docs drop") {
+    val d = Seq((0L, "a b a b"), (1L, "a b"), (2L, "x"))
+      .toDF("doc_id", "text")
+    // c2: (a,b)=3, (b,a)=1; c1: a=3, b=1; V=3
+    // nll(a,b) = -ln(4/6) -> 0.405465; nll(b,a) = -ln(2/4) -> 0.693147
+    val got = TextOps.bigramLmScore(d)
+      .select("doc_id", "n_bigrams", "nll_total", "avg_nll")
+      .as[(Long, Long, BigDecimal, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!got.contains(2L), "single-token doc has no bigrams")
+    assert(got(0L)._2 == 3L)
+    assert(got(0L)._3 == BigDecimal("1.504077"))
+    assert(math.abs(got(0L)._4 - 0.501359) < 1e-9)
+    assert(got(1L)._2 == 1L)
+    assert(got(1L)._3 == BigDecimal("0.405465"))
+  }
+
+  test("bigramLmScore on the corpus: fluent text scores in a sane band") {
+    val got = TextOps.bigramLmScore(docs)
+    assert(got.count() == docs.count(),
+      "every synthetic doc has >= 2 tokens")
+    val avgs = got.select("avg_nll").as[Double].collect()
+    assert(avgs.forall(a => a > 0.0 && a < 20.0))
+  }
 }
