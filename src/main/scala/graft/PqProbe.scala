@@ -42,23 +42,30 @@ object PqProbe {
 
     sizes.foreach { n =>
       val embs = corpus(n)
-      // materialize the code index once (the stored artifact), timed
+      // also materialize the raw vectors so the brute-force side reads
+      // parquet like the index side does (fair IO comparison)
+      embs.write.mode("overwrite").parquet("/tmp/pqprobe-embs")
+      val stored = spark.read.parquet("/tmp/pqprobe-embs")
+      // build the code index once (the stored artifact), timed separately
       val t0 = System.nanoTime()
-      val codes = Similarity.pqEncode(embs, 8, 8, 16)
-      codes.write.mode("overwrite").parquet(s"/tmp/pqprobe-codes")
+      Similarity.pqEncode(stored, 8, 8, 16)
+        .write.mode("overwrite").parquet("/tmp/pqprobe-codes")
       val encodeSecs = (System.nanoTime() - t0) / 1e9
+      val codes = spark.read.parquet("/tmp/pqprobe-codes")
+      val cents = Similarity.pqCodebook(stored, 8, 8, 16)
       val t1 = System.nanoTime()
-      val approx = Similarity.pqSearch(embs, 0L, 8, 8, 16,
-        shortlist = 100, topK = 10).select("vec_id").collect().map(_.getLong(0))
+      val approx = Similarity.pqSearchIndexed(stored, codes, 0L, cents,
+        8, 8, 16, shortlist = 1000, topK = 10)
+        .select("vec_id").collect().map(_.getLong(0))
       val pqSecs = (System.nanoTime() - t1) / 1e9
       val t2 = System.nanoTime()
-      val exact = Similarity.cosineTopK(embs, 0L, 10)
+      val exact = Similarity.cosineTopK(stored, 0L, 10)
         .select("vec_id").collect().map(_.getLong(0))
       val exactSecs = (System.nanoTime() - t2) / 1e9
       val recall = approx.toSet.intersect(exact.toSet).size
       spark.catalog.clearCache()
       println(f"[pq] corpus=$n%d encode=$encodeSecs%.2fs " +
-        f"adcSearch=$pqSecs%.2fs exactSearch=$exactSecs%.2fs " +
+        f"adcIndexedSearch=$pqSecs%.2fs exactSearch=$exactSecs%.2fs " +
         f"recall@10=$recall%d/10")
     }
     spark.stop()

@@ -1507,6 +1507,27 @@ object QueryCatalog {
            |SELECT doc_id, dl, score, rnk FROM r WHERE rnk <= 20"""
       .stripMargin))
 
+  /** BM25 served from the PERSISTENT postings index
+    * ([[graft.text.Bm25Index]]): the corpus is ingested into a real
+    * term-clustered graft table in two batches (the incremental production
+    * shape), reclustered, and the query is answered from term-pruned
+    * postings reads — certified against the SAME oracle as the per-query
+    * corpus scan (`bm25_rank`), because the rankings are defined to be
+    * identical.
+    */
+  private val bm25IndexRank = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+      val idx = new graft.text.Bm25Index(s, path)
+      idx.ingest(docs.filter(col("doc_id") % 2 === 0))
+      idx.ingest(docs.filter(col("doc_id") % 2 === 1))
+      idx.maintain(parallelism = 8)
+      idx.topDocs(Seq("spark", "join", "vector"))
+    },
+    bm25Rank.oracle)
+
   /** Bigram-LM fluency scoring ([[graft.text.TextOps.bigramLmScore]]):
     * add-one-smoothed corpus bigram model, per-doc average negative
     * log-likelihood — the statistical quality filter.
@@ -3728,6 +3749,7 @@ object QueryCatalog {
     "rolling_fingerprint" -> rollingFingerprint,
     "tfidf_top_terms" -> tfidfTopTerms,
     "bm25_rank" -> bm25Rank,
+    "bm25_index_rank" -> bm25IndexRank,
     "lm_bigram_score" -> lmBigramScore,
     "deterministic_sample" -> deterministicSample,
     "text_normalize" -> textNormalize,

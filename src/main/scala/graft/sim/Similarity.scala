@@ -412,41 +412,75 @@ object Similarity {
     * ANN query (Jégou et al.'s IVFADC scan stage, expressed Spark-first):
     *
     *   1. the query's per-subspace distance to every centroid forms a
-    *      numSub×k LOOKUP TABLE (broadcast — it derives from one stored
-    *      row and the codebook, never from the corpus);
+    *      numSub×k LOOKUP TABLE — bounded (128 doubles here), collected
+    *      once and inlined as a LITERAL array, never corpus-derived;
     *   2. each corpus vector's approximate distance is the SUM of table
-    *      entries selected by its stored codes — a scan of the compact
-    *      code index (map-side broadcast join + one narrow shuffle on
-    *      vec_id), never of the raw vectors;
-    *   3. the `shortlist` best candidates by approximate distance are
-    *      re-ranked with EXACT cosine against the raw vectors — a
-    *      shortlist-sized semi-join pulls only those rows.
+    *      entries selected by the nibbles of its stored packed code —
+    *      a PER-ROW expression over the 8-byte code column: the ADC scan
+    *      is one narrow pass with ZERO joins and ZERO shuffles, and its
+    *      `shortlist` cut plans as TakeOrdered, not a global sort;
+    *   3. the shortlist re-ranks with EXACT cosine against the raw
+    *      vectors — a broadcast join pulls only those rows.
     *
     * Per-subspace distances round to 6 dp and accumulate as
-    * DECIMAL(28,6) (order-independent), so the shortlist cut and final
-    * ranking are deterministic cross-engine. Ties break by vec_id.
+    * DECIMAL(28,6) (exact — addition order irrelevant), so the shortlist
+    * cut and final ranking are deterministic cross-engine. Ties break by
+    * vec_id.
+    *
+    * This self-contained form ENCODES the corpus first (one broadcast
+    * assign + pack, the index build); production queries should store
+    * [[pqEncode]]'s output once and serve repeated queries through
+    * [[pqSearchIndexed]], whose cost is just the per-row code scan.
     */
   def pqSearch(embs: DataFrame, queryId: Long, numSub: Int, subDim: Int,
       k: Int, shortlist: Int, topK: Int): DataFrame =
     pqSearchWith(embs, queryId, pqCodebook(embs, numSub, subDim, k),
-      numSub, subDim, shortlist, topK)
+      numSub, subDim, k, shortlist, topK)
 
   /** [[pqSearch]] against an explicit — typically [[pqTrainedCodebook]]-
     * trained — codebook.
     */
   def pqSearchWith(embs: DataFrame, queryId: Long, cents: DataFrame,
-      numSub: Int, subDim: Int, shortlist: Int, topK: Int): DataFrame = {
+      numSub: Int, subDim: Int, k: Int, shortlist: Int, topK: Int)
+      : DataFrame = {
+    val codes = pqEncodeWith(embs.filter(col("vec_id") =!= queryId),
+      cents, numSub, subDim, k)
+    pqSearchIndexed(embs, codes, queryId, cents, numSub, subDim, k,
+      shortlist, topK)
+  }
+
+  /** The ADC query over a PRECOMPUTED packed-code index ([[pqEncode]]
+    * output, typically a stored table): scan cost is numSub decimal adds
+    * per 8-byte code row — no joins, no shuffles, no float math — plus a
+    * shortlist-sized exact re-rank. This is why the index pays off: the
+    * brute-force scan reads 4·dim bytes and folds dim multiplies per
+    * vector; this reads 8 bytes and adds numSub table entries.
+    */
+  def pqSearchIndexed(embs: DataFrame, codes: DataFrame, queryId: Long,
+      cents: DataFrame, numSub: Int, subDim: Int, k: Int, shortlist: Int,
+      topK: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val codes = pqAssign(embs.filter(col("vec_id") =!= queryId),
-      cents, numSub, subDim)
     val qsub = pqSubvectors(embs.filter(col("vec_id") === queryId),
       numSub, subDim).select(col("m"), col("sv").as("qsv"))
-    val lut = cents.join(qsub, Seq("m"))
-      .select(col("m"), col("centroid_id"),
-        d2(col("qsv"), col("cv")).cast(DecimalType(18, 6)).as("qd2"))
-    val adist = codes.join(broadcast(lut), Seq("m", "centroid_id"))
-      .groupBy(col("vec_id"))
-      .agg(sum(col("qd2")).as("adist"))
+    // numSub×k query-to-centroid distances, rounded exactly like the
+    // joined formulation; indexed m*k + centroid_id
+    val lutVals: List[Double] = cents.join(qsub, Seq("m"))
+      .select(col("m"), col("centroid_id"), d2(col("qsv"), col("cv")))
+      .collect()
+      .map(r => (r.getInt(0) * k + r.getLong(1).toInt, r.getDouble(2)))
+      .sortBy(_._1).map(_._2).toList
+    require(lutVals.length == numSub * k,
+      s"ADC lookup table incomplete: ${lutVals.length} of ${numSub * k}")
+    val lut = typedLit(lutVals)
+    val adistTerms = (0 until numSub).map { m =>
+      val cm = (col("code") / lit(math.pow(k.toDouble, m))).cast("long") % k
+      element_at(lut, (lit(m * k) + cm + 1).cast("int"))
+        .cast(DecimalType(18, 6))
+    }
+    val adist = codes
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        adistTerms.reduce(_ + _).cast(DecimalType(28, 6)).as("adist"))
       .orderBy(col("adist"), col("vec_id"))
       .limit(shortlist)
     val q = embs.filter(col("vec_id") === queryId)

@@ -508,6 +508,18 @@ object TextOps {
     val tf = materialized(hits.groupBy(col("doc_id"), col("dl"),
         col("term"))
       .agg(count(lit(1)).cast("double").as("tf")))
+    bm25RankHits(tf, n, avgdl, k1, b, topK)
+  }
+
+  /** The BM25 scoring/ranking stage over a prepared hit table
+    * (`doc_id, dl, term, tf` — query-term rows only), shared by the
+    * per-query corpus scan ([[bm25TopDocs]]) and the persistent postings
+    * index ([[Bm25Index]]): same idf/saturation formula, same
+    * round-then-decimal-sum determinism, same tie-breaks — so index-served
+    * rankings are provably identical to corpus-scan rankings.
+    */
+  private[text] def bm25RankHits(tf: DataFrame, n: Long, avgdl: Double,
+      k1: Double, b: Double, topK: Int): DataFrame = {
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     val idf = log(lit(1.0) +

@@ -264,12 +264,26 @@ class SimilaritySpec extends SparkSpec {
     assert(!got.map(_._1).contains(0L), "query never returns itself")
   }
 
+  test("pqSearchIndexed over stored codes equals the self-contained search") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.pqEncode(embs, 8, 8, 16)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val fromIndex = Similarity.pqSearchIndexed(embs, stored, 0L,
+      Similarity.pqCodebook(embs, 8, 8, 16), 8, 8, 16, 50, 10)
+      .as[(Long, BigDecimal, Double)].collect().toSeq
+    val direct = Similarity.pqSearch(embs, 0L, 8, 8, 16, 50, 10)
+      .as[(Long, BigDecimal, Double)].collect().toSeq
+    assert(fromIndex == direct,
+      "stored-code ADC must reproduce the inline search exactly")
+  }
+
   test("trained PQ codebook matches or beats first-k on recall@10") {
     val exact = Similarity.cosineTopK(embs, 0L, 10)
       .select("vec_id").as[Long].collect().toSet
     def recall(cents: org.apache.spark.sql.DataFrame) =
       Similarity.pqSearchWith(embs, 0L, cents, numSub = 8, subDim = 8,
-        shortlist = 50, topK = 10)
+        k = 16, shortlist = 50, topK = 10)
         .select("vec_id").as[Long].collect().toSet.intersect(exact).size
     val firstK = recall(Similarity.pqCodebook(embs, 8, 8, 16))
     val trained = recall(Similarity.pqTrainedCodebook(embs, 8, 8, 16,
