@@ -2534,6 +2534,79 @@ object QueryCatalog {
            |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr
            |FROM m""".stripMargin))
 
+  /** Cohort retention — the product-analytics staple: users cohorted by
+    * FIRST signup day, retention = distinct purchasers per (cohort, weeks
+    * since signup) over cohort size. Two narrow grouped passes plus one
+    * user-keyed join; the week bucket floors explicitly on BOTH engines
+    * (a bare CAST would round half-even in DuckDB but truncate in Spark).
+    */
+  private val cohortRetention = Q(
+    (s, d) => {
+      val e = t(s, d, "events")
+      val cohort = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+      val sz = cohort.groupBy("cohort_day")
+        .agg(count(lit(1)).as("cohort_size"))
+      val act = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      act.join(cohort, "user_id").filter(col("d") >= col("cohort_day"))
+        .withColumn("week_offset",
+          floor(datediff(col("d"), col("cohort_day")) / lit(7.0))
+            .cast("long"))
+        .groupBy("cohort_day", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(sz, "cohort_day")
+        .select(col("cohort_day"), col("week_offset"), col("n_active"),
+          round(col("n_active").cast("double") / col("cohort_size"), 6)
+            .as("retention"))
+    },
+    Some("""WITH cohort AS (
+           |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+           |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+           |sz AS (SELECT cohort_day, count(*) AS cohort_size
+           |  FROM cohort GROUP BY 1),
+           |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+           |  FROM events WHERE event_type = 'purchase'),
+           |j AS (SELECT c.cohort_day,
+           |    CAST(floor((a.d - c.cohort_day) / 7.0) AS BIGINT)
+           |      AS week_offset,
+           |    count(DISTINCT a.user_id) AS n_active
+           |  FROM act a JOIN cohort c USING (user_id)
+           |  WHERE a.d >= c.cohort_day GROUP BY 1, 2)
+           |SELECT j.cohort_day, j.week_offset, j.n_active,
+           |  round(CAST(j.n_active AS DOUBLE) / sz.cohort_size, 6)
+           |    AS retention
+           |FROM j JOIN sz USING (cohort_day)""".stripMargin))
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands window: distinct active days, anchor = day minus
+    * row_number (constant within a consecutive run), run lengths fold per
+    * anchor. One user-keyed window + two grouped passes.
+    */
+  private val activityStreaks = Q(
+    (s, d) => {
+      val e = t(s, d, "events")
+      val days = e.select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("d")
+      days.withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+        .groupBy("user_id", "anchor").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("longest_streak"),
+          sum(col("len")).as("n_active_days"))
+    },
+    Some("""WITH days AS (
+           |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+           |g AS (SELECT user_id, d,
+           |    d - CAST(row_number() OVER (
+           |      PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor
+           |  FROM days),
+           |runs AS (SELECT user_id, anchor, count(*) AS len
+           |  FROM g GROUP BY 1, 2)
+           |SELECT user_id, max(len) AS longest_streak,
+           |  CAST(sum(len) AS BIGINT) AS n_active_days
+           |FROM runs GROUP BY user_id""".stripMargin))
+
   /** UNPIVOT/melt — wide metric columns stacked to (metric, value) rows
     * (Spark's native `unpivot`, which plans as a Generate-style Expand:
     * no shuffle beyond the feeding aggregate). Oracle = the equivalent
@@ -3780,6 +3853,8 @@ object QueryCatalog {
     "funnel_stages" -> funnelStages,
     "zscore_outliers" -> zscoreOutliers,
     "corr_metrics" -> corrMetrics,
+    "cohort_retention" -> cohortRetention,
+    "activity_streaks" -> activityStreaks,
     "cube_counts" -> cubeCounts,
     "intersect_users" -> intersectUsers,
     "q13_order_distribution" -> q13OrderDistribution,

@@ -463,24 +463,30 @@ object Similarity {
     val qsub = pqSubvectors(embs.filter(col("vec_id") === queryId),
       numSub, subDim).select(col("m"), col("sv").as("qsv"))
     // numSub×k query-to-centroid distances, rounded exactly like the
-    // joined formulation; indexed m*k + centroid_id
-    val lutVals: List[Double] = cents.join(qsub, Seq("m"))
+    // joined formulation; indexed m*k + centroid_id. Stored as MICRO-UNIT
+    // LONGS (the 6-dp values scaled by 1e6): the hot scan then does
+    // numSub integer lookups + adds per row — no decimal arithmetic —
+    // and the exact DECIMAL(28,6) total is recovered by one final
+    // power-of-ten shift (every term is an exact multiple of 1e-6, so
+    // the integer sum IS the unscaled decimal).
+    val lutMicros: List[Long] = cents.join(qsub, Seq("m"))
       .select(col("m"), col("centroid_id"), d2(col("qsv"), col("cv")))
       .collect()
-      .map(r => (r.getInt(0) * k + r.getLong(1).toInt, r.getDouble(2)))
+      .map(r => (r.getInt(0) * k + r.getLong(1).toInt,
+        math.round(r.getDouble(2) * 1e6)))
       .sortBy(_._1).map(_._2).toList
-    require(lutVals.length == numSub * k,
-      s"ADC lookup table incomplete: ${lutVals.length} of ${numSub * k}")
-    val lut = typedLit(lutVals)
+    require(lutMicros.length == numSub * k,
+      s"ADC lookup table incomplete: ${lutMicros.length} of ${numSub * k}")
+    val lut = typedLit(lutMicros)
     val adistTerms = (0 until numSub).map { m =>
       val cm = (col("code") / lit(math.pow(k.toDouble, m))).cast("long") % k
       element_at(lut, (lit(m * k) + cm + 1).cast("int"))
-        .cast(DecimalType(18, 6))
     }
     val adist = codes
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"),
-        adistTerms.reduce(_ + _).cast(DecimalType(28, 6)).as("adist"))
+        (adistTerms.reduce(_ + _) / lit(1000000L).cast("double"))
+          .cast(DecimalType(28, 6)).as("adist"))
       .orderBy(col("adist"), col("vec_id"))
       .limit(shortlist)
     val q = embs.filter(col("vec_id") === queryId)
