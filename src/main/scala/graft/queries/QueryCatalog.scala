@@ -321,6 +321,47 @@ object QueryCatalog {
            |       CAST(NULL AS DOUBLE) AS bal, 'D' AS op
            |FROM del""".stripMargin))
 
+  /** Version-to-version snapshot diff ([[graft.table.CowTable.diff]]):
+    * a REAL graft table runs a deterministic upsert + delete history and
+    * the A/R/C classification between v1 and head is recomputed by the
+    * oracle from the same derived row sets. Unlike `change_feed` this
+    * needs NO commit stamps — it reads only the files that differ
+    * between the two manifests.
+    */
+  private val snapshotDiffQ = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        round(col("c_acctbal"), 2).cast("double").as("bal"))
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-diff").toString
+      val tbl = new graft.table.CowTable(s, path, keyCols = Seq("c_custkey"))
+      tbl.bulkInsert(cust.filter(col("c_custkey") <= 1000))           // v1
+      tbl.upsert(cust.filter(col("c_custkey").between(501, 1200))
+        .withColumn("bal", col("bal") + 100.0))                       // v2
+      tbl.delete(cust.filter(col("c_custkey") % 10 === 3 &&
+        col("c_custkey") <= 200))                                     // v3
+      tbl.diff(1L, 3L).select(
+        col(graft.table.CowTable.ChangeTypeCol).as("op"),
+        col("c_custkey"),
+        round(col("bal"), 2).cast("double").as("bal"))
+    },
+    Some("""WITH base AS (
+           |  SELECT c_custkey, CAST(round(c_acctbal, 2) AS DOUBLE) AS bal
+           |  FROM customer WHERE c_custkey <= 1000),
+           |up AS (SELECT c_custkey,
+           |    CAST(round(c_acctbal, 2) + 100.0 AS DOUBLE) AS bal
+           |  FROM customer WHERE c_custkey BETWEEN 501 AND 1200),
+           |del AS (SELECT c_custkey, bal FROM base
+           |  WHERE c_custkey % 10 = 3 AND c_custkey <= 200)
+           |SELECT 'A' AS op, c_custkey, CAST(round(bal, 2) AS DOUBLE) AS bal
+           |FROM up WHERE c_custkey > 1000
+           |UNION ALL
+           |SELECT 'C' AS op, c_custkey, CAST(round(bal, 2) AS DOUBLE) AS bal
+           |FROM up WHERE c_custkey <= 1000
+           |UNION ALL
+           |SELECT 'R' AS op, c_custkey, CAST(round(bal, 2) AS DOUBLE) AS bal
+           |FROM del""".stripMargin))
+
   /** Partition lifecycle end-to-end: a REAL partitioned graft table, one
     * SQL DELETE whose predicate touches only the partition column — the
     * statement must route through the METADATA-ONLY drop path (asserted
@@ -3770,6 +3811,7 @@ object QueryCatalog {
     "k3_delete_merge" -> k3DeleteMerge,
     "merge_into_sql" -> mergeIntoSql,
     "change_feed" -> changeFeedQ,
+    "snapshot_diff" -> snapshotDiffQ,
     "drop_partition_sql" -> dropPartitionSql,
     "alter_table_sql" -> alterTableSql,
     "drop_column_sql" -> dropColumnSql,
