@@ -362,6 +362,50 @@ object QueryCatalog {
            |SELECT 'R' AS op, c_custkey, CAST(round(bal, 2) AS DOUBLE) AS bal
            |FROM del""".stripMargin))
 
+  /** Type-2 SCD history ([[graft.table.CowTable.scd2History]]): the same
+    * deterministic upsert/delete timeline as `snapshot_diff`, folded into
+    * validity intervals (valid_from inclusive, valid_to exclusive, null =
+    * current) — recomputed closed-form by the oracle.
+    */
+  private val scd2HistoryQ = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        round(col("c_acctbal"), 2).cast("double").as("bal"))
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-scd2").toString
+      val tbl = new graft.table.CowTable(s, path, keyCols = Seq("c_custkey"))
+      tbl.bulkInsert(cust.filter(col("c_custkey") <= 1000))           // v1
+      tbl.upsert(cust.filter(col("c_custkey").between(501, 1200))
+        .withColumn("bal", col("bal") + 100.0))                       // v2
+      tbl.delete(cust.filter(col("c_custkey") % 10 === 3 &&
+        col("c_custkey") <= 200))                                     // v3
+      tbl.scd2History().select(col("c_custkey"),
+        round(col("bal"), 2).cast("double").as("bal"),
+        col("valid_from"), col("valid_to"))
+    },
+    Some("""WITH base AS (
+           |  SELECT c_custkey, CAST(round(c_acctbal, 2) AS DOUBLE) AS bal
+           |  FROM customer WHERE c_custkey <= 1000),
+           |up AS (SELECT c_custkey,
+           |    CAST(round(c_acctbal, 2) + 100.0 AS DOUBLE) AS bal
+           |  FROM customer WHERE c_custkey BETWEEN 501 AND 1200)
+           |SELECT c_custkey, CAST(round(bal, 2) AS DOUBLE) AS bal,
+           |  CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+           |FROM base WHERE c_custkey <= 500
+           |  AND NOT (c_custkey % 10 = 3 AND c_custkey <= 200)
+           |UNION ALL
+           |SELECT c_custkey, CAST(round(bal, 2) AS DOUBLE) AS bal,
+           |  CAST(1 AS BIGINT), CAST(3 AS BIGINT)
+           |FROM base WHERE c_custkey % 10 = 3 AND c_custkey <= 200
+           |UNION ALL
+           |SELECT c_custkey, CAST(round(bal, 2) AS DOUBLE) AS bal,
+           |  CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+           |FROM base WHERE c_custkey BETWEEN 501 AND 1000
+           |UNION ALL
+           |SELECT c_custkey, CAST(round(bal, 2) AS DOUBLE) AS bal,
+           |  CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+           |FROM up""".stripMargin))
+
   /** Partition lifecycle end-to-end: a REAL partitioned graft table, one
     * SQL DELETE whose predicate touches only the partition column — the
     * statement must route through the METADATA-ONLY drop path (asserted
@@ -3812,6 +3856,7 @@ object QueryCatalog {
     "merge_into_sql" -> mergeIntoSql,
     "change_feed" -> changeFeedQ,
     "snapshot_diff" -> snapshotDiffQ,
+    "scd2_history" -> scd2HistoryQ,
     "drop_partition_sql" -> dropPartitionSql,
     "alter_table_sql" -> alterTableSql,
     "drop_column_sql" -> dropColumnSql,

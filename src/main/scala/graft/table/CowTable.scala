@@ -470,6 +470,63 @@ class CowTable(
       .select(changeType.as(ChangeTypeCol) +: outCols: _*)
   }
 
+  /** Type-2 slowly-changing-dimension HISTORY reconstructed from the
+    * retained timeline: one row per (identity, payload version) with its
+    * validity interval in commit versions — `valid_from` (inclusive) to
+    * `valid_to` (exclusive; null = current). The SCD2 table a warehouse
+    * would maintain beside a mutable dimension, derived here on demand
+    * with NO commit stamps and no extra write-path bookkeeping.
+    *
+    * Built as the union of per-commit [[diff]]s: an A/C row OPENS an
+    * interval at its version, an R/C row CLOSES the previous one. Every
+    * diff reads only that commit's rewritten files, so total cost is the
+    * total CHURN across the window — the size of the history itself —
+    * not versions × table size. Service commits diff empty and are
+    * skipped by operation type. Look-back is bounded by retention
+    * (`fromVersion` below the oldest retained manifest throws, same
+    * contract as [[snapshotAt]]); schema evolution aligns by name with
+    * null padding.
+    */
+  def scd2History(fromVersion: Long = 1L): DataFrame = {
+    val head = manifest.version
+    require(fromVersion >= 1L && fromVersion <= head,
+      s"scd2History: fromVersion $fromVersion outside [1, $head]")
+    val serviceOps = Set("cluster", "compact", "clean", "purge")
+    // the base snapshot opens every identity at fromVersion
+    val base = snapshotAt(fromVersion)
+      .withColumn("__v", lit(fromVersion)).withColumn("__open", lit(true))
+    val deltas = ((fromVersion + 1) to head).flatMap { v =>
+      if (serviceOps.contains(
+        scala.util.Try(manifestAt(v).operation).getOrElse("service")))
+        Nil
+      else {
+        val d = diff(v - 1, v)
+        val ct = col(CowTable.ChangeTypeCol)
+        Seq(
+          d.filter(ct.isin("A", "C")).drop(CowTable.ChangeTypeCol)
+            .withColumn("__v", lit(v)).withColumn("__open", lit(true)),
+          d.filter(ct.isin("R", "C")).drop(CowTable.ChangeTypeCol)
+            .withColumn("__v", lit(v)).withColumn("__open", lit(false)))
+      }
+    }
+    val events = deltas.foldLeft(base)(
+      (a, b) => a.unionByName(b, allowMissingColumns = true))
+    val ids = mergeIdCols
+    // each open's valid_to = the next CLOSE version for the identity;
+    // one window pass (closes sort before opens within a version so a
+    // C-at-v close never grabs its own reopening)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(ids.map(col): _*)
+      .orderBy(col("__v"), col("__open"))
+      .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    events
+      .withColumn("valid_to",
+        min(when(!col("__open"), col("__v"))).over(w))
+      .filter(col("__open"))
+      .withColumnRenamed("__v", "valid_from")
+      .drop("__open")
+  }
+
   /** Change feed over commit window (sinceVersion, asOfVersion]: every
     * changed row typed [[CowTable.ChangeTypeCol]] = "U", plus a "D" row
     * (identity columns + commit stamp, other columns null) for every key

@@ -77,6 +77,55 @@ class SnapshotDiffSpec extends SparkSpec {
       s"replay mismatch: ${replayed -- target} / ${target -- replayed}")
   }
 
+  test("scd2History: validity intervals reconstruct every snapshot") {
+    val t = new CowTable(spark, tmpDir("scd2"), keyCols = Seq("id"))
+    t.bulkInsert(Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("id", "v"))
+    t.upsert(Seq(("a", 10.0), ("d", 4.0)).toDF("id", "v"))   // v2
+    t.delete(Seq(("b", 0.0)).toDF("id", "v"))                // v3
+    t.upsert(Seq(("a", 100.0), ("b", 22.0)).toDF("id", "v")) // v4: re-insert b
+    val hist = t.scd2History()
+      .select(col("id"), col("v"), col("valid_from"),
+        col("valid_to"))
+      .as[(String, Double, Long, Option[Long])].collect().toSet
+    assert(hist == Set(
+      ("a", 1.0, 1L, Some(2L)), ("a", 10.0, 2L, Some(4L)),
+      ("a", 100.0, 4L, None),
+      ("b", 2.0, 1L, Some(3L)), ("b", 22.0, 4L, None),
+      ("c", 3.0, 1L, None),
+      ("d", 4.0, 2L, None)), s"got $hist")
+    // the interval table reconstructs EVERY retained snapshot
+    (1L to 4L).foreach { k =>
+      val fromHist = hist.filter { case (_, _, f, to) =>
+        f <= k && to.forall(_ > k) }
+        .map { case (id, v, _, _) => (id, v) }
+      val snap = t.snapshotAt(k).select("id", "v")
+        .as[(String, Double)].collect().toSet
+      assert(fromHist == snap, s"version $k: $fromHist vs $snap")
+    }
+  }
+
+  test("scd2History skips service commits and respects fromVersion") {
+    val t = new CowTable(spark, tmpDir("scd2-svc"), keyCols = Seq("id"),
+      clusterCols = Seq("id"))
+    t.bulkInsert((1 to 50).map(i => (s"k$i", i.toDouble)).toDF("id", "v"))
+    t.upsert(Seq(("k1", 11.0)).toDF("id", "v"))              // v2
+    assert(t.recluster(Seq("id"), parallelism = 2))          // v3 service
+    t.upsert(Seq(("k1", 111.0)).toDF("id", "v"))             // v4
+    val hist = t.scd2History().filter(col("id") === "k1")
+      .select(col("v"), col("valid_from"), col("valid_to"))
+      .as[(Double, Long, Option[Long])].collect().toSet
+    assert(hist == Set(
+      (1.0, 1L, Some(2L)), (11.0, 2L, Some(4L)), (111.0, 4L, None)),
+      s"got $hist")
+    // a later fromVersion starts intervals at that snapshot
+    val tail = t.scd2History(fromVersion = 2L)
+      .filter(col("id") === "k1")
+      .select(col("v"), col("valid_from"), col("valid_to"))
+      .as[(Double, Long, Option[Long])].collect().toSet
+    assert(tail == Set((11.0, 2L, Some(4L)), (111.0, 4L, None)),
+      s"got $tail")
+  }
+
   test("schema evolution: new column null on removed-row images") {
     val t = new CowTable(spark, tmpDir("diff-evolve"), keyCols = Seq("id"))
     t.bulkInsert(Seq(("k1", 1.0), ("k2", 2.0)).toDF("id", "v"))
