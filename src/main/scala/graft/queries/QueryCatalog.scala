@@ -2055,6 +2055,56 @@ object QueryCatalog {
          |FROM embeddings e JOIN ad ON e.vec_id = ad.vec_id, q
          |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin))
 
+  /** Full IVFADC ([[graft.sim.Similarity.ivfPqSearch]]): coarse-cell
+    * probe (4 of 16) restricts the per-row ADC code scan to the probed
+    * cells' stripes, then exact re-rank — the classical two-level ANN
+    * index, all stages recomputed by the oracle.
+    */
+  private val ivfPqSearchQ = Q(
+    (s, d) => {
+      val embs = t(s, d, "embeddings")
+      val coarse = Similarity.firstKCodebook(embs, 16)
+      val pqc = Similarity.pqCodebook(embs, 8, 8, 16)
+      val index = Similarity.ivfPqIndex(embs, coarse, pqc, 8, 8, 16)
+      Similarity.ivfPqSearch(embs, index, 0L, coarse, pqc, 8, 8, 16,
+        nProbe = 4, shortlist = 50, topK = 10)
+    },
+    Some(
+      s"""WITH $pqSubSql,
+         |coarse AS (SELECT vec_id AS centroid_id,
+         |    CAST(embedding AS DOUBLE[]) AS fv
+         |  FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |cellasg AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT e.vec_id, c.centroid_id, row_number() OVER (
+         |      PARTITION BY e.vec_id ORDER BY
+         |      ${cosSql("CAST(e.embedding AS DOUBLE[])", "c.fv")} DESC,
+         |      c.centroid_id) AS rn
+         |  FROM embeddings e, coarse c) WHERE rn = 1),
+         |probe AS (SELECT centroid_id FROM (
+         |  SELECT c.centroid_id, ${cosSql("c.fv", "qv")} AS csim
+         |  FROM coarse c, q ORDER BY csim DESC, centroid_id LIMIT 4)),
+         |cand AS (SELECT vec_id FROM cellasg
+         |  WHERE centroid_id IN (SELECT centroid_id FROM probe)
+         |    AND vec_id <> 0),
+         |${pqAsgSql(" WHERE s.vec_id <> 0")},
+         |qs AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = 0),
+         |lut AS (SELECT c.m, c.centroid_id,
+         |    CAST(round(list_dot_product(qs.qsv, qs.qsv)
+         |      - 2*list_dot_product(qs.qsv, c.cv)
+         |      + list_dot_product(c.cv, c.cv), 6) AS DECIMAL(18,6)) AS qd2
+         |  FROM cents c JOIN qs ON c.m = qs.m),
+         |ad AS (SELECT a.vec_id, CAST(sum(l.qd2) AS DECIMAL(28,6)) AS adist
+         |  FROM asg a JOIN lut l
+         |    ON a.m = l.m AND a.centroid_id = l.centroid_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM cand)
+         |  GROUP BY a.vec_id ORDER BY adist, vec_id LIMIT 50)
+         |SELECT e.vec_id, ad.adist,
+         |  ${cosSql("CAST(e.embedding AS DOUBLE[])", "qv")} AS sim
+         |FROM embeddings e JOIN ad ON e.vec_id = ad.vec_id, q
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin))
+
   /** Duplicate clusters: connected components over LSH-verified near-dup
     * pairs (iterative min-label propagation in Spark; recursive CTE in the
     * oracle — same fixpoint).
@@ -3930,6 +3980,7 @@ object QueryCatalog {
     "ivf_search" -> ivfSearch,
     "pq_encode" -> pqEncode,
     "pq_search" -> pqSearch,
+    "ivf_pq_search" -> ivfPqSearchQ,
     "multimodal_bytes" -> multimodalBytes,
     "multimodal_frames" -> multimodalFrames,
     "image_decode" -> imageDecode,

@@ -500,6 +500,42 @@ object Similarity {
       .select("vec_id", "adist", "sim")
   }
 
+  /** The combined IVF+PQ index — Jégou et al.'s IVFADC layout: every
+    * vector carries its inverted-file CELL (cosine-nearest coarse
+    * centroid) and its packed PQ code. Stored clustered by `centroid_id`,
+    * a query reads only the probed cells' stripes of an 16-byte-per-vector
+    * table.
+    */
+  def ivfPqIndex(embs: DataFrame, coarse: DataFrame, pqCents: DataFrame,
+      numSub: Int, subDim: Int, k: Int): DataFrame =
+    ivfAssignWith(embs, coarse).select("vec_id", "centroid_id")
+      .join(pqEncodeWith(embs, pqCents, numSub, subDim, k), Seq("vec_id"))
+
+  /** IVFADC search over a stored [[ivfPqIndex]]: probe the `nProbe`
+    * cells whose coarse centroids are nearest the query, run the per-row
+    * ADC scan ONLY over those cells' code rows (≈ nProbe/nCells of the
+    * index, file-prunable when the index table clusters by cell), then
+    * exact-re-rank the shortlist. With `nProbe` = all cells this equals
+    * [[pqSearchIndexed]] exactly (spec-pinned).
+    */
+  def ivfPqSearch(embs: DataFrame, index: DataFrame, queryId: Long,
+      coarse: DataFrame, pqCents: DataFrame, numSub: Int, subDim: Int,
+      k: Int, nProbe: Int, shortlist: Int, topK: Int): DataFrame = {
+    val q = embs.filter(col("vec_id") === queryId)
+      .select(toDoubleVec(col("embedding")).as("qv"))
+    val probed = coarse.crossJoin(broadcast(q))
+      .select(col("centroid_id"),
+        round(cosine(col("cv"), col("qv")), 6).as("csim"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+      .limit(nProbe)
+      .select("centroid_id")
+    val cellCodes = index
+      .join(broadcast(probed), Seq("centroid_id"), "left_semi")
+      .select("vec_id", "code")
+    pqSearchIndexed(embs, cellCodes, queryId, pqCents, numSub, subDim, k,
+      shortlist, topK)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4x storage/bandwidth compression applied before shipping a corpus's
     * vectors to an ANN index or a training job: per row, scale by

@@ -278,6 +278,26 @@ class SimilaritySpec extends SparkSpec {
       "stored-code ADC must reproduce the inline search exactly")
   }
 
+  test("ivfPqSearch: all-cells probe equals the plain indexed PQ search") {
+    val coarse = Similarity.firstKCodebook(embs, 16)
+    val pqc = Similarity.pqCodebook(embs, 8, 8, 16)
+    val index = Similarity.ivfPqIndex(embs, coarse, pqc, 8, 8, 16)
+    val full = Similarity.ivfPqSearch(embs, index, 0L, coarse, pqc,
+      8, 8, 16, nProbe = 16, shortlist = 50, topK = 10)
+      .as[(Long, BigDecimal, Double)].collect().toSeq
+    val plain = Similarity.pqSearchIndexed(embs,
+      index.select("vec_id", "code"), 0L, pqc, 8, 8, 16, 50, 10)
+      .as[(Long, BigDecimal, Double)].collect().toSeq
+    assert(full == plain, "probing every cell must equal the full scan")
+    // a bounded probe returns valid, correctly-shaped results from a
+    // strict subset of the index
+    val narrow = Similarity.ivfPqSearch(embs, index, 0L, coarse, pqc,
+      8, 8, 16, nProbe = 4, shortlist = 50, topK = 10)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(narrow.length == 10)
+    assert(narrow.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("trained PQ codebook matches or beats first-k on recall@10") {
     val exact = Similarity.cosineTopK(embs, 0L, 10)
       .select("vec_id").as[Long].collect().toSet
