@@ -2669,6 +2669,80 @@ object QueryCatalog {
            |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr
            |FROM m""".stripMargin))
 
+  /** Exponentially-weighted moving average per user over the last 8
+    * events — trend smoothing with a DETERMINISTIC formulation: the
+    * recursive EWMA folds in arrival order (partitioning-dependent), so
+    * this uses the normalized finite-window form with the 0.7^d weights
+    * inlined as EXACT double literals (Math.pow vs C pow can differ in
+    * the last ulp across engines) and the weighted terms rounded into
+    * decimals before the order-independent sum. The 8× pair fan-out is
+    * keyed by user — linear, no window state.
+    */
+  private val ewmaSmoothed = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      // 0.7^d as EXACT decimal literals: the value(2dp) × weight(7dp)
+      // product stays exact in decimal space, so the 6-dp term rounding
+      // has no engine-dependent double half-way cells
+      val weights = Seq("1.0", "0.7", "0.49", "0.343", "0.2401",
+        "0.16807", "0.117649", "0.0823543")
+        .map(wv => new java.math.BigDecimal(wv))
+      val e = t(s, d, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = e.select(col("user_id"), col("event_id"), col("ts"),
+        col("value")).withColumn("rn", row_number().over(w))
+      val a = base.select(col("user_id"), col("rn").as("rn_a"),
+        col("ts"), col("value"))
+      val b = base.select(col("user_id"), col("rn").as("rn_b"),
+        dec2(col("value")).as("bv"))
+      val dist = col("rn_a") - col("rn_b")
+      val wc = weights.zipWithIndex.tail
+        .foldLeft(when(dist === 0, lit(weights.head))) {
+          case (acc, (wt, i)) => acc.when(dist === i, lit(wt))
+        }
+      a.join(b, Seq("user_id"))
+        .filter(col("rn_b").between(col("rn_a") - 7, col("rn_a")))
+        .select(col("user_id"), col("rn_a").as("rn"), col("ts"),
+          col("value"),
+          round(col("bv") * wc, 6).cast(DecimalType(18, 6)).as("term"),
+          wc.cast(DecimalType(18, 6)).as("wd"))
+        .groupBy("user_id", "rn", "ts", "value")
+        .agg((sum(col("term")) * 1000000).cast("long").as("tm"),
+          (sum(col("wd")) * 1000000).cast("long").as("wm"))
+        // 6-dp half-up quotient via EXACT integer division — a double
+        // round() here hits half-way cells that round differently across
+        // engines (observed at sf0.01)
+        .select(col("user_id"), col("rn"), col("ts"), col("value"),
+          (expr("(tm * 2000000 + wm) div (2 * wm)") /
+            lit(1000000.0)).as("ewma"))
+    },
+    Some {
+      val ws = Seq("1.0", "0.7", "0.49", "0.343", "0.2401", "0.16807",
+        "0.117649", "0.0823543")
+      val cse = ws.zipWithIndex
+        .map { case (wt, i) => s"WHEN $i THEN CAST($wt AS DECIMAL(9,7))" }
+        .mkString(" ")
+      s"""WITH e AS (SELECT user_id, event_id, ts, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |p AS (SELECT a.user_id, a.rn, a.ts, a.value,
+         |    CAST(round(CAST(b.value AS DECIMAL(12,2)) *
+         |        (CASE a.rn - b.rn $cse END), 6)
+         |      AS DECIMAL(18,6)) AS term,
+         |    CAST((CASE a.rn - b.rn $cse END) AS DECIMAL(18,6)) AS wd
+         |  FROM e a JOIN e b ON a.user_id = b.user_id
+         |    AND b.rn BETWEEN a.rn - 7 AND a.rn)
+         |,g AS (SELECT user_id, rn, ts, value,
+         |    CAST(sum(term) * 1000000 AS BIGINT) AS tm,
+         |    CAST(sum(wd) * 1000000 AS BIGINT) AS wm
+         |  FROM p GROUP BY 1, 2, 3, 4)
+         |SELECT user_id, rn, ts, value,
+         |  ((tm * 2000000 + wm) // (2 * wm)) / CAST(1000000.0 AS DOUBLE)
+         |    AS ewma
+         |FROM g""".stripMargin
+    })
+
   /** Cohort retention — the product-analytics staple: users cohorted by
     * FIRST signup day, retention = distinct purchasers per (cohort, weeks
     * since signup) over cohort size. Two narrow grouped passes plus one
@@ -4007,6 +4081,7 @@ object QueryCatalog {
     "cms_heavy_hitters" -> cmsHeavyHitters,
     "hop_distances" -> hopDistances,
     "resample_ffill" -> resampleFfill,
+    "ewma_smoothed" -> ewmaSmoothed,
     "q14_promo_share" -> q14PromoShare,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q19_disjunctive" -> q19Disjunctive,
