@@ -1632,10 +1632,14 @@ object QueryCatalog {
            |    CAST(round(-ln((n2 + 1.0) / (n1 + vsz)), 6)
            |      AS DECIMAL(18,6)) AS nll
            |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)
-           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           |  CAST(sum(nll) AS DECIMAL(28,6)) AS nll_total,
-           |  round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
-           |FROM sc GROUP BY doc_id""".stripMargin))
+           |,g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    CAST(sum(nll) AS DECIMAL(28,6)) AS nll_total,
+           |    CAST(sum(nll) * 1000000 AS BIGINT) AS tm
+           |  FROM sc GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams, nll_total,
+           |  ((tm * 2 + n_bigrams) // (2 * n_bigrams)) /
+           |    CAST(1000000.0 AS DOUBLE) AS avg_nll
+           |FROM g""".stripMargin))
 
   /** Deterministic (hash-bucket) stratified sample: ~30% per key, exactly
     * reproducible in any engine with the same portable hash.

@@ -577,8 +577,13 @@ object TextOps {
       .select(col("doc_id"), nll.as("nll"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_total"))
+      // 6-dp half-up average via EXACT integer division on micro-units:
+      // a double round() here hits half-way cells that round differently
+      // across engines (observed at sf0.1)
+      .withColumn("__tm", (col("nll_total") * 1000000).cast("long"))
       .withColumn("avg_nll",
-        round(col("nll_total").cast("double") / col("n_bigrams"), 6))
+        expr("(__tm * 2 + n_bigrams) div (2 * n_bigrams)") / lit(1.0e6))
+      .drop("__tm")
   }
 
   /** Duplicate clusters: connected components over near-dup pairs via

@@ -143,6 +143,36 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"EXISTS must become a semi join:\n$p")
   }
 
+  test("PQ-ADC scan: no exchange and no join below the shortlist cut") {
+    // the ADC stage is a per-row expression over the packed code column;
+    // its shortlist must plan as TakeOrdered over the scan — a shuffle or
+    // join there means the literal-LUT formulation regressed
+    val df = QueryCatalog.queries("pq_search")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"shortlist must be a TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the re-rank joins the broadcast shortlist")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the two-stage search may shuffle-join:\n$p")
+  }
+
+  test("cohort retention broadcasts cohort and size sides") {
+    val p = plan("cohort_retention")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      s"no fact-sized shuffle join after the grouped passes:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,signup)]") ||
+      p.contains("EqualTo(event_type,signup)"),
+      "the signup filter must reach the scan")
+  }
+
+  test("activity streaks: window + two folds, no joins") {
+    val p = plan("activity_streaks")
+    assert(!p.contains("Join"), s"gaps-and-islands needs no join:\n$p")
+    assert(p.contains("Window"))
+  }
+
   test("shared-subplan queries evaluate their fact scan once") {
     // q2 joins sc back to its own per-part min, q20/q21 join an aggregate
     // back to its own rollup: the shared subplan is persisted, so the
