@@ -242,6 +242,47 @@ private[sources] object GraftProcedures {
             p.checkConstraints.mkString("; ")))): InternalRow
         (schema, Array(row))
       }),
+    Spec("diff_summary",
+      "manifest-level what-changed between two retained versions " +
+        "(file/row deltas from metadata only — zero data pages; the " +
+        "row-level A/R/C classification is the CowTable.diff API)",
+      Seq(("table", StringType, None),
+        ("from_version", LongType, None),
+        ("to_version", LongType, Some("0"))),
+      (_, _) => Nil,
+      runTable = Some { (t, in) =>
+        val from = in.getLong(1)
+        val to = if (in.getLong(2) > 0) in.getLong(2)
+          else t.manifest.version
+        val m1 = t.manifestAt(from); val m2 = t.manifestAt(to)
+        val f1 = m1.baseFiles.toSet; val f2 = m2.baseFiles.toSet
+        def stat(m: graft.table.Manifest, fs: Iterable[String],
+            get: graft.table.FileStat => Long): Any = {
+          val vs = fs.map(f => m.fileStats.get(f).map(get)).toSeq
+          if (vs.nonEmpty && vs.forall(_.exists(_ >= 0L))) vs.flatten.sum
+          else if (vs.isEmpty) 0L
+          else null // a file without stats: no misleading partial sum
+        }
+        val schema = StructType(Seq(
+          StructField("from_version", LongType, nullable = false),
+          StructField("to_version", LongType, nullable = false),
+          StructField("files_added", LongType, nullable = false),
+          StructField("files_removed", LongType, nullable = false),
+          StructField("files_kept", LongType, nullable = false),
+          StructField("rows_in_added_files", LongType, nullable = true),
+          StructField("rows_in_removed_files", LongType, nullable = true),
+          StructField("units_touched", LongType, nullable = false)))
+        val added = f2 -- f1; val removed = f1 -- f2
+        val touched = (m2.partitions.filter(_._2.exists(added)).keySet ++
+          m1.partitions.filter(_._2.exists(removed)).keySet).size.toLong
+        val row = new GenericInternalRow(Array[Any](
+          from, to,
+          added.size.toLong, removed.size.toLong,
+          (f1 & f2).size.toLong,
+          stat(m2, added, _.rows), stat(m1, removed, _.rows),
+          touched)): InternalRow
+        (schema, Array(row))
+      }),
     Spec("history",
       "the retained commit timeline, newest first (DESCRIBE HISTORY)",
       Seq(("table", StringType, None),

@@ -227,6 +227,28 @@ class AlterTableSpec extends SparkSpec {
     assert(!a.isNullAt(4) && a.getLong(4) > 0L, "bytes from the index")
   }
 
+  test("CALL system.diff_summary reports metadata-level version deltas") {
+    init()
+    spark.sql("""CREATE TABLE acat.lake.ds (id BIGINT, p STRING,
+      v DOUBLE) USING graft PARTITIONED BY (p)
+      TBLPROPERTIES ('keyCols'='id', 'fileIndexEntries'='1000')""")
+    spark.sql("INSERT INTO acat.lake.ds VALUES " +
+      "(1, 'a', 1.0), (2, 'a', 2.0), (3, 'b', 3.0)")          // v1
+    spark.sql("INSERT INTO acat.lake.ds VALUES (4, 'b', 4.0)") // v2: p=b
+    // v1 = CREATE, v2 = first insert, v3 = second insert
+    val row = spark.sql("CALL acat.system.diff_summary(" +
+      "table => 'lake.ds', from_version => 2)").collect().head
+    assert(row.getLong(0) == 2L && row.getLong(1) == 3L)
+    // the unmatched-keys insert fast path APPENDS to p=b without
+    // rewriting its existing file: one added file with the one new row
+    assert(row.getLong(2) == 1L, s"files_added: ${row.getLong(2)}")
+    assert(row.getLong(3) == 0L, s"files_removed: ${row.getLong(3)}")
+    assert(row.getLong(4) >= 2L, "p=a and p=b files carried unchanged")
+    assert(!row.isNullAt(5) && row.getLong(5) == 1L,
+      s"the added file holds row 4 only: ${row.get(5)}")
+    assert(row.getLong(7) == 1L, s"one unit touched: ${row.getLong(7)}")
+  }
+
   test("CALL system.expire_commits applies time-based retention") {
     init()
     spark.sql("""CREATE TABLE acat.lake.ex (id BIGINT, v DOUBLE)
