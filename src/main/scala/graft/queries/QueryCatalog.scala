@@ -2113,37 +2113,107 @@ object QueryCatalog {
     * pairs (iterative min-label propagation in Spark; recursive CTE in the
     * oracle — same fixpoint).
     */
+  /** The LSH-verified near-dup connected-components CTE chain, shared by
+    * `dedup_clusters` and `near_dup_filtered` (same fixpoint, different
+    * final select).
+    */
+  private def clusterCteSql: String = {
+    val bands = (0 until 4).map(bnd =>
+      s"SELECT doc_id, $bnd AS band, mh${2 * bnd} AS h1, mh${2 * bnd + 1} AS h2 FROM sig")
+      .mkString("\n  UNION ALL ")
+    val base = minhashSigSql.stripPrefix("WITH ")
+    s"""WITH RECURSIVE $base,
+       |b AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.h1 = b2.h1
+       |    AND a.h2 = b2.h2 AND a.doc_id < b2.doc_id),
+       |withsh AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+       |pairs AS (SELECT doc_a, doc_b FROM (
+       |  SELECT cand.doc_a, cand.doc_b,
+       |      len(list_intersect(a.ds, b.ds)) AS inter,
+       |      len(a.ds) AS na, len(b.ds) AS nb
+       |    FROM cand
+       |    JOIN withsh a ON cand.doc_a = a.doc_id
+       |    JOIN withsh b ON cand.doc_b = b.doc_id)
+       |  WHERE inter * 10 >= (na + nb - inter) * 8),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+       |  UNION SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u)"""
+      .stripMargin
+  }
+
   private val dedupClusters = Q(
     (s, d) => TextOps.dedupClusters(
       TextOps.lshNearDupPairs(t(s, d, "documents"), 3, rows = 2,
         num = 8, den = 10)),
-    Some {
-      val bands = (0 until 4).map(bnd =>
-        s"SELECT doc_id, $bnd AS band, mh${2 * bnd} AS h1, mh${2 * bnd + 1} AS h2 FROM sig")
-        .mkString("\n  UNION ALL ")
-      val base = minhashSigSql.stripPrefix("WITH ")
-      s"""WITH RECURSIVE $base,
-         |b AS ($bands),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.h1 = b2.h1
-         |    AND a.h2 = b2.h2 AND a.doc_id < b2.doc_id),
-         |withsh AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
-         |pairs AS (SELECT doc_a, doc_b FROM (
-         |  SELECT cand.doc_a, cand.doc_b,
-         |      len(list_intersect(a.ds, b.ds)) AS inter,
-         |      len(a.ds) AS na, len(b.ds) AS nb
-         |    FROM cand
-         |    JOIN withsh a ON cand.doc_a = a.doc_id
-         |    JOIN withsh b ON cand.doc_b = b.doc_id)
-         |  WHERE inter * 10 >= (na + nb - inter) * 8),
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
-         |  UNION SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u)
+    Some(
+      s"""$clusterCteSql
          |SELECT u AS doc_id, min(label) AS cluster_id,
          |  (u = min(label)) AS is_canonical
-         |FROM reach GROUP BY u""".stripMargin
-    })
+         |FROM reach GROUP BY u""".stripMargin))
+
+  /** The dedup pipeline's LAST step: the corpus with non-canonical
+    * near-dup cluster members REMOVED (min-id survivor per cluster) —
+    * what actually ships to training after `dedup_clusters` decides
+    * survivorship. One anti-join against the (tiny) drop list.
+    */
+  private val nearDupFiltered = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val clusters = TextOps.dedupClusters(
+        TextOps.lshNearDupPairs(docs, 3, rows = 2, num = 8, den = 10))
+      val drop = clusters.filter(!col("is_canonical")).select("doc_id")
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    },
+    Some(
+      s"""$clusterCteSql,
+         |cl AS (SELECT u AS doc_id, min(label) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN
+         |  (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)"""
+        .stripMargin))
+
+  /** Overlapping token-window chunking — the RAG/embedding prep step:
+    * size-64 windows at stride 48, with tail windows that introduce no
+    * new tokens suppressed (start 1 always emits; a later window emits
+    * only if it reaches past the previous window's coverage). Pure
+    * per-row explode — no shuffle.
+    */
+  private val chunkSplit = Q(
+    (s, d) => {
+      val sz = 64; val stride = 48
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      toks
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(1), greatest(size(col("tk")), lit(1)),
+            lit(stride))).as("start"))
+        .filter(col("start") === 1 ||
+          col("start") + (sz - stride) <= size(col("tk")))
+        .select(col("doc_id"),
+          (expr(s"(start - 1) div $stride") + 1).cast("long")
+            .as("chunk_idx"),
+          col("start").cast("long").as("chunk_start"),
+          size(slice(col("tk"), col("start"), lit(sz))).cast("long")
+            .as("n_chunk_tokens"),
+          array_join(slice(col("tk"), col("start"), lit(sz)), " ")
+            .as("chunk_text"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+           |    FROM documents),
+           |st AS (SELECT doc_id, tk,
+           |    unnest(range(1, greatest(len(tk), 1) + 1, 48)) AS start
+           |  FROM toks)
+           |SELECT doc_id,
+           |  CAST((start - 1) // 48 + 1 AS BIGINT) AS chunk_idx,
+           |  CAST(start AS BIGINT) AS chunk_start,
+           |  CAST(len(tk[start:start+63]) AS BIGINT) AS n_chunk_tokens,
+           |  array_to_string(tk[start:start+63], ' ') AS chunk_text
+           |FROM st WHERE start = 1 OR start + 16 <= len(tk)"""
+      .stripMargin))
 
   /** Embedding near-dup pairs inside sign-LSH buckets (cosine >= 0.4,
     * demo threshold — the synthetic corpus has no planted vector dups).
@@ -4049,6 +4119,8 @@ object QueryCatalog {
     "minhash_lsh_pairs" -> minhashLshPairs,
     "near_dup_lsh" -> nearDupLsh,
     "dedup_clusters" -> dedupClusters,
+    "near_dup_filtered" -> nearDupFiltered,
+    "chunk_split" -> chunkSplit,
     "cosine_topk" -> cosineTopK,
     "hard_negatives" -> hardNegatives,
     "rrf_fusion" -> rrfFusion,
