@@ -2504,6 +2504,70 @@ class CowTable(
     dest
   }
 
+  /** WRITE-AUDIT-PUBLISH: adopt `staging`'s current state as this table's
+    * next commit — the Iceberg-WAP / Delta-shallow-clone-promote pattern:
+    *
+    * {{{
+    *   val staging = main.cloneTo(stagingPath)   // zero-copy snapshot
+    *   staging.upsert(batch); staging.delete(gone)  // write
+    *   require(staging.snapshot().filter(bad).isEmpty)  // audit
+    *   main.publishFrom(staging)                 // one atomic commit
+    * }}}
+    *
+    * Readers of `main` see either the pre-publish state or ALL of
+    * staging's changes. No data copies: files staging inherited from
+    * this table still reference this table's directory; files staging
+    * wrote are adopted as absolute references into the staging directory
+    * (which this table's manifests then own — do not delete it; a
+    * `compact()` re-localizes if desired, same contract as [[cloneTo]]).
+    *
+    * Publishing is deliberately snapshot-level: the commit is pinned to
+    * the version the staging clone was TAKEN FROM (the clone commit's
+    * `cloned_from_version` mark, or an explicit `expectedBase`), so ANY
+    * commit that landed on this table after the clone aborts the publish
+    * with [[ConcurrentWriteException]] rather than silently replacing
+    * unaudited writes — even ones in partitions staging never touched.
+    * Change feeds do not chain across a publish (tombstone anchors reset
+    * — use [[diff]] for exact A/R/C across it); commit-version stamps
+    * written in staging are preserved.
+    */
+  def publishFrom(staging: CowTable,
+      expectedBase: Option[Long] = None): Unit = {
+    val sm = staging.manifest
+    require(sm.keyCols == keyCols && sm.partitionCols == partitionCols,
+      s"publishFrom: staging identity (${sm.keyCols}/${sm.partitionCols})" +
+        s" differs from (${keyCols}/${partitionCols}) at $basePath")
+    val base = expectedBase
+      .orElse(staging.maxMetricOverHistory("cloned_from_version"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"publishFrom: staging at ${staging.basePath} carries no " +
+          "cloned_from_version mark — pass expectedBase explicitly"))
+    val head = manifest.version
+    if (head != base)
+      throw new ConcurrentWriteException(
+        s"publish aborted: $basePath advanced to v$head since the " +
+          s"staging clone was taken at v$base — re-stage from the " +
+          "current head (no lost update)")
+    val stagingBase = staging.fs
+      .makeQualified(new Path(staging.basePath)).toString.stripSuffix("/")
+    def abs(f: String) =
+      if (CowTable.isAbsoluteRef(f)) f else s"$stagingBase/$f"
+    def absL(m: Map[String, Seq[String]]) =
+      m.map { case (k, v) => k -> v.map(abs) }
+    writeManifest(sm.copy(
+      version = base + 1,
+      partitions = absL(sm.partitions),
+      logPartitions = absL(sm.logPartitions),
+      fileStats = sm.fileStats.map { case (f, st) =>
+        abs(f) -> st.copy(bloomRef = abs(st.bloomRef),
+          colBloomRefs = st.colBloomRefs.map { case (c, r) => c -> abs(r) })
+      },
+      tombstones = Map.empty,
+      drops = Map.empty,
+      operation = "publish",
+      metrics = Map("published_from_version" -> sm.version)))
+  }
+
   /** Max value of a metrics key across the RETAINED commit timeline — for
     * marks that must survive interleaved service commits (a streaming
     * sink's batch-id high-water mark is still valid when a compaction or
