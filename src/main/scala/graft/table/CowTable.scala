@@ -439,10 +439,20 @@ class CowTable(
     val m2 = manifestAt(toVersion)
     val f1 = m1.baseFiles.toSet
     val f2 = m2.baseFiles.toSet
-    val oldDf = readFiles(m1, m1.baseFiles.filterNot(f2))
-      .withColumn("__in_old", lit(true))
-    val newDf = readFiles(m2, m2.baseFiles.filterNot(f1))
-      .withColumn("__in_new", lit(true))
+    diffFrames(
+      readFiles(m1, m1.baseFiles.filterNot(f2)),
+      readFiles(m2, m2.baseFiles.filterNot(f1)), m1, m2)
+  }
+
+  /** The classification join behind [[diff]]: `oldDf0`/`newDf0` are the
+    * two versions' row images RESTRICTED to the storage units that differ
+    * (files for COW, merged partitions for MOR) — rows identical on both
+    * sides pair up and drop.
+    */
+  protected def diffFrames(oldDf0: DataFrame, newDf0: DataFrame,
+      m1: Manifest, m2: Manifest): DataFrame = {
+    val oldDf = oldDf0.withColumn("__in_old", lit(true))
+    val newDf = newDf0.withColumn("__in_new", lit(true))
     val ids = mergeIdCols
     val common = m2.schema.fieldNames
       .filter(m1.schema.fieldNames.contains).toSeq

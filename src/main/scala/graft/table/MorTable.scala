@@ -313,6 +313,45 @@ class MorTable(
     * ALL pending logs in the merge (log rows are unindexed; a log winner
     * whose base row was pruned still surfaces on its own).
     */
+  /** MOR-aware [[CowTable.diff]]: a log append changes rows WITHOUT
+    * touching base files, so the COW file-set comparison would miss
+    * unmerged deltas. Units whose (base files, log files) signature
+    * differs between the two versions are read MERGED on both sides and
+    * classified by the shared join; unchanged units are skipped entirely
+    * (same churn-proportional cost model, at unit granularity — rows
+    * carried identically through a log fold or compaction pair up and
+    * drop).
+    */
+  override def diff(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"diff: from=$fromVersion > to=$toVersion")
+    val m1 = manifestAt(fromVersion)
+    val m2 = manifestAt(toVersion)
+    def sig(m: Manifest, k: String) =
+      (m.partitions.get(k), m.logPartitions.get(k))
+    val units = (m1.partitions.keySet ++ m2.partitions.keySet ++
+      m1.logPartitions.keySet ++ m2.logPartitions.keySet)
+      .filter(k => sig(m1, k) != sig(m2, k))
+    diffFrames(realtimeUnits(m1, units), realtimeUnits(m2, units), m1, m2)
+  }
+
+  /** [[realtimeFrom]] restricted to a unit subset: base files of those
+    * units, merged with their pending logs.
+    */
+  private def realtimeUnits(m: Manifest, units: Set[String]): DataFrame = {
+    val logged = m.logPartitions.keySet & units
+    val untouched = readFiles(m, (units -- logged).toSeq.sorted
+      .flatMap(k => m.partitions.getOrElse(k, Nil)))
+    if (logged.isEmpty) untouched
+    else {
+      val touchedBase = readFiles(m,
+        logged.toSeq.sorted.flatMap(k => m.partitions.getOrElse(k, Nil)))
+      untouched.unionByName(
+        mergeBaseWithLogs(m, touchedBase, readLogs(m, logged)).select(
+          m.schema.fieldNames.toIndexedSeq.map(col): _*))
+    }
+  }
+
   override def snapshotForValues(
       column: String, values: Seq[Any]): DataFrame =
     morSnapshotForValues(manifest, column, values)

@@ -58,6 +58,7 @@ class TableOpsPropertySpec extends SparkSpec {
       .map(r => ((r._1, r._2), r._3)).toMap
     record()
     var feedAnchor: Option[(Long, Model)] = Some(t.manifest.version -> model)
+    var prevState: Option[(Long, Model)] = Some(t.manifest.version -> model)
 
     (0 until nOps).foreach { step =>
       val op = rnd.nextInt(100)
@@ -134,6 +135,27 @@ class TableOpsPropertySpec extends SparkSpec {
             s"seed=$seed step=$step op=$op feed ($pv, $curV] diverged:\n" +
               s" got  ${applied.toSeq.sorted}\n want ${model.toSeq.sorted}")
       }
+      // Diff invariant: the A/R/C classification between the previous and
+      // current version, applied to the previous model, reproduces the
+      // current model — for EVERY op class, including overwrite/restore
+      // (which reset the feed anchor) and services (whose diff must be
+      // empty). Skipped only when retention already dropped the previous
+      // manifest.
+      prevState.foreach { case (pv, pm) =>
+        if (scala.util.Try(t.manifestAt(pv)).isSuccess) {
+          val d = t.diff(pv, curV)
+          val rem = d.filter(col(CowTable.ChangeTypeCol).isin("R", "C"))
+            .select("id", "part").as[(String, String)].collect().toSet
+          val add = d.filter(col(CowTable.ChangeTypeCol).isin("A", "C"))
+            .select("id", "part", "v")
+            .as[(String, String, Double)].collect()
+          val applied = (pm -- rem) ++ add.map(r => ((r._1, r._2), r._3))
+          assert(applied == model,
+            s"seed=$seed step=$step op=$op diff($pv, $curV) diverged:\n" +
+              s" got  ${applied.toSeq.sorted}\n want ${model.toSeq.sorted}")
+        }
+      }
+      prevState = Some(curV -> model)
       feedAnchor = Some(curV -> model)
     }
 
