@@ -242,6 +242,17 @@ private[sources] object GraftProcedures {
             p.checkConstraints.mkString("; ")))): InternalRow
         (schema, Array(row))
       }),
+    Spec("publish",
+      "write-audit-publish: adopt a staged clone's state as one commit " +
+        "(aborts if the table advanced since the staging clone)",
+      Seq(("table", StringType, None), ("staging", StringType, None)),
+      (t, in) => {
+        val staging = CowTable.open(t.spark,
+          pathOf(in.getUTF8String(1).toString))
+        t.publishFrom(staging)
+        Seq("published_from_version" ->
+          t.manifest.metrics("published_from_version"))
+      }),
     Spec("diff_summary",
       "manifest-level what-changed between two retained versions " +
         "(file/row deltas from metadata only — zero data pages; the " +

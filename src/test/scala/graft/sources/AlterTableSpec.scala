@@ -249,6 +249,22 @@ class AlterTableSpec extends SparkSpec {
     assert(row.getLong(7) == 1L, s"one unit touched: ${row.getLong(7)}")
   }
 
+  test("CALL system.publish adopts a staged clone from SQL") {
+    init()
+    spark.sql("""CREATE TABLE acat.lake.wm (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('keyCols'='id')""")
+    spark.sql("INSERT INTO acat.lake.wm VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("CALL acat.system.clone(table => 'lake.wm', " +
+      "dest => 'lake.wm_stage')")
+    spark.sql("INSERT INTO acat.lake.wm_stage VALUES (2, 20.0), (3, 3.0)")
+    val res = spark.sql("CALL acat.system.publish(table => 'lake.wm', " +
+      "staging => 'lake.wm_stage')").collect()
+    assert(res.head.getString(0) == "published_from_version")
+    val got = spark.sql("SELECT id, v FROM acat.lake.wm ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)), got.mkString(","))
+  }
+
   test("CALL system.expire_commits applies time-based retention") {
     init()
     spark.sql("""CREATE TABLE acat.lake.ex (id BIGINT, v DOUBLE)
