@@ -63,6 +63,35 @@ class WapSpec extends SparkSpec {
       "main keeps its own committed state")
   }
 
+  test("two racing publishers: exactly one wins, the loser aborts clean") {
+    val main = new CowTable(spark, tmpDir("wap-2r"), keyCols = Seq("id"))
+    main.bulkInsert(Seq(("a", 1.0), ("b", 2.0)).toDF("id", "v"))
+    val s1 = main.cloneTo(tmpDir("wap-2r-s1") + "/s")
+    val s2 = main.cloneTo(tmpDir("wap-2r-s2") + "/s")
+    s1.upsert(Seq(("a", 10.0)).toDF("id", "v"))
+    s2.upsert(Seq(("b", 20.0)).toDF("id", "v"))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = Seq(s1, s2).zipWithIndex.map { case (st, i) =>
+      new Thread(() => {
+        gate.await()
+        try { main.publishFrom(st); outcomes.add(s"win$i") }
+        catch { case _: ConcurrentWriteException => outcomes.add(s"abort$i") }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown()
+    threads.foreach(_.join(120000))
+    val res = outcomes.toArray.map(_.toString).toSet
+    assert(res == Set("win0", "abort1") || res == Set("abort0", "win1"),
+      s"exactly one publisher must win: $res")
+    val got = main.snapshot().select("id", "v")
+      .as[(String, Double)].collect().toSet
+    val winnerState =
+      if (res.contains("win0")) Set(("a", 10.0), ("b", 2.0))
+      else Set(("a", 1.0), ("b", 20.0))
+    assert(got == winnerState, s"main must hold ONLY the winner's state: $got")
+  }
+
   test("publishFrom refuses a staging table with different identity") {
     val main = new CowTable(spark, tmpDir("wap-id"), keyCols = Seq("id"))
     main.bulkInsert(Seq(("a", 1.0)).toDF("id", "v"))
