@@ -107,14 +107,23 @@ private[sources] class GraftScanBuilder(
     * manifest-level sibling ([[graft.table.CowTable.fastCount]])
     * answers plain `count(*)` with zero tasks.
     */
+  /** Footer stats summarize PHYSICAL rows: a file carrying a deletion
+    * vector has logically-dead rows the footer still counts, so any DV
+    * on the served listing forces the exact row-level path (which applies
+    * the positional anti-join via the DV read rewrite).
+    */
+  private def dvFree: Boolean =
+    m.dvs.isEmpty || !currentFiles.exists(m.dvs.contains)
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     inner match {
-      case b: SupportsPushDownAggregates => b.supportCompletePushDown(agg)
+      case b: SupportsPushDownAggregates if dvFree =>
+        b.supportCompletePushDown(agg)
       case _ => false
     }
 
   override def pushAggregation(agg: Aggregation): Boolean = inner match {
-    case b: SupportsPushDownAggregates =>
+    case b: SupportsPushDownAggregates if dvFree =>
       aggPushed = b.pushAggregation(agg)
       aggPushed
     case _ => false

@@ -110,6 +110,20 @@ final case class Manifest(
       * first stamped commit).
       */
     commitTimeMs: Long = 0L,
+    /** Deletion vectors (the Delta DV / Iceberg position-delete analog):
+      * base-file relative path → the positions deleted from it, stored as
+      * parquet sidecars of (file, row position) pairs plus the running
+      * deleted-row count. A vectored delete marks rows dead WITHOUT
+      * rewriting their file — at 100 TB a scattered GDPR-style delete
+      * costs a key-column scan of the candidate files plus a tiny sidecar
+      * write, instead of rewriting every touched file. Readers anti-join
+      * the sidecars on (`_metadata.file_path`, `_metadata.row_index`);
+      * files without an entry read natively. Entries vanish when their
+      * base file leaves the listing (rewrite/compaction folds them —
+      * [[CowTable.writeManifest]] sanitizes), and the sidecars share
+      * cleaner liveness with the data ([[dvSidecarFiles]]).
+      */
+    dvs: Map[String, DvEntry] = Map.empty,
     /** Shadow tombstones for `ALTER TABLE DROP COLUMN` (lowercased
       * names): a metadata-only drop leaves the column's VALUES in every
       * file written before it, so re-adding the name would resurrect
@@ -135,7 +149,19 @@ final case class Manifest(
   def feedAnchoredFiles: Seq[String] =
     (tombstones.valuesIterator.flatten ++ drops.valuesIterator.flatMap(
       _.files)).toSeq
+  /** Deletion-vector sidecar parquets (cleaner liveness: they must
+    * survive exactly as long as the manifests referencing them).
+    */
+  def dvSidecarFiles: Seq[String] =
+    dvs.valuesIterator.flatMap(_.files).toSeq.distinct
 }
+
+/** One [[Manifest.dvs]] entry: the parquet sidecars holding this base
+  * file's deleted positions (a sidecar may carry positions for several
+  * base files — readers match on the stored file path), and the file's
+  * total deleted-row count (what [[CowTable.fastCount]] subtracts).
+  */
+final case class DvEntry(files: Seq[String], rows: Long)
 
 /** One [[Manifest.drops]] entry: the dropped partitions' base and delta-log
   * listings as they stood at the drop commit (basePath-relative paths).
@@ -183,7 +209,8 @@ final case class TableProps(
     statsCols: Seq[String] = Nil,
     compactEvery: Int = 20,
     bloomCols: Seq[String] = Nil,
-    checkConstraints: Seq[String] = Nil)
+    checkConstraints: Seq[String] = Nil,
+    deleteVectors: Boolean = false)
 
 final case class FileStat(keyMin: String, keyMax: String, bloomRef: String,
     /** Optional per-column [min, max] (encoded order-preserving strings)
@@ -297,7 +324,16 @@ class CowTable(
       * `TableProps`); expressions referencing columns a batch lacks
       * (absent-payload deletes) pass vacuously.
       */
-    val checkConstraints: Seq[String] = Nil) {
+    val checkConstraints: Seq[String] = Nil,
+    /** Route [[delete]] through DELETION VECTORS ([[deleteVectored]])
+      * instead of copy-on-write file rewrites: deleted positions are
+      * recorded in parquet sidecars and filtered at read. Delete cost
+      * drops from rewriting every candidate file to scanning their KEY
+      * columns; reads of DV'd files pay an anti-join until a rewrite or
+      * [[compact]]/[[compactBySize]] folds the vectors. COW-only (MOR
+      * deletes are already O(deleted keys) log appends).
+      */
+    val deleteVectors: Boolean = false) {
 
   import CowTable._
 
@@ -689,7 +725,35 @@ class CowTable(
       m.partitions.getOrElse(k, Nil)))
 
   protected def readFiles(m: Manifest, files: Seq[String]): DataFrame =
-    readFilesWithSchema(m.schema, files)
+    if (m.dvs.isEmpty) readFilesWithSchema(m.schema, files)
+    else {
+      // Deletion-vector read: files WITHOUT a vector read natively (zero
+      // overhead); only DV'd files pay the positional anti-join. The
+      // sidecars are matched on the scan's own (_metadata.file_path,
+      // _metadata.row_index) identity — the positions were RECORDED from
+      // the same scan metadata, so the strings compare exactly.
+      val (dvd, cleanFls) = files.partition(m.dvs.contains)
+      val clean = readFilesWithSchema(m.schema, cleanFls)
+      if (dvd.isEmpty) clean
+      else {
+        val cols = m.schema.fieldNames.toIndexedSeq.map(col)
+        val withMeta = spark.read.schema(addDirCols(m.schema))
+          .parquet(dvd.map(f => CowTable.resolveFile(basePath, f)): _*)
+          .select(cols :+ col("_metadata.file_path").as(DvFileCol) :+
+            col("_metadata.row_index").as(DvPosCol): _*)
+        val refs = dvd.flatMap(f => m.dvs(f).files).distinct
+        val dv0 = spark.read.parquet(
+          refs.map(f => CowTable.resolveFile(basePath, f)): _*)
+        // total deleted rows is known from the manifest: broadcast the
+        // vector side while it is small, shuffle only past that
+        val dvRows = dvd.iterator.map(f => m.dvs(f).rows).sum
+        val dv = if (dvRows <= 4000000L) broadcast(dv0) else dv0
+        clean.unionByName(withMeta.join(dv,
+          withMeta(DvFileCol) === dv(DvFileCol) &&
+            withMeta(DvPosCol) === dv(DvPosCol),
+          "left_anti").select(cols: _*))
+      }
+    }
 
   /** Read an explicit file list with an explicit row schema (the schema may
     * include extra columns absent from some files — parquet null-fills).
@@ -789,7 +853,8 @@ class CowTable(
     statsCols = statsCols,
     compactEvery = inlineCompactEvery,
     bloomCols = bloomCols,
-    checkConstraints = checkConstraints)
+    checkConstraints = checkConstraints,
+    deleteVectors = deleteVectors)
 
   /** Full-replace commit (`SaveMode.Overwrite` through the source API):
     * the new data's files become the ENTIRE base listing; on MOR any
@@ -984,13 +1049,148 @@ class CowTable(
     */
   def delete(df: DataFrame, parallelism: Int = 0,
       extraMetrics: Map[String, Long] = Map.empty): Unit =
-    mergeCommit(df, parallelism, "delete", extraMetrics,
+    if (deleteVectors) deleteVectored(df, extraMetrics)
+    else mergeCommit(df, parallelism, "delete", extraMetrics,
       tombstoneKeys = Some((_, incoming) =>
         incoming.select(mergeIdCols.map(col): _*).distinct())) {
       (cur, incoming) =>
       val probe = incoming.select(mergeIdCols.map(col): _*)
       cur.join(probe, idMatch(cur, probe), "left_anti")
     }
+
+  /** K3 via DELETION VECTORS (the Delta DV / Iceberg position-delete
+    * analog): record the matched rows' (file, row position) pairs in a
+    * parquet sidecar and filter them at read, instead of rewriting every
+    * candidate file minus the deleted rows.
+    *
+    * Cost model — the reason this exists: a copy-on-write delete reads and
+    * REWRITES the full width of every candidate file. The vectored delete
+    * reads only the candidates' KEY COLUMNS (plus scan metadata) and
+    * writes positions — at 100 TB a scattered GDPR-style delete drops from
+    * rewriting terabytes to a column-pruned scan and a few MB of sidecar.
+    * Reads pay a positional anti-join ONLY on files that carry a vector
+    * ([[readFiles]]); any rewrite or [[compact]]/[[compactBySize]] of the
+    * file folds the vector away (manifest sanitization at the publish
+    * funnel). Partition/bucket scoping and the record-key file index
+    * prune candidates exactly like the rewrite path.
+    *
+    * Same merge identity as [[delete]] (key + partition, null-safe), same
+    * change-feed tombstones, and the deleted-row counts ride the manifest
+    * so [[fastCount]] stays exact. COW-only: MOR deletes are already
+    * O(deleted keys) log appends.
+    */
+  def deleteVectored(df: DataFrame,
+      extraMetrics: Map[String, Long] = Map.empty): Unit = {
+    require(storageTypeName == "cow",
+      s"deleteVectored is COW-only (MOR deletes are log appends) at " +
+        basePath)
+    require(keyCols.forall(df.columns.contains),
+      s"delete batch must carry the record key columns $keyCols; " +
+        s"got ${df.columns.toSeq}")
+    val m = manifest
+    val v = m.version + 1
+    val incoming = df.persist()
+    try {
+      val touched = touchedPartitionKeys(incoming)
+        .intersect(m.partitions.keySet)
+      val (candFiles, _) =
+        if (fileIndexEntries > 0) pruneCandidateFiles(m, touched, incoming)
+        else (touched.toSeq.sorted.flatMap(k =>
+          m.partitions.getOrElse(k, Nil)), Map.empty[String, Seq[String]])
+      val probeKeys =
+        incoming.select(mergeIdCols.map(col): _*).distinct()
+      val (newDvs, dvRefs, dvRows) =
+        if (candFiles.isEmpty) (m.dvs, Nil, 0L)
+        else {
+          val idCols = mergeIdCols
+          val idSchema = StructType(
+            m.schema.fields.filter(f => idCols.contains(f.name)))
+          // column-pruned candidate scan: key/partition columns + the
+          // row's scan identity — never the payload
+          val cur0 = spark.read.schema(addDirCols(idSchema))
+            .parquet(candFiles.map(f =>
+              CowTable.resolveFile(basePath, f)): _*)
+            .select(idCols.toIndexedSeq.map(col) :+
+              col("_metadata.file_path").as(DvFileCol) :+
+              col("_metadata.row_index").as(DvPosCol): _*)
+          // positions already dead under an existing vector must not be
+          // re-recorded (counts would double)
+          val priorRefs = candFiles.flatMap(f =>
+            m.dvs.get(f).map(_.files).getOrElse(Nil)).distinct
+          val cur =
+            if (priorRefs.isEmpty) cur0
+            else {
+              val prior = broadcast(spark.read.parquet(priorRefs.map(f =>
+                CowTable.resolveFile(basePath, f)): _*))
+              cur0.join(prior,
+                cur0(DvFileCol) === prior(DvFileCol) &&
+                  cur0(DvPosCol) === prior(DvPosCol), "left_anti")
+            }
+          val hits = cur.join(probeKeys, idMatch(cur, probeKeys),
+            "left_semi").select(DvFileCol, DvPosCol).persist()
+          try {
+            // per-file counts: bounded by the candidate file count
+            val counts = hits.groupBy(DvFileCol).count().collect()
+              .map(r => r.getString(0) -> r.getLong(1))
+            if (counts.isEmpty) (m.dvs, Nil, 0L)
+            else {
+              val total = counts.iterator.map(_._2).sum
+              val relOf: Map[String, String] = counts.map { case (abs, _) =>
+                val matches = candFiles.filter(abs.endsWith)
+                require(matches.size == 1,
+                  s"ambiguous scan path $abs against the candidate listing")
+                abs -> matches.head
+              }.toMap
+              val refs = writeDvFiles(hits, v,
+                math.max(1, (total / 10000000L).toInt))
+              val updated = counts.foldLeft(m.dvs) {
+                case (acc, (abs, n)) =>
+                  val f = relOf(abs)
+                  val old = acc.getOrElse(f, DvEntry(Nil, 0L))
+                  acc + (f -> DvEntry((old.files ++ refs).distinct,
+                    old.rows + n))
+              }
+              (updated, refs, total)
+            }
+          } finally { hits.unpersist(); () }
+        }
+      // tombstones must carry the table's field-id metadata (they are
+      // read back through the id-stamped schema by the change feed)
+      val tombSchema = StructType(
+        m.schema.fields.filter(f => mergeIdCols.contains(f.name)))
+      val tomb = writeTombstones(
+        CowTable.reapplyFieldIds(probeKeys, tombSchema), v)
+      writeManifest(m.copy(version = v,
+        dvs = newDvs,
+        tombstones = if (tomb.isEmpty) m.tombstones
+          else m.tombstones + (v.toString -> tomb),
+        operation = "delete_vectored",
+        metrics = Map(
+          "files_candidate" -> candFiles.size.toLong,
+          "dv_files_written" -> dvRefs.size.toLong,
+          "dv_rows_added" -> dvRows) ++ extraMetrics))
+      clean()
+    } finally { incoming.unpersist(); () }
+  }
+
+  /** Write one commit's deletion-vector sidecar parquet(s) under a
+    * per-attempt unique `files/dv{v}-*` dir; returns basePath-relative
+    * paths (empty when no positions).
+    */
+  private def writeDvFiles(
+      positions: DataFrame, v: Long, parts: Int): Seq[String] = {
+    val dir = new Path(basePath,
+      s"files/dv$v-${java.util.UUID.randomUUID.toString.take(8)}")
+    positions.coalesce(parts).write.mode("overwrite").parquet(dir.toString)
+    val base = new Path(basePath)
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) out += relativize(base, f)
+    }
+    if (out.isEmpty) { fs.delete(dir, true); Nil } else out.toSeq
+  }
 
   /** Partition lifecycle (the Hudi `delete_partition` / `ALTER TABLE …
     * DROP PARTITION` analog): drop every partition whose partition-column
@@ -1447,7 +1647,11 @@ class CowTable(
     if (m.logPartitions.valuesIterator.exists(_.nonEmpty)) return None
     val fs = m.baseFiles
     val known = fs.flatMap(f => m.fileStats.get(f).map(_.rows))
-    if (known.size == fs.size && known.forall(_ >= 0L)) Some(known.sum)
+    // deletion vectors: physical rows minus the recorded deleted counts
+    // (exact — vectored deletes never double-record a position)
+    val dvDeleted = fs.iterator.flatMap(m.dvs.get).map(_.rows).sum
+    if (known.size == fs.size && known.forall(_ >= 0L))
+      Some(known.sum - dvDeleted)
     else if (fs.isEmpty) Some(0L)
     else None
   }
@@ -2037,7 +2241,16 @@ class CowTable(
       vs.toLong > stamped0.version - keepCommits
     val stamped = stamped0.copy(
       tombstones = stamped0.tombstones.filter(e => inWindow(e._1)),
-      drops = stamped0.drops.filter(e => inWindow(e._1)))
+      drops = stamped0.drops.filter(e => inWindow(e._1)),
+      // deletion vectors live exactly as long as their base file: any
+      // rewrite/compaction/overwrite that drops the file from the listing
+      // folds its vector here, at the single publish funnel — no write
+      // path has to remember to clean up
+      dvs = if (stamped0.dvs.isEmpty) stamped0.dvs else {
+        val live = (stamped0.partitions.valuesIterator ++
+          stamped0.logPartitions.valuesIterator).flatten.toSet
+        stamped0.dvs.filter(e => live(e._1))
+      })
     fs.mkdirs(commitsDir)
     var attempt = stamped
     var retries = 0
@@ -2152,10 +2365,18 @@ class CowTable(
           "(too many commits interleaved)")
     }
     def touched(a: Manifest, b: Manifest): Set[String] = {
+      // a unit's state includes the deletion vectors anchored to its
+      // files: a vectored delete changes no listing, but it conflicts
+      // with a concurrent rewrite of the same unit exactly like a
+      // rewrite does (the rewrite would fold rows the delete killed)
+      def dvOf(x: Manifest, k: String): Seq[(String, DvEntry)] =
+        x.partitions.getOrElse(k, Nil).flatMap(f =>
+          x.dvs.get(f).map(f -> _))
       val ks = a.partitions.keySet ++ b.partitions.keySet ++
         a.logPartitions.keySet ++ b.logPartitions.keySet
       ks.filter(k => a.partitions.get(k) != b.partitions.get(k) ||
-        a.logPartitions.get(k) != b.logPartitions.get(k))
+        a.logPartitions.get(k) != b.logPartitions.get(k) ||
+        dvOf(a, k) != dvOf(b, k))
     }
     val oursT = touched(ours, base)
     val theirsT = touched(head, base)
@@ -2195,6 +2416,12 @@ class CowTable(
         math.max(0L, ours.deltaCommits - base.deltaCommits),
       lastCompaction = math.max(head.lastCompaction, ours.lastCompaction),
       fileStats = (head.fileStats -- ourRemoved) ++ ourAddedStats,
+      // deletion vectors replay like file stats: entries we added or
+      // extended overwrite (their files live in OUR units — disjointness
+      // means the interleaved head cannot have touched them), entries
+      // whose base file we rewrote away fold
+      dvs = (head.dvs -- ourRemoved) ++ ours.dvs.filter {
+        case (f, e) => !base.dvs.get(f).contains(e) },
       tombstones = {
         // our attempt's NEW entries re-key to the published version (their
         // rows keep the tentative stamp — the changed-row predicate's dir
@@ -2224,9 +2451,9 @@ class CowTable(
     * [[vacuumOrphans]] is the backstop.
     */
   private def dropOurDirs(ours: Manifest): Unit = {
-    val token = s"c${ours.version}-"
-    ours.files.map(_.split('/')(1)).distinct
-      .filter(_.startsWith(token))
+    val tokens = Seq(s"c${ours.version}-", s"dv${ours.version}-")
+    (ours.files ++ ours.dvSidecarFiles).map(_.split('/')(1)).distinct
+      .filter(d => tokens.exists(d.startsWith))
       .foreach(d => scala.util.Try(
         fs.delete(new Path(basePath, s"files/$d"), true)))
   }
@@ -2240,7 +2467,13 @@ class CowTable(
     */
   def compact(maxFilesPerUnit: Int = 4, parallelism: Int = 0): Boolean = {
     val m = manifest
-    val crowded = m.partitions.filter(_._2.length > maxFilesPerUnit).keySet
+    // a unit is rewrite-worthy when its file count exceeds the bound OR
+    // any of its files carries a deletion vector: compaction is the
+    // service that folds vectors back into clean files (reads go through
+    // the DV-filtered readFiles, so the rewrite materializes only live
+    // rows and the publish funnel drops the folded entries)
+    val crowded = m.partitions.filter { case (_, fls) =>
+      fls.length > maxFilesPerUnit || fls.exists(m.dvs.contains) }.keySet
     if (crowded.isEmpty) return false
     val data = readFiles(m, crowded.toSeq.sorted.flatMap(m.partitions))
     val v = m.version + 1
@@ -2498,10 +2731,17 @@ class CowTable(
           numBuckets = p.numBuckets, clusterCols = p.clusterCols,
           trackCommitVersions = p.trackCommitVersions,
           fileIndexEntries = p.fileIndexEntries, statsCols = p.statsCols,
-          bloomCols = p.bloomCols, checkConstraints = p.checkConstraints)
+          bloomCols = p.bloomCols, checkConstraints = p.checkConstraints,
+          deleteVectors = p.deleteVectors)
     dest.writeManifest(src.copy(
       partitions = absL(src.partitions),
       logPartitions = absL(src.logPartitions),
+      // DV map keys must keep matching the (absolutized) listing entries,
+      // and the sidecars are shared by reference like the data files; the
+      // stored positions carry the SOURCE files' scan paths, which is
+      // exactly what the clone keeps reading
+      dvs = src.dvs.map { case (f, e) =>
+        abs(f) -> e.copy(files = e.files.map(abs)) },
       fileStats = src.fileStats.map { case (f, st) =>
         abs(f) -> st.copy(bloomRef = abs(st.bloomRef),
           colBloomRefs = st.colBloomRefs.map {
@@ -2632,7 +2872,7 @@ class CowTable(
     // is referenced — the loser's is exactly the garbage to reclaim
     val referenced: Set[String] = committed.flatMap(v =>
       scala.util.Try(manifestAt(v)).toOption.toSeq.flatMap(m =>
-        m.files ++ m.feedAnchoredFiles))
+        m.files ++ m.feedAnchoredFiles ++ m.dvSidecarFiles))
       .map(_.split('/')(1))
     val filesDir = new Path(basePath, "files")
     if (!fs.exists(filesDir)) return Nil
@@ -2747,7 +2987,7 @@ class CowTable(
     }
     if (dropped.nonEmpty) {
       val live: Set[String] = keptManifests.iterator.map(manifestAt)
-        .flatMap(m => m.files ++ m.feedAnchoredFiles)
+        .flatMap(m => m.files ++ m.feedAnchoredFiles ++ m.dvSidecarFiles)
         .map(_.split('/')(1)).toSet
       val oldestRetained =
         if (retained.nonEmpty) retained.min else Long.MaxValue
@@ -2878,7 +3118,8 @@ object CowTable {
         numBuckets = p.numBuckets, clusterCols = p.clusterCols,
         trackCommitVersions = p.trackCommitVersions,
         fileIndexEntries = p.fileIndexEntries, statsCols = p.statsCols,
-        bloomCols = p.bloomCols, checkConstraints = p.checkConstraints)
+        bloomCols = p.bloomCols, checkConstraints = p.checkConstraints,
+        deleteVectors = p.deleteVectors)
   }
 
   /** Best-effort config reconstruction for PRE-round-7 manifests (no
@@ -2924,6 +3165,12 @@ object CowTable {
   val BucketCol = "__bucket"
   /** Row-level commit stamp column (see `trackCommitVersions`). */
   val CommitVerCol = "_graft_commit_version"
+  /** Deletion-vector sidecar columns: the deleted row's scan identity —
+    * the base file's `_metadata.file_path` exactly as Spark's parquet
+    * scan reports it, and its `_metadata.row_index` within that file.
+    */
+  val DvFileCol = "_graft_dv_file"
+  val DvPosCol = "_graft_dv_pos"
   /** Manifest-metrics key holding the streaming sink's last applied batch
     * id ([[graft.streaming.GraftSink]]); carried forward by every commit
     * so replay protection never ages out of the retained timeline.
@@ -3104,9 +3351,13 @@ object CowTable {
     * (`t{v}-token`) directory name; None for non-commit directories.
     */
   private[table] def dirVersion(name: String): Option[Long] = {
-    if (!name.startsWith("c") && !name.startsWith("t")) return None
-    val digits = name.drop(1).takeWhile(_.isDigit)
-    val rest = name.drop(1 + digits.length)
+    // c{v}-… data commits, t{v}-… tombstones, dv{v}-… deletion vectors
+    val pfx =
+      if (name.startsWith("dv")) 2
+      else if (name.startsWith("c") || name.startsWith("t")) 1
+      else return None
+    val digits = name.drop(pfx).takeWhile(_.isDigit)
+    val rest = name.drop(pfx + digits.length)
     if (digits.isEmpty || !(rest.isEmpty || rest.startsWith("-"))) None
     else Some(digits.toLong)
   }
@@ -3457,6 +3708,13 @@ object CowTable {
       "commitTimeMs" -> (if (m.commitTimeMs > 0) JInt(m.commitTimeMs)
         else JNothing),
       "tombstones" -> listing(m.tombstones),
+      // json4s drops JNothing pairs at render: pre-DV copies stay as-is
+      "dvs" -> (if (m.dvs.isEmpty) JNothing
+        else JObject(m.dvs.toSeq.sortBy(_._1).map { case (f, e) =>
+          f -> (JObject(List(
+            "files" -> JArray(e.files.toList.map(JString(_))),
+            "rows" -> JInt(e.rows))): JValue)
+        }.toList)),
       // json4s drops JNothing pairs at render: pre-drop copies stay as-is
       "droppedCols" -> (if (m.droppedCols.isEmpty) JNothing
         else JArray(m.droppedCols.toList.map(JString(_)))),
@@ -3480,7 +3738,9 @@ object CowTable {
           "bloomCols" -> (if (p.bloomCols.isEmpty) JNothing
             else JArray(p.bloomCols.toList.map(JString(_)))),
           "checkConstraints" -> (if (p.checkConstraints.isEmpty) JNothing
-            else JArray(p.checkConstraints.toList.map(JString(_)))))): JValue
+            else JArray(p.checkConstraints.toList.map(JString(_)))),
+          "deleteVectors" -> (if (p.deleteVectors) JBool(true)
+            else JNothing))): JValue
         case None => JNothing
       })))))
   }
@@ -3554,6 +3814,12 @@ object CowTable {
       commitTimeMs = long(j \ "commitTimeMs", 0L),
       droppedCols = strs(j \ "droppedCols"),
       tombstones = files(j \ "tombstones"),
+      dvs = (j \ "dvs") match {
+        case JObject(ds) => ListMap(ds.map { case (f, o) =>
+          f -> DvEntry(strs(o \ "files"), long(o \ "rows", 0L))
+        }: _*)
+        case _ => ListMap.empty
+      },
       drops = (j \ "drops") match {
         case JObject(ds) => ListMap(ds.map { case (v, o) =>
           v -> DropRecord(files(o \ "partitions"),
@@ -3572,7 +3838,9 @@ object CowTable {
           statsCols = strs(o \ "statsCols"),
           compactEvery = long(o \ "compactEvery", 20L).toInt,
           bloomCols = strs(o \ "bloomCols"),
-          checkConstraints = strs(o \ "checkConstraints")))
+          checkConstraints = strs(o \ "checkConstraints"),
+          deleteVectors = (o \ "deleteVectors") match {
+            case JBool(b) => b; case _ => false }))
         case _ => None // pre-round-7 manifests: open() infers
       })
   }
