@@ -22,6 +22,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // deletion-vector read rewrite: relations over DV'd listings become
+    // clean-scan UNION ALL (parquet ⟕̸ positions) — injected BEFORE the
+    // mutation rule so a MERGE's source rewrites ahead of its conversion
+    ext.injectResolutionRule(s => new graft.sources.GraftDvReadRule(s))
     // SQL MERGE INTO / UPDATE / DELETE over graft tables (the analyzer
     // otherwise rejects them for sources without row-level-operation
     // support) — see graft.sources.GraftSqlRule

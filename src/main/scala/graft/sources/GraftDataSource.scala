@@ -196,7 +196,15 @@ object GraftDataSource {
         Option(options.get("rangeLo")), Option(options.get("rangeHi")))
       case None => m.baseFiles
     }
-    val files = ranged.map(f => CowTable.resolveFile(base, f))
+    // internal option set by the deletion-vector read rewrite
+    // ([[GraftDvReadRule]]): serve only the files WITHOUT a vector — the
+    // rewrite reads the DV'd files through its own positional anti-join
+    // branch and unions the two.
+    val listed =
+      if ("clean".equalsIgnoreCase(options.getOrDefault("dvMode", "")))
+        ranged.filterNot(m.dvs.contains)
+      else ranged
+    val files = listed.map(f => CowTable.resolveFile(base, f))
     val delegate = ParquetTable(
       s"graft:$base@v${m.version}",
       spark,
@@ -206,7 +214,7 @@ object GraftDataSource {
       classOf[ParquetFileFormat])
     new GraftWritableTable(base, options, Some(delegate),
       // pushed-filter file skipping starts from the option-ranged listing
-      Some((m, ranged, schema)), acceptAnySchema)
+      Some((m, listed, schema)), acceptAnySchema)
   }
 }
 
@@ -268,6 +276,21 @@ private[sources] class GraftWritableTable(
     scanCtx.map(_._1)
   private[sources] def graftScanFiles: Option[Seq[String]] =
     scanCtx.map(_._2)
+  /** Load-time options (the deletion-vector read rewrite re-issues the
+    * clean-files branch with the SAME options plus `dvMode=clean` and a
+    * pinned `versionAsOf`).
+    */
+  private[sources] def graftOptions: CaseInsensitiveStringMap = options
+  /** Files of the served listing that carry a deletion vector. Non-empty
+    * means this relation must be read through [[GraftDvReadRule]]'s
+    * rewrite — the raw parquet scan would resurrect deleted rows.
+    */
+  private[sources] def graftDvFiles: Seq[String] = scanCtx match {
+    case Some((m, listing, _)) if m.dvs.nonEmpty &&
+        !"clean".equalsIgnoreCase(options.getOrDefault("dvMode", "")) =>
+      listing.filter(m.dvs.contains)
+    case _ => Nil
+  }
 
   override def schema(): StructType =
     delegate.map(d => d.schema: StructType).getOrElse(new StructType())
@@ -301,6 +324,16 @@ private[sources] class GraftWritableTable(
   override def newScanBuilder(opts: CaseInsensitiveStringMap) =
     (delegate, scanCtx) match {
       case (Some(_), Some((m, files, schema))) =>
+        // with GraftExtensions installed this scan is never built for a
+        // DV'd listing — GraftDvReadRule rewrote the relation during
+        // analysis. Reaching here without the rule means the raw parquet
+        // scan WOULD serve deleted rows: refuse loudly rather than be
+        // silently wrong.
+        require(graftDvFiles.isEmpty,
+          s"table at $base has deletion vectors on ${graftDvFiles.size} " +
+            "file(s); install graft.functions.GraftExtensions " +
+            "(spark.sql.extensions) so reads apply them, or run " +
+            "compact() to fold them into clean files")
         new GraftScanBuilder(
           org.apache.spark.sql.SparkSession.active, base, m, files,
           schema, options)
