@@ -282,6 +282,40 @@ object QueryCatalog {
            |                                  WHERE t.c_custkey = s.c_custkey)
            |""".stripMargin))
 
+  /** Deletion-vector delete end-to-end: a REAL graft table created with
+    * `deleteVectors = true`, one vectored delete marking a scattered key
+    * subset dead POSITIONALLY — the data-file listing is asserted
+    * byte-identical (no rewrite happened) — then read back through the
+    * SOURCE API, so the battery exercises the full DV read rewrite
+    * (clean-scan ∪ positional anti-join) at oracle strength. Oracle: the
+    * plain anti-join reconstruction of the same delete.
+    */
+  private val dvDelete = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).cast("double").as("bal"),
+        (col("c_custkey") % 4).cast("string").as("seg"))
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-dvdel").toString
+      val tbl = new graft.table.CowTable(s, path,
+        keyCols = Seq("c_custkey"), partitionCols = Seq("seg"),
+        fileIndexEntries = 1000, deleteVectors = true)
+      tbl.bulkInsert(cust.filter(col("c_custkey") <= 2000), parallelism = 4)
+      val before = tbl.manifest.partitions
+      tbl.delete(cust.filter(col("c_custkey") <= 2000 &&
+        col("c_custkey") % 9 === 0).select("c_custkey", "seg"))
+      require(tbl.manifest.partitions == before,
+        "vectored delete must rewrite no data file")
+      require(tbl.manifest.dvs.nonEmpty,
+        "vectored delete must record position vectors")
+      s.read.format("graft").load(path)
+        .select("c_custkey", "c_name", "bal")
+    },
+    Some("""SELECT c_custkey, c_name,
+           |       CAST(round(c_acctbal, 2) AS DOUBLE) AS bal
+           |FROM customer
+           |WHERE c_custkey <= 2000 AND c_custkey % 9 <> 0""".stripMargin))
+
   /** Change feed end-to-end: bulk load + upsert + delete on a REAL
     * tracked graft table, then `changeFeed` over the (1, 3] window —
     * updated images typed U, deleted keys typed D (nulled payload) —
@@ -1521,6 +1555,48 @@ object QueryCatalog {
          |  len(regexp_extract_all(text, '${TextOps.BpeTokenRegex}'))
          |    AS n_bpe_tokens
          |FROM documents""".stripMargin))
+
+  /** BPE tokenizer training: 6 merge rounds over the document corpus
+    * ([[TextOps.bpeTrain]] — one corpus scan into a word-frequency
+    * vocabulary, then per-round pair counting over the vocab). The
+    * oracle UNROLLS the same 6 rounds in DuckDB (generated CTE chain) —
+    * pair counts, the deterministic argmax, and the literal-replace
+    * merge application reproduce training bit-for-bit cross-engine.
+    */
+  private def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH w AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |v0 AS (SELECT ' ' || array_to_string(
+        |    list_transform(generate_series(1, length(w)), i -> w[i]), ' ')
+        |    || ' </w> ' AS repr, freq FROM w)""".stripMargin
+    for (i <- 1 to k) sb ++=
+      s""",
+         |p$i AS (SELECT z[1] AS l, z[2] AS r,
+         |    CAST(sum(freq) AS BIGINT) AS freq FROM (
+         |  SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]))
+         |      AS z, freq FROM (
+         |    SELECT string_split(trim(repr), ' ') AS toks, freq
+         |    FROM v${i - 1}))
+         |  GROUP BY l, r),
+         |b$i AS (SELECT l, r, freq FROM p$i
+         |  ORDER BY freq DESC, l, r LIMIT 1),
+         |v$i AS (SELECT replace(v.repr, ' ' || b.l || ' ' || b.r || ' ',
+         |    ' ' || b.l || b.r || ' ') AS repr, v.freq AS freq
+         |  FROM v${i - 1} v, b$i b)""".stripMargin
+    sb ++= (1 to k).map(i =>
+      s"\nSELECT $i AS merge_rank, l AS lhs, r AS rhs, freq FROM b$i")
+      .mkString("", " UNION ALL", "")
+    sb.toString
+  }
+
+  private val bpeMerges = Q(
+    (s, d) => graft.text.TextOps.bpeTrain(t(s, d, "documents"), "text", 6),
+    Some(bpeOracle(6)))
 
   private val rollingFingerprint = Q(
     (s, d) => TextOps.rollingFingerprint(t(s, d, "documents")),
@@ -4051,6 +4127,7 @@ object QueryCatalog {
     "precombine_max" -> precombineMax,
     "k2_upsert_merge" -> k2UpsertMerge,
     "k3_delete_merge" -> k3DeleteMerge,
+    "dv_delete" -> dvDelete,
     "merge_into_sql" -> mergeIntoSql,
     "change_feed" -> changeFeedQ,
     "snapshot_diff" -> snapshotDiffQ,
@@ -4104,6 +4181,7 @@ object QueryCatalog {
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,
     "token_count_bpe" -> tokenCountBpe,
+    "bpe_merges" -> bpeMerges,
     "rolling_fingerprint" -> rollingFingerprint,
     "tfidf_top_terms" -> tfidfTopTerms,
     "bm25_rank" -> bm25Rank,

@@ -948,6 +948,70 @@ object TextOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Distributed BPE (byte-pair-encoding) merge training — the
+    * tokenizer-learning step of a training-data pipeline, in the
+    * Sennrich word-frequency formulation. The corpus is scanned ONCE
+    * into a (word, freq) vocabulary; every round after that runs over
+    * the VOCABULARY (bounded by distinct words, not corpus bytes):
+    * count adjacent symbol pairs weighted by word frequency (one
+    * vocab-sized shuffle), pick the most frequent pair (deterministic
+    * tie-break freq DESC, left ASC, right ASC — a 1-row collect), apply
+    * it to every word, repeat. At 100 TB the corpus scan dominates and
+    * happens once; the k merge rounds cost k small aggregations.
+    *
+    * Words are held as space-joined symbol strings (' c h a r s </w> ')
+    * and a merge applies as LITERAL non-overlapping left-to-right
+    * replacement of " l r " — Spark's `replace` and DuckDB's `replace`
+    * share these semantics exactly, which is what makes training
+    * reproducible bit-for-bit in the oracle. On self-runs (l == r) this
+    * differs from re-scanning BPE only in which overlapping occurrence
+    * folds first. No UDFs anywhere.
+    *
+    * Returns the learned merge table (merge_rank, lhs, rhs, freq).
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    var vocab = words.groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+        concat_ws(" ", transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))),
+        lit(" </w> ")).as("repr"), col("freq")).persist()
+    vocab.count()
+    val out = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    try {
+      for (rank <- 1 to merges) {
+        val toks = split(trim(col("repr")), " ")
+        val pairs = vocab
+          .select(explode(arrays_zip(
+            slice(toks, lit(1), size(toks) - 1).as("l"),
+            slice(toks, lit(2), size(toks) - 1).as("r"))).as("z"),
+            col("freq"))
+          .select(col("z.l").as("l"), col("z.r").as("r"), col("freq"))
+          .groupBy("l", "r").agg(sum("freq").as("freq"))
+        val best = pairs
+          .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (best.isEmpty) return out.toSeq
+          .toDF("merge_rank", "lhs", "rhs", "freq")
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        out += ((rank, l, r, best(0).getLong(2)))
+        // call_function keeps the learned symbols out of any SQL text
+        // (they come from corpus data)
+        val next = vocab.select(
+          call_function("replace", col("repr"),
+            lit(s" $l $r "), lit(s" $l$r ")).as("repr"),
+          col("freq")).persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+    } finally { vocab.unpersist(); () }
+    out.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
   /** SimHash (16-bit, portable hash): per bit j, sign of the sum over tokens
     * (with multiplicity) of +-1 according to bit j of the token hash.
     */

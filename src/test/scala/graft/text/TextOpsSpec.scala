@@ -363,4 +363,25 @@ class TextOpsSpec extends SparkSpec {
     val avgs = got.select("avg_nll").as[Double].collect()
     assert(avgs.forall(a => a > 0.0 && a < 20.0))
   }
+
+  test("bpeTrain learns hand-checked merges with deterministic ties") {
+    // corpus: "low" x3, "lower" x1 -> pair counts over chars+</w>:
+    //   (l,o)=4 (o,w)=4 (w,</w>)=3 (w,e)=1 (e,r)=1 (r,</w>)=1
+    // tie (l,o) vs (o,w) at 4 breaks on left asc -> (l,o) first; then
+    // (lo,w)=4 merges; then (low,</w>)=3; then the "er" tail of lower.
+    val corpus = Seq("low low lower", "low").toDF("text")
+    val got = TextOps.bpeTrain(corpus, "text", 4)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1, "l", "o", 4L), (2, "lo", "w", 4L), (3, "low", "</w>", 3L),
+      (4, "e", "r", 1L)), s"got $got")
+  }
+
+  test("bpeTrain is partitioning-independent") {
+    val a = TextOps.bpeTrain(docs, "text", 3)
+      .as[(Int, String, String, Long)].collect().toSet
+    val b = TextOps.bpeTrain(docs.repartition(7), "text", 3)
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(a == b && a.size == 3)
+  }
 }
