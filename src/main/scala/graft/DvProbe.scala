@@ -76,6 +76,24 @@ object DvProbe {
         f"read_after=$readSecs%.2fs (warm_read=$warm%.2fs) rows_after=$cnt")
       require(cnt == n - dead.count(), s"row count off in mode $mode")
     }
+
+    // same shape for UPDATES: a scattered small batch against wide files
+    val upd = dead.select(col("id"), col("p"),
+      lit("fresh").as("pay1"), lit("fresh").as("pay2"))
+    Seq(false, true).foreach { dv =>
+      val t = build(dv)
+      t.snapshot().count()
+      val (_, upSecs) = timed(
+        if (dv) t.upsertVectored(upd) else t.upsert(upd))
+      val bytes = commitBytes(t)
+      val (cnt, readSecs) = timed(t.snapshot().count())
+      spark.catalog.clearCache()
+      val mode = if (dv) "dv " else "cow"
+      println(f"[dvprobe] mode=$mode rows=$n updates=$victims " +
+        f"upsert=$upSecs%.2fs commit_kb=${bytes / 1024.0}%.1f " +
+        f"read_after=$readSecs%.2fs rows_after=$cnt")
+      require(cnt == n, s"row count off in upsert mode $mode")
+    }
     spark.stop()
   }
 }

@@ -1099,61 +1099,8 @@ class CowTable(
           m.partitions.getOrElse(k, Nil)), Map.empty[String, Seq[String]])
       val probeKeys =
         incoming.select(mergeIdCols.map(col): _*).distinct()
-      val (newDvs, dvRefs, dvRows) =
-        if (candFiles.isEmpty) (m.dvs, Nil, 0L)
-        else {
-          val idCols = mergeIdCols
-          val idSchema = StructType(
-            m.schema.fields.filter(f => idCols.contains(f.name)))
-          // column-pruned candidate scan: key/partition columns + the
-          // row's scan identity — never the payload
-          val cur0 = spark.read.schema(addDirCols(idSchema))
-            .parquet(candFiles.map(f =>
-              CowTable.resolveFile(basePath, f)): _*)
-            .select(idCols.toIndexedSeq.map(col) :+
-              col("_metadata.file_path").as(DvFileCol) :+
-              col("_metadata.row_index").as(DvPosCol): _*)
-          // positions already dead under an existing vector must not be
-          // re-recorded (counts would double)
-          val priorRefs = candFiles.flatMap(f =>
-            m.dvs.get(f).map(_.files).getOrElse(Nil)).distinct
-          val cur =
-            if (priorRefs.isEmpty) cur0
-            else {
-              val prior = broadcast(spark.read.parquet(priorRefs.map(f =>
-                CowTable.resolveFile(basePath, f)): _*))
-              cur0.join(prior,
-                cur0(DvFileCol) === prior(DvFileCol) &&
-                  cur0(DvPosCol) === prior(DvPosCol), "left_anti")
-            }
-          val hits = cur.join(probeKeys, idMatch(cur, probeKeys),
-            "left_semi").select(DvFileCol, DvPosCol).persist()
-          try {
-            // per-file counts: bounded by the candidate file count
-            val counts = hits.groupBy(DvFileCol).count().collect()
-              .map(r => r.getString(0) -> r.getLong(1))
-            if (counts.isEmpty) (m.dvs, Nil, 0L)
-            else {
-              val total = counts.iterator.map(_._2).sum
-              val relOf: Map[String, String] = counts.map { case (abs, _) =>
-                val matches = candFiles.filter(abs.endsWith)
-                require(matches.size == 1,
-                  s"ambiguous scan path $abs against the candidate listing")
-                abs -> matches.head
-              }.toMap
-              val refs = writeDvFiles(hits, v,
-                math.max(1, (total / 10000000L).toInt))
-              val updated = counts.foldLeft(m.dvs) {
-                case (acc, (abs, n)) =>
-                  val f = relOf(abs)
-                  val old = acc.getOrElse(f, DvEntry(Nil, 0L))
-                  acc + (f -> DvEntry((old.files ++ refs).distinct,
-                    old.rows + n))
-              }
-              (updated, refs, total)
-            }
-          } finally { hits.unpersist(); () }
-        }
+      val (newDvs, dvRefs, dvRows) = markDvPositions(m, v, candFiles,
+        probeKeys)
       // tombstones must carry the table's field-id metadata (they are
       // read back through the id-stamped schema by the change feed)
       val tombSchema = StructType(
@@ -1171,6 +1118,133 @@ class CowTable(
           "dv_rows_added" -> dvRows) ++ extraMetrics))
       clean()
     } finally { incoming.unpersist(); () }
+  }
+
+  /** K2 via DELETION VECTORS: upsert as append-plus-positional-mask.
+    * Matched stored rows are marked dead in a sidecar (never rewritten)
+    * and the whole incoming batch appends as fresh files — write cost is
+    * the candidates' KEY-column scan plus the batch itself, independent
+    * of how wide or how large the files holding the replaced rows are.
+    * The merge-on-read idea applied to COW, with positions instead of
+    * key-ranged log files: reads stay a plain scan + anti-join on
+    * exactly the DV'd files, and any rewrite or [[compact]] folds the
+    * masks away.
+    *
+    * Semantics match [[upsert]] exactly: intra-batch conflicts resolve
+    * by the precombine field (greatest wins), the incoming image then
+    * replaces the stored row under the null-safe (key, partition)
+    * identity, unmatched rows insert, and commit-version stamps mark the
+    * appended rows so incremental readers see precisely the changed
+    * rows. Use when update batches are small relative to the files they
+    * touch and reads can absorb the positional anti-join until the next
+    * compaction — the classic write-heavy CDC shape.
+    */
+  def upsertVectored(df: DataFrame, parallelism: Int = 0,
+      extraMetrics: Map[String, Long] = Map.empty): Unit = {
+    require(storageTypeName == "cow",
+      s"upsertVectored is COW-only (MOR upserts are log appends) at " +
+        basePath)
+    require(keyCols.forall(df.columns.contains),
+      s"upsert batch must carry the record key columns $keyCols; " +
+        s"got ${df.columns.toSeq}")
+    val m = manifest
+    val v = m.version + 1
+    val stamped = stamp(df, v)
+    val evolved = evolveSchema(m, stamped.schema)
+    val incoming0 = pad(stamped, evolved)
+    val incoming = (if (precombineField.nonEmpty)
+      CdcOps.precombine(incoming0, mergeIdCols, precombineField)
+    else incoming0).persist()
+    try {
+      val touched = touchedPartitionKeys(incoming)
+      val existing = touched.intersect(m.partitions.keySet)
+      val (candFiles, _) =
+        if (fileIndexEntries > 0) pruneCandidateFiles(m, existing, incoming)
+        else (existing.toSeq.sorted.flatMap(k =>
+          m.partitions.getOrElse(k, Nil)), Map.empty[String, Seq[String]])
+      val probeKeys =
+        incoming.select(mergeIdCols.map(col): _*).distinct()
+      val (newDvs, dvRefs, dvRows) = markDvPositions(m, v, candFiles,
+        probeKeys)
+      val newFiles = writeCommit(incoming, v, parallelism,
+        idSchema = evolved)
+      writeManifest(withFileStats(m.copy(version = v,
+        schemaJson = evolved.json,
+        partitions = mergeListings(m.partitions, newFiles),
+        dvs = newDvs,
+        operation = "upsert_vectored",
+        metrics = CowTable.writeStats(newFiles) +
+          ("files_candidate" -> candFiles.size.toLong) +
+          ("dv_files_written" -> dvRefs.size.toLong) +
+          ("dv_rows_added" -> dvRows) ++ extraMetrics),
+        newFiles, evolved))
+      clean()
+    } finally { incoming.unpersist(); () }
+  }
+
+  /** The deletion-vector core shared by [[deleteVectored]] and
+    * [[upsertVectored]]: find the candidate files' rows whose identity
+    * matches `probeKeys` (null-safe key+partition, like every merge),
+    * EXCLUDING positions already dead under an existing vector, write
+    * their (file, row position) pairs as a sidecar, and fold them into
+    * the manifest's dv map. Reads only the candidates' identity columns
+    * plus scan metadata — never the payload. Returns (updated dv map,
+    * new sidecar refs, positions recorded).
+    */
+  private def markDvPositions(m: Manifest, v: Long, candFiles: Seq[String],
+      probeKeys: DataFrame): (Map[String, DvEntry], Seq[String], Long) = {
+    if (candFiles.isEmpty) return (m.dvs, Nil, 0L)
+    val idCols = mergeIdCols
+    val idSchema = StructType(
+      m.schema.fields.filter(f => idCols.contains(f.name)))
+    // column-pruned candidate scan: key/partition columns + the
+    // row's scan identity — never the payload
+    val cur0 = spark.read.schema(addDirCols(idSchema))
+      .parquet(candFiles.map(f =>
+        CowTable.resolveFile(basePath, f)): _*)
+      .select(idCols.toIndexedSeq.map(col) :+
+        col("_metadata.file_path").as(DvFileCol) :+
+        col("_metadata.row_index").as(DvPosCol): _*)
+    // positions already dead under an existing vector must not be
+    // re-recorded (counts would double)
+    val priorRefs = candFiles.flatMap(f =>
+      m.dvs.get(f).map(_.files).getOrElse(Nil)).distinct
+    val cur =
+      if (priorRefs.isEmpty) cur0
+      else {
+        val prior = broadcast(spark.read.parquet(priorRefs.map(f =>
+          CowTable.resolveFile(basePath, f)): _*))
+        cur0.join(prior,
+          cur0(DvFileCol) === prior(DvFileCol) &&
+            cur0(DvPosCol) === prior(DvPosCol), "left_anti")
+      }
+    val hits = cur.join(probeKeys, idMatch(cur, probeKeys),
+      "left_semi").select(DvFileCol, DvPosCol).persist()
+    try {
+      // per-file counts: bounded by the candidate file count
+      val counts = hits.groupBy(DvFileCol).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      if (counts.isEmpty) (m.dvs, Nil, 0L)
+      else {
+        val total = counts.iterator.map(_._2).sum
+        val relOf: Map[String, String] = counts.map { case (abs, _) =>
+          val matches = candFiles.filter(abs.endsWith)
+          require(matches.size == 1,
+            s"ambiguous scan path $abs against the candidate listing")
+          abs -> matches.head
+        }.toMap
+        val refs = writeDvFiles(hits, v,
+          math.max(1, (total / 10000000L).toInt))
+        val updated = counts.foldLeft(m.dvs) {
+          case (acc, (abs, n)) =>
+            val f = relOf(abs)
+            val old = acc.getOrElse(f, DvEntry(Nil, 0L))
+            acc + (f -> DvEntry((old.files ++ refs).distinct,
+              old.rows + n))
+        }
+        (updated, refs, total)
+      }
+    } finally { hits.unpersist(); () }
   }
 
   /** Write one commit's deletion-vector sidecar parquet(s) under a

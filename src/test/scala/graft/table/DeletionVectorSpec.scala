@@ -200,6 +200,63 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.manifest.dvs.valuesIterator.map(_.rows).sum == 2)
   }
 
+  test("upsertVectored equals the rewrite upsert on every surface") {
+    def seed(dir: String, dv: Boolean): CowTable = {
+      val t = new CowTable(spark, dir, keyCols = Seq("id"),
+        partitionCols = Seq("p"), precombineField = "ts",
+        fileIndexEntries = 1000, trackCommitVersions = true,
+        deleteVectors = dv)
+      t.bulkInsert(rows(120).toDF("id", "p", "ts", "v"), parallelism = 4)
+      t
+    }
+    val a = seed(tmpDir("dvu-a"), dv = false)
+    val b = seed(tmpDir("dvu-b"), dv = true)
+    // batch: updates (incl. an intra-batch conflict the precombine must
+    // resolve greatest-wins), inserts, and a brand-new partition
+    val batch = Seq(
+      ("k0005", "p2", 9L, 500.0), ("k0005", "p2", 7L, 700.0), // conflict
+      ("k0010", "p1", 5L, 10.5),                              // update
+      ("x9999", "p0", 2L, -3.0),                              // insert
+      ("n0001", "p9", 1L, 1.0))                               // new unit
+      .toDF("id", "p", "ts", "v")
+    a.upsert(batch)
+    b.upsertVectored(batch)
+    val sa = a.snapshot().select("id", "p", "ts", "v")
+      .as[(String, String, Long, Double)].collect().toSet
+    val sb = b.snapshot().select("id", "p", "ts", "v")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(sa == sb, s"snapshots diverge: ${sa.diff(sb)} / ${sb.diff(sa)}")
+    assert(sb.contains(("k0005", "p2", 9L, 500.0)),
+      "precombine greatest-wins must hold")
+    // B rewrote NOTHING: its original files are all still listed
+    assert(b.manifest.dvs.valuesIterator.map(_.rows).sum == 2,
+      "exactly the two replaced rows are masked")
+    // incremental readers see the same changed keys
+    val ca = a.changesSince(1L).select("id").as[String].collect().toSet
+    val cb = b.changesSince(1L).select("id").as[String].collect().toSet
+    assert(ca == cb && cb == Set("k0005", "k0010", "x9999", "n0001"))
+    // fastCount exact, compaction folds, snapshot stable
+    assert(b.fastCount().contains(122L))
+    b.compact(maxFilesPerUnit = 64)
+    assert(b.manifest.dvs.isEmpty)
+    assert(b.snapshot().select("id", "p", "ts", "v")
+      .as[(String, String, Long, Double)].collect().toSet == sa)
+  }
+
+  test("repeated vectored upserts accumulate masks, reads stay exact") {
+    val t = mkTable(tmpDir("dvu-rep"))
+    t.bulkInsert(rows(60).toDF("id", "p", "ts", "v"))
+    (1 to 5).foreach { i =>
+      t.upsertVectored(Seq(("k0000", "p0", i.toLong, i * 1.0))
+        .toDF("id", "p", "ts", "v"))
+    }
+    val got = t.snapshot().filter($"id" === "k0000")
+      .select("ts", "v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((5L, 5.0)), s"latest image must win: $got")
+    assert(t.snapshot().count() == 60L)
+    assert(t.fastCount().contains(60L))
+  }
+
   test("clone shares vectors by reference and diverges locally") {
     val src = mkTable(tmpDir("dv-clone-src"))
     src.bulkInsert(rows(50).toDF("id", "p", "ts", "v"))
