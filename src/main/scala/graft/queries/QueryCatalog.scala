@@ -1598,6 +1598,41 @@ object QueryCatalog {
     (s, d) => graft.text.TextOps.bpeTrain(t(s, d, "documents"), "text", 6),
     Some(bpeOracle(6)))
 
+  /** The tokenizer APPLY side: train 6 merges, then encode every
+    * document with them ([[graft.text.TextOps.bpeEncode]] — one narrow
+    * projection per doc, merges ride the closure). Oracle: the same
+    * training CTE chain, then the same six replaces applied per doc via
+    * scalar subqueries against b1..b6.
+    */
+  private val bpeEncode = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.text.TextOps.bpeTrain(docs, "text", 6)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.TextOps.bpeEncode(docs, "text", merges)
+    },
+    Some {
+      val base = bpeOracle(6)
+      // reuse the training CTE chain (strip its final SELECT), then
+      // encode: the doc as one symbol string, 6 replaces in rank order
+      val ctes = base.substring(0, base.lastIndexOf("\nSELECT 1 AS"))
+      val repr = "' ' || array_to_string(list_transform(" +
+        "list_filter(string_split_regex(text, '\\s+'), " +
+        "w -> length(w) > 0), " +
+        "w -> array_to_string(list_transform(" +
+        "generate_series(1, length(w)), i -> w[i]), ' ')), ' </w> ') " +
+        "|| ' </w> '"
+      val applied = (1 to 6).foldLeft(repr)((acc, i) =>
+        s"replace($acc, (SELECT ' ' || l || ' ' || r || ' ' FROM b$i), " +
+          s"(SELECT ' ' || l || r || ' ' FROM b$i))")
+      // NO stripMargin here: the interpolated CTE chain contains lines
+      // that legitimately START with the || operator
+      ctes + "\nSELECT doc_id,\n" +
+        s"  CAST(len(string_split(trim($applied), ' ')) AS BIGINT)" +
+        s" AS n_tokens,\n  trim($applied) AS encoded\nFROM documents"
+    })
+
   private val rollingFingerprint = Q(
     (s, d) => TextOps.rollingFingerprint(t(s, d, "documents")),
     Some(
@@ -4182,6 +4217,7 @@ object QueryCatalog {
     "doc_fingerprint" -> docFingerprint,
     "token_count_bpe" -> tokenCountBpe,
     "bpe_merges" -> bpeMerges,
+    "bpe_encode" -> bpeEncode,
     "rolling_fingerprint" -> rollingFingerprint,
     "tfidf_top_terms" -> tfidfTopTerms,
     "bm25_rank" -> bm25Rank,

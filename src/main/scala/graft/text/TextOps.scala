@@ -1012,6 +1012,36 @@ object TextOps {
     out.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
   }
 
+  /** Apply a learned BPE merge table ([[bpeTrain]]) to encode documents:
+    * the whole document becomes ONE space-joined symbol string
+    * (word chars separated by spaces, words separated by the `</w>`
+    * boundary symbol), each merge applies in rank order as the same
+    * literal replacement used in training, and the result splits into
+    * the token stream. One narrow projection per document — no joins,
+    * no shuffles, fully parallel over the corpus; the merge table rides
+    * the closure (it is k rows).
+    *
+    * Returns (doc_id, n_tokens, encoded) where `encoded` is the
+    * space-joined token string (exact, oracle-comparable).
+    */
+  def bpeEncode(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"),
+      w => length(w) > lit(0))
+    val repr0 = concat(lit(" "),
+      concat_ws(" </w> ", transform(words, w =>
+        concat_ws(" ", transform(sequence(lit(1), length(w)),
+          i => w.substr(i, lit(1)))))),
+      lit(" </w> "))
+    val encodedRepr = merges.foldLeft(repr0) { case (acc, (l, r)) =>
+      call_function("replace", acc, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    docs.select(col("doc_id"), trim(encodedRepr).as("enc"))
+      .select(col("doc_id"),
+        size(split(col("enc"), " ")).cast("long").as("n_tokens"),
+        col("enc").as("encoded"))
+  }
+
   /** SimHash (16-bit, portable hash): per bit j, sign of the sum over tokens
     * (with multiplicity) of +-1 according to bit j of the token hash.
     */

@@ -377,6 +377,17 @@ class TextOpsSpec extends SparkSpec {
       (4, "e", "r", 1L)), s"got $got")
   }
 
+  test("bpeEncode applies learned merges in rank order") {
+    val corpus = Seq("low low lower", "low").toDF("text")
+    val merges = TextOps.bpeTrain(corpus, "text", 4)
+      .orderBy("merge_rank").as[(Int, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val got = TextOps.bpeEncode(
+      Seq((1L, "low lower")).toDF("doc_id", "text"), "text", merges)
+      .as[(Long, Long, String)].head()
+    assert(got == ((1L, 4L, "low</w> low er </w>")), s"got $got")
+  }
+
   test("bpeTrain is partitioning-independent") {
     val a = TextOps.bpeTrain(docs, "text", 3)
       .as[(Int, String, String, Long)].collect().toSet
