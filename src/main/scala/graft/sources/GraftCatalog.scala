@@ -175,7 +175,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             prop("fileIndexEntries").map(_.toInt).getOrElse(0),
           statsCols = propList("statsCols"),
           bloomCols = propList("bloomCols"),
-          checkConstraints = checks)
+          checkConstraints = checks,
+          deleteVectors = prop("deleteVectors").exists(_.toBoolean))
     t.createEmpty(info.schema())
     loadTable(ident)
   }

@@ -217,15 +217,24 @@ private[sources] object GraftProcedures {
           StructField("num_log_files", LongType, nullable = false),
           StructField("num_rows", LongType, nullable = true),
           StructField("size_bytes", LongType, nullable = true),
+          StructField("num_dv_files", LongType, nullable = false),
+          StructField("num_dv_rows", LongType, nullable = false),
           StructField("dropped_cols", StringType, nullable = false),
           StructField("check_constraints", StringType, nullable = false)))
         val files = m.baseFiles
+        // deletion vectors: num_rows reports LIVE rows (physical minus
+        // masked), with the masked state surfaced in its own columns
+        val dvRows = files.flatMap(m.dvs.get).map(_.rows).sum
         // exact only when every base file has stats and no logs pend
         def total(get: graft.table.FileStat => Long): Any = {
           val vs = files.map(f => m.fileStats.get(f).map(get))
           if (m.logPartitions.valuesIterator.flatten.isEmpty &&
             vs.forall(_.exists(_ >= 0L))) vs.flatten.sum
           else null
+        }
+        def liveRows: Any = total(_.rows) match {
+          case n: Long => n - dvRows
+          case other => other
         }
         val row = new GenericInternalRow(Array[Any](
           UTF8String.fromString(t.basePath),
@@ -236,7 +245,9 @@ private[sources] object GraftProcedures {
           p.numBuckets.toLong,
           files.size.toLong,
           m.logPartitions.valuesIterator.flatten.size.toLong,
-          total(_.rows), total(_.bytes),
+          liveRows, total(_.bytes),
+          m.dvSidecarFiles.size.toLong,
+          dvRows,
           UTF8String.fromString(m.droppedCols.mkString(",")),
           UTF8String.fromString(
             p.checkConstraints.mkString("; ")))): InternalRow

@@ -2047,7 +2047,7 @@ class CowTable(
     */
   def alterProps(updates: Map[String, String]): CowTable = {
     val allowed = Set("keepCommits", "compactEvery", "fileIndexEntries",
-      "statsCols", "bloomCols", "checkConstraints")
+      "statsCols", "bloomCols", "checkConstraints", "deleteVectors")
     val bad = updates.keys.filterNot(k =>
       allowed.exists(_.equalsIgnoreCase(k)))
     require(bad.isEmpty,
@@ -2072,10 +2072,17 @@ class CowTable(
       statsCols = list("statsCols", p0.statsCols),
       bloomCols = list("bloomCols", p0.bloomCols),
       checkConstraints =
-        list("checkConstraints", p0.checkConstraints, sep = ';'))
+        list("checkConstraints", p0.checkConstraints, sep = ';'),
+      // toggling the delete ROUTING is safe either way: existing
+      // vectors keep applying at read until a rewrite/compaction folds
+      // them, regardless of how future deletes commit
+      deleteVectors = get("deleteVectors").map(_.toBoolean)
+        .getOrElse(p0.deleteVectors))
     require(p.bloomCols.forall(p.statsCols.contains),
       s"bloomCols must be a subset of statsCols " +
         s"(${p.bloomCols} vs ${p.statsCols})")
+    require(!p.deleteVectors || storageTypeName == "cow",
+      "deleteVectors is COW-only (MOR deletes are already log appends)")
     // Delta ADD CONSTRAINT semantics: a new constraint must already hold
     // over the stored data, or the DDL refuses — otherwise reads would
     // serve rows the table's own contract forbids

@@ -94,6 +94,38 @@ class DvReadRuleSpec extends SparkSpec {
     assert(!hasUnion, "folded table must read through the native scan")
   }
 
+  test("deleteVectors flows through DDL: create, toggle, detail") {
+    val wh = tmpDir("dv-ddl-wh")
+    spark.conf.set("spark.sql.catalog.dvcat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dvcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dvcat.lake")
+    spark.sql("""CREATE TABLE dvcat.lake.t (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('keyCols'='id',
+        'fileIndexEntries'='1000', 'deleteVectors'='true')""")
+    spark.sql(
+      "INSERT INTO dvcat.lake.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    spark.sql("DELETE FROM dvcat.lake.t WHERE id = 2")
+    val t = CowTable.open(spark, s"$wh/lake/t")
+    assert(t.manifest.operation == "delete_vectored")
+    assert(spark.sql("SELECT count(*) AS n FROM dvcat.lake.t")
+      .collect().head.getLong(0) == 2L)
+    // detail reports LIVE rows and the masked state
+    val row = spark.sql("CALL dvcat.system.detail('lake.t')")
+      .collect().head
+    assert(row.getLong(row.fieldIndex("num_rows")) == 2L)
+    assert(row.getLong(row.fieldIndex("num_dv_rows")) == 1L)
+    assert(row.getLong(row.fieldIndex("num_dv_files")) >= 1L)
+    // toggle back to rewrite deletes; old vectors keep applying
+    spark.sql("ALTER TABLE dvcat.lake.t SET TBLPROPERTIES " +
+      "('deleteVectors'='false')")
+    spark.sql("DELETE FROM dvcat.lake.t WHERE id = 3")
+    val t2 = CowTable.open(spark, s"$wh/lake/t")
+    assert(t2.manifest.operation == "delete")
+    assert(spark.sql("SELECT id FROM dvcat.lake.t").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("SQL DELETE and MERGE on a DV'd target keep working") {
     val t = mkDvTable(tmpDir("dvr-dml"))
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW dvr_m USING graft " +
