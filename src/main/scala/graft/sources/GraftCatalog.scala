@@ -163,6 +163,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           fileIndexEntries =
             prop("fileIndexEntries").map(_.toInt).getOrElse(0),
           statsCols = propList("statsCols"),
+          clusterCols = propList("clusterCols"),
           bloomCols = propList("bloomCols"),
           checkConstraints = checks)
       else
@@ -174,6 +175,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           fileIndexEntries =
             prop("fileIndexEntries").map(_.toInt).getOrElse(0),
           statsCols = propList("statsCols"),
+          clusterCols = propList("clusterCols"),
           bloomCols = propList("bloomCols"),
           checkConstraints = checks,
           deleteVectors = prop("deleteVectors").exists(_.toBoolean))

@@ -161,4 +161,66 @@ class GraftSpjSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(shuffles(df).isEmpty, "churned table must stay SPJ-joinable")
     }
   }
+
+  test("key-sorted single-file buckets join with no exchange AND no sort") {
+    init()
+    def mkSorted(name: String, rows: Seq[(Long, Double)]): Unit = {
+      spark.sql(s"""CREATE TABLE spj.lake.$name (k BIGINT, v DOUBLE)
+        USING graft TBLPROPERTIES ('keyCols'='k', 'numBuckets'='4',
+          'clusterCols'='k')""")
+      rows.toDF("k", "v").createOrReplaceTempView(s"spj_src_$name")
+      spark.sql(
+        s"INSERT INTO spj.lake.$name SELECT k, v FROM spj_src_$name")
+      // fold each bucket to ONE file: the precondition for the scan's
+      // reported per-partition ordering (two sorted files concatenated
+      // are not sorted, so multi-file buckets claim nothing)
+      val t = graft.table.CowTable.open(spark, s"$wh/lake/$name")
+      t.compact(maxFilesPerUnit = 1)
+      assert(t.manifest.partitions.valuesIterator.forall(_.size == 1))
+    }
+    mkSorted("sa", (1L to 500L).map(k => k -> k * 1.0))
+    mkSorted("sb", (300L to 700L).map(k => k -> k * 10.0))
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // force the sort-merge join path (no hash join) so the assertion
+      // targets exactly the sorts SMJ would otherwise insert
+      "spark.sql.join.preferSortMergeJoin" -> "true",
+      "spark.sql.join.forceApplyShuffledHashJoin" -> "false") {
+      val df = spark.sql("""SELECT a.k, a.v AS va, b.v AS vb
+        FROM spj.lake.sa a JOIN spj.lake.sb b ON a.k = b.k""")
+      val got = df.as[(Long, Double, Double)].collect().toSet
+      assert(got == (300L to 500L).map(k => (k, k * 1.0, k * 10.0)).toSet)
+      assert(shuffles(df).isEmpty,
+        s"sorted SPJ must not shuffle:\n${df.queryExecution.executedPlan}")
+      val sorts = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.isEmpty,
+        "co-bucketed KEY-SORTED single-file tables must sort-merge join " +
+          s"with no SortExec:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("multi-file buckets do NOT claim ordering (sorts reappear)") {
+    init()
+    // table sa compacted to 1 file/bucket; append more rows -> 2 files
+    spark.sql("INSERT INTO spj.lake.sa VALUES (501, 501.0), (502, 502.0)")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql("""SELECT a.k, a.v AS va, b.v AS vb
+        FROM spj.lake.sa a JOIN spj.lake.sb b ON a.k = b.k""")
+      val got = df.as[(Long, Double, Double)].collect().toSet
+      assert(got ==
+        ((300L to 502L).map(k => (k, k * 1.0, k * 10.0)).toSet),
+        "post-append join must stay correct")
+      val sorts = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.nonEmpty,
+        "multi-file buckets are unsorted: SMJ must re-sort (claiming " +
+          "otherwise would return wrong join results)")
+    }
+  }
 }
