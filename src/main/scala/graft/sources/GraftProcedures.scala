@@ -122,6 +122,25 @@ private[sources] object GraftProcedures {
       Seq(("table", StringType, None),
         ("target_bytes", LongType, Some("134217728"))),
       (t, in) => t.maintain(in.getLong(1)).toSeq.sortBy(_._1)),
+    Spec("analyze",
+      "compute table-level column statistics (approx NDV, exact nulls, " +
+        "length estimates) in one pass; served to CBO while fresh",
+      Seq(("table", StringType, None)),
+      (t, _) => Nil,
+      runTable = Some { (t, _) =>
+        val stats = t.analyze()
+        val schema = StructType(Seq(
+          StructField("column", StringType, nullable = false),
+          StructField("ndv", LongType, nullable = false),
+          StructField("nulls", LongType, nullable = false),
+          StructField("avg_len", LongType, nullable = false),
+          StructField("max_len", LongType, nullable = false)))
+        val rows = stats.toSeq.sortBy(_._1).map { case (c, st) =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(c),
+            st.ndv, st.nulls, st.avgLen, st.maxLen)): InternalRow
+        }
+        (schema, rows.toArray)
+      }),
     Spec("purge_dropped_columns",
       "rewrite base files so dropped columns' values are physically " +
         "gone; re-adding their names unlocks (Delta REORG PURGE analog)",

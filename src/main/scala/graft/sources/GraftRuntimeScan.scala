@@ -92,6 +92,36 @@ final class GraftRuntimeScan(
         if (counts.forall(_.exists(_ >= 0L)))
           Some(counts.flatten.sum) else None
       }
+    // ANALYZE-computed column statistics, served ONLY while fresh
+    // (recorded at the manifest's own version): NDV/null-count/lengths
+    // feed CBO join estimation (spark.sql.cbo.enabled) — at 100 TB the
+    // difference between a join order planned on evidence and one
+    // planned on byte-size heuristics
+    val colStats: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (m.tableColStatsVersion == m.version && m.tableColStats.nonEmpty) {
+        val served = readSchema().fieldNames.toSet
+        m.tableColStats.foreach { case (c, st) =>
+          if (served.contains(c)) out.put(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(c),
+            new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+              override def distinctCount() =
+                java.util.OptionalLong.of(st.ndv)
+              override def nullCount() =
+                java.util.OptionalLong.of(st.nulls)
+              override def avgLen() = java.util.OptionalLong.of(st.avgLen)
+              override def maxLen() = java.util.OptionalLong.of(st.maxLen)
+            })
+        }
+      }
+      out
+    }
     new Statistics {
       override def sizeInBytes() = innerStats
         .map(_.sizeInBytes()).getOrElse(java.util.OptionalLong.empty())
@@ -100,6 +130,7 @@ final class GraftRuntimeScan(
         case None => innerStats.map(_.numRows())
           .getOrElse(java.util.OptionalLong.empty())
       }
+      override def columnStats() = colStats
     }
   }
 

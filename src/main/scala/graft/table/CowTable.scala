@@ -124,6 +124,16 @@ final case class Manifest(
       * cleaner liveness with the data ([[dvSidecarFiles]]).
       */
     dvs: Map[String, DvEntry] = Map.empty,
+    /** ANALYZE output (lowercased column → stats) — the table-level
+      * statistics [[CowTable.analyze]] computed, served to Spark's
+      * cost-based optimizer through the DSv2 scan when FRESH
+      * ([[tableColStatsVersion]] == current version; any data commit
+      * makes them stale and they silently stop being served until the
+      * next analyze). NDV is HLL-approximate (order-independent);
+      * null counts are exact; lengths are byte estimates.
+      */
+    tableColStats: Map[String, ColStatRec] = Map.empty,
+    tableColStatsVersion: Long = 0L,
     /** Shadow tombstones for `ALTER TABLE DROP COLUMN` (lowercased
       * names): a metadata-only drop leaves the column's VALUES in every
       * file written before it, so re-adding the name would resurrect
@@ -162,6 +172,13 @@ final case class Manifest(
   * total deleted-row count (what [[CowTable.fastCount]] subtracts).
   */
 final case class DvEntry(files: Seq[String], rows: Long)
+
+/** One column's ANALYZE statistics ([[Manifest.tableColStats]]):
+  * approximate distinct count, exact null count, average/max value byte
+  * length — the inputs Spark's CBO join estimation consumes.
+  */
+final case class ColStatRec(
+    ndv: Long, nulls: Long, avgLen: Long, maxLen: Long)
 
 /** One [[Manifest.drops]] entry: the dropped partitions' base and delta-log
   * listings as they stood at the drop commit (basePath-relative paths).
@@ -1118,6 +1135,54 @@ class CowTable(
           "dv_rows_added" -> dvRows) ++ extraMetrics))
       clean()
     } finally { incoming.unpersist(); () }
+  }
+
+  /** ANALYZE TABLE: compute per-column table-level statistics in ONE
+    * aggregation pass over the snapshot and record them in the manifest
+    * ([[Manifest.tableColStats]], a metadata-only commit). The DSv2 scan
+    * serves them to Spark's cost-based optimizer
+    * (`spark.sql.cbo.enabled`) while they are FRESH — any data commit
+    * makes them stale and they silently stop being served, so CBO never
+    * plans on lies. NDV uses `approx_count_distinct` (HLL, merge
+    * order-independent — the only sane choice at 100 TB; exact distinct
+    * would be a full shuffle per column); null counts are exact; length
+    * stats are byte estimates (actual lengths for string/binary, the
+    * type's fixed width otherwise). Returns the computed map.
+    */
+  def analyze(columns: Seq[String] = Nil): Map[String, ColStatRec] = {
+    val m = manifest
+    val targets =
+      if (columns.nonEmpty) columns
+      else m.schema.fieldNames.toSeq.filterNot(_ == CommitVerCol)
+    targets.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"analyze: unknown column $c"))
+    val snap = readFiles(m, m.baseFiles)
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val aggs = targets.flatMap { c =>
+      val dt = m.schema(c).dataType
+      val lenExpr = dt match {
+        case StringType => length(col(c)).cast("long")
+        case BinaryType => octet_length(col(c)).cast("long")
+        case t => lit(t.defaultSize.toLong)
+      }
+      Seq(approx_count_distinct(col(c)).as(s"__ndv_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nulls_$c"),
+        coalesce(ceil(avg(lenExpr)), lit(0L)).as(s"__avg_$c"),
+        coalesce(max(when(col(c).isNotNull, lenExpr)), lit(0L))
+          .as(s"__max_$c"))
+    }
+    val row = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val stats = targets.zipWithIndex.map { case (c, i) =>
+      c -> ColStatRec(row.getLong(4 * i), row.getLong(4 * i + 1),
+        row.getLong(4 * i + 2), row.getLong(4 * i + 3))
+    }.toMap
+    val v = m.version + 1
+    writeManifest(m.copy(version = v,
+      tableColStats = stats, tableColStatsVersion = v,
+      operation = "analyze",
+      metrics = Map("columns_analyzed" -> targets.size.toLong)))
+    clean()
+    stats
   }
 
   /** K2 via DELETION VECTORS: upsert as append-plus-positional-mask.
@@ -3796,6 +3861,16 @@ object CowTable {
             "files" -> JArray(e.files.toList.map(JString(_))),
             "rows" -> JInt(e.rows))): JValue)
         }.toList)),
+      // json4s drops JNothing pairs at render: un-analyzed copies as-is
+      "tableColStats" -> (if (m.tableColStats.isEmpty) JNothing
+        else JObject(m.tableColStats.toSeq.sortBy(_._1).map {
+          case (c, st) => c -> (JObject(List(
+            "ndv" -> JInt(st.ndv), "nulls" -> JInt(st.nulls),
+            "avgLen" -> JInt(st.avgLen),
+            "maxLen" -> JInt(st.maxLen))): JValue)
+        }.toList)),
+      "tableColStatsVersion" -> (if (m.tableColStatsVersion > 0)
+        JInt(m.tableColStatsVersion) else JNothing),
       // json4s drops JNothing pairs at render: pre-drop copies stay as-is
       "droppedCols" -> (if (m.droppedCols.isEmpty) JNothing
         else JArray(m.droppedCols.toList.map(JString(_)))),
@@ -3901,6 +3976,14 @@ object CowTable {
         }: _*)
         case _ => ListMap.empty
       },
+      tableColStats = (j \ "tableColStats") match {
+        case JObject(cs) => ListMap(cs.map { case (c, o) =>
+          c -> ColStatRec(long(o \ "ndv", 0L), long(o \ "nulls", 0L),
+            long(o \ "avgLen", 0L), long(o \ "maxLen", 0L))
+        }: _*)
+        case _ => ListMap.empty
+      },
+      tableColStatsVersion = long(j \ "tableColStatsVersion", 0L),
       drops = (j \ "drops") match {
         case JObject(ds) => ListMap(ds.map { case (v, o) =>
           v -> DropRecord(files(o \ "partitions"),
