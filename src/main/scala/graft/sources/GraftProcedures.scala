@@ -62,12 +62,18 @@ private[sources] object GraftProcedures {
     */
   def specs(pathOf: String => String): Seq[Spec] = Seq(
     Spec("compact",
-      "fold crowded units (COW) or pending delta logs (MOR)",
+      "fold crowded units (COW) or pending delta logs (MOR); optional " +
+        "partition predicate scopes the sweep (OPTIMIZE ... WHERE)",
       Seq(("table", StringType, None),
-        ("max_files_per_unit", IntegerType, Some("4"))),
+        ("max_files_per_unit", IntegerType, Some("4")),
+        ("where", StringType, Some("''"))),
       (t, in) => Seq("compacted" -> b2l(t match {
         case m: MorTable => m.compactLogs()
-        case c => c.compact(in.getInt(1))
+        case c =>
+          val pred = in.getString(2)
+          if (pred == null || pred.isEmpty) c.compact(in.getInt(1))
+          else c.compactWhere(
+            org.apache.spark.sql.functions.expr(pred), in.getInt(1))
       }))),
     Spec("compact_by_size",
       "bin-pack small base files toward the target file size",

@@ -38,7 +38,12 @@ final class GraftSink(open: () => CowTable) {
     * applies as ONE conditional merge commit: matched "D" rows delete,
     * everything else upserts, unmatched "D" rows no-op. One commit keeps
     * the batch atomic under replay — splitting into upsert + delete
-    * commits would let a crash between them replay only half.
+    * commits would let a crash between them replay only half. For the
+    * same reason the sink deliberately stays on the REWRITE merge paths
+    * even when the table has `deleteVectors = true`: the vectored
+    * delete/upsert are separate commits, and exactly-once beats cheap
+    * writes here. Batch writers with replay protection of their own can
+    * use `deleteVectored`/`upsertVectored` directly.
     */
   def applyBatch(batch: DataFrame, batchId: Long): Boolean = {
     val t = open()

@@ -471,9 +471,11 @@ class CowTable(
     * computable WITHOUT commit stamps (works on any table, across
     * compactions and reclusters).
     *
-    * Scale path: a row cannot change without its file being rewritten, so
-    * only files PRESENT IN EXACTLY ONE of the two manifests are read —
-    * the unchanged bulk of a 100-TB table never leaves disk. Rows carried
+    * Scale path: a row cannot change without its file being rewritten OR
+    * its file's deletion-vector entry changing, so only files present in
+    * exactly one manifest — plus both-sided files whose DV entries
+    * diverged — are read; the unchanged bulk of a 100-TB table never
+    * leaves disk. Rows carried
     * identically through a rewrite (compaction, clustering, the untouched
     * remainder of a merged bucket) pair up in the full-outer join and are
     * dropped by the image comparison; service-only version windows
@@ -492,9 +494,16 @@ class CowTable(
     val m2 = manifestAt(toVersion)
     val f1 = m1.baseFiles.toSet
     val f2 = m2.baseFiles.toSet
+    // a vectored delete/upsert changes a file's MASK, not the listing:
+    // files present in both versions but with diverged deletion-vector
+    // entries must join the compared sets (each side reads through its
+    // own manifest's vectors, so the row-level delta surfaces)
+    val dvChanged = (f1 ++ f2).filter(f => m1.dvs.get(f) != m2.dvs.get(f))
     diffFrames(
-      readFiles(m1, m1.baseFiles.filterNot(f2)),
-      readFiles(m2, m2.baseFiles.filterNot(f1)), m1, m2)
+      readFiles(m1, m1.baseFiles.filter(f =>
+        !f2(f) || dvChanged(f))),
+      readFiles(m2, m2.baseFiles.filter(f =>
+        !f1(f) || dvChanged(f))), m1, m2)
   }
 
   /** The classification join behind [[diff]]: `oldDf0`/`newDf0` are the
@@ -2611,15 +2620,31 @@ class CowTable(
     * MOR log-compaction (reference cadence knob: `hoodie.compact.inline*`,
     * processData.py:152-153).
     */
-  def compact(maxFilesPerUnit: Int = 4, parallelism: Int = 0): Boolean = {
+  def compact(maxFilesPerUnit: Int = 4, parallelism: Int = 0): Boolean =
+    compactWhere(null, maxFilesPerUnit, parallelism)
+
+  /** [[compact]] restricted to partitions whose partition-column values
+    * satisfy `scope` (null = the whole table): `OPTIMIZE ... WHERE`.
+    * At 100 TB a compaction sweep targets the partitions the ingest
+    * pattern actually fragments (the recent ones) — scanning every
+    * crowded unit of a petabyte of cold history per run is the classic
+    * maintenance-job failure mode this scoping exists to avoid.
+    */
+  def compactWhere(scope: Column, maxFilesPerUnit: Int = 4,
+      parallelism: Int = 0): Boolean = {
     val m = manifest
     // a unit is rewrite-worthy when its file count exceeds the bound OR
     // any of its files carries a deletion vector: compaction is the
     // service that folds vectors back into clean files (reads go through
     // the DV-filtered readFiles, so the rewrite materializes only live
     // rows and the publish funnel drops the folded entries)
-    val crowded = m.partitions.filter { case (_, fls) =>
-      fls.length > maxFilesPerUnit || fls.exists(m.dvs.contains) }.keySet
+    val inScope: Set[String] =
+      if (scope == null) m.partitions.keySet
+      else partitionKeysMatching(m, m.partitions.keys.toSeq.sorted, scope)
+    val crowded = m.partitions.filter { case (k, fls) =>
+      inScope(k) &&
+        (fls.length > maxFilesPerUnit || fls.exists(m.dvs.contains))
+    }.keySet
     if (crowded.isEmpty) return false
     val data = readFiles(m, crowded.toSeq.sorted.flatMap(m.partitions))
     val v = m.version + 1

@@ -257,6 +257,27 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.fastCount().contains(60L))
   }
 
+  test("diff and scd2History see vectored deletes and updates") {
+    val t = mkTable(tmpDir("dv-diff"))
+    t.bulkInsert(rows(60).toDF("id", "p", "ts", "v"))
+    val v1 = t.manifest.version
+    t.delete(Seq(("k0004", "p1")).toDF("id", "p"))
+    t.upsertVectored(Seq(("k0006", "p0", 9L, 99.0))
+      .toDF("id", "p", "ts", "v"))
+    val d = t.diff(v1, t.manifest.version)
+      .select("_graft_change_type", "id")
+      .as[(String, String)].collect().toSet
+    assert(d == Set(("R", "k0004"), ("C", "k0006")),
+      s"DV-only commits must surface in diff: $d")
+    // and the fix is listing-pruned, not a full-table compare: an
+    // untouched-partition row set stays out of the compared frames
+    val hist = t.scd2History()
+    val k4 = hist.filter($"id" === "k0004")
+      .select("valid_to").collect()
+    assert(k4.nonEmpty && k4.forall(!_.isNullAt(0)),
+      "deleted key's interval must close")
+  }
+
   test("clone shares vectors by reference and diverges locally") {
     val src = mkTable(tmpDir("dv-clone-src"))
     src.bulkInsert(rows(50).toDF("id", "p", "ts", "v"))

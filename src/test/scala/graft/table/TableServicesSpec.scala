@@ -303,4 +303,27 @@ class TableServicesSpec extends SparkSpec {
       times.zip(times.tail).forall { case (a, b) => !a.before(b) },
       s"commit times must be non-increasing newest-first: ${times.toSeq}")
   }
+
+  test("compactWhere scopes the sweep to matching partitions") {
+    import org.apache.spark.sql.functions.col
+    val t = new CowTable(spark, tmpDir("svc-cw"), keyCols = Seq("id"),
+      partitionCols = Seq("p"))
+    // several files per partition: seed + pure-insert appends
+    t.bulkInsert((0 until 100).map(i => (f"k$i%03d", s"p${i % 2}", i))
+      .toDF("id", "p", "v"))
+    (1 to 2).foreach { b =>
+      t.upsert((0 until 50).map(i =>
+        (f"n$b-$i%03d", s"p${i % 2}", i)).toDF("id", "p", "v"))
+    }
+    val before = t.manifest
+    assert(before.partitions.valuesIterator.forall(_.size > 1))
+    assert(t.compactWhere(col("p") === "p1", maxFilesPerUnit = 1))
+    val after = t.manifest
+    assert(after.partitions("p=p1").size == 1, "scoped unit folds")
+    assert(after.partitions("p=p0") == before.partitions("p=p0"),
+      "out-of-scope unit untouched")
+    assert(t.snapshot().count() == 200L)
+    // no-op when the scope matches nothing crowded
+    assert(!t.compactWhere(col("p") === "p1", maxFilesPerUnit = 1))
+  }
 }
