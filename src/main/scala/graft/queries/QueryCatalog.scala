@@ -2074,6 +2074,39 @@ object QueryCatalog {
          |  FROM sc)
          |SELECT vec_id, centroid_id, sim FROM r WHERE rn = 1""".stripMargin))
 
+  /** SemDeDup-style semantic dedup: IVF-cell clustering (deterministic
+    * first-16 codebook), within-cell cosine pairing at the demo
+    * threshold, min-id survivor rule. The quadratic term is bounded by
+    * cell population; the oracle reproduces assignment, pairing and the
+    * witness aggregation exactly (sims rounded to 6 dp on both sides).
+    */
+  private val semanticDedup = Q(
+    (s, d) => Similarity.semanticDedup(t(s, d, "embeddings"), 16, 0.4),
+    Some(
+      s"""WITH c AS (SELECT vec_id AS centroid_id,
+         |    CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |sc AS (SELECT e.vec_id, c.centroid_id,
+         |    ${cosSql("CAST(e.embedding AS DOUBLE[])", "cv")} AS sim
+         |  FROM embeddings e, c),
+         |assign AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+         |  FROM sc) WHERE rn = 1),
+         |v AS (SELECT a.vec_id, a.centroid_id,
+         |    CAST(e.embedding AS DOUBLE[]) AS ev
+         |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+         |dup AS (SELECT l.centroid_id, l.vec_id AS id_a, r.vec_id AS id_b,
+         |    ${cosSql("l.ev", "r.ev")} AS sim
+         |  FROM v l JOIN v r ON l.centroid_id = r.centroid_id
+         |    AND l.vec_id < r.vec_id),
+         |pruned AS (SELECT id_b AS vec_id, min(id_a) AS dup_of,
+         |    max(sim) AS max_sim
+         |  FROM dup WHERE sim >= 0.4 GROUP BY id_b)
+         |SELECT a.vec_id, a.centroid_id, p.dup_of IS NULL AS keep,
+         |  p.dup_of, p.max_sim
+         |FROM assign a LEFT JOIN pruned p ON p.vec_id = a.vec_id""".stripMargin))
+
   /** IVF probe search: top-10 for vec 0 scanning only the 4 nearest of 16
     * cells — the sub-linear ANN query path.
     */
@@ -4241,6 +4274,7 @@ object QueryCatalog {
     "cosine_near_dup" -> cosineNearDup,
     "sign_lsh_buckets" -> signLshBuckets,
     "ivf_assign" -> ivfAssign,
+    "semantic_dedup" -> semanticDedup,
     "ivf_search" -> ivfSearch,
     "pq_encode" -> pqEncode,
     "pq_search" -> pqSearch,

@@ -561,4 +561,39 @@ object Similarity {
             x => round(x * (lit(127d) / col("__m"))).cast("long"))))
       .drop("__m")
   }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus into IVF
+    * cells (broadcast codebook, one scan), compare vectors ONLY within
+    * their cell, and prune every vector that has a LOWER-id neighbor at
+    * or above `simThreshold` in the same cell (min-id survivor; the
+    * witness may itself be pruned — the same deterministic greedy rule
+    * MinHash-LSH dedup uses). The quadratic term is bounded by cell
+    * population (corpus/k on average), never corpus² — the SemDeDup
+    * trick: embeddings make "different words, same meaning" dedup a
+    * clustered geometric problem instead of an all-pairs one.
+    *
+    * Returns every vector with its cell, keep flag, and (for pruned
+    * rows) the min-id witness and the rounded max in-cell similarity.
+    */
+  def semanticDedup(embs: DataFrame, nCentroids: Int,
+      simThreshold: Double): DataFrame = {
+    val assign = ivfAssign(embs, nCentroids)
+      .select(col("vec_id"), col("centroid_id"))
+    val vecs = embs.select(col("vec_id"),
+      toDoubleVec(col("embedding")).as("ev"))
+    val a = assign.join(vecs, "vec_id")
+    val l = a.select(col("centroid_id"), col("vec_id").as("id_a"),
+      col("ev").as("va"))
+    val r = a.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("ev").as("vb"))
+    val dup = l.join(r, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= simThreshold)
+    val pruned = dup.groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("dup_of"), max(col("sim")).as("max_sim"))
+    assign.join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        col("dup_of").isNull.as("keep"), col("dup_of"), col("max_sim"))
+  }
 }

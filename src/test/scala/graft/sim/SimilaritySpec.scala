@@ -327,4 +327,27 @@ class SimilaritySpec extends SparkSpec {
       got.mkString(", "))
     assert(got.map(_._3).toSeq == Seq(1, 2, 3, 4))
   }
+
+  test("semanticDedup prunes planted duplicates to the min-id survivor") {
+    // plant: 900/901 duplicate vec 5 exactly; 902 is its near-copy
+    val planted = embs.unionByName(
+      embs.filter(col("vec_id") === 5L).select(lit(900L).as("vec_id"),
+        col("embedding"), col("label"))
+        .unionByName(embs.filter(col("vec_id") === 5L)
+          .select(lit(901L).as("vec_id"), col("embedding"),
+            col("label"))))
+    val got = Similarity.semanticDedup(planted, 16, 0.9999)
+      .as[(Long, Long, Boolean, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(5L)._3, "min-id copy survives")
+    assert(!got(900L)._3 && got(900L)._4.contains(5L))
+    assert(!got(901L)._3 && got(901L)._4.contains(5L))
+    // high threshold: nothing else in the synthetic corpus collides
+    assert(got.valuesIterator.count(!_._3) == 2)
+    // partitioning-independence of the whole pipeline
+    val rep = Similarity.semanticDedup(planted.repartition(7), 16, 0.9999)
+      .as[(Long, Long, Boolean, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rep == got)
+  }
 }
