@@ -130,11 +130,13 @@ private[sources] object GraftProcedures {
       (t, in) => t.maintain(in.getLong(1)).toSeq.sortBy(_._1)),
     Spec("analyze",
       "compute table-level column statistics (approx NDV, exact nulls, " +
-        "length estimates) in one pass; served to CBO while fresh",
-      Seq(("table", StringType, None)),
+        "length estimates; optional equi-height histograms for numeric " +
+        "columns) in 1-3 passes; served to CBO while fresh",
+      Seq(("table", StringType, None),
+        ("histogram_bins", IntegerType, Some("0"))),
       (t, _) => Nil,
-      runTable = Some { (t, _) =>
-        val stats = t.analyze()
+      runTable = Some { (t, in) =>
+        val stats = t.analyze(histogramBins = in.getInt(1))
         val schema = StructType(Seq(
           StructField("column", StringType, nullable = false),
           StructField("ndv", LongType, nullable = false),

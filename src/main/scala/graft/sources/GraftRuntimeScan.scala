@@ -117,6 +117,22 @@ final class GraftRuntimeScan(
                 java.util.OptionalLong.of(st.nulls)
               override def avgLen() = java.util.OptionalLong.of(st.avgLen)
               override def maxLen() = java.util.OptionalLong.of(st.maxLen)
+              override def histogram() =
+                if (st.histogram.isEmpty) java.util.Optional.empty()
+                else java.util.Optional.of(
+                  new org.apache.spark.sql.connector.read.colstats
+                    .Histogram {
+                    override def height(): Double = st.histoHeight
+                    override def bins() = st.histogram.map {
+                      case (binLo, binHi, binNdv) =>
+                        new org.apache.spark.sql.connector.read.colstats
+                          .HistogramBin {
+                          override def lo() = binLo
+                          override def hi() = binHi
+                          override def ndv() = binNdv
+                        }
+                    }.toArray
+                  })
             })
         }
       }

@@ -178,7 +178,15 @@ final case class DvEntry(files: Seq[String], rows: Long)
   * length — the inputs Spark's CBO join estimation consumes.
   */
 final case class ColStatRec(
-    ndv: Long, nulls: Long, avgLen: Long, maxLen: Long)
+    ndv: Long, nulls: Long, avgLen: Long, maxLen: Long,
+    /** Optional equi-height histogram (lo, hi, ndv) bins — numeric
+      * columns only, computed when ANALYZE is asked for histograms.
+      * Feeds CBO range/equality selectivity through the V2 stats
+      * surface. `histoHeight` is the equi-height bin population
+      * ((non-null rows) / bins, the Histogram.height contract).
+      */
+    histogram: Seq[(Double, Double, Long)] = Nil,
+    histoHeight: Double = 0.0)
 
 /** One [[Manifest.drops]] entry: the dropped partitions' base and delta-log
   * listings as they stood at the drop commit (basePath-relative paths).
@@ -1158,7 +1166,8 @@ class CowTable(
     * stats are byte estimates (actual lengths for string/binary, the
     * type's fixed width otherwise). Returns the computed map.
     */
-  def analyze(columns: Seq[String] = Nil): Map[String, ColStatRec] = {
+  def analyze(columns: Seq[String] = Nil,
+      histogramBins: Int = 0): Map[String, ColStatRec] = {
     val m = manifest
     val targets =
       if (columns.nonEmpty) columns
@@ -1166,7 +1175,7 @@ class CowTable(
     targets.foreach(c => require(m.schema.fieldNames.contains(c),
       s"analyze: unknown column $c"))
     val snap = readFiles(m, m.baseFiles)
-    import org.apache.spark.sql.types.{BinaryType, StringType}
+    import org.apache.spark.sql.types.{BinaryType, NumericType, StringType}
     val aggs = targets.flatMap { c =>
       val dt = m.schema(c).dataType
       val lenExpr = dt match {
@@ -1179,12 +1188,65 @@ class CowTable(
         coalesce(ceil(avg(lenExpr)), lit(0L)).as(s"__avg_$c"),
         coalesce(max(when(col(c).isNotNull, lenExpr)), lit(0L))
           .as(s"__max_$c"))
-    }
+    } :+ count(lit(1)).as("__rows")
     val row = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val stats = targets.zipWithIndex.map { case (c, i) =>
+    val totalRows = row.getLong(targets.size * 4)
+    val base = targets.zipWithIndex.map { case (c, i) =>
       c -> ColStatRec(row.getLong(4 * i), row.getLong(4 * i + 1),
         row.getLong(4 * i + 2), row.getLong(4 * i + 3))
     }.toMap
+    // Optional equi-height histograms (numeric columns): percentile
+    // bounds in one pass, then per-bin NDV in one stacked pass — the
+    // range-selectivity evidence CBO cannot derive from NDV alone.
+    val stats =
+      if (histogramBins < 2) base
+      else {
+        val numCols = targets.filter(c =>
+          m.schema(c).dataType.isInstanceOf[NumericType])
+        if (numCols.isEmpty) base
+        else {
+          val ps = (0 to histogramBins)
+            .map(i => i.toDouble / histogramBins)
+          val bRow = snap.agg(
+            percentile_approx(col(numCols.head).cast("double"),
+              typedLit(ps), lit(10000)).as(numCols.head),
+            numCols.tail.map(c =>
+              percentile_approx(col(c).cast("double"), typedLit(ps),
+                lit(10000)).as(c)): _*).collect()(0)
+          val bounds: Map[String, Seq[Double]] = numCols.zipWithIndex
+            .map { case (c, i) =>
+              c -> Option(bRow.getSeq[Double](i)).getOrElse(Nil)
+            }.toMap
+          // stacked per-bin NDV: (col, bin, value) exploded once over
+          // the numeric columns; bin = #internal bounds strictly below v
+          val stacked = snap.select(explode(array(numCols.map { c =>
+            val bs = bounds(c)
+            val internal = if (bs.size > 2) bs.slice(1, bs.size - 1)
+              else Nil
+            val v = col(c).cast("double")
+            val bin =
+              if (internal.isEmpty) lit(0)
+              else internal.map(b => when(v > lit(b), 1).otherwise(0))
+                .reduce(_ + _)
+            struct(lit(c).as("c"), bin.as("b"), v.as("v"))
+          }: _*)).as("s"))
+            .select(col("s.c"), col("s.b"), col("s.v"))
+            .filter(col("v").isNotNull)
+          val binNdv = stacked.groupBy("c", "b")
+            .agg(approx_count_distinct(col("v")).as("ndv"))
+            .collect().map(r =>
+              (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+          base ++ numCols.flatMap { c =>
+            val bs = bounds(c)
+            if (bs.size < 2) None
+            else Some(c -> base(c).copy(histogram =
+              (0 until bs.size - 1).map(i => (bs(i), bs(i + 1),
+                binNdv.getOrElse((c, i), 0L))),
+              histoHeight = (totalRows - base(c).nulls).toDouble /
+                (bs.size - 1)))
+          }
+        }
+      }
     val v = m.version + 1
     writeManifest(m.copy(version = v,
       tableColStats = stats, tableColStatsVersion = v,
@@ -3892,7 +3954,13 @@ object CowTable {
           case (c, st) => c -> (JObject(List(
             "ndv" -> JInt(st.ndv), "nulls" -> JInt(st.nulls),
             "avgLen" -> JInt(st.avgLen),
-            "maxLen" -> JInt(st.maxLen))): JValue)
+            "maxLen" -> JInt(st.maxLen),
+            "histoHeight" -> (if (st.histoHeight > 0)
+              JDouble(st.histoHeight) else JNothing),
+            "histogram" -> (if (st.histogram.isEmpty) JNothing
+              else JArray(st.histogram.toList.map { case (lo, hi, n) =>
+                JArray(List(JDouble(lo), JDouble(hi), JInt(n)))
+              })))): JValue)
         }.toList)),
       "tableColStatsVersion" -> (if (m.tableColStatsVersion > 0)
         JInt(m.tableColStatsVersion) else JNothing),
@@ -4003,8 +4071,23 @@ object CowTable {
       },
       tableColStats = (j \ "tableColStats") match {
         case JObject(cs) => ListMap(cs.map { case (c, o) =>
+          val histo = (o \ "histogram") match {
+            case JArray(bins) => bins.collect {
+              case JArray(List(lo, hi, n)) =>
+                def d(v: JValue): Double = v match {
+                  case JDouble(x) => x; case JInt(x) => x.toDouble
+                  case JLong(x) => x.toDouble; case _ => 0.0
+                }
+                (d(lo), d(hi), long(n, 0L))
+            }
+            case _ => Nil
+          }
           c -> ColStatRec(long(o \ "ndv", 0L), long(o \ "nulls", 0L),
-            long(o \ "avgLen", 0L), long(o \ "maxLen", 0L))
+            long(o \ "avgLen", 0L), long(o \ "maxLen", 0L), histo,
+            histoHeight = (o \ "histoHeight") match {
+              case JDouble(x) => x; case JInt(x) => x.toDouble
+              case _ => 0.0
+            })
         }: _*)
         case _ => ListMap.empty
       },

@@ -164,4 +164,22 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ex.getMessage.contains("no such procedure") ||
       ex.getMessage.contains("nope"), ex.getMessage)
   }
+
+  test("CREATE TABLE AS SELECT seeds a keyed table in one statement") {
+    init()
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "tag", "v").createOrReplaceTempView("ctas_src")
+    spark.sql("""CREATE TABLE gcat.lake.ctas
+      USING graft TBLPROPERTIES ('keyCols'='id')
+      AS SELECT id, tag, v FROM ctas_src""")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.lake.ctas")
+      .collect().head.getLong(0) == 3L)
+    // and the result is a NORMAL keyed table: INSERT upserts by key
+    spark.sql("INSERT INTO gcat.lake.ctas VALUES (2, 'B', 9.9), " +
+      "(4, 'd', 4.5)")
+    val got = spark.sql("SELECT id, tag FROM gcat.lake.ctas ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")),
+      s"CTAS table must behave keyed: $got")
+  }
 }

@@ -65,6 +65,33 @@ class AnalyzeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
+  test("histograms: equi-height bins computed, persisted, served to CBO") {
+    val t = mk(tmpDir("an-hist"))
+    val stats = t.analyze(histogramBins = 4)
+    val h = stats("id").histogram
+    assert(h.size == 4, s"4 bins: $h")
+    assert(h.head._1 == 1.0 && h.last._2 == 1000.0,
+      s"bounds cover the value range: $h")
+    assert(h.forall { case (lo, hi, ndv) => lo <= hi && ndv > 0 })
+    // equi-height: each bin holds ~rows/bins values
+    assert(stats("id").histoHeight == 250.0)
+    // string column gets NO histogram
+    assert(stats("cat").histogram.isEmpty)
+    // round-trips through the manifest
+    assert(CowTable.open(spark, t.basePath).manifest
+      .tableColStats("id").histogram == h)
+    // consumed by CBO: the attribute stat carries the histogram
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val df = spark.read.format("graft").load(t.basePath)
+      val s = df.queryExecution.optimizedPlan.stats.attributeStats
+      val idStat = s.find(_._1.name == "id").map(_._2)
+      assert(idStat.exists(_.histogram.isDefined),
+        s"CBO must see the histogram: $idStat")
+      assert(idStat.flatMap(_.histogram).exists(_.bins.length == 4))
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("CALL system.analyze returns the per-column stats table") {
     val wh = tmpDir("an-wh")
     spark.conf.set("spark.sql.catalog.ancat",
