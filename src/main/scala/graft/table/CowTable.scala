@@ -3090,11 +3090,18 @@ class CowTable(
       case _ => false
     }
     val packed = compactBySize(targetFileBytes, smallBytes)
+    // fold any remaining deletion vectors: with an effectively-infinite
+    // file bound, compact rewrites EXACTLY the units holding DV'd files
+    // (bin-packing above only touches small files, so a big masked file
+    // would otherwise carry its read-side anti-join forever)
+    val dvsFolded = manifest.dvs.nonEmpty &&
+      compact(maxFilesPerUnit = Int.MaxValue - 1)
     clean()
     val orphans = vacuumOrphans()
     Map(
       "logs_compacted" -> (if (logsFolded) 1L else 0L),
       "files_binpacked" -> (if (packed) 1L else 0L),
+      "dvs_folded" -> (if (dvsFolded) 1L else 0L),
       "orphan_dirs_removed" -> orphans.size.toLong)
   }
 

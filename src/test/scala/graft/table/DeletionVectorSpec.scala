@@ -257,6 +257,18 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.fastCount().contains(60L))
   }
 
+  test("maintain() folds leftover vectors on big files") {
+    val t = mkTable(tmpDir("dv-maint"))
+    t.bulkInsert(rows(90).toDF("id", "p", "ts", "v"))
+    t.delete(Seq(("k0002", "p2")).toDF("id", "p"))
+    // tiny target: bin-packing finds nothing "small", so the DV'd file
+    // is exactly the big-file case the dedicated fold step exists for
+    val got = t.maintain(targetFileBytes = 4)
+    assert(got("dvs_folded") == 1L, got.toString)
+    assert(t.manifest.dvs.isEmpty)
+    assert(t.snapshot().count() == 89L)
+  }
+
   test("diff and scd2History see vectored deletes and updates") {
     val t = mkTable(tmpDir("dv-diff"))
     t.bulkInsert(rows(60).toDF("id", "p", "ts", "v"))
