@@ -229,7 +229,11 @@ final case class GraftUpdateCommand(
     val updated = assignments.foldLeft(matched) {
       case (df, (name, valueSql)) => df.withColumn(name, expr(valueSql))
     }
-    t.upsert(updated)
+    // a deleteVectors table takes the mask-and-append path: a targeted
+    // UPDATE is exactly the scattered-small-batch shape deletion
+    // vectors exist for (identical semantics, spec-proven)
+    if (t.deleteVectors) t.upsertVectored(updated)
+    else t.upsert(updated)
     Nil
   }
 }

@@ -116,6 +116,12 @@ class DvReadRuleSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("num_rows")) == 2L)
     assert(row.getLong(row.fieldIndex("num_dv_rows")) == 1L)
     assert(row.getLong(row.fieldIndex("num_dv_files")) >= 1L)
+    // SQL UPDATE on a deleteVectors table takes the vectored path too
+    spark.sql("UPDATE dvcat.lake.t SET v = v * 10 WHERE id = 1")
+    val tu = CowTable.open(spark, s"$wh/lake/t")
+    assert(tu.manifest.operation == "upsert_vectored")
+    assert(spark.sql("SELECT v FROM dvcat.lake.t WHERE id = 1")
+      .collect().head.getDouble(0) == 10.0)
     // toggle back to rewrite deletes; old vectors keep applying
     spark.sql("ALTER TABLE dvcat.lake.t SET TBLPROPERTIES " +
       "('deleteVectors'='false')")
