@@ -1154,6 +1154,56 @@ class CowTable(
     } finally { incoming.unpersist(); () }
   }
 
+  /** Expectation-gated upsert with QUARANTINE (the warn-don't-fail
+    * sibling of [[checkConstraints]], Delta-Live-Tables expectation
+    * semantics): rows violating ANY declared CHECK constraint are
+    * diverted to an append-only quarantine table — labeled with the
+    * first failing constraint — and the clean remainder upserts
+    * normally, instead of one bad row failing the whole batch. The
+    * quarantine table auto-creates beside first use (same keys and
+    * partitioning, plus a `_graft_violation` column) and is append-only
+    * (an audit log keeps every rejection, re-offending keys included).
+    * One cached pass over the batch feeds both splits. Returns
+    * ("applied" -> n, "quarantined" -> m).
+    *
+    * The failure-mode trade at 100 TB: a CHECK-failing write aborts a
+    * multi-hour job at the very end; expectation routing keeps the
+    * pipeline flowing and makes bad data VISIBLE instead of fatal.
+    */
+  def upsertQuarantine(df: DataFrame, quarantinePath: String,
+      parallelism: Int = 0): Map[String, Long] = {
+    require(checkConstraints.nonEmpty,
+      s"upsertQuarantine needs declared checkConstraints at $basePath")
+    val applicable = checkConstraints.filter { c =>
+      val refs = spark.sessionState.sqlParser.parseExpression(c)
+        .references.map(_.name.toLowerCase)
+      refs.forall(df.columns.map(_.toLowerCase).toSet)
+    }
+    if (applicable.isEmpty) { upsert(df, parallelism)
+      return Map("applied" -> -1L, "quarantined" -> 0L) }
+    def ok(c: String) = coalesce(expr(c), lit(true))
+    val cached = df.persist()
+    try {
+      val bad = cached.filter(!applicable.map(ok).reduce(_ && _))
+        .withColumn(CowTable.ViolationCol,
+          applicable.tail.foldLeft(
+            when(!ok(applicable.head), lit(applicable.head))) {
+            (acc, c) => acc.when(!ok(c), lit(c))
+          })
+      val nBad = bad.count()
+      if (nBad > 0) {
+        if (CowTable.existsAt(spark, quarantinePath))
+          CowTable.open(spark, quarantinePath).insertAppend(bad)
+        else new CowTable(spark, quarantinePath, keyCols,
+          partitionCols).bulkInsert(bad)
+      }
+      val good = cached.filter(applicable.map(ok).reduce(_ && _))
+      val nGood = good.count()
+      if (nGood > 0) upsert(good, parallelism)
+      Map("applied" -> nGood, "quarantined" -> nBad)
+    } finally { cached.unpersist(); () }
+  }
+
   /** ANALYZE TABLE: compute per-column table-level statistics in ONE
     * aggregation pass over the snapshot and record them in the manifest
     * ([[Manifest.tableColStats]], a metadata-only commit). The DSv2 scan
@@ -3411,6 +3461,10 @@ object CowTable {
     */
   val DvFileCol = "_graft_dv_file"
   val DvPosCol = "_graft_dv_pos"
+  /** Quarantine-row label: the first CHECK constraint the row violated
+    * (see [[CowTable.upsertQuarantine]]).
+    */
+  val ViolationCol = "_graft_violation"
   /** Manifest-metrics key holding the streaming sink's last applied batch
     * id ([[graft.streaming.GraftSink]]); carried forward by every commit
     * so replay protection never ages out of the retained timeline.

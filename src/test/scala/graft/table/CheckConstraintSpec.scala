@@ -87,4 +87,33 @@ class CheckConstraintSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM chkcat.lake.c")
       .as[Long].head() == 1L)
   }
+
+  test("upsertQuarantine diverts violating rows instead of failing") {
+    val t = new CowTable(spark, tmpDir("quar"), keyCols = Seq("id"),
+      partitionCols = Seq("p"),
+      checkConstraints = Seq("v >= 0", "p IN ('a', 'b')"))
+    val qPath = tmpDir("quar-q") + "/q"
+    t.bulkInsert(Seq((1L, "a", 1.0)).toDF("id", "p", "v"))
+    val got = t.upsertQuarantine(Seq(
+      (2L, "a", 2.0),   // clean
+      (3L, "a", -5.0),  // violates v >= 0
+      (4L, "z", 4.0)    // violates p IN (...)
+    ).toDF("id", "p", "v"), qPath)
+    assert(got == Map("applied" -> 1L, "quarantined" -> 2L), got.toString)
+    assert(t.snapshot().select("id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+    val q = CowTable.open(spark, qPath).snapshot()
+    val labels = q.select("id", CowTable.ViolationCol)
+      .as[(Long, String)].collect().toMap
+    assert(labels == Map(3L -> "v >= 0", 4L -> "p IN ('a', 'b')"),
+      labels.toString)
+    // repeated offenders APPEND (audit log, not keyed replace)
+    t.upsertQuarantine(Seq((3L, "a", -7.0)).toDF("id", "p", "v"), qPath)
+    assert(CowTable.open(spark, qPath).snapshot()
+      .filter($"id" === 3L).count() == 2L)
+    // a clean batch quarantines nothing
+    val clean = t.upsertQuarantine(
+      Seq((5L, "b", 5.0)).toDF("id", "p", "v"), qPath)
+    assert(clean == Map("applied" -> 1L, "quarantined" -> 0L))
+  }
 }
