@@ -155,6 +155,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (fromTransforms.nonEmpty) fromTransforms else propList("partitionCols")
     }
     val base = tablePath(ident).toString
+    require(!prop("deleteVectors").exists(_.toBoolean) ||
+      !prop("storageType").contains("mor"),
+      "deleteVectors is COW-only (MOR deletes are already log appends)")
     val t =
       if (prop("storageType").contains("mor"))
         new MorTable(spark, base, keyCols, partitionCols,

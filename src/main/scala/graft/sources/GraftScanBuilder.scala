@@ -50,6 +50,14 @@ private[sources] class GraftScanBuilder(
   with SupportsPushDownAggregates
   with SupportsPushDownRequiredColumns {
 
+  // Footer-stats aggregate pushdown counts PHYSICAL rows, so a served
+  // listing must never contain a deletion-vectored file: the table
+  // refuses to build this scan for one (GraftWritableTable's require),
+  // and the invariant is re-asserted here so any future construction
+  // site cannot silently serve masked rows through pushed aggregates.
+  require(m.dvs.isEmpty || !initialFiles.exists(m.dvs.contains),
+    s"GraftScanBuilder built over a DV'd listing at $base")
+
   private def mkInner(files: Seq[String]): FileScanBuilder =
     ParquetTable(
       s"graft:$base@v${m.version}",
@@ -107,23 +115,14 @@ private[sources] class GraftScanBuilder(
     * manifest-level sibling ([[graft.table.CowTable.fastCount]])
     * answers plain `count(*)` with zero tasks.
     */
-  /** Footer stats summarize PHYSICAL rows: a file carrying a deletion
-    * vector has logically-dead rows the footer still counts, so any DV
-    * on the served listing forces the exact row-level path (which applies
-    * the positional anti-join via the DV read rewrite).
-    */
-  private def dvFree: Boolean =
-    m.dvs.isEmpty || !currentFiles.exists(m.dvs.contains)
-
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     inner match {
-      case b: SupportsPushDownAggregates if dvFree =>
-        b.supportCompletePushDown(agg)
+      case b: SupportsPushDownAggregates => b.supportCompletePushDown(agg)
       case _ => false
     }
 
   override def pushAggregation(agg: Aggregation): Boolean = inner match {
-    case b: SupportsPushDownAggregates if dvFree =>
+    case b: SupportsPushDownAggregates =>
       aggPushed = b.pushAggregation(agg)
       aggPushed
     case _ => false

@@ -1179,8 +1179,13 @@ class CowTable(
         .references.map(_.name.toLowerCase)
       refs.forall(df.columns.map(_.toLowerCase).toSet)
     }
-    if (applicable.isEmpty) { upsert(df, parallelism)
-      return Map("applied" -> -1L, "quarantined" -> 0L) }
+    if (applicable.isEmpty) {
+      // constraints pass vacuously (they reference columns this batch
+      // lacks): everything applies — and the count contract holds
+      val n = df.count()
+      upsert(df, parallelism)
+      return Map("applied" -> n, "quarantined" -> 0L)
+    }
     def ok(c: String) = coalesce(expr(c), lit(true))
     val cached = df.persist()
     try {
@@ -1398,8 +1403,15 @@ class CowTable(
     val cur =
       if (priorRefs.isEmpty) cur0
       else {
-        val prior = broadcast(spark.read.parquet(priorRefs.map(f =>
-          CowTable.resolveFile(basePath, f)): _*))
+        val prior0 = spark.read.parquet(priorRefs.map(f =>
+          CowTable.resolveFile(basePath, f)): _*)
+        // same size guard as the read path: the manifest knows the
+        // prior dead-position count, so a long-uncompacted table never
+        // force-broadcasts an unbounded set
+        val priorRows = candFiles.iterator
+          .flatMap(m.dvs.get).map(_.rows).sum
+        val prior = if (priorRows <= 4000000L) broadcast(prior0)
+          else prior0
         cur0.join(prior,
           cur0(DvFileCol) === prior(DvFileCol) &&
             cur0(DvPosCol) === prior(DvPosCol), "left_anti")
@@ -2744,6 +2756,10 @@ class CowTable(
     */
   def compactWhere(scope: Column, maxFilesPerUnit: Int = 4,
       parallelism: Int = 0): Boolean = {
+    require(scope == null || partitionCols.nonEmpty,
+      s"compactWhere needs a partitioned table at $basePath " +
+        "(an unpartitioned table has no partition values to scope by; " +
+        "use compact())")
     val m = manifest
     // a unit is rewrite-worthy when its file count exceeds the bound OR
     // any of its files carries a deletion vector: compaction is the
@@ -2854,6 +2870,15 @@ class CowTable(
     */
   def recluster(sortCols: Seq[String], parallelism: Int = 0): Boolean = {
     require(sortCols.nonEmpty, "recluster needs at least one sort column")
+    // a declared clusterCols layout is a CONTRACT other components rely
+    // on (the bucket scan reports per-partition sort order from it —
+    // a silent rewrite in a different order would make a sort-merge
+    // join skip its sorts over misordered rows): reclustering such a
+    // table by anything else must refuse, not quietly break it
+    require(clusterCols.isEmpty || sortCols == clusterCols,
+      s"recluster(${sortCols.mkString(",")}) would break the table's " +
+        s"declared clusterCols=${clusterCols.mkString(",")} write-path " +
+        "clustering contract (and the ordering the bucket scan reports)")
     val m = manifest
     if (m.partitions.isEmpty) return false
     val v = m.version + 1
@@ -2900,6 +2925,12 @@ class CowTable(
   def reclusterZOrder(cols: Seq[String], parallelism: Int,
       bits: Int): Boolean = {
     require(cols.size >= 2, "z-order needs at least two columns")
+    // same contract guard as [[recluster]]: a z-order rewrite never
+    // preserves a declared clusterCols order
+    require(clusterCols.isEmpty,
+      s"reclusterZOrder would break the table's declared clusterCols=" +
+        s"${clusterCols.mkString(",")} write-path clustering contract " +
+        "(and the ordering the bucket scan reports)")
     val m = manifest
     if (m.partitions.isEmpty) return false
     val sch = m.schema

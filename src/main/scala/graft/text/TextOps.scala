@@ -963,9 +963,12 @@ object TextOps {
     * and a merge applies as LITERAL non-overlapping left-to-right
     * replacement of " l r " — Spark's `replace` and DuckDB's `replace`
     * share these semantics exactly, which is what makes training
-    * reproducible bit-for-bit in the oracle. On self-runs (l == r) this
-    * differs from re-scanning BPE only in which overlapping occurrence
-    * folds first. No UDFs anywhere.
+    * reproducible bit-for-bit in the oracle. CAVEAT vs re-scanning
+    * BPE: occurrences sharing a boundary space under-merge — self-runs
+    * ("a a a a" folds to [aa, a, a]-shapes) AND alternations ("x y x y"
+    * folds only the first " x y ") resolve by non-overlapping
+    * left-to-right scan, not by re-scan — a deterministic, documented
+    * variant, not a bug. No UDFs anywhere.
     *
     * Returns the learned merge table (merge_rank, lhs, rhs, freq).
     */
