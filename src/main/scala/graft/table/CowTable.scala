@@ -3179,10 +3179,24 @@ class CowTable(
       compact(maxFilesPerUnit = Int.MaxValue - 1)
     clean()
     val orphans = vacuumOrphans()
+    // auto re-ANALYZE: stats are served to CBO only while fresh, so a
+    // table someone analyzed once would silently lose its statistics
+    // after the next data commit forever — the maintenance pass is
+    // exactly where to renew them, over the same columns and bin count
+    // the last ANALYZE chose (both recoverable from the recorded stats)
+    val m2 = manifest
+    val statsRefreshed = m2.tableColStats.nonEmpty &&
+      m2.tableColStatsVersion != m2.version && {
+        val bins = m2.tableColStats.valuesIterator
+          .map(_.histogram.size).max
+        analyze(m2.tableColStats.keys.toSeq.sorted, bins)
+        true
+      }
     Map(
       "logs_compacted" -> (if (logsFolded) 1L else 0L),
       "files_binpacked" -> (if (packed) 1L else 0L),
       "dvs_folded" -> (if (dvsFolded) 1L else 0L),
+      "stats_refreshed" -> (if (statsRefreshed) 1L else 0L),
       "orphan_dirs_removed" -> orphans.size.toLong)
   }
 

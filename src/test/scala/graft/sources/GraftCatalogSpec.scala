@@ -182,4 +182,43 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")),
       s"CTAS table must behave keyed: $got")
   }
+
+  test("CREATE OR REPLACE TABLE AS SELECT swaps data, schema and key") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lake")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .createOrReplaceTempView("rtas_v1")
+    spark.sql("""CREATE OR REPLACE TABLE gcat.lake.rt
+      USING graft TBLPROPERTIES ('keyCols'='id')
+      AS SELECT id, tag FROM rtas_v1""")
+    assert(spark.sql("SELECT count(*) FROM gcat.lake.rt")
+      .head().getLong(0) == 2L)
+    // replace with a DIFFERENT schema and key column: the old
+    // definition must be gone entirely, not merged into
+    Seq(("x", 10.0), ("y", 20.0), ("z", 30.0)).toDF("name", "score")
+      .createOrReplaceTempView("rtas_v2")
+    spark.sql("""CREATE OR REPLACE TABLE gcat.lake.rt
+      USING graft TBLPROPERTIES ('keyCols'='name')
+      AS SELECT name, score FROM rtas_v2""")
+    val got = spark.sql("SELECT name, score FROM gcat.lake.rt " +
+      "ORDER BY name").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("x", 10.0), ("y", 20.0), ("z", 30.0)),
+      s"replaced table must serve only the new definition: $got")
+    // the replacement is a normal keyed table on its NEW key
+    spark.sql("INSERT INTO gcat.lake.rt VALUES ('y', 99.0)")
+    assert(spark.sql("SELECT score FROM gcat.lake.rt WHERE name = 'y'")
+      .head().getDouble(0) == 99.0, "INSERT must upsert on the new key")
+    // and the commit timeline restarted: no version from the old
+    // definition survives the swap
+    val t = graft.table.CowTable.open(spark, s"$wh/lake/rt")
+    assert(t.keyCols == Seq("name"), s"new key recorded: ${t.keyCols}")
+    // REPLACE of a missing table refuses; OR CREATE form succeeds
+    val ex = intercept[Exception] {
+      spark.sql("""REPLACE TABLE gcat.lake.rt_missing
+        USING graft TBLPROPERTIES ('keyCols'='name')
+        AS SELECT name, score FROM rtas_v2""")
+    }
+    assert(ex.getMessage.toLowerCase.contains("table"), ex.getMessage)
+  }
 }

@@ -92,6 +92,28 @@ class AnalyzeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
+  test("maintain() renews stale ANALYZE stats with the same shape") {
+    val t = mk(tmpDir("an-maint"))
+    // never analyzed: maintenance must not invent statistics
+    assert(t.maintain()("stats_refreshed") == 0L)
+    t.analyze(columns = Seq("id", "cat"), histogramBins = 4)
+    t.upsert(Seq((2000L, "cat9", "x")).toDF("id", "cat", "v"))
+    assert(t.manifest.tableColStatsVersion != t.manifest.version,
+      "data commit must stale the stats")
+    val res = t.maintain()
+    assert(res("stats_refreshed") == 1L)
+    val m = t.manifest
+    assert(m.tableColStatsVersion == m.version,
+      "maintenance must leave the stats fresh (served to CBO again)")
+    // same column selection and bin count as the last ANALYZE chose
+    assert(m.tableColStats.keySet == Set("id", "cat"))
+    assert(m.tableColStats("id").histogram.size == 4)
+    assert(m.tableColStats("id").histogram.last._2 == 2000.0,
+      "renewed histogram must cover the post-commit value range")
+    // nothing stale left: a second pass has nothing to do
+    assert(t.maintain()("stats_refreshed") == 0L)
+  }
+
   test("CALL system.analyze returns the per-column stats table") {
     val wh = tmpDir("an-wh")
     spark.conf.set("spark.sql.catalog.ancat",
