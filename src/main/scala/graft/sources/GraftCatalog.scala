@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.analysis.{
   TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{
   FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog,
-  SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
+  SupportsNamespaces, Table, TableCatalog, TableCatalogCapability,
+  TableChange, TableInfo}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField}
@@ -71,6 +72,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def name(): String = catalogName
+
+  /** Column DEFAULT values: Spark's analyzer fills omitted columns and
+    * the DEFAULT keyword from the `CURRENT_DEFAULT`/`EXISTS_DEFAULT`
+    * field metadata it stamps at CREATE — the catalog only has to
+    * declare the capability and preserve that metadata through the
+    * manifest schema round trip (field-id stamping merges metadata,
+    * never replaces it).
+    */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def spark = SparkSession.active
   private def fs = warehouse.getFileSystem(
@@ -212,6 +224,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (a.position() != null) throw new UnsupportedOperationException(
         "ALTER TABLE ADD COLUMNS: FIRST/AFTER positions are unsupported " +
           "(columns append; stored files carry no column ids to remap)")
+      // a DEFAULT on an ADDED column promises existing rows the default
+      // (EXISTS_DEFAULT) — but old files read back null-filled here, so
+      // accepting it would serve nulls where the DDL promised a value.
+      // Refuse rather than be silently wrong; CREATE-time defaults work.
+      if (a.defaultValue() != null) throw new UnsupportedOperationException(
+        "ALTER TABLE ADD COLUMNS with DEFAULT is unsupported (existing " +
+          "rows read the new column as NULL, not the default; declare " +
+          "defaults at CREATE TABLE, or backfill with UPDATE)")
       val meta = Option(a.comment()).map(c =>
         new MetadataBuilder().putString("comment", c).build())
         .getOrElse(Metadata.empty)

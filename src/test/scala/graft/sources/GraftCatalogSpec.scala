@@ -221,4 +221,36 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(ex.getMessage.toLowerCase.contains("table"), ex.getMessage)
   }
+
+  test("column DEFAULT values fill omitted columns on INSERT") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lake")
+    spark.sql("""CREATE TABLE gcat.lake.dflt (id BIGINT,
+      status STRING DEFAULT 'new', score DOUBLE DEFAULT 0.0)
+      USING graft TBLPROPERTIES ('keyCols'='id')""")
+    // omitted trailing columns take their declared defaults
+    spark.sql("INSERT INTO gcat.lake.dflt (id) VALUES (1)")
+    // the DEFAULT keyword works positionally too
+    spark.sql("INSERT INTO gcat.lake.dflt VALUES (2, DEFAULT, 7.5)")
+    spark.sql("INSERT INTO gcat.lake.dflt VALUES (3, 'done', DEFAULT)")
+    val got = spark.sql(
+      "SELECT id, status, score FROM gcat.lake.dflt ORDER BY id")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "new", 0.0), (2L, "new", 7.5),
+      (3L, "done", 0.0)), s"defaults must fill: $got")
+    // defaults survive the manifest round trip: a fresh session load
+    // (new table instance) still serves them
+    spark.sql("INSERT INTO gcat.lake.dflt (id) VALUES (4)")
+    assert(spark.sql(
+      "SELECT status FROM gcat.lake.dflt WHERE id = 4")
+      .head().getString(0) == "new")
+    // ALTER-added defaults refuse loudly: old files would read NULL
+    // where the DDL promised a value
+    val ex = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE gcat.lake.dflt ADD COLUMNS (tag STRING DEFAULT 'x')")
+    }
+    assert(ex.getMessage.contains("DEFAULT"), ex.getMessage)
+  }
 }
