@@ -256,9 +256,21 @@ private[sources] class GraftWritableTable(
     acceptAnySchema: Boolean = true)
   extends Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   import org.apache.spark.sql.connector.catalog.TableCapability
+
+  /** SQL `TRUNCATE TABLE`: one metadata-only commit through the table
+    * layer ([[graft.table.CowTable.truncate]]) — change-feed tombstones
+    * recorded, history retained.
+    */
+  override def truncateTable(): Boolean = {
+    require(scanCtx.nonEmpty, s"TRUNCATE TABLE on uncreated table $base")
+    graft.table.CowTable.open(
+      org.apache.spark.sql.SparkSession.active, base).truncate()
+    true
+  }
 
   override def name(): String = delegate.map(_.name)
     .getOrElse(s"graft:$base (uncreated)")

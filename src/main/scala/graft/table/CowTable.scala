@@ -1505,6 +1505,33 @@ class CowTable(
     matched.size
   }
 
+  /** TRUNCATE TABLE: drop every row as ONE metadata-only commit at any
+    * size — the whole-table analog of [[dropPartitions]], working on
+    * unpartitioned tables too. The complete base/log listing rides a
+    * [[DropRecord]], so the change feed synthesizes the D rows lazily
+    * (downstream consumers see the truncation as deletes; rows already
+    * dead under a deletion vector re-emit a D, idempotent for any keyed
+    * sink, same as [[dropPartitions]]) and history stays
+    * time-travelable within retention. Returns units dropped.
+    */
+  def truncate(): Long = {
+    val m = manifest
+    val keys = m.partitions.keySet ++ m.logPartitions.keySet
+    if (keys.isEmpty) return 0L
+    val v = m.version + 1
+    val rec = DropRecord(m.partitions, m.logPartitions)
+    writeManifest(m.copy(version = v,
+      partitions = Map.empty, logPartitions = Map.empty,
+      fileStats = Map.empty, deltaCommits = 0L,
+      drops = m.drops + (v.toString -> rec),
+      operation = "truncate",
+      metrics = Map(
+        "units_dropped" -> keys.size.toLong,
+        "files_dropped" -> rec.files.toSet.size.toLong)))
+    clean()
+    keys.size.toLong
+  }
+
   /** TTL convenience over [[dropPartitions]]: drop partitions whose
     * `column` value sorts strictly below the `olderThan` cutoff (the
     * retention sweep a date/hour-partitioned 100-TB table runs on a

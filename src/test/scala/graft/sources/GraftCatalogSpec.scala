@@ -253,4 +253,33 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("DEFAULT"), ex.getMessage)
   }
+
+  test("TRUNCATE TABLE empties the table as a normal commit") {
+    init()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lake")
+    spark.sql("""CREATE TABLE gcat.lake.tr (id BIGINT, v DOUBLE)
+      USING graft TBLPROPERTIES ('keyCols'='id',
+        'trackCommitVersions'='true')""")
+    spark.sql("INSERT INTO gcat.lake.tr (id, v) VALUES (1, 1.0), (2, 2.0)")
+    val vBefore = graft.table.CowTable
+      .open(spark, s"$wh/lake/tr").manifest.version
+    spark.sql("TRUNCATE TABLE gcat.lake.tr")
+    assert(spark.sql("SELECT count(*) FROM gcat.lake.tr")
+      .head().getLong(0) == 0L)
+    // truncation is a commit on the timeline, not an erase: the table
+    // stays keyed and writable, and time travel still sees the old rows
+    spark.sql("INSERT INTO gcat.lake.tr (id, v) VALUES (3, 3.0)")
+    assert(spark.sql("SELECT id FROM gcat.lake.tr").head().getLong(0) == 3L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM gcat.lake.tr VERSION AS OF $vBefore")
+      .head().getLong(0) == 2L, "pre-truncate version must survive")
+    // the change feed surfaces the truncation as DELETES, so chained
+    // consumers converge instead of silently keeping stale rows
+    val t = graft.table.CowTable.open(spark, s"$wh/lake/tr")
+    val feed = t.changeFeed(vBefore, vBefore + 1)
+      .select(graft.table.CowTable.ChangeTypeCol, "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed == Set(("D", 1L), ("D", 2L)),
+      s"truncate must emit D rows for every live key: $feed")
+  }
 }
