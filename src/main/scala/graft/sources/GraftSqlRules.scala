@@ -255,11 +255,20 @@ final case class GraftDeleteCommand(
     val refs = pred.collect {
       case u: UnresolvedAttribute => u.nameParts.last
     }.toSet
+    // DELETE with no WHERE (the parser supplies literal TRUE): one
+    // metadata-only truncate commit instead of scanning the table into
+    // a full-size tombstone batch — same change-feed D rows, any size
+    val deleteAll = pred match {
+      case org.apache.spark.sql.catalyst.expressions
+        .Literal(true, org.apache.spark.sql.types.BooleanType) => true
+      case _ => false
+    }
     val partitionOnly = t.partitionCols.nonEmpty && refs.nonEmpty &&
       refs.subsetOf(t.partitionCols.toSet) && pred.deterministic &&
       !pred.exists(_.isInstanceOf[
         org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
-    if (partitionOnly) t.dropPartitions(expr(condition))
+    if (deleteAll) t.truncate()
+    else if (partitionOnly) t.dropPartitions(expr(condition))
     else t.delete(t.snapshot().filter(condition))
     Nil
   }

@@ -152,4 +152,23 @@ class GraftSqlSpec extends SparkSpec {
       s"row-level predicate must not drop partitions: ${t.manifest.operation}")
     assert(t.snapshot().count() == 1L)
   }
+
+  test("DELETE with no WHERE takes the metadata-only truncate path") {
+    val path = tmpDir("sql-delall")
+    val t = new CowTable(spark, path, keyCols = Seq("id"),
+      trackCommitVersions = true)
+    t.bulkInsert(Seq(("k1", 1.0), ("k2", 2.0)).toDF("id", "v"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW delall_t USING graft " +
+      s"OPTIONS (path '$path')")
+    spark.sql("DELETE FROM delall_t")
+    assert(t.manifest.operation == "truncate",
+      "unconditional DELETE must be one metadata-only commit, " +
+        s"got ${t.manifest.operation}")
+    assert(t.snapshot().count() == 0L)
+    // the feed reports every row as deleted, so chained consumers drain
+    val dels = t.changeFeed(1L, t.manifest.version)
+      .filter(col(CowTable.ChangeTypeCol) === "D")
+      .select("id").as[String].collect().toSet
+    assert(dels == Set("k1", "k2"))
+  }
 }
