@@ -122,6 +122,11 @@ private[sources] object GraftProcedures {
       "apply commit retention and reclaim unreferenced data dirs",
       Seq(("table", StringType, None)),
       (t, _) => { t.clean(); Seq("cleaned" -> 1L) }),
+    Spec("truncate",
+      "drop every row as one metadata-only commit (change-feed " +
+        "tombstones recorded; history retained)",
+      Seq(("table", StringType, None)),
+      (t, _) => Seq("units_dropped" -> t.truncate())),
     Spec("maintain",
       "one-call housekeeping: fold MOR logs, bin-pack small files, " +
         "apply retention, reclaim crash debris",

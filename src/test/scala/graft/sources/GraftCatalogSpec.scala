@@ -281,5 +281,11 @@ class GraftCatalogSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(feed == Set(("D", 1L), ("D", 2L)),
       s"truncate must emit D rows for every live key: $feed")
+    // the CALL surface drives the same commit
+    val got = spark.sql("CALL gcat.system.truncate('lake.tr')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("units_dropped") == 1L, got.toString)
+    assert(spark.sql("SELECT count(*) FROM gcat.lake.tr")
+      .head().getLong(0) == 0L)
   }
 }
