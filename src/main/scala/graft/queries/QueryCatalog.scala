@@ -710,9 +710,15 @@ object QueryCatalog {
     */
   private val maintainedAggQ = Q(
     (s, d) => {
+      // price as EXACT integer cents via floor(o_totalprice·100 + 0.5):
+      // pure IEEE double ops, identical in any engine — round(DOUBLE, 2)
+      // and double↔decimal casts were the round-7 driver-hash flag. All
+      // output columns are integers (or the group key): the maintained
+      // fold still exercises the full decimal state machinery, but the
+      // certified surface is engine-version-proof.
       val orders = t(s, d, "orders").select(col("o_orderkey"),
         col("o_custkey"),
-        round(col("o_totalprice"), 2).cast("double").as("price"))
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).as("price"))
       val cust = t(s, d, "customer").select(col("c_custkey"),
         col("c_mktsegment").as("seg"))
       def tmp(tag: String) =
@@ -731,34 +737,37 @@ object QueryCatalog {
         minMaxCols = Seq("price"), trackSquares = true)
       ma.refresh()
       // churn both sources (same shapes as maintained_join), then fold
-      // through BOTH maintained levels
+      // through BOTH maintained levels (+1000.00 = +100000 cents)
       a.upsert(orders.filter(col("o_orderkey") % 14 === 0).select(
         col("o_orderkey"), (col("o_custkey") + 1L).as("o_custkey"),
-        (col("price") + 1000.0).as("price")))
+        (col("price") + 100000L).as("price")))
       a.delete(orders.filter(col("o_orderkey") % 21 === 0))
       b.upsert(cust.filter(col("c_custkey") % 5 === 0)
         .select(col("c_custkey"), concat(col("seg"), lit("*")).as("seg")))
       b.delete(cust.filter(col("c_custkey") % 6 === 0))
       mj.refresh()
       ma.refresh()
-      // total_sq stays DECIMAL(38,12): DuckDB's decimal→double cast is
-      // not correctly rounded at this magnitude (one-ulp divergence from
-      // Spark/JVM), while the exact decimal matches bit-for-bit when both
-      // sides agree on the scale.
+      // the decimal state holds exact integers (cents / cents²), so the
+      // long casts are exact; sum(cents²) fits a BIGINT through sf0.1
+      // (~2e4 rows × ~3e15 per cell ≪ 2^63) — this is a certification
+      // row, production reads the decimal state directly
       ma.current.select(col("seg"), col("cnt"),
-        col("total").cast("double").as("total"),
-        col("total_sq"),
-        col("min_price"), col("max_price"))
+        col("total").cast("long").as("total_cents"),
+        col("total_sq").cast("long").as("total_sq_cents"),
+        col("min_price").as("min_price_cents"),
+        col("max_price").as("max_price_cents"))
+        .orderBy(asc_nulls_first("seg"))
     },
     Some("""WITH o AS (SELECT o_orderkey, o_custkey,
-           |         CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+           |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           |           AS price
            |         FROM orders),
            |c AS (SELECT c_custkey, c_mktsegment AS seg FROM customer),
            |a_final AS (
            |  SELECT o_orderkey,
            |    CASE WHEN o_orderkey % 14 = 0 THEN o_custkey + 1
            |         ELSE o_custkey END AS o_custkey,
-           |    CASE WHEN o_orderkey % 14 = 0 THEN price + 1000.0
+           |    CASE WHEN o_orderkey % 14 = 0 THEN price + 100000
            |         ELSE price END AS price
            |  FROM o WHERE o_orderkey % 7 = 0 AND o_orderkey % 21 <> 0),
            |b_final AS (
@@ -768,15 +777,14 @@ object QueryCatalog {
            |  FROM c
            |  WHERE (c_custkey % 3 = 0 OR c_custkey % 5 = 0)
            |    AND c_custkey % 6 <> 0)
-           |SELECT b.seg, count(*) AS cnt,
-           |       CAST(sum(CAST(a.price AS DECIMAL(28,6))) AS DOUBLE)
-           |         AS total,
-           |       sum(CAST(a.price AS DECIMAL(19,6)) *
-           |           CAST(a.price AS DECIMAL(19,6))) AS total_sq,
-           |       min(a.price) AS min_price, max(a.price) AS max_price
+           |SELECT b.seg, CAST(count(*) AS BIGINT) AS cnt,
+           |       CAST(sum(a.price) AS BIGINT) AS total_cents,
+           |       CAST(sum(a.price * a.price) AS BIGINT) AS total_sq_cents,
+           |       CAST(min(a.price) AS BIGINT) AS min_price_cents,
+           |       CAST(max(a.price) AS BIGINT) AS max_price_cents
            |FROM a_final a
            |LEFT JOIN b_final b ON a.o_custkey = b.c_custkey
-           |GROUP BY b.seg""".stripMargin))
+           |GROUP BY b.seg ORDER BY b.seg NULLS FIRST""".stripMargin))
 
   /** Maintained EXACT COUNT(DISTINCT) end-to-end: a commit-stamped
     * orders table churned across two windows (priority re-labels,
@@ -833,9 +841,13 @@ object QueryCatalog {
     */
   private val mvRewriteQ = Q(
     (s, d) => {
+      // price as EXACT integer cents (floor(·100 + 0.5), IEEE-identical
+      // in any engine); round(DOUBLE, 2)→DECIMAL casts were the round-7
+      // driver-hash flag. The rewrite's exact-cast layer maps the long
+      // sum onto the view's decimal `total` state (integral → exact).
       val orders = t(s, d, "orders").select(col("o_orderkey"),
         col("o_orderpriority").as("pri"),
-        round(col("o_totalprice"), 2).cast("decimal(12,2)").as("price"))
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).as("price"))
       def tmp(tag: String) =
         java.nio.file.Files.createTempDirectory(s"graft-mv-$tag").toString
       val src = new graft.table.CowTable(s, tmp("src"),
@@ -847,7 +859,7 @@ object QueryCatalog {
       ma.refresh()
       src.upsert(orders.filter(col("o_orderkey") % 6 === 0).select(
         col("o_orderkey"), col("pri"),
-        (col("price") + 10).cast("decimal(12,2)").as("price")))
+        (col("price") + 1000L).as("price")))
       src.delete(orders.filter(col("o_orderkey") % 9 === 0))
       ma.refresh()
       graft.sources.MvRegistry.register(ma)
@@ -855,9 +867,10 @@ object QueryCatalog {
         .getOrElse(ma.table.basePath, 0L)
       val q = s.read.format("graft").load(src.basePath)
         .groupBy(col("pri"))
-        .agg(count(lit(1)).as("cnt"), sum(col("price")).as("total"),
-          min(col("price")).as("min_price"),
-          max(col("price")).as("max_price"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price")).as("total_cents"),
+          min(col("price")).as("min_price_cents"),
+          max(col("price")).as("max_price_cents"))
+        .orderBy(col("pri"))
       q.queryExecution.optimizedPlan // force optimization → rewrite fires
       require(graft.sources.MvRewriteRule.hitLog
           .getOrElse(ma.table.basePath, 0L) > before,
@@ -865,17 +878,17 @@ object QueryCatalog {
       q
     },
     Some("""WITH o AS (SELECT o_orderkey, o_orderpriority AS pri,
-           |      CAST(round(o_totalprice, 2) AS DECIMAL(12,2)) AS price
+           |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price
            |      FROM orders),
            |f AS (SELECT o_orderkey, pri,
-           |    CASE WHEN o_orderkey % 6 = 0
-           |         THEN CAST(price + 10 AS DECIMAL(12,2))
+           |    CASE WHEN o_orderkey % 6 = 0 THEN price + 1000
            |         ELSE price END AS price
            |  FROM o WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
-           |SELECT pri, count(*) AS cnt,
-           |       CAST(sum(price) AS DECIMAL(22,2)) AS total,
-           |       min(price) AS min_price, max(price) AS max_price
-           |FROM f GROUP BY pri""".stripMargin))
+           |SELECT pri, CAST(count(*) AS BIGINT) AS cnt,
+           |       CAST(sum(price) AS BIGINT) AS total_cents,
+           |       CAST(min(price) AS BIGINT) AS min_price_cents,
+           |       CAST(max(price) AS BIGINT) AS max_price_cents
+           |FROM f GROUP BY pri ORDER BY pri""".stripMargin))
 
   /** Roll-up flavor of [[mvRewriteQ]]: the maintained view groups by
     * (pri, status) but the query groups by STATUS ONLY — a strict
@@ -886,10 +899,13 @@ object QueryCatalog {
     */
   private val mvRollupRewriteQ = Q(
     (s, d) => {
+      // exact integer cents + total ORDER BY, as [[mvRewriteQ]] (the
+      // round-7 driver flag additionally observed parallelism-dependent
+      // row order here)
       val orders = t(s, d, "orders").select(col("o_orderkey"),
         col("o_orderpriority").as("pri"),
         col("o_orderstatus").as("status"),
-        round(col("o_totalprice"), 2).cast("decimal(12,2)").as("price"))
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).as("price"))
       def tmp(tag: String) =
         java.nio.file.Files.createTempDirectory(s"graft-mvr-$tag").toString
       val src = new graft.table.CowTable(s, tmp("src"),
@@ -906,9 +922,10 @@ object QueryCatalog {
         .getOrElse(ma.table.basePath, 0L)
       val q = s.read.format("graft").load(src.basePath)
         .groupBy(col("status"))
-        .agg(count(lit(1)).as("cnt"), sum(col("price")).as("total"),
-          min(col("price")).as("min_price"),
-          max(col("price")).as("max_price"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price")).as("total_cents"),
+          min(col("price")).as("min_price_cents"),
+          max(col("price")).as("max_price_cents"))
+        .orderBy(col("status"))
       q.queryExecution.optimizedPlan
       require(graft.sources.MvRewriteRule.hitLog
           .getOrElse(ma.table.basePath, 0L) > before,
@@ -916,14 +933,15 @@ object QueryCatalog {
       q
     },
     Some("""WITH o AS (SELECT o_orderkey, o_orderstatus AS status,
-           |      CAST(round(o_totalprice, 2) AS DECIMAL(12,2)) AS price
+           |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price
            |      FROM orders),
            |f AS (SELECT * FROM o
            |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)
-           |SELECT status, count(*) AS cnt,
-           |       CAST(sum(price) AS DECIMAL(22,2)) AS total,
-           |       min(price) AS min_price, max(price) AS max_price
-           |FROM f GROUP BY status""".stripMargin))
+           |SELECT status, CAST(count(*) AS BIGINT) AS cnt,
+           |       CAST(sum(price) AS BIGINT) AS total_cents,
+           |       CAST(min(price) AS BIGINT) AS min_price_cents,
+           |       CAST(max(price) AS BIGINT) AS max_price_cents
+           |FROM f GROUP BY status ORDER BY status""".stripMargin))
 
   /** Metadata-only aggregates end-to-end: lineitem lands in an indexed
     * graft table; `count(*)` comes from [[graft.table.CowTable.fastCount]]
@@ -1740,17 +1758,17 @@ object QueryCatalog {
            |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsz
            |  FROM (SELECT unnest(t) AS tok FROM toks)),
            |sc AS (SELECT bg.doc_id,
-           |    CAST(round(-ln((n2 + 1.0) / (n1 + vsz)), 6)
-           |      AS DECIMAL(18,6)) AS nll
+           |    CAST(floor(-ln((n2 + 1.0) / (n1 + vsz)) * 1000000 + 0.5)
+           |      AS BIGINT) AS nllm
            |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)
            |,g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           |    CAST(sum(nll) AS DECIMAL(28,6)) AS nll_total,
-           |    CAST(sum(nll) * 1000000 AS BIGINT) AS tm
+           |    CAST(sum(nllm) AS BIGINT) AS tm
            |  FROM sc GROUP BY doc_id)
-           |SELECT doc_id, n_bigrams, nll_total,
+           |SELECT doc_id, n_bigrams,
+           |  tm / CAST(1000000.0 AS DOUBLE) AS nll_total,
            |  ((tm * 2 + n_bigrams) // (2 * n_bigrams)) /
            |    CAST(1000000.0 AS DOUBLE) AS avg_nll
-           |FROM g""".stripMargin))
+           |FROM g ORDER BY doc_id""".stripMargin))
 
   /** Deterministic (hash-bucket) stratified sample: ~30% per key, exactly
     * reproducible in any engine with the same portable hash.
@@ -1953,6 +1971,15 @@ object QueryCatalog {
   private val cosSql = (v: String, q: String) =>
     s"round(list_dot_product($v, $q) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q))), 6)"
 
+  /** 6-dp cosine as `floor(raw·1e6 + 0.5) / 1e6` — every step one IEEE
+    * double op (then an exact BIGINT divide), so the value is
+    * bit-identical in ANY engine/version; the SQL twin of
+    * [[graft.sim.Similarity]]'s `micro6`. [[cosSql]]'s `round()` form
+    * depends on the engine's decimal-rounding implementation.
+    */
+  private val cosMicroSql = (v: String, q: String) =>
+    s"(CAST(floor(list_dot_product($v, $q) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q))) * 1000000 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE))"
+
   private val cosineTopK = Q(
     (s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), 0L, 20),
     Some(
@@ -2141,7 +2168,10 @@ object QueryCatalog {
   /** Shared oracle CTEs for the product-quantization queries: per-subspace
     * slices (8 subspaces × 8 dims), the deterministic first-16 codebook,
     * and the per-(vector, subspace) nearest-centroid assignment (squared-L2
-    * argmin via three dot products, rounded 6 dp, ties by centroid id) —
+    * argmin via three dot products, quantized to 6-dp micro-unit integers
+    * with `floor(raw·1e6 + 0.5)` — pure IEEE double ops, so any oracle
+    * engine/version computes the same integer; `round()`/decimal casts on
+    * doubles were the round-7 driver-hash flag — ties by centroid id),
     * mirroring [[graft.sim.Similarity.pqAssign]].
     */
   private val pqSubSql =
@@ -2152,13 +2182,20 @@ object QueryCatalog {
       |cents AS (SELECT m, vec_id AS centroid_id, sv AS cv
       |  FROM sub WHERE vec_id < 16)""".stripMargin
 
+  /** `floor(raw·1e6 + 0.5)` micro-unit squared-L2 — the SQL twin of
+    * [[graft.sim.Similarity]]'s `d2Micro`.
+    */
+  private def pqD2MicroSql(v: String, c: String) =
+    s"""CAST(floor((list_dot_product($v, $v)
+       |        - 2*list_dot_product($v, $c)
+       |        + list_dot_product($c, $c)) * 1000000 + 0.5) AS BIGINT)"""
+      .stripMargin
+
   private def pqAsgSql(excl: String) =
     s"""asg AS (SELECT vec_id, m, centroid_id FROM (
        |  SELECT s.vec_id, s.m, c.centroid_id, row_number() OVER (
        |      PARTITION BY s.vec_id, s.m ORDER BY
-       |      round(list_dot_product(s.sv, s.sv)
-       |        - 2*list_dot_product(s.sv, c.cv)
-       |        + list_dot_product(c.cv, c.cv), 6), c.centroid_id) AS rn
+       |      ${pqD2MicroSql("s.sv", "c.cv")}, c.centroid_id) AS rn
        |  FROM sub s JOIN cents c ON s.m = c.m$excl) WHERE rn = 1)"""
       .stripMargin
 
@@ -2168,13 +2205,14 @@ object QueryCatalog {
     */
   private val pqEncode = Q(
     (s, d) => Similarity.pqEncode(t(s, d, "embeddings"),
-      numSub = 8, subDim = 8, k = 16),
+        numSub = 8, subDim = 8, k = 16)
+      .orderBy(col("vec_id")),
     Some(
       s"""WITH $pqSubSql,
          |${pqAsgSql("")}
          |SELECT vec_id,
          |  CAST(sum(centroid_id * (16 ** m)) AS BIGINT) AS code
-         |FROM asg GROUP BY vec_id""".stripMargin))
+         |FROM asg GROUP BY vec_id ORDER BY vec_id""".stripMargin))
 
   /** PQ-ADC search ([[graft.sim.Similarity.pqSearch]]): approximate top-50
     * shortlist from the code index + broadcast lookup table, exact cosine
@@ -2188,18 +2226,17 @@ object QueryCatalog {
          |${pqAsgSql(" WHERE s.vec_id <> 0")},
          |qs AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = 0),
          |lut AS (SELECT c.m, c.centroid_id,
-         |    CAST(round(list_dot_product(qs.qsv, qs.qsv)
-         |      - 2*list_dot_product(qs.qsv, c.cv)
-         |      + list_dot_product(c.cv, c.cv), 6) AS DECIMAL(18,6)) AS qd2
+         |    ${pqD2MicroSql("qs.qsv", "c.cv")} AS qd2m
          |  FROM cents c JOIN qs ON c.m = qs.m),
-         |ad AS (SELECT a.vec_id, CAST(sum(l.qd2) AS DECIMAL(28,6)) AS adist
+         |ad AS (SELECT a.vec_id,
+         |    CAST(sum(l.qd2m) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS adist
          |  FROM asg a JOIN lut l
          |    ON a.m = l.m AND a.centroid_id = l.centroid_id
          |  GROUP BY a.vec_id ORDER BY adist, vec_id LIMIT 50),
          |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
          |  FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ad.adist,
-         |  ${cosSql("CAST(e.embedding AS DOUBLE[])", "qv")} AS sim
+         |  ${cosMicroSql("CAST(e.embedding AS DOUBLE[])", "qv")} AS sim
          |FROM embeddings e JOIN ad ON e.vec_id = ad.vec_id, q
          |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin))
 
@@ -2231,7 +2268,7 @@ object QueryCatalog {
          |      c.centroid_id) AS rn
          |  FROM embeddings e, coarse c) WHERE rn = 1),
          |probe AS (SELECT centroid_id FROM (
-         |  SELECT c.centroid_id, ${cosSql("c.fv", "qv")} AS csim
+         |  SELECT c.centroid_id, ${cosMicroSql("c.fv", "qv")} AS csim
          |  FROM coarse c, q ORDER BY csim DESC, centroid_id LIMIT 4)),
          |cand AS (SELECT vec_id FROM cellasg
          |  WHERE centroid_id IN (SELECT centroid_id FROM probe)
@@ -2239,17 +2276,16 @@ object QueryCatalog {
          |${pqAsgSql(" WHERE s.vec_id <> 0")},
          |qs AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = 0),
          |lut AS (SELECT c.m, c.centroid_id,
-         |    CAST(round(list_dot_product(qs.qsv, qs.qsv)
-         |      - 2*list_dot_product(qs.qsv, c.cv)
-         |      + list_dot_product(c.cv, c.cv), 6) AS DECIMAL(18,6)) AS qd2
+         |    ${pqD2MicroSql("qs.qsv", "c.cv")} AS qd2m
          |  FROM cents c JOIN qs ON c.m = qs.m),
-         |ad AS (SELECT a.vec_id, CAST(sum(l.qd2) AS DECIMAL(28,6)) AS adist
+         |ad AS (SELECT a.vec_id,
+         |    CAST(sum(l.qd2m) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS adist
          |  FROM asg a JOIN lut l
          |    ON a.m = l.m AND a.centroid_id = l.centroid_id
          |  WHERE a.vec_id IN (SELECT vec_id FROM cand)
          |  GROUP BY a.vec_id ORDER BY adist, vec_id LIMIT 50)
          |SELECT e.vec_id, ad.adist,
-         |  ${cosSql("CAST(e.embedding AS DOUBLE[])", "qv")} AS sim
+         |  ${cosMicroSql("CAST(e.embedding AS DOUBLE[])", "qv")} AS sim
          |FROM embeddings e JOIN ad ON e.vec_id = ad.vec_id, q
          |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin))
 

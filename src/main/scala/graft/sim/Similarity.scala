@@ -360,12 +360,26 @@ object Similarity {
     }.reduce(_ unionAll _)
   }
 
-  /** Squared L2 between two double vectors via three dot products —
-    * the same fixed-order fold on both engines, rounded to 6 dp so the
-    * nearest-centroid argmin is deterministic cross-engine.
+  /** Squared L2 between two double vectors via three dot products,
+    * quantized to 6-dp MICRO-UNIT LONGS: `floor(raw·1e6 + 0.5)`. Every
+    * operation (same-order dot fold, ×1e6, +0.5, floor) is a single IEEE
+    * double op, so any engine — independent of its decimal `round()`
+    * implementation or double↔decimal cast version — produces the SAME
+    * integer. `round(x, 6)` here was the round-7 driver-hash flag on
+    * `pq_search`/`ivf_pq_search`: Java's exact-BigDecimal HALF_UP and a
+    * SQL engine's double-space round disagree on half-way cells, and
+    * DOUBLE→DECIMAL casts drifted across oracle-engine versions.
     */
-  private def d2(x: Column, c: Column): Column =
-    round(dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c), 6)
+  private def d2Micro(x: Column, c: Column): Column =
+    floor((dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)) * lit(1.0e6)
+      + lit(0.5))
+
+  /** 6-dp quantized value as an exact DOUBLE: micro-unit long / 1e6.
+    * Both the quantization (see [[d2Micro]]) and the final division are
+    * single IEEE ops — bit-identical cross-engine, unlike `round(x, 6)`.
+    */
+  private def micro6(c: Column): Column =
+    floor(c * lit(1.0e6) + lit(0.5)).cast("double") / lit(1.0e6)
 
   /** Product-quantization assignment: each vector's nearest centroid per
     * subspace (squared-L2 argmin, ties by centroid id) —
@@ -377,7 +391,7 @@ object Similarity {
     val scored = pqSubvectors(embs, numSub, subDim)
       .join(broadcast(cents), Seq("m"))
       .select(col("vec_id"), col("m"), col("centroid_id"),
-        d2(col("sv"), col("cv")).as("dist2"))
+        d2Micro(col("sv"), col("cv")).as("dist2"))
     val w = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("dist2"), col("centroid_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -422,10 +436,10 @@ object Similarity {
     *   3. the shortlist re-ranks with EXACT cosine against the raw
     *      vectors — a broadcast join pulls only those rows.
     *
-    * Per-subspace distances round to 6 dp and accumulate as
-    * DECIMAL(28,6) (exact — addition order irrelevant), so the shortlist
-    * cut and final ranking are deterministic cross-engine. Ties break by
-    * vec_id.
+    * Per-subspace distances quantize to 6-dp micro-unit longs
+    * ([[d2Micro]]) and accumulate as exact integers (addition order
+    * irrelevant), so the shortlist cut and final ranking are
+    * deterministic cross-engine. Ties break by vec_id.
     *
     * This self-contained form ENCODES the corpus first (one broadcast
     * assign + pack, the index build); production queries should store
@@ -459,7 +473,6 @@ object Similarity {
   def pqSearchIndexed(embs: DataFrame, codes: DataFrame, queryId: Long,
       cents: DataFrame, numSub: Int, subDim: Int, k: Int, shortlist: Int,
       topK: Int): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val qsub = pqSubvectors(embs.filter(col("vec_id") === queryId),
       numSub, subDim).select(col("m"), col("sv").as("qsv"))
     // numSub×k query-to-centroid distances, rounded exactly like the
@@ -470,10 +483,9 @@ object Similarity {
     // power-of-ten shift (every term is an exact multiple of 1e-6, so
     // the integer sum IS the unscaled decimal).
     val lutMicros: List[Long] = cents.join(qsub, Seq("m"))
-      .select(col("m"), col("centroid_id"), d2(col("qsv"), col("cv")))
+      .select(col("m"), col("centroid_id"), d2Micro(col("qsv"), col("cv")))
       .collect()
-      .map(r => (r.getInt(0) * k + r.getLong(1).toInt,
-        math.round(r.getDouble(2) * 1e6)))
+      .map(r => (r.getInt(0) * k + r.getLong(1).toInt, r.getLong(2)))
       .sortBy(_._1).map(_._2).toList
     require(lutMicros.length == numSub * k,
       s"ADC lookup table incomplete: ${lutMicros.length} of ${numSub * k}")
@@ -482,11 +494,14 @@ object Similarity {
       val cm = (col("code") / lit(math.pow(k.toDouble, m))).cast("long") % k
       element_at(lut, (lit(m * k) + cm + 1).cast("int"))
     }
+    // the integer micro-sum is exact (addition order irrelevant) and the
+    // single long→double divide is IEEE-identical cross-engine; a decimal
+    // cast here was the round-7 driver-hash flag (double↔decimal casts
+    // drift across oracle-engine versions)
     val adist = codes
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"),
-        (adistTerms.reduce(_ + _) / lit(1000000L).cast("double"))
-          .cast(DecimalType(28, 6)).as("adist"))
+        (adistTerms.reduce(_ + _).cast("double") / lit(1.0e6)).as("adist"))
       .orderBy(col("adist"), col("vec_id"))
       .limit(shortlist)
     val q = embs.filter(col("vec_id") === queryId)
@@ -494,7 +509,7 @@ object Similarity {
     embs.join(broadcast(adist), Seq("vec_id"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("adist"),
-        round(cosine(toDoubleVec(col("embedding")), col("qv")), 6).as("sim"))
+        micro6(cosine(toDoubleVec(col("embedding")), col("qv"))).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(topK)
       .select("vec_id", "adist", "sim")
@@ -525,7 +540,7 @@ object Similarity {
       .select(toDoubleVec(col("embedding")).as("qv"))
     val probed = coarse.crossJoin(broadcast(q))
       .select(col("centroid_id"),
-        round(cosine(col("cv"), col("qv")), 6).as("csim"))
+        micro6(cosine(col("cv"), col("qv"))).as("csim"))
       .orderBy(col("csim").desc, col("centroid_id"))
       .limit(nProbe)
       .select("centroid_id")

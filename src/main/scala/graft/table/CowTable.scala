@@ -3528,11 +3528,62 @@ object CowTable {
   /** Row-level commit stamp column (see `trackCommitVersions`). */
   val CommitVerCol = "_graft_commit_version"
   /** Deletion-vector sidecar columns: the deleted row's scan identity —
-    * the base file's `_metadata.file_path` exactly as Spark's parquet
-    * scan reports it, and its `_metadata.row_index` within that file.
+    * the base file's path in CANONICAL form (see [[dvCanonical]]:
+    * basePath-relative for files under the table root, scheme-stripped
+    * absolute otherwise) and its `_metadata.row_index` within that file.
     */
   val DvFileCol = "_graft_dv_file"
   val DvPosCol = "_graft_dv_pos"
+
+  private val SchemePrefixRe = "^[a-zA-Z][a-zA-Z0-9+.\\-]*:/+"
+
+  /** Scheme-stripped plain-path form of a path string: `file:///a/b`,
+    * `file:/a/b` and `/a/b` all canonicalize to `/a/b`.
+    */
+  private[graft] def stripScheme(s: String): String =
+    SchemePrefixRe.r.replaceFirstIn(s, "/")
+
+  /** Canonical DV path identity for a scan-side `_metadata.file_path`
+    * (or a stored sidecar value): strip any URI scheme, then strip the
+    * table's own absolute prefix so files under the table root key by
+    * their basePath-RELATIVE path. Every other manifest reference is
+    * already relative (the format is relocation-safe via
+    * [[resolveFile]]); recording absolute scan paths in DV sidecars made
+    * DV'd tables the one exception — after a directory move/rename the
+    * read anti-join matched nothing and deleted rows silently
+    * reappeared. Canonicalizing BOTH sides at record and read time keys
+    * positions by stable identity; absolute (clone-referenced) files
+    * keep their scheme-stripped absolute path, which is location-stable
+    * by construction. Applied identically at record
+    * (`markDvPositions`), table reads (`readFiles`) and SQL reads
+    * ([[graft.sources.GraftDvReadRule]]), so pre-existing RELATIVE
+    * sidecars compare equal and legacy absolute sidecars keep matching
+    * as long as the table has not moved.
+    */
+  private[graft] def dvCanonical(
+      spark: SparkSession, basePath: String)(c: Column): Column = {
+    val p = new Path(basePath)
+    val fsys = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val absBase = stripScheme(fsys.makeQualified(p).toString)
+    val norm = regexp_replace(c, SchemePrefixRe, "/")
+    when(norm.startsWith(absBase + "/"),
+      norm.substr(lit(absBase.length + 2), lit(Int.MaxValue)))
+      .otherwise(norm)
+  }
+
+  /** Whether a DV position set is safe to force-broadcast: bounded by
+    * ESTIMATED BYTES (rows × per-row path+position payload), not raw row
+    * count — a row-count bound on long path strings could force hundreds
+    * of MB through the broadcast hint, bypassing
+    * `spark.sql.autoBroadcastJoinThreshold`.
+    */
+  private[graft] def dvBroadcastable(
+      m: Manifest, dvd: Seq[String]): Boolean = {
+    val bytes = dvd.iterator.map { f =>
+      m.dvs.get(f).map(e => e.rows * (f.length + 24L)).getOrElse(0L)
+    }.sum
+    bytes <= 64L * 1024 * 1024
+  }
   /** Quarantine-row label: the first CHECK constraint the row violated
     * (see [[CowTable.upsertQuarantine]]).
     */

@@ -571,19 +571,27 @@ object TextOps {
     val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
     val v = toks.select(explode(col("t")).as("tok"))
       .agg(countDistinct(col("tok"))).head.getLong(0)
-    val nll = round(-log((col("n2") + lit(1.0)) / (col("n1") + lit(v))), 6)
-      .cast(DecimalType(18, 6))
+    // per-bigram nll quantized to 6-dp MICRO-UNIT LONGS via
+    // floor(raw·1e6 + 0.5): pure IEEE double ops, so any oracle
+    // engine/version computes the same integer — `round(x, 6)` +
+    // DOUBLE→DECIMAL casts here were the round-7 driver-hash flag. The
+    // per-doc micro sum is exact integer addition (order-free), and the
+    // output doubles are single long→double divides (bit-identical
+    // cross-engine). Total ORDER BY doc_id: the row order is part of the
+    // certified output (parallelism-independent).
+    val nllMicro = floor(
+      -log((col("n2") + lit(1.0)) / (col("n1") + lit(v))) * lit(1.0e6)
+        + lit(0.5))
     bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .select(col("doc_id"), nll.as("nll"))
+      .select(col("doc_id"), nllMicro.as("nllm"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_total"))
-      // 6-dp half-up average via EXACT integer division on micro-units:
-      // a double round() here hits half-way cells that round differently
-      // across engines (observed at sf0.1)
-      .withColumn("__tm", (col("nll_total") * 1000000).cast("long"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nllm")).as("__tm"))
+      .withColumn("nll_total", col("__tm").cast("double") / lit(1.0e6))
+      // 6-dp half-up average via EXACT integer division on micro-units
       .withColumn("avg_nll",
         expr("(__tm * 2 + n_bigrams) div (2 * n_bigrams)") / lit(1.0e6))
-      .drop("__tm")
+      .select("doc_id", "n_bigrams", "nll_total", "avg_nll")
+      .orderBy(col("doc_id"))
   }
 
   /** Duplicate clusters: connected components over near-dup pairs via

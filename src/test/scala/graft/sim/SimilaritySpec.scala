@@ -271,9 +271,9 @@ class SimilaritySpec extends SparkSpec {
     val stored = spark.read.parquet(dir)
     val fromIndex = Similarity.pqSearchIndexed(embs, stored, 0L,
       Similarity.pqCodebook(embs, 8, 8, 16), 8, 8, 16, 50, 10)
-      .as[(Long, BigDecimal, Double)].collect().toSeq
+      .as[(Long, Double, Double)].collect().toSeq
     val direct = Similarity.pqSearch(embs, 0L, 8, 8, 16, 50, 10)
-      .as[(Long, BigDecimal, Double)].collect().toSeq
+      .as[(Long, Double, Double)].collect().toSeq
     assert(fromIndex == direct,
       "stored-code ADC must reproduce the inline search exactly")
   }
@@ -284,10 +284,10 @@ class SimilaritySpec extends SparkSpec {
     val index = Similarity.ivfPqIndex(embs, coarse, pqc, 8, 8, 16)
     val full = Similarity.ivfPqSearch(embs, index, 0L, coarse, pqc,
       8, 8, 16, nProbe = 16, shortlist = 50, topK = 10)
-      .as[(Long, BigDecimal, Double)].collect().toSeq
+      .as[(Long, Double, Double)].collect().toSeq
     val plain = Similarity.pqSearchIndexed(embs,
       index.select("vec_id", "code"), 0L, pqc, 8, 8, 16, 50, 10)
-      .as[(Long, BigDecimal, Double)].collect().toSeq
+      .as[(Long, Double, Double)].collect().toSeq
     assert(full == plain, "probing every cell must equal the full scan")
     // a bounded probe returns valid, correctly-shaped results from a
     // strict subset of the index

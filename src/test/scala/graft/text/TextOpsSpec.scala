@@ -346,14 +346,14 @@ class TextOpsSpec extends SparkSpec {
     // nll(a,b) = -ln(4/6) -> 0.405465; nll(b,a) = -ln(2/4) -> 0.693147
     val got = TextOps.bigramLmScore(d)
       .select("doc_id", "n_bigrams", "nll_total", "avg_nll")
-      .as[(Long, Long, BigDecimal, Double)].collect()
+      .as[(Long, Long, Double, Double)].collect()
       .map(r => r._1 -> r).toMap
     assert(!got.contains(2L), "single-token doc has no bigrams")
     assert(got(0L)._2 == 3L)
-    assert(got(0L)._3 == BigDecimal("1.504077"))
+    assert(got(0L)._3 == 1.504077)
     assert(math.abs(got(0L)._4 - 0.501359) < 1e-9)
     assert(got(1L)._2 == 1L)
-    assert(got(1L)._3 == BigDecimal("0.405465"))
+    assert(got(1L)._3 == 0.405465)
   }
 
   test("bigramLmScore on the corpus: fluent text scores in a sane band") {
