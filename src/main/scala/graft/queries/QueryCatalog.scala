@@ -2124,7 +2124,7 @@ object QueryCatalog {
          |    CAST(e.embedding AS DOUBLE[]) AS ev
          |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
          |dup AS (SELECT l.centroid_id, l.vec_id AS id_a, r.vec_id AS id_b,
-         |    ${cosSql("l.ev", "r.ev")} AS sim
+         |    ${cosMicroSql("l.ev", "r.ev")} AS sim
          |  FROM v l JOIN v r ON l.centroid_id = r.centroid_id
          |    AND l.vec_id < r.vec_id),
          |pruned AS (SELECT id_b AS vec_id, min(id_a) AS dup_of,

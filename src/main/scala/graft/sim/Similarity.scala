@@ -603,7 +603,9 @@ object Similarity {
       col("ev").as("vb"))
     val dup = l.join(r, Seq("centroid_id"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      // micro6, not round(): the threshold cut and max() witness must not
+      // sit on an engine-version-dependent half-way cell
+      .withColumn("sim", micro6(cosine(col("va"), col("vb"))))
       .filter(col("sim") >= simThreshold)
     val pruned = dup.groupBy(col("id_b").as("vec_id"))
       .agg(min(col("id_a")).as("dup_of"), max(col("sim")).as("max_sim"))

@@ -66,15 +66,17 @@ class GraftDvReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     val names = r.output.map(_.name)
     val fileC = CowTable.DvFileCol
     val posC = CowTable.DvPosCol
+    // both sides join in CowTable.dvScanId/readDvPositions' absolute
+    // path space so a relocated or cloned table keeps matching its
+    // sidecars
     val withMeta = session.read.schema(m.schema)
       .parquet(dvd.map(f => CowTable.resolveFile(base, f)): _*)
-      .select(names.map(col) :+ col("_metadata.file_path").as(fileC) :+
+      .select(names.map(col) :+
+        CowTable.dvScanId(col("_metadata.file_path")).as(fileC) :+
         col("_metadata.row_index").as(posC): _*)
     val refs = dvd.flatMap(f => m.dvs(f).files).distinct
-    val dv0 = session.read.parquet(
-      refs.map(f => CowTable.resolveFile(base, f)): _*)
-    val dvRows = dvd.iterator.map(f => m.dvs(f).rows).sum
-    val dv = if (dvRows <= 4000000L) broadcast(dv0) else dv0
+    val dv0 = CowTable.readDvPositions(session, base, refs)
+    val dv = if (CowTable.dvBroadcastable(m, dvd)) broadcast(dv0) else dv0
     val applied = withMeta.join(dv,
       withMeta(fileC) === dv(fileC) && withMeta(posC) === dv(posC),
       "left_anti").select(names.map(col): _*)

@@ -762,10 +762,10 @@ class CowTable(
     if (m.dvs.isEmpty) readFilesWithSchema(m.schema, files)
     else {
       // Deletion-vector read: files WITHOUT a vector read natively (zero
-      // overhead); only DV'd files pay the positional anti-join. The
-      // sidecars are matched on the scan's own (_metadata.file_path,
-      // _metadata.row_index) identity — the positions were RECORDED from
-      // the same scan metadata, so the strings compare exactly.
+      // overhead); only DV'd files pay the positional anti-join. Both
+      // sides join in the absolute path space of [[CowTable.dvScanId]] /
+      // [[CowTable.readDvPositions]], so a relocated or cloned table
+      // keeps matching its sidecars.
       val (dvd, cleanFls) = files.partition(m.dvs.contains)
       val clean = readFilesWithSchema(m.schema, cleanFls)
       if (dvd.isEmpty) clean
@@ -773,15 +773,15 @@ class CowTable(
         val cols = m.schema.fieldNames.toIndexedSeq.map(col)
         val withMeta = spark.read.schema(addDirCols(m.schema))
           .parquet(dvd.map(f => CowTable.resolveFile(basePath, f)): _*)
-          .select(cols :+ col("_metadata.file_path").as(DvFileCol) :+
+          .select(cols :+
+            CowTable.dvScanId(col("_metadata.file_path")).as(DvFileCol) :+
             col("_metadata.row_index").as(DvPosCol): _*)
         val refs = dvd.flatMap(f => m.dvs(f).files).distinct
-        val dv0 = spark.read.parquet(
-          refs.map(f => CowTable.resolveFile(basePath, f)): _*)
-        // total deleted rows is known from the manifest: broadcast the
-        // vector side while it is small, shuffle only past that
-        val dvRows = dvd.iterator.map(f => m.dvs(f).rows).sum
-        val dv = if (dvRows <= 4000000L) broadcast(dv0) else dv0
+        val dv0 = CowTable.readDvPositions(spark, basePath, refs)
+        // the manifest knows the deleted-row count and path lengths:
+        // force-broadcast only while the estimated payload is small
+        val dv =
+          if (CowTable.dvBroadcastable(m, dvd)) broadcast(dv0) else dv0
         clean.unionByName(withMeta.join(dv,
           withMeta(DvFileCol) === dv(DvFileCol) &&
             withMeta(DvPosCol) === dv(DvPosCol),
@@ -1083,7 +1083,7 @@ class CowTable(
     */
   def delete(df: DataFrame, parallelism: Int = 0,
       extraMetrics: Map[String, Long] = Map.empty): Unit =
-    if (deleteVectors) deleteVectored(df, extraMetrics)
+    if (deleteVectors) deleteVectored(df, extraMetrics, parallelism)
     else mergeCommit(df, parallelism, "delete", extraMetrics,
       tombstoneKeys = Some((_, incoming) =>
         incoming.select(mergeIdCols.map(col): _*).distinct())) {
@@ -1114,7 +1114,8 @@ class CowTable(
     * O(deleted keys) log appends.
     */
   def deleteVectored(df: DataFrame,
-      extraMetrics: Map[String, Long] = Map.empty): Unit = {
+      extraMetrics: Map[String, Long] = Map.empty,
+      parallelism: Int = 0): Unit = {
     require(storageTypeName == "cow",
       s"deleteVectored is COW-only (MOR deletes are log appends) at " +
         basePath)
@@ -1134,7 +1135,7 @@ class CowTable(
       val probeKeys =
         incoming.select(mergeIdCols.map(col): _*).distinct()
       val (newDvs, dvRefs, dvRows) = markDvPositions(m, v, candFiles,
-        probeKeys)
+        probeKeys, parallelism)
       // tombstones must carry the table's field-id metadata (they are
       // read back through the id-stamped schema by the change feed)
       val tombSchema = StructType(
@@ -1356,7 +1357,7 @@ class CowTable(
       val probeKeys =
         incoming.select(mergeIdCols.map(col): _*).distinct()
       val (newDvs, dvRefs, dvRows) = markDvPositions(m, v, candFiles,
-        probeKeys)
+        probeKeys, parallelism)
       val newFiles = writeCommit(incoming, v, parallelism,
         idSchema = evolved)
       writeManifest(withFileStats(m.copy(version = v,
@@ -1383,7 +1384,8 @@ class CowTable(
     * new sidecar refs, positions recorded).
     */
   private def markDvPositions(m: Manifest, v: Long, candFiles: Seq[String],
-      probeKeys: DataFrame): (Map[String, DvEntry], Seq[String], Long) = {
+      probeKeys: DataFrame, parallelism: Int = 0)
+      : (Map[String, DvEntry], Seq[String], Long) = {
     if (candFiles.isEmpty) return (m.dvs, Nil, 0L)
     val idCols = mergeIdCols
     val idSchema = StructType(
@@ -1394,7 +1396,7 @@ class CowTable(
       .parquet(candFiles.map(f =>
         CowTable.resolveFile(basePath, f)): _*)
       .select(idCols.toIndexedSeq.map(col) :+
-        col("_metadata.file_path").as(DvFileCol) :+
+        CowTable.dvScanId(col("_metadata.file_path")).as(DvFileCol) :+
         col("_metadata.row_index").as(DvPosCol): _*)
     // positions already dead under an existing vector must not be
     // re-recorded (counts would double)
@@ -1403,15 +1405,13 @@ class CowTable(
     val cur =
       if (priorRefs.isEmpty) cur0
       else {
-        val prior0 = spark.read.parquet(priorRefs.map(f =>
-          CowTable.resolveFile(basePath, f)): _*)
-        // same size guard as the read path: the manifest knows the
-        // prior dead-position count, so a long-uncompacted table never
-        // force-broadcasts an unbounded set
-        val priorRows = candFiles.iterator
-          .flatMap(m.dvs.get).map(_.rows).sum
-        val prior = if (priorRows <= 4000000L) broadcast(prior0)
-          else prior0
+        val prior0 = CowTable.readDvPositions(spark, basePath, priorRefs)
+        // same size guard as the read path: bounded by estimated bytes
+        // so a long-uncompacted table never force-broadcasts an
+        // unbounded set
+        val dvdCand = candFiles.filter(m.dvs.contains)
+        val prior = if (CowTable.dvBroadcastable(m, dvdCand))
+          broadcast(prior0) else prior0
         cur0.join(prior,
           cur0(DvFileCol) === prior(DvFileCol) &&
             cur0(DvPosCol) === prior(DvPosCol), "left_anti")
@@ -1425,14 +1425,28 @@ class CowTable(
       if (counts.isEmpty) (m.dvs, Nil, 0L)
       else {
         val total = counts.iterator.map(_._2).sum
+        // canonical scan path -> manifest file string: relative files
+        // canonicalize to themselves, absolute (clone) refs to their
+        // scheme-stripped form; endsWith is the legacy fallback
         val relOf: Map[String, String] = counts.map { case (abs, _) =>
-          val matches = candFiles.filter(abs.endsWith)
+          val matches = candFiles.filter(f =>
+            f == abs || CowTable.stripScheme(f) == abs || abs.endsWith(f))
           require(matches.size == 1,
             s"ambiguous scan path $abs against the candidate listing")
           abs -> matches.head
         }.toMap
-        val refs = writeDvFiles(hits, v,
-          math.max(1, (total / 10000000L).toInt))
+        // sidecar rows store the basePath-RELATIVE form (absolute only
+        // for clone-referenced files outside the root) so the recorded
+        // positions relocate with the table
+        val storeForm = CowTable.dvStoreForm(spark, basePath) _
+        // caller-tuned sidecar parallelism wins; default sizes by
+        // position count (one sidecar per ~10M positions)
+        val parts = if (parallelism > 0) parallelism
+          else math.max(1, (total / 10000000L).toInt)
+        val refs = writeDvFiles(
+          hits.select(storeForm(col(DvFileCol)).as(DvFileCol),
+            col(DvPosCol)),
+          v, parts)
         val updated = counts.foldLeft(m.dvs) {
           case (acc, (abs, n)) =>
             val f = relOf(abs)
@@ -2138,6 +2152,11 @@ class CowTable(
     dest.writeManifest(m.copy(version = m.version + 1,
       schemaJson = next.json,
       droppedCols = (m.droppedCols ++ dropLower).distinct,
+      // a dropped column's ANALYZE record must go with it: maintain()'s
+      // auto re-ANALYZE replays the recorded keys, and a stale key would
+      // make every subsequent maintain() throw on the unknown column
+      tableColStats = m.tableColStats
+        .filterNot { case (c, _) => dropLower.contains(c.toLowerCase) },
       operation = "alter_schema",
       metrics = Map(
         "columns_added" -> addCols.size.toLong,
@@ -2213,6 +2232,9 @@ class CowTable(
     dest.writeManifest(m.copy(version = m.version + 1,
       schemaJson = nextSchema.json,
       fileStats = nextStats,
+      // re-key the table-level ANALYZE record too: maintain()'s auto
+      // re-ANALYZE replays these keys against the CURRENT schema
+      tableColStats = m.tableColStats.map { case (c, v) => ren(c) -> v },
       operation = "rename_column",
       metrics = Map("columns_renamed" -> 1L)))
     dest
@@ -3212,11 +3234,16 @@ class CowTable(
     // exactly where to renew them, over the same columns and bin count
     // the last ANALYZE chose (both recoverable from the recorded stats)
     val m2 = manifest
-    val statsRefreshed = m2.tableColStats.nonEmpty &&
+    // belt-and-braces: replay only columns still in the schema (DDL
+    // scrubs the record, but a pre-fix manifest may carry stale keys —
+    // they must not wedge every subsequent maintain())
+    val replayCols = m2.tableColStats.keys.toSeq
+      .filter(m2.schema.fieldNames.contains).sorted
+    val statsRefreshed = replayCols.nonEmpty &&
       m2.tableColStatsVersion != m2.version && {
         val bins = m2.tableColStats.valuesIterator
           .map(_.histogram.size).max
-        analyze(m2.tableColStats.keys.toSeq.sorted, bins)
+        analyze(replayCols, bins)
         true
       }
     Map(
@@ -3543,32 +3570,59 @@ object CowTable {
   private[graft] def stripScheme(s: String): String =
     SchemePrefixRe.r.replaceFirstIn(s, "/")
 
-  /** Canonical DV path identity for a scan-side `_metadata.file_path`
-    * (or a stored sidecar value): strip any URI scheme, then strip the
-    * table's own absolute prefix so files under the table root key by
-    * their basePath-RELATIVE path. Every other manifest reference is
-    * already relative (the format is relocation-safe via
-    * [[resolveFile]]); recording absolute scan paths in DV sidecars made
-    * DV'd tables the one exception — after a directory move/rename the
-    * read anti-join matched nothing and deleted rows silently
-    * reappeared. Canonicalizing BOTH sides at record and read time keys
-    * positions by stable identity; absolute (clone-referenced) files
-    * keep their scheme-stripped absolute path, which is location-stable
-    * by construction. Applied identically at record
-    * (`markDvPositions`), table reads (`readFiles`) and SQL reads
-    * ([[graft.sources.GraftDvReadRule]]), so pre-existing RELATIVE
-    * sidecars compare equal and legacy absolute sidecars keep matching
-    * as long as the table has not moved.
+  /** DV positions join on SCHEME-STRIPPED ABSOLUTE path identity; this
+    * is the scan-side key for a `_metadata.file_path`.
     */
-  private[graft] def dvCanonical(
+  private[graft] def dvScanId(c: Column): Column =
+    regexp_replace(c, SchemePrefixRe, "/")
+
+  /** The store-side form for NEW sidecar rows: basePath-relative when
+    * the (scheme-stripped absolute) scan path is under the table root,
+    * the absolute path otherwise. Relative storage is what makes a DV'd
+    * table relocatable — recording raw absolute scan paths made DV'd
+    * tables the one location-bound manifest reference (the round-7
+    * advice flag: after a directory move the read anti-join matched
+    * nothing and deleted rows silently reappeared while fastCount still
+    * subtracted them).
+    */
+  private[graft] def dvStoreForm(
       spark: SparkSession, basePath: String)(c: Column): Column = {
     val p = new Path(basePath)
     val fsys = p.getFileSystem(spark.sessionState.newHadoopConf())
     val absBase = stripScheme(fsys.makeQualified(p).toString)
-    val norm = regexp_replace(c, SchemePrefixRe, "/")
-    when(norm.startsWith(absBase + "/"),
-      norm.substr(lit(absBase.length + 2), lit(Int.MaxValue)))
-      .otherwise(norm)
+    when(c.startsWith(absBase + "/"),
+      c.substr(lit(absBase.length + 2), lit(Int.MaxValue)))
+      .otherwise(c)
+  }
+
+  /** Read DV sidecars and resolve each stored path to the shared
+    * ABSOLUTE join space ([[dvScanId]]): a RELATIVE stored value
+    * resolves against the sidecar file's OWN table root — derived from
+    * its fixed `<root>/files/dv{v}-uuid/part` layout via the sidecar's
+    * own `_metadata.file_path` — so the identity survives BOTH table
+    * relocation (the sidecar moves with the table, so its root tracks
+    * the new location) and clone-by-reference (the clone's manifest
+    * points at the source's sidecar, whose root stays the source —
+    * exactly where the shared data files live). Legacy absolute values
+    * pass through scheme-stripped, matching while the table has not
+    * moved (the pre-change behavior).
+    */
+  private[graft] def readDvPositions(
+      spark: SparkSession, basePath: String, refs: Seq[String])
+      : DataFrame = {
+    val raw = spark.read
+      .parquet(refs.map(f => resolveFile(basePath, f)): _*)
+      .select(col(DvFileCol), col(DvPosCol),
+        dvScanId(col("_metadata.file_path")).as("__graft_dv_sc"))
+    val sidecarRoot = regexp_replace(col("__graft_dv_sc"),
+      "/files/dv[0-9]+-[^/]*/[^/]*$", "")
+    val stored = col(DvFileCol)
+    val isAbs = stored.startsWith("/") ||
+      stored.rlike("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/")
+    raw.select(
+      when(isAbs, regexp_replace(stored, SchemePrefixRe, "/"))
+        .otherwise(concat(sidecarRoot, lit("/"), stored)).as(DvFileCol),
+      col(DvPosCol))
   }
 
   /** Whether a DV position set is safe to force-broadcast: bounded by

@@ -114,6 +114,27 @@ class AnalyzeSpec extends SparkSpec {
     assert(t.maintain()("stats_refreshed") == 0L)
   }
 
+  test("DROP/RENAME COLUMN scrub the ANALYZE record; maintain() survives") {
+    val t = mk(tmpDir("an-ddl"))
+    t.analyze(columns = Seq("cat", "v"), histogramBins = 0)
+    // DROP an analyzed column: its record must go with it, and the next
+    // maintain() must renew the survivors instead of throwing on the
+    // unknown column (the round-7 advice flag: every maintain() failed
+    // until a manual re-ANALYZE)
+    val t2 = t.alterSchema(dropCols = Seq("v"))
+    assert(t2.manifest.tableColStats.keySet == Set("cat"))
+    t2.upsert(Seq((3000L, "catX")).toDF("id", "cat"))
+    assert(t2.maintain()("stats_refreshed") == 1L)
+    assert(t2.manifest.tableColStats.keySet == Set("cat"))
+    // RENAME an analyzed column: the record re-keys and keeps renewing
+    val t3 = t2.renameColumn("cat", "category")
+    assert(t3.manifest.tableColStats.keySet == Set("category"))
+    t3.upsert(Seq((3001L, "catY")).toDF("id", "category"))
+    assert(t3.maintain()("stats_refreshed") == 1L)
+    assert(t3.manifest.tableColStats.keySet == Set("category"))
+    assert(t3.manifest.tableColStatsVersion == t3.manifest.version)
+  }
+
   test("CALL system.analyze returns the per-column stats table") {
     val wh = tmpDir("an-wh")
     spark.conf.set("spark.sql.catalog.ancat",

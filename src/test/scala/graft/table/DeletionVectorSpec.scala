@@ -39,6 +39,33 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.fastCount().contains(297L))
   }
 
+  test("relocated table keeps its deletion vectors effective") {
+    val dir = tmpDir("dv-move")
+    val t = mkTable(dir)
+    t.bulkInsert(rows(200).toDF("id", "p", "ts", "v"))
+    t.delete(Seq(("k0001", "p1"), ("k0010", "p1")).toDF("id", "p"))
+    assert(t.snapshot().count() == 198L)
+
+    // move the whole table directory: sidecars key positions by
+    // basePath-RELATIVE canonical path, so reads at the new location
+    // must still subtract the deleted rows (a silent resurrection here
+    // was the round-7 advice flag)
+    val moved = tmpDir("dv-moved-target") + "/t"
+    assert(new java.io.File(dir).renameTo(new java.io.File(moved)))
+    val t2 = CowTable.open(spark, moved)
+    assert(t2.fastCount().contains(198L))
+    assert(t2.snapshot().count() == 198L,
+      "scan and metadata counts must agree after relocation")
+    val ids = t2.snapshot().select("id").as[String].collect().toSet
+    assert(!ids.contains("k0001") && !ids.contains("k0010"))
+    // SQL/source read path (GraftDvReadRule) at the new location
+    val viaSource = spark.read.format("graft").load(moved)
+    assert(viaSource.count() == 198L)
+    // and further vectored deletes at the new location compose
+    t2.delete(Seq(("k0020", "p2")).toDF("id", "p"))
+    assert(t2.snapshot().count() == 197L)
+  }
+
   test("vectors accumulate across deletes; positions never double-count") {
     val t = mkTable(tmpDir("dv-acc"))
     t.bulkInsert(rows(120).toDF("id", "p", "ts", "v"))
