@@ -1707,14 +1707,15 @@ object QueryCatalog {
            |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
            |  FROM tf GROUP BY 1),
            |c AS (SELECT tf.doc_id, tf.dl,
-           |    CAST(round(
+           |    CAST(floor((
            |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
            |        (tf * 2.2) /
-           |        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
-           |      AS DECIMAL(18,6)) AS contrib
+           |        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1000000
+           |      + 0.5) AS BIGINT) AS cm
            |  FROM tf JOIN dfq ON tf.term = dfq.term, st),
            |sc AS (SELECT doc_id, dl,
-           |    CAST(sum(contrib) AS DECIMAL(28,6)) AS score
+           |    CAST(sum(cm) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
+           |      AS score
            |  FROM c GROUP BY 1, 2),
            |r AS (SELECT *, row_number() OVER (
            |    ORDER BY score DESC, doc_id) AS rnk FROM sc)
@@ -2043,18 +2044,18 @@ object QueryCatalog {
            |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
            |  FROM tf GROUP BY 1),
            |c AS (SELECT tf.doc_id, tf.dl,
-           |    CAST(round(
+           |    CAST(floor((
            |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
            |        (tf * 2.2) /
-           |        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
-           |      AS DECIMAL(18,6)) AS contrib
+           |        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1000000
+           |      + 0.5) AS BIGINT) AS cm
            |  FROM tf JOIN dfq ON tf.term = dfq.term, st),
            |sc AS (SELECT doc_id,
-           |    CAST(sum(contrib) AS DECIMAL(28,6)) AS score
+           |    CAST(sum(cm) AS BIGINT) AS scm
            |  FROM c GROUP BY 1),
            |lex AS (SELECT doc_id AS id, rnk AS rnk_a FROM (
            |    SELECT doc_id, row_number() OVER (
-           |      ORDER BY score DESC, doc_id) AS rnk FROM sc)
+           |      ORDER BY scm DESC, doc_id) AS rnk FROM sc)
            |  WHERE rnk <= 50),
            |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
            |  FROM embeddings WHERE vec_id = 0),

@@ -515,8 +515,16 @@ object TextOps {
     * (`doc_id, dl, term, tf` — query-term rows only), shared by the
     * per-query corpus scan ([[bm25TopDocs]]) and the persistent postings
     * index ([[Bm25Index]]): same idf/saturation formula, same
-    * round-then-decimal-sum determinism, same tie-breaks — so index-served
+    * micro-unit-integer determinism, same tie-breaks — so index-served
     * rankings are provably identical to corpus-scan rankings.
+    *
+    * Per-term contributions quantize to 6-dp micro-unit LONGS via
+    * `floor(raw·1e6 + 0.5)` — pure IEEE double ops, identical in any
+    * engine/version — and the per-doc sum is exact integer addition
+    * (order-free); `round(x, 6)` + a DOUBLE→DECIMAL cast here was the
+    * exact hazard class the round-7 driver hash flagged on
+    * `lm_bigram_score`. The final score is the single long→double
+    * divide (bit-identical cross-engine).
     */
   private[text] def bm25RankHits(tf: DataFrame, n: Long, avgdl: Double,
       k1: Double, b: Double, topK: Int): DataFrame = {
@@ -529,10 +537,9 @@ object TextOps {
     val contrib = idf * (col("tf") * (k1 + 1.0)) / norm
     val w = Window.orderBy(col("score").desc, col("doc_id"))
     tf.join(broadcast(dfreq), "term")
-      .withColumn("contrib",
-        round(contrib, 6).cast(DecimalType(18, 6)))
+      .withColumn("cm", floor(contrib * lit(1.0e6) + lit(0.5)))
       .groupBy(col("doc_id"), col("dl"))
-      .agg(sum(col("contrib")).as("score"))
+      .agg((sum(col("cm")).cast("double") / lit(1.0e6)).as("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("doc_id"), col("dl"), col("score"), col("rnk"))

@@ -13,9 +13,9 @@ class Bm25IndexSpec extends SparkSpec {
 
   private val terms = Seq("spark", "join", "vector")
 
-  private def ranks(df: DataFrame): Seq[(Long, Long, BigDecimal, Int)] =
+  private def ranks(df: DataFrame): Seq[(Long, Long, Double, Int)] =
     df.select("doc_id", "dl", "score", "rnk")
-      .as[(Long, Long, BigDecimal, Int)].collect().sortBy(_._4).toSeq
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
 
   test("index-served ranking equals the corpus-scan ranking exactly") {
     val path = tmpDir("bm25idx")
