@@ -77,19 +77,38 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val certReps = sys.env.getOrElse("SPARK_GRAFT_CERT_REPS", "1").toInt
     val names = picked.toSeq
-    val perRep =
-      scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    // Per rep, BUILD vs QUERY time are split (round-8 verdict item): the
+    // e2e certification rows construct real tables EAGERLY inside the
+    // query function (bulkInsert/upsert/refresh are actions), so the
+    // fn() call is the builder and materialize() is the served query.
+    // The headline per-query number stays build+query (the basis every
+    // prior round's bands were measured on); BENCH_FULL.json carries the
+    // split so a genuine query regression is distinguishable from
+    // commit-path contention in the builder.
+    val perRep = scala.collection.mutable
+      .LinkedHashMap[String, Vector[(Double, Double)]]()
     def timedRep(name: String, fn: (SparkSession, String) => DataFrame)
         : Unit = {
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch {
-        case e: Throwable =>
-          // a failed query must be VISIBLE, not a fast-looking -1
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val built =
+        try Some(fn(spark, sfDir))
+        catch {
+          case e: Throwable =>
+            // a failed query must be VISIBLE, not a fast-looking -1
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            None
+        }
+      val t1 = System.nanoTime()
+      built.foreach { df =>
+        try materialize(df)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      perRep.update(name, perRep.getOrElse(name, Vector.empty) :+ dt)
+      val t2 = System.nanoTime()
+      perRep.update(name, perRep.getOrElse(name, Vector.empty) :+
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9))
     }
     names.foreach { case (name, fn) =>
       (1 to reps).foreach(_ => timedRep(name, fn))
@@ -102,7 +121,9 @@ object Bench {
       // unless contention perturbed it
       clearCaches(spark)
     }
-    val results = perRep.map { case (n, ts) => n -> ts.min }
+    val results = perRep.map { case (n, ts) =>
+      n -> ts.map(t => t._1 + t._2).min
+    }
     // The driver keeps only the LAST 2000 chars of stdout and sbt prints a
     // ~75-char "[success] Total time..." line AFTER ours, so the JSON line
     // must fit in ~1900 chars or its head is cut off and it never parses
@@ -116,11 +137,18 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
-    val repEntries = perRep.toSeq.sortBy(-_._2.min).map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
-    }
+    // per-rep samples as [build_s, query_s] pairs: contention shows as
+    // one perturbed sample, and its build-vs-query attribution is
+    // visible at a glance
+    val repEntries = perRep.toSeq
+      .sortBy { case (_, ts) => -ts.map(t => t._1 + t._2).min }
+      .map { case (k, ts) =>
+        "\"" + k + "\":" + ts.map { case (b, q) =>
+          s"[${f(b)},${f(q)}]"
+        }.mkString("[", ",", "]")
+      }
     val fullLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":${entries.mkString("{", ",", "}")},"reps":${repEntries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":${entries.mkString("{", ",", "}")},"reps_build_query":${repEntries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       fullLine.getBytes("UTF-8"))
