@@ -4279,6 +4279,102 @@ object QueryCatalog {
            |WHERE is_late = 1 AND n_late = 1 AND n_supp >= 2
            |GROUP BY 1, 2""".stripMargin))
 
+  /** External-catalog bridge end-to-end ([[graft.sources.CatalogSync]],
+    * the reference's hive-sync shape, `processData.py:160-169`): a REAL
+    * graft table registered in the SESSION catalog, churned AFTER the
+    * sync, then read back BY NAME — certifying the registration lists in
+    * `spark.catalog` and that by-name reads serve the manifest head with
+    * no re-sync. The symlink-manifest export is also written and checked
+    * line-for-line against the live file listing. Money stays in exact
+    * integer cents (floor micro-units) so values are engine-portable.
+    */
+  private val catalogSyncQ = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-catsync").toString
+      val tbl = new graft.table.CowTable(s, path, keyCols = Seq("c_custkey"))
+      tbl.bulkInsert(cust.filter(col("c_custkey") <= 1500))
+      val name =
+        s"gq_catsync_${java.util.UUID.randomUUID.toString.take(8)}"
+      graft.sources.CatalogSync.syncToSessionCatalog(s, name, tbl)
+      require(s.catalog.tableExists(name),
+        s"catalog sync must list $name in the session catalog")
+      // churn AFTER the one-time sync: the by-name read below must see it
+      tbl.upsert(cust.filter(col("c_custkey").between(1001, 2000))
+        .withColumn("cents", col("cents") + 77L))
+      val manifests = graft.sources.CatalogSync.writeSymlinkManifest(s, tbl)
+      val listed = manifests.iterator.flatMap { p =>
+        scala.io.Source.fromFile(new java.net.URI(p).getPath)
+          .getLines().toList
+      }.size
+      val live = tbl.manifest.partitions.valuesIterator.map(_.size).sum
+      require(listed == live,
+        s"symlink manifest lists $listed files, manifest has $live live")
+      s.table(name).orderBy("c_custkey")
+    },
+    Some("""WITH cust AS (SELECT c_custkey, c_name,
+           |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           |  FROM customer),
+           |tgt AS (SELECT * FROM cust WHERE c_custkey <= 1500),
+           |src AS (SELECT c_custkey, c_name, cents + 77 AS cents
+           |        FROM cust WHERE c_custkey BETWEEN 1001 AND 2000)
+           |SELECT t.c_custkey, t.c_name, t.cents FROM tgt t
+           |WHERE NOT EXISTS (SELECT 1 FROM src s
+           |                  WHERE s.c_custkey = t.c_custkey)
+           |UNION ALL
+           |SELECT c_custkey, c_name, cents FROM src
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Sharded-manifest lifecycle end-to-end: with the shard threshold
+    * lowered, a partitioned table whose file count crosses it, then an
+    * upsert ON the sharded format (content-addressed slot reuse + merge
+    * rewrite), read back through the SOURCE API. A green row certifies
+    * the sharded read path — root + parallel shard merge — reproduces
+    * the exact merged table the monolithic format would.
+    */
+  private val shardedManifestQ = Q(
+    (s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"),
+        (col("c_custkey") % 8).cast("string").as("seg"))
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-shardman").toString
+      val old = graft.table.CowTable.ManifestShardFileThreshold
+      graft.table.CowTable.ManifestShardFileThreshold = 8
+      try {
+        val tbl = new graft.table.CowTable(s, path,
+          keyCols = Seq("c_custkey"), partitionCols = Seq("seg"))
+        tbl.bulkInsert(cust.filter(col("c_custkey") <= 2000),
+          parallelism = 2)
+        require(tbl.manifest.shardRefs.nonEmpty,
+          "manifest must shard above the lowered threshold")
+        tbl.upsert(cust.filter(col("c_custkey").between(1001, 2000))
+          .withColumn("cents", col("cents") + 501L))
+        val t2 = graft.table.CowTable.open(s, path)
+        require(t2.manifest.shardRefs.nonEmpty,
+          "upsert commit must stay sharded")
+        s.read.format("graft").load(path)
+          .select("c_custkey", "c_name", "cents", "seg")
+          .orderBy("c_custkey")
+      } finally {
+        graft.table.CowTable.ManifestShardFileThreshold = old
+      }
+    },
+    Some("""WITH cust AS (SELECT c_custkey, c_name,
+           |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+           |  CAST(c_custkey % 8 AS VARCHAR) AS seg FROM customer),
+           |tgt AS (SELECT * FROM cust WHERE c_custkey <= 2000),
+           |src AS (SELECT c_custkey, c_name, cents + 501 AS cents, seg
+           |        FROM cust WHERE c_custkey BETWEEN 1001 AND 2000)
+           |SELECT t.c_custkey, t.c_name, t.cents, t.seg FROM tgt t
+           |WHERE NOT EXISTS (SELECT 1 FROM src s
+           |                  WHERE s.c_custkey = t.c_custkey)
+           |UNION ALL
+           |SELECT c_custkey, c_name, cents, seg FROM src
+           |ORDER BY c_custkey""".stripMargin))
+
   // ---------------------------------------------------------------- export
 
   val all: ListMap[String, Q] = ListMap(
@@ -4431,7 +4527,9 @@ object QueryCatalog {
     "q20_dominant_suppliers" -> q20DominantSuppliers,
     "q21_sole_late_supplier" -> q21SoleLateSupplier,
     "edit_distance_bounded" -> editDistanceBounded,
-    "weighted_mixture" -> weightedMixture
+    "weighted_mixture" -> weightedMixture,
+    "catalog_sync" -> catalogSyncQ,
+    "sharded_manifest" -> shardedManifestQ
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
