@@ -179,4 +179,17 @@ class TableOpsPropertySpec extends SparkSpec {
       partitionCols = Seq("part"), precombineField = "v",
       compactEvery = 5), seed = 12, nOps = 18)
   }
+
+  test("COW sharded: random op sequences on sharded manifests equal the " +
+      "model replay at every step") {
+    // every commit in the sequence lands on the SHARDED manifest format —
+    // change feed, diff, clone and services replayed against the model
+    val old = CowTable.ManifestShardFileThreshold
+    CowTable.ManifestShardFileThreshold = 3
+    try drive(new CowTable(spark, tmpDir("props-cow-shard"),
+      keyCols = Seq("id"), partitionCols = Seq("part"),
+      precombineField = "v", fileIndexEntries = 1000,
+      trackCommitVersions = true), seed = 13, nOps = 22)
+    finally CowTable.ManifestShardFileThreshold = old
+  }
 }
