@@ -163,4 +163,31 @@ class ManifestShardSpec extends SparkSpec {
     assert(t.snapshot().count() == 30L)
     assert(t.snapshot().filter($"id" === 1L).head().getString(1) == "y")
   }
+
+  test("MOR log appends and compaction ride the sharded format") {
+    withThreshold(4) {
+      val t = new MorTable(spark, tmpDir("shard-mor"), keyCols = Seq("id"),
+        partitionCols = Seq("p"), precombineField = "v", compactEvery = 3)
+      t.bulkInsert((0 until 100).map(i => (i.toLong, s"p${i % 5}", 0L))
+        .toDF("id", "p", "v"), parallelism = 3)
+      assert(t.manifest.shardRefs.nonEmpty)
+      // log-append upserts land in the sharded logPartitions map
+      t.upsert((0 until 40).map(i => (i.toLong, s"p${i % 5}", 1L))
+        .toDF("id", "p", "v"))
+      assert(t.manifest.logPartitions.valuesIterator.exists(_.nonEmpty),
+        "delta log must be recorded in the sharded manifest")
+      assert(t.realtime().filter($"v" === 1L).count() == 40L)
+      // ride through inline compaction (3 deltas trigger it)
+      t.upsert(Seq((200L, "p0", 5L)).toDF("id", "p", "v"))
+      t.delete(Seq((3L, "p3")).toDF("id", "p"))
+      val m = t.manifest
+      assert(m.logPartitions.valuesIterator.forall(_.isEmpty),
+        "inline compaction must fold the sharded delta logs")
+      assert(m.shardRefs.nonEmpty, "compacted commit stays sharded")
+      assert(t.realtime().count() == 100L)
+      assert(t.readOptimized().count() == 100L)
+      // id=3 was one of the 40 updated rows before its delete
+      assert(t.realtime().filter($"v" === 1L).count() == 39L)
+    }
+  }
 }
