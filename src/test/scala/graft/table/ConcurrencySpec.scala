@@ -139,6 +139,83 @@ class ConcurrencySpec extends SparkSpec {
     assert(feed == Set(("a", 10.0), ("b", 20.0)))
   }
 
+  test("compaction racing a disjoint-partition writer: both commit") {
+    // the 100-TB steady state: an async maintenance sweep folding cold
+    // partitions while ingest appends to hot ones — the service is just
+    // another OCC writer, so both must land with no coordination
+    val path = tmpDir("occ-svc-disjoint")
+    val seedT = new CowTable(spark, path, keyCols = Seq("id"),
+      partitionCols = Seq("p"), precombineField = "v")
+    // fragment p1 with successive insert-appending commits
+    seedT.bulkInsert(Seq(("k0", "p1", 1.0), ("k1", "p1", 1.0))
+      .toDF("id", "p", "v"))
+    (1 until 6).foreach { i =>
+      seedT.upsert(Seq((s"k${i * 2}", "p1", 1.0), (s"k${i * 2 + 1}", "p1", 1.0))
+        .toDF("id", "p", "v"))
+    }
+    seedT.upsert(Seq(("x", "p2", 2.0)).toDF("id", "p", "v"))
+    val fragBefore = seedT.manifest.partitions("p=p1").size
+    assert(fragBefore > 2, s"seed must fragment p1: $fragBefore files")
+    val (a, b, _) = racingPair(path)
+    val (ea, eb) = runBoth(
+      assert(a.compactWhere(
+        org.apache.spark.sql.functions.col("p") === "p1",
+        maxFilesPerUnit = 2), "compaction must find the crowded unit"),
+      b.upsert(Seq(("y", "p2", 3.0)).toDF("id", "p", "v")))
+    assert(ea.isEmpty && eb.isEmpty,
+      s"disjoint service and writer must both commit: $ea / $eb")
+    val t = CowTable.open(spark, path)
+    assert(t.manifest.version == 9L, s"v${t.manifest.version}")
+    assert(t.manifest.partitions("p=p1").size < fragBefore,
+      "the compaction must have taken effect")
+    val got = t.snapshot().select("id", "v")
+      .as[(String, Double)].collect().toMap
+    assert(got.size == 14 && got("x") == 2.0 && got("y") == 3.0 &&
+      got("k0") == 1.0, s"no lost update: $got")
+    assert(t.vacuumOrphans().isEmpty)
+  }
+
+  test("compaction racing a same-partition writer: typed abort, no lost " +
+      "update, retry folds") {
+    val path = tmpDir("occ-svc-overlap")
+    val seedT = new CowTable(spark, path, keyCols = Seq("id"),
+      partitionCols = Seq("p"), precombineField = "v")
+    seedT.bulkInsert(Seq(("k0", "p1", 1.0), ("k1", "p1", 1.0))
+      .toDF("id", "p", "v"))
+    (1 until 6).foreach { i =>
+      seedT.upsert(Seq((s"k${i * 2}", "p1", 1.0), (s"k${i * 2 + 1}", "p1", 1.0))
+        .toDF("id", "p", "v"))
+    }
+    assert(seedT.manifest.partitions("p=p1").size > 2,
+      s"seed must fragment p1")
+    val (a, b, _) = racingPair(path)
+    val (ea, eb) = runBoth(
+      a.compactWhere(org.apache.spark.sql.functions.col("p") === "p1",
+        maxFilesPerUnit = 2),
+      b.upsert(Seq(("k0", "p1", 9.0)).toDF("id", "p", "v")))
+    val failures = Seq(ea, eb).flatten
+    assert(failures.size == 1,
+      s"same-unit service and writer: exactly one aborts: $ea / $eb")
+    assert(failures.head.isInstanceOf[ConcurrentWriteException] ||
+      failures.head.getCause.isInstanceOf[ConcurrentWriteException],
+      s"typed conflict, got: ${failures.head}")
+    // retry the losing op against the new head — both effects then hold
+    val t = CowTable.open(spark, path)
+    if (ea.isDefined)
+      assert(t.compactWhere(
+        org.apache.spark.sql.functions.col("p") === "p1",
+        maxFilesPerUnit = 2))
+    else t.upsert(Seq(("k0", "p1", 9.0)).toDF("id", "p", "v"))
+    val t2 = CowTable.open(spark, path)
+    val got = t2.snapshot().select("id", "v")
+      .as[(String, Double)].collect().toMap
+    assert(got.size == 12 && got("k0") == 9.0, s"$got")
+    assert(t2.manifest.partitions("p=p1").size <= 3,
+      "the retried/winning compaction must have folded the unit")
+    assert(t2.vacuumOrphans().isEmpty,
+      "the aborted attempt must leave no debris")
+  }
+
   test("stale lock from a crashed claimant is broken after timeout") {
     val path = tmpDir("occ-stale")
     seed(path)
