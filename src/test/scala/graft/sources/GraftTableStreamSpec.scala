@@ -62,6 +62,41 @@ class GraftTableStreamSpec extends SparkSpec {
     assert(snap(openB()) == snap(r))
   }
 
+  test("table-as-stream reads ride the sharded manifest format") {
+    val old = CowTable.ManifestShardFileThreshold
+    CowTable.ManifestShardFileThreshold = 2
+    try {
+      val pathA = tmpDir("tstream-sh-a"); val pathB = tmpDir("tstream-sh-b")
+      val ckpt = tmpDir("tstream-sh-ckpt")
+      val a = tableA(pathA)
+      a.bulkInsert((0 until 12).map(i => (s"k$i", s"p${i % 4}", 1.0))
+        .toDF("id", "p", "v"), parallelism = 3)
+      assert(a.manifest.shardRefs.nonEmpty, "source commits must be sharded")
+      val openB = () => {
+        if (CowTable.existsAt(spark, pathB)) CowTable.open(spark, pathB)
+        else new CowTable(spark, pathB, keyCols = Seq("id"),
+          partitionCols = Seq("p"), precombineField = "v")
+      }
+      val sink = new GraftSink(openB)
+      // change-feed mode so the delete below chains too
+      def drain(): Unit = sink.start(
+        spark.readStream.format("graft")
+          .option("includeChangeType", "true").load(pathA), ckpt,
+        Trigger.AvailableNow()).awaitTermination()
+      drain()
+      assert(snap(openB()) == snap(a))
+      // churn lands as further SHARDED commits; restart folds just them
+      a.upsert(Seq(("k2", "p2", 20.0), ("x1", "p1", 9.0))
+        .toDF("id", "p", "v"))
+      a.delete(Seq(("k3", "p3")).toDF("id", "p"))
+      assert(a.manifest.shardRefs.nonEmpty)
+      drain()
+      assert(snap(openB()) == snap(a),
+        "streamed chain must equal the sharded source after churn")
+      assert(snap(openB())("k2") == 20.0 && !snap(openB()).contains("k3"))
+    } finally CowTable.ManifestShardFileThreshold = old
+  }
+
   test("stream-static enrichment join against a graft dim table") {
     val pathA = tmpDir("ss-fact"); val dimPath = tmpDir("ss-dim")
     val a = tableA(pathA)
