@@ -2652,6 +2652,7 @@ class CowTable(
       fs.delete(tmp, false)
       throw new IllegalStateException(s"commit rename failed: $dst")
     }
+    publishedSplitCache = pendingSplitCache // the publish landed
     true
   }
 
@@ -2665,9 +2666,11 @@ class CowTable(
     * file (tmp + rename, loser's rename is a no-op).
     */
   private def publishText(m: Manifest): String = {
-    if (m.files.size < CowTable.ManifestShardFileThreshold)
+    if (m.files.size < CowTable.ManifestShardFileThreshold) {
+      pendingSplitCache = null
       return CowTable.renderManifest(
         if (m.shardRefs.isEmpty) m else m.copy(shardRefs = Nil))
+    }
     val dir = new Path(commitsDir, "shards")
     fs.mkdirs(dir)
     val slots = CowTable.shardSplit(m)
@@ -2679,7 +2682,18 @@ class CowTable(
       if (m.version <= 1L) None
       else scala.util.Try(manifestAt(m.version - 1)).toOption
         .filter(_.shardRefs.nonEmpty)
-    val prevSlots = prev.map(pm => CowTable.shardSplit(pm))
+    // same-JVM repeat committers (streaming ingest, CDC micro-batches)
+    // skip re-splitting the whole previous listing: the split MEMOIZED at
+    // the last successful publish is reused iff the previous root's shard
+    // names equal the names that publish produced — a failed or rebased
+    // attempt can never poison reuse because the cache is promoted only
+    // after the root rename lands (see [[tryPublish]])
+    val prevSlots = prev.map { pm =>
+      val c = publishedSplitCache
+      if (c != null && c.version == pm.version && c.names == pm.shardRefs)
+        c.slots
+      else CowTable.shardSplit(pm)
+    }
     val prevName: Map[Int, String] = prev.map(_.shardRefs.flatMap { nm =>
       val digits = nm.stripPrefix("s").takeWhile(_.isDigit)
       if (digits.nonEmpty) Some(digits.toInt -> nm) else None
@@ -2707,8 +2721,19 @@ class CowTable(
           name
         }
     }
+    pendingSplitCache = CowTable.SplitCache(m.version, names, slots)
     CowTable.renderManifest(m.copy(shardRefs = names))
   }
+
+  /** Slot split of the last manifest THIS handle successfully published
+    * (promoted from [[pendingSplitCache]] by [[tryPublish]]); lets the
+    * next commit skip re-splitting the previous listing. Correctness
+    * guard: reuse requires the previous root's `shardRefs` to equal the
+    * cached names, so stale or failed-attempt caches fall back to a
+    * fresh split.
+    */
+  @volatile private var publishedSplitCache: CowTable.SplitCache = null
+  private var pendingSplitCache: CowTable.SplitCache = null
 
   /** Create-exclusive claim of a version slot. Hadoop's local-FS
     * `create(overwrite = false)` is check-then-act (two simultaneous
@@ -3612,6 +3637,13 @@ object CowTable {
     * content-addressed (sorted canonical form ⇒ logically-equal slots
     * render byte-identically ⇒ untouched slots reuse their file).
     */
+  /** A published manifest's slot split, memoized on the handle that
+    * published it: `names` are the root's shardRefs at `version`, the
+    * equality witness that `slots` really is the published content.
+    */
+  private[table] final case class SplitCache(
+      version: Long, names: Seq[String], slots: Array[ShardSlot])
+
   private[table] final case class ShardSlot(
       partitions: Map[String, Seq[String]],
       logPartitions: Map[String, Seq[String]],

@@ -137,13 +137,25 @@ object ManifestShardProbe {
         }
         written
       }
+      // production MEMOIZED path (same-JVM repeat committer, the
+      // streaming-ingest shape): the previous split was cached at its own
+      // publish, so a commit pays split(new) + compare + changed renders
+      val memoPrev = CowTable.shardSplit(back)
+      val (_, commitMemoS) = timeS {
+        var written = 0
+        CowTable.shardSplit(m2).zipWithIndex.foreach { case (s, i) =>
+          if (!s.isEmpty && memoPrev(i) != s) written += 1
+        }
+        written
+      }
 
       println(f"[msprobe] files=$nFiles monoRender=$renderS%.2fs " +
         f"monoParse=$parseS%.2fs monoBytes=${monoTxt.length / 1048576}%dMiB " +
         f"shards=${names1.size} shardWrite=$shardWriteS%.2fs " +
         f"coldOpen=$coldOpenS%.2fs warmOpen=${warmOpenS * 1000}%.1fms " +
         f"smallCommitShards=$rewritten/${names1.size} " +
-        f"smallCommitWrite=$commitShardS%.2fs")
+        f"smallCommitWrite=$commitShardS%.2fs " +
+        f"smallCommitMemoized=$commitMemoS%.2fs")
       require(nameBySlot.nonEmpty)
       fs.delete(new Path(base), true)
     }
