@@ -4279,6 +4279,59 @@ object QueryCatalog {
            |WHERE is_late = 1 AND n_late = 1 AND n_supp >= 2
            |GROUP BY 1, 2""".stripMargin))
 
+  /** Persistent ANN index end-to-end ([[graft.sim.AnnIndex]]): a REAL
+    * IVF-PQ index built per run — codebooks trained once, the corpus
+    * ingested in TWO batches against the frozen codebooks (the
+    * incremental 100-TB shape), served from the cell-clustered codes
+    * table. Search must equal the per-run [[Similarity.ivfPqSearch]]
+    * formulation, so the oracle is the same unrolled IVFADC SQL the
+    * `ivf_pq_search` row uses.
+    */
+  private val annIndexSearchQ = Q(
+    (s, d) => {
+      val embs = t(s, d, "embeddings")
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-annix").toString
+      val ix = new graft.sim.AnnIndex(s, path, 8, 8, 16, 16)
+      ix.build(embs.filter(col("vec_id") < 100))
+      ix.ingest(embs.filter(col("vec_id") >= 100))
+      ix.search(embs, 0L, nProbe = 4, shortlist = 50, topK = 10)
+    },
+    Some(
+      s"""WITH $pqSubSql,
+         |coarse AS (SELECT vec_id AS centroid_id,
+         |    CAST(embedding AS DOUBLE[]) AS fv
+         |  FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |cellasg AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT e.vec_id, c.centroid_id, row_number() OVER (
+         |      PARTITION BY e.vec_id ORDER BY
+         |      ${cosSql("CAST(e.embedding AS DOUBLE[])", "c.fv")} DESC,
+         |      c.centroid_id) AS rn
+         |  FROM embeddings e, coarse c) WHERE rn = 1),
+         |probe AS (SELECT centroid_id FROM (
+         |  SELECT c.centroid_id, ${cosMicroSql("c.fv", "qv")} AS csim
+         |  FROM coarse c, q ORDER BY csim DESC, centroid_id LIMIT 4)),
+         |cand AS (SELECT vec_id FROM cellasg
+         |  WHERE centroid_id IN (SELECT centroid_id FROM probe)
+         |    AND vec_id <> 0),
+         |${pqAsgSql(" WHERE s.vec_id <> 0")},
+         |qs AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = 0),
+         |lut AS (SELECT c.m, c.centroid_id,
+         |    ${pqD2MicroSql("qs.qsv", "c.cv")} AS qd2m
+         |  FROM cents c JOIN qs ON c.m = qs.m),
+         |ad AS (SELECT a.vec_id,
+         |    CAST(sum(l.qd2m) AS BIGINT) / CAST(1000000.0 AS DOUBLE) AS adist
+         |  FROM asg a JOIN lut l
+         |    ON a.m = l.m AND a.centroid_id = l.centroid_id
+         |  WHERE a.vec_id IN (SELECT vec_id FROM cand)
+         |  GROUP BY a.vec_id ORDER BY adist, vec_id LIMIT 50)
+         |SELECT e.vec_id, ad.adist,
+         |  ${cosMicroSql("CAST(e.embedding AS DOUBLE[])", "qv")} AS sim
+         |FROM embeddings e JOIN ad ON e.vec_id = ad.vec_id, q
+         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin))
+
   /** External-catalog bridge end-to-end ([[graft.sources.CatalogSync]],
     * the reference's hive-sync shape, `processData.py:160-169`): a REAL
     * graft table registered in the SESSION catalog, churned AFTER the
@@ -4529,7 +4582,8 @@ object QueryCatalog {
     "edit_distance_bounded" -> editDistanceBounded,
     "weighted_mixture" -> weightedMixture,
     "catalog_sync" -> catalogSyncQ,
-    "sharded_manifest" -> shardedManifestQ
+    "sharded_manifest" -> shardedManifestQ,
+    "ann_index_search" -> annIndexSearchQ
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -378,7 +378,7 @@ object Similarity {
     * Both the quantization (see [[d2Micro]]) and the final division are
     * single IEEE ops — bit-identical cross-engine, unlike `round(x, 6)`.
     */
-  private def micro6(c: Column): Column =
+  private[sim] def micro6(c: Column): Column =
     floor(c * lit(1.0e6) + lit(0.5)).cast("double") / lit(1.0e6)
 
   /** Product-quantization assignment: each vector's nearest centroid per

@@ -1,0 +1,83 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF-PQ index ([[AnnIndex]]): incremental ingest equals the
+  * full build, search equals the per-run [[Similarity.ivfPqSearch]],
+  * re-ingest is idempotent, updates move cells, deletes drop rows.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def codesOf(ix: AnnIndex, path: String): Map[Long, (Long, Long)] =
+    graft.table.CowTable.open(spark, s"$path/codes").snapshot()
+      .select("vec_id", "centroid_id", "code")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  private def searchRows(df: DataFrame): Seq[(Long, Double, Double)] =
+    df.select("vec_id", "adist", "sim")
+      .as[(Long, Double, Double)].collect().toSeq
+
+  test("two-batch ingest equals the full build; search equals ivfPqSearch") {
+    val pFull = tmpDir("ann-full"); val pInc = tmpDir("ann-inc")
+    val full = new AnnIndex(spark, pFull, 8, 8, 16, 16)
+    full.build(embs)
+    // same codebooks (trained on vec_id < 16, present in batch 1),
+    // corpus ingested in two halves
+    val inc = new AnnIndex(spark, pInc, 8, 8, 16, 16)
+    inc.build(embs.filter($"vec_id" < 100))
+    inc.ingest(embs.filter($"vec_id" >= 100))
+    assert(codesOf(full, pFull) == codesOf(inc, pInc),
+      "same codebooks, split ingest => identical codes")
+
+    val a = searchRows(full.search(embs, 0L, 4, 50, 10))
+    val coarse = Similarity.firstKCodebook(embs, 16)
+    val pqc = Similarity.pqCodebook(embs, 8, 8, 16)
+    val index = Similarity.ivfPqIndex(embs, coarse, pqc, 8, 8, 16)
+    val b = searchRows(Similarity.ivfPqSearch(embs, index, 0L, coarse, pqc,
+      8, 8, 16, nProbe = 4, shortlist = 50, topK = 10))
+    assert(a == b, s"stored-index search must equal the per-run search:\n" +
+      s" got  $a\n want $b")
+  }
+
+  test("re-ingest is idempotent; update moves cell; delete drops") {
+    val p = tmpDir("ann-churn")
+    val ix = new AnnIndex(spark, p, 8, 8, 16, 16)
+    ix.build(embs)
+    val before = codesOf(ix, p)
+    ix.ingest(embs.filter($"vec_id".between(20, 40)))
+    assert(codesOf(ix, p) == before, "re-ingest must be a no-op")
+    // update: give vec 99 the exact embedding of centroid vector 3 — it
+    // must re-encode to cell 3 with centroid 3's own repeated code
+    val moved = embs.filter($"vec_id" === 3L)
+      .select(lit(99L).as("vec_id"), col("embedding"))
+    ix.ingest(moved)
+    val after = codesOf(ix, p)
+    assert(after(99L) == after(3L), s"updated vector must move cells: " +
+      s"${after(99L)} vs ${after(3L)}")
+    assert((after - 99L) == (before - 99L), "only the updated key changed")
+    ix.delete(Seq(99L).toDF("vec_id"))
+    assert(!codesOf(ix, p).contains(99L), "deleted key must drop")
+    // deleted vectors never surface in search results
+    val got = searchRows(ix.search(embs, 0L, 16, 200, 50)).map(_._1)
+    assert(!got.contains(99L))
+  }
+
+  test("maintain re-stripes by cell and preserves the index exactly") {
+    val p = tmpDir("ann-maint")
+    val ix = new AnnIndex(spark, p, 8, 8, 16, 16)
+    ix.build(embs.filter($"vec_id" < 200))
+    ix.ingest(embs.filter($"vec_id" >= 200))
+    val before = codesOf(ix, p)
+    val a = searchRows(ix.search(embs, 0L, 4, 50, 10))
+    ix.maintain(parallelism = 4)
+    assert(codesOf(ix, p) == before, "maintain must not change content")
+    assert(searchRows(ix.search(embs, 0L, 4, 50, 10)) == a)
+  }
+}
