@@ -3955,6 +3955,51 @@ object QueryCatalog {
            |  FROM tr, ev GROUP BY 1)
            |WHERE max_sim >= 0.3""".stripMargin))
 
+  /** Cell-bucketed semantic decontamination
+    * ([[graft.sim.Similarity.semanticDecontaminateIvf]]) — the
+    * holdout-too-big-to-broadcast scale path: codebook from the TRAIN
+    * side, train rows bucket to their nearest cell, each holdout vector
+    * probes its 4 nearest of 16 cells, and pairs form only within a
+    * cell. The oracle reproduces the codebook, both assignments, the
+    * micro-unit pair sims and the witness aggregation exactly.
+    */
+  private val semanticDecontamIvf = Q(
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.semanticDecontaminateIvf(
+        e.filter(pmod(col("vec_id"), lit(50L)) =!= 0),
+        e.filter(pmod(col("vec_id"), lit(50L)) === 0),
+        0.3, nCells = 16, nProbe = 4)
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH c AS (SELECT vec_id AS centroid_id,
+           |    CAST(embedding AS DOUBLE[]) AS cv
+           |  FROM embeddings WHERE vec_id < 16 AND vec_id % 50 <> 0),
+           |tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS tv
+           |  FROM embeddings WHERE vec_id % 50 <> 0),
+           |ho AS (SELECT vec_id AS h_id, CAST(embedding AS DOUBLE[]) AS hv
+           |  FROM embeddings WHERE vec_id % 50 = 0),
+           |tsc AS (SELECT tr.vec_id, c.centroid_id,
+           |    ${cosSql("tr.tv", "c.cv")} AS sim FROM tr, c),
+           |assign AS (SELECT vec_id, centroid_id FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+           |  FROM tsc) WHERE rn = 1),
+           |hsc AS (SELECT ho.h_id, ho.hv, c.centroid_id,
+           |    ${cosSql("ho.hv", "c.cv")} AS csim FROM ho, c),
+           |hp AS (SELECT centroid_id, h_id, hv FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY h_id ORDER BY csim DESC, centroid_id) AS rn
+           |  FROM hsc) WHERE rn <= 4),
+           |pairs AS (SELECT a.vec_id,
+           |    ${cosMicroSql("t2.tv", "hp.hv")} AS sim
+           |  FROM assign a JOIN tr t2 ON t2.vec_id = a.vec_id
+           |  JOIN hp ON hp.centroid_id = a.centroid_id)
+           |SELECT vec_id, max(sim) AS max_sim,
+           |  count(*) AS n_hits
+           |FROM pairs WHERE sim >= 0.3
+           |GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+
   /** Exact-N-per-stratum quota ([[graft.text.TextOps.prioritySample]]):
     * at most 5 documents per source, chosen by deterministic hash
     * priority.
@@ -4562,6 +4607,7 @@ object QueryCatalog {
     "global_vocab" -> globalVocab,
     "dedup_keep_best" -> dedupKeepBest,
     "semantic_decontaminate" -> semanticDecontam,
+    "semantic_decontaminate_ivf" -> semanticDecontamIvf,
     "priority_sample_per_source" -> prioritySamplePerSource,
     "dataset_split" -> datasetSplit,
     "q7_nation_trade" -> q7NationTrade,

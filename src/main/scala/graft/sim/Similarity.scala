@@ -60,6 +60,52 @@ object Similarity {
       .filter(col("max_sim") >= threshold)
   }
 
+  /** Cell-bucketed semantic decontamination — the shape of
+    * [[semanticDecontaminate]] that survives a holdout too large to
+    * broadcast (multi-benchmark eval unions, dedup-against-prior-corpus):
+    * both sides bucket into IVF cells from a codebook trained on the
+    * TRAIN side (the holdout arrives later; `firstKCodebook` here for the
+    * reproducible-oracle contract, [[kmeansCentroids]] in deployments),
+    * each holdout vector replicates into its `nProbe` nearest cells, and
+    * train rows compare ONLY against the holdout rows probing their cell.
+    * One shuffle by cell id on each side; the pair count is bounded by
+    * cell population × nProbe, never |train|·|holdout| — and the holdout
+    * never broadcasts. Same SemDeDup recall contract as [[semanticDedup]]:
+    * a contaminated pair is missed only if the holdout vector's nProbe
+    * cells all miss the train vector's cell (spec-pinned: nProbe = nCells
+    * degenerates to the exact broadcast result).
+    *
+    * Returns flagged train rows `(vec_id, max_sim, n_hits)` — max in-cell
+    * holdout similarity (6-dp micro-unit quantized, engine-portable) and
+    * the number of holdout witnesses at or above `threshold`.
+    */
+  def semanticDecontaminateIvf(
+      train: DataFrame, holdout: DataFrame, threshold: Double,
+      nCells: Int, nProbe: Int): DataFrame = {
+    require(nCells > 0 && nProbe > 0, "need nCells > 0 and nProbe > 0")
+    val cents = firstKCodebook(train, nCells)
+    val tAssign = ivfAssignWith(train, cents)
+      .select(col("vec_id"), col("centroid_id"))
+    val tv = train.select(col("vec_id"),
+      toDoubleVec(col("embedding")).as("tv"))
+    val ta = tAssign.join(tv, "vec_id")
+    val hv = holdout.select(col("vec_id").as("h_id"),
+      toDoubleVec(col("embedding")).as("hv"))
+    val hw = Window.partitionBy(col("h_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val hProbe = hv.crossJoin(broadcast(cents))
+      .select(col("h_id"), col("hv"), col("centroid_id"),
+        round(cosine(col("hv"), col("cv")), 6).as("csim"))
+      .withColumn("rn", row_number().over(hw))
+      .filter(col("rn") <= nProbe)
+      .select(col("centroid_id"), col("h_id"), col("hv"))
+    ta.join(hProbe, Seq("centroid_id"))
+      .withColumn("sim", micro6(cosine(col("tv"), col("hv"))))
+      .filter(col("sim") >= threshold)
+      .groupBy("vec_id")
+      .agg(max(col("sim")).as("max_sim"), count(lit(1)).as("n_hits"))
+  }
+
   /** Exact cosine top-k of `embs` (`vec_id`, `embedding`) against the stored
     * vector `queryId`. The single-row query side is broadcast; one scan of
     * the corpus, one narrow top-k.

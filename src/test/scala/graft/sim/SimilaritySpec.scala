@@ -350,4 +350,41 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r._1 -> r).toMap
     assert(rep == got)
   }
+
+  test("semanticDecontaminateIvf: all-cells probe equals the broadcast scan") {
+    val train = embs.filter(pmod(col("vec_id"), lit(50L)) =!= 0)
+    val hold = embs.filter(pmod(col("vec_id"), lit(50L)) === 0)
+    val exact = Similarity.semanticDecontaminate(train, hold, 0.3)
+      .as[(Long, Double)].collect().toMap
+    val got = Similarity
+      .semanticDecontaminateIvf(train, hold, 0.3, nCells = 8, nProbe = 8)
+      .select("vec_id", "max_sim").as[(Long, Double)].collect().toMap
+    assert(got.keySet == exact.keySet,
+      s"flag sets differ: ${got.keySet.diff(exact.keySet)} / ${exact.keySet.diff(got.keySet)}")
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - exact(id)) <= 1.001e-6, s"vec $id: $s vs ${exact(id)}")
+    }
+    assert(got.nonEmpty, "fixture must actually flag something")
+  }
+
+  test("semanticDecontaminateIvf: narrow probe flags a subset, never more") {
+    val train = embs.filter(pmod(col("vec_id"), lit(50L)) =!= 0)
+    val hold = embs.filter(pmod(col("vec_id"), lit(50L)) === 0)
+    val exact = Similarity.semanticDecontaminate(train, hold, 0.3)
+      .as[(Long, Double)].collect().toMap
+    val narrow = Similarity
+      .semanticDecontaminateIvf(train, hold, 0.3, nCells = 8, nProbe = 2)
+      .select("vec_id", "max_sim").as[(Long, Double)].collect().toMap
+    assert(narrow.keySet.subsetOf(exact.keySet),
+      "cell restriction can only LOSE witnesses")
+    narrow.foreach { case (id, s) =>
+      assert(s <= exact(id) + 1.001e-6, s"vec $id: subset max above full max")
+    }
+    // partitioning-independence (the hazard class DeterminismProbe pins)
+    val rep = Similarity
+      .semanticDecontaminateIvf(train.repartition(7), hold.repartition(3),
+        0.3, nCells = 8, nProbe = 2)
+      .select("vec_id", "max_sim").as[(Long, Double)].collect().toMap
+    assert(rep == narrow)
+  }
 }
