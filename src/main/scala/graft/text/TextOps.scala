@@ -252,8 +252,9 @@ object TextOps {
     * bounded by the LSH banding, precision is exact.
     */
   def lshNearDupPairs(
-      docs: DataFrame, n: Int, rows: Int, num: Int, den: Int): DataFrame = {
-    val cand = minhashCandidatePairs(docs, n, rows)
+      docs: DataFrame, n: Int, rows: Int, num: Int, den: Int,
+      maxBucket: Int = 0): DataFrame = {
+    val cand = minhashCandidatePairs(docs, n, rows, maxBucket)
     // Verification joins the (small) candidate set back to whole shingle
     // ARRAYS and intersects per pair — no second exploded-shingle shuffle.
     // Materialized: referenced by both the doc_a and doc_b join sides.
@@ -288,8 +289,26 @@ object TextOps {
     * docs sharing any full band land in the same bucket and become a
     * candidate pair. Verification (exact Jaccard) is [[ngramJaccardPairs]]
     * restricted to candidates — at scale this replaces the all-shingle join.
+    *
+    * `maxBucket` is the hot-bucket skew guard: LSH buckets are small by
+    * construction on DIVERSE text, but boilerplate (templates, empty docs,
+    * mirrored pages) lands thousands-to-millions of near-identical docs in
+    * ONE bucket, and the all-pairs expansion is quadratic in bucket
+    * population — the classic dedup scale-killer. With `maxBucket > 0`,
+    * buckets above the cap emit STAR edges (every member paired with the
+    * bucket-min doc id) instead of all pairs: linear in bucket size, fully
+    * deterministic, and for the survivor/cluster use the hub keeps the
+    * component connected — a mega-bucket is near-identical content, so
+    * hub-edge verification reaches the same keep/drop decision while the
+    * uncapped expansion would materialize O(n²) pairs that all say the
+    * same thing. Capped buckets trade PAIR ENUMERATION completeness (a
+    * non-hub pair inside an oversized bucket is reported only if another,
+    * small bucket also catches it) for bounded work; `maxBucket = 0`
+    * (default) disables the cap — the exact-enumeration contract the
+    * battery rows certify.
     */
-  def minhashCandidatePairs(docs: DataFrame, n: Int, rows: Int): DataFrame = {
+  def minhashCandidatePairs(docs: DataFrame, n: Int, rows: Int,
+      maxBucket: Int = 0): DataFrame = {
     val sig = minhashSignatures(docs, n)
     val k = Hashing.MinhashA.length
     val bands = (0 until k / rows).map { bnd =>
@@ -297,17 +316,23 @@ object TextOps {
         (0 until rows).map(r => col(s"mh${bnd * rows + r}").as(s"h$r")): _*)
     }
     // One signature pass: group doc ids per bucket, emit pairs with a
-    // higher-order-function expansion (bucket populations are small by LSH
-    // construction, so the per-bucket pair array is bounded).
+    // higher-order-function expansion (bucket populations are bounded by
+    // the cap; without a cap, small by LSH construction on diverse text).
+    val allPairs =
+      """flatten(transform(ids, (x, i) ->
+        |  transform(slice(ids, i + 2, size(ids)),
+        |    y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin
+    val starPairs =
+      """transform(slice(ids, 2, size(ids)),
+        |  y -> struct(element_at(ids, 1) AS doc_a, y AS doc_b))""".stripMargin
+    val pairsExpr =
+      if (maxBucket <= 0) allPairs
+      else s"CASE WHEN size(ids) > $maxBucket THEN $starPairs ELSE $allPairs END"
     sig.select(col("doc_id"), explode(array(bands: _*)).as("bucket"))
       .groupBy("bucket")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)),
-          |    y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
-        .as("p"))
+      .select(explode(expr(pairsExpr)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }

@@ -114,6 +114,35 @@ class TextOpsSpec extends SparkSpec {
       s"J>=0.8 pairs here; missed ${exact -- lsh}")
   }
 
+  test("maxBucket caps hot buckets to star edges, keeps components connected") {
+    // plant a boilerplate mega-group: 120 identical docs (identical
+    // shingle sets => identical signatures => one bucket per band)
+    val planted = docs.select($"doc_id", $"text").unionByName(
+      spark.range(10000, 10120).select($"id".as("doc_id"),
+        lit("the same boilerplate template text repeated verbatim " +
+          "across every mirrored page of the corpus").as("text")))
+    val capped = TextOps.lshNearDupPairs(planted, 3, 2, 8, 10,
+      maxBucket = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val uncapped = TextOps.lshNearDupPairs(planted, 3, 2, 8, 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped), "the cap can only drop pairs")
+    // within the planted group the cap emits exactly the 119 hub edges
+    // (hub = min id 10000), not the 7140 all-pairs
+    val inGroup = capped.filter { case (a, b) => a >= 10000 && b >= 10000 }
+    assert(inGroup == (10001L until 10120L).map(x => (10000L, x)).toSet)
+    assert(uncapped.count { case (a, b) => a >= 10000 && b >= 10000 } ==
+      119 * 120 / 2)
+    // pairs not touching the mega-bucket are untouched by the cap
+    val outside = uncapped.filter { case (a, b) => a < 10000 && b < 10000 }
+    assert(capped.filter { case (a, b) => a < 10000 && b < 10000 } == outside)
+    // the component over capped pairs still spans the whole group
+    val reach = TextOps.dedupClusters(
+      capped.toSeq.toDF("doc_a", "doc_b"))
+      .filter($"cluster_id" === 10000L).count()
+    assert(reach == 120L, "star edges must keep the group one component")
+  }
+
   test("dedupClusters finds transitive components with min-id canonicals") {
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("doc_a", "doc_b")
     val expected = Set(
