@@ -69,12 +69,26 @@ final class LshDedupIndex(
     * doc_b`), exact word-n-gram Jaccard >= num/den, then indexes the
     * batch. `corpusText` must resolve (doc_id, text) for every candidate
     * id — typically the corpus lake table (point reads by key).
+    *
+    * `maxBucket` is the hot-bucket guard of
+    * [[TextOps.minhashCandidatePairs]] carried to the incremental path:
+    * a boilerplate mega-bucket in the INDEX fans every matching new doc
+    * out to the bucket's whole population (|batch∩bucket| ×
+    * |index∩bucket| pairs — the quadratic re-forms across batches).
+    * With `maxBucket > 0`, an index bucket above the cap contributes
+    * only its MIN doc id as `doc_a` (one hub edge per new doc) and an
+    * oversized batch-side bucket emits star edges to the batch-min doc
+    * — linear, deterministic, and the hub (the bucket's global min,
+    * which is in the index after its own ingest) keeps every later
+    * batch chained into the same component. `maxBucket = 0` keeps the
+    * exact enumeration the index specs certify against the batch run.
     */
   def ingest(
       newDocs: DataFrame,
       corpusText: DataFrame,
       num: Int,
-      den: Int): DataFrame = {
+      den: Int,
+      maxBucket: Int = 0): DataFrame = {
     val nb = nb0(newDocs)
     val bhVals = nb.select("bh").distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -86,11 +100,21 @@ final class LshDedupIndex(
           .select(lit(0).as("band"), lit(0L).as("bh"), lit(0L).as("doc_id"))
           .limit(0)
     }
+    def capped(side: DataFrame): DataFrame =
+      if (maxBucket <= 0) side
+      else {
+        val stats = side.groupBy("band", "bh")
+          .agg(min(col("doc_id")).as("__hub"), count(lit(1)).as("__bsz"))
+        side.join(stats, Seq("band", "bh"))
+          .filter(col("__bsz") <= maxBucket || col("doc_id") === col("__hub"))
+          .select("band", "bh", "doc_id")
+      }
     val candOldNew = nb
-      .join(existing.withColumnRenamed("doc_id", "doc_a"), Seq("band", "bh"))
+      .join(capped(existing).withColumnRenamed("doc_id", "doc_a"),
+        Seq("band", "bh"))
       .filter(col("doc_a") =!= col("doc_id"))
       .select(col("doc_a"), col("doc_id").as("doc_b"))
-    val candNewNew = nb.alias("x")
+    val candNewNew = capped(nb.select("band", "bh", "doc_id")).alias("x")
       .join(nb.alias("y"), col("x.band") === col("y.band") &&
         col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -30,6 +30,54 @@ class LshDedupIndexSpec extends SparkSpec {
     assert(batch.nonEmpty, "corpus contains planted near-dups")
   }
 
+  test("maxBucket caps cross-batch mega-bucket fan-out to hub edges") {
+    // boilerplate group split across two batches: 80 indexed + 40 new
+    // identical docs — uncapped, batch 2 would emit 80×40 + C(40,2)
+    // old-new/new-new pairs for the group; capped, each new doc links
+    // once to the bucket hub (the group's global min, indexed in batch 1)
+    val boiler = (id: Long) => (id, "the same boilerplate template text " +
+      "repeated verbatim across every mirrored page of the corpus")
+    val g1 = spark.createDataFrame((10000L until 10080L).map(boiler))
+      .toDF("doc_id", "text")
+    val g2 = spark.createDataFrame((10080L until 10120L).map(boiler))
+      .toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text")
+      .unionByName(g1).unionByName(g2)
+    val b1 = docs.filter(col("doc_id") < 250).select("doc_id", "text")
+      .unionByName(g1)
+    val b2 = docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+      .unionByName(g2)
+
+    val pathU = tmpDir("lshidx-uncap")
+    val idxU = new LshDedupIndex(spark, pathU)
+    val u = canon(idxU.ingest(b1, corpus, 8, 10)) |
+      canon(idxU.ingest(b2, corpus, 8, 10))
+
+    val pathC = tmpDir("lshidx-cap")
+    val idxC = new LshDedupIndex(spark, pathC)
+    val c1 = canon(idxC.ingest(b1, corpus, 8, 10, maxBucket = 30))
+    val c2 = canon(idxC.ingest(b2, corpus, 8, 10, maxBucket = 30))
+    val c = c1 | c2
+    assert(c.subsetOf(u), "the cap can only drop pairs")
+    // batch 1's in-group pairs: star to hub 10000 (bucket size 80 > 30)
+    assert(c1.filter(p => p._1 >= 10000 && p._2 >= 10000) ==
+      (10001L until 10080L).map(x => (10000L, x)).toSet)
+    // batch 2: each new doc once to the INDEXED hub (index bucket 80 > 30
+    // reduces to its min 10000) plus the batch's own star to 10080 (new
+    // bucket 40 > 30)
+    assert(c2.filter(p => p._1 >= 10000 && p._2 >= 10000) ==
+      ((10080L until 10120L).map(x => (10000L, x)).toSet ++
+        (10081L until 10120L).map(x => (10080L, x)).toSet))
+    // pairs not touching the mega-group are identical to the uncapped run
+    assert(c.filter(p => p._1 < 10000 && p._2 < 10000) ==
+      u.filter(p => p._1 < 10000 && p._2 < 10000))
+    // the whole 120-doc group stays one component through the hub
+    val comp = TextOps.dedupClusters(
+      c.toSeq.toDF("doc_a", "doc_b"))
+      .filter(col("cluster_id") === 10000L).count()
+    assert(comp == 120L)
+  }
+
   test("re-ingesting an indexed batch is idempotent on the index") {
     val path = tmpDir("lshidx-re")
     val idx = new LshDedupIndex(spark, path)
