@@ -966,7 +966,8 @@ object TextOps {
     * bands (65k buckets per band, same `maxHamming<=3` pigeonhole) —
     * the construction is identical, only the constants grow.
     */
-  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band pigeonhole guarantees recall only for hamming <= 3")
     val sh = simhash16(docs)
@@ -974,7 +975,22 @@ object TextOps {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash16"), b * 4).bitwiseAND(15).cast("long")): _*))
         .as(Seq("band", "bkey")))
-    val a = banded.alias("a")
+    // Hot-bucket guard (same contract as minhashCandidatePairs): identical
+    // boilerplate means identical fingerprints, which pile one bucket per
+    // band and make the self-join quadratic in that population. Capped
+    // buckets keep only their min doc id on the LEFT side — each member
+    // pairs once with the hub (hamming 0 for true dups, so verification
+    // keeps the edge and the component stays connected).
+    val left =
+      if (maxBucket <= 0) banded
+      else {
+        val stats = banded.groupBy("band", "bkey")
+          .agg(min(col("doc_id")).as("__hub"), count(lit(1)).as("__bsz"))
+        banded.join(stats, Seq("band", "bkey"))
+          .filter(col("__bsz") <= maxBucket || col("doc_id") === col("__hub"))
+          .select("doc_id", "simhash16", "band", "bkey")
+      }
+    val a = left.alias("a")
     val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bkey") === col("b.bkey") &&

@@ -102,6 +102,22 @@ class TextOpsSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus should contain close fingerprints")
   }
 
+  test("simhash maxBucket caps identical-fingerprint buckets to star edges") {
+    val planted = docs.select($"doc_id", $"text").unionByName(
+      spark.range(10000, 10100).select($"id".as("doc_id"),
+        lit("the same boilerplate template text repeated verbatim " +
+          "across every mirrored page of the corpus").as("text")))
+    val capped = TextOps.simhashNearDupPairs(planted, 3, maxBucket = 40)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val uncapped = TextOps.simhashNearDupPairs(planted, 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped))
+    val inGroup = capped.filter { case (a, b) => a >= 10000 && b >= 10000 }
+    assert(inGroup == (10001L until 10100L).map(x => (10000L, x)).toSet)
+    assert(uncapped.count { case (a, b) => a >= 10000 && b >= 10000 } ==
+      99 * 100 / 2)
+  }
+
   test("lshNearDupPairs candidates contain every exact near-dup (recall)") {
     // On the real corpus: LSH-verified pairs must be a subset of the exact
     // pairs (precision exact) and here happen to achieve full recall.
