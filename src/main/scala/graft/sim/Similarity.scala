@@ -636,15 +636,42 @@ object Similarity {
     * Returns every vector with its cell, keep flag, and (for pruned
     * rows) the min-id witness and the rounded max in-cell similarity.
     */
+  /** `maxCell` is the hot-cell guard (the embedding twin of
+    * `TextOps.minhashCandidatePairs`' `maxBucket`): a crowd of identical
+    * or near-identical embeddings (boilerplate docs embed identically)
+    * lands in ONE cell and the within-cell pairing is quadratic in its
+    * population. With `maxCell > 0`, a cell above the cap restricts the
+    * WITNESS side to two rows per member: the cell's MIN vec id (keeps a
+    * cross-crowd witness path) and the min id of the member's
+    * EXACT-vector group (identical embeddings always witness each other
+    * at sim 1.0) — so a true-duplicate crowd still collapses to its
+    * min-id survivor exactly as uncapped, at linear instead of quadratic
+    * pair cost; merely-similar members of an oversized cell lose non-hub
+    * witnesses (documented recall trade). `maxCell = 0` (default) keeps
+    * the exact enumeration the battery certifies.
+    */
   def semanticDedup(embs: DataFrame, nCentroids: Int,
-      simThreshold: Double): DataFrame = {
+      simThreshold: Double, maxCell: Int = 0): DataFrame = {
     val assign = ivfAssign(embs, nCentroids)
       .select(col("vec_id"), col("centroid_id"))
     val vecs = embs.select(col("vec_id"),
       toDoubleVec(col("embedding")).as("ev"))
     val a = assign.join(vecs, "vec_id")
-    val l = a.select(col("centroid_id"), col("vec_id").as("id_a"),
+    val lAll = a.select(col("centroid_id"), col("vec_id").as("id_a"),
       col("ev").as("va"))
+    val l =
+      if (maxCell <= 0) lAll
+      else {
+        val stats = lAll.groupBy("centroid_id")
+          .agg(min(col("id_a")).as("__hub"), count(lit(1)).as("__csz"))
+        val gmin = lAll.groupBy("centroid_id", "va")
+          .agg(min(col("id_a")).as("__gmin"))
+        lAll.join(stats, Seq("centroid_id"))
+          .join(gmin, Seq("centroid_id", "va"))
+          .filter(col("__csz") <= maxCell ||
+            col("id_a") === col("__hub") || col("id_a") === col("__gmin"))
+          .select("centroid_id", "id_a", "va")
+      }
     val r = a.select(col("centroid_id"), col("vec_id").as("id_b"),
       col("ev").as("vb"))
     val dup = l.join(r, Seq("centroid_id"))

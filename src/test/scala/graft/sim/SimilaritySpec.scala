@@ -351,6 +351,33 @@ class SimilaritySpec extends SparkSpec {
     assert(rep == got)
   }
 
+  test("semanticDedup maxCell keeps identical-crowd verdicts, bounds pairs") {
+    // 90 identical copies of vec 5: one hot cell; hub = min planted id
+    val crowd = embs.filter(col("vec_id") === 5L)
+    val planted = embs.unionByName(
+      spark.range(900, 990).crossJoin(crowd.drop("vec_id"))
+        .select($"id".as("vec_id"), $"embedding", $"label"))
+    val exact = Similarity.semanticDedup(planted, 16, 0.9999)
+      .as[(Long, Long, Boolean, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val capped = Similarity.semanticDedup(planted, 16, 0.9999, maxCell = 40)
+      .as[(Long, Long, Boolean, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // identical-crowd verdicts unchanged: every copy still dups to vec 5
+    (900L until 990L).foreach { id =>
+      assert(!capped(id)._3 && capped(id)._4.contains(5L), s"vec $id")
+      assert(capped(id) == exact(id), s"vec $id verdict changed")
+    }
+    assert(capped(5L)._3, "min-id survivor keeps")
+    // rows and cells agree everywhere; only non-hub witnesses may drop
+    assert(capped.keySet == exact.keySet)
+    capped.foreach { case (id, row) =>
+      assert(row._2 == exact(id)._2, s"cell moved for $id")
+      if (row._4.isDefined)
+        assert(exact(id)._4.isDefined, s"cap invented a dup for $id")
+    }
+  }
+
   test("semanticDecontaminateIvf: all-cells probe equals the broadcast scan") {
     val train = embs.filter(pmod(col("vec_id"), lit(50L)) =!= 0)
     val hold = embs.filter(pmod(col("vec_id"), lit(50L)) === 0)
