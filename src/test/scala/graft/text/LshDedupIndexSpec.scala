@@ -78,6 +78,43 @@ class LshDedupIndexSpec extends SparkSpec {
     assert(comp == 120L)
   }
 
+  test("streaming ingest: table-as-stream -> foreachBatch dedup equals batch") {
+    // the production loop: new docs land in a graft corpus table commit
+    // by commit; a stream over the table feeds each micro-batch through
+    // the persistent index; the union of emitted pairs equals the
+    // corpus-wide batch run. Redelivery safety rides on ingest's
+    // idempotent index upsert (pinned by the re-ingest spec).
+    import org.apache.spark.sql.streaming.Trigger
+    val corpusPath = tmpDir("lsh-stream-corpus")
+    val corpus = new CowTable(spark, corpusPath, keyCols = Seq("doc_id"),
+      trackCommitVersions = true)
+    corpus.bulkInsert(docs.filter(col("doc_id") < 250)
+      .select("doc_id", "text"))
+    corpus.upsert(docs.filter(col("doc_id") >= 250)
+      .select("doc_id", "text"))
+
+    val idx = new LshDedupIndex(spark, tmpDir("lsh-stream-idx"))
+    val pairs = scala.collection.mutable.Set[(Long, Long)]()
+    var batches = 0
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1")
+      .load(corpusPath)
+      .writeStream
+      .option("checkpointLocation", tmpDir("lsh-stream-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        batches += 1
+        pairs ++= canon(idx.ingest(b.select("doc_id", "text"), docs, 8, 10))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches == 2, s"one micro-batch per commit, got $batches")
+    val batchRun = canon(TextOps.lshNearDupPairs(docs, 3, 2, 8, 10))
+    assert(pairs.toSet == batchRun,
+      "streamed incremental pairs must equal the corpus-wide batch run")
+  }
+
   test("re-ingesting an indexed batch is idempotent on the index") {
     val path = tmpDir("lshidx-re")
     val idx = new LshDedupIndex(spark, path)
