@@ -69,6 +69,48 @@ class AnnIndexSpec extends SparkSpec {
     assert(!got.contains(99L))
   }
 
+  test("streaming ingest: table-as-stream micro-batches equal the full build") {
+    // embeddings land in a graft lake table commit by commit; a stream
+    // over the table encodes each micro-batch into the persisted index —
+    // the streaming twin of the two-batch ingest spec
+    import org.apache.spark.sql.streaming.Trigger
+    val lakePath = tmpDir("ann-stream-lake")
+    val lake = new graft.table.CowTable(spark, lakePath,
+      keyCols = Seq("vec_id"), trackCommitVersions = true)
+    lake.bulkInsert(embs.filter($"vec_id" < 100)
+      .select("vec_id", "embedding"))
+    lake.upsert(embs.filter($"vec_id" >= 100)
+      .select("vec_id", "embedding"))
+
+    // the first micro-batch builds (codebooks train on it — it holds
+    // vec_id < 16, the deterministic first-k set, so they equal the
+    // full-corpus codebooks); later batches ingest against the frozen
+    // codebooks
+    val pInc = tmpDir("ann-stream-idx")
+    val inc = new AnnIndex(spark, pInc, 8, 8, 16, 16)
+    val pFull = tmpDir("ann-stream-full")
+    var batches = 0
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1")
+      .load(lakePath)
+      .writeStream
+      .option("checkpointLocation", tmpDir("ann-stream-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        batches += 1
+        val batch = b.select("vec_id", "embedding")
+        if (!inc.exists) inc.build(batch) else inc.ingest(batch)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches == 2, s"one micro-batch per commit, got $batches")
+    val full = new AnnIndex(spark, pFull, 8, 8, 16, 16)
+    full.build(embs)
+    assert(codesOf(inc, pInc) == codesOf(full, pFull),
+      "stream-built index must equal the one-shot build")
+  }
+
   test("maintain re-stripes by cell and preserves the index exactly") {
     val p = tmpDir("ann-maint")
     val ix = new AnnIndex(spark, p, 8, 8, 16, 16)
