@@ -84,21 +84,26 @@ object Similarity {
       nCells: Int, nProbe: Int): DataFrame = {
     require(nCells > 0 && nProbe > 0, "need nCells > 0 and nProbe > 0")
     val cents = firstKCodebook(train, nCells)
-    val tAssign = ivfAssignWith(train, cents)
-      .select(col("vec_id"), col("centroid_id"))
-    val tv = train.select(col("vec_id"),
-      toDoubleVec(col("embedding")).as("tv"))
-    val ta = tAssign.join(tv, "vec_id")
-    val hv = holdout.select(col("vec_id").as("h_id"),
-      toDoubleVec(col("embedding")).as("hv"))
-    val hw = Window.partitionBy(col("h_id"))
-      .orderBy(col("csim").desc, col("centroid_id"))
-    val hProbe = hv.crossJoin(broadcast(cents))
-      .select(col("h_id"), col("hv"), col("centroid_id"),
-        round(cosine(col("hv"), col("cv")), 6).as("csim"))
-      .withColumn("rn", row_number().over(hw))
-      .filter(col("rn") <= nProbe)
-      .select(col("centroid_id"), col("h_id"), col("hv"))
+    val cb = collectCodebook(cents)
+    // train side: one scan carrying cell + vector (no join back)
+    val ta = ivfAssignCarry(train, cents)
+      .select(col("vec_id"), col("centroid_id"), col("ev").as("tv"))
+    // holdout side: per-row top-nProbe cells over the inlined codebook —
+    // sort the k scored structs descending, slice the probe prefix,
+    // explode. Same (csim desc, centroid_id asc) order as the window
+    // formulation, zero shuffle before the cell join.
+    val hv0 = toDoubleVec(col("embedding"))
+    val hScored = array(cb.map { case (cid, cv) =>
+      struct(
+        round(cosine(hv0, typedLit(cv)), 6).as("csim"),
+        lit(-cid).as("negc"))
+    }: _*)
+    val hProbe = holdout
+      .select(col("vec_id").as("h_id"), hv0.as("hv"),
+        explode(slice(reverse(array_sort(hScored)), 1, nProbe))
+          .as("__probe"))
+      .select((-col("__probe.negc")).as("centroid_id"), col("h_id"),
+        col("hv"))
     ta.join(hProbe, Seq("centroid_id"))
       .withColumn("sim", micro6(cosine(col("tv"), col("hv"))))
       .filter(col("sim") >= threshold)
@@ -207,19 +212,61 @@ object Similarity {
 
   /** IVF cell assignment against an explicit codebook (`centroid_id, cv`):
     * each vector goes to the centroid with maximal cosine (ties by centroid
-    * id). The codebook is broadcast — one corpus scan, no shuffle of the
-    * embeddings. At scale the per-cell candidate lists replace full scans
-    * for query-time search.
+    * id). The codebook is COLLECTED (metadata-bounded: k centroids of dim
+    * doubles — the same driver-side model the k-means trainer already
+    * holds) and inlined as array literals, so assignment is a PURE PER-ROW
+    * expression: one corpus scan, k×dim multiply-adds per row inside
+    * whole-stage codegen, ZERO shuffle — where the earlier formulation
+    * fanned every vector out ×k and shuffled the fan-out through a window.
+    * At scale the per-cell candidate lists replace full scans for
+    * query-time search. Values are bit-identical to the join form: the
+    * literals are the exact collected doubles and the tie-break (max sim,
+    * then min centroid id) matches the window's ordering.
     */
-  def ivfAssignWith(embs: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = embs
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        round(cosine(toDoubleVec(col("embedding")), col("cv")), 6).as("sim"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+  def ivfAssignWith(embs: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssignCarry(embs, cents)
+      .select(col("vec_id"), col("centroid_id"), col("sim"))
+
+  /** [[ivfAssignWith]] keeping the (double-cast) vector in the output —
+    * `(vec_id, centroid_id, sim, ev)` — so callers that need both the
+    * cell and the vector (dedup, decontamination, PQ encode) avoid a
+    * corpus-sized join back to the embeddings.
+    */
+  private[sim] def ivfAssignCarry(embs: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val cb = collectCodebook(cents)
+    val v = toDoubleVec(col("embedding"))
+    embs
+      .select(col("vec_id"), v.as("ev"), bestCellStruct(v, cb).as("__best"))
+      .select(col("vec_id"), (-col("__best.negc")).as("centroid_id"),
+        col("__best.sim").as("sim"), col("ev"))
+  }
+
+  /** Per-row argmax-cosine cell pick over an inlined codebook:
+    * `struct(sim, -centroid_id)` maximized lexicographically = highest
+    * sim, ties to the LOWEST centroid id — the window ordering
+    * (`sim desc, centroid_id asc`) as a pure expression.
+    */
+  private def bestCellStruct(v: Column,
+      cb: Seq[(Long, List[Double])]): Column =
+    array_max(array(cb.map { case (cid, cv) =>
+      struct(
+        round(cosine(v, typedLit(cv)), 6).as("sim"),
+        lit(-cid).as("negc"))
+    }: _*))
+
+  /** Collect a `(centroid_id, cv)` codebook to the driver — metadata-
+    * bounded (k × dim doubles); guarded so a corpus can never be
+    * mistaken for a codebook.
+    */
+  private[sim] def collectCodebook(cents: DataFrame): Seq[(Long, List[Double])] = {
+    val cb = cents.select(col("centroid_id"), col("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+      .sortBy(_._1).toSeq
+    require(cb.nonEmpty, "empty codebook")
+    require(cb.length <= 65536,
+      s"codebook with ${cb.length} centroids: not an inlineable codebook")
+    cb
   }
 
   /** [[ivfAssignWith]] on the deterministic first-k codebook. */
@@ -462,11 +509,49 @@ object Similarity {
 
   /** [[pqEncode]] against an explicit codebook. */
   def pqEncodeWith(embs: DataFrame, cents: DataFrame, numSub: Int,
-      subDim: Int, k: Int): DataFrame =
-    pqAssign(embs, cents, numSub, subDim)
-      .groupBy(col("vec_id"))
-      .agg(sum(col("centroid_id") *
-        pow(lit(k.toDouble), col("m")).cast("long")).as("code"))
+      subDim: Int, k: Int): DataFrame = {
+    val pq = collectPqCodebook(cents, numSub)
+    val v = toDoubleVec(col("embedding"))
+    embs.select(col("vec_id"),
+      pqCodeCol(v, pq, numSub, subDim, k).as("code"))
+  }
+
+  /** Per-row PQ pack over an inlined per-subspace codebook: subspace m's
+    * code is the lexicographic MIN of `struct(d2Micro, centroid_id)`
+    * (= nearest centroid, ties to the lowest id — [[pqAssign]]'s window
+    * ordering as a pure expression), packed `Σ_m code_m · k^m`. One
+    * narrow projection inside whole-stage codegen — the encode never
+    * fans out ×numSub or shuffles, where the [[pqAssign]] formulation
+    * paid a numSub× explode, a window exchange and a re-aggregation.
+    */
+  private def pqCodeCol(v: Column, pq: Map[Int, Seq[(Long, List[Double])]],
+      numSub: Int, subDim: Int, k: Int): Column =
+    (0 until numSub).map { m =>
+      val sv = slice(v, m * subDim + 1, subDim)
+      array_min(array(pq(m).map { case (cid, cv) =>
+        struct(d2Micro(sv, typedLit(cv)).as("d"), lit(cid).as("c"))
+      }: _*)).getField("c") * lit(math.pow(k.toDouble, m).toLong)
+    }.reduce(_ + _)
+
+  /** Collect a `(m, centroid_id, cv)` PQ codebook to the driver —
+    * metadata-bounded (numSub × k × subDim doubles), grouped by
+    * subspace, centroids sorted by id.
+    */
+  private def collectPqCodebook(cents: DataFrame,
+      numSub: Int): Map[Int, Seq[(Long, List[Double])]] = {
+    val pq = cents
+      .select(col("m").cast("int"), col("centroid_id").cast("long"),
+        col("cv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toList))
+      .groupBy(_._1)
+      .map { case (m, rs) =>
+        m -> rs.map(t => (t._2, t._3)).sortBy(_._1).toSeq
+      }
+    require((0 until numSub).forall(m => pq.get(m).exists(_.nonEmpty)),
+      s"pq codebook must cover subspaces 0 until $numSub, has ${pq.keys}")
+    pq
+  }
 
   /** PQ-ADC approximate search with exact re-rank — the classical two-stage
     * ANN query (Jégou et al.'s IVFADC scan stage, expressed Spark-first):
@@ -568,9 +653,18 @@ object Similarity {
     * table.
     */
   def ivfPqIndex(embs: DataFrame, coarse: DataFrame, pqCents: DataFrame,
-      numSub: Int, subDim: Int, k: Int): DataFrame =
-    ivfAssignWith(embs, coarse).select("vec_id", "centroid_id")
-      .join(pqEncodeWith(embs, pqCents, numSub, subDim, k), Seq("vec_id"))
+      numSub: Int, subDim: Int, k: Int): DataFrame = {
+    // both codebooks inline: cell pick AND code pack are per-row
+    // expressions over ONE corpus scan — no self-join on vec_id
+    val cb = collectCodebook(coarse)
+    val pq = collectPqCodebook(pqCents, numSub)
+    val v = toDoubleVec(col("embedding"))
+    embs
+      .select(col("vec_id"), bestCellStruct(v, cb).as("__best"),
+        pqCodeCol(v, pq, numSub, subDim, k).as("code"))
+      .select(col("vec_id"), (-col("__best.negc")).as("centroid_id"),
+        col("code"))
+  }
 
   /** IVFADC search over a stored [[ivfPqIndex]]: probe the `nProbe`
     * cells whose coarse centroids are nearest the query, run the per-row
@@ -652,11 +746,11 @@ object Similarity {
     */
   def semanticDedup(embs: DataFrame, nCentroids: Int,
       simThreshold: Double, maxCell: Int = 0): DataFrame = {
-    val assign = ivfAssign(embs, nCentroids)
-      .select(col("vec_id"), col("centroid_id"))
-    val vecs = embs.select(col("vec_id"),
-      toDoubleVec(col("embedding")).as("ev"))
-    val a = assign.join(vecs, "vec_id")
+    // one corpus scan carries both the cell and the vector — no join
+    // back to the embeddings
+    val a = ivfAssignCarry(embs, firstKCodebook(embs, nCentroids))
+      .select(col("vec_id"), col("centroid_id"), col("ev"))
+    val assign = a.select(col("vec_id"), col("centroid_id"))
     val lAll = a.select(col("centroid_id"), col("vec_id").as("id_a"),
       col("ev").as("va"))
     val l =
