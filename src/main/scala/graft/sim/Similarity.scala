@@ -317,18 +317,23 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment by squared L2 distance (ties by centroid
-    * id): `vec_id, embedding, centroid_id, dist2`.
+    * id): `vec_id, embedding, centroid_id, dist2`. The codebook inlines
+    * as literals (same contract as [[ivfAssignWith]]), so each k-means
+    * iteration is one shuffle-free corpus projection instead of a ×k
+    * fan-out through a window exchange.
     */
   def assignToCentroids(embs: DataFrame, cents: DataFrame): DataFrame = {
+    val cb = collectCodebook(cents)
     val x = toDoubleVec(col("embedding"))
-    val d2 = dot(x, x) - lit(2.0) * dot(x, col("cv")) + dot(col("cv"), col("cv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist2"), col("centroid_id"))
-    embs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        d2.as("dist2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    val best = array_min(array(cb.map { case (cid, cv) =>
+      val c = typedLit(cv)
+      struct(
+        (dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)).as("dist2"),
+        lit(cid).as("centroid_id"))
+    }: _*))
+    embs.select(col("vec_id"), col("embedding"),
+      best.getField("centroid_id").as("centroid_id"),
+      best.getField("dist2").as("dist2"))
   }
 
   /** IVF search: approximate top-k for a stored query vector, scanning only
