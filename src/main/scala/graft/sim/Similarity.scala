@@ -403,13 +403,32 @@ object Similarity {
     * buckets (the scalable variant of all-pairs cosine dedup). Prefer the
     * corpus-size-derived overload; a caller-fixed `bits` must itself scale
     * with the corpus (see [[bitsForCorpus]]).
+    *
+    * `maxBucket` is the hot-bucket guard (see
+    * `TextOps.minhashCandidatePairs`): growing `bits` bounds the EXPECTED
+    * bucket population but identical embeddings share a bucket at any
+    * width. Oversized buckets keep only their min vec id on the left join
+    * side — each member pairs once with the hub (sim 1.0 for true dups,
+    * so the edge survives the threshold and components stay connected).
+    * Default 0 = exact enumeration.
     */
   def cosineNearDupPairs(
-      embs: DataFrame, bits: Int, threshold: Double): DataFrame = {
+      embs: DataFrame, bits: Int, threshold: Double,
+      maxBucket: Int = 0): DataFrame = {
     val b = embs.select(col("vec_id"),
       signBucket(col("embedding"), bits).as("bucket"),
       toDoubleVec(col("embedding")).as("v"))
-    b.as("a").join(b.as("b"),
+    val left =
+      if (maxBucket <= 0) b
+      else {
+        val stats = b.groupBy("bucket")
+          .agg(min(col("vec_id")).as("__hub"), count(lit(1)).as("__bsz"))
+        b.join(stats, Seq("bucket"))
+          .filter(col("__bsz") <= maxBucket ||
+            col("vec_id") === col("__hub"))
+          .select("vec_id", "bucket", "v")
+      }
+    left.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -351,6 +351,29 @@ class SimilaritySpec extends SparkSpec {
     assert(rep == got)
   }
 
+  test("cosineNearDupPairs maxBucket caps identical-embedding crowds") {
+    val crowd = embs.filter(col("vec_id") === 5L)
+    val planted = embs.unionByName(
+      spark.range(900, 960).crossJoin(crowd.drop("vec_id"))
+        .select($"id".as("vec_id"), $"embedding", $"label"))
+    val capped = Similarity.cosineNearDupPairs(planted, 8, 0.9999,
+      maxBucket = 30)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val uncapped = Similarity.cosineNearDupPairs(planted, 8, 0.9999)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped))
+    // the crowd {5, 900..959} sits in one bucket (identical sign pattern):
+    // capped emits only hub edges from the bucket min; every crowd member
+    // still pairs with that hub at sim 1.0
+    val crowdIds = Set(5L) ++ (900L until 960L)
+    val inCrowd = capped.filter(p => crowdIds(p._1) && crowdIds(p._2))
+    val hub = inCrowd.map(_._1).min
+    assert(inCrowd == crowdIds.filter(_ != hub).map(x =>
+      (math.min(hub, x), math.max(hub, x))))
+    assert(uncapped.count(p => crowdIds(p._1) && crowdIds(p._2)) ==
+      61 * 60 / 2)
+  }
+
   test("semanticDedup maxCell keeps identical-crowd verdicts, bounds pairs") {
     // 90 identical copies of vec 5: one hot cell; hub = min planted id
     val crowd = embs.filter(col("vec_id") === 5L)
