@@ -88,21 +88,15 @@ object Similarity {
     // train side: one scan carrying cell + vector (no join back)
     val ta = ivfAssignCarry(train, cents)
       .select(col("vec_id"), col("centroid_id"), col("ev").as("tv"))
-    // holdout side: per-row top-nProbe cells over the inlined codebook —
-    // sort the k scored structs descending, slice the probe prefix,
-    // explode. Same (csim desc, centroid_id asc) order as the window
-    // formulation, zero shuffle before the cell join.
+    // holdout side: per-row top-nProbe cells over the collected codebook
+    // (compact looping expression; (csim desc, centroid_id asc) order),
+    // exploded — zero shuffle before the cell join.
     val hv0 = toDoubleVec(col("embedding"))
-    val hScored = array(cb.map { case (cid, cv) =>
-      struct(
-        round(cosine(hv0, typedLit(cv)), 6).as("csim"),
-        lit(-cid).as("negc"))
-    }: _*)
     val hProbe = holdout
       .select(col("vec_id").as("h_id"), hv0.as("hv"),
-        explode(slice(reverse(array_sort(hScored)), 1, nProbe))
-          .as("__probe"))
-      .select((-col("__probe.negc")).as("centroid_id"), col("h_id"),
+        explode(graft.functions.CodebookExpressions
+          .topCellsCosine(hv0, cb, nProbe)).as("__probe"))
+      .select(col("__probe.centroid_id").as("centroid_id"), col("h_id"),
         col("hv"))
     ta.join(hProbe, Seq("centroid_id"))
       .withColumn("sim", micro6(cosine(col("tv"), col("hv"))))
@@ -238,22 +232,20 @@ object Similarity {
     val v = toDoubleVec(col("embedding"))
     embs
       .select(col("vec_id"), v.as("ev"), bestCellStruct(v, cb).as("__best"))
-      .select(col("vec_id"), (-col("__best.negc")).as("centroid_id"),
+      .select(col("vec_id"), col("__best.centroid_id").as("centroid_id"),
         col("__best.sim").as("sim"), col("ev"))
   }
 
-  /** Per-row argmax-cosine cell pick over an inlined codebook:
-    * `struct(sim, -centroid_id)` maximized lexicographically = highest
-    * sim, ties to the LOWEST centroid id — the window ordering
-    * (`sim desc, centroid_id asc`) as a pure expression.
+  /** Per-row argmax-cosine cell pick over the collected codebook —
+    * `struct(sim, centroid_id)`, highest sim, ties to the lowest id.
+    * One compact looping expression ([[graft.functions.CodebookExpressions]]):
+    * inlining k scoring trees as literals blows the 64 KB codegen method
+    * limit past ~16 centroids and silently de-optimizes the whole stage
+    * to interpreted execution.
     */
   private def bestCellStruct(v: Column,
       cb: Seq[(Long, List[Double])]): Column =
-    array_max(array(cb.map { case (cid, cv) =>
-      struct(
-        round(cosine(v, typedLit(cv)), 6).as("sim"),
-        lit(-cid).as("negc"))
-    }: _*))
+    graft.functions.CodebookExpressions.nearestCentroidCosine(v, cb)
 
   /** Collect a `(centroid_id, cv)` codebook to the driver — metadata-
     * bounded (k × dim doubles); guarded so a corpus can never be
@@ -324,13 +316,8 @@ object Similarity {
     */
   def assignToCentroids(embs: DataFrame, cents: DataFrame): DataFrame = {
     val cb = collectCodebook(cents)
-    val x = toDoubleVec(col("embedding"))
-    val best = array_min(array(cb.map { case (cid, cv) =>
-      val c = typedLit(cv)
-      struct(
-        (dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c)).as("dist2"),
-        lit(cid).as("centroid_id"))
-    }: _*))
+    val best = graft.functions.CodebookExpressions
+      .nearestCentroidL2(toDoubleVec(col("embedding")), cb)
     embs.select(col("vec_id"), col("embedding"),
       best.getField("centroid_id").as("centroid_id"),
       best.getField("dist2").as("dist2"))
@@ -550,12 +537,7 @@ object Similarity {
     */
   private def pqCodeCol(v: Column, pq: Map[Int, Seq[(Long, List[Double])]],
       numSub: Int, subDim: Int, k: Int): Column =
-    (0 until numSub).map { m =>
-      val sv = slice(v, m * subDim + 1, subDim)
-      array_min(array(pq(m).map { case (cid, cv) =>
-        struct(d2Micro(sv, typedLit(cv)).as("d"), lit(cid).as("c"))
-      }: _*)).getField("c") * lit(math.pow(k.toDouble, m).toLong)
-    }.reduce(_ + _)
+    graft.functions.CodebookExpressions.pqPackCode(v, subDim, k, pq)
 
   /** Collect a `(m, centroid_id, cv)` PQ codebook to the driver —
     * metadata-bounded (numSub × k × subDim doubles), grouped by
@@ -686,7 +668,7 @@ object Similarity {
     embs
       .select(col("vec_id"), bestCellStruct(v, cb).as("__best"),
         pqCodeCol(v, pq, numSub, subDim, k).as("code"))
-      .select(col("vec_id"), (-col("__best.negc")).as("centroid_id"),
+      .select(col("vec_id"), col("__best.centroid_id").as("centroid_id"),
         col("code"))
   }
 
