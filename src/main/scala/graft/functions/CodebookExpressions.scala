@@ -137,7 +137,7 @@ case class NearestCentroidCosine(child: Expression, ids: Seq[Long],
   * one loop; returns `array<struct<sim, centroid_id>>`.
   */
 case class TopCellsCosine(child: Expression, ids: Seq[Long],
-    cents: Seq[Seq[Double]], nProbe: Int)
+    cents: Seq[Seq[Double]], nProbe: Int, micro: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   import CodebookArith._
 
@@ -153,13 +153,20 @@ case class TopCellsCosine(child: Expression, ids: Seq[Long],
   @transient private lazy val norms: Array[Double] =
     cvs.map(c => math.sqrt(selfDot(c)))
 
+  /** `micro = true` quantizes with `floor(x·1e6 + 0.5)/1e6` (the micro6
+    * contract of `ivfPqSearch`'s probe); false uses Spark `round(x, 6)`
+    * (the `semanticDecontaminateIvf` probe contract).
+    */
+  private def quant(x: Double): Double =
+    if (micro) math.floor(x * 1.0e6 + 0.5) / 1.0e6 else round6(x)
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val normX = math.sqrt(selfDot(x, 0, x.numElements(), isFloat))
     val sims = new Array[Double](cvs.length)
     var i = 0
     while (i < cvs.length) {
-      sims(i) = round6(
+      sims(i) = quant(
         dotF(x, 0, math.min(x.numElements(), cvs(i).length), cvs(i),
           isFloat) / (normX * norms(i)))
       i += 1
@@ -273,6 +280,92 @@ case class PqPackCode(child: Expression, subDim: Int, kPow: Seq[Long],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Per-QUERY-row ADC lookup table: `array<long>` of numSub×k micro-unit
+  * squared-L2 distances from the query's m-th subvector to subspace m's
+  * centroids, indexed `m·k + centroid_id` — the batched twin of the
+  * driver-collected LUT in [[graft.sim.Similarity.pqSearchIndexed]]
+  * (identical arithmetic: `floor(d2·1e6 + 0.5)` as LONG).
+  */
+case class PqQueryLut(child: Expression, subDim: Int, k: Int,
+    ids: Seq[Seq[Long]], cents: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  import CodebookArith._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = checkVec(child)
+  override def prettyName: String = "pq_query_lut"
+
+  @transient private lazy val isFloat = elemIsFloat(child)
+  @transient private lazy val cvs: Array[Array[Array[Double]]] =
+    cents.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val idArr: Array[Array[Long]] =
+    ids.map(_.toArray).toArray
+  @transient private lazy val selfDots: Array[Array[Double]] =
+    cvs.map(_.map(selfDot))
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val lut = new Array[Long](cvs.length * k)
+    var m = 0
+    while (m < cvs.length) {
+      val from = m * subDim
+      val sxx = selfDot(x, from, subDim, isFloat)
+      var i = 0
+      while (i < cvs(m).length) {
+        val d = math.floor(
+          ((sxx - 2.0 * dotF(x, from, subDim, cvs(m)(i), isFloat)) +
+            selfDots(m)(i)) * 1.0e6 + 0.5)
+        lut(m * k + idArr(m)(i).toInt) = d.toLong
+        i += 1
+      }
+      m += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Batched ADC distance: the integer micro-unit sum of LUT entries
+  * selected by the packed code's base-k digits — the per-row scan of
+  * [[graft.sim.Similarity.pqSearchIndexed]] with the LUT coming from a
+  * COLUMN (one per query row) instead of a driver literal. Returns the
+  * raw micro-unit LONG sum; divide once by 1e6 downstream.
+  */
+case class PqAdcFromLut(left: Expression, right: Expression, numSub: Int,
+    k: Int) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_from_lut"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_from_lut needs (array<bigint> lut, bigint code), got $l/$r")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    var code = b.asInstanceOf[Long]
+    var s = 0L
+    var m = 0
+    while (m < numSub) {
+      s += lut.getLong(m * k + (code % k).toInt)
+      code /= k
+      m += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdcFromLut = copy(left = l, right = r)
+}
+
 object CodebookExpressions {
   def nearestCentroidCosine(v: Column,
       cb: Seq[(Long, List[Double])]): Column =
@@ -280,9 +373,9 @@ object CodebookExpressions {
       cb.map(_._1), cb.map(_._2)))
 
   def topCellsCosine(v: Column, cb: Seq[(Long, List[Double])],
-      nProbe: Int): Column =
+      nProbe: Int, micro: Boolean = false): Column =
     GraftBridge.column(TopCellsCosine(GraftBridge.expression(v),
-      cb.map(_._1), cb.map(_._2), nProbe))
+      cb.map(_._1), cb.map(_._2), nProbe, micro))
 
   def nearestCentroidL2(v: Column, cb: Seq[(Long, List[Double])]): Column =
     GraftBridge.column(NearestCentroidL2(GraftBridge.expression(v),
@@ -296,4 +389,19 @@ object CodebookExpressions {
       (0 until numSub).map(m => pq(m).map(_._1)),
       (0 until numSub).map(m => pq(m).map(_._2))))
   }
+
+  def pqQueryLut(v: Column, subDim: Int, k: Int,
+      pq: Map[Int, Seq[(Long, List[Double])]]): Column = {
+    val numSub = pq.size
+    require((0 until numSub).forall(m =>
+      pq(m).map(_._1).sorted == (0L until k.toLong)),
+      s"pq_query_lut needs dense centroid ids 0 until $k per subspace")
+    GraftBridge.column(PqQueryLut(GraftBridge.expression(v), subDim, k,
+      (0 until numSub).map(m => pq(m).map(_._1)),
+      (0 until numSub).map(m => pq(m).map(_._2))))
+  }
+
+  def pqAdcFromLut(lut: Column, code: Column, numSub: Int, k: Int): Column =
+    GraftBridge.column(PqAdcFromLut(GraftBridge.expression(lut),
+      GraftBridge.expression(code), numSub, k))
 }

@@ -4377,6 +4377,72 @@ object QueryCatalog {
          |FROM embeddings e JOIN ad ON e.vec_id = ad.vec_id, q
          |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin))
 
+  /** Batched ANN serving ([[graft.sim.AnnIndex.searchBatch]] /
+    * [[graft.sim.Similarity.ivfPqSearchBatch]]): one plan answers a
+    * query SET over the persistent index — per-row probe pick, per-row
+    * `array<long>` ADC LUT (no driver collect per query), per-query
+    * shortlist + top-k via WindowGroupLimit. Oracle = the
+    * `ann_index_search` chain generalized with `PARTITION BY q_id`.
+    */
+  private val annSearchBatchQ = Q(
+    (s, d) => {
+      val embs = t(s, d, "embeddings")
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-annbatch").toString
+      val ix = new graft.sim.AnnIndex(s, path, 8, 8, 16, 16)
+      ix.build(embs.filter(col("vec_id") < 100))
+      ix.ingest(embs.filter(col("vec_id") >= 100))
+      ix.searchBatch(embs, Seq(0L, 3L, 7L), nProbe = 4, shortlist = 50,
+        topK = 10)
+        .orderBy(col("q_id"), col("sim").desc, col("vec_id"))
+    },
+    Some(
+      s"""WITH $pqSubSql,
+         |coarse AS (SELECT vec_id AS centroid_id,
+         |    CAST(embedding AS DOUBLE[]) AS fv
+         |  FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id IN (0, 3, 7)),
+         |cellasg AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT e.vec_id, c.centroid_id, row_number() OVER (
+         |      PARTITION BY e.vec_id ORDER BY
+         |      ${cosSql("CAST(e.embedding AS DOUBLE[])", "c.fv")} DESC,
+         |      c.centroid_id) AS rn
+         |  FROM embeddings e, coarse c) WHERE rn = 1),
+         |probe AS (SELECT q_id, centroid_id FROM (
+         |  SELECT q.q_id, c.centroid_id, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |      ${cosMicroSql("c.fv", "q.qv")} DESC, c.centroid_id) AS rn
+         |  FROM coarse c, q) WHERE rn <= 4),
+         |cand AS (SELECT p.q_id, a.vec_id FROM cellasg a
+         |  JOIN probe p ON a.centroid_id = p.centroid_id
+         |  WHERE a.vec_id <> p.q_id),
+         |${pqAsgSql("")},
+         |qs AS (SELECT vec_id AS q_id, m, sv AS qsv FROM sub
+         |  WHERE vec_id IN (0, 3, 7)),
+         |lut AS (SELECT qs.q_id, c.m, c.centroid_id,
+         |    ${pqD2MicroSql("qs.qsv", "c.cv")} AS qd2m
+         |  FROM cents c JOIN qs ON c.m = qs.m),
+         |ad0 AS (SELECT cd.q_id, a.vec_id,
+         |    CAST(sum(l.qd2m) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
+         |      AS adist
+         |  FROM asg a
+         |  JOIN cand cd ON a.vec_id = cd.vec_id
+         |  JOIN lut l ON l.q_id = cd.q_id AND a.m = l.m
+         |    AND a.centroid_id = l.centroid_id
+         |  GROUP BY cd.q_id, a.vec_id),
+         |ad AS (SELECT q_id, vec_id, adist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adist, vec_id) AS rn FROM ad0) WHERE rn <= 50),
+         |fin AS (SELECT ad.q_id, ad.vec_id, ad.adist,
+         |    ${cosMicroSql("CAST(e.embedding AS DOUBLE[])", "q.qv")} AS sim
+         |  FROM ad JOIN embeddings e ON e.vec_id = ad.vec_id
+         |  JOIN q ON q.q_id = ad.q_id)
+         |SELECT q_id, vec_id, adist, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY sim DESC, vec_id) AS rn FROM fin) WHERE rn <= 10
+         |ORDER BY q_id, sim DESC, vec_id""".stripMargin))
+
   /** External-catalog bridge end-to-end ([[graft.sources.CatalogSync]],
     * the reference's hive-sync shape, `processData.py:160-169`): a REAL
     * graft table registered in the SESSION catalog, churned AFTER the
@@ -4629,7 +4695,8 @@ object QueryCatalog {
     "weighted_mixture" -> weightedMixture,
     "catalog_sync" -> catalogSyncQ,
     "sharded_manifest" -> shardedManifestQ,
-    "ann_index_search" -> annIndexSearchQ
+    "ann_index_search" -> annIndexSearchQ,
+    "ann_search_batch" -> annSearchBatchQ
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -146,4 +146,30 @@ final class AnnIndex(spark: SparkSession, path: String,
     Similarity.pqSearchIndexed(embs, cellCodes, queryId, pqc,
       numSub, subDim, pqK, shortlist, topK)
   }
+
+  /** Batched serving: IVFADC top-k for EVERY query id in one plan
+    * ([[Similarity.ivfPqSearchBatch]] over the stored tables). The union
+    * of the queries' probed cells (≤ |queries|·nProbe ids — metadata-
+    * bounded) prunes the code files read; per-query output is identical
+    * to [[search]] (spec-pinned).
+    */
+  def searchBatch(embs: DataFrame, queryIds: Seq[Long], nProbe: Int,
+      shortlist: Int, topK: Int): DataFrame = {
+    require(exists, s"ann index at $path: build() before searchBatch()")
+    val coarse = coarseTable().snapshot()
+    val pqc = pqTable().snapshot()
+    val cb = Similarity.collectCodebook(coarse)
+    val v = Similarity.toDoubleVec(col("embedding"))
+    val probedIds = embs.filter(col("vec_id").isInCollection(queryIds))
+      .select(explode(graft.functions.CodebookExpressions
+        .topCellsCosine(v, cb, nProbe, micro = true)).as("__p"))
+      .select(col("__p.centroid_id"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val cellCodes = codesTable()
+      .snapshotForValues("centroid_id", probedIds)
+      .filter(col("centroid_id").isin(probedIds: _*))
+      .select("vec_id", "centroid_id", "code")
+    Similarity.ivfPqSearchBatch(embs, cellCodes, queryIds, coarse, pqc,
+      numSub, subDim, pqK, nProbe, shortlist, topK)
+  }
 }

@@ -697,6 +697,54 @@ object Similarity {
       shortlist, topK)
   }
 
+  /** Batched IVFADC: the SERVING shape of [[ivfPqSearch]] — one plan
+    * answers a whole query set instead of a driver round-trip per query.
+    * Per query row (no driver LUT collect): the probe is a per-row
+    * top-nProbe cell pick and the ADC table is a per-row `array<long>`
+    * column ([[graft.functions.PqQueryLut]]); the (tiny) probe side
+    * broadcasts against the cell-keyed index, the ADC distance is an
+    * integer LUT walk per (query, candidate), and both the shortlist and
+    * final top-k rank per query via `row_number` (plans as
+    * WindowGroupLimit — partitions pre-prune before the exchange).
+    * Per-query output is IDENTICAL to [[ivfPqSearch]] on the same
+    * codebooks (spec-pinned): `(q_id, vec_id, adist, sim)`.
+    */
+  def ivfPqSearchBatch(embs: DataFrame, index: DataFrame,
+      queryIds: Seq[Long], coarse: DataFrame, pqCents: DataFrame,
+      numSub: Int, subDim: Int, k: Int, nProbe: Int, shortlist: Int,
+      topK: Int): DataFrame = {
+    require(queryIds.nonEmpty, "need at least one query id")
+    val cb = collectCodebook(coarse)
+    val pq = collectPqCodebook(pqCents, numSub)
+    val X = graft.functions.CodebookExpressions
+    val v = toDoubleVec(col("embedding"))
+    val qpr = embs.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("q_id"), v.as("qv"),
+        X.pqQueryLut(v, subDim, k, pq).as("lut"),
+        explode(X.topCellsCosine(v, cb, nProbe, micro = true)).as("__p"))
+      .select(col("q_id"), col("qv"), col("lut"),
+        col("__p.centroid_id").as("centroid_id"))
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    val short = index.join(broadcast(qpr), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("vec_id"),
+        (X.pqAdcFromLut(col("lut"), col("code"), numSub, k)
+          .cast("double") / lit(1.0e6)).as("adist"))
+      .withColumn("__rn", row_number().over(wShort))
+      .filter(col("__rn") <= shortlist)
+      .drop("__rn")
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    short
+      .join(embs.select(col("vec_id"), v.as("ev")), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("adist"),
+        micro6(cosine(col("ev"), col("qv"))).as("sim"))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") <= topK)
+      .drop("__rn")
+  }
+
   /** Symmetric int8 quantization of an embedding column — the standard
     * 4x storage/bandwidth compression applied before shipping a corpus's
     * vectors to an ANN index or a training job: per row, scale by

@@ -69,6 +69,24 @@ class AnnIndexSpec extends SparkSpec {
     assert(!got.contains(99L))
   }
 
+  test("searchBatch equals per-query search for every query in the batch") {
+    val p = tmpDir("ann-batch")
+    val ix = new AnnIndex(spark, p, 8, 8, 16, 16)
+    ix.build(embs)
+    val qids = Seq(0L, 7L, 42L)
+    val batch = ix.searchBatch(embs, qids, nProbe = 4, shortlist = 50,
+      topK = 10)
+      .select("q_id", "vec_id", "adist", "sim")
+      .as[(Long, Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4))
+        .sortBy(t => (-t._3, t._1)).toSeq).toMap
+    qids.foreach { q =>
+      val single = searchRows(ix.search(embs, q, 4, 50, 10))
+      assert(batch(q) == single, s"query $q: batch != single")
+    }
+    assert(batch.keySet == qids.toSet)
+  }
+
   test("streaming ingest: table-as-stream micro-batches equal the full build") {
     // embeddings land in a graft lake table commit by commit; a stream
     // over the table encodes each micro-batch into the persisted index —
