@@ -147,6 +147,54 @@ final class AnnIndex(spark: SparkSession, path: String,
       numSub, subDim, pqK, shortlist, topK)
   }
 
+  /** Dedup-on-arrival: flag which BATCH vectors already have a
+    * near-duplicate in the INDEXED corpus — the semantic twin of
+    * [[graft.text.LshDedupIndex.ingest]]'s pair check, served from the
+    * ANN index (probe the batch vector's nProbe cells, ADC-shortlist,
+    * exact re-rank against `corpus`). Returns one row per batch vector:
+    * `(vec_id, keep, dup_of, max_sim)` with `dup_of` the MIN indexed id
+    * at or above `threshold` (the min-id witness rule of
+    * [[Similarity.semanticDedup]]) — `keep = dup_of IS NULL`. PURE: the
+    * index is not modified; the arrival loop is
+    * `check → (filter) → ingest`, and re-delivered already-indexed ids
+    * never match themselves. Recall is the IVFADC contract (a duplicate
+    * whose cell is outside the probe set is missed); exact duplicates
+    * share a cell by construction.
+    */
+  def nearDupCheck(batch: DataFrame, corpus: DataFrame, threshold: Double,
+      nProbe: Int, shortlist: Int): DataFrame = {
+    require(exists, s"ann index at $path: build() before nearDupCheck()")
+    val ids = batch.select(col("vec_id"))
+    if (!CowTable.existsAt(spark, codesPath))
+      return ids.select(col("vec_id"), lit(true).as("keep"),
+        lit(null).cast("long").as("dup_of"),
+        lit(null).cast("double").as("max_sim"))
+    val coarse = coarseTable().snapshot()
+    val pqc = pqTable().snapshot()
+    val cb = Similarity.collectCodebook(coarse)
+    val v = Similarity.toDoubleVec(col("embedding"))
+    // distinct probed cells across the batch: bounded by nCells
+    val probedIds = batch
+      .select(explode(graft.functions.CodebookExpressions
+        .topCellsCosine(v, cb, nProbe, micro = true)).as("__p"))
+      .select(col("__p.centroid_id"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val cellCodes = codesTable()
+      .snapshotForValues("centroid_id", probedIds)
+      .filter(col("centroid_id").isin(probedIds: _*))
+      .select("vec_id", "centroid_id", "code")
+    val hits = Similarity.ivfPqSearchBatchDf(corpus, cellCodes, batch,
+      coarse, pqc, numSub, subDim, pqK, nProbe, shortlist,
+      topK = shortlist)
+    val flagged = hits.filter(col("sim") >= threshold)
+      .groupBy(col("q_id"))
+      .agg(min(col("vec_id")).as("dup_of"), max(col("sim")).as("max_sim"))
+      .withColumnRenamed("q_id", "vec_id")
+    ids.join(flagged, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of").isNull.as("keep"),
+        col("dup_of"), col("max_sim"))
+  }
+
   /** Batched serving: IVFADC top-k for EVERY query id in one plan
     * ([[Similarity.ivfPqSearchBatch]] over the stored tables). The union
     * of the queries' probed cells (≤ |queries|·nProbe ids — metadata-

@@ -714,11 +714,26 @@ object Similarity {
       numSub: Int, subDim: Int, k: Int, nProbe: Int, shortlist: Int,
       topK: Int): DataFrame = {
     require(queryIds.nonEmpty, "need at least one query id")
+    ivfPqSearchBatchDf(embs, index,
+      embs.filter(col("vec_id").isInCollection(queryIds)), coarse,
+      pqCents, numSub, subDim, k, nProbe, shortlist, topK)
+  }
+
+  /** [[ivfPqSearchBatch]] with an explicit query frame
+    * (`vec_id, embedding`) — the queries need not live in `embs`
+    * (dedup-on-arrival probes a NEW batch against the indexed corpus).
+    * Candidates matching a query's own `vec_id` are excluded, as in the
+    * id-based form.
+    */
+  def ivfPqSearchBatchDf(embs: DataFrame, index: DataFrame,
+      queries: DataFrame, coarse: DataFrame, pqCents: DataFrame,
+      numSub: Int, subDim: Int, k: Int, nProbe: Int, shortlist: Int,
+      topK: Int): DataFrame = {
     val cb = collectCodebook(coarse)
     val pq = collectPqCodebook(pqCents, numSub)
     val X = graft.functions.CodebookExpressions
     val v = toDoubleVec(col("embedding"))
-    val qpr = embs.filter(col("vec_id").isInCollection(queryIds))
+    val qpr = queries
       .select(col("vec_id").as("q_id"), v.as("qv"),
         X.pqQueryLut(v, subDim, k, pq).as("lut"),
         explode(X.topCellsCosine(v, cb, nProbe, micro = true)).as("__p"))

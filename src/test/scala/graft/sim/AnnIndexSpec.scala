@@ -87,6 +87,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(batch.keySet == qids.toSet)
   }
 
+  test("nearDupCheck flags arriving duplicates of indexed vectors") {
+    val p = tmpDir("ann-neardup")
+    val ix = new AnnIndex(spark, p, 8, 8, 16, 16)
+    val indexed = embs.filter($"vec_id" < 250)
+    ix.build(indexed)
+    // arriving batch: fresh vectors 250+ plus two exact copies of
+    // indexed vectors 5 and 17
+    val copies = Seq(5L -> 900L, 17L -> 901L).map { case (src, nid) =>
+      embs.filter($"vec_id" === src)
+        .select(lit(nid).as("vec_id"), $"embedding")
+    }.reduce(_ unionByName _)
+    val batch = embs.filter($"vec_id" >= 250)
+      .select("vec_id", "embedding").unionByName(copies)
+    val got = ix.nearDupCheck(batch, indexed.select("vec_id", "embedding"),
+      threshold = 0.9999, nProbe = 16, shortlist = 50)
+      .as[(Long, Boolean, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == batch.select("vec_id").as[Long].collect().toSet)
+    assert(!got(900L)._2 && got(900L)._3.contains(5L), s"${got(900L)}")
+    assert(!got(901L)._2 && got(901L)._3.contains(17L), s"${got(901L)}")
+    assert(got(900L)._4.contains(1.0))
+    // at this threshold nothing else in the synthetic corpus collides
+    assert(got.valuesIterator.count(!_._2) == 2,
+      got.valuesIterator.filter(!_._2).mkString(", "))
+    // check -> ingest loop: after ingesting, re-delivery of the same
+    // ids never matches itself, and a fresh copy of 900 now dups to it
+    ix.ingest(batch)
+    val again = ix.nearDupCheck(
+      embs.filter($"vec_id" === 5L)
+        .select(lit(902L).as("vec_id"), $"embedding"),
+      indexed.select("vec_id", "embedding")
+        .unionByName(batch), 0.9999, 16, 50)
+      .as[(Long, Boolean, Option[Long], Option[Double])].collect()
+    assert(again.length == 1 && !again(0)._2 && again(0)._3.contains(5L),
+      again.mkString(", "))
+  }
+
   test("streaming ingest: table-as-stream micro-batches equal the full build") {
     // embeddings land in a graft lake table commit by commit; a stream
     // over the table encodes each micro-batch into the persisted index —
