@@ -4443,6 +4443,78 @@ object QueryCatalog {
          |      ORDER BY sim DESC, vec_id) AS rn FROM fin) WHERE rn <= 10
          |ORDER BY q_id, sim DESC, vec_id""".stripMargin))
 
+  /** Dedup-on-arrival over the persistent ANN index
+    * ([[graft.sim.AnnIndex.nearDupCheck]]): the second half of the
+    * embeddings table arrives as a batch and is checked against an index
+    * built on the first half — per batch vector, the min-id indexed
+    * witness at or above the threshold (or keep). Oracle = the batched
+    * IVFADC chain restricted to the corpus half, aggregated per query
+    * and left-joined back to the batch.
+    */
+  private val annNearDupCheckQ = Q(
+    (s, d) => {
+      val embs = t(s, d, "embeddings")
+      val path =
+        java.nio.file.Files.createTempDirectory("graft-anndup").toString
+      val ix = new graft.sim.AnnIndex(s, path, 8, 8, 16, 16)
+      ix.build(embs.filter(col("vec_id") < 250))
+      ix.nearDupCheck(
+        embs.filter(col("vec_id") >= 250).select("vec_id", "embedding"),
+        embs.filter(col("vec_id") < 250).select("vec_id", "embedding"),
+        threshold = 0.3, nProbe = 4, shortlist = 50)
+        .orderBy("vec_id")
+    },
+    Some(
+      s"""WITH $pqSubSql,
+         |coarse AS (SELECT vec_id AS centroid_id,
+         |    CAST(embedding AS DOUBLE[]) AS fv
+         |  FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id >= 250),
+         |cellasg AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT e.vec_id, c.centroid_id, row_number() OVER (
+         |      PARTITION BY e.vec_id ORDER BY
+         |      ${cosSql("CAST(e.embedding AS DOUBLE[])", "c.fv")} DESC,
+         |      c.centroid_id) AS rn
+         |  FROM embeddings e, coarse c WHERE e.vec_id < 250)
+         |  WHERE rn = 1),
+         |probe AS (SELECT q_id, centroid_id FROM (
+         |  SELECT q.q_id, c.centroid_id, row_number() OVER (
+         |      PARTITION BY q.q_id ORDER BY
+         |      ${cosMicroSql("c.fv", "q.qv")} DESC, c.centroid_id) AS rn
+         |  FROM coarse c, q) WHERE rn <= 4),
+         |cand AS (SELECT p.q_id, a.vec_id FROM cellasg a
+         |  JOIN probe p ON a.centroid_id = p.centroid_id
+         |  WHERE a.vec_id <> p.q_id),
+         |${pqAsgSql(" WHERE s.vec_id < 250")},
+         |qs AS (SELECT vec_id AS q_id, m, sv AS qsv FROM sub
+         |  WHERE vec_id >= 250),
+         |lut AS (SELECT qs.q_id, c.m, c.centroid_id,
+         |    ${pqD2MicroSql("qs.qsv", "c.cv")} AS qd2m
+         |  FROM cents c JOIN qs ON c.m = qs.m),
+         |ad0 AS (SELECT cd.q_id, a.vec_id,
+         |    CAST(sum(l.qd2m) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
+         |      AS adist
+         |  FROM asg a
+         |  JOIN cand cd ON a.vec_id = cd.vec_id
+         |  JOIN lut l ON l.q_id = cd.q_id AND a.m = l.m
+         |    AND a.centroid_id = l.centroid_id
+         |  GROUP BY cd.q_id, a.vec_id),
+         |ad AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adist, vec_id) AS rn FROM ad0) WHERE rn <= 50),
+         |hits AS (SELECT ad.q_id, ad.vec_id,
+         |    ${cosMicroSql("CAST(e.embedding AS DOUBLE[])", "q.qv")} AS sim
+         |  FROM ad JOIN embeddings e ON e.vec_id = ad.vec_id
+         |  JOIN q ON q.q_id = ad.q_id),
+         |flagged AS (SELECT q_id AS vec_id, min(vec_id) AS dup_of,
+         |    max(sim) AS max_sim
+         |  FROM hits WHERE sim >= 0.3 GROUP BY q_id)
+         |SELECT q.q_id AS vec_id, f.dup_of IS NULL AS keep,
+         |  f.dup_of, f.max_sim
+         |FROM q LEFT JOIN flagged f ON f.vec_id = q.q_id
+         |ORDER BY vec_id""".stripMargin))
+
   /** External-catalog bridge end-to-end ([[graft.sources.CatalogSync]],
     * the reference's hive-sync shape, `processData.py:160-169`): a REAL
     * graft table registered in the SESSION catalog, churned AFTER the
@@ -4696,7 +4768,8 @@ object QueryCatalog {
     "catalog_sync" -> catalogSyncQ,
     "sharded_manifest" -> shardedManifestQ,
     "ann_index_search" -> annIndexSearchQ,
-    "ann_search_batch" -> annSearchBatchQ
+    "ann_search_batch" -> annSearchBatchQ,
+    "ann_near_dup_check" -> annNearDupCheckQ
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
