@@ -1881,6 +1881,38 @@ object QueryCatalog {
          |FROM c WHERE bit_count(xor(ha, hb)) <= 1""".stripMargin
     })
 
+  /** Production-size simhash near-dup
+    * ([[graft.text.TextOps.simhashNearDupPairs60]]): 60-bit fingerprints
+    * over the full token-hash width, 4 bands of 15 bits (32k buckets per
+    * band), same `hamming <= 3` pigeonhole as the 16-bit demo row.
+    */
+  private val simhash60NearDup = Q(
+    (s, d) => TextOps.simhashNearDupPairs60(t(s, d, "documents"), 3),
+    Some {
+      val sums = (0 until 60).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n  ")
+      val bits = (0 until 60).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (SELECT doc_id, ${H("tok")} AS h FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |   FROM documents)),
+         |s AS (SELECT doc_id,
+         |  $sums
+         |FROM e GROUP BY doc_id),
+         |f AS (SELECT doc_id, CAST($bits AS BIGINT) AS fp FROM s),
+         |b AS (SELECT doc_id, fp, band, (fp >> (band * 15)) & 32767
+         |    AS bkey
+         |  FROM f CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+         |c AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |    a.fp AS ha, b2.fp AS hb
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bkey = b2.bkey
+         |    AND a.doc_id < b2.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM c WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
+    })
+
   /** Shared shingle CTEs for the jaccard/minhash oracles. */
   private val shingleCtes =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -4690,6 +4722,7 @@ object QueryCatalog {
     "json_extract_props" -> jsonExtract,
     "simhash" -> simhash,
     "simhash_near_dup" -> simhashNearDup,
+    "simhash60_near_dup" -> simhash60NearDup,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "minhash_signatures" -> minhashSignatures,
     "minhash_lsh_pairs" -> minhashLshPairs,

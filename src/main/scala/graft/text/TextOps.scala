@@ -967,13 +967,30 @@ object TextOps {
     * the construction is identical, only the constants grow.
     */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0): DataFrame =
+    simhashBandedPairs(simhash16(docs), "simhash16", bandBits = 4,
+      maxHamming, maxBucket)
+
+  /** [[simhashNearDupPairs]] at the PRODUCTION fingerprint size: 60-bit
+    * fingerprints ([[simhash60]]) in 4 bands of 15 bits — 32k buckets
+    * per band instead of 16, the same `hamming <= 3` pigeonhole. The
+    * 16-bit variant stays as the oracle-portable demo; this is the
+    * construction the corpus-scale caveat on it promises.
+    */
+  def simhashNearDupPairs60(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 0): DataFrame =
+    simhashBandedPairs(simhash60(docs), "simhash60", bandBits = 15,
+      maxHamming, maxBucket)
+
+  private def simhashBandedPairs(sh: DataFrame, fpCol: String,
+      bandBits: Int, maxHamming: Int, maxBucket: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band pigeonhole guarantees recall only for hamming <= 3")
-    val sh = simhash16(docs)
-    val banded = sh.select(col("doc_id"), col("simhash16"),
+    val mask = (1L << bandBits) - 1
+    val banded = sh.select(col("doc_id"), col(fpCol),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash16"), b * 4).bitwiseAND(15).cast("long")): _*))
+        shiftright(col(fpCol), b * bandBits).bitwiseAND(mask)
+          .cast("long")): _*))
         .as(Seq("band", "bkey")))
     // Hot-bucket guard (same contract as minhashCandidatePairs): identical
     // boilerplate means identical fingerprints, which pile one bucket per
@@ -988,7 +1005,7 @@ object TextOps {
           .agg(min(col("doc_id")).as("__hub"), count(lit(1)).as("__bsz"))
         banded.join(stats, Seq("band", "bkey"))
           .filter(col("__bsz") <= maxBucket || col("doc_id") === col("__hub"))
-          .select("doc_id", "simhash16", "band", "bkey")
+          .select("doc_id", fpCol, "band", "bkey")
       }
     val a = left.alias("a")
     val b = banded.alias("b")
@@ -996,7 +1013,7 @@ object TextOps {
         col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash16").as("ha"), col("b.simhash16").as("hb"))
+        col(s"a.$fpCol").as("ha"), col(s"b.$fpCol").as("hb"))
       .distinct()
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
@@ -1104,16 +1121,26 @@ object TextOps {
   /** SimHash (16-bit, portable hash): per bit j, sign of the sum over tokens
     * (with multiplicity) of +-1 according to bit j of the token hash.
     */
-  def simhash16(docs: DataFrame): DataFrame = {
+  def simhash16(docs: DataFrame): DataFrame =
+    simhashFp(docs, 16).withColumnRenamed("fp", "simhash16")
+
+  /** 60-bit simhash over the FULL width of the 60-bit token hash — the
+    * production fingerprint size (the 16-bit variant is the
+    * oracle-portable demo). Same per-bit majority construction.
+    */
+  def simhash60(docs: DataFrame): DataFrame =
+    simhashFp(docs, 60).withColumnRenamed("fp", "simhash60")
+
+  private def simhashFp(docs: DataFrame, bits: Int): DataFrame = {
     val e = docs.select(col("doc_id"),
       explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), Hashing.hash60(col("tok")).as("h"))
-    val bitSums = (0 until 16).map(j =>
+    val bitSums = (0 until bits).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j"))
     e.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 16).map(j =>
+        (0 until bits).map(j =>
           when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash16"))
+          .reduce(_ + _).as("fp"))
   }
 }

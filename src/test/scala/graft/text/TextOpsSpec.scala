@@ -102,6 +102,20 @@ class TextOpsSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus should contain close fingerprints")
   }
 
+  test("simhash60 banding achieves full recall vs brute force at h<=3") {
+    val fp = TextOps.simhash60(docs)
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      (a, ha) <- fp; (b, hb) <- fp if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val banded = TextOps.simhashNearDupPairs60(docs, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty,
+      "planted near-dups should land within hamming 3 at 60 bits")
+  }
+
   test("simhash maxBucket caps identical-fingerprint buckets to star edges") {
     val planted = docs.select($"doc_id", $"text").unionByName(
       spark.range(10000, 10100).select($"id".as("doc_id"),
