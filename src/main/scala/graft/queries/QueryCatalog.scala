@@ -1971,6 +1971,43 @@ object QueryCatalog {
          |WHERE inter * 10 >= (na + nb - inter) * 8""".stripMargin
     })
 
+  /** The hot-bucket star-edge cap certified cross-engine
+    * ([[graft.text.TextOps.lshNearDupPairs]] with `maxBucket = 2`): LSH
+    * buckets above the cap contribute only hub edges (every member
+    * paired with the bucket-min doc id) before exact-Jaccard
+    * verification. The oracle reproduces the per-bucket CASE: a pair
+    * survives a bucket only if the bucket is small OR its left doc IS
+    * the hub (pairs caught by ANY qualifying bucket stay, as in the
+    * engine's DISTINCT over bucket contributions).
+    */
+  private val nearDupLshCapped = Q(
+    (s, d) => TextOps.lshNearDupPairs(t(s, d, "documents"), 3, rows = 2,
+      num = 8, den = 10, maxBucket = 2),
+    Some {
+      val bands = (0 until 4).map(bnd =>
+        s"SELECT doc_id, $bnd AS band, mh${2 * bnd} AS h1, mh${2 * bnd + 1} AS h2 FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""$minhashSigSql,
+         |b AS ($bands),
+         |g AS (SELECT band, h1, h2, min(doc_id) AS hub,
+         |    count(*) AS n
+         |  FROM b GROUP BY band, h1, h2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.h1 = b2.h1
+         |    AND a.h2 = b2.h2 AND a.doc_id < b2.doc_id
+         |  JOIN g ON g.band = a.band AND g.h1 = a.h1 AND g.h2 = a.h2
+         |  WHERE g.n <= 2 OR a.doc_id = g.hub),
+         |withsh AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+         |p AS (SELECT cand.doc_a, cand.doc_b,
+         |    len(list_intersect(a.ds, b.ds)) AS inter,
+         |    len(a.ds) AS na, len(b.ds) AS nb
+         |  FROM cand
+         |  JOIN withsh a ON cand.doc_a = a.doc_id
+         |  JOIN withsh b ON cand.doc_b = b.doc_id)
+         |SELECT doc_a, doc_b, inter, na, nb FROM p
+         |WHERE inter * 10 >= (na + nb - inter) * 8""".stripMargin
+    })
+
   private def minhashSigSql: String = {
     val mins = Hashing.MinhashA.zip(Hashing.MinhashB).zipWithIndex.map {
       case ((a, b), i) => s"min(($a * hm + $b) % ${Hashing.P}) AS mh$i"
@@ -4727,6 +4764,7 @@ object QueryCatalog {
     "minhash_signatures" -> minhashSignatures,
     "minhash_lsh_pairs" -> minhashLshPairs,
     "near_dup_lsh" -> nearDupLsh,
+    "near_dup_lsh_capped" -> nearDupLshCapped,
     "dedup_clusters" -> dedupClusters,
     "near_dup_filtered" -> nearDupFiltered,
     "chunk_split" -> chunkSplit,
