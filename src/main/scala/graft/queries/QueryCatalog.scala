@@ -2204,6 +2204,51 @@ object QueryCatalog {
          |  p.dup_of, p.max_sim
          |FROM assign a LEFT JOIN pruned p ON p.vec_id = a.vec_id""".stripMargin))
 
+  /** The hot-CELL witness cap certified cross-engine
+    * ([[graft.sim.Similarity.semanticDedup]] with `maxCell = 20`): an
+    * oversized cell's witness side reduces to the cell-min id plus each
+    * member's exact-vector-group min, so true-duplicate crowds still
+    * collapse identically while merely-similar members lose non-hub
+    * witnesses. The oracle reproduces the per-cell CASE (DuckDB groups
+    * by the LIST-typed vector for the exact-group min).
+    */
+  private val semanticDedupCapped = Q(
+    (s, d) => Similarity.semanticDedup(t(s, d, "embeddings"), 16, 0.4,
+      maxCell = 20),
+    Some(
+      s"""WITH c AS (SELECT vec_id AS centroid_id,
+         |    CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |sc AS (SELECT e.vec_id, c.centroid_id,
+         |    ${cosSql("CAST(e.embedding AS DOUBLE[])", "cv")} AS sim
+         |  FROM embeddings e, c),
+         |assign AS (SELECT vec_id, centroid_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+         |  FROM sc) WHERE rn = 1),
+         |v AS (SELECT a.vec_id, a.centroid_id,
+         |    CAST(e.embedding AS DOUBLE[]) AS ev
+         |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+         |cs AS (SELECT centroid_id, min(vec_id) AS hub, count(*) AS n
+         |  FROM v GROUP BY centroid_id),
+         |gm AS (SELECT centroid_id, ev, min(vec_id) AS gmin,
+         |    count(*) AS gn
+         |  FROM v GROUP BY centroid_id, ev),
+         |dup AS (SELECT l.centroid_id, l.vec_id AS id_a, r.vec_id AS id_b,
+         |    ${cosMicroSql("l.ev", "r.ev")} AS sim
+         |  FROM v l JOIN v r ON l.centroid_id = r.centroid_id
+         |    AND l.vec_id < r.vec_id
+         |  JOIN cs ON cs.centroid_id = l.centroid_id
+         |  JOIN gm ON gm.centroid_id = l.centroid_id AND gm.ev = l.ev
+         |  WHERE cs.n <= 20 OR l.vec_id = cs.hub
+         |    OR (l.vec_id = gm.gmin AND gm.gn > 1)),
+         |pruned AS (SELECT id_b AS vec_id, min(id_a) AS dup_of,
+         |    max(sim) AS max_sim
+         |  FROM dup WHERE sim >= 0.4 GROUP BY id_b)
+         |SELECT a.vec_id, a.centroid_id, p.dup_of IS NULL AS keep,
+         |  p.dup_of, p.max_sim
+         |FROM assign a LEFT JOIN pruned p ON p.vec_id = a.vec_id""".stripMargin))
+
   /** IVF probe search: top-10 for vec 0 scanning only the 4 nearest of 16
     * cells — the sub-linear ANN query path.
     */
@@ -4775,6 +4820,7 @@ object QueryCatalog {
     "sign_lsh_buckets" -> signLshBuckets,
     "ivf_assign" -> ivfAssign,
     "semantic_dedup" -> semanticDedup,
+    "semantic_dedup_capped" -> semanticDedupCapped,
     "ivf_search" -> ivfSearch,
     "pq_encode" -> pqEncode,
     "pq_search" -> pqSearch,

@@ -828,11 +828,16 @@ object Similarity {
         val stats = lAll.groupBy("centroid_id")
           .agg(min(col("id_a")).as("__hub"), count(lit(1)).as("__csz"))
         val gmin = lAll.groupBy("centroid_id", "va")
-          .agg(min(col("id_a")).as("__gmin"))
+          .agg(min(col("id_a")).as("__gmin"), count(lit(1)).as("__gsz"))
+        // witnesses in an oversized cell: the cell hub, plus the min id
+        // of each MULTI-member exact-vector group (a unique vector is
+        // trivially its own group min — admitting it would keep every
+        // member a witness and make the cap a no-op)
         lAll.join(stats, Seq("centroid_id"))
           .join(gmin, Seq("centroid_id", "va"))
           .filter(col("__csz") <= maxCell ||
-            col("id_a") === col("__hub") || col("id_a") === col("__gmin"))
+            col("id_a") === col("__hub") ||
+            (col("id_a") === col("__gmin") && col("__gsz") > 1))
           .select("centroid_id", "id_a", "va")
       }
     val r = a.select(col("centroid_id"), col("vec_id").as("id_b"),

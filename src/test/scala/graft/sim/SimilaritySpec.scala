@@ -399,6 +399,20 @@ class SimilaritySpec extends SparkSpec {
       if (row._4.isDefined)
         assert(exact(id)._4.isDefined, s"cap invented a dup for $id")
     }
+    // the cap must genuinely shrink the witness side on oversized cells
+    // of UNIQUE vectors (regression: a group-min clause that admits
+    // every unique vector as its own witness makes the cap a no-op):
+    // at a low threshold, some merely-similar dup loses its witness
+    val lowExact = Similarity.semanticDedup(planted, 4, 0.3)
+      .as[(Long, Long, Boolean, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val lowCapped = Similarity.semanticDedup(planted, 4, 0.3, maxCell = 40)
+      .as[(Long, Long, Boolean, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(lowCapped != lowExact,
+      "cap over 4 cells of ~150 unique vectors must drop some witness")
+    assert(lowCapped.valuesIterator.count(!_._3) <=
+      lowExact.valuesIterator.count(!_._3), "cap can only lose dups")
   }
 
   test("semanticDecontaminateIvf: all-cells probe equals the broadcast scan") {
