@@ -1,0 +1,179 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass distributed model fitting over integer-valued features.
+  *
+  * The training-data pipeline's quality models (length/stopword/punct
+  * regressors, per-language calibration lines) must be *trained* at corpus
+  * scale, not just applied. The ops here fit closed-form linear models in a
+  * single `groupBy().agg()` pass over exact integer moments:
+  *
+  *   - ONE shuffle of (group → constant-width moment vector); map-side
+  *     partial aggregation collapses each partition to one row per group
+  *     before the exchange, so the shuffle payload is ∝ groups, not rows —
+  *     the shape that survives a 100-TB corpus on 1000 executors.
+  *   - Exact integer arithmetic end-to-end: moments accumulate as
+  *     DECIMAL(38,0) (int128 — overflow-checked, never wrapped), and the
+  *     normal-equation solution is emitted as exact integer
+  *     numerator/denominator pairs rather than engine-divided floats, so
+  *     results are bit-identical across engines, parallelism levels and
+  *     partial-agg merge orders (the battery's determinism contract).
+  *
+  * Consumers divide `num/den` at whatever precision they need (or keep the
+  * exact rational for downstream algebra). Degenerate groups — fewer than
+  * two points, or a constant regressor (den = 0) — emit NULL solutions
+  * rather than a divide-by-zero.
+  */
+object Regression {
+
+  private val D38 = "decimal(38,0)"
+
+  /** Grouped simple OLS `y ≈ intercept + slope·x`, one aggregation pass.
+    *
+    * Output per group (sorted by the group columns for deterministic
+    * ordering): `n, sum_x, sum_y` (BIGINT moments) and the closed-form
+    * normal-equation solution as exact DECIMAL(38,0) integers
+    *
+    * {{{
+    *   slope     = slope_num / den   = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = icept_num / den   = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    * }}}
+    *
+    * `x` and `y` must be integral (cast to LONG internally); for
+    * fractional features scale to fixed-point integers first — division is
+    * deliberately left to the caller so the engine never emits
+    * engine-version-sensitive float arithmetic.
+    */
+  def fitOlsGrouped(df: DataFrame, groupCols: Seq[String],
+      x: Column, y: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val m = df
+      .select(g :+ x.cast("long").as("__x") :+ y.cast("long").as("__y"): _*)
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("sum_x"),
+        sum(col("__y")).as("sum_y"),
+        sum(col("__x").cast(D38) * col("__x")).as("sum_xx"),
+        sum(col("__x").cast(D38) * col("__y")).as("sum_xy"))
+    val n = col("n").cast(D38)
+    val sx = col("sum_x").cast(D38)
+    val sy = col("sum_y").cast(D38)
+    val den = (n * col("sum_xx") - sx * sx).as("den")
+    val slopeNum = (n * col("sum_xy") - sx * sy).as("slope_num")
+    val iceptNum = (sy * col("sum_xx") - sx * col("sum_xy")).as("icept_num")
+    m.select(g ++ Seq(col("n"), col("sum_x"), col("sum_y"),
+        slopeNum, iceptNum, den): _*)
+      .select(g ++ Seq(col("n"), col("sum_x"), col("sum_y"),
+        when(col("den") === 0, lit(null)).otherwise(col("slope_num"))
+          .as("slope_num"),
+        when(col("den") === 0, lit(null)).otherwise(col("icept_num"))
+          .as("icept_num"),
+        when(col("den") === 0, lit(null)).otherwise(col("den")).as("den")): _*)
+      .orderBy(groupCols.map(asc_nulls_first): _*)
+  }
+
+  /** Convenience float view of [[fitOlsGrouped]] for interactive use:
+    * slope/intercept as DOUBLE (exact-integer division done once, at the
+    * end). Not battery-certified — the exact num/den form is.
+    */
+  def fitOls(df: DataFrame, groupCols: Seq[String],
+      x: Column, y: Column): DataFrame =
+    fitOlsGrouped(df, groupCols, x, y).select(
+      groupCols.map(col) ++ Seq(col("n"),
+        (col("slope_num").cast("double") / col("den").cast("double"))
+          .as("slope"),
+        (col("icept_num").cast("double") / col("den").cast("double"))
+          .as("intercept")): _*)
+
+  /** Multivariate Gram moments for `y ≈ Xβ` (with intercept): one pass
+    * emitting every entry of `XᵀX` and `Xᵀy` as exact DECIMAL(38,0)
+    * moments, one row per group. Features must be integral (fixed-point
+    * scale fractional inputs first). Columns: the group cols, `n`, then
+    * `m_i_j` = Σ xᵢ·xⱼ for 0 ≤ i ≤ j < p and `v_i` = Σ xᵢ·y and `v_y` = Σy
+    * (feature 0 is the implicit intercept regressor 1, so `m_0_j` = Σxⱼ).
+    * Solving the p×p system is a driver-side O(p³) on constant-size
+    * output — the distributed work is exactly this one moment pass.
+    */
+  def gramMoments(df: DataFrame, groupCols: Seq[String],
+      features: Seq[Column], y: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val p = features.size + 1
+    val xs = lit(1L) +: features.map(_.cast("long"))
+    val named = xs.zipWithIndex.map { case (c, i) => c.as(s"__x$i") }
+    val base = df.select(g ++ named :+ y.cast("long").as("__y"): _*)
+    val crossAggs = for (i <- 0 until p; j <- i until p) yield
+      sum(col(s"__x$i").cast(D38) * col(s"__x$j")).as(s"m_${i}_$j")
+    val yAggs = (0 until p).map(i =>
+      sum(col(s"__x$i").cast(D38) * col("__y")).as(s"v_$i"))
+    base.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"), crossAggs ++ yAggs: _*)
+      .orderBy(groupCols.map(asc_nulls_first): _*)
+  }
+
+  /** Solve the [[gramMoments]] normal equations on the driver with exact
+    * rational Gaussian elimination (`BigInt` Cramer-style fraction-free
+    * Bareiss), returning per-group coefficient fractions
+    * `(num(0..p-1), den)` — exact, so engine- and order-independent.
+    * Input rows are the constant-size gram output: this is O(groups · p³)
+    * driver work on already-aggregated data, not a data collect.
+    */
+  def solveGram(gram: DataFrame, groupCols: Seq[String], p: Int)
+      : Seq[(Seq[String], Seq[BigInt], BigInt)] = {
+    val rows = gram.collect()
+    rows.toSeq.map { r =>
+      val key = groupCols.map(c => String.valueOf(r.getAs[Any](c)))
+      def cell(n: String): BigInt =
+        BigInt(r.getAs[java.math.BigDecimal](n).toBigInteger)
+      val a = Array.tabulate(p, p) { (i, j) =>
+        if (i <= j) cell(s"m_${i}_$j") else cell(s"m_${j}_$i")
+      }
+      val b = Array.tabulate(p)(i => cell(s"v_$i"))
+      val (nums, den) = solveBareiss(a.map(_.clone()), b.clone())
+      (key, nums.toSeq, den)
+    }
+  }
+
+  /** Fraction-free Gaussian elimination (Bareiss): returns (nums, den)
+    * with βᵢ = numsᵢ/den exactly. Throws on a singular system.
+    */
+  private def solveBareiss(a: Array[Array[BigInt]], b: Array[BigInt])
+      : (Array[BigInt], BigInt) = {
+    val p = a.length
+    var prev = BigInt(1)
+    for (k <- 0 until p) {
+      // partial pivot on nonzero (exact arithmetic: any nonzero works)
+      val piv = (k until p).find(a(_)(k) != 0)
+        .getOrElse(throw new IllegalArgumentException(
+          "singular normal equations (collinear features)"))
+      if (piv != k) {
+        val t = a(k); a(k) = a(piv); a(piv) = t
+        val tb = b(k); b(k) = b(piv); b(piv) = tb
+        // row swap flips the determinant's sign; negate the swapped-in
+        // pivot row to keep the Bareiss invariant exact
+        for (j <- 0 until p) a(k)(j) = -a(k)(j)
+        b(k) = -b(k)
+      }
+      for (i <- k + 1 until p) {
+        for (j <- k + 1 until p)
+          a(i)(j) = (a(k)(k) * a(i)(j) - a(i)(k) * a(k)(j)) / prev
+        b(i) = (a(k)(k) * b(i) - a(i)(k) * b(k)) / prev
+        a(i)(k) = 0
+      }
+      prev = a(k)(k)
+    }
+    // back substitution over exact fractions with common denominator det
+    val det = a(p - 1)(p - 1)
+    val nums = new Array[BigInt](p)
+    for (i <- (p - 1) to 0 by -1) {
+      var acc = b(i) * det
+      for (j <- i + 1 until p) acc -= a(i)(j) * nums(j)
+      val q = acc / a(i)(i)
+      require(q * a(i)(i) == acc, "exact division invariant violated")
+      nums(i) = q
+    }
+    (nums, det)
+  }
+}

@@ -1536,6 +1536,63 @@ object QueryCatalog {
          |FROM q""".stripMargin
     })
 
+  /** One-pass distributed model TRAINING certified cross-engine
+    * ([[graft.ml.Regression.fitOlsGrouped]]): per-language OLS fit of
+    * stopword count on token count over the corpus — the quality-model
+    * calibration step a training pipeline runs at 100-TB scale. One
+    * `groupBy(lang)` pass over exact integer moments (map-side combined:
+    * the shuffle carries one constant-width moment row per group, not
+    * data), and the normal-equation solution lands as exact integer
+    * num/den pairs — no float division anywhere, so the row is
+    * engine/parallelism-proof by construction. Certification casts the
+    * DECIMAL(38,0) integers to BIGINT (|icept_num| ≤ Σy·Σx² ≈ 4e17 at
+    * sf0.1 ≪ 2^63; production reads the decimals) and the oracle replays
+    * the identical Cramer forms in HUGEINT.
+    */
+  private val olsStopwordFit = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("lang"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("lang"), size(col("toks")).as("x"),
+          TextOps.stopwordCount(col("toks"), TextOps.Stopwords).as("y"))
+      graft.ml.Regression.fitOlsGrouped(docs, Seq("lang"), col("x"), col("y"))
+        .select(col("lang"), col("n"), col("sum_x"), col("sum_y"),
+          col("slope_num").cast("long").as("slope_num"),
+          col("icept_num").cast("long").as("icept_num"),
+          col("den").cast("long").as("den"))
+        .orderBy(asc_nulls_first("lang"))
+    },
+    Some {
+      val stops = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (SELECT lang,
+         |    len(string_split(text, ' ')) AS x,
+         |    len(list_filter(string_split(text, ' '),
+         |        t -> list_contains([$stops], t))) AS y
+         |  FROM documents),
+         |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sum_x,
+         |    CAST(sum(y) AS BIGINT) AS sum_y,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sum_xx,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sum_xy
+         |  FROM q GROUP BY lang),
+         |d AS (SELECT lang, n, sum_x, sum_y,
+         |    CAST(n AS HUGEINT) * sum_xy
+         |      - CAST(sum_x AS HUGEINT) * sum_y AS slope_num,
+         |    CAST(sum_y AS HUGEINT) * sum_xx
+         |      - CAST(sum_x AS HUGEINT) * sum_xy AS icept_num,
+         |    CAST(n AS HUGEINT) * sum_xx
+         |      - CAST(sum_x AS HUGEINT) * sum_x AS den
+         |  FROM m)
+         |SELECT lang, n, sum_x, sum_y,
+         |  CAST(CASE WHEN den = 0 THEN NULL ELSE slope_num END
+         |    AS BIGINT) AS slope_num,
+         |  CAST(CASE WHEN den = 0 THEN NULL ELSE icept_num END
+         |    AS BIGINT) AS icept_num,
+         |  CAST(CASE WHEN den = 0 THEN NULL ELSE den END
+         |    AS BIGINT) AS den
+         |FROM d ORDER BY lang""".stripMargin
+    })
+
   private val langId = Q(
     (s, d) => {
       val df = TextOps.languageId(t(s, d, "documents"))
@@ -4886,7 +4943,8 @@ object QueryCatalog {
     "sharded_manifest" -> shardedManifestQ,
     "ann_index_search" -> annIndexSearchQ,
     "ann_search_batch" -> annSearchBatchQ,
-    "ann_near_dup_check" -> annNearDupCheckQ
+    "ann_near_dup_check" -> annNearDupCheckQ,
+    "ols_stopword_fit" -> olsStopwordFit
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

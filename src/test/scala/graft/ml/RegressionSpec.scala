@@ -1,0 +1,79 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("grouped OLS solves hand-computed lines exactly") {
+    val df = Seq(
+      // group a: y = 2x exactly
+      ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),
+      // group b: constant regressor -> singular -> null solution
+      ("b", 5L, 1L), ("b", 5L, 9L),
+      // group c: least-squares over noisy points
+      ("c", 0L, 1L), ("c", 1L, 3L), ("c", 2L, 4L)
+    ).toDF("g", "x", "y")
+    val out = Regression.fitOlsGrouped(df, Seq("g"), col("x"), col("y"))
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    val a = out(0)
+    // n=3 Σx=6 Σy=12 Σxx=14 Σxy=28 → den=6, slope=12/6=2, icept=0/6
+    assert(a.getLong(1) == 3 && a.getLong(2) == 6 && a.getLong(3) == 12)
+    assert(a.getDecimal(4).longValueExact == 12)
+    assert(a.getDecimal(5).longValueExact == 0)
+    assert(a.getDecimal(6).longValueExact == 6)
+    val b = out(1)
+    assert(b.isNullAt(4) && b.isNullAt(5) && b.isNullAt(6))
+    val c = out(2)
+    // n=3 Σx=3 Σy=8 Σxx=5 Σxy=11 → den=6, slope_num=9 (1.5), icept_num=7
+    assert(c.getDecimal(4).longValueExact == 9)
+    assert(c.getDecimal(5).longValueExact == 7)
+    assert(c.getDecimal(6).longValueExact == 6)
+  }
+
+  test("OLS moments are partitioning-independent (exact integer fold)") {
+    val df = spark.range(1000).select(
+      (col("id") % 7).cast("string").as("g"),
+      (col("id") % 97).as("x"),
+      ((col("id") * 31) % 1009).as("y"))
+    val one = Regression.fitOlsGrouped(df.coalesce(1), Seq("g"),
+      col("x"), col("y")).collect().toSeq
+    val many = Regression.fitOlsGrouped(df.repartition(13), Seq("g"),
+      col("x"), col("y")).collect().toSeq
+    assert(one.map(_.toString) == many.map(_.toString))
+  }
+
+  test("float view divides the exact fit") {
+    val df = Seq(("a", 0L, 10L), ("a", 2L, 14L)).toDF("g", "x", "y")
+    val r = Regression.fitOls(df, Seq("g"), col("x"), col("y")).collect()(0)
+    assert(r.getDouble(2) == 2.0) // slope
+    assert(r.getDouble(3) == 10.0) // intercept
+  }
+
+  test("gram moments + exact solve recover a plane bit-exactly") {
+    // y = 3 + 2*x1 - x2 on a 4x3 integer grid: exact recovery expected
+    val pts = for (x1 <- 0 to 3; x2 <- 0 to 2)
+      yield ("g", x1.toLong, x2.toLong, 3L + 2 * x1 - x2)
+    val df = pts.toDF("g", "x1", "x2", "y")
+    val gram = Regression.gramMoments(df, Seq("g"),
+      Seq(col("x1"), col("x2")), col("y"))
+    val Seq((key, nums, den)) = Regression.solveGram(gram, Seq("g"), 3)
+    assert(key == Seq("g"))
+    assert(den != 0)
+    assert(nums(0) == BigInt(3) * den)
+    assert(nums(1) == BigInt(2) * den)
+    assert(nums(2) == BigInt(-1) * den)
+  }
+
+  test("collinear features are rejected, not silently mis-solved") {
+    val pts = (0 to 5).map(i => ("g", i.toLong, 2L * i, i + 1L))
+    val df = pts.toDF("g", "x1", "x2", "y")
+    val gram = Regression.gramMoments(df, Seq("g"),
+      Seq(col("x1"), col("x2")), col("y"))
+    intercept[IllegalArgumentException] {
+      Regression.solveGram(gram, Seq("g"), 3)
+    }
+  }
+}
