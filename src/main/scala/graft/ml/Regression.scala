@@ -113,6 +113,60 @@ object Regression {
       .orderBy(groupCols.map(asc_nulls_first): _*)
   }
 
+  /** Grouped two-feature OLS `y ≈ β0 + β1·x1 + β2·x2`, fully distributed:
+    * the [[gramMoments]] pass plus a per-group 3×3 Cramer solve expressed
+    * as exact DECIMAL(38,0) column arithmetic — no driver-side solve, no
+    * float op anywhere, so the result is bit-identical across engines and
+    * parallelism. Output per group: `n`, coefficient numerators
+    * `icept_num`/`x1_num`/`x2_num` and the shared `den` (= det XᵀX);
+    * βᵢ = numᵢ/den. Singular groups (collinear features, < 3 points)
+    * emit NULL solutions. Determinant terms are triple products of
+    * moments — callers must keep |moment|³ < 10³⁸ (fixed-point-scale or
+    * center large features first; at 10⁶-row groups with |x| ≤ 10³ the
+    * bound holds with ~9 digits to spare).
+    */
+  def fitPlaneGrouped(df: DataFrame, groupCols: Seq[String],
+      x1: Column, x2: Column, y: Column): DataFrame = {
+    val gram = gramMoments(df, groupCols, Seq(x1, x2), y)
+    def m(i: Int, j: Int): Column =
+      col(if (i <= j) s"m_${i}_$j" else s"m_${j}_$i")
+    def v(i: Int): Column = col(s"v_$i")
+    def a(repl: Int)(i: Int, j: Int): Column =
+      if (j == repl) v(i) else m(i, j)
+    val den = det3(m).as("den")
+    val nums = Seq("icept_num", "x1_num", "x2_num").zipWithIndex.map {
+      case (nm, j) => det3(a(j)).as(nm)
+    }
+    gram.select(groupCols.map(col) ++
+        (col("n") +: nums :+ den): _*)
+      .select(groupCols.map(col) ++ (col("n") +:
+        Seq("icept_num", "x1_num", "x2_num", "den").map(c =>
+          when(col("den") === 0, lit(null)).otherwise(col(c)).as(c))): _*)
+      .orderBy(groupCols.map(asc_nulls_first): _*)
+  }
+
+  /** 3×3 determinant by cofactor expansion over an element accessor.
+    * [[det3Sql]] renders the identical expansion as SQL text, so the
+    * Spark plan and the generated oracle evaluate the exact same integer
+    * expression tree.
+    */
+  private def det3(e: (Int, Int) => Column): Column = {
+    def minor(r0: Int, r1: Int, c0: Int, c1: Int): Column =
+      e(r0, c0) * e(r1, c1) - e(r0, c1) * e(r1, c0)
+    e(0, 0) * minor(1, 2, 1, 2) - e(0, 1) * minor(1, 2, 0, 2) +
+      e(0, 2) * minor(1, 2, 0, 1)
+  }
+
+  /** The [[det3]] expansion rendered as SQL text over an element naming
+    * function — the oracle-side twin of the column form above.
+    */
+  def det3Sql(e: (Int, Int) => String): String = {
+    def minor(r0: Int, r1: Int, c0: Int, c1: Int): String =
+      s"(${e(r0, c0)}*${e(r1, c1)} - ${e(r0, c1)}*${e(r1, c0)})"
+    s"(${e(0, 0)}*${minor(1, 2, 1, 2)} - ${e(0, 1)}*${minor(1, 2, 0, 2)}" +
+      s" + ${e(0, 2)}*${minor(1, 2, 0, 1)})"
+  }
+
   /** Solve the [[gramMoments]] normal equations on the driver with exact
     * rational Gaussian elimination (`BigInt` Cramer-style fraction-free
     * Bareiss), returning per-group coefficient fractions

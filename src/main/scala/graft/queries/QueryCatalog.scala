@@ -1593,6 +1593,74 @@ object QueryCatalog {
          |FROM d ORDER BY lang""".stripMargin
     })
 
+  /** Multivariate distributed training certified cross-engine
+    * ([[graft.ml.Regression.fitPlaneGrouped]]): per-language two-feature
+    * OLS plane `stopwords ≈ β0 + β1·tokens + β2·chars` — the full
+    * normal-equation solve (3×3 Cramer) expressed as exact DECIMAL(38,0)
+    * column arithmetic over one gram-moment aggregation pass. Nothing is
+    * solved on the driver and no float op exists anywhere in the plan, so
+    * the coefficients are bit-identical at any parallelism and in any
+    * engine; the oracle's determinant SQL is GENERATED from the same
+    * cofactor expansion ([[graft.ml.Regression.det3Sql]]) the Spark
+    * columns use. Numerators exceed 2^63 at sf0.1 (den ~ n·Σx1²·Σx2² ≈
+    * 8e19), so this row also certifies the DECIMAL(38,0)/HUGEINT output
+    * path end-to-end.
+    */
+  private val olsPlaneFit = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("lang"), col("n_chars"),
+          TextOps.tokens(col("text")).as("toks"))
+        .select(col("lang"), size(col("toks")).as("x1"),
+          col("n_chars").as("x2"),
+          TextOps.stopwordCount(col("toks"), TextOps.Stopwords).as("y"))
+      graft.ml.Regression.fitPlaneGrouped(docs, Seq("lang"),
+          col("x1"), col("x2"), col("y"))
+        .orderBy(asc_nulls_first("lang"))
+    },
+    Some {
+      val stops = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+      import graft.ml.Regression.det3Sql
+      def m(i: Int, j: Int): String =
+        if (i <= j) s"m_${i}_$j" else s"m_${j}_$i"
+      def v(i: Int): String = s"v_$i"
+      def a(repl: Int)(i: Int, j: Int): String =
+        if (j == repl) v(i) else m(i, j)
+      val moments = (for (i <- 0 until 3; j <- i until 3) yield
+        s"CAST(sum(CAST(x$i AS HUGEINT) * x$j) AS HUGEINT) AS ${m(i, j)}")
+        .mkString(",\n    ")
+      val vs = (0 until 3).map(i =>
+        s"CAST(sum(CAST(x$i AS HUGEINT) * y) AS HUGEINT) AS ${v(i)}")
+        .mkString(",\n    ")
+      val nums = Seq("icept_num", "x1_num", "x2_num").zipWithIndex.map {
+        case (nm, j) => s"${det3Sql(a(j))} AS $nm"
+      }.mkString(",\n    ")
+      s"""WITH q AS (SELECT lang, CAST(1 AS BIGINT) AS x0,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+         |    n_chars AS x2,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |        t -> list_contains([$stops], t))) AS BIGINT) AS y
+         |  FROM documents),
+         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |    $moments,
+         |    $vs
+         |  FROM q GROUP BY lang),
+         |d AS (SELECT lang, n,
+         |    $nums,
+         |    ${det3Sql(m)} AS den
+         |  FROM g)
+         |SELECT lang, n,
+         |  CAST(CASE WHEN den = 0 THEN NULL ELSE icept_num END
+         |    AS DECIMAL(38,0)) AS icept_num,
+         |  CAST(CASE WHEN den = 0 THEN NULL ELSE x1_num END
+         |    AS DECIMAL(38,0)) AS x1_num,
+         |  CAST(CASE WHEN den = 0 THEN NULL ELSE x2_num END
+         |    AS DECIMAL(38,0)) AS x2_num,
+         |  CAST(CASE WHEN den = 0 THEN NULL ELSE den END
+         |    AS DECIMAL(38,0)) AS den
+         |FROM d ORDER BY lang""".stripMargin
+    })
+
   private val langId = Q(
     (s, d) => {
       val df = TextOps.languageId(t(s, d, "documents"))
@@ -4944,7 +5012,8 @@ object QueryCatalog {
     "ann_index_search" -> annIndexSearchQ,
     "ann_search_batch" -> annSearchBatchQ,
     "ann_near_dup_check" -> annNearDupCheckQ,
-    "ols_stopword_fit" -> olsStopwordFit
+    "ols_stopword_fit" -> olsStopwordFit,
+    "ols_plane_fit" -> olsPlaneFit
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -52,6 +52,50 @@ class RegressionSpec extends SparkSpec {
     assert(r.getDouble(3) == 10.0) // intercept
   }
 
+  test("distributed plane fit matches the exact driver-side solve") {
+    val df = spark.range(600).select(
+      (col("id") % 3).cast("string").as("g"),
+      (col("id") % 23).as("x1"),
+      ((col("id") * 7) % 41).as("x2"),
+      ((col("id") * 13) % 101).as("y"))
+    val dist = Regression.fitPlaneGrouped(df, Seq("g"),
+      col("x1"), col("x2"), col("y")).collect()
+    val gram = Regression.gramMoments(df, Seq("g"),
+      Seq(col("x1"), col("x2")), col("y"))
+    val exact = Regression.solveGram(gram, Seq("g"), 3)
+      .map { case (k, nums, den) => k.head -> ((nums, den)) }.toMap
+    assert(dist.length == 3)
+    dist.foreach { r =>
+      val (nums, den) = exact(r.getString(0))
+      // Cramer numerators relate to the Bareiss fractions by the shared
+      // determinant: num_i/den must be equal as exact rationals
+      val cd = BigInt(r.getDecimal(5).toBigInteger)
+      val cn = Seq(2, 3, 4).map(i => BigInt(r.getDecimal(i).toBigInteger))
+      assert(cd != 0)
+      cn.zip(nums).foreach { case (c, b) => assert(c * den == b * cd) }
+    }
+  }
+
+  test("plane fit emits null solutions on collinear features") {
+    val pts = (0 to 9).map(i => ("g", i.toLong, 3L * i, i + 2L))
+    val df = pts.toDF("g", "x1", "x2", "y")
+    val r = Regression.fitPlaneGrouped(df, Seq("g"),
+      col("x1"), col("x2"), col("y")).collect()(0)
+    assert(r.getLong(1) == 10)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("plane fit is partitioning-independent") {
+    val df = spark.range(500).select(
+      lit("g").as("g"), (col("id") % 19).as("x1"),
+      ((col("id") * 3) % 29).as("x2"), ((col("id") * 11) % 53).as("y"))
+    val one = Regression.fitPlaneGrouped(df.coalesce(1), Seq("g"),
+      col("x1"), col("x2"), col("y")).collect().map(_.toString).toSeq
+    val many = Regression.fitPlaneGrouped(df.repartition(17), Seq("g"),
+      col("x1"), col("x2"), col("y")).collect().map(_.toString).toSeq
+    assert(one == many)
+  }
+
   test("gram moments + exact solve recover a plane bit-exactly") {
     // y = 3 + 2*x1 - x2 on a 4x3 integer grid: exact recovery expected
     val pts = for (x1 <- 0 to 3; x2 <- 0 to 2)
