@@ -1661,6 +1661,64 @@ object QueryCatalog {
          |FROM d ORDER BY lang""".stripMargin
     })
 
+  /** Distributed k-means TRAINING certified cross-engine
+    * ([[graft.ml.KMeansExact]]): 3 full Lloyd iterations (k=4) over the
+    * embedding corpus in exact integer micro-unit arithmetic — assignment
+    * by integer squared-L2 (every intermediate < 2^53, so the expanded
+    * per-row expression equals the oracle's direct Σ(q−c)² bit-for-bit),
+    * centroid update by half-up integer mean via pmod floor-division. The
+    * oracle replays the identical iterations as an unrolled CTE chain
+    * (assign → per-dimension sums → integer mean), generated per
+    * iteration. This certifies the engine's ACTUAL codebook-training loop
+    * shape: per-iteration one corpus scan with an inlined-codebook per-row
+    * assignment (zero joins) plus one map-side-combined groupBy.
+    */
+  private val kmeansTrain = Q(
+    (s, d) => graft.ml.KMeansExact
+      .trainedCentroids(t(s, d, "embeddings"), 4, 3),
+    Some {
+      val k = 4
+      val dim = 64
+      val iters = (1 to 3).map { it =>
+        val prev = s"c${it - 1}"
+        s"""a$it AS (
+           |  SELECT vec_id, q, centroid_id,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dist, centroid_id) AS rn
+           |  FROM (
+           |    SELECT v.vec_id, v.q, c.centroid_id,
+           |      list_sum(list_transform(range(1, ${dim + 1}),
+           |        i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i]))) AS dist
+           |    FROM q v CROSS JOIN $prev c)),
+           |s$it AS (
+           |  SELECT a.centroid_id, r.i AS pos,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(a.q[r.i]) AS BIGINT) AS s
+           |  FROM (SELECT q, centroid_id FROM a$it WHERE rn = 1) a,
+           |       range(1, ${dim + 1}) r(i)
+           |  GROUP BY a.centroid_id, r.i),
+           |c$it AS (
+           |  SELECT centroid_id, list(c ORDER BY pos) AS cv
+           |  FROM (SELECT centroid_id, pos,
+           |      (2*s + n - (((2*s + n) % (2*n)) + 2*n) % (2*n)) // (2*n)
+           |        AS c
+           |    FROM s$it)
+           |  GROUP BY centroid_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |      AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS centroid_id, q AS cv
+         |  FROM q WHERE vec_id < $k),
+         |$iters
+         |SELECT centroid_id, CAST(pos - 1 AS BIGINT) AS pos,
+         |  CAST(2*s + n - (((2*s + n) % (2*n)) + 2*n) % (2*n) AS BIGINT)
+         |    // (2*n) AS c
+         |FROM s3 ORDER BY centroid_id, pos""".stripMargin
+    })
+
   private val langId = Q(
     (s, d) => {
       val df = TextOps.languageId(t(s, d, "documents"))
@@ -5013,7 +5071,8 @@ object QueryCatalog {
     "ann_search_batch" -> annSearchBatchQ,
     "ann_near_dup_check" -> annNearDupCheckQ,
     "ols_stopword_fit" -> olsStopwordFit,
-    "ols_plane_fit" -> olsPlaneFit
+    "ols_plane_fit" -> olsPlaneFit,
+    "kmeans_train" -> kmeansTrain
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
