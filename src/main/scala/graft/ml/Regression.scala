@@ -88,6 +88,32 @@ object Regression {
         (col("icept_num").cast("double") / col("den").cast("double"))
           .as("intercept")): _*)
 
+  /** Train-then-apply in one plan: fit [[fitOlsGrouped]] per group, then
+    * score every row with its group's model — the residual
+    * `y − (β0 + β1·x)` as the exact rational `residual_num / den`
+    * (`residual_num = y·den − icept_num − slope_num·x`). Within a group
+    * `den` is shared, so ranking by `residual_num` ranks by residual —
+    * the outlier/miscalibration sweep a quality pipeline runs after
+    * calibrating. The fitted model is a per-group constant-width table,
+    * broadcast back against the corpus: train + apply is one moment
+    * shuffle plus one map-side join, no iteration, no float op. Rows in
+    * singular groups get NULL residuals.
+    */
+  def olsResiduals(df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    val fit = fitOlsGrouped(df, groupCols, col(xCol), col(yCol))
+      .select((groupCols ++ Seq("slope_num", "icept_num", "den"))
+        .map(col): _*)
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(fit))
+      else df.join(broadcast(fit), groupCols)
+    joined
+      .withColumn("residual_num",
+        col(yCol).cast(D38) * col("den") - col("icept_num")
+          - col("slope_num") * col(xCol).cast(D38))
+      .drop("slope_num", "icept_num")
+  }
+
   /** Multivariate Gram moments for `y ≈ Xβ` (with intercept): one pass
     * emitting every entry of `XᵀX` and `Xᵀy` as exact DECIMAL(38,0)
     * moments, one row per group. Features must be integral (fixed-point

@@ -1677,46 +1677,156 @@ object QueryCatalog {
     (s, d) => graft.ml.KMeansExact
       .trainedCentroids(t(s, d, "embeddings"), 4, 3),
     Some {
-      val k = 4
-      val dim = 64
-      val iters = (1 to 3).map { it =>
-        val prev = s"c${it - 1}"
-        s"""a$it AS (
-           |  SELECT vec_id, q, centroid_id,
-           |    row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY dist, centroid_id) AS rn
-           |  FROM (
-           |    SELECT v.vec_id, v.q, c.centroid_id,
-           |      list_sum(list_transform(range(1, ${dim + 1}),
-           |        i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i]))) AS dist
-           |    FROM q v CROSS JOIN $prev c)),
-           |s$it AS (
-           |  SELECT a.centroid_id, r.i AS pos,
-           |    CAST(count(*) AS BIGINT) AS n,
-           |    CAST(sum(a.q[r.i]) AS BIGINT) AS s
-           |  FROM (SELECT q, centroid_id FROM a$it WHERE rn = 1) a,
-           |       range(1, ${dim + 1}) r(i)
-           |  GROUP BY a.centroid_id, r.i),
-           |c$it AS (
-           |  SELECT centroid_id, list(c ORDER BY pos) AS cv
-           |  FROM (SELECT centroid_id, pos,
-           |      (2*s + n - (((2*s + n) % (2*n)) + 2*n) % (2*n)) // (2*n)
-           |        AS c
-           |    FROM s$it)
-           |  GROUP BY centroid_id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH q AS (SELECT vec_id,
-         |    list_transform(embedding, x ->
-         |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
-         |      AS q
-         |  FROM embeddings),
-         |c0 AS (SELECT vec_id AS centroid_id, q AS cv
-         |  FROM q WHERE vec_id < $k),
-         |$iters
+      s"""WITH ${kmeansOracleCtes(4, 64, 3)}
          |SELECT centroid_id, CAST(pos - 1 AS BIGINT) AS pos,
          |  CAST(2*s + n - (((2*s + n) % (2*n)) + 2*n) % (2*n) AS BIGINT)
          |    // (2*n) AS c
          |FROM s3 ORDER BY centroid_id, pos""".stripMargin
+    })
+
+  /** The [[kmeansTrain]] oracle's CTE chain — micro-unit quantization,
+    * deterministic first-k init, and `iters` unrolled Lloyd iterations
+    * (integer L2 assignment `a{t}`, per-dimension sums `s{t}`, half-up
+    * integer-mean centroids `c{t}`) — shared by every row that replays
+    * the exact training loop.
+    */
+  private def kmeansOracleCtes(k: Int, dim: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { it =>
+      val prev = s"c${it - 1}"
+      s"""a$it AS (
+         |  SELECT vec_id, q, centroid_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, centroid_id) AS rn
+         |  FROM (
+         |    SELECT v.vec_id, v.q, c.centroid_id,
+         |      list_sum(list_transform(range(1, ${dim + 1}),
+         |        i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i]))) AS dist
+         |    FROM q v CROSS JOIN $prev c)),
+         |s$it AS (
+         |  SELECT a.centroid_id, r.i AS pos,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(a.q[r.i]) AS BIGINT) AS s
+         |  FROM (SELECT q, centroid_id FROM a$it WHERE rn = 1) a,
+         |       range(1, ${dim + 1}) r(i)
+         |  GROUP BY a.centroid_id, r.i),
+         |c$it AS (
+         |  SELECT centroid_id, list(c ORDER BY pos) AS cv
+         |  FROM (SELECT centroid_id, pos,
+         |      (2*s + n - (((2*s + n) % (2*n)) + 2*n) % (2*n)) // (2*n)
+         |        AS c
+         |    FROM s$it)
+         |  GROUP BY centroid_id)""".stripMargin
+    }.mkString(",\n")
+    s"""q AS (SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+       |      AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS centroid_id, q AS cv
+       |  FROM q WHERE vec_id < $k),
+       |$rounds""".stripMargin
+  }
+
+  /** Train → index in one certified pipeline: the corpus is assigned to
+    * the [[kmeansTrain]] model's cells (IVF index construction against a
+    * TRAINED codebook, [[graft.sim.Similarity.ivfAssignWith]]'s shape) in
+    * the same exact integer arithmetic — `dist2` itself is emitted as an
+    * exact BIGINT, certifying that the assignment distances, not just the
+    * cell choice, are bit-identical cross-engine. The oracle replays the
+    * training chain and one final assignment pass.
+    */
+  private val ivfAssignTrained = Q(
+    (s, d) => {
+      import graft.ml.KMeansExact
+      val embs = t(s, d, "embeddings")
+      val cb = KMeansExact.train(embs, 4, 3).map { case (id, cv) =>
+        (id, cv.map(_.toDouble).toList)
+      }
+      val best = graft.functions.CodebookExpressions.nearestCentroidL2(
+        transform(KMeansExact.quantize(col("embedding")),
+          _.cast("double")), cb)
+      embs.select(col("vec_id"),
+          best.getField("centroid_id").as("centroid_id"),
+          best.getField("dist2").cast("long").as("dist2"))
+        .orderBy("vec_id")
+    },
+    Some {
+      s"""WITH ${kmeansOracleCtes(4, 64, 3)},
+         |asg AS (
+         |  SELECT vec_id, centroid_id, dist,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, centroid_id) AS rn
+         |  FROM (
+         |    SELECT v.vec_id, c.centroid_id,
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> (v.q[i] - c.cv[i]) * (v.q[i] - c.cv[i]))) AS dist
+         |    FROM q v CROSS JOIN c3 c))
+         |SELECT vec_id, centroid_id, CAST(dist AS BIGINT) AS dist2
+         |FROM asg WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    })
+
+  /** Train-then-APPLY certified cross-engine
+    * ([[graft.ml.Regression.olsResiduals]]): fit the per-language
+    * stopword line, broadcast the constant-width model back over the
+    * corpus, and flag the top-10 positive-residual outliers per language
+    * — the calibrate-then-sweep loop a quality pipeline runs after every
+    * model refresh. Residuals stay exact rationals (`residual_num` over
+    * the group-shared `den`), so the per-language ranking is a pure
+    * integer sort; WindowGroupLimit prunes the rank window before the
+    * exchange. Total ORDER BY on (lang, rank) both sides.
+    */
+  private val olsResidualOutliers = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          TextOps.tokens(col("text")).as("toks"))
+        .select(col("lang"), col("doc_id"),
+          size(col("toks")).cast("long").as("x"),
+          TextOps.stopwordCount(col("toks"), TextOps.Stopwords)
+            .cast("long").as("y"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("residual_num").desc, col("doc_id"))
+      graft.ml.Regression.olsResiduals(docs, Seq("lang"), "x", "y")
+        .filter(col("den").isNotNull) // singular groups can't be ranked
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("lang"), col("rnk").cast("long").as("rnk"),
+          col("doc_id"), col("x"), col("y"),
+          col("residual_num").cast("long").as("residual_num"),
+          col("den").cast("long").as("den"))
+        .orderBy("lang", "rnk")
+    },
+    Some {
+      val stops = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH q AS (SELECT lang, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |        t -> list_contains([$stops], t))) AS BIGINT) AS y
+         |  FROM documents),
+         |m AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sum_x,
+         |    CAST(sum(y) AS HUGEINT) AS sum_y,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sum_xx,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sum_xy
+         |  FROM q GROUP BY lang),
+         |f AS (SELECT lang,
+         |    n * sum_xy - sum_x * sum_y AS slope_num,
+         |    sum_y * sum_xx - sum_x * sum_xy AS icept_num,
+         |    n * sum_xx - sum_x * sum_x AS den
+         |  FROM m
+         |  WHERE n * sum_xx - sum_x * sum_x <> 0),
+         |r AS (SELECT q.lang, q.doc_id, q.x, q.y,
+         |    CAST(q.y * f.den - f.icept_num - f.slope_num * q.x
+         |      AS BIGINT) AS residual_num,
+         |    CAST(f.den AS BIGINT) AS den,
+         |    row_number() OVER (PARTITION BY q.lang
+         |      ORDER BY q.y * f.den - f.icept_num - f.slope_num * q.x
+         |        DESC, q.doc_id) AS rnk
+         |  FROM q JOIN f ON q.lang = f.lang)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, x, y,
+         |  residual_num, den
+         |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin
     })
 
   private val langId = Q(
@@ -5072,7 +5182,9 @@ object QueryCatalog {
     "ann_near_dup_check" -> annNearDupCheckQ,
     "ols_stopword_fit" -> olsStopwordFit,
     "ols_plane_fit" -> olsPlaneFit,
-    "kmeans_train" -> kmeansTrain
+    "kmeans_train" -> kmeansTrain,
+    "ivf_assign_trained" -> ivfAssignTrained,
+    "ols_residual_outliers" -> olsResidualOutliers
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -96,6 +96,35 @@ class RegressionSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("residuals score rows with their group's exact model") {
+    // group a: y = 2x exactly -> all residuals 0; group b singular -> null
+    val df = Seq(
+      ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 7L),
+      ("b", 5L, 1L), ("b", 5L, 9L)
+    ).toDF("g", "x", "y")
+    val out = Regression.olsResiduals(df, Seq("g"), "x", "y")
+      .orderBy("g", "x", "y").collect()
+    // group a: n=3 Σx=6 Σy=13 Σxx=14 Σxy=31 -> den=6, slope_num=15,
+    // icept_num=(13*14-6*31)=-4; residual_num = 6y + 4 - 15x
+    val expectA = Seq((1L, 2L, 1L), (2L, 4L, -2L), (3L, 7L, 1L))
+    out.take(3).zip(expectA).foreach { case (r, (x, y, res)) =>
+      assert(r.getLong(1) == x && r.getLong(2) == y)
+      assert(r.getDecimal(4).longValueExact == res)
+      assert(r.getDecimal(3).longValueExact == 6L)
+    }
+    out.drop(3).foreach(r => assert(r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("residuals are partitioning-independent") {
+    val df = spark.range(400).select(
+      (col("id") % 4).cast("string").as("g"), col("id").as("doc"),
+      (col("id") % 13).as("x"), ((col("id") * 17) % 37).as("y"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Regression.olsResiduals(d, Seq("g"), "x", "y")
+        .orderBy("doc").collect().map(_.toString).toSeq
+    assert(run(df.coalesce(1)) == run(df.repartition(11)))
+  }
+
   test("gram moments + exact solve recover a plane bit-exactly") {
     // y = 3 + 2*x1 - x2 on a 4x3 integer grid: exact recovery expected
     val pts = for (x1 <- 0 to 3; x2 <- 0 to 2)
