@@ -216,46 +216,85 @@ final class MaintainedJoin(
       viewRows.join(bIds, cond, "left_semi")
         .select(aCols.map(col): _*)
     }
-    // ΔA images win over view images for identities in both sets
-    val affected = (upsA, hitByB) match {
+    val delAck = delA.map(_.localCheckpoint())
+    // ΔA images win over view images for identities in both sets; rows
+    // ΔA DELETES are dropped from the image set outright (a B-churn hit
+    // on a concurrently-deleted A row must not resurrect it — and
+    // re-joining it is wasted work). Checkpointed once: the plan behind
+    // it (feed joins + the pruned view probe) is otherwise re-evaluated
+    // by the emptiness gate, the B-probe distinct AND the merge input.
+    val affected = ((upsA, hitByB) match {
       case (Some(u), Some(h)) =>
         val uIds = u.select(a.mergeIdCols.map(col): _*)
         val cond = a.mergeIdCols.map(c => h(c) <=> uIds(c)).reduce(_ && _)
-        u.unionByName(h.join(uIds, cond, "left_anti"))
-      case (Some(u), None) => u
-      case (None, Some(h)) => h
-      case (None, None) => null
+        Some(u.unionByName(h.join(uIds, cond, "left_anti")))
+      case (Some(u), None) => Some(u)
+      case (None, Some(h)) => Some(h)
+      case (None, None) => None
+    }).map { aff =>
+      (delAck match {
+        case Some(d) =>
+          val dIds = d.select(a.mergeIdCols.map(col): _*)
+          val cond = a.mergeIdCols.map(c => aff(c) <=> dIds(c))
+            .reduce(_ && _)
+          aff.join(dIds, cond, "left_anti")
+        case None => aff
+      }).localCheckpoint()
     }
     val marksM = Map(MarkA -> ea, MarkB -> eb)
-    val hasUps = affected != null && !affected.isEmpty
-    val hasDel = delA.exists(!_.isEmpty)
-    // Only the LAST commit of the fold advances the marks: a crash after
-    // an earlier commit leaves the marks behind, so the next refresh
-    // replays the window — image folds are idempotent (the images are a
-    // deterministic function of the feed window + source snapshots), so
-    // re-applying is exact. Marks advanced PAST a lost delete commit
-    // would corrupt the view permanently.
-    if (hasUps) {
+    val hasUps = affected.exists(!_.isEmpty)
+    val hasDel = delAck.exists(!_.isEmpty)
+    // re-joined new images for the affected A rows (lazy: only built when
+    // the fold has upserts)
+    def upImages(): DataFrame = {
       // point-read the B rows these fks reference, then re-join
-      val probe = affected
+      val aff = affected.get
+      val probe = aff
         .select(on.map { case (f, k) => col(f).as(k) }.toIndexedSeq: _*)
         .distinct()
       val bRows = b.lookupByKeys(probe)
-      table.upsert(joinAgainstB(affected, bRows),
-        extraMetrics = if (hasDel) Map.empty else marksM)
+      joinAgainstB(aff, bRows)
     }
-    if (hasDel) {
-      val d = delA.get
-      // delete needs the full view row shape; only identity matters
-      val padded = table.manifest.schema.fieldNames.foldLeft(d)((df, c) =>
+    // delete identities padded to the given column shape (only identity
+    // matters; payloads ride as typed nulls)
+    def delPadded(shape: org.apache.spark.sql.types.StructType): DataFrame =
+      shape.fieldNames.foldLeft(delAck.get)((df, c) =>
         if (df.columns.contains(c)) df
-        else df.withColumn(c,
-          lit(null).cast(table.manifest.schema(c).dataType)))
-      table.delete(padded, extraMetrics = marksM)
-    }
-    if (!hasUps && !hasDel) {
-      // feeds held only superseded/no-op rows: still advance the ledger
-      table.delete(current.limit(0), extraMetrics = marksM)
+        else df.withColumn(c, lit(null).cast(shape(c).dataType)))
+    if (hasUps && hasDel && viewStorage == "cow") {
+      // Both sides in ONE atomic merge commit: images and deletes ride a
+      // routing column, so the fold is one rewrite pass instead of two
+      // and the marks advance atomically with the whole window's effect
+      // (a crash can no longer land between the image and delete halves;
+      // replay-on-stale-marks still holds and stays idempotent). MOR
+      // views keep the two-commit path: their upsert/delete are pure log
+      // appends, while mergeInto would force a compaction first.
+      val up = upImages().withColumn("__mj_op", lit("U"))
+      val dn = delPadded(org.apache.spark.sql.types.StructType(
+          up.schema.fields.filterNot(_.name == "__mj_op")))
+        .withColumn("__mj_op", lit("D"))
+      table.mergeInto(up.unionByName(dn),
+        whenMatchedDelete = col("i.__mj_op") === "D",
+        insertCondition = col("i.__mj_op") =!= "D",
+        conditionCols = Seq("__mj_op"),
+        extraMetrics = marksM)
+    } else {
+      // Only the LAST commit of the fold advances the marks: a crash
+      // after an earlier commit leaves the marks behind, so the next
+      // refresh replays the window — image folds are idempotent (the
+      // images are a deterministic function of the feed window + source
+      // snapshots), so re-applying is exact. Marks advanced PAST a lost
+      // delete commit would corrupt the view permanently.
+      if (hasUps)
+        table.upsert(upImages(),
+          extraMetrics = if (hasDel) Map.empty else marksM)
+      if (hasDel)
+        table.delete(delPadded(table.manifest.schema),
+          extraMetrics = marksM)
+      if (!hasUps && !hasDel) {
+        // feeds held only superseded/no-op rows: still advance the ledger
+        table.delete(current.limit(0), extraMetrics = marksM)
+      }
     }
     current
   }
