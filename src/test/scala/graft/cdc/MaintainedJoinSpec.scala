@@ -154,6 +154,29 @@ class MaintainedJoinSpec extends SparkSpec {
     }
   }
 
+  test("mixed-churn fold is ONE atomic commit on a cow view") {
+    val a = srcA(tmpDir("mjf-a"))
+    val b = srcB(tmpDir("mjf-b"))
+    a.bulkInsert(aRows(("o1", "c1", 10), ("o2", "c2", 20), ("o3", "c1", 30)))
+    b.bulkInsert(bRows(("c1", "gold"), ("c2", "silver")))
+    val mj = new MaintainedJoin(spark, tmpDir("mjf-v"), a, b,
+      on = Seq("cust" -> "cust"))
+    mj.refresh()
+    val v0 = mj.table.manifest.version
+    // upserts AND deletes in one window: images + tombstones must land in
+    // a single merge commit (marks advance atomically with both halves),
+    // including the overlap case — o3 is hit by B churn AND deleted by A
+    a.upsert(aRows(("o1", "c2", 11)))
+    a.delete(aRows(("o3", "c1", 0)))
+    b.upsert(bRows(("c1", "plat")))
+    assert(asMap(mj.refresh()) == Map(
+      "o1" -> (("c2", 11.0, Some("silver"))),
+      "o2" -> (("c2", 20.0, Some("silver")))))
+    assert(mj.table.manifest.version == v0 + 1,
+      "mixed-churn fold must be exactly one view commit")
+    assert(mj.table.manifest.operation == "merge")
+  }
+
   test("views chain: (A JOIN B) JOIN C maintained end-to-end") {
     val a = srcA(tmpDir("mj7-a"))
     val b = new CowTable(spark, tmpDir("mj7-b"), keyCols = Seq("cust"),
