@@ -2343,6 +2343,63 @@ object QueryCatalog {
   private val cosMicroSql = (v: String, q: String) =>
     s"(CAST(floor(list_dot_product($v, $q) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q))) * 1000000 + 0.5) AS BIGINT) / CAST(1000000.0 AS DOUBLE))"
 
+  /** Diversified retrieval re-rank ([[graft.sim.Similarity.mmrSelect]]):
+    * MMR over the query's top-20 shortlist, λ = 7/10, k = 8 — the
+    * redundancy-suppressing serving step after ANN retrieval. The greedy
+    * selection runs in exact integer micro-units (λ as a rational, max-sim
+    * as a micro-unit integer, ties to the smaller id), so the pick
+    * SEQUENCE is engine-reproducible; the oracle replays all 8 greedy
+    * rounds as unrolled CTEs over the same shortlist and pairwise-sim
+    * table. Certifies the selection ORDER (rnk) and each pick's integer
+    * MMR score, not just the final set.
+    */
+  private val mmrRerank = Q(
+    (s, d) => Similarity.mmrSelect(t(s, d, "embeddings"), 0L, n = 20, k = 8)
+      .select(col("rank").as("rnk"), col("vec_id"), col("rel_m"),
+        col("score_num"))
+      .orderBy("rnk"),
+    Some {
+      def relM(v: String, q: String) =
+        s"CAST(floor(list_dot_product($v, $q) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($q, $q))) * 1000000 + 0.5) AS BIGINT)"
+      // every CTE in the greedy chain is AS MATERIALIZED: sel{t} is
+      // referenced 3× by round t+1, so an inlining engine re-expands the
+      // chain ~3^k times (verified: the bare form never finishes in
+      // DuckDB; materialized it runs in 50 ms)
+      val rounds = (2 to 8).map { t =>
+        s"""p$t AS MATERIALIZED (
+           |  SELECT c.vec_id, c.rel_m,
+           |    7 * c.rel_m - 3 * max(p.sim_m) AS score_num
+           |  FROM cand c
+           |  JOIN pair p ON p.ia = c.vec_id
+           |  JOIN sel${t - 1} s ON p.ib = s.vec_id
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+           |  GROUP BY c.vec_id, c.rel_m),
+           |pick$t AS MATERIALIZED (
+           |  SELECT CAST($t AS BIGINT) AS rnk, vec_id, rel_m, score_num
+           |  FROM p$t ORDER BY score_num DESC, vec_id LIMIT 1),
+           |sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1}
+           |  UNION ALL SELECT * FROM pick$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    ${relM("CAST(embedding AS DOUBLE[])", "qv")} AS rel_m
+         |  FROM embeddings, q WHERE vec_id <> 0
+         |  ORDER BY rel_m DESC, vec_id LIMIT 20),
+         |pair AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    ${relM("a.v", "b.v")} AS sim_m
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |sel1 AS MATERIALIZED (
+         |  SELECT CAST(1 AS BIGINT) AS rnk, vec_id, rel_m,
+         |    7 * rel_m AS score_num
+         |  FROM cand ORDER BY rel_m DESC, vec_id LIMIT 1),
+         |$rounds
+         |SELECT rnk, vec_id, rel_m, score_num FROM sel8 ORDER BY rnk"""
+        .stripMargin
+    })
+
   private val cosineTopK = Q(
     (s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), 0L, 20),
     Some(
@@ -5184,7 +5241,8 @@ object QueryCatalog {
     "ols_plane_fit" -> olsPlaneFit,
     "kmeans_train" -> kmeansTrain,
     "ivf_assign_trained" -> ivfAssignTrained,
-    "ols_residual_outliers" -> olsResidualOutliers
+    "ols_residual_outliers" -> olsResidualOutliers,
+    "mmr_rerank" -> mmrRerank
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -105,6 +105,77 @@ object Similarity {
       .agg(max(col("sim")).as("max_sim"), count(lit(1)).as("n_hits"))
   }
 
+  /** MMR (maximal-marginal-relevance) diversified top-k: greedily select
+    * `k` results from the query's top-`n` shortlist, each pick maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — the standard
+    * redundancy-suppressing re-rank for retrieval serving and eval-set
+    * construction (near-duplicate shortlist entries stop crowding out
+    * coverage).
+    *
+    * Scale shape: the SHORTLIST is the distributed work — one corpus scan
+    * + TakeOrdered (swap in [[graft.sim.AnnIndex.search]] for a 100-TB
+    * corpus); the greedy loop is O(n·k) over the bounded collected
+    * shortlist, the same driver-bounded-model contract as every codebook
+    * collect. Exactness: similarities quantize to micro-unit integers
+    * (`floor(cos·10⁶ + 0.5)` — cosines computed with the engine's exact
+    * sequential-fold dot), λ is the exact rational `lambdaNum/lambdaDen`,
+    * and every greedy comparison is pure integer arithmetic with ties to
+    * the smaller vec_id — so the selection is bit-reproducible in any
+    * engine. Returns (rank, vec_id, rel_m, score_num): `rel_m` the
+    * micro-unit query cosine, `score_num` the pick's integer MMR score
+    * over the implicit `lambdaDen` denominator (rank 1 scores
+    * `lambdaNum·rel_m`; the empty selected set contributes 0).
+    */
+  def mmrSelect(embs: DataFrame, queryId: Long, n: Int, k: Int,
+      lambdaNum: Long = 7, lambdaDen: Long = 10): DataFrame = {
+    require(k <= n && lambdaNum >= 0 && lambdaNum <= lambdaDen)
+    val spark = embs.sparkSession
+    val q = embs.filter(col("vec_id") === queryId)
+      .select(toDoubleVec(col("embedding")).as("qv"))
+    val shortlist = embs.crossJoin(broadcast(q))
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"),
+        floor(cosine(toDoubleVec(col("embedding")), col("qv"))
+          * lit(1.0e6) + lit(0.5)).cast("long").as("rel_m"))
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(col("rel_m").desc, col("vec_id"))
+      .limit(n)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    // driver-side micro-unit cosine — the exact arithmetic twin of the
+    // distributed form: sequential-fold dots, one divide, one floor
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def simM(a: Array[Double], b: Array[Double]): Long =
+      math.floor(dotd(a, b) / (math.sqrt(dotd(a, a)) *
+        math.sqrt(dotd(b, b))) * 1.0e6 + 0.5).toLong
+    val mu = lambdaDen - lambdaNum
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)] // (vec_id, rel_m, score_num)
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      shortlist.map(c => c._1 -> c): _*)
+    val maxSim = scala.collection.mutable.HashMap.empty[Long, Long]
+    while (selected.size < k && remaining.nonEmpty) {
+      val best = remaining.valuesIterator.map { case (id, _, rel) =>
+        (lambdaNum * rel - mu * maxSim.getOrElse(id, 0L), id, rel)
+      }.reduceLeft { (x, y) =>
+        if (y._1 > x._1 || (y._1 == x._1 && y._2 < x._2)) y else x
+      }
+      val picked = remaining.remove(best._2).get
+      selected += ((best._2, best._3, best._1))
+      remaining.valuesIterator.foreach { case (id, v, _) =>
+        val s = simM(v, picked._2)
+        if (s > maxSim.getOrElse(id, Long.MinValue)) maxSim(id) = s
+      }
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, rel, sc), i) => (i + 1L, id, rel, sc) }
+      .toDF("rank", "vec_id", "rel_m", "score_num")
+  }
+
   /** Exact cosine top-k of `embs` (`vec_id`, `embedding`) against the stored
     * vector `queryId`. The single-row query side is broadcast; one scan of
     * the corpus, one narrow top-k.

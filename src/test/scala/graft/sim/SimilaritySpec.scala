@@ -451,4 +451,35 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "max_sim").as[(Long, Double)].collect().toMap
     assert(rep == narrow)
   }
+
+  test("mmrSelect diversifies a redundant shortlist") {
+    // query 0 at e1; ids 1,2 nearly duplicate each other close to the
+    // query; id 3 is a distinct direction with lower relevance. Pure
+    // relevance ranks (1, 2, 3); at diversity weight 7/10 the near-dup's
+    // ~1.0 penalty outweighs its relevance edge and id 3 moves up.
+    val d = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.9f, 0.11f)),
+      (3L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrSelect(d, 0L, n = 3, k = 3,
+      lambdaNum = 3, lambdaDen = 10)
+      .select("vec_id", "rank").as[(Long, Long)].collect().toMap
+    assert(mmr == Map(1L -> 1L, 2L -> 3L, 3L -> 2L))
+  }
+
+  test("mmrSelect with lambda=1 degenerates to pure relevance order") {
+    val byRel = Similarity.cosineTopK(embs, 0L, 6)
+      .select("vec_id").as[Long].collect().toSeq
+    val mmr = Similarity.mmrSelect(embs, 0L, n = 6, k = 6,
+      lambdaNum = 1, lambdaDen = 1)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(mmr == byRel)
+  }
+
+  test("mmrSelect is partitioning-independent") {
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.mmrSelect(d, 0L, n = 12, k = 5)
+        .orderBy("rank").collect().map(_.toString).toSeq
+    assert(run(embs.coalesce(1)) == run(embs.repartition(9)))
+  }
 }
