@@ -1829,6 +1829,58 @@ object QueryCatalog {
          |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin
     })
 
+  /** Feature selection certified cross-engine
+    * ([[graft.ml.FeatureSelection.chiSquareTopTokens]]): top-5 tokens per
+    * language by chi-square association over the 2×2 presence table —
+    * the discriminative-feature sweep before training a token-feature
+    * classifier. χ² is a ratio of integer count polynomials, emitted as
+    * the exact micro-unit integer ⌊10⁶·num/den⌋ in DECIMAL(38,0) — all
+    * terms positive, truncating division IS floor, identical in HUGEINT.
+    * One explode + two combined count aggregations + a broadcast of the
+    * per-label totals; per-label ranks plan as WindowGroupLimit.
+    */
+  private val chi2FeatureSelect = Q(
+    (s, d) => graft.ml.FeatureSelection
+      .chiSquareTopTokens(t(s, d, "documents"), "lang", topK = 5,
+        minDf = 5)
+      .orderBy("label", "rnk"),
+    Some {
+      s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |pres AS (SELECT doc_id, lang AS label,
+         |    unnest(list_distinct(string_split(text, ' '))) AS token
+         |  FROM documents),
+         |alt AS (SELECT label, token, CAST(count(*) AS BIGINT) AS a
+         |  FROM pres GROUP BY label, token),
+         |tok AS (SELECT token, CAST(count(*) AS BIGINT) AS tok_n
+         |  FROM pres GROUP BY token),
+         |lab AS (SELECT label, CAST(count(*) AS BIGINT) AS lab_n
+         |  FROM (SELECT lang AS label FROM documents) GROUP BY label),
+         |j AS (SELECT alt.label, alt.token, alt.a, tok.tok_n, lab.lab_n,
+         |    n.n
+         |  FROM alt JOIN tok USING (token) JOIN lab USING (label), n
+         |  WHERE tok.tok_n >= 5 AND tok.tok_n < n.n),
+         |x AS (SELECT label, token, a, tok_n,
+         |    CAST(n AS HUGEINT)
+         |      * (CAST(a AS HUGEINT) * (n - tok_n - lab_n + a)
+         |         - CAST(tok_n - a AS HUGEINT) * (lab_n - a))
+         |      * (CAST(a AS HUGEINT) * (n - tok_n - lab_n + a)
+         |         - CAST(tok_n - a AS HUGEINT) * (lab_n - a))
+         |      * 1000000 AS num,
+         |    CAST(tok_n AS HUGEINT) * (n - tok_n)
+         |      * CAST(lab_n AS HUGEINT) * (n - lab_n) AS den
+         |  FROM j),
+         |r AS (SELECT label, token, a, tok_n,
+         |    CAST(num // den AS BIGINT) AS chi2_micro
+         |  FROM x),
+         |k AS (SELECT label, token, a, tok_n, chi2_micro,
+         |    row_number() OVER (PARTITION BY label
+         |      ORDER BY chi2_micro DESC, token) AS rnk
+         |  FROM r)
+         |SELECT label, CAST(rnk AS BIGINT) AS rnk, token, a, tok_n,
+         |  chi2_micro
+         |FROM k WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin
+    })
+
   private val langId = Q(
     (s, d) => {
       val df = TextOps.languageId(t(s, d, "documents"))
@@ -5242,7 +5294,8 @@ object QueryCatalog {
     "kmeans_train" -> kmeansTrain,
     "ivf_assign_trained" -> ivfAssignTrained,
     "ols_residual_outliers" -> olsResidualOutliers,
-    "mmr_rerank" -> mmrRerank
+    "mmr_rerank" -> mmrRerank,
+    "chi2_feature_select" -> chi2FeatureSelect
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
