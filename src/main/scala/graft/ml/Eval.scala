@@ -1,0 +1,69 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Model/retrieval EVALUATION in exact arithmetic — the measurement side
+  * of the training loop ([[Regression]]/[[KMeansExact]] train,
+  * [[FeatureSelection]] picks features, this judges the result at corpus
+  * scale without a single float op).
+  */
+object Eval {
+
+  private val D38 = "decimal(38,0)"
+
+  /** Exact ROC-AUC via the Mann-Whitney U statistic with mid-rank tie
+    * handling, as the exact rational `auc_num / auc_den`:
+    *
+    * {{{
+    *   AUC = (Σ_pos midrank − n⁺(n⁺+1)/2) / (n⁺·n⁻)
+    * }}}
+    *
+    * Mid-ranks are half-integers, so everything is carried ×2:
+    * `auc_num = Σ_pos (2c + cnt + 1) − n⁺(n⁺+1)` over the score blocks
+    * (c = rows strictly below the block, cnt = block size) and
+    * `auc_den = 2·n⁺·n⁻`. Integer counts end-to-end in DECIMAL(38,0) —
+    * engine- and parallelism-exact, unlike any float-ranked AUC.
+    *
+    * Scale shape: one `groupBy(score)` collapse (map-side combined — the
+    * shuffle carries one row per DISTINCT score, which a quantized score
+    * keeps bounded), then a window over the block table. One output row:
+    * `(n_pos, n_neg, auc_num, auc_den)`.
+    */
+  def binaryAuc(df: DataFrame, score: Column, positive: Column)
+      : DataFrame = {
+    val blocks = df
+      .select(score.as("s"),
+        when(positive, 1L).otherwise(0L).as("p"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("cnt"), sum(col("p")).as("pos"))
+    val below = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocks
+      .withColumn("c", coalesce(sum(col("cnt")).over(below), lit(0L)))
+      .select(
+        sum(col("pos")).cast(D38).as("np"),
+        sum(col("cnt") - col("pos")).cast(D38).as("nn"),
+        sum(col("pos").cast(D38) *
+          (lit(2) * col("c") + col("cnt") + 1)).as("two_ranks"))
+      .select(col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"),
+        (col("two_ranks") - col("np") * (col("np") + 1)).as("auc_num"),
+        (lit(2).cast(D38) * col("np") * col("nn")).as("auc_den"))
+  }
+
+  /** Calibration / reliability table: document counts and positive counts
+    * per score bin — the exact integer backbone of a reliability diagram
+    * (bin accuracy = `pos/cnt` as a ratio the caller divides). `bin` is
+    * any integral bucketing expression of the score (e.g. a micro-unit
+    * score integer-divided by the bin width). One combined aggregation.
+    */
+  def calibrationBins(df: DataFrame, bin: Column, positive: Column)
+      : DataFrame =
+    df.select(bin.cast("long").as("bin"),
+        when(positive, 1L).otherwise(0L).as("p"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"), sum(col("p")).as("pos"))
+      .orderBy("bin")
+}

@@ -2452,6 +2452,94 @@ object QueryCatalog {
         .stripMargin
     })
 
+  /** Exact model/retrieval evaluation ([[graft.ml.Eval.binaryAuc]]):
+    * ROC-AUC of the query-0 cosine score against a label split, as the
+    * exact Mann-Whitney rational (mid-rank ties, counts end-to-end) —
+    * the eval a training pipeline runs on every scorer refresh. The
+    * score-block collapse carries one row per distinct micro-unit score;
+    * the oracle replays the identical block/rank algebra in HUGEINT.
+    */
+  private val evalAuc = Q(
+    (s, d) => {
+      val embs = t(s, d, "embeddings")
+      val q = embs.filter(col("vec_id") === 0L)
+        .select(Similarity.toDoubleVec(col("embedding")).as("qv"))
+      val scored = embs.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0L)
+        .select(col("label"),
+          floor(Similarity.cosine(
+            Similarity.toDoubleVec(col("embedding")), col("qv"))
+            * lit(1.0e6) + lit(0.5)).cast("long").as("score"))
+      graft.ml.Eval.binaryAuc(scored, col("score"), col("label") <= 4)
+        .select(col("n_pos"), col("n_neg"),
+          col("auc_num").cast("long").as("auc_num"),
+          col("auc_den").cast("long").as("auc_den"))
+    },
+    Some {
+      val cos = "list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id <> 0),
+         |scored AS (SELECT
+         |    CAST(floor($cos * 1000000 + 0.5) AS BIGINT) AS s,
+         |    CASE WHEN label <= 4 THEN 1 ELSE 0 END AS p
+         |  FROM e, q),
+         |blocks AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(p) AS BIGINT) AS pos
+         |  FROM scored GROUP BY s),
+         |cum AS (SELECT s, cnt, pos,
+         |    CAST(coalesce(sum(cnt) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS c
+         |  FROM blocks),
+         |agg AS (SELECT CAST(sum(pos) AS HUGEINT) AS np,
+         |    CAST(sum(cnt - pos) AS HUGEINT) AS nn,
+         |    CAST(sum(CAST(pos AS HUGEINT) * (2 * c + cnt + 1))
+         |      AS HUGEINT) AS two_ranks
+         |  FROM cum)
+         |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+         |  CAST(two_ranks - np * (np + 1) AS BIGINT) AS auc_num,
+         |  CAST(2 * np * nn AS BIGINT) AS auc_den
+         |FROM agg""".stripMargin
+    })
+
+  /** Reliability-diagram backbone ([[graft.ml.Eval.calibrationBins]]):
+    * exact per-bin document and positive counts over the micro-unit
+    * cosine score shifted non-negative and integer-divided into 0.2-wide
+    * bins (non-negative, so truncation IS floor in both engines). One
+    * combined aggregation; pure counts — trivially engine-exact.
+    */
+  private val calibrationBins = Q(
+    (s, d) => {
+      val embs = t(s, d, "embeddings")
+      val q = embs.filter(col("vec_id") === 0L)
+        .select(Similarity.toDoubleVec(col("embedding")).as("qv"))
+      val scored = embs.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0L)
+        .select(col("label"),
+          floor(Similarity.cosine(
+            Similarity.toDoubleVec(col("embedding")), col("qv"))
+            * lit(1.0e6) + lit(0.5)).cast("long").as("score"))
+      graft.ml.Eval.calibrationBins(scored,
+        (col("score") + 1000000L) / 200000, col("label") <= 4)
+    },
+    Some {
+      val cos = "list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id <> 0),
+         |scored AS (SELECT
+         |    CAST(floor($cos * 1000000 + 0.5) AS BIGINT) AS s,
+         |    CASE WHEN label <= 4 THEN 1 ELSE 0 END AS p
+         |  FROM e, q)
+         |SELECT CAST((s + 1000000) // 200000 AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(p) AS BIGINT) AS pos
+         |FROM scored GROUP BY bin ORDER BY bin""".stripMargin
+    })
+
   private val cosineTopK = Q(
     (s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), 0L, 20),
     Some(
@@ -5295,7 +5383,9 @@ object QueryCatalog {
     "ivf_assign_trained" -> ivfAssignTrained,
     "ols_residual_outliers" -> olsResidualOutliers,
     "mmr_rerank" -> mmrRerank,
-    "chi2_feature_select" -> chi2FeatureSelect
+    "chi2_feature_select" -> chi2FeatureSelect,
+    "eval_auc" -> evalAuc,
+    "calibration_bins" -> calibrationBins
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

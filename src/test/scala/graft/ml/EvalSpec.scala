@@ -1,0 +1,67 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Long, Boolean)]): (Long, Long, BigInt, BigInt) = {
+    val r = Eval.binaryAuc(rows.toDF("s", "y"), col("s"), col("y"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1),
+      BigInt(r.getDecimal(2).toBigInteger), BigInt(r.getDecimal(3).toBigInteger))
+  }
+
+  test("perfect separation scores AUC 1, inverted scores 0") {
+    val (np, nn, num, den) =
+      auc(Seq((10L, true), (9L, true), (2L, false), (1L, false)))
+    assert(np == 2 && nn == 2 && num == den && den == 8)
+    val (_, _, n2, d2) =
+      auc(Seq((1L, true), (2L, true), (9L, false), (10L, false)))
+    assert(n2 == 0 && d2 == 8)
+  }
+
+  test("all-tied scores give AUC exactly 1/2") {
+    val (_, _, num, den) =
+      auc(Seq((5L, true), (5L, true), (5L, false), (5L, false), (5L, false)))
+    assert(num * 2 == den) // 1/2 exactly via mid-ranks
+  }
+
+  test("hand-computed mixed case with ties") {
+    // scores: 1-,2+,2-,3+  ranks: 1, {2,3} midrank 2.5, 4
+    // sum pos midranks = 2.5 + 4 = 6.5; U = 6.5 - 3 = 3.5; AUC = 3.5/4
+    val (np, nn, num, den) =
+      auc(Seq((1L, false), (2L, true), (2L, false), (3L, true)))
+    assert(np == 2 && nn == 2)
+    assert(num == 7 && den == 8) // 2U / 2·n⁺·n⁻
+  }
+
+  test("AUC equals the brute-force pair count") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((rnd.nextInt(20).toLong, rnd.nextBoolean()))
+    val (np, nn, num, den) = auc(rows)
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    // 2·Σ pairs[pos>neg] + Σ pairs[pos==neg] over 2·n⁺·n⁻
+    val wins = (for (p <- pos; q <- neg) yield
+      if (p > q) 2L else if (p == q) 1L else 0L).sum
+    assert(num == BigInt(wins) && den == BigInt(2L * np * nn))
+  }
+
+  test("AUC is partitioning-independent") {
+    val df = spark.range(500).select((col("id") % 37).as("s"),
+      (col("id") % 3 === 0).as("y"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Eval.binaryAuc(d, col("s"), col("y")).collect()(0).toString
+    assert(run(df.coalesce(1)) == run(df.repartition(11)))
+  }
+
+  test("calibration bins count exactly") {
+    val df = Seq((5L, true), (5L, false), (14L, true), (25L, true))
+      .toDF("s", "y")
+    val out = Eval.calibrationBins(df, col("s") / 10, col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 2L, 1L), (1L, 1L, 1L), (2L, 1L, 1L)))
+  }
+}
