@@ -53,6 +53,45 @@ object Eval {
         (lit(2).cast(D38) * col("np") * col("nn")).as("auc_den"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the drift check
+    * between two corpus slices (yesterday's shard vs today's, one source
+    * vs another) over any ordered value. The ECDF gap at value v is
+    * `|cumA(v)·n_b − cumB(v)·n_a| / (n_a·n_b)` — an exact integer
+    * rational, so the statistic is `ks_num / ks_den` with
+    * `ks_num = max_v |·|` and `ks_den = n_a·n_b`: engine- and
+    * parallelism-exact, no float ECDF anywhere.
+    *
+    * Scale shape: one `groupBy(value)` collapse (shuffle ∝ distinct
+    * values), a cumulative window over the block table, one max. One
+    * output row: `(n_a, n_b, ks_num, ks_den)`.
+    */
+  def ksStatistic(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    val blocks = df
+      .select(value.as("v"), when(inA, 1L).otherwise(0L).as("a"))
+      .groupBy("v")
+      .agg(sum(col("a")).as("ca"),
+        (count(lit(1)) - sum(col("a"))).as("cb"))
+    val upTo = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    blocks
+      .select(col("v"),
+        sum(col("ca")).over(upTo).as("cum_a"),
+        sum(col("cb")).over(upTo).as("cum_b"))
+      .crossJoin(broadcast(blocks.select(
+        sum(col("ca")).cast(D38).as("na"),
+        sum(col("cb")).cast(D38).as("nb"))))
+      .select(col("na"), col("nb"),
+        abs(col("cum_a").cast(D38) * col("nb")
+          - col("cum_b").cast(D38) * col("na")).as("gap"))
+      .groupBy()
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        max(col("gap")).as("ks_num"))
+      .select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        col("ks_num"),
+        (col("na") * col("nb")).as("ks_den"))
+  }
+
   /** Calibration / reliability table: document counts and positive counts
     * per score bin — the exact integer backbone of a reliability diagram
     * (bin accuracy = `pos/cnt` as a ratio the caller divides). `bin` is

@@ -2540,6 +2540,41 @@ object QueryCatalog {
          |FROM scored GROUP BY bin ORDER BY bin""".stripMargin
     })
 
+  /** Distribution-drift detection ([[graft.ml.Eval.ksStatistic]]): the
+    * exact two-sample KS statistic between English and non-English
+    * document-length distributions — the slice-vs-slice drift monitor a
+    * pipeline runs between ingest snapshots. The ECDF gap is carried as
+    * the exact integer rational `ks_num / (n_a·n_b)`; the oracle replays
+    * the identical block/cumulative algebra in HUGEINT.
+    */
+  private val ksDrift = Q(
+    (s, d) => graft.ml.Eval.ksStatistic(t(s, d, "documents"),
+        col("n_chars"), col("lang") === "en")
+      .select(col("n_a"), col("n_b"),
+        col("ks_num").cast("long").as("ks_num"),
+        col("ks_den").cast("long").as("ks_den")),
+    Some(
+      s"""WITH blocks AS (SELECT n_chars AS v,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS cb
+         |  FROM documents GROUP BY n_chars),
+         |tot AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+         |    CAST(sum(cb) AS HUGEINT) AS nb FROM blocks),
+         |cum AS (SELECT v,
+         |    CAST(sum(ca) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS HUGEINT) AS cum_a,
+         |    CAST(sum(cb) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS HUGEINT) AS cum_b
+         |  FROM blocks)
+         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |  CAST(max(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS ks_num,
+         |  CAST(na * nb AS BIGINT) AS ks_den
+         |FROM cum, tot GROUP BY na, nb""".stripMargin))
+
   private val cosineTopK = Q(
     (s, d) => Similarity.cosineTopK(t(s, d, "embeddings"), 0L, 20),
     Some(
@@ -5385,7 +5420,8 @@ object QueryCatalog {
     "mmr_rerank" -> mmrRerank,
     "chi2_feature_select" -> chi2FeatureSelect,
     "eval_auc" -> evalAuc,
-    "calibration_bins" -> calibrationBins
+    "calibration_bins" -> calibrationBins,
+    "ks_drift" -> ksDrift
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -57,6 +57,36 @@ class EvalSpec extends SparkSpec {
     assert(run(df.coalesce(1)) == run(df.repartition(11)))
   }
 
+  test("KS statistic: identical distributions give zero, disjoint give 1") {
+    val same = Seq((1L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("v", "a")
+    val r0 = Eval.ksStatistic(same, col("v"), col("a")).collect()(0)
+    assert(BigInt(r0.getDecimal(2).toBigInteger) == 0)
+    val disj = Seq((1L, true), (2L, true), (8L, false), (9L, false))
+      .toDF("v", "a")
+    val r1 = Eval.ksStatistic(disj, col("v"), col("a")).collect()(0)
+    assert(r1.getDecimal(2).toBigInteger == r1.getDecimal(3).toBigInteger)
+  }
+
+  test("KS matches a hand ECDF computation") {
+    // A: {1,3}, B: {2,3,4}; gaps×6 at v=1:|1·3-0·2|=3, v=2:|3-2|=1,
+    // v=3:|6-4|=2, v=4:|6-6|=0 -> ks = 3/6
+    val df = Seq((1L, true), (3L, true), (2L, false), (3L, false),
+      (4L, false)).toDF("v", "a")
+    val r = Eval.ksStatistic(df, col("v"), col("a")).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 3)
+    assert(BigInt(r.getDecimal(2).toBigInteger) == 3)
+    assert(BigInt(r.getDecimal(3).toBigInteger) == 6)
+  }
+
+  test("KS is partitioning-independent") {
+    val df = spark.range(600).select((col("id") % 41).as("v"),
+      (col("id") % 2 === 0).as("a"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Eval.ksStatistic(d, col("v"), col("a")).collect()(0).toString
+    assert(run(df.coalesce(1)) == run(df.repartition(13)))
+  }
+
   test("calibration bins count exactly") {
     val df = Seq((5L, true), (5L, false), (14L, true), (25L, true))
       .toDF("s", "y")
