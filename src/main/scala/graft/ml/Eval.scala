@@ -53,6 +53,38 @@ object Eval {
         (lit(2).cast(D38) * col("np") * col("nn")).as("auc_den"))
   }
 
+  /** Per-group [[binaryAuc]]: one exact AUC row per group (e.g. per-class
+    * one-vs-rest quality of a multi-class scorer, or per-slice eval of
+    * one scorer). Same block/mid-rank algebra with every window and
+    * aggregation partitioned by the group columns — the block shuffle
+    * carries one row per (group, distinct score). Output per group:
+    * `(groupCols…, n_pos, n_neg, auc_num, auc_den)`, sorted by group.
+    */
+  def binaryAucGrouped(df: DataFrame, groupCols: Seq[String],
+      score: Column, positive: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val blocks = df
+      .select(g :+ score.as("s") :+
+        when(positive, 1L).otherwise(0L).as("p"): _*)
+      .groupBy(g :+ col("s"): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col("p")).as("pos"))
+    val below = Window.partitionBy(g: _*).orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocks
+      .withColumn("c", coalesce(sum(col("cnt")).over(below), lit(0L)))
+      .groupBy(g: _*)
+      .agg(
+        sum(col("pos")).cast(D38).as("np"),
+        sum(col("cnt") - col("pos")).cast(D38).as("nn"),
+        sum(col("pos").cast(D38) *
+          (lit(2) * col("c") + col("cnt") + 1)).as("two_ranks"))
+      .select(g ++ Seq(col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"),
+        (col("two_ranks") - col("np") * (col("np") + 1)).as("auc_num"),
+        (lit(2).cast(D38) * col("np") * col("nn")).as("auc_den")): _*)
+      .orderBy(groupCols.map(asc_nulls_first): _*)
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic — the drift check
     * between two corpus slices (yesterday's shard vs today's, one source
     * vs another) over any ordered value. The ECDF gap at value v is

@@ -2504,6 +2504,62 @@ object QueryCatalog {
          |FROM agg""".stripMargin
     })
 
+  /** Per-class one-vs-rest evaluation
+    * ([[graft.ml.Eval.binaryAucGrouped]]): the query-0 cosine scorer's
+    * exact AUC per coarse label bucket — the per-slice eval table a
+    * pipeline reviews after every scorer refresh. Same Mann-Whitney
+    * algebra as [[evalAuc]] with every window partitioned by the group;
+    * the oracle adds `PARTITION BY` to the identical block chain.
+    */
+  private val evalAucByLabel = Q(
+    (s, d) => {
+      val embs = t(s, d, "embeddings")
+      val q = embs.filter(col("vec_id") === 0L)
+        .select(Similarity.toDoubleVec(col("embedding")).as("qv"))
+      val scored = embs.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0L)
+        .select((col("label") % 3).cast("long").as("bucket"),
+          (col("label") % 2 === 0).as("even"),
+          floor(Similarity.cosine(
+            Similarity.toDoubleVec(col("embedding")), col("qv"))
+            * lit(1.0e6) + lit(0.5)).cast("long").as("score"))
+      graft.ml.Eval.binaryAucGrouped(scored, Seq("bucket"),
+          col("score"), col("even"))
+        .select(col("bucket"), col("n_pos"), col("n_neg"),
+          col("auc_num").cast("long").as("auc_num"),
+          col("auc_den").cast("long").as("auc_den"))
+        .orderBy("bucket")
+    },
+    Some {
+      val cos = "list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id <> 0),
+         |scored AS (SELECT CAST(label % 3 AS BIGINT) AS bucket,
+         |    CAST(floor($cos * 1000000 + 0.5) AS BIGINT) AS s,
+         |    CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS p
+         |  FROM e, q),
+         |blocks AS (SELECT bucket, s, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(p) AS BIGINT) AS pos
+         |  FROM scored GROUP BY bucket, s),
+         |cum AS (SELECT bucket, s, cnt, pos,
+         |    CAST(coalesce(sum(cnt) OVER (PARTITION BY bucket ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS c
+         |  FROM blocks),
+         |agg AS (SELECT bucket, CAST(sum(pos) AS HUGEINT) AS np,
+         |    CAST(sum(cnt - pos) AS HUGEINT) AS nn,
+         |    CAST(sum(CAST(pos AS HUGEINT) * (2 * c + cnt + 1))
+         |      AS HUGEINT) AS two_ranks
+         |  FROM cum GROUP BY bucket)
+         |SELECT bucket, CAST(np AS BIGINT) AS n_pos,
+         |  CAST(nn AS BIGINT) AS n_neg,
+         |  CAST(two_ranks - np * (np + 1) AS BIGINT) AS auc_num,
+         |  CAST(2 * np * nn AS BIGINT) AS auc_den
+         |FROM agg ORDER BY bucket""".stripMargin
+    })
+
   /** Reliability-diagram backbone ([[graft.ml.Eval.calibrationBins]]):
     * exact per-bin document and positive counts over the micro-unit
     * cosine score shifted non-negative and integer-divided into 0.2-wide
@@ -5421,7 +5477,8 @@ object QueryCatalog {
     "chi2_feature_select" -> chi2FeatureSelect,
     "eval_auc" -> evalAuc,
     "calibration_bins" -> calibrationBins,
-    "ks_drift" -> ksDrift
+    "ks_drift" -> ksDrift,
+    "eval_auc_by_label" -> evalAucByLabel
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

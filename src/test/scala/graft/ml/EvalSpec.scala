@@ -57,6 +57,24 @@ class EvalSpec extends SparkSpec {
     assert(run(df.coalesce(1)) == run(df.repartition(11)))
   }
 
+  test("grouped AUC matches per-group single-shot AUC") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300)(
+      ((rnd.nextInt(3)).toString, rnd.nextInt(15).toLong, rnd.nextBoolean()))
+    val df = rows.toDF("g", "s", "y")
+    val grouped = Eval.binaryAucGrouped(df, Seq("g"), col("s"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDecimal(3), r.getDecimal(4)))
+      .toMap
+    for (g <- Seq("0", "1", "2")) {
+      val single = Eval.binaryAuc(df.filter(col("g") === g),
+        col("s"), col("y")).collect()(0)
+      val (np, nn, num, den) = grouped(g)
+      assert(np == single.getLong(0) && nn == single.getLong(1))
+      assert(num == single.getDecimal(2) && den == single.getDecimal(3))
+    }
+  }
+
   test("KS statistic: identical distributions give zero, disjoint give 1") {
     val same = Seq((1L, true), (2L, true), (1L, false), (2L, false))
       .toDF("v", "a")
