@@ -47,10 +47,22 @@ object Eval {
         sum(col("cnt") - col("pos")).cast(D38).as("nn"),
         sum(col("pos").cast(D38) *
           (lit(2) * col("c") + col("cnt") + 1)).as("two_ranks"))
-      .select(col("np").cast("long").as("n_pos"),
-        col("nn").cast("long").as("n_neg"),
-        (col("two_ranks") - col("np") * (col("np") + 1)).as("auc_num"),
-        (lit(2).cast(D38) * col("np") * col("nn")).as("auc_den"))
+      .select(Seq(col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg")) ++ aucFraction: _*)
+  }
+
+  /** AUC num/den columns with the single-class degenerate case (n⁺ = 0 or
+    * n⁻ = 0 → den 0) emitted as NULLs — the same divide-safely contract
+    * as [[Regression]]'s singular fits.
+    */
+  private def aucFraction: Seq[Column] = {
+    val den = lit(2).cast(D38) * col("np") * col("nn")
+    Seq(
+      when(col("np") === 0 || col("nn") === 0, lit(null))
+        .otherwise(col("two_ranks") - col("np") * (col("np") + 1))
+        .as("auc_num"),
+      when(col("np") === 0 || col("nn") === 0, lit(null)).otherwise(den)
+        .as("auc_den"))
   }
 
   /** Per-group [[binaryAuc]]: one exact AUC row per group (e.g. per-class
@@ -78,10 +90,8 @@ object Eval {
         sum(col("cnt") - col("pos")).cast(D38).as("nn"),
         sum(col("pos").cast(D38) *
           (lit(2) * col("c") + col("cnt") + 1)).as("two_ranks"))
-      .select(g ++ Seq(col("np").cast("long").as("n_pos"),
-        col("nn").cast("long").as("n_neg"),
-        (col("two_ranks") - col("np") * (col("np") + 1)).as("auc_num"),
-        (lit(2).cast(D38) * col("np") * col("nn")).as("auc_den")): _*)
+      .select(g ++ (Seq(col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg")) ++ aucFraction): _*)
       .orderBy(groupCols.map(asc_nulls_first): _*)
   }
 
@@ -103,6 +113,9 @@ object Eval {
       .groupBy("v")
       .agg(sum(col("a")).as("ca"),
         (count(lit(1)) - sum(col("a"))).as("cb"))
+      // tiny (one row per distinct value) and consumed twice — totals
+      // and the gap scan — so pin it: the source is scanned ONCE
+      .localCheckpoint()
     val upTo = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     blocks
@@ -117,11 +130,14 @@ object Eval {
           - col("cum_b").cast(D38) * col("na")).as("gap"))
       .groupBy()
       .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
-        max(col("gap")).as("ks_num"))
+        max(col("gap")).as("ks_num0"))
       .select(col("na").cast("long").as("n_a"),
         col("nb").cast("long").as("n_b"),
-        col("ks_num"),
-        (col("na") * col("nb")).as("ks_den"))
+        // an empty side has no ECDF to compare: NULL, not a 0 denominator
+        when(col("na") === 0 || col("nb") === 0, lit(null))
+          .otherwise(col("ks_num0")).as("ks_num"),
+        when(col("na") === 0 || col("nb") === 0, lit(null))
+          .otherwise(col("na") * col("nb")).as("ks_den"))
   }
 
   /** Calibration / reliability table: document counts and positive counts

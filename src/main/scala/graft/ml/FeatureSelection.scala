@@ -48,9 +48,15 @@ object FeatureSelection {
     val pres = docs.select(col("doc_id"), col(labelCol).as("label"),
       explode(array_distinct(graft.text.TextOps.tokens(col("text"))))
         .as("token"))
+    // pinned: the (label, token) counts are the ONLY consumer of the
+    // expensive tokenize+explode pass — tok_n derives from them (each doc
+    // has exactly one label), and the n / per-label totals come from
+    // cheap column-pruned scans of the raw docs (which also count
+    // token-less documents the explode drops)
     val byLabelTok = pres.groupBy("label", "token")
       .agg(count(lit(1)).as("a"))
-    val byTok = pres.groupBy("token").agg(count(lit(1)).as("tok_n"))
+      .localCheckpoint()
+    val byTok = byLabelTok.groupBy("token").agg(sum(col("a")).as("tok_n"))
       .filter(col("tok_n") >= minDf && col("tok_n") < n)
     val byLabel = docs.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("lab_n"))

@@ -37,9 +37,11 @@ import org.apache.spark.sql.functions._
   * codebook collect in [[graft.sim.Similarity]]). Per-iteration cost is
   * one corpus scan regardless of k. Empty clusters drop from the model.
   *
-  * Bounds: with scale s and |x| ≤ X, valid whenever
-  * dim·(2·s·X)² < 2^53 and n·s·X < 2^63 — at dim 64, s = 10⁶, |x| ≤ 1 that
-  * allows ~9·10¹² rows per cluster, far past any single training run.
+  * Bounds: assignment needs dim·(2·s·X)² < 2^53 (with scale s and
+  * |x| ≤ X — at dim 64, s = 10⁶, |x| ≤ 1 there are ~6 bits of headroom);
+  * the centroid update accumulates and divides in DECIMAL(38,0), so the
+  * per-cluster row count is bounded only by 10³⁸/(s·X) ≈ 10³² — never the
+  * binding constraint.
   */
 object KMeansExact {
 
@@ -69,14 +71,17 @@ object KMeansExact {
         .nearestCentroidL2(transform(col("__q"), _.cast("double")), cb)
       val assigned = q.select(col("__q"),
         best.getField("centroid_id").as("__cid"))
-      // half-up integer mean: floor((2·Σq + n) / (2n)) via pmod floor-div;
-      // the final double division is exact (numerator divisible, < 2^53)
-      val a = lit(2) * col("s") + col("n")
-      val b = lit(2) * col("n")
+      // half-up integer mean: floor((2·Σq + n) / (2n)) via pmod floor-div
+      // in DECIMAL(38,0) — the remainder-stripped decimal divide is exact
+      // at any count the 38-digit moments admit (a LONG/double form would
+      // silently lose exactness past Σq ≈ 2^52)
+      val a = lit(2).cast("decimal(38,0)") * col("s") + col("n")
+      val b = lit(2).cast("decimal(38,0)") * col("n")
       cents = assigned
         .select(col("__cid"), posexplode(col("__q")))
         .groupBy(col("__cid"), col("pos"))
-        .agg(count(lit(1)).as("n"), sum(col("col")).as("s"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("col").cast("decimal(38,0)")).as("s"))
         .select(col("__cid"), col("pos"),
           ((a - pmod(a, b)) / b).cast("long").as("c"))
         .groupBy("__cid")

@@ -21,7 +21,6 @@ object MlScaleProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[T](f: => T): (T, Double) = {

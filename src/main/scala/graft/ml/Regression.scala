@@ -54,8 +54,10 @@ object Regression {
       .groupBy(g: _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(col("__x")).as("sum_x"),
-        sum(col("__y")).as("sum_y"),
+        // first moments in DECIMAL(38,0) too: a LONG sum would silently
+        // wrap past Σx ≈ 9·10¹⁸ while the squares stayed exact
+        sum(col("__x").cast(D38)).as("sum_x"),
+        sum(col("__y").cast(D38)).as("sum_y"),
         sum(col("__x").cast(D38) * col("__x")).as("sum_xx"),
         sum(col("__x").cast(D38) * col("__y")).as("sum_xy"))
     val n = col("n").cast(D38)
@@ -101,17 +103,25 @@ object Regression {
     */
   def olsResiduals(df: DataFrame, groupCols: Seq[String],
       xCol: String, yCol: String): DataFrame = {
+    // the two appended output columns must not collide with caller data;
+    // model internals ride __-prefixed through the join
+    Seq("residual_num", "den").foreach(c => require(
+      !df.columns.contains(c),
+      s"olsResiduals appends a `$c` column; rename the input's `$c`"))
     val fit = fitOlsGrouped(df, groupCols, col(xCol), col(yCol))
-      .select((groupCols ++ Seq("slope_num", "icept_num", "den"))
-        .map(col): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("slope_num").as("__ols_slope"),
+        col("icept_num").as("__ols_icept"),
+        col("den").as("__ols_den")): _*)
     val joined =
       if (groupCols.isEmpty) df.crossJoin(broadcast(fit))
       else df.join(broadcast(fit), groupCols)
     joined
       .withColumn("residual_num",
-        col(yCol).cast(D38) * col("den") - col("icept_num")
-          - col("slope_num") * col(xCol).cast(D38))
-      .drop("slope_num", "icept_num")
+        col(yCol).cast(D38) * col("__ols_den") - col("__ols_icept")
+          - col("__ols_slope") * col(xCol).cast(D38))
+      .withColumn("den", col("__ols_den"))
+      .drop("__ols_slope", "__ols_icept", "__ols_den")
   }
 
   /** Multivariate Gram moments for `y ≈ Xβ` (with intercept): one pass

@@ -1556,7 +1556,9 @@ object QueryCatalog {
         .select(col("lang"), size(col("toks")).as("x"),
           TextOps.stopwordCount(col("toks"), TextOps.Stopwords).as("y"))
       graft.ml.Regression.fitOlsGrouped(docs, Seq("lang"), col("x"), col("y"))
-        .select(col("lang"), col("n"), col("sum_x"), col("sum_y"),
+        .select(col("lang"), col("n"),
+          col("sum_x").cast("long").as("sum_x"),
+          col("sum_y").cast("long").as("sum_y"),
           col("slope_num").cast("long").as("slope_num"),
           col("icept_num").cast("long").as("icept_num"),
           col("den").cast("long").as("den"))

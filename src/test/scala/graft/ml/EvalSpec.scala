@@ -49,6 +49,21 @@ class EvalSpec extends SparkSpec {
     assert(num == BigInt(wins) && den == BigInt(2L * np * nn))
   }
 
+  test("single-class input gives NULL AUC, not a zero denominator") {
+    val r = Eval.binaryAuc(Seq((1L, true), (2L, true)).toDF("s", "y"),
+      col("s"), col("y")).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 0)
+    assert(r.isNullAt(2) && r.isNullAt(3))
+    val g = Eval.binaryAucGrouped(
+      Seq(("a", 1L, true), ("a", 2L, false), ("b", 1L, true))
+        .toDF("g", "s", "y"), Seq("g"), col("s"), col("y"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(4)).toMap
+    assert(!g("a") && g("b"))
+    val k = Eval.ksStatistic(Seq((1L, true)).toDF("v", "a"),
+      col("v"), col("a")).collect()(0)
+    assert(k.isNullAt(2) && k.isNullAt(3))
+  }
+
   test("AUC is partitioning-independent") {
     val df = spark.range(500).select((col("id") % 37).as("s"),
       (col("id") % 3 === 0).as("y"))

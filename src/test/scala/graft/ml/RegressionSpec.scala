@@ -20,7 +20,9 @@ class RegressionSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
     val a = out(0)
     // n=3 Σx=6 Σy=12 Σxx=14 Σxy=28 → den=6, slope=12/6=2, icept=0/6
-    assert(a.getLong(1) == 3 && a.getLong(2) == 6 && a.getLong(3) == 12)
+    assert(a.getLong(1) == 3)
+    assert(a.getDecimal(2).longValueExact == 6)
+    assert(a.getDecimal(3).longValueExact == 12)
     assert(a.getDecimal(4).longValueExact == 12)
     assert(a.getDecimal(5).longValueExact == 0)
     assert(a.getDecimal(6).longValueExact == 6)
@@ -109,10 +111,18 @@ class RegressionSpec extends SparkSpec {
     val expectA = Seq((1L, 2L, 1L), (2L, 4L, -2L), (3L, 7L, 1L))
     out.take(3).zip(expectA).foreach { case (r, (x, y, res)) =>
       assert(r.getLong(1) == x && r.getLong(2) == y)
-      assert(r.getDecimal(4).longValueExact == res)
-      assert(r.getDecimal(3).longValueExact == 6L)
+      assert(r.getDecimal(3).longValueExact == res) // residual_num
+      assert(r.getDecimal(4).longValueExact == 6L) // den
     }
     out.drop(3).foreach(r => assert(r.isNullAt(3) && r.isNullAt(4)))
+  }
+
+  test("residuals refuse inputs whose columns collide with the outputs") {
+    val df = Seq(("a", 1L, 2L, 9L)).toDF("g", "x", "y", "den")
+    val e = intercept[IllegalArgumentException] {
+      Regression.olsResiduals(df, Seq("g"), "x", "y")
+    }
+    assert(e.getMessage.contains("den"))
   }
 
   test("residuals are partitioning-independent") {
