@@ -140,6 +140,63 @@ object Eval {
           .otherwise(col("na") * col("nb")).as("ks_den"))
   }
 
+  /** Exact Spearman rank-correlation moments per group — metric-agreement
+    * analysis between two scorers (do they RANK documents the same way?),
+    * robust to the scale/outliers that break Pearson. Each column is
+    * mid-ranked within its group via the block algebra (ranks carried ×2
+    * so ties stay integers), then one moment pass emits
+    *
+    * {{{
+    *   rho_num  = n·Σrxry − Σrx·Σry        (the covariance numerator)
+    *   varx_num = n·Σrx² − (Σrx)²,  vary_num analogous
+    *   ρ = rho_num / √(varx_num · vary_num)   (the ×2 scaling cancels)
+    * }}}
+    *
+    * as exact DECIMAL(38,0) integers — the certified quantities; the one
+    * irrational step (the square root) is left to the consumer. A
+    * constant column in a group yields var 0: ρ undefined, emitted as
+    * NULL rho_num (the divide-safely convention).
+    *
+    * Scale shape: two block collapses (one row per (group, distinct
+    * value)), two join-backs of the tiny rank tables, one moment
+    * aggregation. Group values must be non-null (using-column joins).
+    */
+  def spearmanMoments(df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    def rank2(c: String, as: String): DataFrame = {
+      val blocks = df.groupBy(g :+ col(c): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      val below = Window.partitionBy(g: _*).orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      blocks
+        .withColumn("__c", coalesce(sum(col("__cnt")).over(below), lit(0L)))
+        .select(g ++ Seq(col(c),
+          (lit(2) * col("__c") + col("__cnt") + 1).as(as)): _*)
+    }
+    val withRanks = df
+      .join(rank2(xCol, "__rx"), groupCols :+ xCol)
+      .join(rank2(yCol, "__ry"), groupCols :+ yCol)
+    val rx = col("__rx").cast(D38)
+    val ry = col("__ry").cast(D38)
+    val m = withRanks.groupBy(g: _*).agg(
+      count(lit(1)).as("n"),
+      sum(rx).as("sx"), sum(ry).as("sy"),
+      sum(rx * rx).as("sxx"), sum(ry * ry).as("syy"),
+      sum(rx * ry).as("sxy"))
+    val n = col("n").cast(D38)
+    val varx = (n * col("sxx") - col("sx") * col("sx")).as("varx_num")
+    val vary = (n * col("syy") - col("sy") * col("sy")).as("vary_num")
+    m.select(g ++ Seq(col("n"),
+        (n * col("sxy") - col("sx") * col("sy")).as("rho_num"),
+        varx, vary): _*)
+      .select(g ++ Seq(col("n"),
+        when(col("varx_num") === 0 || col("vary_num") === 0, lit(null))
+          .otherwise(col("rho_num")).as("rho_num"),
+        col("varx_num"), col("vary_num")): _*)
+      .orderBy(groupCols.map(asc_nulls_first): _*)
+  }
+
   /** Calibration / reliability table: document counts and positive counts
     * per score bin — the exact integer backbone of a reliability diagram
     * (bin accuracy = `pos/cnt` as a ratio the caller divides). `bin` is

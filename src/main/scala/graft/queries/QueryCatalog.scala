@@ -2562,6 +2562,64 @@ object QueryCatalog {
          |FROM agg ORDER BY bucket""".stripMargin
     })
 
+  /** Rank-agreement analysis ([[graft.ml.Eval.spearmanMoments]]):
+    * per-language Spearman moments between token count and stopword
+    * count — "do the two signals RANK documents the same way", the
+    * robust complement to [[corrMetrics]]' Pearson. Mid-ranks are
+    * carried ×2 so ties stay integers, and the certified outputs are the
+    * exact integer covariance/variance numerators (the consumer takes
+    * the one irrational √ itself). The oracle replays block mid-ranking
+    * and the moment algebra in HUGEINT.
+    */
+  private val spearmanRankCorr = Q(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("lang"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("lang"), size(col("toks")).cast("long").as("x"),
+          TextOps.stopwordCount(col("toks"), TextOps.Stopwords)
+            .cast("long").as("y"))
+      graft.ml.Eval.spearmanMoments(docs, Seq("lang"), "x", "y")
+        .select(col("lang"), col("n"),
+          col("rho_num").cast("long").as("rho_num"),
+          col("varx_num").cast("long").as("varx_num"),
+          col("vary_num").cast("long").as("vary_num"))
+        .orderBy("lang")
+    },
+    Some {
+      val stops = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+      def rank2(cn: String, as: String) =
+        s"""SELECT lang, $cn,
+           |    2 * CAST(coalesce(sum(cnt) OVER (PARTITION BY lang
+           |      ORDER BY $cn ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND 1 PRECEDING), 0) AS BIGINT) + cnt + 1 AS $as
+           |  FROM (SELECT lang, $cn, CAST(count(*) AS BIGINT) AS cnt
+           |        FROM q GROUP BY lang, $cn)""".stripMargin
+      s"""WITH q AS (SELECT lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |        t -> list_contains([$stops], t))) AS BIGINT) AS y
+         |  FROM documents),
+         |bx AS (${rank2("x", "rx")}),
+         |by AS (${rank2("y", "ry")}),
+         |r AS (SELECT q.lang, bx.rx, by.ry
+         |  FROM q JOIN bx ON q.lang = bx.lang AND q.x = bx.x
+         |         JOIN by ON q.lang = by.lang AND q.y = by.y),
+         |m AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(rx) AS HUGEINT) AS sx,
+         |    CAST(sum(ry) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy,
+         |    CAST(sum(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy
+         |  FROM r GROUP BY lang)
+         |SELECT lang, CAST(n AS BIGINT) AS n,
+         |  CAST(CASE WHEN n * sxx - sx * sx = 0
+         |         OR n * syy - sy * sy = 0 THEN NULL
+         |       ELSE n * sxy - sx * sy END AS BIGINT) AS rho_num,
+         |  CAST(n * sxx - sx * sx AS BIGINT) AS varx_num,
+         |  CAST(n * syy - sy * sy AS BIGINT) AS vary_num
+         |FROM m ORDER BY lang""".stripMargin
+    })
+
   /** Reliability-diagram backbone ([[graft.ml.Eval.calibrationBins]]):
     * exact per-bin document and positive counts over the micro-unit
     * cosine score shifted non-negative and integer-divided into 0.2-wide
@@ -5480,7 +5538,8 @@ object QueryCatalog {
     "eval_auc" -> evalAuc,
     "calibration_bins" -> calibrationBins,
     "ks_drift" -> ksDrift,
-    "eval_auc_by_label" -> evalAucByLabel
+    "eval_auc_by_label" -> evalAucByLabel,
+    "spearman_rank_corr" -> spearmanRankCorr
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -120,6 +120,46 @@ class EvalSpec extends SparkSpec {
     assert(run(df.coalesce(1)) == run(df.repartition(13)))
   }
 
+  test("Spearman moments: monotone gives rho 1, reversed gives -1") {
+    val mono = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 25L))
+      .toDF("g", "x", "y")
+    val r = Eval.spearmanMoments(mono, Seq("g"), "x", "y").collect()(0)
+    val (num, vx, vy) = (BigInt(r.getDecimal(2).toBigInteger),
+      BigInt(r.getDecimal(3).toBigInteger),
+      BigInt(r.getDecimal(4).toBigInteger))
+    assert(num * num == vx * vy && num > 0) // ρ = +1 exactly
+    val rev = Seq(("g", 1L, 9L), ("g", 2L, 5L), ("g", 3L, 1L))
+      .toDF("g", "x", "y")
+    val r2 = Eval.spearmanMoments(rev, Seq("g"), "x", "y").collect()(0)
+    val n2 = BigInt(r2.getDecimal(2).toBigInteger)
+    assert(n2 * n2 == BigInt(r2.getDecimal(3).toBigInteger) *
+      BigInt(r2.getDecimal(4).toBigInteger) && n2 < 0)
+  }
+
+  test("Spearman handles ties by mid-rank, constant column gives NULL") {
+    // x ranks(x2): 1->2, {2,2}->avg(2,3)*2=5, 3->8 ; y all distinct
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 2L, 3L), ("g", 3L, 4L))
+      .toDF("g", "x", "y")
+    val r = Eval.spearmanMoments(df, Seq("g"), "x", "y").collect()(0)
+    // rx2 = (2,5,5,8), ry2 = (2,4,6,8): n=4 sx=20 sy=20 sxx=118 syy=120
+    // sxy=118 -> rho_num=4*118-400=72, varx=4*118-400=72, vary=4*120-400=80
+    assert(BigInt(r.getDecimal(2).toBigInteger) == 72)
+    assert(BigInt(r.getDecimal(3).toBigInteger) == 72)
+    assert(BigInt(r.getDecimal(4).toBigInteger) == 80)
+    val const = Seq(("g", 7L, 1L), ("g", 7L, 2L)).toDF("g", "x", "y")
+    val rc = Eval.spearmanMoments(const, Seq("g"), "x", "y").collect()(0)
+    assert(rc.isNullAt(2) && rc.getDecimal(3).longValueExact == 0)
+  }
+
+  test("Spearman is partitioning-independent") {
+    val df = spark.range(400).select((col("id") % 2).cast("string").as("g"),
+      (col("id") % 23).as("x"), ((col("id") * 7) % 31).as("y"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Eval.spearmanMoments(d, Seq("g"), "x", "y")
+        .collect().map(_.toString).toSeq
+    assert(run(df.coalesce(1)) == run(df.repartition(9)))
+  }
+
   test("calibration bins count exactly") {
     val df = Seq((5L, true), (5L, false), (14L, true), (25L, true))
       .toDF("s", "y")
