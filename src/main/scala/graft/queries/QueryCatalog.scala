@@ -1574,8 +1574,10 @@ object QueryCatalog {
          |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(x) AS BIGINT) AS sum_x,
          |    CAST(sum(y) AS BIGINT) AS sum_y,
-         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sum_xx,
-         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sum_xy
+         |    CAST(sum(CAST(CAST(x AS HUGEINT) * x AS DECIMAL(38,0)))
+         |      AS HUGEINT) AS sum_xx,
+         |    CAST(sum(CAST(CAST(x AS HUGEINT) * y AS DECIMAL(38,0)))
+         |      AS HUGEINT) AS sum_xy
          |  FROM q GROUP BY lang),
          |d AS (SELECT lang, n, sum_x, sum_y,
          |    CAST(n AS HUGEINT) * sum_xy
@@ -1606,7 +1608,12 @@ object QueryCatalog {
     * cofactor expansion ([[graft.ml.Regression.det3Sql]]) the Spark
     * columns use. Numerators exceed 2^63 at sf0.1 (den ~ n·Σx1²·Σx2² ≈
     * 8e19), so this row also certifies the DECIMAL(38,0)/HUGEINT output
-    * path end-to-end.
+    * path end-to-end. The oracle ACCUMULATES every moment in
+    * DECIMAL(38,0) — `sum(HUGEINT)`'s result type and exactness are
+    * DuckDB-version-dependent (older engines route it through DOUBLE,
+    * silently losing exactness past 2^53), while decimal sums are exact
+    * in every version; HUGEINT is used only for the per-row products and
+    * the determinant arithmetic, where multiply semantics are stable.
     */
   private val olsPlaneFit = Q(
     (s, d) => {
@@ -1629,10 +1636,12 @@ object QueryCatalog {
       def a(repl: Int)(i: Int, j: Int): String =
         if (j == repl) v(i) else m(i, j)
       val moments = (for (i <- 0 until 3; j <- i until 3) yield
-        s"CAST(sum(CAST(x$i AS HUGEINT) * x$j) AS HUGEINT) AS ${m(i, j)}")
+        s"CAST(sum(CAST(CAST(x$i AS HUGEINT) * x$j AS DECIMAL(38,0)))" +
+          s" AS HUGEINT) AS ${m(i, j)}")
         .mkString(",\n    ")
       val vs = (0 until 3).map(i =>
-        s"CAST(sum(CAST(x$i AS HUGEINT) * y) AS HUGEINT) AS ${v(i)}")
+        s"CAST(sum(CAST(CAST(x$i AS HUGEINT) * y AS DECIMAL(38,0)))" +
+          s" AS HUGEINT) AS ${v(i)}")
         .mkString(",\n    ")
       val nums = Seq("icept_num", "x1_num", "x2_num").zipWithIndex.map {
         case (nm, j) => s"${det3Sql(a(j))} AS $nm"
@@ -1809,8 +1818,10 @@ object QueryCatalog {
          |m AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
          |    CAST(sum(x) AS HUGEINT) AS sum_x,
          |    CAST(sum(y) AS HUGEINT) AS sum_y,
-         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sum_xx,
-         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sum_xy
+         |    CAST(sum(CAST(CAST(x AS HUGEINT) * x AS DECIMAL(38,0)))
+         |      AS HUGEINT) AS sum_xx,
+         |    CAST(sum(CAST(CAST(x AS HUGEINT) * y AS DECIMAL(38,0)))
+         |      AS HUGEINT) AS sum_xy
          |  FROM q GROUP BY lang),
          |f AS (SELECT lang,
          |    n * sum_xy - sum_x * sum_y AS slope_num,
