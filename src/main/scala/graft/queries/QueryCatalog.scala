@@ -3329,6 +3329,35 @@ object QueryCatalog {
            |    AS pack_id
            |FROM documents""".stripMargin))
 
+  /** Scale-safe sequence packing ([[TextOps.sequencePackingSharded]]):
+    * identical semantics to [[sequencePacking]] but computed as a two-pass
+    * distributed prefix sum — per-shard partitioned window (shard =
+    * ⌊doc_id/64⌋, order-aligned) plus broadcast shard base offsets — so no
+    * single-partition WindowExec exists anywhere in the plan. The oracle
+    * is deliberately the GLOBAL window formula: a green row certifies
+    * cross-engine that the sharded decomposition reproduces the global
+    * prefix sum bit-for-bit.
+    */
+  private val sequencePackingSharded = Q(
+    (s, d) => TextOps.sequencePackingSharded(
+        TextOps.tokenStats(t(s, d, "documents"))
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens")),
+        "n_tokens", "doc_id", capacity = 2048L,
+        shardCol = floor(col("doc_id") / lit(64)))
+      .select("doc_id", "n_tokens", "cum_tokens", "pack_id")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           |  len(string_split(text, ' ')) AS n_tokens,
+           |  CAST(sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS cum_tokens,
+           |  CAST(FLOOR((sum(len(string_split(text, ' '))) OVER (
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    - len(string_split(text, ' '))) / 2048.0) AS BIGINT)
+           |    AS pack_id
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   /** Z-order (Morton) clustering key over (user_id, event_id) — the
     * multi-column data-layout sort key ([[graft.functions.BitInterleave]],
     * codegen'd). The oracle runs the identical magic-mask arithmetic,
@@ -5439,6 +5468,7 @@ object QueryCatalog {
     "stratified_sample" -> stratifiedSample,
     "decontaminate" -> decontaminate,
     "sequence_packing" -> sequencePacking,
+    "sequence_packing_sharded" -> sequencePackingSharded,
     "encode_token_ids" -> encodeTokenIds,
     "repetition_stats" -> repetitionStats,
     "lang_id" -> langId,

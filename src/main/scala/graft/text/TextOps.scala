@@ -450,9 +450,10 @@ object TextOps {
     * document's pack is `floor(cumulative-tokens-before-it / capacity)`
     * (prefix-sum binning: a document may straddle a boundary; exact
     * greedy repacking is inherently sequential and done downstream per
-    * pack). One window over the chosen global order; at corpus scale,
-    * partition the order key (e.g. pack per shard) to avoid a single
-    * window partition.
+    * pack). One window over the chosen global order — which Spark executes
+    * on a SINGLE partition; this form is the small-corpus baseline and the
+    * oracle cross-check. At corpus scale use [[sequencePackingSharded]],
+    * which computes the identical output through a partitioned window.
     */
   def sequencePacking(
       docs: DataFrame, tokenCol: String, orderCol: String,
@@ -464,6 +465,58 @@ object TextOps {
       .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
       .withColumn("pack_id",
         ((col("cum_tokens") - col(tokenCol)) / capacity).cast("long"))
+  }
+
+  /** Scale-safe [[sequencePacking]]: the same global prefix-sum binning,
+    * computed as a two-pass distributed prefix sum so NO window ever sees
+    * more than one shard — the classic parallel scan decomposition.
+    *
+    * Pass 1 computes within-shard prefix sums under
+    * `Window.partitionBy(shard).orderBy(orderCol)` (shuffle ∝ data, window
+    * state ∝ shard). Pass 2 aggregates ONE constant-width row per shard
+    * (the shard's token total — driver-bounded metadata, like a codebook),
+    * prefix-sums those totals on the driver into exclusive shard base
+    * offsets, and broadcast-joins them back:
+    * `cum = shard_offset + within_shard_cum`. Output is bit-identical to
+    * the global form — pinned by spec and certified cross-engine by the
+    * `sequence_packing_sharded` battery row, whose oracle is the GLOBAL
+    * window formula.
+    *
+    * `shardCol` must be an integral key that is monotone non-decreasing in
+    * `orderCol` (shards are contiguous ranges of the order key — e.g.
+    * `floor(doc_id / docsPerShard)`, a date bucket, a file/split id); rows
+    * in the same shard may land in any partition. Shard count is the
+    * driver-side bound: thousands of shards of millions of documents each
+    * cover any corpus while the offset table stays trivially
+    * broadcastable.
+    */
+  def sequencePackingSharded(
+      docs: DataFrame, tokenCol: String, orderCol: String,
+      capacity: Long, shardCol: Column): DataFrame = {
+    require(capacity > 0, s"pack capacity must be positive, got $capacity")
+    val tagged = docs.withColumn("__shard", shardCol.cast("long"))
+    val w = Window.partitionBy("__shard").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one row per shard: (shard, token total) — bounded metadata collect
+    val totals = tagged.groupBy("__shard")
+      .agg(coalesce(sum(col(tokenCol)), lit(0L)).as("__tot"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (sh, tot) =>
+      val o = (sh, acc); acc += tot; o
+    }.toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__shard", "__off")
+    tagged
+      .withColumn("__cum_local", sum(col(tokenCol)).over(w))
+      .join(broadcast(offDf), Seq("__shard"))
+      .withColumn("cum_tokens", col("__cum_local") + col("__off"))
+      .withColumn("pack_id",
+        ((col("cum_tokens") - col(tokenCol)) / capacity).cast("long"))
+      .drop("__shard", "__cum_local", "__off")
   }
 
   /** Text normalization: lowercase, strip non-alphanumerics, collapse

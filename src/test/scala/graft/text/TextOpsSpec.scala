@@ -280,6 +280,36 @@ class TextOpsSpec extends SparkSpec {
       (4L, 220L, 1L), (5L, 221L, 2L)))
   }
 
+  test("sequencePackingSharded equals the global form and keeps the window partitioned") {
+    val rnd = new scala.util.Random(7)
+    // uneven shard sizes (shard = doc_id / 10 over a gappy id space, so
+    // some shards are missing entirely and some have a single row)
+    val d = (0 until 400).filter(_ => rnd.nextInt(10) < 7)
+      .map(i => (i.toLong, rnd.nextInt(120).toLong + 1L))
+      .toDF("doc_id", "n_tokens")
+    val global = TextOps.sequencePacking(d, "n_tokens", "doc_id", 256L)
+      .select("doc_id", "n_tokens", "cum_tokens", "pack_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val sharded = TextOps.sequencePackingSharded(d, "n_tokens", "doc_id",
+        256L, floor(col("doc_id") / lit(10)))
+      .select("doc_id", "n_tokens", "cum_tokens", "pack_id")
+    val got = sharded.as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == global, "sharded two-pass prefix sum == global window")
+    // the plan must contain ONLY partitioned windows (no single-partition scan)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = sharded.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w.partitionSpec.nonEmpty
+    }
+    assert(windows.nonEmpty && windows.forall(identity),
+      "every Window in the sharded plan has a partition spec")
+    // a single shard still works (degenerates to the global form)
+    val one = TextOps.sequencePackingSharded(d, "n_tokens", "doc_id",
+        256L, lit(0L))
+      .select("doc_id", "n_tokens", "cum_tokens", "pack_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(one == global)
+  }
+
   test("decontaminate flags verbatim n-gram leakage above the threshold") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // shares 4 trigrams
