@@ -29,12 +29,16 @@ object GraphOps {
     * and `rank'(v) = teleport + (85 * Σ contrib(·→v)) div 100` with
     * `teleport = init * 15 / 100`.
     *
-    * Scale shape: per iteration, one shuffle of compact (dst, long) pairs
-    * for the contribution sum (map-side combinable) plus two hash joins on
-    * node id — rank and degree stay partitioned by id across rounds, and
-    * no stage ever materializes more than |E| rows. The plan lineage grows
-    * linearly in `iters` (no exponential blowup); for deep iteration
-    * counts, checkpoint every ~20 rounds. Overflow bound: requires
+    * Scale shape: per iteration, ONE join (the edge table against the
+    * current rank vector — broadcastable while ranks are compact) and ONE
+    * map-side-combinable shuffle: nodes that receive no contribution are
+    * folded in as zero-mass rows UNIONed into the same aggregation, not
+    * re-joined against the id set, so no second exchange exists per
+    * round. The plan lineage grows linearly in `iters` (no exponential
+    * blowup); `checkpointEvery` (default 10) truncates it with an eager
+    * `localCheckpoint` every that-many rounds — executor-local blocks,
+    * so a lost executor on a real cluster recomputes from the last
+    * checkpoint; pass 0 to keep pure lineage. Overflow bound: requires
     * `85 * |V| * init < 2^63` (≈10^8 nodes at the default init 10^12 —
     * shrink `init` for bigger graphs).
     *
@@ -48,25 +52,26 @@ object GraphOps {
   def pageRank(
       edges: DataFrame,
       iters: Int,
-      init: Long = 1000000000000L): DataFrame = {
+      init: Long = 1000000000000L,
+      checkpointEvery: Int = 10): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val teleport = init / 100L * 15L
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val ed = e.join(deg, "src").persist()
-    val ids = deg.select(col("src").as("id"))
-    var r = ids.select(col("id"), lit(init).as("rank"))
-    for (_ <- 1 to iters) {
-      val contrib = ed
+    val zeros = deg.select(col("src").as("id"), lit(0L).as("c"))
+    var r = deg.select(col("src").as("id"), lit(init).as("rank"))
+    for (i <- 1 to iters) {
+      r = ed
         .join(r, ed("src") === r("id"))
         .select(ed("dst").as("id"), expr("rank div deg").as("c"))
+        .unionAll(zeros) // non-receiving nodes keep a row without a join
         .groupBy("id")
         .agg(sum(col("c")).as("s"))
-      r = ids
-        .join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (lit(teleport) + expr("(85 * coalesce(s, 0L)) div 100"))
-            .as("rank"))
+          (lit(teleport) + expr("(85 * s) div 100")).as("rank"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        r = r.localCheckpoint()
     }
     r
   }
@@ -83,22 +88,25 @@ object GraphOps {
     * map-side combinable. Unlike frontier-delta BFS implementations this
     * re-propagates the whole reach each round (simpler, deterministic
     * plans); rounds are expected SMALL (neighborhood expansion, not
-    * diameter sweeps) — for deep traversals iterate with a convergence
-    * check and checkpoint instead.
+    * diameter sweeps) — for deep traversals `checkpointEvery` (default
+    * 10, same contract as [[pageRank]]) bounds the lineage.
     */
   def hopDistances(
       edges: DataFrame,
       sources: Seq[String],
-      maxHops: Int): DataFrame = {
+      maxHops: Int,
+      checkpointEvery: Int = 10): DataFrame = {
     require(sources.nonEmpty && maxHops >= 1, "need sources and hops >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).persist()
     var d = sources.toDF("id").select(col("id"), lit(0L).as("dist"))
-    for (_ <- 1 to maxHops) {
+    for (i <- 1 to maxHops) {
       val prop = e.join(d, e("src") === d("id"))
         .select(e("dst").as("id"), (d("dist") + 1L).as("dist"))
       d = d.unionAll(prop).groupBy("id").agg(min(col("dist")).as("dist"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < maxHops)
+        d = d.localCheckpoint()
     }
     d
   }

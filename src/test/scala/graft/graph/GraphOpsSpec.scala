@@ -51,4 +51,22 @@ class GraphOpsSpec extends SparkSpec {
     val m = one.map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m("h0") > m("n1") && m("h1") > m("n2"))
   }
+
+  test("deep iteration: checkpointed lineage equals pure lineage") {
+    val edges = (1 to 12).flatMap { i =>
+      val hub = "h" + (i % 2)
+      Seq((s"n$i", hub), (hub, s"n$i"))
+    }.toDF("src", "dst")
+    // 7 rounds crosses checkpointEvery=3 twice (after rounds 3 and 6)
+    val pure = GraphOps.pageRank(edges, 7, checkpointEvery = 0)
+      .as[(String, Long)].collect().toMap
+    val ck = GraphOps.pageRank(edges, 7, checkpointEvery = 3)
+      .as[(String, Long)].collect().toMap
+    assert(ck == pure, "localCheckpoint must not change any rank")
+    val pureH = GraphOps.hopDistances(edges, Seq("n1"), 5,
+      checkpointEvery = 0).as[(String, Long)].collect().toMap
+    val ckH = GraphOps.hopDistances(edges, Seq("n1"), 5,
+      checkpointEvery = 2).as[(String, Long)].collect().toMap
+    assert(ckH == pureH)
+  }
 }
