@@ -452,8 +452,12 @@ object Multimodal {
       val reader = readers.next()
       val out = scala.collection.mutable.Buffer.empty[
         (Int, Int, Int, Array[Float])]
+      // reader.dispose() does NOT close its input stream: hold the iis
+      // here so the finally block can close it — one leaked stream (and
+      // its imageio file-cache backing) per video row otherwise
+      var iis: javax.imageio.stream.ImageInputStream = null
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(payload))
         reader.setInput(iis)
         val n = reader.getNumImages(true)
@@ -483,7 +487,12 @@ object Multimodal {
           i += 1
         }
       } catch { case _: Exception => () }
-      finally reader.dispose()
+      finally {
+        reader.dispose()
+        if (iis != null) {
+          try iis.close() catch { case _: Exception => () }
+        }
+      }
       out.toSeq
     }
   }

@@ -84,7 +84,15 @@ final class AnnIndex(spark: SparkSession, path: String,
     if (ct.exists) ct.overwrite(coarse) else ct.bulkInsert(coarse)
     val pt = pqTable()
     if (pt.exists) pt.overwrite(pqc) else pt.bulkInsert(pqc)
-    ingest(embs)
+    // A REBUILD over an existing index must not retain rows encoded
+    // against the replaced codebooks (their centroid_id and packed code
+    // would be read against the NEW books): the codes table is fully
+    // overwritten with the fresh encoding, never key-upserted.
+    val codes = Similarity.ivfPqIndex(embs, coarseTable().snapshot(),
+      pqTable().snapshot(), numSub, subDim, pqK)
+    val t = codesTable()
+    if (t.exists) t.overwrite(codes) else t.bulkInsert(codes)
+    ()
   }
 
   /** Encode one arrival batch against the FROZEN codebooks and key-upsert

@@ -2717,6 +2717,14 @@ class CowTable(
               if (!fs.exists(shardDst)) throw new IllegalStateException(
                 s"shard rename failed: $shardDst")
             }
+          } else {
+            // content-addressed reuse of a byte-identical EXISTING file:
+            // refresh its mtime so it re-enters the cleaner's staleness
+            // grace window — the file may be referenced only by versions
+            // mid-expiry, and a stale mtime would let the cleaner race
+            // this commit and delete a shard the new root names
+            try fs.setTimes(shardDst, System.currentTimeMillis, -1)
+            catch { case _: java.io.IOException => () /* best-effort */ }
           }
           name
         }
@@ -3594,17 +3602,31 @@ object CowTable {
     val m =
       if (m0.shardRefs.isEmpty) m0
       else {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
+        import scala.concurrent.{Await, Future, blocking}
+        import scala.concurrent.duration._
         import scala.concurrent.ExecutionContext.Implicits.global
         val dir = new Path(p.getParent, "shards")
-        val shards = Await.result(
-          Future.sequence(m0.shardRefs.toList.map(n => Future {
-            val in = fs.open(new Path(dir, n))
-            val bytes = try in.readAllBytes() finally in.close()
-            parseShardBytes(bytes)
-          })),
-          Duration.Inf)
+        // blocking{} marks the FS reads for the global pool's
+        // ManagedBlocker so concurrent manifest opens issued from pool
+        // threads spawn compensation threads instead of starving each
+        // other; the finite await turns a wedged filesystem into a
+        // diagnosable error rather than a forever-hang
+        val shards =
+          try Await.result(
+            Future.sequence(m0.shardRefs.toList.map(n => Future {
+              blocking {
+                val in = fs.open(new Path(dir, n))
+                val bytes = try in.readAllBytes() finally in.close()
+                parseShardBytes(bytes)
+              }
+            })),
+            10.minutes)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              throw new java.io.IOException(
+                s"graft: timed out reading ${m0.shardRefs.size} manifest " +
+                  s"shards under $dir after 10 minutes — filesystem wedged?")
+          }
         mergeShards(m0, shards)
       }
     if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()

@@ -166,6 +166,25 @@ class AnnIndexSpec extends SparkSpec {
       "stream-built index must equal the one-shot build")
   }
 
+  test("rebuild over an existing index drops stale codes") {
+    val p = tmpDir("ann-rebuild"); val pRef = tmpDir("ann-rebuild-ref")
+    val ix = new AnnIndex(spark, p, 8, 8, 16, 16)
+    ix.build(embs)
+    // retrain on a SHRUNK corpus with TRAINED codebooks: the books
+    // differ from the original first-k ones AND vec_ids >= 150 must
+    // vanish — any upsert-style rebuild would leave both kinds of
+    // stale rows behind
+    val shrunk = embs.filter($"vec_id" < 150)
+    ix.build(shrunk, trained = true, kmeansIters = 2)
+    val fresh = new AnnIndex(spark, pRef, 8, 8, 16, 16)
+    fresh.build(shrunk, trained = true, kmeansIters = 2)
+    assert(codesOf(ix, p) == codesOf(fresh, pRef),
+      "rebuilt index must equal a fresh build on the new corpus — no " +
+        "rows encoded against the replaced codebooks may survive")
+    assert(searchRows(ix.search(shrunk, 60L, 4, 50, 10)) ==
+      searchRows(fresh.search(shrunk, 60L, 4, 50, 10)))
+  }
+
   test("maintain re-stripes by cell and preserves the index exactly") {
     val p = tmpDir("ann-maint")
     val ix = new AnnIndex(spark, p, 8, 8, 16, 16)
