@@ -2746,12 +2746,15 @@ class CowTable(
   /** Create-exclusive claim of a version slot. Hadoop's local-FS
     * `create(overwrite = false)` is check-then-act (two simultaneous
     * claimants can both "win"), so file-scheme paths go through NIO's
-    * `createFile` — a true O_CREAT|O_EXCL. Remote filesystems (HDFS,
-    * object stores with conditional create) are atomic through the Hadoop
-    * API already.
+    * `createFile` — a true O_CREAT|O_EXCL. HDFS-like filesystems are
+    * atomic through the Hadoop API already. S3-family schemes REFUSE by
+    * default — see [[CommitLocks]] for the honesty contract and the two
+    * opt-ins (`spark.graft.commit.objectStoreLocks`).
     */
-  private def claimSlot(lock: Path): Boolean = {
+  private[table] def claimSlot(lock: Path): Boolean = {
     val uri = lock.toUri
+    CommitLocks.checkScheme(uri.getScheme,
+      spark.conf.getOption(CommitLocks.ModeConf))
     if (uri.getScheme == null || uri.getScheme == "file")
       try {
         java.nio.file.Files.createFile(
