@@ -497,6 +497,112 @@ object Multimodal {
     }
   }
 
+  /** Real-container decode behind the [[FrameCodec]] seam via an ffmpeg
+    * PROCESS BOUNDARY — what a crawl actually yields is MP4/WebM, which
+    * the JDK cannot decode; shelling out to ffmpeg on each executor is
+    * the standard production arrangement (the binary ships with the
+    * cluster image, one short-lived process per payload, no JNI). The
+    * payload lands in an executor-local temp file, `ffprobe` reads the
+    * stream dimensions, and `ffmpeg` streams raw RGB24 frames to stdout,
+    * which are folded into the same `(idx, w, h, meanRGB)` rows as
+    * [[GifVideoCodec]] — memory is ONE frame per task regardless of
+    * video length. A corrupt payload yields the frames decoded so far
+    * (same contract as the GIF codec). `FfmpegCodecSpec` decodes a real
+    * MP4 when ffmpeg is on PATH and cancels cleanly when it is not;
+    * [[GifVideoCodec]] stays the hermetic CI/battery path.
+    */
+  final class FfmpegVideoCodec(
+      ffmpegBin: String = "ffmpeg",
+      ffprobeBin: String = "ffprobe") extends FrameCodec {
+
+    private def probeDims(f: java.nio.file.Path): Option[(Int, Int)] = {
+      val pb = new ProcessBuilder(ffprobeBin, "-v", "error",
+        "-select_streams", "v:0", "-show_entries", "stream=width,height",
+        "-of", "csv=p=0", f.toString)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      try {
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() != 0) None
+        else out.split(",") match {
+          case Array(w, h) =>
+            val (wi, hi) = (w.trim.toInt, h.trim.toInt)
+            if (wi > 0 && hi > 0) Some((wi, hi)) else None
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    }
+
+    override def frames(mediaType: String, payload: Array[Byte])
+        : Seq[(Int, Int, Int, Array[Float])] = {
+      if (payload == null || payload.isEmpty) return Nil
+      val tmp = java.nio.file.Files.createTempFile("graft-vid", ".bin")
+      try {
+        java.nio.file.Files.write(tmp, payload)
+        probeDims(tmp) match {
+          case None => Nil
+          case Some((w, h)) =>
+            val out = scala.collection.mutable.Buffer
+              .empty[(Int, Int, Int, Array[Float])]
+            val pb = new ProcessBuilder(ffmpegBin, "-v", "error",
+              "-i", tmp.toString, "-f", "rawvideo", "-pix_fmt", "rgb24",
+              "pipe:1")
+            pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+            val p = pb.start()
+            val in = new java.io.BufferedInputStream(p.getInputStream)
+            try {
+              val frameBytes = w * h * 3
+              val buf = new Array[Byte](frameBytes)
+              var i = 0
+              var eof = false
+              while (!eof) {
+                var off = 0
+                var n = 0
+                while (off < frameBytes && n >= 0) {
+                  n = in.read(buf, off, frameBytes - off)
+                  if (n > 0) off += n
+                }
+                if (off < frameBytes) eof = true // partial tail: stop
+                else {
+                  var sr, sg, sb = 0.0
+                  var j = 0
+                  while (j < frameBytes) {
+                    sr += buf(j) & 0xff
+                    sg += buf(j + 1) & 0xff
+                    sb += buf(j + 2) & 0xff
+                    j += 3
+                  }
+                  val tot = 255.0 * w * h
+                  out += ((i, w, h, Array((sr / tot).toFloat,
+                    (sg / tot).toFloat, (sb / tot).toFloat)))
+                  i += 1
+                }
+              }
+            } catch { case _: Exception => () }
+            finally {
+              try in.close() catch { case _: Exception => () }
+              p.destroyForcibly(); p.waitFor()
+            }
+            out.toSeq
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
+  object FfmpegVideoCodec {
+    /** True when both binaries run on this machine's PATH. */
+    def available: Boolean = {
+      def runs(bin: String): Boolean =
+        try {
+          val pb = new ProcessBuilder(bin, "-version")
+          pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+          pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+          pb.start().waitFor() == 0
+        } catch { case _: Exception => false }
+      runs("ffmpeg") && runs("ffprobe")
+    }
+  }
+
   /** Decoded-frame output schema: per sampled frame, true dimensions +
     * pixel-derived features.
     */
