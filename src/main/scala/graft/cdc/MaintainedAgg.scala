@@ -187,6 +187,11 @@ final class MaintainedAgg(
     * recompute when the state doesn't exist or the mark fell behind
     * retention. Returns the refreshed aggregate.
     */
+  private def T[X](tag: String)(f: => X): X = {
+    val t0 = System.nanoTime(); val r = f
+    if (sys.env.contains("GRAFT_TRACE_MERGE"))
+      println(f"[matrace] $tag%-12s ${(System.nanoTime()-t0)/1e9}%6.2fs")
+    r }
   def refresh(): DataFrame = {
     val head = src.manifest.version
     if (!table.exists) {
@@ -197,12 +202,20 @@ final class MaintainedAgg(
     }
     val mark = table.manifest.metrics.getOrElse(Mark, 0L)
     if (mark == head) return current
+    // LAZY localCheckpoint(false) on the feed: it has exactly ONE
+    // consumer (the delta aggregation below — the extremes algebra rides
+    // the delta since it carries per-group insert/retraction min/max),
+    // so the lazy form truncates lineage like the eager one but
+    // materializes INSIDE the delta job instead of paying a dedicated
+    // checkpoint round. Everything multi-consumer below stays EAGER: a
+    // lazy checkpoint referenced twice inside one job computes its
+    // subtree twice (measured slower, not faster).
     val feed =
       try {
         val f0 = src.changeFeedWithPreimages(mark, head)
         // filtered aggregates: U adds iff the new image passes, B
         // retracts iff the old image passed — one row-level filter
-        rowFilter.map(f0.filter).getOrElse(f0).localCheckpoint()
+        T("feed")(rowFilter.map(f0.filter).getOrElse(f0).localCheckpoint(false))
       } catch {
         // mark aged out of the source's retained timeline: reseed
         case _: IllegalArgumentException | _: java.io.FileNotFoundException =>
@@ -220,13 +233,25 @@ final class MaintainedAgg(
           .otherwise(-dec(col(spec.valueCol))).as("_ma_v")) ++
       (if (trackSquares)
          Seq(when(col(ct) === "U", sq(col(spec.valueCol)))
-           .otherwise(-sq(col(spec.valueCol))).as("_ma_vsq")) else Nil): _*)
+           .otherwise(-sq(col(spec.valueCol))).as("_ma_vsq")) else Nil) ++
+      // extremes bookkeeping rides the SAME row pass: per-group min/max
+      // of inserted values (optimistic fold input) and of retracted
+      // values (tie detection: a retracted value ties the stored min iff
+      // min(retracted) == stored min — all retracted values are >= it)
+      minMaxCols.flatMap(c => Seq(
+        when(col(ct) === "U", col(c)).as(s"_ma_u_$c"),
+        when(col(ct) === "B", col(c)).as(s"_ma_r_$c"))): _*)
     val dAggs = Seq(sum(col("_ma_w")).as("d_cnt"),
         sum(col("_ma_v")).as("d_total")) ++
       (if (trackSquares)
-        Seq(sum(col("_ma_vsq")).as("d_total_sq")) else Nil)
-    val delta = signed.groupBy(g.map(col): _*)
-      .agg(dAggs.head, dAggs.tail: _*).localCheckpoint()
+        Seq(sum(col("_ma_vsq")).as("d_total_sq")) else Nil) ++
+      minMaxCols.flatMap(c => Seq(
+        min(col(s"_ma_u_$c")).as(s"u_min_$c"),
+        max(col(s"_ma_u_$c")).as(s"u_max_$c"),
+        min(col(s"_ma_r_$c")).as(s"r_min_$c"),
+        max(col(s"_ma_r_$c")).as(s"r_max_$c")))
+    val delta = T("delta")(signed.groupBy(g.map(col): _*)
+      .agg(dAggs.head, dAggs.tail: _*).localCheckpoint())
     val marksM = Map(Mark -> head)
     if (delta.isEmpty) {
       // stamp-filtered feed held nothing: still advance the ledger
@@ -238,9 +263,9 @@ final class MaintainedAgg(
     // a full state scan, so refresh cost scales with the window's churn
     // — never with the number of groups the state has accumulated. The
     // untouched groups are simply not part of the merge.
-    val affected = table.lookupByKeys(delta.select(g.map(col): _*))
-      .select(stateCols.map(col): _*).localCheckpoint()
-    val nextBase = (if (!trackSquares)
+    val affected = T("affected")(table.lookupByKeys(delta.select(g.map(col): _*))
+      .select(stateCols.map(col): _*).localCheckpoint())
+    val nextBase0 = T("nextBase"){(if (!trackSquares)
         IncrementalAgg.apply(
           affected.select((g.map(col) :+ col("cnt") :+ col("total")): _*),
           delta, spec)
@@ -256,10 +281,18 @@ final class MaintainedAgg(
           .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"),
             sum(col("total_sq")).as("total_sq"))
           .filter(col("cnt") =!= 0)
-      }).localCheckpoint()
+      })}
+    // nextBase feeds the extremes join once (whose result is itself
+    // checkpointed) over already-checkpointed inputs, so it only needs
+    // its own checkpoint when it IS the final state (the merge input
+    // references the final state through BOTH the update and the
+    // gone-group branch)
+    val nextBase =
+      if (minMaxCols.isEmpty) nextBase0.localCheckpoint() else nextBase0
     val next =
-      (if (minMaxCols.isEmpty) nextBase
-       else withExtremes(nextBase, feed, head, affected)).localCheckpoint()
+      if (minMaxCols.isEmpty) nextBase
+      else T("extremes")(
+        withExtremes(nextBase, delta, head, affected).localCheckpoint())
     // groups fully retracted this window (cnt hit zero): next no longer
     // carries them, so route them through the merge's delete branch.
     // ONE commit applies updates + deletes + the mark advance atomically —
@@ -267,8 +300,12 @@ final class MaintainedAgg(
     // the deletes lost, and (unlike MaintainedJoin's image folds) an agg
     // delta re-applied on replay would double-count.
     val goneBase = {
+      // anti-join, not EXCEPT: state group keys are already unique, so
+      // EXCEPT's dedup shuffle buys nothing over the plain anti
+      val nextKeys = next.select(g.map(col): _*)
+      val goneCond = g.map(c => affected(c) <=> nextKeys(c)).reduce(_ && _)
       val b = affected.select(g.map(col): _*)
-        .except(next.select(g.map(col): _*))
+        .join(nextKeys, goneCond, "left_anti")
         .withColumn("cnt", lit(0L))
         .withColumn("total", lit(null).cast(next.schema("total").dataType))
       if (trackSquares)
@@ -298,24 +335,65 @@ final class MaintainedAgg(
     * state subset for the window's touched groups — every group this
     * method must produce extremes for is in it (retractions and inserts
     * both contribute their groups to the delta).
+    *
+    * Everything derives from `delta` + `st` — both tiny, churn-sized,
+    * already checkpointed: the per-group insert extremes (u_min/u_max)
+    * and retraction extremes (r_min/r_max) rode the delta aggregation,
+    * so no re-scan of the feed happens here. Tie detection needs only
+    * the retraction extremes: every retracted value is >= the stored
+    * min, so SOME retracted value equals it iff min(retracted) does
+    * (plain `===` — null-false — is exactly right: a stored null min
+    * means the group has no non-null values, and retracting a null can
+    * never shrink a bound).
     */
-  private def withExtremes(nextBase: DataFrame, feed: DataFrame,
+  private def withExtremes(nextBase: DataFrame, delta: DataFrame,
       head: Long, st: DataFrame): DataFrame = {
-    val ups = feed.filter(col(ct) === "U")
-    val rets = feed.filter(col(ct) === "B")
-
     // hit groups: a retracted image TIES a stored extreme — the only case
     // where the bound may shrink and needs source truth
-    val stX = st.select((g.map(c => col(c).as(s"_g_$c")) ++
-      minMaxCols.flatMap(c =>
-        Seq(col(s"min_$c").as(s"_mn_$c"), col(s"max_$c").as(s"_mx_$c"))))
-      .toIndexedSeq: _*)
-    val hitCond = g.map(c => rets(c) <=> stX(s"_g_$c")).reduce(_ && _)
-    val hits = rets.join(stX, hitCond, "inner")
+    val hitCond = g.map(c => delta(c) <=> st(c)).reduce(_ && _)
+    val hits = delta.join(st, hitCond, "inner")
       .filter(minMaxCols.map(c =>
-          rets(c) <=> stX(s"_mn_$c") || rets(c) <=> stX(s"_mx_$c"))
+          delta(s"r_min_$c") === st(s"min_$c") ||
+          delta(s"r_max_$c") === st(s"max_$c"))
         .reduce(_ || _))
-      .select(g.map(c => rets(c).as(c)): _*).distinct().localCheckpoint()
+      // LAZY: in the common no-hit window the isEmpty gate below scans
+      // every partition (finding nothing) and IS the materialization —
+      // an eager checkpoint would be a redundant extra job
+      .select(g.map(c => delta(c).as(c)): _*).localCheckpoint(false)
+
+    // per-group window-insert extremes; a group without inserts carries
+    // nulls, which least/greatest skip — the same optimistic algebra as
+    // an absent row
+    val upExt = delta.select((g.map(col) ++ minMaxCols.flatMap(c =>
+      Seq(col(s"u_min_$c"), col(s"u_max_$c")))).toIndexedSeq: _*)
+    val stSel = st.select((g.map(col) ++
+      minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))))
+      .toIndexedSeq: _*)
+
+    def optimistic(stSide: DataFrame, upSide: DataFrame): DataFrame = {
+      val cond = g.map(c => stSide(c) <=> upSide(c)).reduce(_ && _)
+      stSide.join(upSide, cond, "full_outer")
+        .select((g.map(c => coalesce(stSide(c), upSide(c)).as(c)) ++
+          minMaxCols.flatMap(c => Seq(
+            least(stSide(s"min_$c"), upSide(s"u_min_$c")).as(s"min_$c"),
+            greatest(stSide(s"max_$c"), upSide(s"u_max_$c")).as(s"max_$c"))))
+          .toIndexedSeq: _*)
+    }
+    def graft(ext: DataFrame): DataFrame = {
+      val joinCond = g.map(c => nextBase(c) <=> ext(c)).reduce(_ && _)
+      nextBase.join(ext, joinCond, "left")
+        .select((g.map(c => nextBase(c).as(c)) ++
+          Seq(nextBase("cnt"), nextBase("total")) ++
+          (if (trackSquares) Seq(nextBase("total_sq")) else Nil) ++
+          minMaxCols.flatMap(c => Seq(ext(s"min_$c"), ext(s"max_$c"))))
+          .toIndexedSeq: _*)
+    }
+
+    // the COMMON window ties no stored extreme: the optimistic fold is
+    // the whole answer — no group-scoped source read, no hit anti-joins
+    // (the gate is a limit-1 probe over two checkpointed churn-sized
+    // frames)
+    if (hits.isEmpty) return graft(optimistic(stSel, upExt))
 
     // authoritative re-aggregation of the hit groups, group-scoped and
     // pinned at the window end (same row filter as every other read)
@@ -328,37 +406,17 @@ final class MaintainedAgg(
       .groupBy(g.map(col): _*).agg(recAggs.head, recAggs.tail: _*)
 
     // optimistic fold for everything else: stored extremes (minus hit
-    // groups) ⊕ window-insert extremes
-    val upAggs = minMaxCols.flatMap(c =>
-      Seq(min(col(c)).as(s"u_min_$c"), max(col(c)).as(s"u_max_$c")))
-    val upExt0 = ups.groupBy(g.map(col): _*)
-      .agg(upAggs.head, upAggs.tail: _*)
-    // hit groups are REPAIRED authoritatively — they must not also
-    // surface through the insert-fold side (two ext rows per group would
-    // race in the merge)
-    val upKeepCond = g.map(c => upExt0(c) <=> hits(c)).reduce(_ && _)
-    val upExt = upExt0.join(hits, upKeepCond, "left_anti")
-    val stKeepCond = g.map(c => st(c) <=> hits(c)).reduce(_ && _)
-    val stNoHit = st.join(hits, stKeepCond, "left_anti")
-      .select((g.map(col) ++
-        minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))))
-        .toIndexedSeq: _*)
-    val optCond = g.map(c => stNoHit(c) <=> upExt(c)).reduce(_ && _)
-    val opt = stNoHit.join(upExt, optCond, "full_outer")
-      .select((g.map(c => coalesce(stNoHit(c), upExt(c)).as(c)) ++
-        minMaxCols.flatMap(c => Seq(
-          least(stNoHit(s"min_$c"), upExt(s"u_min_$c")).as(s"min_$c"),
-          greatest(stNoHit(s"max_$c"), upExt(s"u_max_$c")).as(s"max_$c"))))
-        .toIndexedSeq: _*)
+    // groups) ⊕ window-insert extremes. Hit groups are REPAIRED
+    // authoritatively — they must not also surface through the
+    // insert-fold side (two ext rows per group would race in the merge)
+    val upKeepCond = g.map(c => upExt(c) <=> hits(c)).reduce(_ && _)
+    val upNoHit = upExt.join(hits, upKeepCond, "left_anti")
+    val stKeepCond = g.map(c => stSel(c) <=> hits(c)).reduce(_ && _)
+    val stNoHit = stSel.join(hits, stKeepCond, "left_anti")
 
-    val ext = opt.unionByName(rec) // disjoint: opt excludes hit groups
-    val joinCond = g.map(c => nextBase(c) <=> ext(c)).reduce(_ && _)
-    nextBase.join(ext, joinCond, "left")
-      .select((g.map(c => nextBase(c).as(c)) ++
-        Seq(nextBase("cnt"), nextBase("total")) ++
-        (if (trackSquares) Seq(nextBase("total_sq")) else Nil) ++
-        minMaxCols.flatMap(c => Seq(ext(s"min_$c"), ext(s"max_$c"))))
-        .toIndexedSeq: _*)
+    val ext = optimistic(stNoHit, upNoHit)
+      .unionByName(rec) // disjoint: opt excludes hit groups
+    graft(ext)
   }
 
   /** Source rows for the hit groups, pinned at `version`: value-set file

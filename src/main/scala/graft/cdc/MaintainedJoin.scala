@@ -170,11 +170,30 @@ final class MaintainedJoin(
     if (!table.exists) return seed(ea, eb)
     val (sa, sb) = marks()
     if (sa == ea && sb == eb) return current // nothing to fold
+    // LAZY localCheckpoint(false), not eager: each feed still truncates
+    // lineage (fresh attribute ids for the self-join algebra below) but
+    // materializes inside the first job that consumes it — the B-probe
+    // collect or `affected`'s EAGER checkpoint — instead of paying a
+    // dedicated round per feed. Downstream consumers then read the
+    // checkpointed blocks. The reseed-detecting manifest errors still
+    // surface here — manifestAt resolves eagerly on the driver.
+    // ... and the two lazy checkpoints still pay their catalyst planning
+    // (toRdd) up front on the driver — two independent plans, so plan
+    // them on two threads
     val windows =
-      try Some((
-        if (sa < ea) Some(a.changeFeed(sa, ea).localCheckpoint()) else None,
-        if (sb < eb) Some(b.changeFeed(sb, eb).localCheckpoint()) else None))
-      catch {
+      try T("feeds"){
+        import scala.concurrent.{Await, Future, blocking}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fa = if (sa < ea)
+          Some(Future(blocking(a.changeFeed(sa, ea).localCheckpoint(false))))
+        else None
+        val fb = if (sb < eb)
+          Some(Future(blocking(b.changeFeed(sb, eb).localCheckpoint(false))))
+        else None
+        Some((fa.map(Await.result(_, Duration.Inf)),
+          fb.map(Await.result(_, Duration.Inf))))
+      } catch {
         // a mark aged out of a source's retained timeline: reseed
         case _: IllegalArgumentException | _: java.io.FileNotFoundException =>
           None
@@ -197,6 +216,11 @@ final class MaintainedJoin(
     current
   }
 
+  private def T[X](tag: String)(f: => X): X = {
+    val t0 = System.nanoTime(); val r = f
+    if (sys.env.contains("GRAFT_TRACE_MERGE"))
+      println(f"[mjtrace] $tag%-14s ${(System.nanoTime()-t0)/1e9}%6.2fs")
+    r }
   private def fold(feedA: Option[DataFrame], feedB: Option[DataFrame],
       ea: Long, eb: Long): DataFrame = {
     val ct = CowTable.ChangeTypeCol
@@ -208,21 +232,26 @@ final class MaintainedJoin(
     // --- B-side churn: view rows whose fk hits a changed B identity.
     // The view holds every A row (left-outer), so this finds them ALL —
     // including rows a new B key now matches for the first time.
-    val hitByB = feedB.map { fb =>
+    val hitByB = feedB.map { fb => T("hitByB"){
       val bIds = fb.select(b.mergeIdCols.map(col): _*).distinct()
       val viewRows = viewRowsForBIds(bIds)
       val cond = on.map { case (f, k) => viewRows(f) <=> bIds(k) }
         .reduce(_ && _)
       viewRows.join(bIds, cond, "left_semi")
         .select(aCols.map(col): _*)
-    }
-    val delAck = delA.map(_.localCheckpoint())
+    }}
+    // delA re-evaluates as a filter+project over the CACHED feed — cheap
+    // per use, so a dedicated materialization would cost more than the
+    // re-evaluations it saves
+    val delAck = delA
     // ΔA images win over view images for identities in both sets; rows
     // ΔA DELETES are dropped from the image set outright (a B-churn hit
     // on a concurrently-deleted A row must not resurrect it — and
-    // re-joining it is wasted work). Checkpointed once: the plan behind
-    // it (feed joins + the pruned view probe) is otherwise re-evaluated
-    // by the emptiness gate, the B-probe distinct AND the merge input.
+    // re-joining it is wasted work). Cached once (lazily): the plan
+    // behind it (feed joins + the pruned view probe) is otherwise
+    // re-evaluated by the emptiness gate, the B-probe distinct AND the
+    // merge input — the gate's limit-1 probe doubles as the cache's
+    // first materializing action.
     val affected = ((upsA, hitByB) match {
       case (Some(u), Some(h)) =>
         val uIds = u.select(a.mergeIdCols.map(col): _*)
@@ -231,7 +260,7 @@ final class MaintainedJoin(
       case (Some(u), None) => Some(u)
       case (None, Some(h)) => Some(h)
       case (None, None) => None
-    }).map { aff =>
+    }).map { aff => T("affected-ck"){
       (delAck match {
         case Some(d) =>
           val dIds = d.select(a.mergeIdCols.map(col): _*)
@@ -240,10 +269,10 @@ final class MaintainedJoin(
           aff.join(dIds, cond, "left_anti")
         case None => aff
       }).localCheckpoint()
-    }
+    }}
     val marksM = Map(MarkA -> ea, MarkB -> eb)
-    val hasUps = affected.exists(!_.isEmpty)
-    val hasDel = delAck.exists(!_.isEmpty)
+    val hasUps = T("gate-ups")(affected.exists(!_.isEmpty))
+    val hasDel = T("gate-del")(delAck.exists(!_.isEmpty))
     // re-joined new images for the affected A rows (lazy: only built when
     // the fold has upserts)
     def upImages(): DataFrame = {
@@ -269,15 +298,15 @@ final class MaintainedJoin(
       // replay-on-stale-marks still holds and stays idempotent). MOR
       // views keep the two-commit path: their upsert/delete are pure log
       // appends, while mergeInto would force a compaction first.
-      val up = upImages().withColumn("__mj_op", lit("U"))
+      val up = T("upImages")(upImages()).withColumn("__mj_op", lit("U"))
       val dn = delPadded(org.apache.spark.sql.types.StructType(
           up.schema.fields.filterNot(_.name == "__mj_op")))
         .withColumn("__mj_op", lit("D"))
-      table.mergeInto(up.unionByName(dn),
+      T("mergeInto")(table.mergeInto(up.unionByName(dn),
         whenMatchedDelete = col("i.__mj_op") === "D",
         insertCondition = col("i.__mj_op") =!= "D",
         conditionCols = Seq("__mj_op"),
-        extraMetrics = marksM)
+        extraMetrics = marksM))
     } else {
       // Only the LAST commit of the fold advances the marks: a crash
       // after an earlier commit leaves the marks behind, so the next

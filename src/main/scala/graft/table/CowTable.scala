@@ -379,6 +379,17 @@ class CowTable(
   // CowTable.ensureFieldIdConfs — a no-op for everything else)
   CowTable.ensureFieldIdConfs(spark)
 
+  /** Env-gated per-stage commit timing (GRAFT_TRACE_MERGE=1) — the
+    * attribution tool behind the IVM fold latency work; zero cost when
+    * the variable is unset.
+    */
+  private def traceMerge[X](tag: String)(f: => X): X = {
+    val t0 = System.nanoTime(); val r = f
+    if (sys.env.contains("GRAFT_TRACE_MERGE"))
+      println(f"[mctrace] $tag%-12s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    r
+  }
+
   /** Key-hash bucket expression (numBuckets > 0): Hudi-file-group-style
     * sub-partitioning. Records hash-route to a stable bucket, so a merge
     * rewrites only the buckets that contain matched keys — at 100 TB the
@@ -1027,7 +1038,13 @@ class CowTable(
       conditionCols: Seq[String] = Nil,
       extraMetrics: Map[String, Long] = Map.empty): Unit = {
     // matched-delete keys become change-feed tombstones; skipped when the
-    // delete branch is the literal-false default (no second join pass)
+    // delete branch is the literal-false default (no second join pass).
+    // The tombstone pass re-joins cur×incoming, so mergeCommit caches the
+    // candidate read (tombstonesUseCur default) — the replay re-shuffles
+    // from cache instead of re-reading files. (Persisting the routed join
+    // itself was measured SLOWER: it materializes every unprojected
+    // column through the block manager and cuts whole-stage codegen in
+    // the write path, costing more than the cached re-join saves.)
     val mayDelete = org.apache.spark.sql.GraftBridge
       .expression(whenMatchedDelete) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(false, _) =>
@@ -1098,7 +1115,8 @@ class CowTable(
     if (deleteVectors) deleteVectored(df, extraMetrics, parallelism)
     else mergeCommit(df, parallelism, "delete", extraMetrics,
       tombstoneKeys = Some((_, incoming) =>
-        incoming.select(mergeIdCols.map(col): _*).distinct())) {
+        incoming.select(mergeIdCols.map(col): _*).distinct()),
+      tombstonesUseCur = false) {
       (cur, incoming) =>
       val probe = incoming.select(mergeIdCols.map(col): _*)
       cur.join(probe, idMatch(cur, probe), "left_anti")
@@ -1138,7 +1156,7 @@ class CowTable(
     val v = m.version + 1
     val incoming = df.persist()
     try {
-      val touched = touchedPartitionKeys(incoming)
+      val touched = traceMerge("touched")(touchedPartitionKeys(incoming))
         .intersect(m.partitions.keySet)
       val (candFiles, _) =
         if (fileIndexEntries > 0) pruneCandidateFiles(m, touched, incoming)
@@ -1360,7 +1378,7 @@ class CowTable(
       CdcOps.precombine(incoming0, mergeIdCols, precombineField)
     else incoming0).persist()
     try {
-      val touched = touchedPartitionKeys(incoming)
+      val touched = traceMerge("touched")(touchedPartitionKeys(incoming))
       val existing = touched.intersect(m.partitions.keySet)
       val (candFiles, _) =
         if (fileIndexEntries > 0) pruneCandidateFiles(m, existing, incoming)
@@ -1620,7 +1638,11 @@ class CowTable(
       excludeCols: Seq[String] = Nil,
       // identity rows of keys this commit DELETES ((cur, incoming) =>
       // mergeIdCols frame) — recorded as change-feed tombstones
-      tombstoneKeys: Option[(DataFrame, DataFrame) => DataFrame] = None)(
+      tombstoneKeys: Option[(DataFrame, DataFrame) => DataFrame] = None,
+      // false when the tombstone function does not re-evaluate `cur`
+      // (delete(): keys come from the incoming batch; mergeInto(): keys
+      // come from its own persisted routed join) — skips the cur cache
+      tombstonesUseCur: Boolean = true)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     // pad() null-fills absent columns for additive evolution — but a batch
     // MISSING its record-key columns would merge as null-keyed garbage;
@@ -1642,28 +1664,48 @@ class CowTable(
       CdcOps.precombine(incoming0, mergeIdCols, precombineField)
     else incoming0).persist()
     try {
-      val touched = touchedPartitionKeys(incoming)
+      val touched = traceMerge("touched")(touchedPartitionKeys(incoming))
       val rewritten = touched.intersect(m.partitions.keySet)
       // File-level pruning (record-key index on): within the touched
       // units, only files whose key range + bloom can contain an incoming
       // key are read and rewritten; the rest are KEPT verbatim. Sound
       // because blooms have no false negatives — a kept file provably
       // holds no incoming key, so the anti-join/merge result is identical.
-      val (candFiles, keptListing) =
+      val (candFiles, keptListing) = traceMerge("prune")(
         if (fileIndexEntries > 0) pruneCandidateFiles(m, rewritten, incoming)
         else (rewritten.toSeq.sorted.flatMap(k =>
-          m.partitions.getOrElse(k, Nil)), Map.empty[String, Seq[String]])
-      val cur = pad(readFiles(m, candFiles), evolved)
+          m.partitions.getOrElse(k, Nil)), Map.empty[String, Seq[String]]))
+      // tombstone passes that re-evaluate `cur` (a second join over the
+      // candidate read): persist it so the replay comes from cache
+      // instead of re-reading + re-shuffling the pruned files — bounded
+      // by the merge working set either way
+      val curCached = tombstoneKeys.isDefined && tombstonesUseCur
+      val cur0 = pad(readFiles(m, candFiles), evolved)
+      val cur = if (curCached) cur0.persist() else cur0
+      try {
       val merged = merge(cur, incoming)
-      val newFiles = writeCommit(merged, v, parallelism,
-        idSchema = evolved)
+      val newFiles = traceMerge("write")(writeCommit(merged, v, parallelism,
+        idSchema = evolved))
+      // the tombstone pass (cur x incoming re-join over cached inputs)
+      // and the file-stats pass (key scan of the just-written files) are
+      // INDEPENDENT jobs — overlap them; a fold's commit latency is a
+      // chain of small job rounds and this is the one post-write pair
+      // with no ordering constraint
+      import scala.concurrent.{Await, Future, blocking}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val statsF = Future(blocking(
+        traceMerge("stats")(if (fileIndexEntries > 0)
+          collectFileStats(newFiles, evolved, m.keyEncoding)
+        else Map.empty[String, FileStat])))
       val newTombstones = tombstoneKeys match {
         case Some(keysOf) =>
-          val fls = writeTombstones(keysOf(cur, incoming), v)
+          val fls = traceMerge("tombstones")(writeTombstones(keysOf(cur, incoming), v))
           if (fls.isEmpty) m.tombstones
           else m.tombstones + (v.toString -> fls)
         case None => m.tombstones
       }
+      val newStats = Await.result(statsF, Duration.Inf)
       // Partitions whose merged result is empty (fully deleted) simply have
       // no entry in newFiles and drop out of the snapshot (unless they
       // retain pruned files).
@@ -1679,8 +1721,17 @@ class CowTable(
           ("files_kept" ->
             keptListing.valuesIterator.map(_.size.toLong).sum) ++
           extraMetrics)
-      writeManifest(withFileStats(next, newFiles, evolved))
-      clean()
+      val withStats =
+        if (fileIndexEntries <= 0) next
+        else {
+          val live: Set[String] =
+            next.partitions.valuesIterator.flatten.toSet
+          next.copy(fileStats = (next.fileStats ++ newStats)
+            .filter { case (f, _) => live(f) })
+        }
+      traceMerge("manifest")(writeManifest(withStats))
+      traceMerge("clean")(clean())
+      } finally if (curCached) cur.unpersist()
     } finally incoming.unpersist()
   }
 
@@ -1733,19 +1784,25 @@ class CowTable(
     }
     if (indexed.isEmpty) return (files.map(_._2), Map.empty)
     import spark.implicits._
+    // NO key-side distinct and NO persist: the per-partition hit-set
+    // already dedups file answers (duplicate keys only re-probe an array),
+    // and the probe count rides a LongAccumulator — the range phase is
+    // ONE job with one tiny file-name shuffle, not three (range pass +
+    // count() + cache materialization). Commit latency is a job-round
+    // chain; every fused job is wall-clock off an IVM fold.
     val keys = incoming.select(
       keyStringExpr(m.keyEncoding, c => incoming.schema(c).dataType)
-        .as("k")).distinct().as[String]
-      .persist()
-    try {
-      val bRanges = spark.sparkContext.broadcast(indexed.map { f =>
-        val st = m.fileStats(f)
-        (f, st.keyMin, st.keyMax)
-      }.toArray)
-      val inRange = keys.mapPartitions { it =>
+        .as("k")).as[String]
+    val bRanges = spark.sparkContext.broadcast(indexed.map { f =>
+      val st = m.fileStats(f)
+      (f, st.keyMin, st.keyMax)
+    }.toArray)
+    val probeCount = spark.sparkContext.longAccumulator("prune_probes")
+    val inRange = keys.mapPartitions { it =>
         val idx = bRanges.value
         val hits = scala.collection.mutable.HashSet.empty[String]
         it.foreach { k =>
+          probeCount.add(1L)
           var i = 0
           while (i < idx.length) {
             val (f, mn, mx) = idx(i)
@@ -1770,7 +1827,10 @@ class CowTable(
       // every sidecar bloom (MBs each) would prune nothing. Spread bulk
       // churn takes the range-phase answer directly; sparse point probes
       // (the lookup pattern the blooms exist for) still go through them.
-      val keyCount = keys.count()
+      // (keyCount is the raw probe count from the range pass's
+      // accumulator — duplicates inflate it, which is the RIGHT bias:
+      // probes, not identities, are what hit the blooms.)
+      val keyCount = probeCount.value
       if (keyCount >= 20L * math.max(inRange.size, 1))
         return materialize(inRange)
       val bBlooms = spark.sparkContext.broadcast(
@@ -1790,8 +1850,7 @@ class CowTable(
         }
         hits.iterator
       }.distinct().collect().toSet
-      materialize(hit)
-    } finally keys.unpersist()
+    materialize(hit)
   }
 
   /** Attach per-file key index entries for `newFiles` to a manifest about
@@ -1810,20 +1869,22 @@ class CowTable(
     m.copy(fileStats = stats)
   }
 
-  /** Two distributed passes over freshly written files (KEY COLUMNS ONLY —
+  /** ONE distributed pass over freshly written files (KEY COLUMNS ONLY —
     * column-pruned parquet reads of data this commit just wrote, typically
-    * still in page cache):
-    *   1. rows per file (tiny agg; collect bounded by the new-file count) —
-    *      sizes each bloom to its file's ACTUAL key count, so a file
-    *      larger than `fileIndexEntries` cannot silently degrade the
-    *      false-positive rate (the classic mis-sizing footgun behind
-    *      Hudi's `hoodie.index.bloom.num_entries` tuning: an overloaded
-    *      bloom answers "maybe" for everything and pruning quietly
-    *      vanishes — measured: a 3.3x-overloaded bloom turned a
-    *      1-candidate probe into 7 candidates);
-    *   2. group rows by source file, fold each group into
-    *      (key min, key max, exactly-sized bloom).
+    * still in page cache): group rows by source file, buffer the group's
+    * encoded keys (bounded by one file's key set — the same order as the
+    * bloom being built), then fold into (key min, key max, bloom sized to
+    * the file's ACTUAL key count). Sizing to the true count means a file
+    * larger than `fileIndexEntries` cannot silently degrade the
+    * false-positive rate (the classic mis-sizing footgun behind Hudi's
+    * `hoodie.index.bloom.num_entries` tuning: an overloaded bloom answers
+    * "maybe" for everything and pruning quietly vanishes — measured: a
+    * 3.3x-overloaded bloom turned a 1-candidate probe into 7 candidates).
     * `fileIndexEntries` acts as the sizing FLOOR (pre-sizes for growth).
+    * Commit-latency note: this used to be TWO jobs (a count pass sized
+    * the blooms, a second pass filled them); buffering folds both into
+    * one, which matters on commit-heavy IVM folds where every job round
+    * is wall-clock.
     */
   private def collectFileStats(
       newFiles: Map[String, Seq[String]],
@@ -1843,9 +1904,6 @@ class CowTable(
         liveStats.map(c =>
           encodeCol(c, readSchema(c).dataType, enc).as(s"__st_$c")): _*)
     import spark.implicits._
-    val counts = df.groupBy("f").agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().toMap
-    val bCounts = spark.sparkContext.broadcast(counts)
     val nStats = liveStats.size
     // bloomCols ride the same pass: indices into the liveStats array of
     // the columns that also get a per-file sidecar bloom
@@ -1856,20 +1914,15 @@ class CowTable(
         array(liveStats.map(c => col(s"__st_$c")): _*).as("st"))
       .as[(String, String, Seq[String])].groupByKey(_._1)
       .mapGroups { (f, it) =>
-        val expected = math.max(bCounts.value.getOrElse(f, floor), floor)
-        val bloom = org.apache.spark.util.sketch.BloomFilter
-          .create(expected, CowTable.FileIndexFpp)
-        val colBlooms = bloomIdx.map(_ =>
-          org.apache.spark.util.sketch.BloomFilter
-            .create(expected, CowTable.FileIndexFpp))
         var mn: String = null
         var mx: String = null
-        var nRows = 0L
         val smn = Array.fill[String](nStats)(null)
         val smx = Array.fill[String](nStats)(null)
+        val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+        val colVals = bloomIdx.map(_ =>
+          scala.collection.mutable.ArrayBuffer.empty[String])
         it.foreach { case (_, k, st) =>
-          nRows += 1
-          bloom.putString(k)
+          keys += k
           if (mn == null || k < mn) mn = k
           if (mx == null || k > mx) mx = k
           var i = 0
@@ -1884,9 +1937,20 @@ class CowTable(
           var j = 0
           while (j < bloomIdx.length) {
             val v = st(bloomIdx(j)) // nulls stay out, like the range
-            if (v != null) colBlooms(j).putString(v)
+            if (v != null) colVals(j) += v
             j += 1
           }
+        }
+        val nRows = keys.length.toLong
+        val expected = math.max(nRows, floor)
+        val bloom = org.apache.spark.util.sketch.BloomFilter
+          .create(expected, CowTable.FileIndexFpp)
+        keys.foreach(bloom.putString)
+        val colBlooms = colVals.map { vs =>
+          val b = org.apache.spark.util.sketch.BloomFilter
+            .create(expected, CowTable.FileIndexFpp)
+          vs.foreach(b.putString)
+          b
         }
         def bytesOf(b: org.apache.spark.util.sketch.BloomFilter) = {
           val bos = new java.io.ByteArrayOutputStream()
