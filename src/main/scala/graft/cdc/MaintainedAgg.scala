@@ -284,15 +284,17 @@ final class MaintainedAgg(
       })}
     // nextBase feeds the extremes join once (whose result is itself
     // checkpointed) over already-checkpointed inputs, so it only needs
-    // its own checkpoint when it IS the final state (the merge input
-    // references the final state through BOTH the update and the
-    // gone-group branch)
+    // its own checkpoint when it IS the final state. The final state's
+    // checkpoint is LAZY: the vanished-group gate below scans the
+    // anti-join of `affected` against it — in the common empty-gone
+    // window that scan touches every partition and IS the
+    // materialization, so the dedicated checkpoint job disappears.
     val nextBase =
-      if (minMaxCols.isEmpty) nextBase0.localCheckpoint() else nextBase0
+      if (minMaxCols.isEmpty) nextBase0.localCheckpoint(false) else nextBase0
     val next =
       if (minMaxCols.isEmpty) nextBase
       else T("extremes")(
-        withExtremes(nextBase, delta, head, affected).localCheckpoint())
+        withExtremes(nextBase, delta, head, affected).localCheckpoint(false))
     // groups fully retracted this window (cnt hit zero): next no longer
     // carries them, so route them through the merge's delete branch.
     // ONE commit applies updates + deletes + the mark advance atomically —
@@ -320,9 +322,15 @@ final class MaintainedAgg(
             lit(null).cast(next.schema(s"max_$c").dataType))
       }
       .withColumn("_ma_del", lit(true))
+    // gate the delete branch on an actual vanished group: the COMMON fold
+    // retracts rows without emptying any group, and with the branch
+    // statically false (literal) the merge commit SKIPS its tombstone
+    // join+write job entirely. The gate itself is a limit-1 probe over an
+    // anti-join of two checkpointed churn-sized frames.
+    val anyGone = !gone.isEmpty
     table.mergeInto(next.withColumn("_ma_del", lit(false))
         .unionByName(gone),
-      whenMatchedDelete = col("i._ma_del"),
+      whenMatchedDelete = if (anyGone) col("i._ma_del") else lit(false),
       insertCondition = !col("i._ma_del"),
       conditionCols = Seq("_ma_del"),
       extraMetrics = marksM)

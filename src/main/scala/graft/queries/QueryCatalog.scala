@@ -3170,6 +3170,29 @@ object QueryCatalog {
          |       ELSE 'test' END AS split
          |FROM lb""".stripMargin))
 
+  /** Deterministic source-mixture downsampling: per-source keep-rates
+    * over the SAME hash as the splits (nested samples — raising a rate
+    * only adds docs). Per-source exact doc/char totals certify every
+    * keep decision through the aggregate.
+    */
+  private val corpusMixture = Q(
+    (s, d) => SplitOps.mixtureSample(t(s, d, "documents"),
+        "source", "doc_id",
+        Map("src0" -> 10, "src1" -> 25, "src2" -> 50, "src3" -> 0),
+        defaultRate = 75)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars")),
+    Some(
+      """WITH b AS (SELECT source, n_chars,
+        |    (doc_id % 2147483648) * 2654435761 % 4294967296 % 100 AS sb
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM b
+        |WHERE sb < CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 25
+        |  WHEN 'src2' THEN 50 WHEN 'src3' THEN 0 ELSE 75 END
+        |GROUP BY source""".stripMargin))
+
   /** Word-5-gram decontamination (GPT-3 appendix shape, 13-grams there):
     * docs sharing any 5-gram with the held-out slice (doc_id % 29 = 0),
     * with the count of DISTINCT shared grams as the severity signal.
@@ -5570,6 +5593,7 @@ object QueryCatalog {
     "train_split" -> trainSplit,
     "leakage_safe_split" -> leakageSafeSplit,
     "ngram_decontaminate" -> ngramDecontaminate,
+    "corpus_mixture" -> corpusMixture,
     "chunk_split" -> chunkSplit,
     "cosine_topk" -> cosineTopK,
     "hard_negatives" -> hardNegatives,

@@ -73,6 +73,27 @@ object SplitOps {
     hashSplit(keyed, "split_key", splits)
   }
 
+  /** Deterministic SOURCE-MIXTURE downsampling — the data-mixing knob of
+    * a training run (up/down-weight web vs code vs reference sources to
+    * hit a target token mixture): keep a doc iff its hash bucket falls
+    * under its source's keep-rate (percent). The SAME
+    * [[splitBucket]] hash as the splits, so a doc kept at rate r stays
+    * kept at any rate >= r (nested samples — raising a source's weight
+    * only ADDS docs, it never swaps the sample) and the decision is
+    * reproducible from the key alone. Per-row filter, no shuffle; at
+    * 100 TB this is a scan that writes less than it reads.
+    */
+  def mixtureSample(docs: DataFrame, sourceCol: String, keyCol: String,
+      rates: Map[String, Int], defaultRate: Int = 100): DataFrame = {
+    require((defaultRate +: rates.values.toSeq)
+      .forall(r => r >= 0 && r <= 100), s"rates must be 0-100: $rates")
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+        when(col(sourceCol) === src, lit(r)).otherwise(acc)
+      }
+    docs.filter(splitBucket(col(keyCol)) < rate)
+  }
+
   /** Word-n-gram DECONTAMINATION (the Brown et al. 2020 / GPT-3 appendix
     * shape, which used 13-grams): a training doc is contaminated if any
     * of its word n-grams appears in the held-out evaluation corpus.

@@ -75,6 +75,25 @@ class SplitOpsSpec extends SparkSpec {
     assert(keys(20L) == 20L && keys(21L) == 21L)
   }
 
+  test("mixtureSample keeps nested samples as rates rise") {
+    val d = (0L until 500L).map(i => (i, s"s${i % 4}", s"t$i"))
+      .toDF("doc_id", "source", "text")
+    def kept(r: Map[String, Int]) =
+      SplitOps.mixtureSample(d, "source", "doc_id", r, defaultRate = 0)
+        .select("doc_id").as[Long].collect().toSet
+    val lo = kept(Map("s0" -> 20))
+    val hi = kept(Map("s0" -> 60))
+    assert(lo.subsetOf(hi), "raising a rate must only ADD docs")
+    // rate 0 drops everything from that source; default applies to rest
+    val out = SplitOps.mixtureSample(d, "source", "doc_id",
+      Map("s1" -> 0), defaultRate = 100)
+      .select("source").as[String].collect()
+    assert(!out.contains("s1") && out.nonEmpty)
+    intercept[IllegalArgumentException] {
+      SplitOps.mixtureSample(d, "source", "doc_id", Map("s0" -> 101))
+    }
+  }
+
   test("ngramDecontaminate matches a brute-force shared-gram count") {
     val hold = docs((100L, "the quick brown fox jumps over the lazy dog"))
     val train = docs(
