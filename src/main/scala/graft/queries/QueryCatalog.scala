@@ -10,7 +10,7 @@ import graft.cdc.CdcOps
 import graft.functions.Hashing
 import graft.graph.GraphOps
 import graft.sim.Similarity
-import graft.text.{SplitOps, TextOps}
+import graft.text.TextOps
 
 /** The driver-facing query battery: one named query per implemented operator
   * (SURVEY.md §2 reference parity + §7 north-star extensions), each paired
@@ -3123,36 +3123,19 @@ object QueryCatalog {
          |  (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)"""
         .stripMargin))
 
-  /** Deterministic hash train/val/test split: split is a pure function
-    * of doc_id (Knuth multiplicative hash, exact BIGINT arithmetic in
-    * both engines — [[graft.text.SplitOps.splitBucket]]), so appends and
-    * re-runs never move an existing doc across splits. Per-row
-    * projection, no shuffle.
-    */
-  private val trainSplit = Q(
-    (s, d) => SplitOps.hashSplit(t(s, d, "documents"), "doc_id")
-      .select(col("doc_id"), col("split_bucket"), col("split")),
-    Some(
-      """WITH b AS (SELECT doc_id,
-        |    (doc_id % 2147483648) * 2654435761 % 4294967296 % 100 AS sb
-        |  FROM documents)
-        |SELECT doc_id, CAST(sb AS BIGINT) AS split_bucket,
-        |  CASE WHEN sb < 80 THEN 'train' WHEN sb < 90 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM b""".stripMargin))
-
   /** Leakage-safe split: near-dup cluster members (the `dedup_clusters`
-    * fixpoint) split TOGETHER — keyed on the cluster's canonical min id,
-    * so a doc's near-copy can never sit in a different split than the
-    * doc itself. Unclustered docs key on their own id. The oracle replays
-    * the full LSH-cluster chain plus the same hash CASE.
+    * fixpoint) split TOGETHER — keyed on the cluster's canonical min id
+    * through the SAME hash-bucket rule as `dataset_split`, so a doc's
+    * near-copy can never sit in a different split than the doc itself
+    * (the failure mode a per-doc hash split cannot prevent). The oracle
+    * replays the full LSH-cluster chain plus the same hash CASE.
     */
   private val leakageSafeSplit = Q(
     (s, d) => {
       val docs = t(s, d, "documents")
       val clusters = TextOps.dedupClusters(
         TextOps.lshNearDupPairs(docs, 3, rows = 2, num = 8, den = 10))
-      SplitOps.leakageSafeSplit(docs, clusters)
+      TextOps.leakageSafeSplit(docs, clusters, 10, 10)
         .select(col("doc_id"), col("split_key"), col("split"))
     },
     Some(
@@ -3161,63 +3144,12 @@ object QueryCatalog {
          |  FROM reach GROUP BY u),
          |lk AS (SELECT d.doc_id,
          |    coalesce(cl.cluster_id, d.doc_id) AS split_key
-         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
-         |lb AS (SELECT doc_id, split_key,
-         |    (split_key % 2147483648) * 2654435761 % 4294967296 % 100 AS sb
-         |  FROM lk)
-         |SELECT doc_id, CAST(split_key AS BIGINT) AS split_key,
-         |  CASE WHEN sb < 80 THEN 'train' WHEN sb < 90 THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM lb""".stripMargin))
-
-  /** Deterministic source-mixture downsampling: per-source keep-rates
-    * over the SAME hash as the splits (nested samples — raising a rate
-    * only adds docs). Per-source exact doc/char totals certify every
-    * keep decision through the aggregate.
-    */
-  private val corpusMixture = Q(
-    (s, d) => SplitOps.mixtureSample(t(s, d, "documents"),
-        "source", "doc_id",
-        Map("src0" -> 10, "src1" -> 25, "src2" -> 50, "src3" -> 0),
-        defaultRate = 75)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars")),
-    Some(
-      """WITH b AS (SELECT source, n_chars,
-        |    (doc_id % 2147483648) * 2654435761 % 4294967296 % 100 AS sb
-        |  FROM documents)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
-        |FROM b
-        |WHERE sb < CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 25
-        |  WHEN 'src2' THEN 50 WHEN 'src3' THEN 0 ELSE 75 END
-        |GROUP BY source""".stripMargin))
-
-  /** Word-5-gram decontamination (GPT-3 appendix shape, 13-grams there):
-    * docs sharing any 5-gram with the held-out slice (doc_id % 29 = 0),
-    * with the count of DISTINCT shared grams as the severity signal.
-    * The holdout gram set broadcasts at scale; one tokenize+explode pass
-    * over the training side.
-    */
-  private val ngramDecontaminate = Q(
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      SplitOps.ngramDecontaminate(
-        docs.filter(pmod(col("doc_id"), lit(29L)) =!= 0),
-        docs.filter(pmod(col("doc_id"), lit(29L)) === 0), 5)
-    },
-    Some(
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |    FROM documents),
-        |gr AS (SELECT doc_id, array_to_string(tk[start:start+4], ' ') AS g
-        |  FROM (SELECT doc_id, tk,
-        |      unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS start
-        |    FROM toks)),
-        |hold AS (SELECT DISTINCT g FROM gr WHERE doc_id % 29 = 0),
-        |tr AS (SELECT DISTINCT doc_id, g FROM gr WHERE doc_id % 29 <> 0)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
-        |FROM tr JOIN hold USING (g)
-        |GROUP BY doc_id""".stripMargin))
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+         |SELECT doc_id, CAST(split_key AS BIGINT) AS split_key, CASE
+         |    WHEN ${H("CAST(split_key AS VARCHAR)")} % 100 < 10 THEN 'val'
+         |    WHEN ${H("CAST(split_key AS VARCHAR)")} % 100 < 20 THEN 'test'
+         |    ELSE 'train' END AS split
+         |FROM lk""".stripMargin))
 
   /** Overlapping token-window chunking — the RAG/embedding prep step:
     * size-64 windows at stride 48, with tail windows that introduce no
@@ -5590,10 +5522,7 @@ object QueryCatalog {
     "near_dup_lsh_capped" -> nearDupLshCapped,
     "dedup_clusters" -> dedupClusters,
     "near_dup_filtered" -> nearDupFiltered,
-    "train_split" -> trainSplit,
     "leakage_safe_split" -> leakageSafeSplit,
-    "ngram_decontaminate" -> ngramDecontaminate,
-    "corpus_mixture" -> corpusMixture,
     "chunk_split" -> chunkSplit,
     "cosine_topk" -> cosineTopK,
     "hard_negatives" -> hardNegatives,

@@ -404,6 +404,30 @@ object TextOps {
         .otherwise("train"))
   }
 
+  /** LEAKAGE-SAFE variant of [[datasetSplit]]: near-duplicate cluster
+    * members are assigned to the SAME split, so a doc's near-copy can
+    * never leak from train into val/test — the failure mode a plain
+    * per-doc hash split cannot prevent (the copies hash independently).
+    * `clusters` is [[dedupClusters]] output; every member keys on its
+    * cluster's canonical (min) id, unclustered docs on their own id, and
+    * the label comes from the same hash-bucket rule as [[datasetSplit]].
+    *
+    * Scale shape: the cluster table is DUPLICATE-sized, not corpus-sized
+    * (only docs with a near-dup edge appear), so the join broadcasts;
+    * the labeling stays a per-row projection.
+    */
+  def leakageSafeSplit(df: DataFrame, clusters: DataFrame,
+      valPct: Int, testPct: Int): DataFrame = {
+    val cl = clusters.select(col("doc_id"), col("cluster_id"))
+    val keyed = df.join(cl, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+    val b = pmod(Hashing.hash60(col("split_key").cast("string")), lit(100L))
+    keyed.withColumn("split",
+      when(b < valPct, "val")
+        .when(b < valPct + testPct, "test")
+        .otherwise("train"))
+  }
+
   /** Decontamination: flag training documents sharing at least `minShared`
     * distinct word n-grams with ANY document of the held-out corpus — the
     * train/eval overlap check run before training. One semi-ish join on

@@ -484,4 +484,32 @@ class TextOpsSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSet
     assert(a == b && a.size == 3)
   }
+
+  test("leakageSafeSplit co-assigns every near-dup pair") {
+    val d = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "a b c d e f g x"),
+      (10L, "p q r s t u v w"), (11L, "p q r s t u v w"),
+      (20L, "lone wolf document one"),
+      (21L, "another unrelated text here")).toDF("doc_id", "text")
+    val pairs = TextOps.lshNearDupPairs(d, 3, rows = 2, num = 8, den = 10)
+    val clusters = TextOps.dedupClusters(pairs)
+    val out = TextOps.leakageSafeSplit(d, clusters, 30, 30)
+      .select("doc_id", "split_key", "split")
+      .as[(Long, Long, String)].collect()
+    val split = out.map(r => r._1 -> r._3).toMap
+    pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        assert(split(a) == split(b), s"pair ($a,$b) crossed splits") }
+    assert(split.size == 7) // every doc assigned, incl. singletons
+    val keys = out.map(r => r._1 -> r._2).toMap
+    assert(keys(20L) == 20L && keys(21L) == 21L) // singletons self-key
+    assert(keys(1L) == keys(2L)) // cluster members share the key
+    // the label matches datasetSplit's rule applied to the KEY
+    val byKey = TextOps.datasetSplit(
+      out.map(r => (r._2, "")).toSeq.toDF("doc_id", "text"),
+      "doc_id", 30, 30).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    out.foreach { case (_, k, sp) => assert(byKey(k) == sp) }
+  }
 }
