@@ -662,8 +662,15 @@ class CowTable(
     */
   def changeFeedWithPreimages(
       sinceVersion: Long, asOfVersion: Long): DataFrame = {
-    val feed = changeFeed(sinceVersion, asOfVersion)
-    if (sinceVersion == 0L) return feed // nothing existed before
+    val feed0 = changeFeed(sinceVersion, asOfVersion)
+    if (sinceVersion == 0L) return feed0 // nothing existed before
+    // checkpoint the window feed ONCE before deriving the preimage
+    // probe: the probe's point-read pruning (partition-value collect +
+    // candidate-file probe) and the final union's feed branch would
+    // otherwise EACH re-evaluate the whole change-feed subtree — 3-4
+    // scans of the churn window instead of one. The feed is
+    // churn-sized, so the materialization is bounded by the window.
+    val feed = feed0.localCheckpoint()
     val cur = manifestAt(asOfVersion)
     val idCols = (keyCols ++ partitionCols).distinct
     val probe = feed.select(idCols.map(col): _*).distinct()
