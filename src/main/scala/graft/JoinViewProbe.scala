@@ -80,15 +80,15 @@ object JoinViewProbe {
     val mj = new MaintainedJoin(spark, tmp("v"), a, b,
       on = Seq("o_custkey" -> "c_custkey"))
     measure("seed view (full join + write)") { mj.refresh() }
-    // the service layout for the maintenance probes. The view DECLARES
-    // clusterCols = fk (MaintainedJoin sets it), and since the round-14
-    // hardening recluster honors that contract — so the service pass is
-    // recluster(fk): fk ranges prune dim-churn hits, and fact-churn
-    // rewrites still prune through the record-key file index. 256
-    // files: churn maps to a small FRACTION of files only when the
+    // the service layout that serves BOTH maintenance probes: A-key
+    // ranges prune fact-churn rewrites, fk ranges prune dim-churn hits.
+    // The view DECLARES clusterCols = fk, so the z-order rewrite records
+    // its files as unordered (the bucket scan stops claiming in-file
+    // order) instead of refusing — two-axis FILE pruning with sound SMJ.
+    // 256 files: churn maps to a small FRACTION of files only when the
     // table has realistic file granularity (at 100 TB it has thousands)
-    measure("recluster(o_custkey)") {
-      mj.table.recluster(Seq("o_custkey"), parallelism = 256)
+    measure("reclusterZOrder(o_orderkey, o_custkey)") {
+      mj.table.reclusterZOrder("o_orderkey", "o_custkey", parallelism = 256)
     }
     val viewFiles = mj.table.manifest.baseFiles.size
     def rewritten(): Unit = println(s"[jvprobe]   view files rewritten: " +
@@ -116,8 +116,8 @@ object JoinViewProbe {
     val mjm = new MaintainedJoin(spark, tmp("vm"), a, b,
       on = Seq("o_custkey" -> "c_custkey"), viewStorage = "mor")
     measure("mor view: seed") { mjm.refresh() }
-    measure("mor view: recluster(o_custkey)") {
-      mjm.table.recluster(Seq("o_custkey"), parallelism = 256)
+    measure("mor view: reclusterZOrder") {
+      mjm.table.reclusterZOrder("o_orderkey", "o_custkey", parallelism = 256)
     }
     a.upsert(orders.filter(col("o_orderkey").between(nOrders / 4,
         nOrders / 4 + hot))

@@ -49,7 +49,13 @@ final case class GraftBucketScan(
       * path) — the basis for reported per-partition ordering. Empty =
       * files are not known-sorted, no ordering claimed.
       */
-    clusterCols: Seq[String] = Nil)
+    clusterCols: Seq[String] = Nil,
+    /** Manifest-relative paths of files whose in-file order is NOT
+      * clusterCols (a Z-order rewrite produced them): a partition built
+      * on such a file claims no ordering — a sort-merge join must keep
+      * its sorts over z-sorted rows.
+      */
+    unorderedFiles: Seq[String] = Nil)
   extends Scan with Batch
   with SupportsReportPartitioning with SupportsReportStatistics
   with SupportsReportOrdering {
@@ -113,9 +119,14 @@ final case class GraftBucketScan(
     * shuffles plus two spilled sorts.
     */
   override def outputOrdering(): Array[VSortOrder] = {
+    // relative-path suffix match: split paths are absolute (scheme-
+    // qualified), manifest entries are basePath-relative
+    def unordered(path: String): Boolean =
+      unorderedFiles.exists(r => path.endsWith("/" + r) || path == r)
     val sorted = clusterCols.nonEmpty && grouped.forall { case (_, fs) =>
       fs.map(_.filePath.toString).distinct.length == 1 &&
-        fs.sortBy(_.start).sameElements(fs)
+        fs.sortBy(_.start).sameElements(fs) &&
+        !unordered(fs.head.filePath.toString)
     }
     if (!sorted) Array.empty
     else clusterCols.map(c => Expressions.sort(

@@ -124,6 +124,17 @@ final case class Manifest(
       * cleaner liveness with the data ([[dvSidecarFiles]]).
       */
     dvs: Map[String, DvEntry] = Map.empty,
+    /** Base files whose IN-FILE row order is NOT the declared
+      * `clusterCols` order — the files a Z-ORDER rewrite produced
+      * (z-sorted for two-axis file pruning, so per-file column stats
+      * stay tight on BOTH axes). The bucket scan suppresses its
+      * per-partition ordering claim for exactly these files, keeping
+      * sort-merge joins sound, while every NORMAL commit rewrites its
+      * candidate files clusterCols-sorted — so entries age out as merges
+      * restore key locality (the publish funnel drops names no longer
+      * in the listing, like [[dvs]]). Empty on pre-round-9 manifests.
+      */
+    unorderedFiles: Seq[String] = Nil,
     /** ANALYZE output (lowercased column → stats) — the table-level
       * statistics [[CowTable.analyze]] computed, served to Spark's
       * cost-based optimizer through the DSv2 scan when FRESH
@@ -2661,6 +2672,16 @@ class CowTable(
         val live = (stamped0.partitions.valuesIterator ++
           stamped0.logPartitions.valuesIterator).flatten.toSet
         stamped0.dvs.filter(e => live(e._1))
+      },
+      // unordered-layout marks live exactly as long as their file: a
+      // merge/compaction/recluster that rewrites a z-ordered file writes
+      // the replacement clusterCols-sorted, so the mark must not outlive
+      // the listing entry
+      unorderedFiles = if (stamped0.unorderedFiles.isEmpty)
+        stamped0.unorderedFiles
+      else {
+        val live = stamped0.partitions.valuesIterator.flatten.toSet
+        stamped0.unorderedFiles.filter(live)
       })
     fs.mkdirs(commitsDir)
     var attempt = stamped
@@ -3151,12 +3172,12 @@ class CowTable(
   def reclusterZOrder(cols: Seq[String], parallelism: Int,
       bits: Int): Boolean = {
     require(cols.size >= 2, "z-order needs at least two columns")
-    // same contract guard as [[recluster]]: a z-order rewrite never
-    // preserves a declared clusterCols order
-    require(clusterCols.isEmpty,
-      s"reclusterZOrder would break the table's declared clusterCols=" +
-        s"${clusterCols.mkString(",")} write-path clustering contract " +
-        "(and the ordering the bucket scan reports)")
+    // a z-order rewrite never preserves a declared clusterCols order —
+    // legal anyway: the written files are RECORDED in the manifest's
+    // unorderedFiles, so the bucket scan stops claiming per-partition
+    // order for them (SMJ keeps its sorts) while their per-file stats
+    // prune on every z axis. Normal merges rewrite files
+    // clusterCols-sorted and the marks age out with the listing.
     val m = manifest
     if (m.partitions.isEmpty) return false
     val sch = m.schema
@@ -3193,6 +3214,8 @@ class CowTable(
       rangeSortCols = Seq(zc), dropCols = Seq(zc), idSchema = m.schema)
     writeManifest(withFileStats(
       m.copy(version = v, partitions = newFiles, operation = "cluster_z",
+        unorderedFiles = if (clusterCols.isEmpty) Nil
+          else newFiles.valuesIterator.flatten.toSeq.sorted,
         metrics = CowTable.writeStats(newFiles) +
           ("units_rewritten" -> m.partitions.size.toLong)),
       newFiles, m.schema))
@@ -4747,6 +4770,9 @@ object CowTable {
       "tombstones" -> listing(m.tombstones),
       // json4s drops JNothing pairs at render: pre-DV copies stay as-is
       "dvs" -> (if (m.shardRefs.nonEmpty) JNothing else dvsJson(m.dvs)),
+      // json4s drops JNothing pairs at render: ordered copies stay as-is
+      "unorderedFiles" -> (if (m.unorderedFiles.isEmpty) JNothing
+        else JArray(m.unorderedFiles.toList.sorted.map(JString(_)))),
       // json4s drops JNothing pairs at render: un-analyzed copies as-is
       "tableColStats" -> (if (m.tableColStats.isEmpty) JNothing
         else JObject(m.tableColStats.toSeq.sortBy(_._1).map {
@@ -4874,6 +4900,7 @@ object CowTable {
       droppedCols = strs(j \ "droppedCols"),
       tombstones = files(j \ "tombstones"),
       dvs = jDvs(j \ "dvs"),
+      unorderedFiles = strs(j \ "unorderedFiles"),
       shardRefs = strs(j \ "shards"),
       tableColStats = (j \ "tableColStats") match {
         case JObject(cs) => ListMap(cs.map { case (c, o) =>

@@ -223,4 +223,60 @@ class GraftSpjSpec extends SparkSpec with AdaptiveSparkPlanHelper {
           "otherwise would return wrong join results)")
     }
   }
+
+  test("z-ordered files suppress the ordering claim until rewritten") {
+    init()
+    def mk(name: String, rows: Seq[(Long, Double)]): graft.table.CowTable = {
+      spark.sql(s"""CREATE TABLE spj.lake.$name (k BIGINT, v DOUBLE)
+        USING graft TBLPROPERTIES ('keyCols'='k', 'numBuckets'='4',
+          'clusterCols'='k')""")
+      rows.toDF("k", "v").createOrReplaceTempView(s"spj_src_$name")
+      spark.sql(
+        s"INSERT INTO spj.lake.$name SELECT k, v FROM spj_src_$name")
+      val t = graft.table.CowTable.open(spark, s"$wh/lake/$name")
+      t.compact(maxFilesPerUnit = 1)
+      t
+    }
+    val ta = mk("za", (1L to 500L).map(k => k -> (k % 7) * 1.0))
+    val tb = mk("zb", (300L to 700L).map(k => k -> k * 10.0))
+    // a 2-axis z-order on the clusterCols-declared table is LEGAL now:
+    // the rewrite records its files as unordered instead of refusing
+    assert(ta.reclusterZOrder("k", "v", parallelism = 4))
+    assert(ta.manifest.unorderedFiles.nonEmpty &&
+      ta.manifest.unorderedFiles.toSet ==
+        ta.manifest.partitions.valuesIterator.flatten.toSet,
+      "every z-written file must carry the unordered mark")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "true") {
+      def join() = spark.sql("""SELECT a.k, a.v AS va, b.v AS vb
+        FROM spj.lake.za a JOIN spj.lake.zb b ON a.k = b.k""")
+      val df = join()
+      val got = df.as[(Long, Double, Double)].collect().toSet
+      assert(got ==
+        (300L to 500L).map(k => (k, (k % 7) * 1.0, k * 10.0)).toSet,
+        "join over z-ordered files must stay correct")
+      val sorts = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case x: org.apache.spark.sql.execution.SortExec => x }
+      assert(sorts.nonEmpty,
+        "z-ordered files are not key-sorted: SMJ must keep its sorts " +
+          s"(claiming otherwise corrupts the join):\n" +
+          s"${df.queryExecution.executedPlan}")
+      // a recluster back to the declared layout clears the marks and
+      // restores the no-sort join
+      assert(ta.recluster(Seq("k"), parallelism = 4))
+      ta.compact(maxFilesPerUnit = 1)
+      assert(ta.manifest.unorderedFiles.isEmpty,
+        "rewritten files must drop their unordered marks at publish")
+      val df2 = join()
+      df2.collect()
+      val sorts2 = collectWithSubqueries(df2.queryExecution.executedPlan) {
+        case x: org.apache.spark.sql.execution.SortExec => x }
+      assert(sorts2.isEmpty,
+        "restored key order must bring the sort-free SMJ back:\n" +
+          s"${df2.queryExecution.executedPlan}")
+    }
+  }
 }
