@@ -27,10 +27,13 @@ import graft.table.CowTable
   *
   * The B-side probe is a point read through B's record-key file index
   * ([[CowTable.lookupByKeys]]); the view-side fk probe benefits from the
-  * view table's `clusterCols`/`statsCols` on fk (set automatically) — at
-  * 100 TB run `recluster(fk)` (or [[CowTable.reclusterZOrder]] with a
-  * second access axis) on the view on the usual service cadence to keep
-  * that probe file-pruned.
+  * view table's `clusterCols`/`statsCols` on fk (set automatically).
+  * Service-layout guidance, measured in BASELINE.md (JoinViewProbe):
+  * dim-dominated churn wants `recluster(fk)` (tightest fk stripes);
+  * churn on BOTH sides wants `reclusterZOrder(aKey, fk)` — legal on the
+  * fk-declared view via the manifest's unordered-file tracking, and it
+  * cut fact-churn rewrites 11x over fk-linear at ~2x the dim-churn
+  * candidates; scattered/fact-heavy churn wants `viewStorage = "mor"`.
   *
   * High-water marks (the last folded version of each source) ride the
   * view's OWN commit metrics — the view is its own exactly-once ledger,
