@@ -181,6 +181,45 @@ object Regression {
       .orderBy(groupCols.map(asc_nulls_first): _*)
   }
 
+  /** Quantize an exact rational coefficient `num/den` to a BIGINT
+    * micro-unit integer `⌊10⁶·num/den⌋` (floor division, sign-correct:
+    * `pmod` keeps the remainder in `[0, den)` so negative numerators
+    * floor toward −∞ exactly like `BigInt` floor-div). Requires
+    * `den > 0` — always true for the Gram determinants here (XᵀX is
+    * positive-definite whenever it is non-singular). NULL-in → NULL-out,
+    * so singular groups stay NULL.
+    *
+    * This is the battery's cross-engine output form: the raw numerators
+    * exceed 2⁶³ (den ≈ 8·10¹⁹ at sf0.1) and a >2⁶³ HUGEINT→DECIMAL cast
+    * is engine-version-dependent in DuckDB (older versions route it
+    * through DOUBLE), while the quantized coefficients are ~10⁶–10⁹ and
+    * survive any engine's cast path exactly. The multiply stays inside
+    * DECIMAL(38,0): |num|·10⁶ ≈ 8·10²⁵ ≪ 10³⁸.
+    */
+  def microCoef(num: Column, den: Column, unit: Long = 1000000L): Column = {
+    val scaled = num.cast(D38) * lit(unit)
+    val floored = scaled - pmod(scaled, den.cast(D38))
+    // exact multiple of den, so the decimal divide is exact and the
+    // LONG cast truncates nothing
+    (floored / den.cast(D38)).cast("long")
+  }
+
+  /** [[fitPlaneGrouped]] with the coefficients quantized to BIGINT
+    * micro-units via [[microCoef]]: per group `n` and
+    * `icept_micro / x1_micro / x2_micro` = ⌊10⁶·βᵢ⌋. Same single
+    * moment-pass plan — the projection is a per-group constant-time
+    * expression on the already-aggregated row.
+    */
+  def fitPlaneGroupedMicro(df: DataFrame, groupCols: Seq[String],
+      x1: Column, x2: Column, y: Column): DataFrame = {
+    val fit = fitPlaneGrouped(df, groupCols, x1, x2, y)
+    fit.select(groupCols.map(col) ++ Seq(col("n"),
+        microCoef(col("icept_num"), col("den")).as("icept_micro"),
+        microCoef(col("x1_num"), col("den")).as("x1_micro"),
+        microCoef(col("x2_num"), col("den")).as("x2_micro")): _*)
+      .orderBy(groupCols.map(asc_nulls_first): _*)
+  }
+
   /** 3×3 determinant by cofactor expansion over an element accessor.
     * [[det3Sql]] renders the identical expansion as SQL text, so the
     * Spark plan and the generated oracle evaluate the exact same integer

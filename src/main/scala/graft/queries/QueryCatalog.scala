@@ -1606,14 +1606,20 @@ object QueryCatalog {
     * the coefficients are bit-identical at any parallelism and in any
     * engine; the oracle's determinant SQL is GENERATED from the same
     * cofactor expansion ([[graft.ml.Regression.det3Sql]]) the Spark
-    * columns use. Numerators exceed 2^63 at sf0.1 (den ~ n·Σx1²·Σx2² ≈
-    * 8e19), so this row also certifies the DECIMAL(38,0)/HUGEINT output
-    * path end-to-end. The oracle ACCUMULATES every moment in
+    * columns use. The raw numerators exceed 2^63 at sf0.1
+    * (den ~ n·Σx1²·Σx2² ≈ 8e19), and a >2^63 HUGEINT→DECIMAL output cast
+    * is DuckDB-version-dependent (older engines route it through DOUBLE),
+    * so the row's CONTRACT is the quantized form: BIGINT micro-unit
+    * coefficients ⌊10⁶·βᵢ⌋ via sign-correct floor division
+    * ([[graft.ml.Regression.microCoef]]) — every emitted cell is ≲10⁹ and
+    * survives any engine's cast/canonicalization path exactly, while the
+    * multiply-divide stays inside HUGEINT/DECIMAL(38,0) (num·10⁶ ≈ 8e25).
+    * The full-precision DECIMAL(38,0) numerators remain spec-pinned
+    * locally (RegressionSpec). The oracle ACCUMULATES every moment in
     * DECIMAL(38,0) — `sum(HUGEINT)`'s result type and exactness are
-    * DuckDB-version-dependent (older engines route it through DOUBLE,
-    * silently losing exactness past 2^53), while decimal sums are exact
-    * in every version; HUGEINT is used only for the per-row products and
-    * the determinant arithmetic, where multiply semantics are stable.
+    * DuckDB-version-dependent too — and uses HUGEINT only for per-row
+    * products, determinant arithmetic and the quantizing modulo/divide,
+    * where integer semantics are stable across versions.
     */
   private val olsPlaneFit = Q(
     (s, d) => {
@@ -1623,7 +1629,7 @@ object QueryCatalog {
         .select(col("lang"), size(col("toks")).as("x1"),
           col("n_chars").as("x2"),
           TextOps.stopwordCount(col("toks"), TextOps.Stopwords).as("y"))
-      graft.ml.Regression.fitPlaneGrouped(docs, Seq("lang"),
+      graft.ml.Regression.fitPlaneGroupedMicro(docs, Seq("lang"),
           col("x1"), col("x2"), col("y"))
         .orderBy(asc_nulls_first("lang"))
     },
@@ -1646,6 +1652,15 @@ object QueryCatalog {
       val nums = Seq("icept_num", "x1_num", "x2_num").zipWithIndex.map {
         case (nm, j) => s"${det3Sql(a(j))} AS $nm"
       }.mkString(",\n    ")
+      // ⌊10⁶·num/den⌋ in pure HUGEINT integer ops (stable across DuckDB
+      // versions, unlike a >2^63 HUGEINT→DECIMAL output cast): subtract
+      // the positive modulus, then the integer divide is exact
+      val microSel = Seq("icept", "x1", "x2").map { nm =>
+        val s = s"(${nm}_num * 1000000::HUGEINT)"
+        s"CAST(CASE WHEN den = 0 THEN NULL ELSE\n" +
+          s"    ($s - (($s % den) + den) % den) // den END\n" +
+          s"    AS BIGINT) AS ${nm}_micro"
+      }.mkString(",\n  ")
       s"""WITH q AS (SELECT lang, CAST(1 AS BIGINT) AS x0,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
          |    n_chars AS x2,
@@ -1661,14 +1676,7 @@ object QueryCatalog {
          |    ${det3Sql(m)} AS den
          |  FROM g)
          |SELECT lang, n,
-         |  CAST(CASE WHEN den = 0 THEN NULL ELSE icept_num END
-         |    AS DECIMAL(38,0)) AS icept_num,
-         |  CAST(CASE WHEN den = 0 THEN NULL ELSE x1_num END
-         |    AS DECIMAL(38,0)) AS x1_num,
-         |  CAST(CASE WHEN den = 0 THEN NULL ELSE x2_num END
-         |    AS DECIMAL(38,0)) AS x2_num,
-         |  CAST(CASE WHEN den = 0 THEN NULL ELSE den END
-         |    AS DECIMAL(38,0)) AS den
+         |  $microSel
          |FROM d ORDER BY lang""".stripMargin
     })
 

@@ -150,6 +150,51 @@ class RegressionSpec extends SparkSpec {
     assert(nums(2) == BigInt(-1) * den)
   }
 
+  test("micro-unit plane coefficients equal BigInt floor division") {
+    // mixed-sign coefficients: y = -2 + 3*x1 - 2*x2 + noise so the
+    // rationals are non-integral and negative numerators exercise the
+    // sign-correct floor (pmod) path
+    val df = spark.range(900).select(
+      (col("id") % 3).cast("string").as("g"),
+      (col("id") % 23).as("x1"),
+      ((col("id") * 7) % 41).as("x2"),
+      ((col("id") * 3) % 41 - lit(20) + (col("id") % 23) * 3
+        - ((col("id") * 7) % 41) * 2).as("y"))
+    val full = Regression.fitPlaneGrouped(df, Seq("g"),
+      col("x1"), col("x2"), col("y")).collect()
+    val micro = Regression.fitPlaneGroupedMicro(df, Seq("g"),
+      col("x1"), col("x2"), col("y")).collect()
+    assert(micro.length == full.length)
+    full.zip(micro).foreach { case (f, m) =>
+      assert(f.getString(0) == m.getString(0))
+      assert(f.getLong(1) == m.getLong(1))
+      val den = BigInt(f.getDecimal(5).toBigInteger)
+      assert(den > 0) // positive-definite Gram: microCoef's precondition
+      Seq(2, 3, 4).zip(Seq(2, 3, 4)).foreach { case (fi, mi) =>
+        val num = BigInt(f.getDecimal(fi).toBigInteger)
+        // BigInt floorDiv: BigInt's / truncates, so adjust explicitly
+        val scaled = num * 1000000
+        val q = (scaled - (((scaled % den) + den) % den)) / den
+        assert(BigInt(m.getLong(mi)) == q,
+          s"group ${f.getString(0)} col $mi")
+      }
+    }
+    // at least one coefficient must be negative and non-integral for the
+    // floor path to count as exercised
+    assert(micro.exists(r => (2 to 4).exists(i => r.getLong(i) < 0)))
+    assert(micro.exists(r =>
+      (2 to 4).exists(i => r.getLong(i) % 1000000 != 0)))
+  }
+
+  test("micro-unit plane fit emits nulls on singular groups") {
+    val pts = (0 to 9).map(i => ("g", i.toLong, 3L * i, i + 2L))
+    val df = pts.toDF("g", "x1", "x2", "y")
+    val r = Regression.fitPlaneGroupedMicro(df, Seq("g"),
+      col("x1"), col("x2"), col("y")).collect()(0)
+    assert(r.getLong(1) == 10)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
   test("collinear features are rejected, not silently mis-solved") {
     val pts = (0 to 5).map(i => ("g", i.toLong, 2L * i, i + 1L))
     val df = pts.toDF("g", "x1", "x2", "y")
