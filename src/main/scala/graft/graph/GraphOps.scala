@@ -30,47 +30,72 @@ object GraphOps {
     * `teleport = init * 15 / 100`.
     *
     * Scale shape: per iteration, ONE join (the edge table against the
-    * current rank vector — broadcastable while ranks are compact) and ONE
-    * map-side-combinable shuffle: nodes that receive no contribution are
-    * folded in as zero-mass rows UNIONed into the same aggregation, not
-    * re-joined against the id set, so no second exchange exists per
-    * round. The plan lineage grows linearly in `iters` (no exponential
-    * blowup); `checkpointEvery` (default 10) truncates it with an eager
-    * `localCheckpoint` every that-many rounds — executor-local blocks,
-    * so a lost executor on a real cluster recomputes from the last
-    * checkpoint; pass 0 to keep pure lineage. Overflow bound: requires
+    * current rank vector) and ONE map-side-combinable shuffle: nodes that
+    * receive no contribution are folded in as zero-mass rows UNIONed into
+    * the same aggregation, not re-joined against the id set, so no second
+    * exchange exists per round. The zeros ride a `1` marker and the
+    * aggregation keeps only marker-carrying ids, so the OUTPUT node set is
+    * exactly the out-degree (`src`) nodes — on directed graphs
+    * contributions landing on sink (dst-only) nodes are dropped, per the
+    * convention above (the marker is a max-agg column inside the same
+    * exchange, not an extra join).
+    *
+    * While the graph is compact (`|V| <= broadcastMaxNodes`, decided from
+    * the materialized degree table) the per-round join BROADCASTS the rank
+    * vector — the edge table is never exchanged inside the loop — and each
+    * round is pinned with an eager `localCheckpoint` so the next round's
+    * broadcast collects the tiny checkpointed vector instead of replaying
+    * every prior round's plan (broadcast subtrees are planned per job and
+    * see no cross-job exchange reuse). Above the threshold the rounds run
+    * as shuffle joins and `checkpointEvery` (default 10) truncates the
+    * linearly-growing lineage instead — executor-local blocks, so a lost
+    * executor on a real cluster recomputes from the last checkpoint; pass
+    * 0 to keep pure lineage. Overflow bound: requires
     * `85 * |V| * init < 2^63` (≈10^8 nodes at the default init 10^12 —
     * shrink `init` for bigger graphs).
     *
-    * The degree-annotated edge table and degree table are loop-invariant
-    * and referenced by every round, so both are `persist()`ed — without
-    * this, EVERY iteration's lineage re-derives the edge list from its
-    * base scans (observed: ~10 redundant fact scans at 3 rounds). Cache
-    * contract as in [[graft.queries.QueryCatalog]]: entries release via
-    * `spark.catalog.clearCache()` (Bench/Verify do) or session teardown.
+    * The edge list, degree table and degree-annotated edge table are
+    * loop-invariant and referenced by every round, so all three are
+    * `persist()`ed — without this, EVERY iteration's lineage re-derives
+    * the edge list from its base scans (observed: ~10 redundant fact scans
+    * at 3 rounds). Cache contract as in [[graft.queries.QueryCatalog]]:
+    * entries release via `spark.catalog.clearCache()` (Bench/Verify do)
+    * or session teardown.
     */
   def pageRank(
       edges: DataFrame,
       iters: Int,
       init: Long = 1000000000000L,
-      checkpointEvery: Int = 10): DataFrame = {
+      checkpointEvery: Int = 10,
+      broadcastMaxNodes: Long = 2000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val teleport = init / 100L * 15L
-    val e = edges.select(col("src"), col("dst"))
+    // cache the bare edge list too: deg and ed materialize in different
+    // jobs (deg.count() sizes the graph first), and exchange reuse never
+    // spans jobs — uncached, the caller's edge derivation would run twice
+    val e = edges.select(col("src"), col("dst")).persist()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
-    val ed = e.join(deg, "src").persist()
-    val zeros = deg.select(col("src").as("id"), lit(0L).as("c"))
+    val nV = deg.count()
+    val compact = nV <= broadcastMaxNodes
+    val ed = e.join(if (compact) broadcast(deg) else deg, "src").persist()
+    val zeros = deg.select(col("src").as("id"), lit(0L).as("c"),
+      lit(1).as("m"))
     var r = deg.select(col("src").as("id"), lit(init).as("rank"))
+    if (compact) r = r.localCheckpoint()
     for (i <- 1 to iters) {
+      val rv = if (compact) broadcast(r) else r
       r = ed
-        .join(r, ed("src") === r("id"))
-        .select(ed("dst").as("id"), expr("rank div deg").as("c"))
+        .join(rv, ed("src") === rv("id"))
+        .select(ed("dst").as("id"), expr("rank div deg").as("c"),
+          lit(0).as("m"))
         .unionAll(zeros) // non-receiving nodes keep a row without a join
         .groupBy("id")
-        .agg(sum(col("c")).as("s"))
+        .agg(sum(col("c")).as("s"), max(col("m")).as("m"))
+        .where(col("m") === 1) // rank only the out-degree node set
         .select(col("id"),
           (lit(teleport) + expr("(85 * s) div 100")).as("rank"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+      if (compact && i < iters) r = r.localCheckpoint()
+      else if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         r = r.localCheckpoint()
     }
     r

@@ -52,16 +52,43 @@ class GraphOpsSpec extends SparkSpec {
     assert(m("h0") > m("n1") && m("h1") > m("n2"))
   }
 
+  test("pageRank: directed sinks are not ranked (src-only node set)") {
+    // d is a pure sink (dst-only): it receives mass but emits no row,
+    // in both the broadcast and the shuffle-join regimes
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "d"), ("b", "d"))
+      .toDF("src", "dst")
+    val compact = GraphOps.pageRank(edges, 3, 1000000L)
+      .as[(String, Long)].collect().toMap
+    val big = GraphOps.pageRank(edges, 3, 1000000L, broadcastMaxNodes = 0)
+      .as[(String, Long)].collect().toMap
+    assert(compact.keySet == Set("a", "b"), s"got ${compact.keySet}")
+    assert(big == compact,
+      "shuffle-join regime must emit identical ranks and node set")
+  }
+
+  test("pageRank: broadcast regime equals shuffle regime exactly") {
+    val edges = (1 to 40).flatMap { i =>
+      val hub = "h" + (i % 3)
+      Seq((s"n$i", hub), (hub, s"n$i"))
+    }.toDF("src", "dst")
+    val bc = GraphOps.pageRank(edges, 4).as[(String, Long)].collect().toMap
+    val sh = GraphOps.pageRank(edges, 4, broadcastMaxNodes = 0)
+      .as[(String, Long)].collect().toMap
+    assert(bc == sh)
+  }
+
   test("deep iteration: checkpointed lineage equals pure lineage") {
     val edges = (1 to 12).flatMap { i =>
       val hub = "h" + (i % 2)
       Seq((s"n$i", hub), (hub, s"n$i"))
     }.toDF("src", "dst")
-    // 7 rounds crosses checkpointEvery=3 twice (after rounds 3 and 6)
-    val pure = GraphOps.pageRank(edges, 7, checkpointEvery = 0)
-      .as[(String, Long)].collect().toMap
-    val ck = GraphOps.pageRank(edges, 7, checkpointEvery = 3)
-      .as[(String, Long)].collect().toMap
+    // 7 rounds crosses checkpointEvery=3 twice (after rounds 3 and 6);
+    // broadcastMaxNodes=0 forces the shuffle regime, where checkpointEvery
+    // is the operative lineage control
+    val pure = GraphOps.pageRank(edges, 7, checkpointEvery = 0,
+      broadcastMaxNodes = 0).as[(String, Long)].collect().toMap
+    val ck = GraphOps.pageRank(edges, 7, checkpointEvery = 3,
+      broadcastMaxNodes = 0).as[(String, Long)].collect().toMap
     assert(ck == pure, "localCheckpoint must not change any rank")
     val pureH = GraphOps.hopDistances(edges, Seq("n1"), 5,
       checkpointEvery = 0).as[(String, Long)].collect().toMap
