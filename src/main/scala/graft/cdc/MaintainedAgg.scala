@@ -217,12 +217,34 @@ final class MaintainedAgg(
         // retracts iff the old image passed — one row-level filter
         T("feed")(rowFilter.map(f0.filter).getOrElse(f0).localCheckpoint(false))
       } catch {
-        // mark aged out of the source's retained timeline: reseed
-        case _: IllegalArgumentException | _: java.io.FileNotFoundException =>
+        // mark aged out of the source's retained timeline (driver-side
+        // manifest miss) or a data file already cleaned at DataFrame
+        // construction: reseed
+        case t: Throwable if t.isInstanceOf[IllegalArgumentException] ||
+            MaintainedJoin.retentionRace(t) =>
           table.overwrite(recompute(src.snapshot()),
             extraMetrics = Map(Mark -> head))
           return current
       }
+    // the lazily-checkpointed feed reads its data files inside the fold's
+    // jobs; a retention clean racing the fold surfaces there as a
+    // (Spark-wrapped) FileNotFoundException — route it to the same reseed
+    // as a driver-side manifest miss. Safe: the fold is a single commit,
+    // so a caught crash left no partial state behind, and the reseed
+    // overwrite is correct from any prior state.
+    try foldWindow(feed, head)
+    catch {
+      case t: Throwable if MaintainedJoin.retentionRace(t) =>
+        table.overwrite(recompute(src.snapshot()),
+          extraMetrics = Map(Mark -> head))
+        current
+    }
+  }
+
+  /** Apply one change-feed window to the state as a single merge commit
+    * (updates + deletes + mark advance atomically).
+    */
+  private def foldWindow(feed: DataFrame, head: Long): DataFrame = {
     // internal aliases are _ma_-reserved: a GROUP column may legitimately
     // be named "v"/"w" (e.g. MaintainedDistinct's support level groups by
     // the value column)

@@ -178,8 +178,11 @@ final class MaintainedJoin(
     // materializes inside the first job that consumes it — the B-probe
     // collect or `affected`'s EAGER checkpoint — instead of paying a
     // dedicated round per feed. Downstream consumers then read the
-    // checkpointed blocks. The reseed-detecting manifest errors still
-    // surface here — manifestAt resolves eagerly on the driver.
+    // checkpointed blocks. Driver-side manifest resolution errors still
+    // surface here (manifestAt is eager), but laziness moves the DATA
+    // FILE reads into fold()'s first consuming job — a retention clean
+    // racing the fold surfaces there instead, so fold() is wrapped in the
+    // same reseed net below.
     // ... and the two lazy checkpoints still pay their catalyst planning
     // (toRdd) up front on the driver — two independent plans, so plan
     // them on two threads
@@ -197,13 +200,27 @@ final class MaintainedJoin(
         Some((fa.map(Await.result(_, Duration.Inf)),
           fb.map(Await.result(_, Duration.Inf))))
       } catch {
-        // a mark aged out of a source's retained timeline: reseed
-        case _: IllegalArgumentException | _: java.io.FileNotFoundException =>
+        // a mark aged out of a source's retained timeline (driver-side
+        // manifest miss) or a data/tombstone file already cleaned at
+        // DataFrame construction: reseed
+        case t: Throwable if t.isInstanceOf[IllegalArgumentException] ||
+            MaintainedJoin.retentionRace(t) =>
           None
       }
     windows match {
       case None => reseed(ea, eb)
-      case Some((feedA, feedB)) => fold(feedA, feedB, ea, eb)
+      case Some((feedA, feedB)) =>
+        // the lazily-checkpointed feeds read their data files inside
+        // fold()'s first consuming job; a retention clean racing the fold
+        // surfaces there as a (Spark-wrapped) FileNotFoundException —
+        // route it to the same reseed path as a driver-side manifest miss.
+        // Reseed is a full overwrite from the current sources, so it is
+        // correct even if fold already committed part of its work.
+        try fold(feedA, feedB, ea, eb)
+        catch {
+          case t: Throwable if MaintainedJoin.retentionRace(t) =>
+            reseed(ea, eb)
+        }
     }
   }
 
@@ -250,11 +267,11 @@ final class MaintainedJoin(
     // ΔA images win over view images for identities in both sets; rows
     // ΔA DELETES are dropped from the image set outright (a B-churn hit
     // on a concurrently-deleted A row must not resurrect it — and
-    // re-joining it is wasted work). Cached once (lazily): the plan
-    // behind it (feed joins + the pruned view probe) is otherwise
-    // re-evaluated by the emptiness gate, the B-probe distinct AND the
-    // merge input — the gate's limit-1 probe doubles as the cache's
-    // first materializing action.
+    // re-joining it is wasted work). Checkpointed EAGERLY (multi-consumer:
+    // the emptiness gate, the B-probe distinct AND the merge input all
+    // read it — a lazy checkpoint referenced twice inside one job
+    // computes its subtree twice), so the plan behind it (feed joins +
+    // the pruned view probe) runs exactly once, at the checkpoint.
     val affected = ((upsA, hitByB) match {
       case (Some(u), Some(h)) =>
         val uIds = u.select(a.mergeIdCols.map(col): _*)
@@ -338,4 +355,30 @@ object MaintainedJoin {
     * value collect stays bounded, and stripes would cover it anyway).
     */
   val MaxProbeValues = 10000
+
+  /** True when the throwable (or any nested cause — executor failures
+    * arrive Spark-wrapped) is a missing-data-file error, the signature of
+    * a retention clean racing an incremental fold. Two shapes exist:
+    * `FileNotFoundException` from an executor task whose file vanished
+    * after resolution, and a driver-side `AnalysisException` with the
+    * `PATH_NOT_FOUND` condition when the file was already gone at
+    * DataFrame construction. Callers route both to a full reseed rather
+    * than failing the refresh.
+    */
+  private[cdc] def retentionRace(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var hops = 0
+    while (c != null && hops < 16) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if Option(a.getCondition).exists(_.startsWith("PATH_NOT_FOUND"))
+          => return true
+        case _ =>
+      }
+      c = if (c.getCause eq c) null else c.getCause
+      hops += 1
+    }
+    false
+  }
 }

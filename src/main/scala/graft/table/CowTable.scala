@@ -1847,7 +1847,12 @@ class CowTable(
       // (the lookup pattern the blooms exist for) still go through them.
       // (keyCount is the raw probe count from the range pass's
       // accumulator — duplicates inflate it, which is the RIGHT bias:
-      // probes, not identities, are what hit the blooms.)
+      // probes, not identities, are what hit the blooms. Spark also does
+      // NOT dedupe accumulator updates from retried/speculative shuffle-map
+      // tasks, so retries can inflate it further — same direction, same
+      // consequence: skip the bloom pass and take the range answer, which
+      // is always sound, just less pruned. A heuristic input only; never
+      // feed this accumulator into anything correctness-bearing.)
       val keyCount = probeCount.value
       if (keyCount >= 20L * math.max(inRange.size, 1))
         return materialize(inRange)

@@ -249,6 +249,56 @@ class MaintainedAggSpec extends SparkSpec {
     assert(!st.contains("g3"))
   }
 
+  test("retention clean racing the fold reseeds instead of crashing") {
+    val src = new CowTable(spark, tmpDir("ma4-src"), keyCols = Seq("k"),
+      precombineField = "v", trackCommitVersions = true)
+    src.bulkInsert(rows(("a", "g1", 1), ("b", "g2", 2)))
+    val ma = new MaintainedAgg(spark, tmpDir("ma4-st"), src,
+      AggSpec(Seq("grp"), "v"))
+    ma.refresh()
+    src.upsert(rows(("a", "g1", 5))) // rewrites the unit holding a
+    // a racing cleaner removes v1's rewritten (no-longer-live) file the
+    // preimage read still needs: the feed's DataFrame construction fails
+    // driver-side with PATH_NOT_FOUND, which must reseed, not crash
+    val gone = src.manifestAt(1).files.toSet -- src.manifest.files.toSet
+    assert(gone.nonEmpty, "the upsert must rewrite a file")
+    gone.foreach(f =>
+      assert(new java.io.File(src.basePath, f).delete(), s"delete $f"))
+    assert(state(ma.refresh()) == oracle(src))
+    assert(ma.table.manifest.operation == "overwrite",
+      "fold-phase retention race must take the reseed path")
+    // and subsequent refreshes are incremental again
+    src.upsert(rows(("c", "g3", 3)))
+    assert(state(ma.refresh()) == oracle(src))
+    assert(ma.table.manifest.operation != "overwrite")
+  }
+
+  test("executor-side missing file inside the fold reseeds") {
+    // a file that vanishes AFTER DataFrame construction surfaces as a
+    // Spark-wrapped FileNotFoundException in the fold's first consuming
+    // job; simulate that race deterministically with a feed that blows
+    // on first materialization
+    val src = new CowTable(spark, tmpDir("ma5-src"), keyCols = Seq("k"),
+      precombineField = "v", trackCommitVersions = true) {
+      override def changeFeedWithPreimages(s: Long, a: Long): DataFrame = {
+        val boom = udf { (k: String) =>
+          if (k != null)
+            throw new java.io.FileNotFoundException("raced data file")
+          true
+        }
+        super.changeFeedWithPreimages(s, a).filter(boom(col("k")))
+      }
+    }
+    val ma = new MaintainedAgg(spark, tmpDir("ma5-st"), src,
+      AggSpec(Seq("grp"), "v"))
+    src.bulkInsert(rows(("a", "g1", 1)))
+    ma.refresh() // seed: no feed involved
+    src.upsert(rows(("b", "g2", 2)))
+    assert(state(ma.refresh()) == oracle(src))
+    assert(ma.table.manifest.operation == "overwrite",
+      "fold-phase missing file must take the reseed path")
+  }
+
   test("mark ages out of source retention: transparent reseed") {
     val src = new CowTable(spark, tmpDir("ma3-src"), keyCols = Seq("k"),
       trackCommitVersions = true, keepCommits = 2)

@@ -117,6 +117,74 @@ class MaintainedJoinSpec extends SparkSpec {
     assert(mj.table.manifest.operation != "overwrite")
   }
 
+  test("cleaned tombstone file at feed construction reseeds, not crashes") {
+    val a = srcA(tmpDir("mjr-a"))
+    val b = srcB(tmpDir("mjr-b"))
+    a.bulkInsert(aRows(("o1", "c1", 1), ("o2", "c1", 2)))
+    b.bulkInsert(bRows(("c1", "gold")))
+    val mj = new MaintainedJoin(spark, tmpDir("mjr-v"), a, b,
+      on = Seq("cust" -> "cust"))
+    mj.refresh()
+    a.delete(aRows(("o2", "c1", 0))) // window anchors a tombstone file
+    // a MISBEHAVING cleaner (one that ignores feedAnchoredFiles) removes
+    // the tombstone the feed window still needs: the feed's DataFrame
+    // construction then fails driver-side with PATH_NOT_FOUND — must
+    // reseed, not crash
+    val ts = a.manifest.tombstones.values.flatten.toSeq
+    assert(ts.nonEmpty, "the delete must write a tombstone file")
+    ts.foreach(f =>
+      assert(new java.io.File(a.basePath, f).delete(), s"delete $f"))
+    assert(asMap(mj.refresh()) == Map(
+      "o1" -> (("c1", 1.0, Some("gold")))))
+    assert(mj.table.manifest.operation == "overwrite",
+      "cleaned-file feed construction must take the reseed path")
+    // and subsequent refreshes are incremental again
+    a.upsert(aRows(("o3", "c1", 4)))
+    assert(asMap(mj.refresh()).contains("o3"))
+    assert(mj.table.manifest.operation != "overwrite")
+  }
+
+  test("executor-side missing file inside the fold reseeds") {
+    // a file that vanishes AFTER DataFrame construction surfaces as a
+    // Spark-wrapped FileNotFoundException in the fold's first consuming
+    // job; simulate that race deterministically with a feed that blows
+    // on first materialization
+    val a = new CowTable(spark, tmpDir("mjr2-a"), keyCols = Seq("k"),
+      precombineField = "v", trackCommitVersions = true) {
+      override def changeFeed(s: Long, e: Long): DataFrame = {
+        val boom = udf { (k: String) =>
+          if (k != null)
+            throw new java.io.FileNotFoundException("raced data file")
+          true
+        }
+        super.changeFeed(s, e).filter(boom(col("k")))
+      }
+    }
+    val b = srcB(tmpDir("mjr2-b"))
+    a.bulkInsert(aRows(("o1", "c1", 1)))
+    b.bulkInsert(bRows(("c1", "gold")))
+    val mj = new MaintainedJoin(spark, tmpDir("mjr2-v"), a, b,
+      on = Seq("cust" -> "cust"))
+    mj.refresh() // seed: no feed involved
+    a.upsert(aRows(("o2", "c1", 2)))
+    assert(asMap(mj.refresh()) == Map(
+      "o1" -> (("c1", 1.0, Some("gold"))),
+      "o2" -> (("c1", 2.0, Some("gold")))))
+    assert(mj.table.manifest.operation == "overwrite",
+      "fold-phase missing file must take the reseed path")
+  }
+
+  test("retentionRace detects nested missing-file causes only") {
+    val fnf = new java.io.FileNotFoundException("gone.parquet")
+    val wrapped = new RuntimeException("job aborted",
+      new RuntimeException("stage failure", fnf))
+    assert(MaintainedJoin.retentionRace(wrapped))
+    assert(!MaintainedJoin.retentionRace(new RuntimeException("other")))
+    // self-referential cause chains terminate
+    val self = new RuntimeException("self")
+    assert(!MaintainedJoin.retentionRace(self))
+  }
+
   test("model check: random churn on both sides == full recompute") {
     val a = srcA(tmpDir("mj5-a"))
     val b = srcB(tmpDir("mj5-b"))
