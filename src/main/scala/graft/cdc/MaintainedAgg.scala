@@ -272,21 +272,35 @@ final class MaintainedAgg(
         max(col(s"_ma_u_$c")).as(s"u_max_$c"),
         min(col(s"_ma_r_$c")).as(s"r_min_$c"),
         max(col(s"_ma_r_$c")).as(s"r_max_$c")))
-    val delta = T("delta")(signed.groupBy(g.map(col): _*)
-      .agg(dAggs.head, dAggs.tail: _*).localCheckpoint())
-    val marksM = Map(Mark -> head)
-    if (delta.isEmpty) {
-      // stamp-filtered feed held nothing: still advance the ledger
-      table.delete(current.limit(0), extraMetrics = marksM)
-      return current
-    }
-    // fold ONLY the touched groups: a POINT READ of the delta's group
+    // The delta aggregation and the state point-read are INDEPENDENT
+    // jobs: the lookup's probe keys are the feed's distinct U/B groups —
+    // exactly the delta's group set, available without waiting for the
+    // aggregation. Run them on two threads (both scan the feed's lazily
+    // checkpointed blocks; concurrent block computation is
+    // single-flighted by the block manager), halving this stage of the
+    // fold's sequential job-round chain.
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val deltaF = Future(blocking(T("delta")(signed.groupBy(g.map(col): _*)
+      .agg(dAggs.head, dAggs.tail: _*).localCheckpoint())))
+    // fold ONLY the touched groups: a POINT READ of the churned group
     // keys (bucket/file-index pruned on a bucketed state table) replaces
     // a full state scan, so refresh cost scales with the window's churn
     // — never with the number of groups the state has accumulated. The
     // untouched groups are simply not part of the merge.
-    val affected = T("affected")(table.lookupByKeys(delta.select(g.map(col): _*))
+    val affected = T("affected")(table.lookupByKeys(
+        feed.filter(col(ct).isin("U", "B"))
+          .select(g.map(col): _*).distinct())
       .select(stateCols.map(col): _*).localCheckpoint())
+    val delta = Await.result(deltaF, Duration.Inf)
+    val marksM = Map(Mark -> head)
+    if (T("gate-delta")(delta.isEmpty)) {
+      // stamp-filtered feed held nothing: still advance the ledger
+      // (the concurrently point-read state subset is simply unused)
+      table.delete(current.limit(0), extraMetrics = marksM)
+      return current
+    }
     val nextBase0 = T("nextBase"){(if (!trackSquares)
         IncrementalAgg.apply(
           affected.select((g.map(col) :+ col("cnt") :+ col("total")): _*),
@@ -349,7 +363,7 @@ final class MaintainedAgg(
     // statically false (literal) the merge commit SKIPS its tombstone
     // join+write job entirely. The gate itself is a limit-1 probe over an
     // anti-join of two checkpointed churn-sized frames.
-    val anyGone = !gone.isEmpty
+    val anyGone = T("gate-gone")(!gone.isEmpty)
     table.mergeInto(next.withColumn("_ma_del", lit(false))
         .unionByName(gone),
       whenMatchedDelete = if (anyGone) col("i._ma_del") else lit(false),
@@ -381,7 +395,7 @@ final class MaintainedAgg(
     // hit groups: a retracted image TIES a stored extreme — the only case
     // where the bound may shrink and needs source truth
     val hitCond = g.map(c => delta(c) <=> st(c)).reduce(_ && _)
-    val hits = delta.join(st, hitCond, "inner")
+    val hits = T("ext-hits-plan")(delta.join(st, hitCond, "inner")
       .filter(minMaxCols.map(c =>
           delta(s"r_min_$c") === st(s"min_$c") ||
           delta(s"r_max_$c") === st(s"max_$c"))
@@ -389,7 +403,7 @@ final class MaintainedAgg(
       // LAZY: in the common no-hit window the isEmpty gate below scans
       // every partition (finding nothing) and IS the materialization —
       // an eager checkpoint would be a redundant extra job
-      .select(g.map(c => delta(c).as(c)): _*).localCheckpoint(false)
+      .select(g.map(c => delta(c).as(c)): _*).localCheckpoint(false))
 
     // per-group window-insert extremes; a group without inserts carries
     // nulls, which least/greatest skip — the same optimistic algebra as
@@ -419,15 +433,26 @@ final class MaintainedAgg(
           .toIndexedSeq: _*)
     }
 
+    // ONE probe job doubles as the emptiness gate AND the repair read's
+    // bounded value collect (single group column): the separate
+    // isEmpty-then-collect pair was two jobs over the same tiny frame
+    val hitVals: Either[Boolean, Seq[Any]] = T("ext-hits-gate")(
+      if (g.size == 1)
+        Right(hits.limit(MaintainedAgg.MaxRepairGroups + 1)
+          .collect().map(_.get(0)).toSeq)
+      else Left(hits.isEmpty))
     // the COMMON window ties no stored extreme: the optimistic fold is
     // the whole answer — no group-scoped source read, no hit anti-joins
-    // (the gate is a limit-1 probe over two checkpointed churn-sized
-    // frames)
-    if (hits.isEmpty) return graft(optimistic(stSel, upExt))
+    if (hitVals.fold(identity, _.isEmpty))
+      return T("ext-opt-plan")(graft(optimistic(stSel, upExt)))
 
     // authoritative re-aggregation of the hit groups, group-scoped and
     // pinned at the window end (same row filter as every other read)
-    val srcRows0 = groupScopedRead(head, hits)
+    val srcRows0 = hitVals match {
+      case Right(vals) if vals.size <= MaintainedAgg.MaxRepairGroups =>
+        src.snapshotForValuesAt(head, g.head, vals)
+      case _ => src.snapshotAt(head)
+    }
     val srcRows = rowFilter.map(srcRows0.filter).getOrElse(srcRows0)
     val recCond = g.map(c => srcRows(c) <=> hits(c)).reduce(_ && _)
     val recAggs = minMaxCols.flatMap(c =>
@@ -449,20 +474,6 @@ final class MaintainedAgg(
     graft(ext)
   }
 
-  /** Source rows for the hit groups, pinned at `version`: value-set file
-    * skipping on a single group column (bounded driver collect), the
-    * pinned full snapshot otherwise — the left-semi join on top keeps
-    * either read exact.
-    */
-  private def groupScopedRead(version: Long, hits: DataFrame): DataFrame = {
-    if (g.size == 1) {
-      val vals = hits.limit(MaintainedAgg.MaxRepairGroups + 1)
-        .collect().map(_.get(0)).toSeq
-      if (vals.size <= MaintainedAgg.MaxRepairGroups)
-        return src.snapshotForValuesAt(version, g.head, vals)
-    }
-    src.snapshotAt(version)
-  }
 }
 
 object MaintainedAgg {

@@ -249,6 +249,20 @@ final class MaintainedJoin(
       .select(aCols.map(col): _*))
     val delA = feedA.map(_.filter(col(ct) === "D")
       .select(a.mergeIdCols.map(col): _*))
+    // Mixed-churn folds: the A feed's lazy checkpoint would otherwise
+    // materialize inside the affected checkpoint, AFTER the B-probe round
+    // — two independent churn-sized jobs run back to back. Materialize
+    // the A blocks on a background thread WHILE the B probe runs (a
+    // cheap count over the checkpointing scan; concurrent block
+    // computation is single-flighted by the block manager). A-only or
+    // B-only folds skip this — there is nothing to overlap with.
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val feedAWarm = (feedA, feedB) match {
+      case (Some(fa), Some(_)) => Some(Future(blocking { fa.count(); () }))
+      case _ => None
+    }
     // --- B-side churn: view rows whose fk hits a changed B identity.
     // The view holds every A row (left-outer), so this finds them ALL —
     // including rows a new B key now matches for the first time.
@@ -260,6 +274,7 @@ final class MaintainedJoin(
       viewRows.join(bIds, cond, "left_semi")
         .select(aCols.map(col): _*)
     }}
+    feedAWarm.foreach(Await.result(_, Duration.Inf))
     // delA re-evaluates as a filter+project over the CACHED feed — cheap
     // per use, so a dedicated materialization would cost more than the
     // re-evaluations it saves
