@@ -2168,6 +2168,37 @@ object QueryCatalog {
            |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
            |FROM documents""".stripMargin))
 
+  /** HTML/markup stripping ([[graft.text.TextOps.htmlStrip]]) — the
+    * web-corpus canonicalization pass that precedes
+    * [[graft.text.TextOps.normalizeText]]/dedup in a crawl pipeline. The
+    * fixture wraps each document's text in deterministic markup carrying
+    * every stripped construct (style + script with their bodies, a
+    * comment, attribute-laden tags, the named/numeric entities, a
+    * double-encoded `&amp;lt;` pinning the decode ORDER) so the oracle —
+    * generated from the same [[graft.text.TextOps.HtmlStripSteps]] table
+    * — certifies the whole chain cross-engine, byte-for-byte.
+    */
+  private val htmlStrip = {
+    val pre = "<html><head><title>T&amp;C</title>" +
+      "<style type=\"text/css\">body { color: #fff }</style>" +
+      "<script>if (1 < 2 && 2 > 1) { x = \"<p>\"; }</script></head>" +
+      "<body><!-- hidden --><h1 class=\"big\">Doc:</h1><p>"
+    val post = "</p><br/><div>5 &lt; 7 &amp;&amp; 9 &gt; 3, " +
+      "&quot;q&quot;, &#39;s&#39;,&nbsp;&amp;lt;kept&amp;gt;" +
+      "</div></body></html>"
+    def qq(x: String) = x.replace("'", "''")
+    Q(
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+          TextOps.htmlStrip(concat(lit(pre), col("text"), lit(post)))
+            .as("clean_text"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+             |  ${TextOps.htmlStripSql(
+                   s"'${qq(pre)}' || text || '${qq(post)}'")}
+             |    AS clean_text
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  }
+
   /** Semi-structured extraction from the JSON props column. */
   private val jsonExtract = Q(
     (s, d) => t(s, d, "events").select(col("event_id"),
@@ -5519,6 +5550,7 @@ object QueryCatalog {
     "lm_bigram_score" -> lmBigramScore,
     "deterministic_sample" -> deterministicSample,
     "text_normalize" -> textNormalize,
+    "html_strip" -> htmlStrip,
     "json_extract_props" -> jsonExtract,
     "simhash" -> simhash,
     "simhash_near_dup" -> simhashNearDup,

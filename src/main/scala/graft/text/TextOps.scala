@@ -550,6 +550,58 @@ object TextOps {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** The [[htmlStrip]] rewrite chain, applied in order. One shared table
+    * drives BOTH the Spark column form and the generated oracle SQL
+    * ([[htmlStripSql]]) so the two engines evaluate the identical
+    * expression tree. Patterns stay inside the Java-regex ∩ RE2 common
+    * subset: inline `(?is)` flags, non-greedy `.*?`, non-capturing
+    * groups — no backreferences, no lookaround, no replacement
+    * metacharacters. Order matters twice: script/style bodies must go
+    * before the generic tag strip (their CONTENT is markup, not text),
+    * and `&amp;` decodes LAST so `&amp;lt;` yields the literal `&lt;`
+    * rather than double-decoding to `<`.
+    */
+  private[graft] val HtmlStripSteps: Seq[(String, String)] = Seq(
+    // script/style elements: drop the whole element, content included
+    "(?is)<(?:script|style)\\b[^>]*>.*?</(?:script|style)\\s*>" -> " ",
+    "(?s)<!--.*?-->" -> " ", // comments
+    "(?s)<[^>]*>" -> " ", // any remaining tag
+    // the common named/numeric entities of web text; extend as needed
+    "(?i)&nbsp;" -> " ",
+    "(?i)&lt;" -> "<",
+    "(?i)&gt;" -> ">",
+    "(?i)&quot;" -> "\"",
+    "&#39;" -> "'",
+    "(?i)&apos;" -> "'",
+    "(?i)&amp;" -> "&",
+    "\\s+" -> " ") // collapse whitespace runs
+
+  /** HTML/markup stripping — the web-corpus canonicalization step that
+    * runs BEFORE [[normalizeText]]/dedup/quality filtering: drops
+    * script/style elements with their bodies, comments and tags, decodes
+    * the common character entities, and collapses whitespace. A per-row
+    * regexp chain (codegen'd, no UDF, shuffle-free); NOT a conformant
+    * HTML5 parser — malformed markup degrades to leaving fragments in
+    * place, never to dropping text content.
+    */
+  def htmlStrip(text: Column): Column =
+    trim(HtmlStripSteps.foldLeft(text) {
+      case (acc, (pat, repl)) => regexp_replace(acc, pat, repl)
+    })
+
+  /** ANSI/DuckDB rendering of [[htmlStrip]] over a SQL expression — the
+    * oracle-side twin generated from the same [[HtmlStripSteps]] table
+    * (global flag as the option argument; the patterns carry their own
+    * inline flags, which RE2 honors like Java regex does).
+    */
+  def htmlStripSql(e: String): String = {
+    def q(s: String) = s.replace("'", "''")
+    "trim(" + HtmlStripSteps.foldLeft(e) {
+      case (acc, (pat, repl)) =>
+        s"regexp_replace($acc, '${q(pat)}', '${q(repl)}', 'g')"
+    } + ")"
+  }
+
   /** TF-IDF: top-k terms per document by term-frequency × inverse document
     * frequency (idf = ln(N / df)), the standard relevance weighting for
     * corpus search/quality pipelines. One explode + two aggregations; the

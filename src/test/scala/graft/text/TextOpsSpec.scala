@@ -9,6 +9,31 @@ class TextOpsSpec extends SparkSpec {
   val sf = "/root/testdata/sf0.001"
   lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
 
+  test("htmlStrip: tags, script/style bodies, entities, decode order") {
+    val cases = Seq(
+      // script/style bodies vanish entirely, tags vanish, text survives
+      ("<html><head><style>b{x:1}</style><script>if(1<2){a=\"<p>\"}" +
+        "</script></head><body><h1 class=\"t\">Hi</h1><p>there</p>" +
+        "</body></html>") -> "Hi there",
+      // comments, self-closing and attribute-laden tags
+      "<!-- no --><br/><a href=\"u\" data-x='y'>link</a> tail" -> "link tail",
+      // entities decode; &amp; decodes LAST so &amp;lt; stays literal
+      "5 &lt; 7 &amp;&amp; &quot;q&quot; &#39;s&#39;&nbsp;&amp;lt;kept&amp;gt;"
+        -> "5 < 7 && \"q\" 's' &lt;kept&gt;",
+      // whitespace runs collapse, ends trim
+      "  a \n\t b  " -> "a b",
+      // malformed markup degrades to fragments, never drops text
+      "before <unclosed after" -> "before <unclosed after")
+    val got = cases.zipWithIndex
+      .map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("i", "s")
+      .select(col("i"), TextOps.htmlStrip(col("s")).as("o"))
+      .as[(Long, String)].collect().toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i.toLong) == want, s"case $i: <$in>")
+    }
+  }
+
   test("shingles: counts, content, short-doc guard") {
     val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
