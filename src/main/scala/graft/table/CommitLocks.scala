@@ -30,7 +30,11 @@ package graft.table
   *    documented-unsafe in this mode.
   *
   * The race-exactness of the local-FS path and the refusal/opt-in logic
-  * here are pinned by `CommitLockSpec`.
+  * here are pinned by `CommitLockSpec`, and the `conditional` mode is
+  * exercised END-TO-END there against `CondCreateS3Fs` — an object-store
+  * FileSystem double whose `create(overwrite=false)` is a true
+  * conditional create — with two real table writers racing through OCC
+  * rebase to the serial-execution state.
   */
 object CommitLocks {
 
