@@ -321,29 +321,37 @@ final class MaintainedAgg(
     // nextBase feeds the extremes join once (whose result is itself
     // checkpointed) over already-checkpointed inputs, so it only needs
     // its own checkpoint when it IS the final state. The final state's
-    // checkpoint is LAZY: the vanished-group gate below scans the
-    // anti-join of `affected` against it — in the common empty-gone
-    // window that scan touches every partition and IS the
-    // materialization, so the dedicated checkpoint job disappears.
+    // checkpoint is LAZY: its blocks materialize exactly once, inside
+    // the merge commit's first consuming job (the candidate-prune scan
+    // of the persisted merge input) — nothing below references it twice
+    // before that.
     val nextBase =
       if (minMaxCols.isEmpty) nextBase0.localCheckpoint(false) else nextBase0
+    // groups fully retracted this window (cnt hit zero): derived from the
+    // checkpointed churn frames ALONE — state stores only cnt != 0 rows,
+    // so a stored group vanishes iff the window's delta exactly cancels
+    // it (affected ⋈ delta with cnt + d_cnt == 0; a stored group absent
+    // from the delta keeps its nonzero cnt, and a delta-only group has no
+    // stored row to delete). Equivalent to the old anti-join of
+    // `affected` against `next`'s keys, but it does not reference the
+    // lazy extremes checkpoint, so the emptiness gate runs on a
+    // BACKGROUND thread while the driver plans the extremes tree — the
+    // fold's single biggest driver-side catalyst stretch.
+    val goneCond = g.map(c => affected(c) <=> delta(c)).reduce(_ && _)
+    val goneKeys = affected.join(delta, goneCond, "inner")
+      .filter(affected("cnt") + delta("d_cnt") === 0)
+      .select(g.map(c => affected(c).as(c)): _*)
+    val anyGoneF = Future(blocking(T("gate-gone")(!goneKeys.isEmpty)))
     val next =
       if (minMaxCols.isEmpty) nextBase
       else T("extremes")(
         withExtremes(nextBase, delta, head, affected).localCheckpoint(false))
-    // groups fully retracted this window (cnt hit zero): next no longer
-    // carries them, so route them through the merge's delete branch.
     // ONE commit applies updates + deletes + the mark advance atomically —
     // a two-commit fold could crash with the mark already advanced and
     // the deletes lost, and (unlike MaintainedJoin's image folds) an agg
     // delta re-applied on replay would double-count.
     val goneBase = {
-      // anti-join, not EXCEPT: state group keys are already unique, so
-      // EXCEPT's dedup shuffle buys nothing over the plain anti
-      val nextKeys = next.select(g.map(col): _*)
-      val goneCond = g.map(c => affected(c) <=> nextKeys(c)).reduce(_ && _)
-      val b = affected.select(g.map(col): _*)
-        .join(nextKeys, goneCond, "left_anti")
+      val b = goneKeys
         .withColumn("cnt", lit(0L))
         .withColumn("total", lit(null).cast(next.schema("total").dataType))
       if (trackSquares)
@@ -361,14 +369,17 @@ final class MaintainedAgg(
     // gate the delete branch on an actual vanished group: the COMMON fold
     // retracts rows without emptying any group, and with the branch
     // statically false (literal) the merge commit SKIPS its tombstone
-    // join+write job entirely. The gate itself is a limit-1 probe over an
-    // anti-join of two checkpointed churn-sized frames.
-    val anyGone = T("gate-gone")(!gone.isEmpty)
+    // write entirely. Routed by one flag column, so delete/insert
+    // conditions are disjoint — the incoming-only tombstone pass applies
+    // (and gone keys are stored groups by construction, so it never
+    // over-approximates here).
+    val anyGone = Await.result(anyGoneF, Duration.Inf)
     table.mergeInto(next.withColumn("_ma_del", lit(false))
         .unionByName(gone),
       whenMatchedDelete = if (anyGone) col("i._ma_del") else lit(false),
       insertCondition = !col("i._ma_del"),
       conditionCols = Seq("_ma_del"),
+      tombstonesFromIncoming = true,
       extraMetrics = marksM)
     current
   }

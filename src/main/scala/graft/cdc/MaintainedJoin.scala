@@ -306,8 +306,13 @@ final class MaintainedJoin(
       }).localCheckpoint()
     }}
     val marksM = Map(MarkA -> ea, MarkB -> eb)
-    val hasUps = T("gate-ups")(affected.exists(!_.isEmpty))
+    // the two emptiness gates probe INDEPENDENT frames (the checkpointed
+    // affected images; the cached feed's delete slice) — run them
+    // concurrently, one job round instead of two
+    val hasUpsF = Future(blocking(
+      T("gate-ups")(affected.exists(!_.isEmpty))))
     val hasDel = T("gate-del")(delAck.exists(!_.isEmpty))
+    val hasUps = Await.result(hasUpsF, Duration.Inf)
     // re-joined new images for the affected A rows (lazy: only built when
     // the fold has upserts)
     def upImages(): DataFrame = {
@@ -337,10 +342,15 @@ final class MaintainedJoin(
       val dn = delPadded(org.apache.spark.sql.types.StructType(
           up.schema.fields.filterNot(_.name == "__mj_op")))
         .withColumn("__mj_op", lit("D"))
+      // routed by one op column, so delete/insert conditions are disjoint
+      // on incoming rows — the incoming-only tombstone pass applies
+      // (deleted source-A keys are essentially always present in a
+      // left-outer view, so its over-approximation never materializes)
       T("mergeInto")(table.mergeInto(up.unionByName(dn),
         whenMatchedDelete = col("i.__mj_op") === "D",
         insertCondition = col("i.__mj_op") =!= "D",
         conditionCols = Seq("__mj_op"),
+        tombstonesFromIncoming = true,
         extraMetrics = marksM))
     } else {
       // Only the LAST commit of the fold advances the marks: a crash

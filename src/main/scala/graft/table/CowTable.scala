@@ -1054,6 +1054,20 @@ class CowTable(
         * steer the merge without evolving the table.
         */
       conditionCols: Seq[String] = Nil,
+      /** OPT-IN fast tombstone pass: record change-feed tombstones for
+        * EVERY incoming key satisfying `whenMatchedDelete` (which must
+        * then reference `i.*` only), without re-joining against the
+        * stored side — the same over-approximate contract as [[delete]]
+        * (a D may be recorded for a key the table never held; preimage
+        * feeds drop absent keys at the join, and image-fold consumers
+        * treat D as drop-if-present). Skips the candidate-read cache and
+        * the cur×incoming tombstone re-join — one fewer churn-sized job
+        * on the commit's latency chain. Callers must guarantee the
+        * delete and insert conditions are DISJOINT on incoming rows
+        * (e.g. routed by one op column): an unmatched row that both
+        * inserts and tombstones would poison downstream image folds.
+        */
+      tombstonesFromIncoming: Boolean = false,
       extraMetrics: Map[String, Long] = Map.empty): Unit = {
     // matched-delete keys become change-feed tombstones; skipped when the
     // delete branch is the literal-false default (no second join pass).
@@ -1071,6 +1085,13 @@ class CowTable(
     }
     val deletedKeys: Option[(DataFrame, DataFrame) => DataFrame] =
       if (!mayDelete) None
+      else if (tombstonesFromIncoming) Some { (_, incoming) =>
+        // i.*-only condition: evaluate it on the incoming batch alone
+        // (resolution fails loudly if the caller's condition references
+        // c.*) — no stored-side join, no candidate-read cache
+        incoming.alias("i").filter(whenMatchedDelete)
+          .select(mergeIdCols.map(col): _*).distinct()
+      }
       else Some { (cur, incoming) =>
         val c = cur.withColumn("_c_present", lit(true)).alias("c")
         val i = incoming.withColumn("_i_present", lit(true)).alias("i")
@@ -1080,7 +1101,8 @@ class CowTable(
           .select(mergeIdCols.map(k => col(s"c.$k").as(k)): _*).distinct()
       }
     mergeCommit(df, parallelism, "merge", extraMetrics,
-      excludeCols = conditionCols, tombstoneKeys = deletedKeys) {
+      excludeCols = conditionCols, tombstoneKeys = deletedKeys,
+      tombstonesUseCur = !tombstonesFromIncoming) {
       (cur, incoming) =>
       val outCols = incoming.columns.toIndexedSeq
         .filterNot(conditionCols.contains) // padded/evolved schema

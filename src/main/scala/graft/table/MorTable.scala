@@ -115,10 +115,12 @@ class MorTable(
       insertUnmatched: Boolean = true,
       insertCondition: org.apache.spark.sql.Column = lit(true),
       conditionCols: Seq[String] = Nil,
+      tombstonesFromIncoming: Boolean = false,
       extraMetrics: Map[String, Long] = Map.empty): Unit = {
     compactLogs(parallelism)
     super.mergeInto(df, parallelism, whenMatchedDelete, whenMatchedUpdate,
-      insertUnmatched, insertCondition, conditionCols, extraMetrics)
+      insertUnmatched, insertCondition, conditionCols,
+      tombstonesFromIncoming, extraMetrics)
   }
 
   private def logAppend(df: DataFrame, parallelism: Int, op: String,

@@ -53,6 +53,35 @@ class ChangeFeedSpec extends SparkSpec {
       ("k1", "D", None), ("k2", "U", Some(22.0)), ("k9", "U", Some(9.0))))
   }
 
+  test("incoming-only tombstones: same state, D for every delete-routed " +
+      "key (the delete() over-approximation contract)") {
+    val t = new CowTable(spark, tmpDir("cf-merge-inc"), keyCols = Seq("id"),
+      trackCommitVersions = true)
+    t.bulkInsert(Seq(("k1", 1.0), ("k2", 2.0)).toDF("id", "v"))
+    // k3 is delete-routed but was never stored: the fast pass records its
+    // D anyway — exactly what delete() does for absent incoming keys
+    t.mergeInto(
+      Seq(("k1", -1.0, "D"), ("k3", -3.0, "D"), ("k2", 22.0, "U"),
+        ("k9", 9.0, "U")).toDF("id", "v", "op"),
+      whenMatchedDelete = col("i.op") === "D",
+      insertCondition = col("i.op") =!= "D",
+      conditionCols = Seq("op"),
+      tombstonesFromIncoming = true)
+    // state identical to the join-checked tombstone pass
+    assert(t.snapshot().select("id", "v").as[(String, Double)].collect()
+      .toSet == Set(("k2", 22.0), ("k9", 9.0)))
+    assert(feed(t, 1L, 2L) == Set(
+      ("k1", "D", None), ("k3", "D", None),
+      ("k2", "U", Some(22.0)), ("k9", "U", Some(9.0))))
+    // preimage feeds drop the never-stored key at the join: downstream
+    // retraction algebra (MaintainedAgg) sees only real preimages (the
+    // deleted k1 and the replaced k2 — never the absent k3)
+    val pre = t.changeFeedWithPreimages(1L, 2L)
+      .filter(col(CowTable.ChangeTypeCol) === "B")
+      .select("id").as[String].collect().toSet
+    assert(pre == Set("k1", "k2"))
+  }
+
   test("MOR: delete logs and compaction both surface D") {
     val t = new MorTable(spark, tmpDir("cf-mor"), keyCols = Seq("id"),
       compactEvery = 0)
