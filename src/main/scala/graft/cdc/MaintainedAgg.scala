@@ -192,11 +192,24 @@ final class MaintainedAgg(
     if (sys.env.contains("GRAFT_TRACE_MERGE"))
       println(f"[matrace] $tag%-12s ${(System.nanoTime()-t0)/1e9}%6.2fs")
     r }
+  /** Seed/reseed frame + the mark it must claim: the snapshot is PINNED
+    * at the version the mark records. Seeding from an unpinned
+    * `snapshot()` while stamping an earlier head would let a source
+    * commit that lands mid-(re)seed be present in the seeded state AND
+    * folded again by the next refresh — and agg deltas are not
+    * replay-idempotent (double-count). Pins at the NOW-current head (the
+    * newest version is always inside retention).
+    */
+  private def pinnedRecompute(): (DataFrame, Long) = {
+    val h = src.manifest.version
+    (recompute(src.snapshotAt(h)), h)
+  }
+
   def refresh(): DataFrame = {
     val head = src.manifest.version
     if (!table.exists) {
-      table.bulkInsert(recompute(src.snapshot()),
-        extraMetrics = Map(Mark -> head))
+      val (seedDf, h) = pinnedRecompute()
+      table.bulkInsert(seedDf, extraMetrics = Map(Mark -> h))
       writeMvSidecar()
       return current
     }
@@ -221,9 +234,10 @@ final class MaintainedAgg(
         // manifest miss) or a data file already cleaned at DataFrame
         // construction: reseed
         case t: Throwable if t.isInstanceOf[IllegalArgumentException] ||
-            MaintainedJoin.retentionRace(t) =>
-          table.overwrite(recompute(src.snapshot()),
-            extraMetrics = Map(Mark -> head))
+            MaintainedJoin.sourceRetentionRace(t,
+              Seq(src.basePath), table.basePath) =>
+          val (seedDf, h) = pinnedRecompute()
+          table.overwrite(seedDf, extraMetrics = Map(Mark -> h))
           return current
       }
     // the lazily-checkpointed feed reads its data files inside the fold's
@@ -234,9 +248,10 @@ final class MaintainedAgg(
     // overwrite is correct from any prior state.
     try foldWindow(feed, head)
     catch {
-      case t: Throwable if MaintainedJoin.retentionRace(t) =>
-        table.overwrite(recompute(src.snapshot()),
-          extraMetrics = Map(Mark -> head))
+      case t: Throwable if MaintainedJoin.sourceRetentionRace(t,
+          Seq(src.basePath), table.basePath) =>
+        val (seedDf, h) = pinnedRecompute()
+        table.overwrite(seedDf, extraMetrics = Map(Mark -> h))
         current
     }
   }
@@ -279,21 +294,20 @@ final class MaintainedAgg(
     // checkpointed blocks; concurrent block computation is
     // single-flighted by the block manager), halving this stage of the
     // fold's sequential job-round chain.
-    import scala.concurrent.{Await, Future, blocking}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val deltaF = Future(blocking(T("delta")(signed.groupBy(g.map(col): _*)
-      .agg(dAggs.head, dAggs.tail: _*).localCheckpoint())))
     // fold ONLY the touched groups: a POINT READ of the churned group
     // keys (bucket/file-index pruned on a bucketed state table) replaces
     // a full state scan, so refresh cost scales with the window's churn
     // — never with the number of groups the state has accumulated. The
     // untouched groups are simply not part of the merge.
-    val affected = T("affected")(table.lookupByKeys(
-        feed.filter(col(ct).isin("U", "B"))
-          .select(g.map(col): _*).distinct())
-      .select(stateCols.map(col): _*).localCheckpoint())
-    val delta = Await.result(deltaF, Duration.Inf)
+    val (delta, affected) = graft.util.Overlap.withBg(
+      T("delta")(signed.groupBy(g.map(col): _*)
+        .agg(dAggs.head, dAggs.tail: _*).localCheckpoint())) { d =>
+      val aff = T("affected")(table.lookupByKeys(
+          feed.filter(col(ct).isin("U", "B"))
+            .select(g.map(col): _*).distinct())
+        .select(stateCols.map(col): _*).localCheckpoint())
+      (d(), aff)
+    }
     val marksM = Map(Mark -> head)
     if (T("gate-delta")(delta.isEmpty)) {
       // stamp-filtered feed held nothing: still advance the ledger
@@ -341,46 +355,48 @@ final class MaintainedAgg(
     val goneKeys = affected.join(delta, goneCond, "inner")
       .filter(affected("cnt") + delta("d_cnt") === 0)
       .select(g.map(c => affected(c).as(c)): _*)
-    val anyGoneF = Future(blocking(T("gate-gone")(!goneKeys.isEmpty)))
-    val next =
-      if (minMaxCols.isEmpty) nextBase
-      else T("extremes")(
-        withExtremes(nextBase, delta, head, affected).localCheckpoint(false))
-    // ONE commit applies updates + deletes + the mark advance atomically —
-    // a two-commit fold could crash with the mark already advanced and
-    // the deletes lost, and (unlike MaintainedJoin's image folds) an agg
-    // delta re-applied on replay would double-count.
-    val goneBase = {
-      val b = goneKeys
-        .withColumn("cnt", lit(0L))
-        .withColumn("total", lit(null).cast(next.schema("total").dataType))
-      if (trackSquares)
-        b.withColumn("total_sq",
-          lit(null).cast(next.schema("total_sq").dataType))
-      else b
-    }
-    val gone = minMaxCols.foldLeft(goneBase) { (df, c) =>
-        df.withColumn(s"min_$c",
-            lit(null).cast(next.schema(s"min_$c").dataType))
-          .withColumn(s"max_$c",
-            lit(null).cast(next.schema(s"max_$c").dataType))
+    graft.util.Overlap.withBg(T("gate-gone")(!goneKeys.isEmpty)) { anyGoneF =>
+      val next =
+        if (minMaxCols.isEmpty) nextBase
+        else T("extremes")(
+          withExtremes(nextBase, delta, head, affected)
+            .localCheckpoint(false))
+      // ONE commit applies updates + deletes + the mark advance
+      // atomically — a two-commit fold could crash with the mark already
+      // advanced and the deletes lost, and (unlike MaintainedJoin's image
+      // folds) an agg delta re-applied on replay would double-count.
+      val goneBase = {
+        val b = goneKeys
+          .withColumn("cnt", lit(0L))
+          .withColumn("total", lit(null).cast(next.schema("total").dataType))
+        if (trackSquares)
+          b.withColumn("total_sq",
+            lit(null).cast(next.schema("total_sq").dataType))
+        else b
       }
-      .withColumn("_ma_del", lit(true))
-    // gate the delete branch on an actual vanished group: the COMMON fold
-    // retracts rows without emptying any group, and with the branch
-    // statically false (literal) the merge commit SKIPS its tombstone
-    // write entirely. Routed by one flag column, so delete/insert
-    // conditions are disjoint — the incoming-only tombstone pass applies
-    // (and gone keys are stored groups by construction, so it never
-    // over-approximates here).
-    val anyGone = Await.result(anyGoneF, Duration.Inf)
-    table.mergeInto(next.withColumn("_ma_del", lit(false))
-        .unionByName(gone),
-      whenMatchedDelete = if (anyGone) col("i._ma_del") else lit(false),
-      insertCondition = !col("i._ma_del"),
-      conditionCols = Seq("_ma_del"),
-      tombstonesFromIncoming = true,
-      extraMetrics = marksM)
+      val gone = minMaxCols.foldLeft(goneBase) { (df, c) =>
+          df.withColumn(s"min_$c",
+              lit(null).cast(next.schema(s"min_$c").dataType))
+            .withColumn(s"max_$c",
+              lit(null).cast(next.schema(s"max_$c").dataType))
+        }
+        .withColumn("_ma_del", lit(true))
+      // gate the delete branch on an actual vanished group: the COMMON
+      // fold retracts rows without emptying any group, and with the
+      // branch statically false (literal) the merge commit SKIPS its
+      // tombstone write entirely. Routed by one flag column, so
+      // delete/insert conditions are disjoint — the incoming-only
+      // tombstone pass applies (and gone keys are stored groups by
+      // construction, so it never over-approximates here).
+      val anyGone = anyGoneF()
+      table.mergeInto(next.withColumn("_ma_del", lit(false))
+          .unionByName(gone),
+        whenMatchedDelete = if (anyGone) col("i._ma_del") else lit(false),
+        insertCondition = !col("i._ma_del"),
+        conditionCols = Seq("_ma_del"),
+        tombstonesFromIncoming = true,
+        extraMetrics = marksM)
+    }
     current
   }
 

@@ -184,27 +184,27 @@ final class MaintainedJoin(
     // racing the fold surfaces there instead, so fold() is wrapped in the
     // same reseed net below.
     // ... and the two lazy checkpoints still pay their catalyst planning
-    // (toRdd) up front on the driver — two independent plans, so plan
-    // them on two threads
+    // (toRdd) up front on the driver — two independent plans, so the B
+    // side plans on a background thread while the A side plans inline
+    // (Overlap.withBg: the bg side is awaited even when the inline side
+    // throws, so no detached planning races the reseed below)
     val windows =
       try T("feeds"){
-        import scala.concurrent.{Await, Future, blocking}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val fa = if (sa < ea)
-          Some(Future(blocking(a.changeFeed(sa, ea).localCheckpoint(false))))
-        else None
-        val fb = if (sb < eb)
-          Some(Future(blocking(b.changeFeed(sb, eb).localCheckpoint(false))))
-        else None
-        Some((fa.map(Await.result(_, Duration.Inf)),
-          fb.map(Await.result(_, Duration.Inf))))
+        Some(graft.util.Overlap.withBg(
+          if (sb < eb) Some(b.changeFeed(sb, eb).localCheckpoint(false))
+          else None) { fb =>
+          val fa = if (sa < ea)
+            Some(a.changeFeed(sa, ea).localCheckpoint(false))
+          else None
+          (fa, fb())
+        })
       } catch {
         // a mark aged out of a source's retained timeline (driver-side
         // manifest miss) or a data/tombstone file already cleaned at
         // DataFrame construction: reseed
         case t: Throwable if t.isInstanceOf[IllegalArgumentException] ||
-            MaintainedJoin.retentionRace(t) =>
+            MaintainedJoin.sourceRetentionRace(t,
+              Seq(a.basePath, b.basePath), table.basePath) =>
           None
       }
     windows match {
@@ -218,7 +218,8 @@ final class MaintainedJoin(
         // correct even if fold already committed part of its work.
         try fold(feedA, feedB, ea, eb)
         catch {
-          case t: Throwable if MaintainedJoin.retentionRace(t) =>
+          case t: Throwable if MaintainedJoin.sourceRetentionRace(t,
+              Seq(a.basePath, b.basePath), table.basePath) =>
             reseed(ea, eb)
         }
     }
@@ -256,25 +257,24 @@ final class MaintainedJoin(
     // cheap count over the checkpointing scan; concurrent block
     // computation is single-flighted by the block manager). A-only or
     // B-only folds skip this — there is nothing to overlap with.
-    import scala.concurrent.{Await, Future, blocking}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val feedAWarm = (feedA, feedB) match {
-      case (Some(fa), Some(_)) => Some(Future(blocking { fa.count(); () }))
-      case _ => None
+    def withAWarm[X](body: => X): X = (feedA, feedB) match {
+      case (Some(fa), Some(_)) =>
+        graft.util.Overlap.withBg { fa.count(); () } { warm =>
+          val r = body; warm(); r
+        }
+      case _ => body
     }
     // --- B-side churn: view rows whose fk hits a changed B identity.
     // The view holds every A row (left-outer), so this finds them ALL —
     // including rows a new B key now matches for the first time.
-    val hitByB = feedB.map { fb => T("hitByB"){
+    val hitByB = withAWarm { feedB.map { fb => T("hitByB"){
       val bIds = fb.select(b.mergeIdCols.map(col): _*).distinct()
       val viewRows = viewRowsForBIds(bIds)
       val cond = on.map { case (f, k) => viewRows(f) <=> bIds(k) }
         .reduce(_ && _)
       viewRows.join(bIds, cond, "left_semi")
         .select(aCols.map(col): _*)
-    }}
-    feedAWarm.foreach(Await.result(_, Duration.Inf))
+    }}}
     // delA re-evaluates as a filter+project over the CACHED feed — cheap
     // per use, so a dedicated materialization would cost more than the
     // re-evaluations it saves
@@ -309,10 +309,11 @@ final class MaintainedJoin(
     // the two emptiness gates probe INDEPENDENT frames (the checkpointed
     // affected images; the cached feed's delete slice) — run them
     // concurrently, one job round instead of two
-    val hasUpsF = Future(blocking(
-      T("gate-ups")(affected.exists(!_.isEmpty))))
-    val hasDel = T("gate-del")(delAck.exists(!_.isEmpty))
-    val hasUps = Await.result(hasUpsF, Duration.Inf)
+    val (hasUps, hasDel) = graft.util.Overlap.withBg(
+      T("gate-ups")(affected.exists(!_.isEmpty))) { up =>
+      val hd = T("gate-del")(delAck.exists(!_.isEmpty))
+      (up(), hd)
+    }
     // re-joined new images for the affected A rows (lazy: only built when
     // the fold has upserts)
     def upImages(): DataFrame = {
@@ -390,20 +391,46 @@ object MaintainedJoin {
     * DataFrame construction. Callers route both to a full reseed rather
     * than failing the refresh.
     */
-  private[cdc] def retentionRace(t: Throwable): Boolean = {
+  private[cdc] def retentionRace(t: Throwable): Boolean =
+    missingFileMessage(t).isDefined
+
+  /** [[retentionRace]] SCOPED to the maintained view's sources: a
+    * missing-file failure whose message names a file under the VIEW's
+    * own basePath (and under no source) is NOT a retention race on a
+    * source — it is the view's own state going missing (a misbehaving
+    * cleaner, manual deletion, a commit-path bug), and silently reseeding
+    * would mask that corruption behind an every-refresh full recompute.
+    * Ambiguous failures (no path in the message, executor-wrapped causes
+    * without one, or a path matching both sides) keep the RESILIENT
+    * default: reseed.
+    */
+  private[cdc] def sourceRetentionRace(t: Throwable,
+      srcPaths: Seq[String], ownPath: String): Boolean =
+    missingFileMessage(t) match {
+      case None => false
+      case Some(msg) =>
+        !(msg.contains(ownPath) && !srcPaths.exists(msg.contains))
+    }
+
+  /** The first missing-file failure in the cause chain (bounded walk),
+    * as its message — FileNotFoundException or PATH_NOT_FOUND analysis
+    * errors, nested arbitrarily (Spark wraps executor-side reads).
+    */
+  private def missingFileMessage(t: Throwable): Option[String] = {
     var c: Throwable = t
     var hops = 0
     while (c != null && hops < 16) {
       c match {
-        case _: java.io.FileNotFoundException => return true
+        case f: java.io.FileNotFoundException =>
+          return Some(Option(f.getMessage).getOrElse(""))
         case a: org.apache.spark.sql.AnalysisException
             if Option(a.getCondition).exists(_.startsWith("PATH_NOT_FOUND"))
-          => return true
+          => return Some(Option(a.getMessage).getOrElse(""))
         case _ =>
       }
       c = if (c.getCause eq c) null else c.getCause
       hops += 1
     }
-    false
+    None
   }
 }

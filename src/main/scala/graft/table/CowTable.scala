@@ -1731,21 +1731,20 @@ class CowTable(
       // INDEPENDENT jobs — overlap them; a fold's commit latency is a
       // chain of small job rounds and this is the one post-write pair
       // with no ordering constraint
-      import scala.concurrent.{Await, Future, blocking}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val statsF = Future(blocking(
+      val (newStats, newTombstones) = graft.util.Overlap.withBg(
         traceMerge("stats")(if (fileIndexEntries > 0)
           collectFileStats(newFiles, evolved, m.keyEncoding)
-        else Map.empty[String, FileStat])))
-      val newTombstones = tombstoneKeys match {
-        case Some(keysOf) =>
-          val fls = traceMerge("tombstones")(writeTombstones(keysOf(cur, incoming), v))
-          if (fls.isEmpty) m.tombstones
-          else m.tombstones + (v.toString -> fls)
-        case None => m.tombstones
+        else Map.empty[String, FileStat])) { st =>
+        val nt = tombstoneKeys match {
+          case Some(keysOf) =>
+            val fls = traceMerge("tombstones")(
+              writeTombstones(keysOf(cur, incoming), v))
+            if (fls.isEmpty) m.tombstones
+            else m.tombstones + (v.toString -> fls)
+          case None => m.tombstones
+        }
+        (st(), nt)
       }
-      val newStats = Await.result(statsF, Duration.Inf)
       // Partitions whose merged result is empty (fully deleted) simply have
       // no entry in newFiles and drop out of the snapshot (unless they
       // retain pruned files).

@@ -560,21 +560,29 @@ object TextOps {
     * before the generic tag strip (their CONTENT is markup, not text),
     * and `&amp;` decodes LAST so `&amp;lt;` yields the literal `&lt;`
     * rather than double-decoding to `<`.
+    *
+    * Whitespace is an EXPLICIT class, never `\s`: Java's `\s` matches
+    * vertical tab (\x0B) but RE2's does not — on a VT-carrying document
+    * the two engines would collapse differently. The explicit class
+    * includes VT on both sides.
     */
-  private[graft] val HtmlStripSteps: Seq[(String, String)] = Seq(
-    // script/style elements: drop the whole element, content included
-    "(?is)<(?:script|style)\\b[^>]*>.*?</(?:script|style)\\s*>" -> " ",
-    "(?s)<!--.*?-->" -> " ", // comments
-    "(?s)<[^>]*>" -> " ", // any remaining tag
-    // the common named/numeric entities of web text; extend as needed
-    "(?i)&nbsp;" -> " ",
-    "(?i)&lt;" -> "<",
-    "(?i)&gt;" -> ">",
-    "(?i)&quot;" -> "\"",
-    "&#39;" -> "'",
-    "(?i)&apos;" -> "'",
-    "(?i)&amp;" -> "&",
-    "\\s+" -> " ") // collapse whitespace runs
+  private[graft] val HtmlStripSteps: Seq[(String, String)] = {
+    val ws = "[ \\t\\n\\x0B\\f\\r]" // Java \s; RE2 \s lacks \x0B
+    Seq(
+      // script/style elements: drop the whole element, content included
+      s"(?is)<(?:script|style)\\b[^>]*>.*?</(?:script|style)$ws*>" -> " ",
+      "(?s)<!--.*?-->" -> " ", // comments
+      "(?s)<[^>]*>" -> " ", // any remaining tag
+      // the common named/numeric entities of web text; extend as needed
+      "(?i)&nbsp;" -> " ",
+      "(?i)&lt;" -> "<",
+      "(?i)&gt;" -> ">",
+      "(?i)&quot;" -> "\"",
+      "&#39;" -> "'",
+      "(?i)&apos;" -> "'",
+      "(?i)&amp;" -> "&",
+      s"$ws+" -> " ") // collapse whitespace runs
+  }
 
   /** HTML/markup stripping — the web-corpus canonicalization step that
     * runs BEFORE [[normalizeText]]/dedup/quality filtering: drops

@@ -185,6 +185,28 @@ class MaintainedJoinSpec extends SparkSpec {
     assert(!MaintainedJoin.retentionRace(self))
   }
 
+  test("sourceRetentionRace: own-table missing files crash, source " +
+      "misses and pathless failures reseed") {
+    def fnf(msg: String) = new RuntimeException("wrapped",
+      new java.io.FileNotFoundException(msg))
+    val srcs = Seq("/wh/src_a", "/wh/src_b")
+    val own = "/wh/view"
+    // a source's cleaned file: retention race -> reseed
+    assert(MaintainedJoin.sourceRetentionRace(
+      fnf("File /wh/src_a/files/v3-x.parquet does not exist"), srcs, own))
+    // the VIEW's own file going missing is NOT a retention race — the
+    // refresh must fail loudly instead of degrading to silent reseeds
+    assert(!MaintainedJoin.sourceRetentionRace(
+      fnf("File /wh/view/files/v7-y.parquet does not exist"), srcs, own))
+    // no path in the message (executor-wrapped causes): conservative
+    // resilient default, reseed
+    assert(MaintainedJoin.sourceRetentionRace(
+      fnf("raced data file"), srcs, own))
+    // non-missing-file failures never reseed
+    assert(!MaintainedJoin.sourceRetentionRace(
+      new RuntimeException("other"), srcs, own))
+  }
+
   test("model check: random churn on both sides == full recompute") {
     val a = srcA(tmpDir("mj5-a"))
     val b = srcB(tmpDir("mj5-b"))

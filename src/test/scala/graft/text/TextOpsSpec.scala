@@ -20,8 +20,13 @@ class TextOpsSpec extends SparkSpec {
       // entities decode; &amp; decodes LAST so &amp;lt; stays literal
       "5 &lt; 7 &amp;&amp; &quot;q&quot; &#39;s&#39;&nbsp;&amp;lt;kept&amp;gt;"
         -> "5 < 7 && \"q\" 's' &lt;kept&gt;",
-      // whitespace runs collapse, ends trim
+      // whitespace runs collapse, ends trim — INCLUDING vertical tab,
+      // which Java's \s matches but RE2's does not (the step table uses
+      // an explicit class so both engines collapse it)
       "  a \n\t b  " -> "a b",
+      "a\u000Bb c" -> "a b c",
+      // VT inside the script/style close-tag's optional whitespace
+      "<style>s</style\u000B>x" -> "x",
       // malformed markup degrades to fragments, never drops text
       "before <unclosed after" -> "before <unclosed after")
     val got = cases.zipWithIndex
