@@ -293,15 +293,20 @@ final class MaintainedAgg(
     // aggregation. Run them on two threads (both scan the feed's lazily
     // checkpointed blocks; concurrent block computation is
     // single-flighted by the block manager), halving this stage of the
-    // fold's sequential job-round chain.
+    // fold's sequential job-round chain. The empty-window gate probe
+    // rides the delta's own thread (a tiny scan of the just-checkpointed
+    // blocks), so it costs no sequential job round of its own.
     // fold ONLY the touched groups: a POINT READ of the churned group
     // keys (bucket/file-index pruned on a bucketed state table) replaces
     // a full state scan, so refresh cost scales with the window's churn
     // — never with the number of groups the state has accumulated. The
     // untouched groups are simply not part of the merge.
-    val (delta, affected) = graft.util.Overlap.withBg(
-      T("delta")(signed.groupBy(g.map(col): _*)
-        .agg(dAggs.head, dAggs.tail: _*).localCheckpoint())) { d =>
+    val ((delta, deltaEmpty), affected) = graft.util.Overlap.withBg(
+      T("delta"){
+        val d0 = signed.groupBy(g.map(col): _*)
+          .agg(dAggs.head, dAggs.tail: _*).localCheckpoint()
+        (d0, d0.isEmpty)
+      }) { d =>
       val aff = T("affected")(table.lookupByKeys(
           feed.filter(col(ct).isin("U", "B"))
             .select(g.map(col): _*).distinct())
@@ -309,38 +314,55 @@ final class MaintainedAgg(
       (d(), aff)
     }
     val marksM = Map(Mark -> head)
-    if (T("gate-delta")(delta.isEmpty)) {
+    if (T("gate-delta")(deltaEmpty)) {
       // stamp-filtered feed held nothing: still advance the ledger
       // (the concurrently point-read state subset is simply unused)
       table.delete(current.limit(0), extraMetrics = marksM)
       return current
     }
-    val nextBase0 = T("nextBase"){(if (!trackSquares)
-        IncrementalAgg.apply(
-          affected.select((g.map(col) :+ col("cnt") :+ col("total")): _*),
-          delta, spec)
-      else {
-        // same abelian fold as IncrementalAgg.apply with total_sq riding
-        // along — squares retract as exactly as sums (fixed decimal type)
-        val sums = Seq("cnt", "total", "total_sq")
-        affected.select((g.map(col) ++ sums.map(col)): _*)
-          .unionByName(delta.select((g.map(col) :+
-            col("d_cnt").as("cnt") :+ col("d_total").as("total") :+
-            col("d_total_sq").as("total_sq")): _*))
-          .groupBy(g.map(col): _*)
-          .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"),
-            sum(col("total_sq")).as("total_sq"))
-          .filter(col("cnt") =!= 0)
-      })}
-    // nextBase feeds the extremes join once (whose result is itself
-    // checkpointed) over already-checkpointed inputs, so it only needs
-    // its own checkpoint when it IS the final state. The final state's
-    // checkpoint is LAZY: its blocks materialize exactly once, inside
-    // the merge commit's first consuming job (the candidate-prune scan
-    // of the persisted merge input) — nothing below references it twice
-    // before that.
-    val nextBase =
-      if (minMaxCols.isEmpty) nextBase0.localCheckpoint(false) else nextBase0
+    // FUSED next state: counts, sums AND the optimistic min/max fold all
+    // ride ONE union + aggregation. least(stored_min, inserted_min) over
+    // a full-outer group join is exactly min() over the two sides
+    // union'd (min/max skip nulls, and a side with no row contributes
+    // nothing — the same algebra as an absent join match), so the
+    // extremes need no join of their own: the stored extremes enter as
+    // the affected side's min_c/max_c, the window-insert extremes as the
+    // delta side's u_min_c/u_max_c, and the aggregate folds both. What
+    // this buys per fold: the former full-outer (stored ⊕ inserts) and
+    // left (state ⟕ extremes) joins vanish from the plan — two fewer
+    // exchanges in the commit's write job and a visibly shorter catalyst
+    // planning stretch (the fold's biggest driver-side cost). Hit groups
+    // (a retraction TIED a stored bound — the only case optimism can't
+    // answer) are repaired by a small override join afterwards.
+    val sums = Seq("cnt", "total") ++
+      (if (trackSquares) Seq("total_sq") else Nil)
+    val affSide = affected.select((g.map(col) ++ sums.map(col) ++
+      minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c")))): _*)
+    val deltaSide = delta.select(((g.map(col) :+
+        col("d_cnt").as("cnt") :+ col("d_total").as("total")) ++
+      (if (trackSquares) Seq(col("d_total_sq").as("total_sq")) else Nil) ++
+      minMaxCols.flatMap(c => Seq(col(s"u_min_$c").as(s"min_$c"),
+        col(s"u_max_$c").as(s"max_$c")))): _*)
+    val fusedAggs = Seq(sum(col("cnt")).as("cnt"),
+        sum(col("total")).as("total")) ++
+      (if (trackSquares) Seq(sum(col("total_sq")).as("total_sq")) else Nil) ++
+      minMaxCols.flatMap(c => Seq(min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c")))
+    // Groups whose count reaches zero are dropped (fully retracted) —
+    // same contract as IncrementalAgg.apply.
+    val nextBase = T("nextBase")(affSide.unionByName(deltaSide)
+      .groupBy(g.map(col): _*).agg(fusedAggs.head, fusedAggs.tail: _*)
+      .filter(col("cnt") =!= 0))
+    // The final state is NOT checkpointed at all: its single consumer is
+    // the merge commit's input, which mergeInto persist()s before its
+    // first job — the blocks materialize exactly once there either way,
+    // and a localCheckpoint(false) here would only buy a SECOND full
+    // optimizer/physical-planning pass (measured ~0.3-0.5s of pure
+    // driver latency per fold; the round-18 lazy-ck guidance predates
+    // the fused plan). Attribute-id hygiene holds without it: every
+    // state-table-reading frame it references (affected) is already an
+    // eagerly checkpointed LogicalRDD, so the merge's cur ⋈ incoming
+    // self-join sees no shared scan attributes.
     // groups fully retracted this window (cnt hit zero): derived from the
     // checkpointed churn frames ALONE — state stores only cnt != 0 rows,
     // so a stored group vanishes iff the window's delta exactly cancels
@@ -358,9 +380,7 @@ final class MaintainedAgg(
     graft.util.Overlap.withBg(T("gate-gone")(!goneKeys.isEmpty)) { anyGoneF =>
       val next =
         if (minMaxCols.isEmpty) nextBase
-        else T("extremes")(
-          withExtremes(nextBase, delta, head, affected)
-            .localCheckpoint(false))
+        else T("extremes")(withExtremes(nextBase, delta, head, affected))
       // ONE commit applies updates + deletes + the mark advance
       // atomically — a two-commit fold could crash with the mark already
       // advanced and the deletes lost, and (unlike MaintainedJoin's image
@@ -400,27 +420,31 @@ final class MaintainedAgg(
     current
   }
 
-  /** Attach maintained min/max to the folded count/sum state. Null-safe
-    * group joins throughout — a null group value (e.g. the unmatched side
-    * of a maintained left join) is a real group. `st` is the point-read
-    * state subset for the window's touched groups — every group this
-    * method must produce extremes for is in it (retractions and inserts
-    * both contribute their groups to the delta).
+  /** Repair the fused state's min/max where optimism can't answer.
+    * `nextBase` already carries the OPTIMISTIC extremes (they rode the
+    * fused union + aggregation); the one case that fold cannot decide is
+    * a retraction that TIES a stored bound — the bound may shrink and
+    * needs source truth. This method detects those hit groups and, in
+    * the COMMON window where there are none, returns `nextBase`
+    * untouched — zero extra joins, zero extra jobs beyond the one tiny
+    * gate probe. Hit windows override exactly the hit groups' extremes
+    * with an authoritative group-scoped re-aggregation.
     *
-    * Everything derives from `delta` + `st` — both tiny, churn-sized,
-    * already checkpointed: the per-group insert extremes (u_min/u_max)
-    * and retraction extremes (r_min/r_max) rode the delta aggregation,
-    * so no re-scan of the feed happens here. Tie detection needs only
-    * the retraction extremes: every retracted value is >= the stored
-    * min, so SOME retracted value equals it iff min(retracted) does
-    * (plain `===` — null-false — is exactly right: a stored null min
-    * means the group has no non-null values, and retracting a null can
-    * never shrink a bound).
+    * Null-safe group joins throughout — a null group value (e.g. the
+    * unmatched side of a maintained left join) is a real group. `st` is
+    * the point-read state subset for the window's touched groups; both
+    * it and `delta` are tiny, churn-sized, already checkpointed: the
+    * retraction extremes (r_min/r_max) rode the delta aggregation, so
+    * no re-scan of the feed happens here. Tie detection needs only the
+    * retraction extremes: every retracted value is >= the stored min,
+    * so SOME retracted value equals it iff min(retracted) does (plain
+    * `===` — null-false — is exactly right: a stored null min means the
+    * group has no non-null values, and retracting a null can never
+    * shrink a bound).
     */
   private def withExtremes(nextBase: DataFrame, delta: DataFrame,
       head: Long, st: DataFrame): DataFrame = {
-    // hit groups: a retracted image TIES a stored extreme — the only case
-    // where the bound may shrink and needs source truth
+    // hit groups: a retracted image TIES a stored extreme
     val hitCond = g.map(c => delta(c) <=> st(c)).reduce(_ && _)
     val hits = T("ext-hits-plan")(delta.join(st, hitCond, "inner")
       .filter(minMaxCols.map(c =>
@@ -432,34 +456,6 @@ final class MaintainedAgg(
       // an eager checkpoint would be a redundant extra job
       .select(g.map(c => delta(c).as(c)): _*).localCheckpoint(false))
 
-    // per-group window-insert extremes; a group without inserts carries
-    // nulls, which least/greatest skip — the same optimistic algebra as
-    // an absent row
-    val upExt = delta.select((g.map(col) ++ minMaxCols.flatMap(c =>
-      Seq(col(s"u_min_$c"), col(s"u_max_$c")))).toIndexedSeq: _*)
-    val stSel = st.select((g.map(col) ++
-      minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))))
-      .toIndexedSeq: _*)
-
-    def optimistic(stSide: DataFrame, upSide: DataFrame): DataFrame = {
-      val cond = g.map(c => stSide(c) <=> upSide(c)).reduce(_ && _)
-      stSide.join(upSide, cond, "full_outer")
-        .select((g.map(c => coalesce(stSide(c), upSide(c)).as(c)) ++
-          minMaxCols.flatMap(c => Seq(
-            least(stSide(s"min_$c"), upSide(s"u_min_$c")).as(s"min_$c"),
-            greatest(stSide(s"max_$c"), upSide(s"u_max_$c")).as(s"max_$c"))))
-          .toIndexedSeq: _*)
-    }
-    def graft(ext: DataFrame): DataFrame = {
-      val joinCond = g.map(c => nextBase(c) <=> ext(c)).reduce(_ && _)
-      nextBase.join(ext, joinCond, "left")
-        .select((g.map(c => nextBase(c).as(c)) ++
-          Seq(nextBase("cnt"), nextBase("total")) ++
-          (if (trackSquares) Seq(nextBase("total_sq")) else Nil) ++
-          minMaxCols.flatMap(c => Seq(ext(s"min_$c"), ext(s"max_$c"))))
-          .toIndexedSeq: _*)
-    }
-
     // ONE probe job doubles as the emptiness gate AND the repair read's
     // bounded value collect (single group column): the separate
     // isEmpty-then-collect pair was two jobs over the same tiny frame
@@ -468,10 +464,9 @@ final class MaintainedAgg(
         Right(hits.limit(MaintainedAgg.MaxRepairGroups + 1)
           .collect().map(_.get(0)).toSeq)
       else Left(hits.isEmpty))
-    // the COMMON window ties no stored extreme: the optimistic fold is
-    // the whole answer — no group-scoped source read, no hit anti-joins
-    if (hitVals.fold(identity, _.isEmpty))
-      return T("ext-opt-plan")(graft(optimistic(stSel, upExt)))
+    // the COMMON window ties no stored extreme: the fused optimistic
+    // fold is already the whole answer
+    if (hitVals.fold(identity, _.isEmpty)) return nextBase
 
     // authoritative re-aggregation of the hit groups, group-scoped and
     // pinned at the window end (same row filter as every other read)
@@ -484,21 +479,30 @@ final class MaintainedAgg(
     val recCond = g.map(c => srcRows(c) <=> hits(c)).reduce(_ && _)
     val recAggs = minMaxCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    // the marker column distinguishes "repaired, bound is genuinely
+    // NULL" (an all-null hit group) from "not a hit group" after the
+    // left join below — a bare coalesce would silently fall back to the
+    // optimistic bound on the former
     val rec = srcRows.join(hits, recCond, "left_semi")
       .groupBy(g.map(col): _*).agg(recAggs.head, recAggs.tail: _*)
+      .withColumn("_ma_rep", lit(true))
 
-    // optimistic fold for everything else: stored extremes (minus hit
-    // groups) ⊕ window-insert extremes. Hit groups are REPAIRED
-    // authoritatively — they must not also surface through the
-    // insert-fold side (two ext rows per group would race in the merge)
-    val upKeepCond = g.map(c => upExt(c) <=> hits(c)).reduce(_ && _)
-    val upNoHit = upExt.join(hits, upKeepCond, "left_anti")
-    val stKeepCond = g.map(c => stSel(c) <=> hits(c)).reduce(_ && _)
-    val stNoHit = stSel.join(hits, stKeepCond, "left_anti")
-
-    val ext = optimistic(stNoHit, upNoHit)
-      .unionByName(rec) // disjoint: opt excludes hit groups
-    graft(ext)
+    // override ONLY the hit groups' extremes; counts/sums and every
+    // non-hit group pass through unchanged. A hit group always has a
+    // stored row (a tie needs a stored bound), so it is present in
+    // nextBase unless it fully vanished this window — in which case the
+    // left join drops its repair row with it, matching the gone-delete.
+    val ovCond = g.map(c => nextBase(c) <=> rec(c)).reduce(_ && _)
+    nextBase.join(rec, ovCond, "left")
+      .select((g.map(c => nextBase(c).as(c)) ++
+        Seq(nextBase("cnt"), nextBase("total")) ++
+        (if (trackSquares) Seq(nextBase("total_sq")) else Nil) ++
+        minMaxCols.flatMap(c => Seq(
+          when(rec("_ma_rep"), rec(s"min_$c"))
+            .otherwise(nextBase(s"min_$c")).as(s"min_$c"),
+          when(rec("_ma_rep"), rec(s"max_$c"))
+            .otherwise(nextBase(s"max_$c")).as(s"max_$c"))))
+        .toIndexedSeq: _*)
   }
 
 }
