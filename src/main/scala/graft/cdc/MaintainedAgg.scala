@@ -368,55 +368,55 @@ final class MaintainedAgg(
     // so a stored group vanishes iff the window's delta exactly cancels
     // it (affected ⋈ delta with cnt + d_cnt == 0; a stored group absent
     // from the delta keeps its nonzero cnt, and a delta-only group has no
-    // stored row to delete). Equivalent to the old anti-join of
-    // `affected` against `next`'s keys, but it does not reference the
-    // lazy extremes checkpoint, so the emptiness gate runs on a
-    // BACKGROUND thread while the driver plans the extremes tree — the
-    // fold's single biggest driver-side catalyst stretch.
+    // stored row to delete). Equivalent to an anti-join of `affected`
+    // against `next`'s keys, derived from the checkpointed churn frames
+    // alone.
     val goneCond = g.map(c => affected(c) <=> delta(c)).reduce(_ && _)
     val goneKeys = affected.join(delta, goneCond, "inner")
       .filter(affected("cnt") + delta("d_cnt") === 0)
       .select(g.map(c => affected(c).as(c)): _*)
-    graft.util.Overlap.withBg(T("gate-gone")(!goneKeys.isEmpty)) { anyGoneF =>
-      val next =
-        if (minMaxCols.isEmpty) nextBase
-        else T("extremes")(withExtremes(nextBase, delta, head, affected))
-      // ONE commit applies updates + deletes + the mark advance
-      // atomically — a two-commit fold could crash with the mark already
-      // advanced and the deletes lost, and (unlike MaintainedJoin's image
-      // folds) an agg delta re-applied on replay would double-count.
-      val goneBase = {
-        val b = goneKeys
-          .withColumn("cnt", lit(0L))
-          .withColumn("total", lit(null).cast(next.schema("total").dataType))
-        if (trackSquares)
-          b.withColumn("total_sq",
-            lit(null).cast(next.schema("total_sq").dataType))
-        else b
-      }
-      val gone = minMaxCols.foldLeft(goneBase) { (df, c) =>
-          df.withColumn(s"min_$c",
-              lit(null).cast(next.schema(s"min_$c").dataType))
-            .withColumn(s"max_$c",
-              lit(null).cast(next.schema(s"max_$c").dataType))
-        }
-        .withColumn("_ma_del", lit(true))
-      // gate the delete branch on an actual vanished group: the COMMON
-      // fold retracts rows without emptying any group, and with the
-      // branch statically false (literal) the merge commit SKIPS its
-      // tombstone write entirely. Routed by one flag column, so
-      // delete/insert conditions are disjoint — the incoming-only
-      // tombstone pass applies (and gone keys are stored groups by
-      // construction, so it never over-approximates here).
-      val anyGone = anyGoneF()
-      table.mergeInto(next.withColumn("_ma_del", lit(false))
-          .unionByName(gone),
-        whenMatchedDelete = if (anyGone) col("i._ma_del") else lit(false),
-        insertCondition = !col("i._ma_del"),
-        conditionCols = Seq("_ma_del"),
-        tombstonesFromIncoming = true,
-        extraMetrics = marksM)
+    val next =
+      if (minMaxCols.isEmpty) nextBase
+      else T("extremes")(withExtremes(nextBase, delta, head, affected))
+    // ONE commit applies updates + deletes + the mark advance
+    // atomically — a two-commit fold could crash with the mark already
+    // advanced and the deletes lost, and (unlike MaintainedJoin's image
+    // folds) an agg delta re-applied on replay would double-count.
+    val goneBase = {
+      val b = goneKeys
+        .withColumn("cnt", lit(0L))
+        .withColumn("total", lit(null).cast(next.schema("total").dataType))
+      if (trackSquares)
+        b.withColumn("total_sq",
+          lit(null).cast(next.schema("total_sq").dataType))
+      else b
     }
+    val gone = minMaxCols.foldLeft(goneBase) { (df, c) =>
+        df.withColumn(s"min_$c",
+            lit(null).cast(next.schema(s"min_$c").dataType))
+          .withColumn(s"max_$c",
+            lit(null).cast(next.schema(s"max_$c").dataType))
+      }
+      .withColumn("_ma_del", lit(true))
+    // the delete branch is ALWAYS routed (no vanished-group pre-gate):
+    // the incoming-only tombstone pass is a filter + distinct over the
+    // already-cached merge input, so discovering "no gone groups" there
+    // costs one cheap cached scan inside the commit's overlapped
+    // stats ∥ tombstones pair — strictly cheaper than the dedicated
+    // emptiness-gate JOB the old pre-gate spent on every fold (and in
+    // the no-extremes fold that gate had no planning work to hide
+    // behind, so it was a fully sequential job round). writeTombstones
+    // records nothing when the key set is empty. Routed by one flag
+    // column, so delete/insert conditions are disjoint — the
+    // incoming-only tombstone pass applies (and gone keys are stored
+    // groups by construction, so it never over-approximates here).
+    table.mergeInto(next.withColumn("_ma_del", lit(false))
+        .unionByName(gone),
+      whenMatchedDelete = col("i._ma_del"),
+      insertCondition = !col("i._ma_del"),
+      conditionCols = Seq("_ma_del"),
+      tombstonesFromIncoming = true,
+      extraMetrics = marksM)
     current
   }
 

@@ -1724,27 +1724,46 @@ class CowTable(
       val cur = if (curCached) cur0.persist() else cur0
       try {
       val merged = merge(cur, incoming)
-      val newFiles = traceMerge("write")(writeCommit(merged, v, parallelism,
-        idSchema = evolved))
-      // the tombstone pass (cur x incoming re-join over cached inputs)
-      // and the file-stats pass (key scan of the just-written files) are
-      // INDEPENDENT jobs — overlap them; a fold's commit latency is a
-      // chain of small job rounds and this is the one post-write pair
-      // with no ordering constraint
-      val (newStats, newTombstones) = graft.util.Overlap.withBg(
+      def tombstonePass(): Map[String, Seq[String]] = tombstoneKeys match {
+        case Some(keysOf) =>
+          val fls = traceMerge("tombstones")(
+            writeTombstones(keysOf(cur, incoming), v))
+          if (fls.isEmpty) m.tombstones
+          else m.tombstones + (v.toString -> fls)
+        case None => m.tombstones
+      }
+      def statsPass(newFiles: Map[String, Seq[String]])
+          : Map[String, FileStat] =
         traceMerge("stats")(if (fileIndexEntries > 0)
           collectFileStats(newFiles, evolved, m.keyEncoding)
-        else Map.empty[String, FileStat])) { st =>
-        val nt = tombstoneKeys match {
-          case Some(keysOf) =>
-            val fls = traceMerge("tombstones")(
-              writeTombstones(keysOf(cur, incoming), v))
-            if (fls.isEmpty) m.tombstones
-            else m.tombstones + (v.toString -> fls)
-          case None => m.tombstones
+        else Map.empty[String, FileStat])
+      // Commit latency is a chain of small job rounds; the two passes
+      // around the write have no ordering constraint on it, so overlap
+      // whatever independence allows:
+      //   - an INCOMING-ONLY tombstone pass (delete(); mergeInto with
+      //     tombstonesFromIncoming) reads nothing the write produces and
+      //     nothing the write warms — it runs on a background thread
+      //     UNDER the write job (its UUID-suffixed file is orphaned,
+      //     never visible, if the write throws — same class as the
+      //     failed write's own files);
+      //   - a cur-rejoining tombstone pass stays AFTER the write (the
+      //     write job is what warms cur's cache) and overlaps the
+      //     file-stats scan of the just-written files instead.
+      val (newFiles, newStats, newTombstones) =
+        if (tombstoneKeys.isDefined && !tombstonesUseCur)
+          graft.util.Overlap.withBg(tombstonePass()) { nt =>
+            val nf = traceMerge("write")(writeCommit(merged, v, parallelism,
+              idSchema = evolved))
+            (nf, statsPass(nf), nt())
+          }
+        else {
+          val nf = traceMerge("write")(writeCommit(merged, v, parallelism,
+            idSchema = evolved))
+          val (st, nt) = graft.util.Overlap.withBg(statsPass(nf)) { stF =>
+            (stF(), tombstonePass())
+          }
+          (nf, st, nt)
         }
-        (st(), nt)
-      }
       // Partitions whose merged result is empty (fully deleted) simply have
       // no entry in newFiles and drop out of the snapshot (unless they
       // retain pruned files).
