@@ -2620,13 +2620,34 @@ class CowTable(
     stamped.coalesce(1).write.mode("overwrite").parquet(dir.toString)
     val base = new Path(basePath)
     val out = scala.collection.mutable.Buffer.empty[String]
+    var rows = 0L
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
       val f = it.next().getPath
-      if (f.getName.endsWith(".parquet")) out += relativize(base, f)
+      if (f.getName.endsWith(".parquet")) {
+        out += relativize(base, f)
+        rows += parquetRowCount(f)
+      }
     }
-    // a delete of zero keys leaves no tombstone record (and no empty dir)
-    if (out.isEmpty) { fs.delete(dir, true); Nil } else out.toSeq
+    // A delete of zero keys leaves no tombstone record (and no empty
+    // dir). The guard must count ROWS, not files: Spark always keeps
+    // partition 0's writer so an empty coalesce(1) write still emits a
+    // part file — recording it would flip every downstream change-feed
+    // window onto the D-union path (and accrete a junk file + manifest
+    // entry per commit) for nothing. The count is one driver-side
+    // footer read of the single part file, no job.
+    if (rows == 0L) { fs.delete(dir, true); Nil } else out.toSeq
+  }
+
+  /** Row count from a parquet file's FOOTER (driver-side metadata read,
+    * no Spark job) — sums the row-group counts, which parquet maintains
+    * for zero-row files too.
+    */
+  private def parquetRowCount(f: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(f, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   /** Recursively list a commit dir's parquet files, keyed by partition. */

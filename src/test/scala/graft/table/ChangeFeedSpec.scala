@@ -82,6 +82,34 @@ class ChangeFeedSpec extends SparkSpec {
     assert(pre == Set("k1", "k2"))
   }
 
+  test("a delete-routed merge with ZERO routed rows records no tombstone " +
+      "(zero-row part files must not count)") {
+    val t = new CowTable(spark, tmpDir("cf-merge-zero"), keyCols = Seq("id"),
+      trackCommitVersions = true)
+    t.bulkInsert(Seq(("k1", 1.0), ("k2", 2.0)).toDF("id", "v"))
+    // delete branch routed but no incoming row takes it — the common IVM
+    // fold window. Spark still writes partition 0's (empty) part file,
+    // so the guard must count rows, not files: a recorded zero-row
+    // tombstone would flip every downstream feed window onto the D-union
+    // path and accrete a junk file per fold.
+    t.mergeInto(
+      Seq(("k2", 22.0, "U"), ("k9", 9.0, "U")).toDF("id", "v", "op"),
+      whenMatchedDelete = col("i.op") === "D",
+      insertCondition = col("i.op") =!= "D",
+      conditionCols = Seq("op"),
+      tombstonesFromIncoming = true)
+    assert(t.manifest.tombstones.isEmpty,
+      "no manifest tombstone entry for a zero-key delete branch")
+    assert(feed(t, 1L, 2L) == Set(
+      ("k2", "U", Some(22.0)), ("k9", "U", Some(9.0))))
+    // same guard on the cur-rejoining pass: a delete() whose keys match
+    // nothing stored still over-approximates (D for absent keys is the
+    // delete() contract) — but an EMPTY key frame records nothing
+    t.delete(spark.emptyDataset[(String, Double)].toDF("id", "v"))
+    assert(t.manifest.tombstones.isEmpty,
+      "no manifest tombstone entry for an empty delete batch")
+  }
+
   test("MOR: delete logs and compaction both surface D") {
     val t = new MorTable(spark, tmpDir("cf-mor"), keyCols = Seq("id"),
       compactEvery = 0)
