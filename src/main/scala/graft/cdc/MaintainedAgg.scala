@@ -369,8 +369,7 @@ final class MaintainedAgg(
     // it (affected ⋈ delta with cnt + d_cnt == 0; a stored group absent
     // from the delta keeps its nonzero cnt, and a delta-only group has no
     // stored row to delete). Equivalent to an anti-join of `affected`
-    // against `next`'s keys, derived from the checkpointed churn frames
-    // alone.
+    // against `next`'s keys.
     val goneCond = g.map(c => affected(c) <=> delta(c)).reduce(_ && _)
     val goneKeys = affected.join(delta, goneCond, "inner")
       .filter(affected("cnt") + delta("d_cnt") === 0)
@@ -400,16 +399,16 @@ final class MaintainedAgg(
       .withColumn("_ma_del", lit(true))
     // the delete branch is ALWAYS routed (no vanished-group pre-gate):
     // the incoming-only tombstone pass is a filter + distinct over the
-    // already-cached merge input, so discovering "no gone groups" there
-    // costs one cheap cached scan inside the commit's overlapped
-    // stats ∥ tombstones pair — strictly cheaper than the dedicated
-    // emptiness-gate JOB the old pre-gate spent on every fold (and in
-    // the no-extremes fold that gate had no planning work to hide
-    // behind, so it was a fully sequential job round). writeTombstones
-    // records nothing when the key set is empty. Routed by one flag
-    // column, so delete/insert conditions are disjoint — the
-    // incoming-only tombstone pass applies (and gone keys are stored
-    // groups by construction, so it never over-approximates here).
+    // already-cached merge input, run on a background thread UNDER the
+    // commit's write job — so discovering "no gone groups" there costs
+    // zero wall time, where the old pre-gate spent a dedicated
+    // emptiness-probe JOB on every fold (fully sequential in the
+    // no-extremes fold, which has no planning work to hide it behind).
+    // writeTombstones records nothing when the key set turns out empty
+    // (footer row-count guard). Routed by one flag column, so
+    // delete/insert conditions are disjoint — the incoming-only
+    // tombstone pass applies (and gone keys are stored groups by
+    // construction, so it never over-approximates here).
     table.mergeInto(next.withColumn("_ma_del", lit(false))
         .unionByName(gone),
       whenMatchedDelete = col("i._ma_del"),
