@@ -112,25 +112,41 @@ object GraphOps {
     * one min-groupBy on node id — both on compact (id, long) pairs, both
     * map-side combinable. Unlike frontier-delta BFS implementations this
     * re-propagates the whole reach each round (simpler, deterministic
-    * plans); rounds are expected SMALL (neighborhood expansion, not
-    * diameter sweeps) — for deep traversals `checkpointEvery` (default
-    * 10, same contract as [[pageRank]]) bounds the lineage.
+    * plans).
+    *
+    * COMPACT graphs (node count ≤ `broadcastMaxNodes` — sized once from
+    * the cached edge list, the same gate as [[pageRank]]): the reach is
+    * materialized per round (eager checkpoint) and BROADCAST into the
+    * propagation join, so the cached edge list is never re-shuffled and
+    * each round's plan stays flat — without this, round i references
+    * round i-1 TWICE (join + union), the logical tree doubles per hop,
+    * and the edge join re-shuffles every round (measured ~2x on the
+    * battery's 3-hop trade-graph row). Giant graphs keep the lazy form:
+    * shuffle joins (a 100-TB reach cannot broadcast) with
+    * `checkpointEvery` (default 10, same contract as [[pageRank]])
+    * bounding the lineage.
     */
   def hopDistances(
       edges: DataFrame,
       sources: Seq[String],
       maxHops: Int,
-      checkpointEvery: Int = 10): DataFrame = {
+      checkpointEvery: Int = 10,
+      broadcastMaxNodes: Long = 2000000L): DataFrame = {
     require(sources.nonEmpty && maxHops >= 1, "need sources and hops >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).persist()
+    // reach ⊆ nodes: distinct dst count (+ the sources) bounds it
+    val compact = e.select(col("dst")).distinct().count() <= broadcastMaxNodes
     var d = sources.toDF("id").select(col("id"), lit(0L).as("dist"))
+    if (compact) d = d.localCheckpoint()
     for (i <- 1 to maxHops) {
-      val prop = e.join(d, e("src") === d("id"))
-        .select(e("dst").as("id"), (d("dist") + 1L).as("dist"))
+      val dv = if (compact) broadcast(d) else d
+      val prop = e.join(dv, e("src") === dv("id"))
+        .select(e("dst").as("id"), (dv("dist") + 1L).as("dist"))
       d = d.unionAll(prop).groupBy("id").agg(min(col("dist")).as("dist"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < maxHops)
+      if (compact && i < maxHops) d = d.localCheckpoint()
+      else if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < maxHops)
         d = d.localCheckpoint()
     }
     d
