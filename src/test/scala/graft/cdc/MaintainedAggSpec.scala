@@ -313,4 +313,60 @@ class MaintainedAggSpec extends SparkSpec {
     }
     assert(state(ma.refresh()) == oracle(src))
   }
+
+  test("random churn sequences: fold == recompute at every refresh " +
+      "(fused extremes + squares, null groups/values, vanish/reappear)") {
+    // deterministic adversarial sweep of the fused min/max algebra: every
+    // window mixes upserts (some with NULL group or NULL value) and
+    // deletes of random keys (some absent — delete's over-approximation),
+    // then the folded state must equal the from-scratch recompute EXACTLY.
+    // Exercises: optimistic folds, tie-repair windows, all-null extreme
+    // groups, group vanish + same-window reappear, empty windows, and
+    // multi-op windows folding as one feed.
+    val rnd = new scala.util.Random(20260816L)
+    val src = new CowTable(spark, tmpDir("ma-rnd-src"), keyCols = Seq("k"),
+      precombineField = "pc", trackCommitVersions = true)
+    val groups: Seq[Any] = Seq("g0", "g1", "g2", null)
+    var pc = 0L
+    def batch(n: Int): DataFrame = {
+      val data = (1 to n).map { _ =>
+        pc += 1
+        (s"k${rnd.nextInt(24)}",
+          groups(rnd.nextInt(groups.size)).asInstanceOf[String],
+          if (rnd.nextInt(6) == 0) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(rnd.nextInt(101) - 50L),
+          pc)
+      }
+      data.toDF("k", "grp", "v", "pc")
+    }
+    src.bulkInsert(batch(16))
+    val ma = new MaintainedAgg(spark, tmpDir("ma-rnd-st"), src,
+      AggSpec(Seq("grp"), "v"), minMaxCols = Seq("v"), trackSquares = true)
+
+    def snap(df: DataFrame): Set[(Option[String], Long, Option[Double],
+        Option[Double], Option[Double], Option[Double])] =
+      df.select(col("grp"), col("cnt"), col("total").cast("double"),
+          col("total_sq").cast("double"), col("min_v"), col("max_v"))
+        .collect().map(r => (
+          Option(r.getString(0)), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+
+    for (w <- 1 to 14) {
+      val ops = 1 + rnd.nextInt(3)
+      (1 to ops).foreach { _ =>
+        if (rnd.nextInt(3) == 0)
+          src.delete(batch(1 + rnd.nextInt(6)))
+        else src.upsert(batch(1 + rnd.nextInt(8)))
+      }
+      assert(snap(ma.refresh()) == snap(ma.recompute(src.snapshot())),
+        s"window $w diverged from recompute")
+      // occasional no-churn refresh: the ledger-advance path
+      if (w % 5 == 0)
+        assert(snap(ma.refresh()) == snap(ma.recompute(src.snapshot())),
+          s"window $w empty refresh diverged")
+    }
+  }
 }
