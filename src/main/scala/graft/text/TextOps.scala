@@ -161,6 +161,23 @@ object TextOps {
     * ASC) is a total order, so the k-boundary cut is deterministic across
     * engines and partitionings.
     */
+  /** Constant partition key for a rank-assigning window over a frame a
+    * preceding orderBy+limit(k) has ALREADY bounded to ≤k rows. Window
+    * semantics are identical to a partition-less spec (every row lands in
+    * the one group), but the key is deliberately NON-FOLDABLE
+    * (`pmod(c, 1)` ≡ 0 for any integral value, and Catalyst does not
+    * simplify it — `c * 0` does NOT work: ConstantFolding folds
+    * multiply-by-zero when the attribute side is non-nullable, e.g. a
+    * count(1) alias) so Spark 4's `EliminateWindowPartitions` cannot
+    * strip it back to an empty partition spec: an empty spec makes
+    * WindowExec log its "No Partition Defined" scale warning, which flags
+    * UNBOUNDED single-partition funnels — exactly the hazard the limit
+    * upstream already eliminated. Only ever use downstream of a row-count
+    * bound; an unbounded input would genuinely funnel one partition.
+    */
+  private def boundedSingleGroup(nonNull: Column): Column =
+    pmod(nonNull, lit(1))
+
   def vocabulary(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .distinct()
@@ -697,13 +714,24 @@ object TextOps {
     val norm = col("tf") +
       lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)
     val contrib = idf * (col("tf") * (k1 + 1.0)) / norm
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    // Top-k FIRST via orderBy+limit — TakeOrderedAndProject (per-partition
+    // partial top-k, driver k-way merge), so a common query term's
+    // corpus-sized scored-doc set never funnels through one partition —
+    // THEN the rank-assigning window runs over the ≤topK-row frame only.
+    // (score desc, doc_id) is a total order, so the k-cut and the ranks
+    // within it are deterministic: the output is provably identical to
+    // ranking the full scored set and filtering rnk <= topK.
+    // Constant-key single-group window over the ≤topK frame the limit
+    // below bounds — see [[boundedSingleGroup]].
+    val w = Window.partitionBy(boundedSingleGroup(col("doc_id")))
+      .orderBy(col("score").desc, col("doc_id"))
     tf.join(broadcast(dfreq), "term")
       .withColumn("cm", floor(contrib * lit(1.0e6) + lit(0.5)))
       .groupBy(col("doc_id"), col("dl"))
       .agg((sum(col("cm")).cast("double") / lit(1.0e6)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
       .select(col("doc_id"), col("dl"), col("score"), col("rnk"))
   }
 
@@ -1023,20 +1051,30 @@ object TextOps {
     * every document re-emitted as its id array with out-of-vocabulary
     * tokens mapped to 0 and counted.
     *
-    * Plan shape: one token-count aggregate + a rank-topK window build the
-    * vocab (bounded, broadcast); documents then explode WITH positions,
-    * probe the broadcast vocab, and regroup by doc_id — order restored by
-    * sorting the collected (pos, id) structs, not by any shuffle-order
-    * assumption. Shuffled rows are (doc_id, pos, id) triples.
+    * Plan shape: one token-count aggregate + an orderBy+limit(vocabSize)
+    * top-k — planned as TakeOrderedAndProject (per-partition partial
+    * top-k, k-way driver merge; the [[vocabulary]] pattern), so ALL
+    * distinct corpus tokens never funnel through one partition — then the
+    * id-assigning row_number window runs over the ≤vocabSize-row frame
+    * only. (n desc, tok asc) is a total order, so the top-k cut and the
+    * ids within it are deterministic across engines and partitionings.
+    * Documents then explode WITH positions, probe the broadcast vocab,
+    * and regroup by doc_id — order restored by sorting the collected
+    * (pos, id) structs, not by any shuffle-order assumption. Shuffled
+    * rows are (doc_id, pos, id) triples.
     */
   def encodeTokenIds(docs: DataFrame, vocabSize: Int): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive")
     val toks = docs.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val rank = Window.orderBy(col("n").desc, col("tok").asc)
+    // Constant-key single-group window over the ≤vocabSize frame the
+    // limit above already bounded — see [[boundedSingleGroup]].
+    val rank = Window.partitionBy(boundedSingleGroup(col("n")))
+      .orderBy(col("n").desc, col("tok").asc)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(vocabSize)
       .withColumn("id", row_number().over(rank).cast("long"))
-      .filter(col("id") <= vocabSize)
       .select("tok", "id")
     toks
       .join(broadcast(vocab), Seq("tok"), "left")
