@@ -121,6 +121,33 @@ object Bench {
       // unless contention perturbed it
       clearCaches(spark)
     }
+    // Outlier re-run pass (round-10 verdict): a host-contention window that
+    // happens to cover ALL of a row's reps leaves an inflated min that the
+    // per-rep samples can self-diagnose but not repair (BENCH_r10:
+    // meta_agg_pushdown build reps 167/16/164s on code untouched for
+    // rounds). Any row whose rep spread exceeds 3x with a non-trivial max
+    // gets ONE more sample after the full sweep — minutes later, under a
+    // fresh GC + brief settle — so a spike must now span the entire bench
+    // AND the settled tail to corrupt a recorded min. The extra sample
+    // lands in reps_build_query like the others, so the artifact shows
+    // exactly which rows re-ran and what the re-run measured.
+    val suspect = perRep.toSeq.flatMap { case (n, ts) =>
+      val totals = ts.map(t => t._1 + t._2)
+      val (lo, hi) = (totals.min, totals.max)
+      if (hi > 1.0 && hi / math.max(lo, 1e-9) > 3.0) Some(n) else None
+    }
+    if (suspect.nonEmpty) {
+      System.err.println(
+        s"[bench] re-running ${suspect.size} spread-outlier row(s): " +
+          suspect.mkString(", "))
+      System.gc()
+      Thread.sleep(2000)
+      val byName = names.toMap
+      suspect.foreach { n =>
+        timedRep(n, byName(n))
+        clearCaches(spark)
+      }
+    }
     val results = perRep.map { case (n, ts) =>
       n -> ts.map(t => t._1 + t._2).min
     }
