@@ -2178,26 +2178,33 @@ object QueryCatalog {
     * generated from the same [[graft.text.TextOps.HtmlStripSteps]] table
     * — certifies the whole chain cross-engine, byte-for-byte.
     */
-  private val htmlStrip = {
-    val pre = "<html><head><title>T&amp;C</title>" +
-      "<style type=\"text/css\">body { color: #fff }</style>" +
-      "<script>if (1 < 2 && 2 > 1) { x = \"<p>\"; }</script></head>" +
-      "<body><!-- hidden --><h1 class=\"big\">Doc:</h1><p>"
-    val post = "</p><br/><div>5 &lt; 7 &amp;&amp; 9 &gt; 3, " +
-      "&quot;q&quot;, &#39;s&#39;,&nbsp;&amp;lt;kept&amp;gt;" +
-      "</div></body></html>"
-    def qq(x: String) = x.replace("'", "''")
-    Q(
-      (s, d) => t(s, d, "documents").select(col("doc_id"),
-          TextOps.htmlStrip(concat(lit(pre), col("text"), lit(post)))
-            .as("clean_text"))
-        .orderBy("doc_id"),
-      Some(s"""SELECT doc_id,
-             |  ${TextOps.htmlStripSql(
-                   s"'${qq(pre)}' || text || '${qq(post)}'")}
-             |    AS clean_text
-             |FROM documents ORDER BY doc_id""".stripMargin))
-  }
+  /** The deterministic markup wrapper shared by `html_strip` and
+    * `pipeline_e2e`: every stripped construct (style/script bodies, a
+    * comment, attribute-laden tags, named/numeric entities, the
+    * double-encoded `&amp;lt;` pinning decode order) around each
+    * document's text.
+    */
+  private val HtmlPre = "<html><head><title>T&amp;C</title>" +
+    "<style type=\"text/css\">body { color: #fff }</style>" +
+    "<script>if (1 < 2 && 2 > 1) { x = \"<p>\"; }</script></head>" +
+    "<body><!-- hidden --><h1 class=\"big\">Doc:</h1><p>"
+  private val HtmlPost = "</p><br/><div>5 &lt; 7 &amp;&amp; 9 &gt; 3, " +
+    "&quot;q&quot;, &#39;s&#39;,&nbsp;&amp;lt;kept&amp;gt;" +
+    "</div></body></html>"
+  private def sq(x: String) = x.replace("'", "''")
+  /** DuckDB expression: the markup-wrapped `text` column, stripped. */
+  private def htmlWrappedStripSql: String =
+    TextOps.htmlStripSql(s"'${sq(HtmlPre)}' || text || '${sq(HtmlPost)}'")
+
+  private val htmlStrip = Q(
+    (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextOps.htmlStrip(concat(lit(HtmlPre), col("text"), lit(HtmlPost)))
+          .as("clean_text"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+           |  $htmlWrappedStripSql
+           |    AS clean_text
+           |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Semi-structured extraction from the JSON props column. */
   private val jsonExtract = Q(
@@ -2310,16 +2317,20 @@ object QueryCatalog {
          |FROM c WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin
     })
 
-  /** Shared shingle CTEs for the jaccard/minhash oracles. */
-  private val shingleCtes =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-      |  FROM documents),
+  /** Shared shingle CTEs for the jaccard/minhash oracles, over any
+    * (doc_id, text) source relation (`documents` for the per-op rows;
+    * the stripped+normalized `pdocs` CTE for `pipeline_e2e`).
+    */
+  private def shingleCtesFrom(src: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM $src),
       |sh AS (SELECT doc_id, list_transform(
       |    generate_series(1, len(toks) - 2),
       |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS s
       |  FROM t),
       |e AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh)"""
       .stripMargin
+  private val shingleCtes = "WITH " + shingleCtesFrom("documents")
 
   private val ngramJaccardPairs = Q(
     (s, d) => TextOps.ngramJaccardPairs(t(s, d, "documents"), 3, 8, 10),
@@ -2405,16 +2416,17 @@ object QueryCatalog {
          |WHERE inter * 10 >= (na + nb - inter) * 8""".stripMargin
     })
 
-  private def minhashSigSql: String = {
+  private def minhashSigFrom(src: String): String = {
     val mins = Hashing.MinhashA.zip(Hashing.MinhashB).zipWithIndex.map {
       case ((a, b), i) => s"min(($a * hm + $b) % ${Hashing.P}) AS mh$i"
     }.mkString(",\n  ")
-    s"""$shingleCtes,
+    s"""${shingleCtesFrom(src)},
        |h AS (SELECT doc_id, (${H("shingle")} % ${Hashing.P}) AS hm FROM e),
        |sig AS (SELECT doc_id,
        |  $mins
        |FROM h GROUP BY doc_id)""".stripMargin
   }
+  private def minhashSigSql: String = "WITH " + minhashSigFrom("documents")
 
   private val minhashSignatures = Q(
     (s, d) => TextOps.minhashSignatures(t(s, d, "documents"), 3),
@@ -3189,6 +3201,133 @@ object QueryCatalog {
          |    WHEN ${H("CAST(split_key AS VARCHAR)")} % 100 < 20 THEN 'test'
          |    ELSE 'train' END AS split
          |FROM lk""".stripMargin))
+
+  /** END-TO-END composed training-data pipeline — the reference's own
+    * test philosophy (SURVEY §5: whole-pipeline assertions, not unit
+    * checks) applied at pipeline scope. SIX stages chained as ONE
+    * dataflow over `documents`:
+    *
+    *   1. [[TextOps.htmlStrip]] of the deterministic markup wrapper
+    *      (the `html_strip` fixture),
+    *   2. [[TextOps.normalizeText]],
+    *   3. capped LSH near-dup dedup over the NORMALIZED text
+    *      ([[TextOps.lshNearDupPairs]] maxBucket=2 →
+    *      [[TextOps.dedupClusters]] → drop non-canonical members),
+    *   4. [[TextOps.qualityClassify]] keep-filter at threshold 0,
+    *   5. [[TextOps.leakageSafeSplit]] keyed on the SAME cluster frame
+    *      stage 3 computed (near-copies split together),
+    *   6. [[TextOps.sequencePackingSharded]] over the survivors.
+    *
+    * What this row certifies that the per-stage rows cannot: the stage
+    * CONTRACTS — column naming, id stability, null semantics — under
+    * composition (dedup runs on pipeline text, not raw text; the split
+    * keys on the dedup's cluster ids; packing sees only survivors). The
+    * oracle replays the identical chain; the packing formula is the
+    * GLOBAL window, certifying the sharded decomposition inside a
+    * composed plan. Scale shape: each stage keeps its own certified
+    * shape (banded LSH with hot-bucket caps, broadcast cluster/offset
+    * tables, per-row scoring, sharded prefix sum) — no stage added a
+    * shuffle or funnel the standalone rows don't have.
+    */
+  private val pipelineE2e = {
+    val bands = (0 until 4).map(bnd =>
+      s"SELECT doc_id, $bnd AS band, mh${2 * bnd} AS h1, mh${2 * bnd + 1} AS h2 FROM sig")
+      .mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        val raw = t(s, d, "documents")
+        // stages 1+2: strip the markup wrapper, then normalize. Persisted:
+        // the frame feeds the LSH signature build, the dedup anti-join and
+        // the final projection — Catalyst re-evaluates diamond subtrees
+        // per reference, and the regexp chain is the row's hot loop.
+        val pdocs = raw.select(col("doc_id"),
+          TextOps.normalizeText(TextOps.htmlStrip(
+            concat(lit(HtmlPre), col("text"), lit(HtmlPost)))).as("text"))
+          .persist()
+        // stage 3: capped near-dup clusters over the PIPELINE text
+        val clusters = TextOps.dedupClusters(
+          TextOps.lshNearDupPairs(pdocs, 3, rows = 2, num = 8, den = 10,
+            maxBucket = 2))
+        val drop = clusters.filter(!col("is_canonical")).select("doc_id")
+        val deduped = pdocs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+        // stage 4: model-scored quality keep-filter
+        val kept = TextOps.qualityClassify(deduped, 0L)
+          .filter(col("keep")).select("doc_id", "q_score")
+        val survivors = deduped.join(kept, Seq("doc_id"))
+        // stage 5: leakage-safe split on stage 3's cluster ids
+        val split = TextOps.leakageSafeSplit(survivors, clusters, 10, 10)
+        // stage 6: sharded sequence packing over the survivors
+        TextOps.sequencePackingSharded(
+            split.select(col("doc_id"), col("split"), col("q_score"),
+              size(TextOps.tokens(col("text"))).cast("long")
+                .as("n_tokens")),
+            "n_tokens", "doc_id", capacity = 2048L,
+            shardCol = floor(col("doc_id") / lit(64)))
+          .select("doc_id", "split", "q_score", "n_tokens", "cum_tokens",
+            "pack_id")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE pdocs AS MATERIALIZED (SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(lower(
+           |    $htmlWrappedStripSql),
+           |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text
+           |  FROM documents),
+           |${minhashSigFrom("pdocs")},
+           |b AS ($bands),
+           |g AS (SELECT band, h1, h2, min(doc_id) AS hub, count(*) AS n
+           |  FROM b GROUP BY band, h1, h2),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+           |  FROM b a JOIN b b2 ON a.band = b2.band AND a.h1 = b2.h1
+           |    AND a.h2 = b2.h2 AND a.doc_id < b2.doc_id
+           |  JOIN g ON g.band = a.band AND g.h1 = a.h1 AND g.h2 = a.h2
+           |  WHERE g.n <= 2 OR a.doc_id = g.hub),
+           |withsh AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+           |pairs AS (SELECT doc_a, doc_b FROM (
+           |  SELECT cand.doc_a, cand.doc_b,
+           |      len(list_intersect(a.ds, b.ds)) AS inter,
+           |      len(a.ds) AS na, len(b.ds) AS nb
+           |    FROM cand
+           |    JOIN withsh a ON cand.doc_a = a.doc_id
+           |    JOIN withsh b ON cand.doc_b = b.doc_id)
+           |  WHERE inter * 10 >= (na + nb - inter) * 8),
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+           |  UNION SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u),
+           |cl AS (SELECT u AS doc_id, min(label) AS cluster_id
+           |  FROM reach GROUP BY u),
+           |dd AS (SELECT p.doc_id, p.text FROM pdocs p
+           |  WHERE p.doc_id NOT IN
+           |    (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
+           |qf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS nu,
+           |    CAST(len(list_filter(toks, x -> x IN
+           |      ('the','a','of','and','to','in'))) AS BIGINT) AS ns
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM dd)),
+           |qs AS (SELECT doc_id, -2000 + (3000 * nu) // n + (5000 * ns) // n
+           |    + 4 * least(n, 200) AS q_score FROM qf),
+           |k AS (SELECT dd.doc_id, dd.text, qs.q_score FROM dd
+           |  JOIN qs USING (doc_id) WHERE qs.q_score >= 0),
+           |lk AS (SELECT k.doc_id, k.text, k.q_score,
+           |    coalesce(cl.cluster_id, k.doc_id) AS split_key
+           |  FROM k LEFT JOIN cl ON k.doc_id = cl.doc_id),
+           |sp AS (SELECT doc_id, text, q_score, CASE
+           |    WHEN ${H("CAST(split_key AS VARCHAR)")} % 100 < 10 THEN 'val'
+           |    WHEN ${H("CAST(split_key AS VARCHAR)")} % 100 < 20 THEN 'test'
+           |    ELSE 'train' END AS split FROM lk)
+           |SELECT doc_id, split, CAST(q_score AS BIGINT) AS q_score,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |  CAST(sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS cum_tokens,
+           |  CAST(FLOOR((sum(len(string_split(text, ' '))) OVER (
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    - len(string_split(text, ' '))) / 2048.0) AS BIGINT)
+           |    AS pack_id
+           |FROM sp ORDER BY doc_id""".stripMargin))
+  }
 
   /** Overlapping token-window chunking — the RAG/embedding prep step:
     * size-64 windows at stride 48, with tail windows that introduce no
@@ -5563,6 +5702,7 @@ object QueryCatalog {
     "dedup_clusters" -> dedupClusters,
     "near_dup_filtered" -> nearDupFiltered,
     "leakage_safe_split" -> leakageSafeSplit,
+    "pipeline_e2e" -> pipelineE2e,
     "chunk_split" -> chunkSplit,
     "cosine_topk" -> cosineTopK,
     "hard_negatives" -> hardNegatives,

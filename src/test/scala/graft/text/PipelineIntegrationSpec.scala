@@ -78,4 +78,32 @@ class PipelineIntegrationSpec extends SparkSpec {
       .as[(Long, Long)].collect().sorted.toSeq
     assert(a == b)
   }
+
+  test("the pipeline_e2e battery row holds its composed invariants") {
+    // The six-stage catalog row (html strip → normalize → capped LSH
+    // dedup → quality filter → leakage-safe split → sharded packing) is
+    // oracle-certified cross-engine; this pins its in-tree invariants so
+    // a stage-contract regression fails fast without the oracle.
+    val out = graft.queries.QueryCatalog
+      .queries("pipeline_e2e")(spark, "/root/testdata/sf0.001")
+      .cache()
+    try {
+      val rows = out.select("doc_id", "split", "q_score", "n_tokens",
+          "cum_tokens", "pack_id")
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+      assert(rows.nonEmpty && rows.size < 500,
+        s"dedup+quality must drop SOME docs: ${rows.size} of 500 kept")
+      // survivors are unique and every emitted q_score passed the filter
+      assert(rows.map(_._1).distinct.size == rows.size)
+      assert(rows.forall(_._3 >= 0L))
+      assert(rows.forall(r => Set("train", "val", "test")(r._2)))
+      // the sharded prefix sum equals the sequential fold in doc_id order
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, _, n, c, p) =>
+        cum += n
+        assert(c == cum, s"doc $id: cum_tokens $c != running sum $cum")
+        assert(p == (c - n) / 2048L, s"doc $id: pack_id $p")
+      }
+    } finally out.unpersist()
+  }
 }
