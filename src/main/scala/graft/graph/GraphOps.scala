@@ -125,19 +125,33 @@ object GraphOps {
     * shuffle joins (a 100-TB reach cannot broadcast) with
     * `checkpointEvery` (default 10, same contract as [[pageRank]])
     * bounding the lineage.
+    *
+    * Gate-sizing cost: unlike [[pageRank]] (whose degree table yields the
+    * node count for free), sizing this gate needs a dedicated
+    * distinct-dst count job over the whole edge list — pure overhead on
+    * a graph the caller already knows is giant. Two escape hatches:
+    * `broadcastMaxNodes = 0` skips the sizing job outright and takes the
+    * shuffle-join path; `nodeCountHint >= 0` supplies the (approximate)
+    * node count so the gate decides without the job — a hint only, it
+    * picks a strategy and cannot affect results.
     */
   def hopDistances(
       edges: DataFrame,
       sources: Seq[String],
       maxHops: Int,
       checkpointEvery: Int = 10,
-      broadcastMaxNodes: Long = 2000000L): DataFrame = {
+      broadcastMaxNodes: Long = 2000000L,
+      nodeCountHint: Long = -1L): DataFrame = {
     require(sources.nonEmpty && maxHops >= 1, "need sources and hops >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).persist()
     // reach ⊆ nodes: distinct dst count (+ the sources) bounds it
-    val compact = e.select(col("dst")).distinct().count() <= broadcastMaxNodes
+    val compact = broadcastMaxNodes > 0 && {
+      val nV = if (nodeCountHint >= 0L) nodeCountHint
+        else e.select(col("dst")).distinct().count()
+      nV <= broadcastMaxNodes
+    }
     var d = sources.toDF("id").select(col("id"), lit(0L).as("dist"))
     if (compact) d = d.localCheckpoint()
     for (i <- 1 to maxHops) {

@@ -2615,9 +2615,29 @@ class CowTable(
     val stamped =
       if (keys.columns.contains(CommitVerCol)) keys
       else keys.withColumn(CommitVerCol, lit(v))
+    // Emptiness probe BEFORE any filesystem write: the always-routed
+    // delete branch of the IVM folds sends an EMPTY key frame through
+    // here on every no-gone window, and the old write-then-count guard
+    // turned that into a create + footer-read + delete round-trip per
+    // commit — noise on local FS (the pass rides a background thread
+    // under the write job) but three real object-store round-trips on
+    // S3-family stores. The probe scans the already-cached merge input
+    // (tombstone key frames derive from mergeCommit's persisted frames),
+    // stops at the first row, and runs in the same overlapped slot, so
+    // the non-empty case pays one cheap background job and the empty
+    // case never touches the filesystem at all.
+    if (stamped.isEmpty) return Nil
     val dir = new Path(basePath,
       s"files/t$v-${java.util.UUID.randomUUID.toString.take(8)}")
-    stamped.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    // failure path deletes the partially-written dir: tombstone dirs are
+    // only ever reclaimed through their manifest entry, so a dir
+    // orphaned by a mid-write throw would otherwise accrete per failed
+    // commit (invisible to readers, disk-only — but junk forever)
+    try stamped.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    catch { case t: Throwable =>
+      try fs.delete(dir, true) catch { case _: Throwable => () }
+      throw t
+    }
     val base = new Path(basePath)
     val out = scala.collection.mutable.Buffer.empty[String]
     var rows = 0L
@@ -2629,13 +2649,13 @@ class CowTable(
         rows += parquetRowCount(f)
       }
     }
-    // A delete of zero keys leaves no tombstone record (and no empty
-    // dir). The guard must count ROWS, not files: Spark always keeps
-    // partition 0's writer so an empty coalesce(1) write still emits a
-    // part file — recording it would flip every downstream change-feed
-    // window onto the D-union path (and accrete a junk file + manifest
-    // entry per commit) for nothing. The count is one driver-side
-    // footer read of the single part file, no job.
+    // Belt to the probe above: a delete of zero keys leaves no tombstone
+    // record (and no empty dir). The guard must count ROWS, not files:
+    // Spark always keeps partition 0's writer so an empty coalesce(1)
+    // write still emits a part file — recording it would flip every
+    // downstream change-feed window onto the D-union path (and accrete a
+    // junk file + manifest entry per commit) for nothing. The count is
+    // one driver-side footer read of the single part file, no job.
     if (rows == 0L) { fs.delete(dir, true); Nil } else out.toSeq
   }
 

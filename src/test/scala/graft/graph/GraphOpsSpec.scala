@@ -39,6 +39,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(ms == Map("a" -> 0L, "d" -> 0L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("hopDistances: gate escape hatches change strategy, not results") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+      .toDF("src", "dst")
+    val expect = GraphOps.hopDistances(edges, Seq("a"), 3)
+      .as[(String, Long)].collect().toMap
+    // broadcastMaxNodes = 0: no sizing job, forced shuffle-join path
+    val shuffled = GraphOps.hopDistances(edges, Seq("a"), 3,
+        broadcastMaxNodes = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(shuffled == expect)
+    // nodeCountHint: gate decides without the distinct-dst job; a hint
+    // below the threshold keeps the broadcast path, a giant hint forces
+    // the shuffle path — identical answers either way
+    val hinted = GraphOps.hopDistances(edges, Seq("a"), 3,
+        nodeCountHint = 4L)
+      .as[(String, Long)].collect().toMap
+    assert(hinted == expect)
+    val giant = GraphOps.hopDistances(edges, Seq("a"), 3,
+        nodeCountHint = Long.MaxValue)
+      .as[(String, Long)].collect().toMap
+    assert(giant == expect)
+  }
+
   test("pageRank: determinism across partitionings") {
     val edges = (1 to 50).flatMap { i =>
       val hub = "h" + (i % 3)
