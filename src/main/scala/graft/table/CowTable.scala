@@ -1735,7 +1735,8 @@ class CowTable(
       def statsPass(newFiles: Map[String, Seq[String]])
           : Map[String, FileStat] =
         traceMerge("stats")(if (fileIndexEntries > 0)
-          collectFileStats(newFiles, evolved, m.keyEncoding)
+          takePendingStats(newFiles)
+            .getOrElse(collectFileStats(newFiles, evolved, m.keyEncoding))
         else Map.empty[String, FileStat])
       // Commit latency is a chain of small job rounds; the two passes
       // around the write have no ordering constraint on it, so overlap
@@ -1926,8 +1927,9 @@ class CowTable(
       schema: StructType): Manifest = {
     if (fileIndexEntries <= 0) return m
     val live: Set[String] = m.partitions.valuesIterator.flatten.toSet
-    val stats = (m.fileStats ++
-        collectFileStats(newFiles, schema, m.keyEncoding))
+    val fresh = takePendingStats(newFiles)
+      .getOrElse(collectFileStats(newFiles, schema, m.keyEncoding))
+    val stats = (m.fileStats ++ fresh)
       .filter { case (f, _) => live(f) }
     m.copy(fileStats = stats)
   }
@@ -2023,13 +2025,36 @@ class CowTable(
         (f, mn, mx, bytesOf(bloom), smn.toSeq, smx.toSeq, nRows,
           colBlooms.map(bytesOf).toSeq)
       }.collect()
-    // Sidecars live INSIDE the commit's data dir (`<file>.bloom` next to
-    // its parquet), so cleaner/vacuum lifecycle covers them for free and
-    // data reads (explicit .parquet lists) never see them. Bytes through
-    // the driver are bounded by the files THIS COMMIT wrote.
+    buildFileStats(collected.iterator, liveStats, bloomIdx.map(liveStats(_)))
+  }
+
+  /** TEST hook: re-run the READ-BACK stats pass over the current base
+    * files — lets specs pin write-tracker parity (manifest entries and
+    * sidecar bytes identical whichever pass computed them). Overwrites
+    * the sidecars with the recomputed (identical) bytes.
+    */
+  private[table] def recomputeFileStatsForTest(): Map[String, FileStat] = {
+    val m = manifest
+    collectFileStats(m.partitions, m.schema, m.keyEncoding)
+  }
+
+  /** Shared FileStat + bloom-sidecar construction from per-file raw
+    * stats — fed by the read-back pass ([[collectFileStats]]) and by the
+    * write-job tracker stash ([[takePendingStats]]); both produce the
+    * identical tuple shape, so the manifest entries are
+    * path-for-path equal regardless of which pass computed them.
+    * Sidecars live INSIDE the commit's data dir (`<file>.bloom` next to
+    * its parquet), so cleaner/vacuum lifecycle covers them for free and
+    * data reads (explicit .parquet lists) never see them. Bytes through
+    * the driver are bounded by the files THIS COMMIT wrote.
+    */
+  private def buildFileStats(
+      collected: Iterator[(String, String, String, Array[Byte],
+        Seq[String], Seq[String], Long, Seq[Array[Byte]])],
+      liveStats: Seq[String],
+      bloomColNames: Seq[String]): Map[String, FileStat] = {
     val base = new Path(basePath).toUri.getPath.stripSuffix("/")
-    val bloomColNames = bloomIdx.map(liveStats(_))
-    collected.iterator.map {
+    collected.map {
       case (f, mn, mx, bytes, smn, smx, nRows, cbBytes) =>
       val p = new Path(f).toUri.getPath
       val relPath =
@@ -2553,6 +2578,23 @@ class CowTable(
           lit("in a row of this write batch"))).cast("boolean"))
     }
 
+  /** Raw per-file key stats collected by the WRITE JOB's tracker (see
+    * [[org.apache.spark.sql.execution.datasources.GraftKeyStatsJobTracker]])
+    * for the commit this thread just wrote — consumed (at most once) by
+    * [[withFileStats]] / mergeCommit's stats pass, which previously paid
+    * a dedicated re-read job per commit for the same numbers. Thread-
+    * local: a commit's write and its stats consumption happen on one
+    * thread; concurrent commits (OCC racers) on other threads see their
+    * own slot. Stale/mismatched stashes (a MOR log write, a racer's
+    * leftovers) fail the consumer's file-set equality check and fall
+    * back to the read-back pass — a pure performance fallback, never a
+    * correctness path.
+    */
+  @transient private val pendingKeyStats =
+    new ThreadLocal[Option[CowTable.PendingKeyStats]] {
+      override def initialValue(): Option[CowTable.PendingKeyStats] = None
+    }
+
   protected def writeCommit(
       df: DataFrame, v: Long, parallelism: Int,
       rangeSortCols: Seq[String] = Nil,
@@ -2565,7 +2607,10 @@ class CowTable(
       // single funnel to parquet, because merge/coalesce projections
       // upstream legally drop column metadata — a file written without
       // ids under an id-carrying recorded schema would be unreadable
-      idSchema: StructType = null): Map[String, Seq[String]] = {
+      idSchema: StructType = null,
+      // false for writes whose files never receive FileStats (MOR delta
+      // logs): skips the per-row tracker work outright
+      collectKeyStats: Boolean = true): Map[String, Seq[String]] = {
     val dir = commitDataDir(v)
     val dup0 = partitionCols.foldLeft(
       withChecks(CowTable.reapplyFieldIds(df, idSchema)))(
@@ -2600,11 +2645,88 @@ class CowTable(
         else shaped0.sortWithinPartitions(
           (dirColsAll ++ clusterCols).map(col).toIndexedSeq: _*)
       }
-    val w = (if (dropCols.nonEmpty) shaped.drop(dropCols: _*) else shaped)
-      .write.mode("overwrite")
-    (if (dirColsAll.nonEmpty) w.partitionBy(dirColsAll.toIndexedSeq: _*)
-    else w).parquet(dir.toString)
+    val outDf = if (dropCols.nonEmpty) shaped.drop(dropCols: _*) else shaped
+    pendingKeyStats.set(None) // a stale stash never survives a new write
+    val tracked = collectKeyStats && fileIndexEntries > 0 &&
+      !sys.env.get("GRAFT_WRITE_TRACKER").contains("0") &&
+      keyCols.forall(c => outDf.columns.contains(c))
+    if (tracked) {
+      // Index stats ride the WRITE JOB itself (per-row tracker, the
+      // Delta/Hudi write-path pattern): the dedicated post-write
+      // re-read job collectFileStats pays per commit (~0.3-0.5s of the
+      // IVM fold and every builder commit chain) disappears. The
+      // tracker evaluates the SAME analyzer-resolved encode expressions
+      // over the data-row layout (partition dir cols are stripped by
+      // the writer before newRow). GRAFT_WRITE_TRACKER=0 is the
+      // kill-switch back to the read-back pass.
+      import org.apache.spark.sql.execution.datasources.{GraftKeyStatsJobTracker, GraftWriteStats}
+      val enc =
+        if (exists) manifest.keyEncoding else CowTable.CurrentKeyEncoding
+      val dataSchema = StructType(outDf.schema.fields
+        .filterNot(f => dirColsAll.contains(f.name)))
+      val liveStats = statsCols.filter(c =>
+        dataSchema.fieldNames.contains(c))
+      val bloomIdx = bloomCols.filter(liveStats.contains)
+        .map(liveStats.indexOf).toArray
+      val cols = keyStringExpr(enc, c => dataSchema(c).dataType) +:
+        liveStats.map(c => encodeCol(c, dataSchema(c).dataType, enc))
+      val bound = GraftWriteStats.resolveAndBind(spark, dataSchema, cols)
+      val tracker = new GraftKeyStatsJobTracker(bound, liveStats.size,
+        bloomIdx, fileIndexEntries.toLong, CowTable.FileIndexFpp)
+      GraftWriteStats.write(outDf, dir.toString, dirColsAll, Seq(tracker))
+      pendingKeyStats.set(Some(CowTable.PendingKeyStats(
+        tracker.results, liveStats, bloomIdx.map(liveStats(_)).toSeq)))
+    } else {
+      val w = outDf.write.mode("overwrite")
+      (if (dirColsAll.nonEmpty) w.partitionBy(dirColsAll.toIndexedSeq: _*)
+      else w).parquet(dir.toString)
+    }
     listCommitFiles(dir)
+  }
+
+  /** Consume (at most once) the write tracker's stash for exactly the
+    * given committed file set — building the FileStat map + bloom
+    * sidecars driver-side from the buffered bytes, no Spark job. `None`
+    * (→ caller falls back to [[collectFileStats]]) when no stash exists
+    * or its file coverage differs from the committed listing (a retried
+    * write, a foreign stash — any mismatch is a sound fallback). Empty
+    * part files (rows == 0) count as covered but get NO entry, exactly
+    * like the read-back pass, whose mapGroups never sees them.
+    */
+  private def takePendingStats(
+      newFiles: Map[String, Seq[String]]): Option[Map[String, FileStat]] = {
+    val cur = pendingKeyStats.get()
+    pendingKeyStats.set(None)
+    cur.flatMap { p =>
+      // The tracker records the commit protocol's STAGING paths
+      // (…/_temporary/…/attempt_…/<partition dirs>/<part file>); the
+      // committed listing holds the post-rename final paths. The
+      // FileOutputCommitter rename moves directories and preserves the
+      // partition-dir + file-name SUFFIX, which is unique within the
+      // commit (it IS the file's relative layout) — so match each
+      // committed path to its staged stat by that suffix. Any committed
+      // file without exactly one suffix match fails the whole stash →
+      // sound fallback to the read-back pass.
+      val want: Seq[String] = newFiles.valuesIterator.flatten.toSeq
+      def suffixOf(relPath: String): String =
+        relPath.split('/').drop(2).mkString("/") // files/c{v}-uuid/<suffix>
+      val matched = want.map { w =>
+        val sfx = "/" + suffixOf(w)
+        p.stats.filter(s =>
+          new Path(s.path).toUri.getPath.endsWith(sfx)) match {
+          case Seq(one) => Some(w -> one)
+          case _ => None
+        }
+      }
+      if (matched.exists(_.isEmpty) || p.stats.size != want.size) None
+      else Some(buildFileStats(
+        matched.iterator.flatten.filter(_._2.numRows > 0L).map {
+          case (w, s) =>
+            (w, s.keyMin, s.keyMax, s.bloomBytes, s.statMins,
+              s.statMaxs, s.numRows, s.colBloomBytes)
+        },
+        p.liveStats, p.bloomColNames))
+    }
   }
 
   /** Write one commit's change-feed tombstone file (identity columns +
@@ -3704,6 +3826,15 @@ class CowTable(
 object CowTable {
   private val ManifestName = "v(\\d+)\\.json".r
   private[table] val SavepointName = "\\.sp-v(\\d+)".r
+
+  /** Raw write-tracker stash: the per-file stats one writeCommit
+    * collected, plus the column context the consumer needs to turn them
+    * into manifest FileStats (see [[CowTable.takePendingStats]]).
+    */
+  private[table] final case class PendingKeyStats(
+      stats: Seq[org.apache.spark.sql.execution.datasources.GraftFileKeyStat],
+      liveStats: Seq[String],
+      bloomColNames: Seq[String])
 
   /** The wider of two types when one safely contains the other (see
     * [[CowTable.evolveSchema]]); None for incompatible pairs. Key,

@@ -135,8 +135,9 @@ class MorTable(
       if (op == LogUpsert && precombineField.nonEmpty)
         CdcOps.precombine(incoming0, mergeIdCols, precombineField)
       else incoming0
+    // delta logs never receive FileStats — skip the key-stats tracker
     val newLogs = writeCommit(incoming.withColumn(LogOpCol, lit(op)), v,
-      parallelism, idSchema = evolved)
+      parallelism, idSchema = evolved, collectKeyStats = false)
     writeManifest(m.copy(version = v, schemaJson = evolved.json,
       logPartitions = mergeListings(m.logPartitions, newLogs),
       deltaCommits = m.deltaCommits + 1,
