@@ -2582,18 +2582,19 @@ class CowTable(
     * [[org.apache.spark.sql.execution.datasources.GraftKeyStatsJobTracker]])
     * for the commit this thread just wrote — consumed (at most once) by
     * [[withFileStats]] / mergeCommit's stats pass, which previously paid
-    * a dedicated re-read job per commit for the same numbers. Thread-
-    * local: a commit's write and its stats consumption happen on one
-    * thread; concurrent commits (OCC racers) on other threads see their
-    * own slot. Stale/mismatched stashes (a MOR log write, a racer's
-    * leftovers) fail the consumer's file-set equality check and fall
-    * back to the read-back pass — a pure performance fallback, never a
-    * correctness path.
+    * a dedicated re-read job per commit for the same numbers. An atomic
+    * handoff, NOT a ThreadLocal: mergeCommit's cur-rejoining branch runs
+    * its stats pass on a background thread (overlapped with the
+    * tombstone pass), so the producer and consumer threads can differ.
+    * Cross-commit races (OCC racers on one table object) are sound by
+    * construction: the consumer's per-file suffix match only accepts a
+    * stash covering exactly ITS committed file set; any mismatch — a
+    * racer's stash, a MOR log write's leftovers — falls back to the
+    * read-back pass. A performance fallback, never a correctness path.
     */
   @transient private val pendingKeyStats =
-    new ThreadLocal[Option[CowTable.PendingKeyStats]] {
-      override def initialValue(): Option[CowTable.PendingKeyStats] = None
-    }
+    new java.util.concurrent.atomic.AtomicReference[
+      Option[CowTable.PendingKeyStats]](None)
 
   protected def writeCommit(
       df: DataFrame, v: Long, parallelism: Int,
@@ -2695,8 +2696,7 @@ class CowTable(
     */
   private def takePendingStats(
       newFiles: Map[String, Seq[String]]): Option[Map[String, FileStat]] = {
-    val cur = pendingKeyStats.get()
-    pendingKeyStats.set(None)
+    val cur = pendingKeyStats.getAndSet(None)
     cur.flatMap { p =>
       // The tracker records the commit protocol's STAGING paths
       // (…/_temporary/…/attempt_…/<partition dirs>/<part file>); the
