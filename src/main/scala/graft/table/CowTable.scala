@@ -2648,7 +2648,16 @@ class CowTable(
       }
     val outDf = if (dropCols.nonEmpty) shaped.drop(dropCols: _*) else shaped
     pendingKeyStats.set(None) // a stale stash never survives a new write
+    // Concurrent-writer mode (spark.sql.maxConcurrentOutputFileWriters
+    // > 0) holds MANY files open per task, so the tracker's per-open-file
+    // key buffers would grow to open-files × key-set — past the
+    // documented one-file bound the read-back pass honors (its mapGroups
+    // processes one file at a time). Route those writes to the read-back
+    // pass instead; correctness is identical either way.
+    val concurrentWriters = spark.conf
+      .get("spark.sql.maxConcurrentOutputFileWriters", "0").toInt > 0
     val tracked = collectKeyStats && fileIndexEntries > 0 &&
+      !concurrentWriters &&
       !sys.env.get("GRAFT_WRITE_TRACKER").contains("0") &&
       keyCols.forall(c => outDf.columns.contains(c))
     if (tracked) {
@@ -2710,13 +2719,33 @@ class CowTable(
       val want: Seq[String] = newFiles.valuesIterator.flatten.toSeq
       def suffixOf(relPath: String): String =
         relPath.split('/').drop(2).mkString("/") // files/c{v}-uuid/<suffix>
+      // O(files + stats), not want × stats string scans (a
+      // many-thousand-file commit paid a quadratic driver pause here):
+      // index the staged stats by their TRAILING path segments at each
+      // suffix depth the committed listing uses (one depth per partition
+      // layout). A suffix carried by two staged files indexes to None —
+      // the same "exactly one match" contract as the scan it replaces.
+      type Stat =
+        org.apache.spark.sql.execution.datasources.GraftFileKeyStat
+      val byDepth = scala.collection.mutable.Map
+        .empty[Int, Map[String, Option[Stat]]]
+      def statsAtDepth(k: Int): Map[String, Option[Stat]] =
+        byDepth.getOrElseUpdate(k, {
+          val m = scala.collection.mutable.Map
+            .empty[String, Option[Stat]]
+          p.stats.foreach { s =>
+            val segs = new Path(s.path).toUri.getPath.split('/')
+            if (segs.length > k) {
+              val sfx = segs.takeRight(k).mkString("/")
+              m.update(sfx, if (m.contains(sfx)) None else Some(s))
+            }
+          }
+          m.toMap
+        })
       val matched = want.map { w =>
-        val sfx = "/" + suffixOf(w)
-        p.stats.filter(s =>
-          new Path(s.path).toUri.getPath.endsWith(sfx)) match {
-          case Seq(one) => Some(w -> one)
-          case _ => None
-        }
+        val sfx = suffixOf(w)
+        statsAtDepth(sfx.count(_ == '/') + 1)
+          .getOrElse(sfx, None).map(w -> _)
       }
       if (matched.exists(_.isEmpty) || p.stats.size != want.size) None
       else Some(buildFileStats(
@@ -2755,9 +2784,13 @@ class CowTable(
     // only ever reclaimed through their manifest entry, so a dir
     // orphaned by a mid-write throw would otherwise accrete per failed
     // commit (invisible to readers, disk-only — but junk forever)
+    // NonFatal only: running fs.delete during an OutOfMemoryError or an
+    // interrupt can mask or compound the original failure — fatal errors
+    // propagate untouched (the orphaned dir is the lesser harm there)
     try stamped.coalesce(1).write.mode("overwrite").parquet(dir.toString)
-    catch { case t: Throwable =>
-      try fs.delete(dir, true) catch { case _: Throwable => () }
+    catch { case t if scala.util.control.NonFatal(t) =>
+      try fs.delete(dir, true)
+      catch { case d if scala.util.control.NonFatal(d) => () }
       throw t
     }
     val base = new Path(basePath)

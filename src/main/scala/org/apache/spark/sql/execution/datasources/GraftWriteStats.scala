@@ -200,19 +200,26 @@ object GraftWriteStats {
       jobId = java.util.UUID.randomUUID().toString,
       outputPath = outputPath,
       dynamicPartitionOverwrite = false)
-    FileFormatWriter.write(
-      sparkSession = spark,
-      plan = qe.executedPlan,
-      fileFormat = new ParquetFileFormat(),
-      committer = committer,
-      outputSpec =
-        FileFormatWriter.OutputSpec(outputPath, Map.empty, outputCols),
-      hadoopConf =
-        spark.sessionState.newHadoopConfWithOptions(Map.empty),
-      partitionColumns = partCols,
-      bucketSpec = None,
-      statsTrackers = trackers,
-      options = Map.empty)
+    // Run under a fresh SQL execution id (like the DataFrameWriter path
+    // does): without it the tracked commit writes — the hottest write
+    // path — carry no execution id, vanishing from the SQL UI and every
+    // execution-scoped metrics listener.
+    org.apache.spark.sql.execution.SQLExecution.withNewExecutionId(
+      qe, Some("graft tracked write")) {
+      FileFormatWriter.write(
+        sparkSession = spark,
+        plan = qe.executedPlan,
+        fileFormat = new ParquetFileFormat(),
+        committer = committer,
+        outputSpec =
+          FileFormatWriter.OutputSpec(outputPath, Map.empty, outputCols),
+        hadoopConf =
+          spark.sessionState.newHadoopConfWithOptions(Map.empty),
+        partitionColumns = partCols,
+        bucketSpec = None,
+        statsTrackers = trackers,
+        options = Map.empty)
+    }
     ()
   }
 }
