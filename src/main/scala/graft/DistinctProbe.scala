@@ -82,6 +82,64 @@ object DistinctProbe {
         f"maintain=${mTimes.min}%.1fs recompute=${rTimes.min}%.1fs " +
         f"(churn=$batchRows, support=${groups * valsPerGroup}, exact)")
     }
+    if (args.contains("--ab")) abIndexSweep(spark, groups, valsPerGroup,
+      batchRows)
     spark.stop()
+  }
+
+  /** Paired A/B of `supportIndexEntries` (the level-1 state key index)
+    * at the default probe shape: TWO MaintainedDistinct instances —
+    * index off vs on — track the SAME source and fold the SAME churn
+    * windows, refreshed in ABBA order within each batch so host drift
+    * cancels (the BASELINE.md measurement protocol). Reported per arm:
+    * min refresh seconds across batches.
+    */
+  private def abIndexSweep(spark: SparkSession, groups: Int,
+      valsPerGroup: Int, batchRows: Int): Unit = {
+    val rows = 4000000L
+    val parts = 20
+    def slice(from: Long, n: Long, vshift: Long) =
+      spark.range(from, from + n).select(col("id").as("k"),
+        floor(col("id") * parts / rows).cast("long").cast("string")
+          .as("p"),
+        (col("id") % groups).cast("string").as("grp"),
+        (pmod(xxhash64(col("id") + vshift), lit(valsPerGroup.toLong)))
+          .as("v"))
+    val src = new CowTable(spark,
+      java.nio.file.Files.createTempDirectory("dprobe-ab-src").toString,
+      keyCols = Seq("k"), partitionCols = Seq("p"),
+      trackCommitVersions = true, fileIndexEntries = 100000)
+    src.bulkInsert(slice(0, rows, 0))
+    val off = new MaintainedDistinct(spark,
+      java.nio.file.Files.createTempDirectory("dprobe-ab-off").toString,
+      src, Seq("grp"), "v")
+    val on = new MaintainedDistinct(spark,
+      java.nio.file.Files.createTempDirectory("dprobe-ab-on").toString,
+      src, Seq("grp"), "v", supportIndexEntries = 100000)
+    off.refresh(); on.refresh() // seed both to the same head
+    val offT = scala.collection.mutable.Buffer.empty[Double]
+    val onT = scala.collection.mutable.Buffer.empty[Double]
+    (1 to 4).foreach { b =>
+      src.upsert(slice(b.toLong * batchRows, batchRows, b.toLong * 7919))
+      src.delete(slice(b.toLong * batchRows, batchRows / 10, 0))
+      def timed(md: MaintainedDistinct, sink: scala.collection.mutable
+          .Buffer[Double]): Unit = {
+        val t0 = System.nanoTime
+        md.refresh()
+        sink += (System.nanoTime - t0) / 1e9
+      }
+      if (b % 2 == 1) { timed(off, offT); timed(on, onT) }
+      else { timed(on, onT); timed(off, offT) }
+      val a = off.current.collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap
+      val c = on.current.collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap
+      require(a == c, s"A/B arms diverged at batch $b")
+    }
+    println(f"[dprobe-ab] rows=$rows churn=$batchRows " +
+      f"support=${groups * valsPerGroup} " +
+      f"idx_off_min=${offT.min}%.2fs idx_on_min=${onT.min}%.2fs " +
+      f"off=${offT.map(t => f"$t%.2f").mkString(",")} " +
+      f"on=${onT.map(t => f"$t%.2f").mkString(",")}")
   }
 }

@@ -43,12 +43,28 @@ final class MaintainedDistinct(
       * of the whole support state; size it so support-rows/bucket stays
       * a comfortable file size (the usual numBuckets guidance).
       */
-    supportBuckets: Int = 16) {
+    supportBuckets: Int = 16,
+    /** Per-file key-index entries for the SUPPORT state (0 = off; see
+      * [[MaintainedAgg.stateIndexEntries]]). The support level is the
+      * many-group state this knob exists for — its key space is every
+      * live (group, value) pair — but measured at the probe's default
+      * shape (100k support rows, 16 buckets, 20k-row churn windows) the
+      * index LOSES ~2s/fold: a window's churn touches every bucket, so
+      * the point-read prune saves no scan while the index adds
+      * per-commit stats/bloom work and a probe job (DistinctProbe
+      * `--ab`, ABBA-paired; BASELINE.md round-23). Turn it on only when
+      * a window's churned (group, value) keys concentrate in a small
+      * fraction of the state's files — many buckets, skewed or
+      * key-local churn — which is the same locality condition the
+      * source-table index needs to pay.
+      */
+    supportIndexEntries: Int = 0) {
 
   /** Level 1: per-(group, value) multiplicity, fed by the source. */
   val support = new MaintainedAgg(spark, s"$path/support", src,
     IncrementalAgg.AggSpec(groupCols :+ valueCol, valueCol),
-    trackStateVersions = true, stateBuckets = supportBuckets)
+    trackStateVersions = true, stateBuckets = supportBuckets,
+    stateIndexEntries = supportIndexEntries)
 
   /** Level 2: per-group distinct/value counts, fed by the support table.
     * The filter drops NULL-value support rows: SQL COUNT(DISTINCT v)
