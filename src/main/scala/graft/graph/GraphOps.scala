@@ -77,7 +77,19 @@ object GraphOps {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val nV = deg.count()
     val compact = nV <= broadcastMaxNodes
-    val ed = e.join(if (compact) broadcast(deg) else deg, "src").persist()
+    val ed0 = e.join(if (compact) broadcast(deg) else deg, "src")
+    // GIANT graphs: cache the degree-annotated edge table HASH-PARTITIONED
+    // on src. A cached plan's InMemoryRelation reports its partitioning,
+    // so every round's shuffle join sees the edge side already clustered
+    // on the join key and exchanges ONLY the (small) rank vector — and
+    // the rank vector itself leaves each round's aggregation hash(id)-
+    // partitioned at the same width, so in the steady state the per-round
+    // exchanges drop from three (edges + ranks into the join, then the
+    // contribution aggregation) to one (the aggregation). At 100-TB edge
+    // scale the edge re-exchange was the dominant per-round cost; the
+    // one-time repartition is paid during cache build. Compact graphs
+    // skip it: the broadcast join ignores partitioning entirely.
+    val ed = (if (compact) ed0 else ed0.repartition(col("src"))).persist()
     val zeros = deg.select(col("src").as("id"), lit(0L).as("c"),
       lit(1).as("m"))
     var r = deg.select(col("src").as("id"), lit(init).as("rank"))
@@ -145,12 +157,25 @@ object GraphOps {
     require(sources.nonEmpty && maxHops >= 1, "need sources and hops >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col("src"), col("dst")).persist()
+    val e0 = edges.select(col("src"), col("dst")).persist()
     // reach ⊆ nodes: distinct dst count (+ the sources) bounds it
     val compact = broadcastMaxNodes > 0 && {
       val nV = if (nodeCountHint >= 0L) nodeCountHint
-        else e.select(col("dst")).distinct().count()
+        else e0.select(col("dst")).distinct().count()
       nV <= broadcastMaxNodes
+    }
+    // GIANT graphs: re-cache the edge list hash-partitioned on src so the
+    // per-round shuffle join never re-exchanges it (see [[pageRank]]'s
+    // note — the cached partitioning is visible to the planner). The
+    // unpartitioned cache is dropped: at giant scale double-caching the
+    // edge list costs more than the one re-derivation the repartitioned
+    // cache's build pays (and when the sizing job was skipped via
+    // `broadcastMaxNodes = 0` / `nodeCountHint`, the caller's edge
+    // derivation still runs exactly once).
+    val e = if (compact) e0 else {
+      val p = e0.repartition(col("src")).persist()
+      e0.unpersist()
+      p
     }
     var d = sources.toDF("id").select(col("id"), lit(0L).as("dist"))
     if (compact) d = d.localCheckpoint()

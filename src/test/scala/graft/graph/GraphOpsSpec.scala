@@ -119,4 +119,45 @@ class GraphOpsSpec extends SparkSpec {
       checkpointEvery = 2).as[(String, Long)].collect().toMap
     assert(ckH == pureH)
   }
+
+  test("giant regime: the cached edge table is never re-exchanged") {
+    // The shuffle-join loop must add exactly ONE exchange per extra
+    // round (the contribution aggregation): the edge side is cached
+    // hash(src)-partitioned — visible to the planner through
+    // InMemoryRelation — and the rank vector arrives hash(id)-
+    // partitioned from the previous round's aggregation at the same
+    // width. Counted as ShuffleExchangeExec nodes in the physical tree
+    // (cached builds' internal exchanges are not tree children);
+    // AQE/auto-broadcast are disabled so the tiny test graph plans the
+    // giant shape (shuffle join, static partitioning) — an edge
+    // re-exchange would add two or three exchanges per round.
+    val conf = spark.conf
+    val (aqe0, bc0) = (conf.get("spark.sql.adaptive.enabled"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (1 to 20).flatMap(i =>
+        Seq((s"n$i", s"n${i % 5 + 1}"), (s"n${i % 5 + 1}", s"n$i")))
+        .toDF("src", "dst")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }.length
+      def plan(iters: Int): Int = {
+        val n = exchanges(GraphOps.pageRank(
+          edges, iters, checkpointEvery = 0, broadcastMaxNodes = 0))
+        spark.catalog.clearCache()
+        n
+      }
+      val (p1, p3) = (plan(1), plan(3))
+      assert(p3 - p1 == 2,
+        s"expected 1 exchange per extra round, got $p1 -> $p3")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe0)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bc0)
+      spark.catalog.clearCache()
+    }
+  }
 }
