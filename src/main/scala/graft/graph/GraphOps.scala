@@ -77,19 +77,22 @@ object GraphOps {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val nV = deg.count()
     val compact = nV <= broadcastMaxNodes
-    val ed0 = e.join(if (compact) broadcast(deg) else deg, "src")
     // GIANT graphs: cache the degree-annotated edge table HASH-PARTITIONED
     // on src. A cached plan's InMemoryRelation reports its partitioning,
     // so every round's shuffle join sees the edge side already clustered
-    // on the join key and exchanges ONLY the (small) rank vector — and
-    // the rank vector itself leaves each round's aggregation hash(id)-
-    // partitioned at the same width, so in the steady state the per-round
-    // exchanges drop from three (edges + ranks into the join, then the
-    // contribution aggregation) to one (the aggregation). At 100-TB edge
-    // scale the edge re-exchange was the dominant per-round cost; the
-    // one-time repartition is paid during cache build. Compact graphs
-    // skip it: the broadcast join ignores partitioning entirely.
-    val ed = (if (compact) ed0 else ed0.repartition(col("src"))).persist()
+    // on the join key and exchanges ONLY the rank vector — which itself
+    // leaves each round's aggregation hash(id)-partitioned at the same
+    // width, so the steady-state round carries ONE exchange (the
+    // contribution aggregation) instead of three. The repartition goes on
+    // `e` BEFORE the degree join, where it replaces the exchange
+    // EnsureRequirements would insert anyway (zero extra cost when the
+    // build joins sort-merge) and pins hash(src) on the cache under EVERY
+    // build strategy — an auto-broadcast degree join would otherwise
+    // surface the raw scan's unknown partitioning and silently re-buy the
+    // per-round edge exchange. Compact graphs skip it: the broadcast loop
+    // ignores partitioning entirely.
+    val ed = (if (compact) e.join(broadcast(deg), "src")
+      else e.repartition(col("src")).join(deg, "src")).persist()
     val zeros = deg.select(col("src").as("id"), lit(0L).as("c"),
       lit(1).as("m"))
     var r = deg.select(col("src").as("id"), lit(init).as("rank"))

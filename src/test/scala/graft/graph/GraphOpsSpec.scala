@@ -154,6 +154,46 @@ class GraphOpsSpec extends SparkSpec {
       val (p1, p3) = (plan(1), plan(3))
       assert(p3 - p1 == 2,
         s"expected 1 exchange per extra round, got $p1 -> $p3")
+      // The direct property, for both operators: NO shuffle exchange has
+      // the cached EDGE table (the only cache whose output carries `dst`)
+      // anywhere below it — every edge scan feeds its join straight from
+      // the co-partitioned cache. (Raw exchange counts are brittle for
+      // hopDistances: round i references round i-1 twice, so the lazy
+      // giant-mode tree duplicates aggregation exchanges per hop — the
+      // documented lineage growth checkpointEvery bounds — without ever
+      // touching the edge cache.)
+      def edgeNeverExchanged(df: org.apache.spark.sql.DataFrame): Unit = {
+        import org.apache.spark.sql.execution.{FilterExec, InputAdapter,
+          ProjectExec, SortExec, SparkPlan, WholeStageCodegenExec}
+        // an exchange re-shuffles the EDGE ROWS iff the chain below it is
+        // purely row-preserving down to the edge cache scan; a join or
+        // aggregate in between means the exchange moves derived rows
+        // (the one legitimate per-round aggregation), not the edge table
+        @annotation.tailrec
+        def throughUnary(p: SparkPlan): SparkPlan = p match {
+          case s: SortExec => throughUnary(s.child)
+          case f: FilterExec => throughUnary(f.child)
+          case pr: ProjectExec => throughUnary(pr.child)
+          case w: WholeStageCodegenExec => throughUnary(w.child)
+          case i: InputAdapter => throughUnary(i.child)
+          case other => other
+        }
+        val offenders = df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+        }.filter(e => throughUnary(e.child) match {
+          case s: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec => s.output.exists(_.name == "dst")
+          case _ => false
+        })
+        assert(offenders.isEmpty,
+          s"edge cache re-exchanged:\n${offenders.mkString("\n")}")
+        spark.catalog.clearCache()
+      }
+      edgeNeverExchanged(GraphOps.pageRank(
+        edges, 3, checkpointEvery = 0, broadcastMaxNodes = 0))
+      edgeNeverExchanged(GraphOps.hopDistances(
+        edges, Seq("n1"), 3, checkpointEvery = 0, broadcastMaxNodes = 0))
     } finally {
       conf.set("spark.sql.adaptive.enabled", aqe0)
       conf.set("spark.sql.autoBroadcastJoinThreshold", bc0)
