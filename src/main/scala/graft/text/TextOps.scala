@@ -1250,12 +1250,102 @@ object TextOps {
         val (l, r) = (best(0).getString(0), best(0).getString(1))
         out += ((rank, l, r, best(0).getLong(2)))
         // call_function keeps the learned symbols out of any SQL text
-        // (they come from corpus data)
+        // (they come from corpus data). Eager localCheckpoint, not
+        // persist: persist caches the DATA but leaves the logical plan
+        // k-deep after k rounds, so every later round re-analyzes (and
+        // re-canonicalizes for cache lookup) the whole chain — measured
+        // super-linear round cost and a driver OOM near 64 rounds. The
+        // checkpoint cuts the plan to a leaf each round; blocks of
+        // dropped rounds are reclaimed by the context cleaner.
         val next = vocab.select(
           call_function("replace", col("repr"),
             lit(s" $l $r "), lit(s" $l$r ")).as("repr"),
-          col("freq")).persist()
-        next.count()
+          col("freq")).localCheckpoint()
+        vocab.unpersist()
+        vocab = next
+      }
+    } finally { vocab.unpersist(); () }
+    out.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
+  /** Batched BPE training — the PRODUCTION-VOCABULARY scale path for
+    * [[bpeTrain]], whose one-merge-per-round driver loop is exact but
+    * rounds-proportional (a 30k-merge vocabulary pays ~60k sequenced
+    * Spark jobs). Per round this variant computes the same global pair
+    * counts ONCE, collects a bounded top slice, keeps up to `batch`
+    * candidates that are pairwise SYMBOL-DISJOINT (greedy in global
+    * (freq desc, lhs, rhs) rank order — disjointness makes their counts
+    * mutually independent, so applying them in rank order inside one
+    * vocabulary rewrite is well-defined and order-insensitive), and
+    * folds them all in a single materialization: jobs drop from
+    * `2·merges` to `~2·merges/batch`.
+    *
+    * Exactness contract: `batch = 1` IS [[bpeTrain]] (spec-pinned
+    * equal). For `batch > 1` the result is the standard large-corpus
+    * approximation of greedy BPE: a merge applied earlier in a batch
+    * can create a NEW pair (one of its symbols fused) whose count would
+    * have outranked a later batch member under strict one-at-a-time
+    * greedy — those new pairs are only visible to the NEXT round's
+    * count. Symbol-disjointness guarantees every selected pair's own
+    * count is exact at application time; what is approximated is only
+    * the global greedy ORDER. When no batch member's fusion creates a
+    * pair outranking a later member, the batched table equals the
+    * sequential one exactly (spec constructs both regimes).
+    */
+  def bpeTrainBatched(docs: DataFrame, textCol: String, merges: Int,
+      batch: Int): DataFrame = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    var vocab = words.groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+        concat_ws(" ", transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))),
+        lit(" </w> ")).as("repr"), col("freq")).persist()
+    vocab.count()
+    val out = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    try {
+      while (out.size < merges) {
+        val want = math.min(batch, merges - out.size)
+        val toks = split(trim(col("repr")), " ")
+        val pairs = vocab
+          .select(explode(arrays_zip(
+            slice(toks, lit(1), size(toks) - 1).as("l"),
+            slice(toks, lit(2), size(toks) - 1).as("r"))).as("z"),
+            col("freq"))
+          .select(col("z.l").as("l"), col("z.r").as("r"), col("freq"))
+          .groupBy("l", "r").agg(sum("freq").as("freq"))
+        // bounded top slice: enough rank-ordered candidates to survive
+        // the disjointness filter (each kept pair blocks at most its two
+        // symbols; 4x + headroom covers adversarial overlap runs)
+        val top = pairs
+          .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+          .limit(want * 4 + 16).collect()
+        if (top.isEmpty) return out.toSeq
+          .toDF("merge_rank", "lhs", "rhs", "freq")
+        val used = scala.collection.mutable.Set.empty[String]
+        val kept = scala.collection.mutable
+          .Buffer.empty[(String, String, Long)]
+        val it = top.iterator
+        while (kept.size < want && it.hasNext) {
+          val row = it.next()
+          val (l, r) = (row.getString(0), row.getString(1))
+          if (!used(l) && !used(r)) {
+            kept += ((l, r, row.getLong(2)))
+            used += l; used += r
+          }
+        }
+        kept.foreach { case (l, r, f) =>
+          out += ((out.size + 1, l, r, f))
+        }
+        // eager localCheckpoint per round, same rationale as [[bpeTrain]]
+        val next = vocab.select(
+          kept.foldLeft(col("repr")) { case (acc, (l, r, _)) =>
+            call_function("replace", acc, lit(s" $l $r "), lit(s" $l$r "))
+          }.as("repr"),
+          col("freq")).localCheckpoint()
         vocab.unpersist()
         vocab = next
       }
