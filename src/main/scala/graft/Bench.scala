@@ -147,8 +147,13 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) Map.empty
       else try {
         val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        // a basis recorded at another scale factor is meaningless here:
+        // comparing an sf0.01 basis against an sf1 run would mass-trip
+        // the >2.5x trigger and double-sample the whole battery
+        val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(s)
+          .exists(_.group(1) == sfDir)
         val qStart = s.indexOf("\"queries\":{")
-        if (qStart < 0) Map.empty
+        if (!sameSf || qStart < 0) Map.empty
         else {
           val body = s.substring(qStart + 11, s.indexOf('}', qStart))
           """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(body)

@@ -40,12 +40,14 @@ object Eval {
       .agg(count(lit(1)).as("cnt"), sum(col("p")).as("pos"))
     // The block table is one row per DISTINCT score — bounded by the
     // caller's score quantization (the documented contract above), so the
-    // single-group scan is safe. Rank under a non-foldable pmod(hash)
-    // group rather than an empty partition spec (the
-    // TextOps.boundedSingleGroup pattern): WindowExec's "No Partition
-    // Defined" warning then stays reserved for REAL unbounded funnels in
-    // the bench log. xxhash64 keeps the key non-null for any score type.
-    val below = Window.partitionBy(pmod(xxhash64(col("s")), lit(1)))
+    // single-group scan is safe. Rank under a non-foldable single group
+    // ([[graft.text.TextOps.boundedSingleGroup]]) rather than an empty
+    // partition spec: WindowExec's "No Partition Defined" warning then
+    // stays reserved for REAL unbounded funnels in the bench log.
+    // xxhash64 keeps the key non-null for any score type.
+    val below = Window
+      .partitionBy(graft.text.TextOps.boundedSingleGroup(
+        xxhash64(col("s"))))
       .orderBy("s")
       .rowsBetween(Window.unboundedPreceding, -1)
     blocks
@@ -126,7 +128,9 @@ object Eval {
       .localCheckpoint()
     // one row per distinct value — bounded by value quantization (the
     // contract above); non-foldable single group, see binaryAuc's note
-    val upTo = Window.partitionBy(pmod(xxhash64(col("v")), lit(1)))
+    val upTo = Window
+      .partitionBy(graft.text.TextOps.boundedSingleGroup(
+        xxhash64(col("v"))))
       .orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     blocks

@@ -2795,12 +2795,12 @@ object QueryCatalog {
       val lex = TextOps.bm25TopDocs(t(s, d, "documents"),
         Seq("spark", "join", "vector"), topK = 50)
         .select(col("doc_id"), col("rnk"))
-      // ≤50 rows (cosineTopK limit upstream): rank under a non-foldable
-      // single group, not an empty partition spec — keeps WindowExec's
-      // "No Partition Defined" warning out of clean bench logs (the
-      // TextOps.boundedSingleGroup pattern)
+      // ≤50 rows (cosineTopK limit upstream): rank under a bounded
+      // non-foldable single group, not an empty partition spec — keeps
+      // WindowExec's "No Partition Defined" warning out of clean bench
+      // logs
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(pmod(col("vec_id"), lit(1)))
+        .partitionBy(TextOps.boundedSingleGroup(col("vec_id")))
         .orderBy(col("sim").desc, col("vec_id"))
       val sem = Similarity.cosineTopK(t(s, d, "embeddings"), 0L, 50)
         .withColumn("rnk", row_number().over(w))
@@ -3527,17 +3527,21 @@ object QueryCatalog {
     * the bench battery carries zero single-partition WindowExec plans and
     * a "No Partition Defined for Window" warning in the bench log is
     * always a REAL regression. The global form stays in TextOps as the
-    * spec-certified oracle baseline (SequencePackingSpec proves the two
-    * identical); this row's DuckDB oracle is still the global-window
-    * formula, so the sharded decomposition stays cross-engine certified
-    * here too.
+    * spec-only oracle baseline (TextOpsSpec "sequencePackingSharded
+    * equals the global form" pins the equivalence); this row's DuckDB
+    * oracle is still the global-window formula. Deliberately a DIFFERENT
+    * shard width than the `sequence_packing_sharded` row (128 vs 64,
+    * and a single-shard degenerate case at sf0.001 where doc_id < 128):
+    * the two rows certify two granularities of the decomposition — not
+    * the same plan twice — and the width-128 row exercises the
+    * one-shard edge (offset table of one row) cross-engine.
     */
   private val sequencePacking = Q(
     (s, d) => TextOps.sequencePackingSharded(
         TextOps.tokenStats(t(s, d, "documents"))
           .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens")),
         "n_tokens", "doc_id", capacity = 2048L,
-        shardCol = floor(col("doc_id") / lit(64)))
+        shardCol = floor(col("doc_id") / lit(128)))
       .select("doc_id", "n_tokens", "cum_tokens", "pack_id"),
     Some("""SELECT doc_id,
            |  len(string_split(text, ' ')) AS n_tokens,

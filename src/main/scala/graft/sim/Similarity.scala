@@ -246,13 +246,15 @@ object Similarity {
         coalesce(lit(1.0) / (lit(k) + col("rnk_a")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(k) + col("rnk_b")), lit(0.0)), 9))
     // The fuse input is ≤ |a|+|b| rows (two top-N lists), so the global
-    // rank is safe — but rank it under a single non-foldable pmod group
-    // (the TextOps.boundedSingleGroup pattern) rather than an empty
-    // partition spec, so WindowExec's "No Partition Defined" warning stays
-    // reserved for REAL unbounded funnels in the bench log. The coalesce
-    // is non-null: every full-outer row carries at least one rank.
+    // rank is safe — but rank it under a bounded non-foldable single
+    // group ([[graft.text.TextOps.boundedSingleGroup]]) rather than an
+    // empty partition spec, so WindowExec's "No Partition Defined"
+    // warning stays reserved for REAL unbounded funnels in the bench
+    // log. The coalesce is non-null: every full-outer row carries at
+    // least one rank.
     val w = Window
-      .partitionBy(pmod(coalesce(col("rnk_a"), col("rnk_b")), lit(1)))
+      .partitionBy(graft.text.TextOps.boundedSingleGroup(
+        coalesce(col("rnk_a"), col("rnk_b"))))
       .orderBy(col("rrf").desc, col("id"))
     fused.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)

@@ -175,7 +175,7 @@ object TextOps {
     * upstream already eliminated. Only ever use downstream of a row-count
     * bound; an unbounded input would genuinely funnel one partition.
     */
-  private def boundedSingleGroup(nonNull: Column): Column =
+  private[graft] def boundedSingleGroup(nonNull: Column): Column =
     pmod(nonNull, lit(1))
 
   def vocabulary(docs: DataFrame, k: Int): DataFrame =
@@ -1325,6 +1325,16 @@ object TextOps {
           .limit(want * 4 + 16).collect()
         if (top.isEmpty) return out.toSeq
           .toDF("merge_rank", "lhs", "rhs", "freq")
+        // a candidate is admitted iff its lhs, rhs AND fused token are
+        // all unseen among previously kept pairs' lhs/rhs/fused tokens.
+        // Symbols alone are NOT enough: a candidate whose symbol equals
+        // an earlier pair's FUSION (e.g. (ab,x) after (a,b)) would be
+        // applied to occurrences the earlier replace just created —
+        // occurrences excluded from its counted freq — and a candidate
+        // whose FUSION equals an earlier pair's symbol makes the fold
+        // order-sensitive in the other direction. Blocking all three
+        // strings restores the order-insensitive / counts-exact batch
+        // contract the scaladoc states.
         val used = scala.collection.mutable.Set.empty[String]
         val kept = scala.collection.mutable
           .Buffer.empty[(String, String, Long)]
@@ -1332,9 +1342,9 @@ object TextOps {
         while (kept.size < want && it.hasNext) {
           val row = it.next()
           val (l, r) = (row.getString(0), row.getString(1))
-          if (!used(l) && !used(r)) {
+          if (!used(l) && !used(r) && !used(l + r)) {
             kept += ((l, r, row.getLong(2)))
-            used += l; used += r
+            used += l; used += r; used += (l + r)
           }
         }
         kept.foreach { case (l, r, f) =>

@@ -542,6 +542,23 @@ class TextOpsSpec extends SparkSpec {
       (3, "lo", "w</w>", 3L), (4, "e", "r", 1L)), s"got $bat")
   }
 
+  test("bpeTrainBatched: a fused token blocks later candidates that use it") {
+    // "ababx" x5 + "abx" x4. Round 1 (batch=2) keeps (a,b)=14 and
+    // (x,</w>)=9. Round 2's candidates include (ab,x</w>)=4 — its lhs
+    // equals round-2 keeper (a,b)'s FUSED token, so admitting it would
+    // apply it to " ab " occurrences the (a,b) replace JUST created
+    // (uncounted at selection time). The filter must defer it: rank 3
+    // is the re-learned (a,b)=5 alone, and rank 4 picks (ab,x</w>)
+    // NEXT round at its then-exact count 9, not the stale 4.
+    val corpus = Seq(Array.fill(5)("ababx").mkString(" "),
+      Array.fill(4)("abx").mkString(" ")).toDF("text")
+    val bat = TextOps.bpeTrainBatched(corpus, "text", 4, batch = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(bat == Seq(
+      (1, "a", "b", 14L), (2, "x", "</w>", 9L),
+      (3, "a", "b", 5L), (4, "ab", "x</w>", 9L)), s"got $bat")
+  }
+
   test("bpeTrainBatched: disjointness filter blocks interacting pairs") {
     // "low" dominates: (l,o) and (o,w) tie at the top but share `o`, so
     // one batch round may keep only ONE of them plus the next disjoint
