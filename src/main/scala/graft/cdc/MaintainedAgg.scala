@@ -217,7 +217,53 @@ final class MaintainedAgg(
     (recompute(src.snapshotAt(h)), h)
   }
 
+  /** The last successful fold's OWN change-feed window, for STACKED
+    * consumers (a second MaintainedAgg fed by this one's state table —
+    * [[MaintainedDistinct]]'s level 2): `(stateVersionBefore,
+    * stateVersionAfter, U∪B rows)`. The frame is exactly the U/B subset
+    * `changeFeedWithPreimages(before, after)` on the state table would
+    * return — U = the fold's written next-state rows (the only rows
+    * stamped with the new version), B = the fold's point-read preimages
+    * (`affected` covers every touched-or-deleted stored group) — derived
+    * from the fold's already-checkpointed churn frames, so a consumer
+    * that takes it skips re-reading the just-written files AND the
+    * preimage point-read. D rows are omitted: the feed-fold algebra is
+    * "+U, −B, ignore D" (a delete's retraction rides its B row). None
+    * whenever the incremental feed does not exist: seed, reseed, no-op
+    * refresh, or a failed fold. Consumers MUST verify their mark equals
+    * `stateVersionBefore` and fall back to the table feed otherwise —
+    * [[refreshFromFeed]] does.
+    */
+  private[cdc] var lastFoldFeed: Option[(Long, Long, DataFrame)] = None
+
+  /** [[refresh]] for a stacked consumer, taking the upstream state
+    * table's window feed directly from [[lastFoldFeed]] instead of
+    * re-reading it from disk. Safe by construction: the in-memory path
+    * engages only when this aggregate's mark equals the window's start
+    * version (anything else — lag from a crash between the two levels'
+    * folds, a reseeded upstream, a no-op — falls back to the plain
+    * table-feed [[refresh]], which is always correct), and any failure
+    * inside the in-memory fold falls back the same way (the fold is one
+    * atomic commit, so a crash leaves no partial state).
+    */
+  private[cdc] def refreshFromFeed(ub: DataFrame, sinceVer: Long,
+      headVer: Long): DataFrame = {
+    lastFoldFeed = None
+    if (!table.exists) return refresh()
+    val mark = table.manifest.metrics.getOrElse(Mark, 0L)
+    if (mark != sinceVer) return refresh()
+    if (mark == headVer) return current
+    try {
+      val feed = T("feed-mem")(rowFilter.map(ub.filter).getOrElse(ub)
+        .localCheckpoint(false))
+      foldWindow(feed, headVer)
+    } catch {
+      case t if scala.util.control.NonFatal(t) => refresh()
+    }
+  }
+
   def refresh(): DataFrame = {
+    lastFoldFeed = None // a stale window never survives a new refresh
     val head = src.manifest.version
     if (!table.exists) {
       val (seedDf, h) = pinnedRecompute()
@@ -329,7 +375,16 @@ final class MaintainedAgg(
     if (T("gate-delta")(deltaEmpty)) {
       // stamp-filtered feed held nothing: still advance the ledger
       // (the concurrently point-read state subset is simply unused)
+      val verBefore = table.manifest.version
       table.delete(current.limit(0), extraMetrics = marksM)
+      // the ledger-advance commit carries an EMPTY window: hand stacked
+      // consumers the empty feed so they advance without a disk read.
+      // Claim the window ONLY if our commit is exactly verBefore+1 — a
+      // concurrent OCC writer landing first would otherwise hide its
+      // window inside ours (see the mergeInto handoff below).
+      if (table.manifest.version == verBefore + 1)
+        lastFoldFeed = Some((verBefore, verBefore + 1,
+          current.limit(0).withColumn(ct, lit("U").cast("string"))))
       return current
     }
     // FUSED next state: counts, sums AND the optimistic min/max fold all
@@ -421,6 +476,7 @@ final class MaintainedAgg(
     // delete/insert conditions are disjoint — the incoming-only
     // tombstone pass applies (and gone keys are stored groups by
     // construction, so it never over-approximates here).
+    val verBefore = table.manifest.version
     table.mergeInto(next.withColumn("_ma_del", lit(false))
         .unionByName(gone),
       whenMatchedDelete = col("i._ma_del"),
@@ -428,6 +484,25 @@ final class MaintainedAgg(
       conditionCols = Seq("_ma_del"),
       tombstonesFromIncoming = true,
       extraMetrics = marksM)
+    // Window feed for stacked consumers (see [[lastFoldFeed]]): U rows
+    // are exactly the merge's incoming next-state rows (the only rows
+    // the new version stamps; the gone branch writes tombstones, not
+    // data), B rows are exactly the point-read preimages (`affected` =
+    // every churned STORED group = next's updated groups ∪ the gone
+    // groups). Both sides derive from checkpointed churn frames, so a
+    // consumer evaluating this never touches the just-written files.
+    // Claim the window ONLY if our commit is exactly verBefore+1: under
+    // OCC a concurrent writer's rebased commit could land between our
+    // mergeInto and this manifest read, and a (verBefore, laterVersion)
+    // claim would silently swallow that foreign window — the version
+    // check routes that case to the table-feed fallback, which reads
+    // both windows.
+    if (table.manifest.version == verBefore + 1)
+      lastFoldFeed = Some((verBefore, verBefore + 1,
+        next.select(stateCols.map(col): _*)
+          .withColumn(ct, lit("U").cast("string"))
+          .unionByName(affected.select(stateCols.map(col): _*)
+            .withColumn(ct, lit("B").cast("string")))))
     current
   }
 

@@ -74,10 +74,24 @@ final class MaintainedDistinct(
     IncrementalAgg.AggSpec(groupCols, "cnt"),
     rowFilter = Some(col(valueCol).isNotNull))
 
-  /** Fold both levels up to the source head. Returns [[current]]. */
+  /** Fold both levels up to the source head. Returns [[current]].
+    *
+    * Fold PIPELINING: when level 1's refresh was a plain incremental
+    * fold, level 2 consumes the fold's in-memory window feed
+    * ([[MaintainedAgg.lastFoldFeed]] — the exact U/B subset the support
+    * table's change feed would carry for that window) instead of
+    * re-reading the just-written support files and point-reading their
+    * preimages. Every other level-1 outcome (seed, reseed, no-op — or a
+    * level-2 mark that lags the window after a crash between the two
+    * folds) falls back to the table-feed refresh, which remains the
+    * source of truth.
+    */
   def refresh(): DataFrame = {
     support.refresh()
-    counts.refresh()
+    support.lastFoldFeed match {
+      case Some((since, head, ub)) => counts.refreshFromFeed(ub, since, head)
+      case None => counts.refresh()
+    }
     current
   }
 

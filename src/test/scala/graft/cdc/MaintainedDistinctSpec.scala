@@ -69,6 +69,32 @@ class MaintainedDistinctSpec extends SparkSpec {
     assert(md.counts.table.manifest.version == v)
   }
 
+  test("fold pipelining falls back when level 2 lags the handoff window") {
+    // Simulate a crash BETWEEN the two levels' folds: level 1 folds a
+    // window alone (its handoff describes only that window), more churn
+    // lands, and the next full refresh folds level 1 AGAIN — the new
+    // handoff's start version is one ahead of level 2's mark, so the
+    // in-memory path must refuse and the table-feed fallback must fold
+    // BOTH pending support windows.
+    val src = new CowTable(spark, tmpDir("mdp-src"), keyCols = Seq("k"),
+      precombineField = "v", trackCommitVersions = true)
+    src.bulkInsert(rows(("a", "g1", 1.0), ("b", "g2", 2.0)))
+    val md = new MaintainedDistinct(spark, tmpDir("mdp-st"), src,
+      Seq("grp"), "v")
+    md.refresh()
+    // window 1: level 1 only (the "crash" skips level 2)
+    src.upsert(rows(("c", "g1", 3.0), ("b", "g2", 9.0)))
+    md.support.refresh()
+    assert(md.support.lastFoldFeed.nonEmpty, "plain fold must hand off")
+    // window 2: full refresh — handoff start = level-2 mark + 1
+    src.upsert(rows(("d", "g3", 4.0), ("a", "g1", 3.0)))
+    src.delete(rows(("b", "g2", 0.0)))
+    assert({ md.refresh(); state(md) } == oracle(src))
+    // and a subsequent PIPELINED window stays exact too
+    src.upsert(rows(("e", "g1", 1.0)))
+    assert({ md.refresh(); state(md) } == oracle(src))
+  }
+
   test("rowFilter maintains a filtered aggregate exactly") {
     val src = new CowTable(spark, tmpDir("mf-src"), keyCols = Seq("k"),
       precombineField = "v", trackCommitVersions = true)
