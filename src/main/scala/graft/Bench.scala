@@ -137,13 +137,21 @@ object Bench {
     // reps is invisible to it by construction (BENCH_r11:
     // pagerank_centrality carried 15-20s on all three reps against a
     // committed 2.1s basis). Second trigger: a row whose within-run MIN
-    // exceeds 2.5x its min in the committed BENCH_FULL.json (the prior
-    // round's artifact, read before this run overwrites it) also re-runs
-    // after the settle. Floor at 1.0s so sub-second rows' scheduler noise
-    // never trips it; a basis entry may be absent (new row) — then only
-    // the spread test applies.
+    // exceeds 2.5x its min in the committed basis also re-runs after the
+    // settle. Floor at 1.0s so sub-second rows' scheduler noise never
+    // trips it; a basis entry may be absent (new row) — then only the
+    // spread test applies.
+    //
+    // Basis file split (round-12 verdict): the trigger used to read
+    // BENCH_FULL.json — the same file every run (including subset runs)
+    // overwrites — so a loaded driver run that got committed silently
+    // became next round's basis, loosening the trigger by its own
+    // inflation. The basis now lives in BENCH_BASIS.json, which Bench
+    // never writes unless SPARK_GRAFT_UPDATE_BASIS=1 is set on a FULL
+    // (non-subset) battery run: a routine bench run leaves the committed
+    // basis byte-identical.
     val basis: Map[String, Double] = {
-      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      val p = java.nio.file.Paths.get("BENCH_BASIS.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
       else try {
         val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
@@ -229,6 +237,15 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       fullLine.getBytes("UTF-8"))
+    // Explicit basis promotion only: a full-battery run (no subset
+    // filter) with SPARK_GRAFT_UPDATE_BASIS=1 replaces the trigger basis;
+    // anything else cannot touch it (round-12 clobber fix).
+    if (sys.env.get("SPARK_GRAFT_UPDATE_BASIS").contains("1") &&
+        only.isEmpty) {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_BASIS.json"),
+        fullLine.getBytes("UTF-8"))
+    }
     val budget = 1700
     val prefix = s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":{"""
     var used = prefix.length + 60 // reserve for suffix

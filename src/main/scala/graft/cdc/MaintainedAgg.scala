@@ -496,8 +496,16 @@ final class MaintainedAgg(
     // mergeInto and this manifest read, and a (verBefore, laterVersion)
     // claim would silently swallow that foreign window — the version
     // check routes that case to the table-feed fallback, which reads
-    // both windows.
-    if (table.manifest.version == verBefore + 1)
+    // both windows. And only when extremes are OFF: with minMaxCols a
+    // tie-hit window's `next` embeds withExtremes' authoritative source
+    // re-aggregation, so a stacked consumer evaluating the handoff would
+    // re-run source-reading jobs at its own fold time — correct, but
+    // breaking this feed's "already checkpointed, no source reads" cost
+    // contract and racing source retention. The only current consumer
+    // (MaintainedDistinct's count level) never tracks extremes; an
+    // extremes-tracking upstream simply routes consumers to the
+    // table-feed path, which reads the committed window.
+    if (minMaxCols.isEmpty && table.manifest.version == verBefore + 1)
       lastFoldFeed = Some((verBefore, verBefore + 1,
         next.select(stateCols.map(col): _*)
           .withColumn(ct, lit("U").cast("string"))

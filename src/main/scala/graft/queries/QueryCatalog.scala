@@ -3334,6 +3334,214 @@ object QueryCatalog {
            |FROM sp ORDER BY doc_id""".stripMargin))
   }
 
+  /** INCREMENTAL sibling of [[pipelineE2e]] — the production ARRIVAL LOOP
+    * as one certified dataflow. The same composed training-data pipeline,
+    * but driven through the PERSISTENT index/table machinery over two
+    * arrival batches (deterministic id split at 250) instead of one
+    * corpus-wide pass:
+    *
+    *   - each batch is stripped + normalized on arrival (stages 1-2);
+    *   - batch 2 is SEMANTICALLY checked on arrival:
+    *     [[graft.sim.AnnIndex.nearDupCheck]] probes its embeddings
+    *     against the batch-1-built IVFADC index (cosine >= 0.3, nProbe 4,
+    *     shortlist 50) and flagged docs are dropped before they ever
+    *     reach the lake; the survivors' embeddings
+    *     [[graft.sim.AnnIndex.ingest]] into the frozen-codebook index —
+    *     the dedup-on-arrival loop (check → filter → ingest);
+    *   - survivors land in the corpus LAKE table through
+    *     [[graft.streaming.GraftSink.applyBatch]]'s exactly-once ledger,
+    *     certified IN-ROW: replaying batch 1 after batch 2 must return
+    *     false (ledger-skipped) or the row fails loudly;
+    *   - each batch [[graft.text.LshDedupIndex.ingest]]s into the
+    *     persistent LSH index, which returns the batch's VERIFIED
+    *     near-dup pairs (index-vs-batch + within-batch; exact enumeration,
+    *     maxBucket 0) — the union over batches is the corpus-wide pair
+    *     set (the index spec's batch-identity property), with no corpus
+    *     re-band anywhere;
+    *   - stages 4-6 (quality keep-filter, leakage-safe split on the
+    *     cluster ids, sharded sequence packing) read the LAKE table, so
+    *     the training-set materialization consumes exactly what the sink
+    *     committed.
+    *
+    * The oracle replays the equivalent ONE-SHOT batch chain (semantic
+    * drop → strip/normalize → uncapped LSH dedup → quality → split →
+    * pack): a green row certifies incremental == one-shot across the
+    * whole composition. Scale shape: every arrival-loop step is
+    * batch-proportional (band the batch, probe the index, encode the
+    * batch, key-upsert), and only the final training-set pass reads the
+    * accumulated corpus — the 100-TB arrival loop never re-touches
+    * history.
+    */
+  private val pipelineE2eIncr = {
+    val bands = (0 until 4).map(bnd =>
+      s"SELECT doc_id, $bnd AS band, mh${2 * bnd} AS h1, mh${2 * bnd + 1} AS h2 FROM sig")
+      .mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        val raw = t(s, d, "documents")
+        val embs = t(s, d, "embeddings")
+        def tmp(tag: String) = java.nio.file.Files
+          .createTempDirectory(s"graft-pincr-$tag").toString
+        // stages 1+2 on the full corpus frame; each arrival batch slices
+        // it. Persisted: feeds both batch sinks and both LSH ingests.
+        val pdocs = raw.select(col("doc_id"),
+          TextOps.normalizeText(TextOps.htmlStrip(
+            concat(lit(HtmlPre), col("text"), lit(HtmlPost)))).as("text"))
+          .persist()
+        val b1 = pdocs.filter(col("doc_id") < 250)
+        // semantic dedup-on-arrival: batch 1 seeds the ANN index; batch
+        // 2's embeddings are checked against it and flagged ids dropped
+        val ann = new graft.sim.AnnIndex(s, tmp("ann"), 8, 8, 16, 16)
+        ann.build(embs.filter(col("vec_id") < 250))
+        val dropSem = ann.nearDupCheck(
+            embs.filter(col("vec_id") >= 250).select("vec_id", "embedding"),
+            embs.filter(col("vec_id") < 250).select("vec_id", "embedding"),
+            threshold = 0.3, nProbe = 4, shortlist = 50)
+          .filter(!col("keep")).select("vec_id").persist()
+        val b2 = pdocs.filter(col("doc_id") >= 250)
+          .join(broadcast(dropSem.select(col("vec_id").as("doc_id"))),
+            Seq("doc_id"), "left_anti")
+        ann.ingest(embs.filter(col("vec_id") >= 250)
+          .join(broadcast(dropSem), Seq("vec_id"), "left_anti"))
+        // arrival loop: exactly-once lake upserts + persistent LSH ingest
+        val lakePath = tmp("lake")
+        val sink = new graft.streaming.GraftSink(() =>
+          new graft.table.CowTable(s, lakePath, keyCols = Seq("doc_id")))
+        val lsh = new graft.text.LshDedupIndex(s, tmp("lsh"), 3, 2)
+        def lake() = s.read.format("graft").load(lakePath)
+        require(sink.applyBatch(b1, 0L),
+          "pipeline_e2e_incr: batch 1 must apply")
+        val p1 = lsh.ingest(b1, lake(), 8, 10)
+        require(sink.applyBatch(b2, 1L),
+          "pipeline_e2e_incr: batch 2 must apply")
+        val p2 = lsh.ingest(b2, lake(), 8, 10)
+        require(!sink.applyBatch(b1, 0L),
+          "pipeline_e2e_incr: replayed batch 1 must be ledger-skipped")
+        // stage 3 survivorship from the ACCUMULATED pair set
+        val clusters = TextOps.dedupClusters(p1.unionByName(p2))
+        val drop = clusters.filter(!col("is_canonical")).select("doc_id")
+        val corpus = lake().select("doc_id", "text")
+        val deduped =
+          corpus.join(broadcast(drop), Seq("doc_id"), "left_anti")
+        // stages 4-6 over the lake's committed state
+        val kept = TextOps.qualityClassify(deduped, 0L)
+          .filter(col("keep")).select("doc_id", "q_score")
+        val survivors = deduped.join(kept, Seq("doc_id"))
+        val split = TextOps.leakageSafeSplit(survivors, clusters, 10, 10)
+        TextOps.sequencePackingSharded(
+            split.select(col("doc_id"), col("split"), col("q_score"),
+              size(TextOps.tokens(col("text"))).cast("long")
+                .as("n_tokens")),
+            "n_tokens", "doc_id", capacity = 2048L,
+            shardCol = floor(col("doc_id") / lit(64)))
+          .select("doc_id", "split", "q_score", "n_tokens", "cum_tokens",
+            "pack_id")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE $pqSubSql,
+           |coarse AS (SELECT vec_id AS centroid_id,
+           |    CAST(embedding AS DOUBLE[]) AS fv
+           |  FROM embeddings WHERE vec_id < 16),
+           |aq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id >= 250),
+           |cellasg AS (SELECT vec_id, centroid_id FROM (
+           |  SELECT e2.vec_id, c.centroid_id, row_number() OVER (
+           |      PARTITION BY e2.vec_id ORDER BY
+           |      ${cosSql("CAST(e2.embedding AS DOUBLE[])", "c.fv")} DESC,
+           |      c.centroid_id) AS rn
+           |  FROM embeddings e2, coarse c WHERE e2.vec_id < 250)
+           |  WHERE rn = 1),
+           |probe AS (SELECT q_id, centroid_id FROM (
+           |  SELECT aq.q_id, c.centroid_id, row_number() OVER (
+           |      PARTITION BY aq.q_id ORDER BY
+           |      ${cosMicroSql("c.fv", "aq.qv")} DESC, c.centroid_id) AS rn
+           |  FROM coarse c, aq) WHERE rn <= 4),
+           |acand AS (SELECT p.q_id, a.vec_id FROM cellasg a
+           |  JOIN probe p ON a.centroid_id = p.centroid_id
+           |  WHERE a.vec_id <> p.q_id),
+           |${pqAsgSql(" WHERE s.vec_id < 250")},
+           |aqs AS (SELECT vec_id AS q_id, m, sv AS qsv FROM sub
+           |  WHERE vec_id >= 250),
+           |lut AS (SELECT aqs.q_id, c.m, c.centroid_id,
+           |    ${pqD2MicroSql("aqs.qsv", "c.cv")} AS qd2m
+           |  FROM cents c JOIN aqs ON c.m = aqs.m),
+           |ad0 AS (SELECT cd.q_id, a.vec_id,
+           |    CAST(sum(l.qd2m) AS BIGINT) / CAST(1000000.0 AS DOUBLE)
+           |      AS adist
+           |  FROM asg a
+           |  JOIN acand cd ON a.vec_id = cd.vec_id
+           |  JOIN lut l ON l.q_id = cd.q_id AND a.m = l.m
+           |    AND a.centroid_id = l.centroid_id
+           |  GROUP BY cd.q_id, a.vec_id),
+           |ad AS (SELECT q_id, vec_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY adist, vec_id) AS rn FROM ad0) WHERE rn <= 50),
+           |ahits AS (SELECT ad.q_id, ad.vec_id,
+           |    ${cosMicroSql("CAST(e3.embedding AS DOUBLE[])", "aq.qv")}
+           |      AS sim
+           |  FROM ad JOIN embeddings e3 ON e3.vec_id = ad.vec_id
+           |  JOIN aq ON aq.q_id = ad.q_id),
+           |flagged AS (SELECT q_id AS vec_id FROM ahits
+           |  WHERE sim >= 0.3 GROUP BY q_id),
+           |pdocs AS MATERIALIZED (SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(lower(
+           |    $htmlWrappedStripSql),
+           |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text
+           |  FROM documents
+           |  WHERE doc_id NOT IN (SELECT vec_id FROM flagged)),
+           |${minhashSigFrom("pdocs")},
+           |b AS ($bands),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+           |  FROM b a JOIN b b2 ON a.band = b2.band AND a.h1 = b2.h1
+           |    AND a.h2 = b2.h2 AND a.doc_id < b2.doc_id),
+           |withsh AS (SELECT doc_id, list_distinct(s) AS ds FROM sh),
+           |pairs AS (SELECT doc_a, doc_b FROM (
+           |  SELECT cand.doc_a, cand.doc_b,
+           |      len(list_intersect(a.ds, b.ds)) AS inter,
+           |      len(a.ds) AS na, len(b.ds) AS nb
+           |    FROM cand
+           |    JOIN withsh a ON cand.doc_a = a.doc_id
+           |    JOIN withsh b ON cand.doc_b = b.doc_id)
+           |  WHERE inter * 10 >= (na + nb - inter) * 8),
+           |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+           |  UNION SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u),
+           |cl AS (SELECT u AS doc_id, min(label) AS cluster_id
+           |  FROM reach GROUP BY u),
+           |dd AS (SELECT p.doc_id, p.text FROM pdocs p
+           |  WHERE p.doc_id NOT IN
+           |    (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
+           |qf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS nu,
+           |    CAST(len(list_filter(toks, x -> x IN
+           |      ('the','a','of','and','to','in'))) AS BIGINT) AS ns
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM dd)),
+           |qsc AS (SELECT doc_id, -2000 + (3000 * nu) // n + (5000 * ns) // n
+           |    + 4 * least(n, 200) AS q_score FROM qf),
+           |k AS (SELECT dd.doc_id, dd.text, qsc.q_score FROM dd
+           |  JOIN qsc USING (doc_id) WHERE qsc.q_score >= 0),
+           |lk AS (SELECT k.doc_id, k.text, k.q_score,
+           |    coalesce(cl.cluster_id, k.doc_id) AS split_key
+           |  FROM k LEFT JOIN cl ON k.doc_id = cl.doc_id),
+           |sp AS (SELECT doc_id, text, q_score, CASE
+           |    WHEN ${H("CAST(split_key AS VARCHAR)")} % 100 < 10 THEN 'val'
+           |    WHEN ${H("CAST(split_key AS VARCHAR)")} % 100 < 20 THEN 'test'
+           |    ELSE 'train' END AS split FROM lk)
+           |SELECT doc_id, split, CAST(q_score AS BIGINT) AS q_score,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |  CAST(sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS cum_tokens,
+           |  CAST(FLOOR((sum(len(string_split(text, ' '))) OVER (
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    - len(string_split(text, ' '))) / 2048.0) AS BIGINT)
+           |    AS pack_id
+           |FROM sp ORDER BY doc_id""".stripMargin))
+  }
+
   /** Overlapping token-window chunking — the RAG/embedding prep step:
     * size-64 windows at stride 48, with tail windows that introduce no
     * new tokens suppressed (start 1 always emits; a later window emits
@@ -5723,6 +5931,7 @@ object QueryCatalog {
     "near_dup_filtered" -> nearDupFiltered,
     "leakage_safe_split" -> leakageSafeSplit,
     "pipeline_e2e" -> pipelineE2e,
+    "pipeline_e2e_incr" -> pipelineE2eIncr,
     "chunk_split" -> chunkSplit,
     "cosine_topk" -> cosineTopK,
     "hard_negatives" -> hardNegatives,

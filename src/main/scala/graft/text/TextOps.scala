@@ -174,9 +174,14 @@ object TextOps {
     * UNBOUNDED single-partition funnels — exactly the hazard the limit
     * upstream already eliminated. Only ever use downstream of a row-count
     * bound; an unbounded input would genuinely funnel one partition.
+    * Null-safe: `pmod(null, 1)` is null, which would split the window
+    * into a null-key group and a 0-key group and silently corrupt global
+    * ranks — the coalesce pins every row (null or not) to the one group.
+    * (NullPropagation strips the coalesce when the caller's column is
+    * non-nullable, so the current non-null call sites pay nothing.)
     */
-  private[graft] def boundedSingleGroup(nonNull: Column): Column =
-    pmod(nonNull, lit(1))
+  private[graft] def boundedSingleGroup(key: Column): Column =
+    pmod(coalesce(key, lit(0)), lit(1))
 
   def vocabulary(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
