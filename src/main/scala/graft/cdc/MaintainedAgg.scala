@@ -359,16 +359,22 @@ final class MaintainedAgg(
     // a full state scan, so refresh cost scales with the window's churn
     // — never with the number of groups the state has accumulated. The
     // untouched groups are simply not part of the merge.
-    val ((delta, deltaEmpty), affected) = graft.util.Overlap.withBg(
+    val ((delta, deltaEmpty), (affected, touchedKeys)) =
+      graft.util.Overlap.withBg(
       T("delta"){
         val d0 = signed.groupBy(g.map(col): _*)
           .agg(dAggs.head, dAggs.tail: _*).localCheckpoint()
         (d0, d0.isEmpty)
       }) { d =>
-      val aff = T("affected")(table.lookupByKeys(
+      // the lookup's probe routing doubles as the merge's touched-keys
+      // hint: every merge output group (next/gone) comes from the probed
+      // churn groups, so the probe's unit set is a sound superset
+      val aff = T("affected") {
+        val (rows, tk) = table.lookupByKeysTouched(
           feed.filter(col(ct).isin("U", "B"))
             .select(g.map(col): _*).distinct())
-        .select(stateCols.map(col): _*).localCheckpoint())
+        (rows.select(stateCols.map(col): _*).localCheckpoint(), tk)
+      }
       (d(), aff)
     }
     val marksM = Map(Mark -> head)
@@ -483,7 +489,8 @@ final class MaintainedAgg(
       insertCondition = !col("i._ma_del"),
       conditionCols = Seq("_ma_del"),
       tombstonesFromIncoming = true,
-      extraMetrics = marksM)
+      extraMetrics = marksM,
+      touchedKeys = Some(touchedKeys))
     // Window feed for stacked consumers (see [[lastFoldFeed]]): U rows
     // are exactly the merge's incoming next-state rows (the only rows
     // the new version stamps; the gone branch writes tombstones, not

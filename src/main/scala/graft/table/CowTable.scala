@@ -771,8 +771,20 @@ class CowTable(
   def lookupByKeysAt(version: Long, probe: DataFrame): DataFrame =
     lookupIn(manifestAt(version), probe)
 
-  protected def lookupIn(m: Manifest, probe: DataFrame): DataFrame = {
-    val existing = touchedPartitionKeys(probe).intersect(m.partitions.keySet)
+  protected def lookupIn(m: Manifest, probe: DataFrame): DataFrame =
+    lookupInTouched(m, probe)._1
+
+  /** [[lookupIn]] that ALSO returns the probe's partition/bucket key set
+    * (pre-intersection — every unit a probe key routes to, stored or
+    * not). Point-read callers that go on to MERGE a batch whose keys are
+    * a subset of the probe reuse it as [[mergeInto]]'s `touchedKeys`
+    * hint, skipping the merge's own touched-keys job over the (usually
+    * far heavier) incoming plan.
+    */
+  protected def lookupInTouched(m: Manifest, probe: DataFrame)
+      : (DataFrame, Set[String]) = {
+    val probed = touchedPartitionKeys(probe)
+    val existing = probed.intersect(m.partitions.keySet)
     val (candFiles, _) =
       if (fileIndexEntries > 0) pruneCandidateFiles(m, existing, probe)
       else (existing.toSeq.sorted.flatMap(k =>
@@ -787,10 +799,16 @@ class CowTable(
     val stored = readFiles(m, candFiles)
     val probeKeys = probe.select(idCols.map(col): _*).distinct()
     // null-safe: null partition values (hive default partition) must match
-    stored.join(probeKeys,
+    (stored.join(probeKeys,
       idCols.map(c => stored(c) <=> probeKeys(c)).reduce(_ && _),
-      "left_semi")
+      "left_semi"), probed)
   }
+
+  /** [[lookupByKeys]] plus the probe's partition/bucket key set — see
+    * [[lookupInTouched]] for the merge-hint contract.
+    */
+  def lookupByKeysTouched(probe: DataFrame): (DataFrame, Set[String]) =
+    lookupInTouched(manifest, probe)
 
   /** Snapshot restricted to the given manifest partition keys — the
     * partition-pruned read used by upsert/delete merges.
@@ -1068,7 +1086,17 @@ class CowTable(
         * inserts and tombstones would poison downstream image folds.
         */
       tombstonesFromIncoming: Boolean = false,
-      extraMetrics: Map[String, Long] = Map.empty): Unit = {
+      extraMetrics: Map[String, Long] = Map.empty,
+      /** Caller-supplied touched partition/bucket key set — MUST be a
+        * SUPERSET of the batch's own ([[lookupByKeysTouched]] over a key
+        * probe covering every incoming key qualifies; extra keys only
+        * cost an idempotent rewrite of their units). Skips the merge's
+        * touched-keys job, which would otherwise materialize the full
+        * incoming plan in a dedicated blocking round — the win when the
+        * incoming is a heavy fold plan whose keys the caller already
+        * probed (the IVM point-read folds).
+        */
+      touchedKeys: Option[Set[String]] = None): Unit = {
     // matched-delete keys become change-feed tombstones; skipped when the
     // delete branch is the literal-false default (no second join pass).
     // The tombstone pass re-joins cur×incoming, so mergeCommit caches the
@@ -1102,7 +1130,8 @@ class CowTable(
       }
     mergeCommit(df, parallelism, "merge", extraMetrics,
       excludeCols = conditionCols, tombstoneKeys = deletedKeys,
-      tombstonesUseCur = !tombstonesFromIncoming) {
+      tombstonesUseCur = !tombstonesFromIncoming,
+      touchedHint = touchedKeys) {
       (cur, incoming) =>
       val outCols = incoming.columns.toIndexedSeq
         .filterNot(conditionCols.contains) // padded/evolved schema
@@ -1682,7 +1711,10 @@ class CowTable(
       // false when the tombstone function does not re-evaluate `cur`
       // (delete(): keys come from the incoming batch; mergeInto(): keys
       // come from its own persisted routed join) — skips the cur cache
-      tombstonesUseCur: Boolean = true)(
+      tombstonesUseCur: Boolean = true,
+      // caller-supplied touched partition/bucket keys (must be a SUPERSET
+      // of the incoming batch's — see mergeInto's touchedKeys)
+      touchedHint: Option[Set[String]] = None)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     // pad() null-fills absent columns for additive evolution — but a batch
     // MISSING its record-key columns would merge as null-keyed garbage;
@@ -1704,7 +1736,12 @@ class CowTable(
       CdcOps.precombine(incoming0, mergeIdCols, precombineField)
     else incoming0).persist()
     try {
-      val touched = traceMerge("touched")(touchedPartitionKeys(incoming))
+      // with a hint, the incoming plan is NOT materialized here — its
+      // persist fills inside the first consuming job (the background
+      // tombstone pass / the write), overlapped instead of paying a
+      // dedicated blocking job round over the merge input's full plan
+      val touched = traceMerge("touched")(
+        touchedHint.getOrElse(touchedPartitionKeys(incoming)))
       val rewritten = touched.intersect(m.partitions.keySet)
       // File-level pruning (record-key index on): within the touched
       // units, only files whose key range + bloom can contain an incoming

@@ -116,11 +116,12 @@ class MorTable(
       insertCondition: org.apache.spark.sql.Column = lit(true),
       conditionCols: Seq[String] = Nil,
       tombstonesFromIncoming: Boolean = false,
-      extraMetrics: Map[String, Long] = Map.empty): Unit = {
+      extraMetrics: Map[String, Long] = Map.empty,
+      touchedKeys: Option[Set[String]] = None): Unit = {
     compactLogs(parallelism)
     super.mergeInto(df, parallelism, whenMatchedDelete, whenMatchedUpdate,
       insertUnmatched, insertCondition, conditionCols,
-      tombstonesFromIncoming, extraMetrics)
+      tombstonesFromIncoming, extraMetrics, touchedKeys)
   }
 
   private def logAppend(df: DataFrame, parallelism: Int, op: String,

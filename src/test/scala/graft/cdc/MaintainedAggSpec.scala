@@ -369,4 +369,56 @@ class MaintainedAggSpec extends SparkSpec {
           s"window $w empty refresh diverged")
     }
   }
+
+  test("stacked aggs: in-memory window handoff equals the table feed " +
+      "and refuses a lagging consumer") {
+    // Generic two-level stacking over lastFoldFeed/refreshFromFeed (the
+    // object-store optimization: a stacked consumer skips re-reading the
+    // just-written state files and the preimage point-read). Level 1
+    // counts (grp, v) pair multiplicities; level 2 counts level-1 rows
+    // per grp. The in-memory path must equal the table-feed path, and a
+    // consumer whose mark lags the handoff window (a crash between the
+    // levels' folds) must fall back to the table feed and still be exact.
+    val src = new CowTable(spark, tmpDir("sk-src"), keyCols = Seq("k"),
+      precombineField = "v", trackCommitVersions = true)
+    src.bulkInsert(rows(("a", "g1", 1), ("b", "g1", 1), ("c", "g2", 3)))
+    val l1 = new MaintainedAgg(spark, tmpDir("sk-l1"), src,
+      AggSpec(Seq("grp", "v"), "v"), trackStateVersions = true)
+    val l2 = new MaintainedAgg(spark, tmpDir("sk-l2"), l1.table,
+      AggSpec(Seq("grp"), "cnt"))
+    def l2Oracle(): Map[String, (Long, Double)] = state(
+      IncrementalAgg.recompute(l1.table.snapshot(),
+        AggSpec(Seq("grp"), "cnt")))
+    def refreshStacked(): Unit = {
+      l1.refresh()
+      l1.lastFoldFeed match {
+        case Some((since, head, ub)) => l2.refreshFromFeed(ub, since, head)
+        case None => l2.refresh()
+      }
+    }
+    refreshStacked() // seeds: no handoff, table path
+    assert(state(l2.current) == l2Oracle())
+
+    // plain fold window → the handoff engages (assert it existed)
+    src.upsert(rows(("d", "g1", 9), ("b", "g2", 3)))
+    l1.refresh()
+    assert(l1.lastFoldFeed.nonEmpty, "plain fold must hand off")
+    val (since, head, ub) = l1.lastFoldFeed.get
+    l2.refreshFromFeed(ub, since, head)
+    assert(state(l2.current) == l2Oracle())
+
+    // crash-lag: level 1 folds a window ALONE, more churn lands, the
+    // next handoff's start is ahead of level 2's mark → must fall back
+    // to the table feed and fold BOTH pending windows
+    src.upsert(rows(("e", "g3", 4)))
+    l1.refresh() // level 2 skipped ("crash")
+    src.delete(rows(("c", "g2", 0)))
+    refreshStacked()
+    assert(state(l2.current) == l2Oracle())
+
+    // and a subsequent clean handoff window stays exact
+    src.upsert(rows(("f", "g1", 7)))
+    refreshStacked()
+    assert(state(l2.current) == l2Oracle())
+  }
 }

@@ -64,35 +64,53 @@ class MaintainedDistinctSpec extends SparkSpec {
     assert(!state(md).contains("g3"))
 
     // no-op refresh advances nothing
-    val v = md.counts.table.manifest.version
+    val v = md.table.manifest.version
     md.refresh()
-    assert(md.counts.table.manifest.version == v)
+    assert(md.table.manifest.version == v)
   }
 
-  test("fold pipelining falls back when level 2 lags the handoff window") {
-    // Simulate a crash BETWEEN the two levels' folds: level 1 folds a
-    // window alone (its handoff describes only that window), more churn
-    // lands, and the next full refresh folds level 1 AGAIN — the new
-    // handoff's start version is one ahead of level 2's mark, so the
-    // in-memory path must refuse and the table-feed fallback must fold
-    // BOTH pending support windows.
+  test("both levels land in ONE commit per refresh (fused atomicity)") {
+    // The fused design's whole point: a refresh folds level-1 support
+    // pairs AND level-2 rollups in a single manifest publish — no crash
+    // window between levels, no lag mark. Pin it: every non-empty fold
+    // advances the state table's version by EXACTLY one, and the two
+    // levels inside that one version are mutually consistent (the rollup
+    // equals re-deriving it from the stored support pairs).
     val src = new CowTable(spark, tmpDir("mdp-src"), keyCols = Seq("k"),
       precombineField = "v", trackCommitVersions = true)
     src.bulkInsert(rows(("a", "g1", 1.0), ("b", "g2", 2.0)))
     val md = new MaintainedDistinct(spark, tmpDir("mdp-st"), src,
       Seq("grp"), "v")
-    md.refresh()
-    // window 1: level 1 only (the "crash" skips level 2)
+    md.refresh() // seed: one bulkInsert commit carrying both levels
+    assert(md.table.manifest.version == 1L)
+    def levelsConsistent(): Unit = {
+      val st = md.table.snapshot()
+      val fromSupport = st.filter(col("lvl") === 1 && col("v").isNotNull)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("d"), sum("cnt").as("c"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      val rollup = st.filter(col("lvl") === 2)
+        .collect().map(r => r.getAs[String]("grp") ->
+          ((r.getAs[Long]("cnt"), r.getAs[Long]("vcnt")))).toMap
+      assert(rollup == fromSupport, "levels diverged inside one version")
+    }
+    levelsConsistent()
+    // multi-commit churn window → ONE state commit
     src.upsert(rows(("c", "g1", 3.0), ("b", "g2", 9.0)))
-    md.support.refresh()
-    assert(md.support.lastFoldFeed.nonEmpty, "plain fold must hand off")
-    // window 2: full refresh — handoff start = level-2 mark + 1
     src.upsert(rows(("d", "g3", 4.0), ("a", "g1", 3.0)))
     src.delete(rows(("b", "g2", 0.0)))
+    val v0 = md.table.manifest.version
     assert({ md.refresh(); state(md) } == oracle(src))
-    // and a subsequent PIPELINED window stays exact too
+    assert(md.table.manifest.version == v0 + 1,
+      "a fold window must publish exactly one commit")
+    levelsConsistent()
+    // a second window stays exact and single-commit too
     src.upsert(rows(("e", "g1", 1.0)))
+    val v1 = md.table.manifest.version
     assert({ md.refresh(); state(md) } == oracle(src))
+    assert(md.table.manifest.version == v1 + 1)
+    levelsConsistent()
   }
 
   test("rowFilter maintains a filtered aggregate exactly") {
