@@ -234,8 +234,13 @@ object Bench {
       }
     val fullLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"queries":${entries.mkString("{", ",", "}")},"reps_build_query":${repEntries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    // A SUBSET run (SPARK_GRAFT_ONLY) must not clobber the full-battery
+    // artifact with a partial map (the round-12 advice hazard: the next
+    // reader silently loses every other row) — subsets land in
+    // BENCH_LAST.json instead.
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Paths.get(
+        if (only.isEmpty) "BENCH_FULL.json" else "BENCH_LAST.json"),
       fullLine.getBytes("UTF-8"))
     // Explicit basis promotion only: a full-battery run (no subset
     // filter) with SPARK_GRAFT_UPDATE_BASIS=1 replaces the trigger basis;

@@ -25,6 +25,57 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is a TEMP FILE per read/write call —
+  // under task-parallel decode 32 concurrent tasks funnel through temp-file
+  // create/delete, serializing codec work that is otherwise embarrassingly
+  // parallel (r13 measurement: parallel image decode was no faster than
+  // serial until this). The heap cache is strictly better for our
+  // byte-array payloads; executors load this object lazily, so the knob is
+  // set exactly once per JVM before any codec call.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** javax.sound's `AudioSystem` entry points funnel EVERY call through
+    * `JDK13Services.getProviders` — a `synchronized`, uncached
+    * ServiceLoader walk — so concurrent encode/decode through AudioSystem
+    * serializes all tasks of a JVM, with NEGATIVE scaling once threads
+    * contend (r13 measurement: audio_decode 1.05 s at 4 cores vs 1.56 s at
+    * 32). The underlying codecs are the same real JDK parsers behind a
+    * public SPI: resolve the provider lists ONCE per JVM and dispatch to
+    * the stateless readers/writers directly.
+    */
+  private lazy val audioReaders
+      : Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+  private lazy val audioWriters
+      : Array[javax.sound.sampled.spi.AudioFileWriter] = {
+    val b = Array.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** `AudioSystem.getAudioInputStream` minus the synchronized registry
+    * walk: try each cached reader (the SPI contract restores the stream
+    * position on an unrecognized format; the mark/reset here is belt and
+    * braces for a non-compliant provider). Returns None when no provider
+    * recognizes the payload — callers map that to their zero shape.
+    */
+  private[multimodal] def audioStreamOf(bytes: Array[Byte])
+      : Option[javax.sound.sampled.AudioInputStream] = {
+    val in = new java.io.ByteArrayInputStream(bytes)
+    audioReaders.iterator.map { r =>
+      in.mark(bytes.length)
+      try Some(r.getAudioInputStream(in))
+      catch { case _: Exception => in.reset(); None }
+    }.collectFirst { case Some(s) => s }
+  }
+
   /** Canonical multimodal asset schema: opaque payload + typed metadata. */
   val AssetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),
@@ -160,8 +211,9 @@ object Multimodal {
         : (Int, Int, Array[Float]) = {
       if (payload == null || payload.isEmpty) return (0, 0, Array.fill(8)(0f))
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
+        // cached-SPI dispatch, not AudioSystem — see [[audioStreamOf]]
+        val ais = audioStreamOf(payload).getOrElse(
+          return (0, 0, Array.fill(8)(0f)))
         val fmt = ais.getFormat
         val enc = fmt.getEncoding
         val pcm = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
@@ -278,8 +330,13 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    // cached-SPI dispatch, not AudioSystem.write (same synchronized
+    // registry walk as the read path — see audioReaders)
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioWriters.find(_.isFileTypeSupported(wave, ais)) match {
+      case Some(w) => w.write(ais, wave, bos)
+      case None => javax.sound.sampled.AudioSystem.write(ais, wave, bos)
+    }
     bos.toByteArray
   }
 

@@ -3240,7 +3240,9 @@ object QueryCatalog {
       .mkString("\n  UNION ALL ")
     Q(
       (s, d) => {
-        val raw = t(s, d, "documents")
+        // ScanPar: the strip+normalize regexp chain is the row's hot loop
+        // and runs in the scan stage — redistribute before it (r13)
+        val raw = graft.util.ScanPar(t(s, d, "documents"), col("doc_id"))
         // stages 1+2: strip the markup wrapper, then normalize. Persisted:
         // the frame feeds the LSH signature build, the dedup anti-join and
         // the final projection — Catalyst re-evaluates diamond subtrees
@@ -3378,7 +3380,11 @@ object QueryCatalog {
       .mkString("\n  UNION ALL ")
     Q(
       (s, d) => {
-        val raw = t(s, d, "documents")
+        // ScanPar before the regexp chain, as [[pipelineE2e]] (r13): the
+        // first consumer to materialize the persisted pdocs frame was a
+        // commit's key-prune job, which paid the whole single-task
+        // strip+normalize pass on its latency chain (measured 3.6 s).
+        val raw = graft.util.ScanPar(t(s, d, "documents"), col("doc_id"))
         val embs = t(s, d, "embeddings")
         def tmp(tag: String) = java.nio.file.Files
           .createTempDirectory(s"graft-pincr-$tag").toString
@@ -3622,7 +3628,8 @@ object QueryCatalog {
         pmod(col("doc_id"), lit(256L)).cast("string"),
         lit(".7 call +1 555-867-53"),
         (pmod(col("doc_id"), lit(100L)) + 10).cast("string"))
-      t(s, d, "documents")
+      // ScanPar: three regex passes per row in the scan stage (r13)
+      graft.util.ScanPar(t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), TextOps.scrubPii(withPii).as("scrubbed"))
     },
     Some("""SELECT doc_id,
@@ -3651,8 +3658,13 @@ object QueryCatalog {
     */
   private val editDistancePairs = Q(
     (s, d) => {
+      // ScanPar: the O(n·m) levenshtein verification runs in the probe-side
+      // scan stage (the build side broadcasts), so a single-row-group local
+      // input serializes every pair onto one core — redistribute the probe
+      // rows first (r13 optimization; no-op at production scan sizes).
       val docs = t(s, d, "documents").select("doc_id", "text")
-      docs.as("a").join(docs.as("b"),
+      val probe = graft.util.ScanPar(docs, col("doc_id"))
+      probe.as("a").join(docs.as("b"),
           col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           levenshtein(col("a.text"), col("b.text")).cast("long")
@@ -3672,8 +3684,10 @@ object QueryCatalog {
     */
   private val editDistanceBounded = Q(
     (s, d) => {
-      val docs = t(s, d, "documents").select("doc_id", "text")
-      docs.as("a").join(docs.as("b"),
+      // ScanPar on the probe side, as [[editDistancePairs]]
+      val docs0 = t(s, d, "documents").select("doc_id", "text")
+      val docs = graft.util.ScanPar(docs0, col("doc_id"))
+      docs.as("a").join(docs0.as("b"),
           col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           levenshtein(col("a.text"), col("b.text"), 20).cast("long")
@@ -3920,7 +3934,12 @@ object QueryCatalog {
         StructField("asset_id", LongType, nullable = false),
         StructField("media_type", StringType, nullable = false),
         StructField("payload", BinaryType, nullable = true)))
-      val assets = t(s, d, "documents").select(col("doc_id"))
+      // ScanPar BEFORE payload synthesis: the exchange moves 8-byte ids,
+      // the GIF encode + frame decode then run core-parallel (guide §8:
+      // redistribute the proxy, not the payload). No-op at scan sizes
+      // that already split to the core count.
+      val assets = graft.util.ScanPar(
+          t(s, d, "documents").select(col("doc_id")), col("doc_id"))
         .mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
@@ -3980,7 +3999,9 @@ object QueryCatalog {
         StructField("asset_id", LongType, nullable = false),
         StructField("media_type", StringType, nullable = false),
         StructField("payload", BinaryType, nullable = true)))
-      val assets = t(s, d, "documents").select(col("doc_id"))
+      // ScanPar before synthesis, as [[videoFrames]]
+      val assets = graft.util.ScanPar(
+          t(s, d, "documents").select(col("doc_id")), col("doc_id"))
         .mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
@@ -4024,7 +4045,9 @@ object QueryCatalog {
         StructField("asset_id", LongType, nullable = false),
         StructField("media_type", StringType, nullable = false),
         StructField("payload", BinaryType, nullable = true)))
-      val assets = t(s, d, "documents").select(col("doc_id"))
+      // ScanPar before synthesis, as [[videoFrames]]
+      val assets = graft.util.ScanPar(
+          t(s, d, "documents").select(col("doc_id")), col("doc_id"))
         .mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)

@@ -1412,8 +1412,12 @@ object TextOps {
     simhashFp(docs, 60).withColumnRenamed("fp", "simhash60")
 
   private def simhashFp(docs: DataFrame, bits: Int): DataFrame = {
-    val e = docs.select(col("doc_id"),
-      explode(tokens(col("text"))).as("tok"))
+    // ScanPar (r13): tokenize + per-token md5 hashing + the 60-column
+    // partial bit-sum aggregation all run in the scan stage; a local
+    // single-row-group input serializes them. No-op at production scan
+    // sizes (the gate requires the input to be un-splittable).
+    val e = graft.util.ScanPar(docs, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), Hashing.hash60(col("tok")).as("h"))
     val bitSums = (0 until bits).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j"))
