@@ -961,7 +961,11 @@ object QueryCatalog {
         java.nio.file.Files.createTempDirectory("graft-metaagg").toString,
         keyCols = Seq("l_orderkey", "l_linenumber"),
         fileIndexEntries = 10000)
-      tbl.bulkInsert(li)
+      // core-count write fan-out (r13): the single-row-group source scan
+      // would otherwise funnel the 600k-row write AND the delete's
+      // subsequent read+rewrite through one task; files ∝ cores keeps the
+      // footer-stats query's per-file pushdown parallel too
+      tbl.bulkInsert(li, parallelism = s.sparkContext.defaultParallelism)
       tbl.delete(li.filter(col("l_orderkey") % 10 === 7))
       val mc = tbl.fastCount().getOrElse(
         sys.error("fastCount must certify an indexed COW table"))
@@ -1194,8 +1198,10 @@ object QueryCatalog {
     * graft.functions.Joins.saltedJoin.
     */
   private val saltedJoinRevenue = Q(
+    // ScanPar (r13): the salted side's row decode + salt hash run in the
+    // scan stage; the join's own exchange re-keys on (key, salt) after
     (s, d) => graft.functions.Joins.saltedJoin(
-        t(s, d, "lineitem"),
+        graft.util.ScanPar(t(s, d, "lineitem"), col("l_orderkey")),
         t(s, d, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
         Seq("l_orderkey"), col("l_linenumber"), saltFactor = 8)
       .groupBy("o_orderstatus")
@@ -1275,7 +1281,9 @@ object QueryCatalog {
 
   /** ROLLUP grouping-sets aggregation. */
   private val rollupRevenue = Q(
-    (s, d) => t(s, d, "lineitem")
+    // ScanPar (r13): Expand ×3 + the decimal partial agg run in the scan
+    // stage — single-task on the local one-row-group input
+    (s, d) => graft.util.ScanPar(t(s, d, "lineitem"), col("l_orderkey"))
       .rollup("l_returnflag", "l_linestatus")
       .agg(money(sum(revTerm)).as("revenue"), count(lit(1)).as("n")),
     Some(s"""SELECT l_returnflag, l_linestatus,
@@ -3388,6 +3396,13 @@ object QueryCatalog {
         val embs = t(s, d, "embeddings")
         def tmp(tag: String) = java.nio.file.Files
           .createTempDirectory(s"graft-pincr-$tag").toString
+        var t0 = System.nanoTime()
+        def mark(tag: String): Unit = {
+          val t1 = System.nanoTime()
+          if (sys.env.contains("GRAFT_TRACE_MERGE"))
+            System.err.println(f"[pincr] $tag%-14s ${(t1 - t0) / 1e9}%.2fs")
+          t0 = t1
+        }
         // stages 1+2 on the full corpus frame; each arrival batch slices
         // it. Persisted: feeds both batch sinks and both LSH ingests.
         val pdocs = raw.select(col("doc_id"),
@@ -3398,7 +3413,9 @@ object QueryCatalog {
         // semantic dedup-on-arrival: batch 1 seeds the ANN index; batch
         // 2's embeddings are checked against it and flagged ids dropped
         val ann = new graft.sim.AnnIndex(s, tmp("ann"), 8, 8, 16, 16)
+        mark("setup")
         ann.build(embs.filter(col("vec_id") < 250))
+        mark("ann.build")
         val dropSem = ann.nearDupCheck(
             embs.filter(col("vec_id") >= 250).select("vec_id", "embedding"),
             embs.filter(col("vec_id") < 250).select("vec_id", "embedding"),
@@ -3407,8 +3424,10 @@ object QueryCatalog {
         val b2 = pdocs.filter(col("doc_id") >= 250)
           .join(broadcast(dropSem.select(col("vec_id").as("doc_id"))),
             Seq("doc_id"), "left_anti")
+        mark("nearDupCheck")
         ann.ingest(embs.filter(col("vec_id") >= 250)
           .join(broadcast(dropSem), Seq("vec_id"), "left_anti"))
+        mark("ann.ingest")
         // arrival loop: exactly-once lake upserts + persistent LSH ingest
         val lakePath = tmp("lake")
         val sink = new graft.streaming.GraftSink(() =>
@@ -3417,12 +3436,17 @@ object QueryCatalog {
         def lake() = s.read.format("graft").load(lakePath)
         require(sink.applyBatch(b1, 0L),
           "pipeline_e2e_incr: batch 1 must apply")
+        mark("applyBatch b1")
         val p1 = lsh.ingest(b1, lake(), 8, 10)
+        mark("lsh.ingest b1")
         require(sink.applyBatch(b2, 1L),
           "pipeline_e2e_incr: batch 2 must apply")
+        mark("applyBatch b2")
         val p2 = lsh.ingest(b2, lake(), 8, 10)
+        mark("lsh.ingest b2")
         require(!sink.applyBatch(b1, 0L),
           "pipeline_e2e_incr: replayed batch 1 must be ledger-skipped")
+        mark("replay skip")
         // stage 3 survivorship from the ACCUMULATED pair set
         val clusters = TextOps.dedupClusters(p1.unionByName(p2))
         val drop = clusters.filter(!col("is_canonical")).select("doc_id")
@@ -4448,7 +4472,8 @@ object QueryCatalog {
     * driver-side distinct scan first, a hidden extra job at corpus scale.
     */
   private val pivotRevenue = Q(
-    (s, d) => t(s, d, "lineitem")
+    // ScanPar (r13): the pivot's decimal partial agg runs in the scan stage
+    (s, d) => graft.util.ScanPar(t(s, d, "lineitem"), col("l_orderkey"))
       .groupBy("l_returnflag")
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(money(sum(revTerm)))
@@ -4461,6 +4486,9 @@ object QueryCatalog {
 
   /** CUBE grouping sets (all 4 combinations; complements ROLLUP's 3). */
   private val cubeCounts = Q(
+    // ScanPar measured and REJECTED here (r13): unlike rollup_revenue's
+    // decimal revenue term, this expand's per-row work (count + long sum)
+    // is too cheap to pay for the redistribution exchange (0.49 s -> 0.62 s)
     (s, d) => t(s, d, "lineitem")
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
@@ -4677,7 +4705,9 @@ object QueryCatalog {
     val (depth, width, topK) = (3, 64, 20)
     Q(
       (s, d) => {
-        val toks = t(s, d, "documents")
+        // ScanPar (r13): tokenize + the sketch's per-(token,seed) hashing
+        // run in the scan stage
+        val toks = graft.util.ScanPar(t(s, d, "documents"), col("doc_id"))
           .select(explode(TextOps.tokens(col("text"))).as("v"))
         val exact = toks.groupBy("v")
           .agg(count(lit(1)).as("exact_n"))

@@ -403,9 +403,17 @@ private[sources] class GraftWritableTable(
                       data.toDF(cur.toIndexedSeq: _*)
                     else data
                   } else data
+                // Bucketed tables cluster the write by the bucket column
+                // (one exchange, ≤numBuckets write tasks, exactly one file
+                // per bucket per commit). Without it the write inherits the
+                // incoming plan's partitioning — locally a single task
+                // serializes the whole bucketed write; at scale N upstream
+                // tasks × numBuckets dirs spray small files (guide §6:
+                // hash-distribute before a clustered write).
+                val par = if (t.numBuckets > 0) t.numBuckets else 0
                 if (truncateAll) t.overwrite(aligned)
-                else if (t.exists) t.upsert(aligned)
-                else t.bulkInsert(aligned)
+                else if (t.exists) t.upsert(aligned, parallelism = par)
+                else t.bulkInsert(aligned, parallelism = par)
               }
             }
         }

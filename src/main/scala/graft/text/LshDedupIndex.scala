@@ -83,6 +83,18 @@ final class LshDedupIndex(
     * batch chained into the same component. `maxBucket = 0` keeps the
     * exact enumeration the index specs certify against the batch run.
     */
+  /** Env-gated per-stage ingest timing (GRAFT_TRACE_MERGE=1), the same
+    * attribution tool as CowTable's [mctrace].
+    */
+  private def trace[T](tag: String)(body: => T): T =
+    if (sys.env.contains("GRAFT_TRACE_MERGE")) {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[lshtrace] $tag%-14s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    } else body
+
   def ingest(
       newDocs: DataFrame,
       corpusText: DataFrame,
@@ -90,8 +102,8 @@ final class LshDedupIndex(
       den: Int,
       maxBucket: Int = 0): DataFrame = {
     val nb = nb0(newDocs)
-    val bhVals = nb.select("bh").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val bhVals = trace("band+collect")(nb.select("bh").distinct()
+      .collect().map(_.getLong(0)).toSeq)
     val existing = open() match {
       case Some(t) =>
         t.snapshotForValues("bh", bhVals).select("band", "bh", "doc_id")
@@ -119,12 +131,12 @@ final class LshDedupIndex(
         col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     val cand = candOldNew.unionAll(candNewNew).distinct()
-    val verified = verify(cand, corpusText, num, den)
+    val verified = trace("verify")(verify(cand, corpusText, num, den))
     val batchRows = nb.select(col("band"), col("bh"), col("doc_id"))
-    open() match {
+    trace("index-upsert")(open() match {
       case Some(t) => t.upsert(batchRows)
       case None => create().bulkInsert(batchRows)
-    }
+    })
     nb.unpersist()
     verified
   }
@@ -143,7 +155,18 @@ final class LshDedupIndex(
   private def verify(
       cand: DataFrame, corpusText: DataFrame,
       num: Int, den: Int): DataFrame = {
-    val ids = cand
+    // cand feeds TWO consumers (the id semi-join prune and the pair
+    // join): unpersisted, each re-runs the whole candidate enumeration —
+    // index probe, band self-join, pair distinct (r13 trace: the batch-2
+    // verify paid the enumeration twice, 8.5 s of a 12.5 s ingest).
+    // Bounded by the candidate pair count, which the banding already
+    // bounds per bucket.
+    val candC = cand
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    if (sys.env.contains("GRAFT_TRACE_MERGE"))
+      System.err.println(s"[lshtrace] cand-pairs      ${candC.count()}")
+    val ids = candC
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val withSh = corpusText.join(ids, "doc_id")
@@ -151,7 +174,7 @@ final class LshDedupIndex(
       .select(col("doc_id"),
         array_distinct(TextOps.shingles(col("toks"), n)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = cand
+    val out = candC
       .join(withSh.alias("a"), col("doc_a") === col("a.doc_id"))
       .join(withSh.alias("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -166,5 +189,6 @@ final class LshDedupIndex(
     withSh.unpersist()
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+    } finally candC.unpersist()
   }
 }

@@ -190,9 +190,17 @@ object TextOps {
       .orderBy(col("df").desc, col("term"))
       .limit(k)
 
-  /** Exploded (doc_id, shingle) pairs, distinct per doc. */
+  /** Exploded (doc_id, shingle) pairs, distinct per doc.
+    *
+    * ScanPar (r13): tokenize + shingle-build + explode + the downstream
+    * per-shingle hashing all run in the scan stage; a local
+    * single-row-group input serializes them onto one core. No-op at
+    * production scan sizes (and a ~1 MB re-exchange when the caller hands
+    * an already-redistributed derived frame — the gate only sees files).
+    */
   def docShingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    graft.util.ScanPar(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("toks"), n))).as("shingle"))
 
@@ -200,7 +208,7 @@ object TextOps {
     * of the prefix-filtered exact join. Pure projection, no shuffle.
     */
   private def shingleHashSets(docs: DataFrame, n: Int): DataFrame =
-    docs
+    graft.util.ScanPar(docs, col("doc_id")) // see docShingles (r13)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(shingles(col("toks"), n)).as("sh"))
       .select(col("doc_id"), array_sort(array_distinct(
@@ -761,6 +769,9 @@ object TextOps {
     * Single-token and empty docs have no bigrams and drop out.
     */
   def bigramLmScore(docs: DataFrame): DataFrame = {
+    // ScanPar measured and REJECTED here (r13): the dominant cost is the
+    // post-shuffle bigram joins, not the scan-stage zip — redistribution
+    // measured 0.84 s -> 1.21 s at sf0.1/32 cores
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
     val bg = materialized(toks.select(col("doc_id"),
         explode(arrays_zip(
@@ -1011,7 +1022,9 @@ object TextOps {
     */
   def dupSpanRemoval(docs: DataFrame, span: Int): DataFrame = {
     require(span > 0, "span must be positive")
-    val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // ScanPar (r13): per-window slice + md5 hashing run in the scan stage
+    val toksDf = graft.util.ScanPar(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
     // 0-based window starts; guarded so short docs yield no windows
     // (unguarded sequence(0, negative) would DESCEND in Spark).
     val starts = when(size(col("toks")) >= span,
@@ -1070,8 +1083,10 @@ object TextOps {
     */
   def encodeTokenIds(docs: DataFrame, vocabSize: Int): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive")
-    val toks = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    // ScanPar (r13): tokenize + posexplode run in the scan stage
+    val toks = graft.util.ScanPar(docs, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
     // Constant-key single-group window over the ≤vocabSize frame the
     // limit above already bounded — see [[boundedSingleGroup]].
     val rank = Window.partitionBy(boundedSingleGroup(col("n")))
@@ -1392,7 +1407,10 @@ object TextOps {
     val encodedRepr = merges.foldLeft(repr0) { case (acc, (l, r)) =>
       call_function("replace", acc, lit(s" $l $r "), lit(s" $l$r "))
     }
-    docs.select(col("doc_id"), trim(encodedRepr).as("enc"))
+    // ScanPar (r13): the char-split + per-merge replace chain is the
+    // encoder's whole cost and runs in the scan stage
+    graft.util.ScanPar(docs, col("doc_id"))
+      .select(col("doc_id"), trim(encodedRepr).as("enc"))
       .select(col("doc_id"),
         size(split(col("enc"), " ")).cast("long").as("n_tokens"),
         col("enc").as("encoded"))

@@ -204,8 +204,16 @@ class GraftSpjSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("multi-file buckets do NOT claim ordering (sorts reappear)") {
     init()
-    // table sa compacted to 1 file/bucket; append more rows -> 2 files
-    spark.sql("INSERT INTO spj.lake.sa VALUES (501, 501.0), (502, 502.0)")
+    // table sa compacted to 1 file/bucket; APPEND more rows so the touched
+    // buckets hold a second file. The append goes through insertAppend
+    // (the split-upsert routing path) because the catalog INSERT now
+    // clusters bucketed writes to one file per bucket AND the upsert
+    // rewrites the touched bucket — either way INSERT alone can no longer
+    // construct the multi-file state this spec guards.
+    val sa = graft.table.CowTable.open(spark, s"$wh/lake/sa")
+    sa.insertAppend(Seq((501L, 501.0), (502L, 502.0)).toDF("k", "v"))
+    assert(sa.manifest.partitions.valuesIterator.exists(_.size > 1),
+      "precondition: the append must leave a multi-file bucket")
     withConfs(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
