@@ -51,6 +51,9 @@ final class Bm25Index(spark: SparkSession, path: String) {
 
   /** Index one batch of (doc_id, text) rows. */
   def ingest(docs: DataFrame): Unit = {
+    // ScanPar measured and REJECTED here (r13): the ingest's cost is the
+    // postings upsert's commit chain, not the scan-stage tokenize — the
+    // added exchange was a paired-run wash at sf0.1
     val withDl = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
