@@ -49,12 +49,26 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("per-row operators plan without any exchange") {
-    for (q <- Seq("text_normalize", "pii_scrub", "repetition_stats",
+    for (q <- Seq("text_normalize", "repetition_stats",
         "scalar_funcs", "doc_fingerprint")) {
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q is per-row and must not shuffle; got:\n$p")
     }
+  }
+
+  test("pii_scrub's only exchange is the ScanPar compute floor") {
+    // pii_scrub is per-row but COMPUTE-HEAVY (three regex passes per row),
+    // so it carries graft.util.ScanPar's gated redistribution: on a local
+    // un-splittable input exactly ONE hash exchange parallelizes the regex
+    // work; at production scan sizes the gate keeps the plan exchange-free
+    // (r13). Pin both that the exchange exists here and that it is the
+    // only one — a second exchange would mean the scrub started shuffling
+    // its output.
+    val p = plan("pii_scrub")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1 &&
+      p.contains("hashpartitioning(doc_id"),
+      s"pii_scrub must carry exactly the ScanPar exchange; got:\n$p")
   }
 
   test("hot aggregation/scan pipelines run inside WholeStageCodegen") {
