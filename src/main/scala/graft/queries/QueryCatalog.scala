@@ -3410,43 +3410,76 @@ object QueryCatalog {
             concat(lit(HtmlPre), col("text"), lit(HtmlPost)))).as("text"))
           .persist()
         val b1 = pdocs.filter(col("doc_id") < 250)
-        // semantic dedup-on-arrival: batch 1 seeds the ANN index; batch
-        // 2's embeddings are checked against it and flagged ids dropped
         val ann = new graft.sim.AnnIndex(s, tmp("ann"), 8, 8, 16, 16)
-        mark("setup")
-        ann.build(embs.filter(col("vec_id") < 250))
-        mark("ann.build")
-        val dropSem = ann.nearDupCheck(
-            embs.filter(col("vec_id") >= 250).select("vec_id", "embedding"),
-            embs.filter(col("vec_id") < 250).select("vec_id", "embedding"),
-            threshold = 0.3, nProbe = 4, shortlist = 50)
-          .filter(!col("keep")).select("vec_id").persist()
-        val b2 = pdocs.filter(col("doc_id") >= 250)
-          .join(broadcast(dropSem.select(col("vec_id").as("doc_id"))),
-            Seq("doc_id"), "left_anti")
-        mark("nearDupCheck")
-        ann.ingest(embs.filter(col("vec_id") >= 250)
-          .join(broadcast(dropSem), Seq("vec_id"), "left_anti"))
-        mark("ann.ingest")
-        // arrival loop: exactly-once lake upserts + persistent LSH ingest
         val lakePath = tmp("lake")
         val sink = new graft.streaming.GraftSink(() =>
           new graft.table.CowTable(s, lakePath, keyCols = Seq("doc_id")))
         val lsh = new graft.text.LshDedupIndex(s, tmp("lsh"), 3, 2)
         def lake() = s.read.format("graft").load(lakePath)
-        require(sink.applyBatch(b1, 0L),
-          "pipeline_e2e_incr: batch 1 must apply")
-        mark("applyBatch b1")
-        val p1 = lsh.ingest(b1, lake(), 8, 10)
-        mark("lsh.ingest b1")
-        require(sink.applyBatch(b2, 1L),
-          "pipeline_e2e_incr: batch 2 must apply")
-        mark("applyBatch b2")
-        val p2 = lsh.ingest(b2, lake(), 8, 10)
-        mark("lsh.ingest b2")
-        require(!sink.applyBatch(b1, 0L),
-          "pipeline_e2e_incr: replayed batch 1 must be ledger-skipped")
-        mark("replay skip")
+        mark("setup")
+        // The semantic-dedup chain (ANN build → check → ingest) and the
+        // batch-1 arrival chain (lake upsert → LSH ingest) commit to
+        // DISJOINT tables and share only read-only inputs — they run as
+        // concurrent driver threads (guide §2.6: overlap independent
+        // jobs), each chain internally ordered exactly as before. Batch 2
+        // consumes only the semantic-drop set, which hands off through a
+        // Promise the moment the check finishes — it never waits on the
+        // ANN ingest it doesn't read. Results are unchanged: every
+        // data dependency (b2 ← dropSem, lsh b2 ← lake b2 ← lake b1,
+        // ann.ingest ← nearDupCheck) still orders those steps.
+        val dropSemP = scala.concurrent.Promise[DataFrame]()
+        val (p1, p2) = graft.util.Overlap.withBg {
+          try {
+            var ta = System.nanoTime()
+            def amark(tag: String): Unit = {
+              val t1 = System.nanoTime()
+              if (sys.env.contains("GRAFT_TRACE_MERGE"))
+                System.err.println(
+                  f"[pincr] $tag%-14s ${(t1 - ta) / 1e9}%.2fs (bg)")
+              ta = t1
+            }
+            // semantic dedup-on-arrival: batch 1 seeds the ANN index;
+            // batch 2's embeddings are checked and flagged ids dropped
+            ann.build(embs.filter(col("vec_id") < 250))
+            amark("ann.build")
+            val ds = ann.nearDupCheck(
+                embs.filter(col("vec_id") >= 250)
+                  .select("vec_id", "embedding"),
+                embs.filter(col("vec_id") < 250)
+                  .select("vec_id", "embedding"),
+                threshold = 0.3, nProbe = 4, shortlist = 50)
+              .filter(!col("keep")).select("vec_id").persist()
+            ds.count() // materialize BEFORE publishing: b2 broadcasts it
+            dropSemP.success(ds)
+            amark("nearDupCheck")
+            ann.ingest(embs.filter(col("vec_id") >= 250)
+              .join(broadcast(ds), Seq("vec_id"), "left_anti"))
+            amark("ann.ingest")
+          } catch {
+            // a failed chain must fail b2's Await too, not hang it
+            case e: Throwable => dropSemP.tryFailure(e); throw e
+          }
+        } { _ =>
+          require(sink.applyBatch(b1, 0L),
+            "pipeline_e2e_incr: batch 1 must apply")
+          mark("applyBatch b1")
+          val r1 = lsh.ingest(b1, lake(), 8, 10)
+          mark("lsh.ingest b1")
+          val dropSem = scala.concurrent.Await.result(
+            dropSemP.future, scala.concurrent.duration.Duration.Inf)
+          val b2 = pdocs.filter(col("doc_id") >= 250)
+            .join(broadcast(dropSem.select(col("vec_id").as("doc_id"))),
+              Seq("doc_id"), "left_anti")
+          require(sink.applyBatch(b2, 1L),
+            "pipeline_e2e_incr: batch 2 must apply")
+          mark("applyBatch b2")
+          val r2 = lsh.ingest(b2, lake(), 8, 10)
+          mark("lsh.ingest b2")
+          require(!sink.applyBatch(b1, 0L),
+            "pipeline_e2e_incr: replayed batch 1 must be ledger-skipped")
+          mark("replay skip")
+          (r1, r2)
+        }
         // stage 3 survivorship from the ACCUMULATED pair set
         val clusters = TextOps.dedupClusters(p1.unionByName(p2))
         val drop = clusters.filter(!col("is_canonical")).select("doc_id")

@@ -34,7 +34,17 @@ final class LshDedupIndex(
     spark: SparkSession,
     path: String,
     n: Int = 3,
-    rows: Int = 2) {
+    rows: Int = 2,
+    /** Band-hash count above which the index probe switches from the
+      * IN-list file prune ([[CowTable.snapshotForValues]]) to a
+      * join-based prune: the IN-list is collected to the driver, so at
+      * corpus-batch scale (batch docs × bands distinct hashes) it must
+      * stay bounded. Above the cap the probe reads the index semi-joined
+      * on the batch's band hashes — no driver materialization, same
+      * matching rows (the candidates join on (band, bh) either way).
+      * Test knob: lower it to force the join path on tiny batches.
+      */
+    maxProbeInList: Int = 65536) {
   require(Hashing.MinhashA.length % rows == 0, "rows must divide signature")
 
   private val bandCount = Hashing.MinhashA.length / rows
@@ -102,11 +112,24 @@ final class LshDedupIndex(
       den: Int,
       maxBucket: Int = 0): DataFrame = {
     val nb = nb0(newDocs)
-    val bhVals = trace("band+collect")(nb.select("bh").distinct()
-      .collect().map(_.getLong(0)).toSeq)
+    // Bounded probe (r14): the IN-list drives min/max + bloom FILE pruning
+    // of the index, but collecting it is O(batch × bands) driver memory —
+    // unbounded at corpus-batch scale. Collect at most maxProbeInList + 1
+    // hashes; a batch past the cap probes via a semi-join on the batch's
+    // band hashes instead (distributed, no driver round-trip). Both paths
+    // return every index row matching a batch bh — extra rows from
+    // partially-matching files are dropped by the (band, bh) candidate
+    // joins below either way.
+    val bhD = nb.select("bh").distinct()
+    val bhSample = trace("band+collect")(
+      bhD.limit(maxProbeInList + 1).collect().map(_.getLong(0)).toSeq)
     val existing = open() match {
+      case Some(t) if bhSample.length <= maxProbeInList =>
+        t.snapshotForValues("bh", bhSample).select("band", "bh", "doc_id")
       case Some(t) =>
-        t.snapshotForValues("bh", bhVals).select("band", "bh", "doc_id")
+        t.snapshot().select("band", "bh", "doc_id")
+          .join(bhD, Seq("bh"), "left_semi")
+          .select("band", "bh", "doc_id")
       case None =>
         spark.emptyDataFrame
           .select(lit(0).as("band"), lit(0L).as("bh"), lit(0L).as("doc_id"))
@@ -131,12 +154,24 @@ final class LshDedupIndex(
         col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     val cand = candOldNew.unionAll(candNewNew).distinct()
-    val verified = trace("verify")(verify(cand, corpusText, num, den))
+    // Eagerly pin the candidate enumeration (r14): localCheckpoint cuts
+    // the lineage that READS the index table, which makes the batch's
+    // index-upsert independent of verification — so the two run as
+    // CONCURRENT jobs (guide §2.6, overlap independent work: verify
+    // reads the pinned candidates + the corpus lake, the upsert writes
+    // only the index). The pin also replaces the r13 persist: the two
+    // verify consumers read the same blocks, distributed, never the
+    // driver.
+    val candC = trace("cand-pin")(cand.localCheckpoint())
     val batchRows = nb.select(col("band"), col("bh"), col("doc_id"))
-    trace("index-upsert")(open() match {
-      case Some(t) => t.upsert(batchRows)
-      case None => create().bulkInsert(batchRows)
-    })
+    val verified = graft.util.Overlap.withBg {
+      trace("index-upsert")(open() match {
+        case Some(t) => t.upsert(batchRows)
+        case None => create().bulkInsert(batchRows)
+      })
+    } { _ =>
+      trace("verify")(verify(candC, corpusText, num, den))
+    }
     nb.unpersist()
     verified
   }
@@ -148,22 +183,14 @@ final class LshDedupIndex(
   /** Exact-Jaccard verification of candidate pairs: shingle sets are built
     * ONLY for candidate doc ids (a semi-join prune of the corpus), then
     * each pair intersects its two arrays — same check as
-    * [[TextOps.lshNearDupPairs]]'s verify stage. Eagerly collected: the
-    * result is bounded (it's a verified near-dup list) and eager
-    * evaluation pins it BEFORE the index upsert below mutates the table.
+    * [[TextOps.lshNearDupPairs]]'s verify stage. `candC` must arrive
+    * PINNED (checkpointed): the two consumers below (the id prune and the
+    * pair join) read its blocks, and the pin is what lets the caller
+    * upsert the index concurrently.
     */
   private def verify(
-      cand: DataFrame, corpusText: DataFrame,
+      candC: DataFrame, corpusText: DataFrame,
       num: Int, den: Int): DataFrame = {
-    // cand feeds TWO consumers (the id semi-join prune and the pair
-    // join): unpersisted, each re-runs the whole candidate enumeration —
-    // index probe, band self-join, pair distinct (r13 trace: the batch-2
-    // verify paid the enumeration twice, 8.5 s of a 12.5 s ingest).
-    // Bounded by the candidate pair count, which the banding already
-    // bounds per bucket.
-    val candC = cand
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
     if (sys.env.contains("GRAFT_TRACE_MERGE"))
       System.err.println(s"[lshtrace] cand-pairs      ${candC.count()}")
     val ids = candC
@@ -185,10 +212,14 @@ final class LshDedupIndex(
       .filter(col("inter") * den >=
         (col("na") + col("nb") - col("inter")) * num)
       .select("doc_a", "doc_b")
-    val rows = out.collect()
+    // Eagerly pin the verified pairs: the returned frame must stay stable
+    // against SUBSEQUENT commits to the index and the corpus lake (the
+    // arrival loop upserts both between batches). An eager localCheckpoint
+    // materializes it as DISTRIBUTED blocks — the corpus-wide near-dup
+    // pair set never round-trips the driver (the r13 collect+parallelize
+    // bounded it by driver memory, a 100 TB hazard).
+    val pinned = out.localCheckpoint()
     withSh.unpersist()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
-    } finally candC.unpersist()
+    pinned
   }
 }

@@ -30,6 +30,23 @@ class LshDedupIndexSpec extends SparkSpec {
     assert(batch.nonEmpty, "corpus contains planted near-dups")
   }
 
+  test("join-based index probe (past maxProbeInList) matches the IN-list " +
+      "path") {
+    // maxProbeInList = 1 forces every ingest past the bounded IN-list
+    // fast path onto the semi-join prune — the result sets must be
+    // identical (the r14 driver-collect removal)
+    val pathJ = tmpDir("lshidx-join")
+    val idxJ = new LshDedupIndex(spark, pathJ, maxProbeInList = 1)
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val p1 = canon(idxJ.ingest(b1, docs, 8, 10))
+    val p2 = canon(idxJ.ingest(b2, docs, 8, 10))
+    val batch = canon(TextOps.lshNearDupPairs(docs, 3, 2, 8, 10))
+    assert((p1 | p2) == batch,
+      "join-pruned incremental union must equal the batch result")
+    assert((p1 & p2).isEmpty)
+  }
+
   test("maxBucket caps cross-batch mega-bucket fan-out to hub edges") {
     // boilerplate group split across two batches: 80 indexed + 40 new
     // identical docs — uncapped, batch 2 would emit 80×40 + C(40,2)
