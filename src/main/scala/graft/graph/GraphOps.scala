@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  // r14 measured REJECTION (guide §1.2 — keep the data): deriving a
+  // NARROWER round width from the cached edge bytes (coalesce of the
+  // round aggregation, or a narrow repartition of the edge cache) was
+  // tried both ways and LOST at sf0.1/32 cores — width 1: pagerank 1.71s
+  // vs 1.08s at session width; post-agg coalesce sweep (w=1/4/8):
+  // 2.62/2.44/2.25 vs 1.97 uncoalesced. The r13 anti-scaling was the
+  // round SHAPE (zeros-union + marker agg + per-round exchange), not the
+  // task count — fixed structurally below; round width stays the
+  // session's shuffle partitioning, which is already scale-governed.
+
   /** Fixed-point PageRank over a DIRECTED edge list (`src`, `dst` string
     * columns; multi-edges should be pre-deduped by the caller).
     *
@@ -91,16 +101,54 @@ object GraphOps {
     // surface the raw scan's unknown partitioning and silently re-buy the
     // per-round edge exchange. Compact graphs skip it: the broadcast loop
     // ignores partitioning entirely.
-    val ed = (if (compact) e.join(broadcast(deg), "src")
-      else e.repartition(col("src")).join(deg, "src")).persist()
+    if (compact) {
+      // COMPACT regime, restructured r14 for ZERO-exchange rounds
+      // (guide §2.4 — remove shuffles outright):
+      //   - `ed` caches hash(dst)-partitioned (session shuffle width —
+      //     scale-governed), so each round's contribution aggregation
+      //     is already clustered on its grouping key and plans as a
+      //     single no-exchange stage;
+      //   - the rank vector is kept SPARSE (receiving nodes only): a
+      //     node with no inbound contribution has rank exactly
+      //     `teleport` (s = 0), so the per-round zeros-union + marker
+      //     aggregation disappears — rounds 2+ read the previous sparse
+      //     vector broadcast with `coalesce(rank, teleport)`, and round
+      //     1 inlines the uniform `init` rank with no join at all;
+      //   - one final broadcast left-join against the out-degree node
+      //     set restores the dense result (the oracle's
+      //     `ids LEFT JOIN c_i` shape). Values are identical integer
+      //     arithmetic throughout — the regime-equality spec pins this
+      //     against the giant path.
+      val ed = e.repartition(col("dst"))
+        .join(broadcast(deg), "src").persist()
+      var rs = ed.select(col("dst").as("id"),
+          expr(s"${init}L div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+        .select(col("id"),
+          (lit(teleport) + expr("(85 * s) div 100")).as("rank"))
+      for (i <- 2 to iters) {
+        rs = rs.localCheckpoint()
+        val rv = broadcast(rs)
+        rs = ed
+          .join(rv, ed("src") === rv("id"), "left")
+          .select(ed("dst").as("id"),
+            expr(s"coalesce(rank, ${teleport}L) div deg").as("c"))
+          .groupBy("id").agg(sum(col("c")).as("s"))
+          .select(col("id"),
+            (lit(teleport) + expr("(85 * s) div 100")).as("rank"))
+      }
+      val rsF = broadcast(rs.localCheckpoint())
+      return deg.select(col("src").as("id"))
+        .join(rsF, Seq("id"), "left")
+        .select(col("id"), coalesce(col("rank"), lit(teleport)).as("rank"))
+    }
+    val ed = e.repartition(col("src")).join(deg, "src").persist()
     val zeros = deg.select(col("src").as("id"), lit(0L).as("c"),
       lit(1).as("m"))
     var r = deg.select(col("src").as("id"), lit(init).as("rank"))
-    if (compact) r = r.localCheckpoint()
     for (i <- 1 to iters) {
-      val rv = if (compact) broadcast(r) else r
       r = ed
-        .join(rv, ed("src") === rv("id"))
+        .join(r, ed("src") === r("id"))
         .select(ed("dst").as("id"), expr("rank div deg").as("c"),
           lit(0).as("m"))
         .unionAll(zeros) // non-receiving nodes keep a row without a join
@@ -109,8 +157,7 @@ object GraphOps {
         .where(col("m") === 1) // rank only the out-degree node set
         .select(col("id"),
           (lit(teleport) + expr("(85 * s) div 100")).as("rank"))
-      if (compact && i < iters) r = r.localCheckpoint()
-      else if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         r = r.localCheckpoint()
     }
     r
@@ -167,6 +214,28 @@ object GraphOps {
         else e0.select(col("dst")).distinct().count()
       nV <= broadcastMaxNodes
     }
+    if (compact) {
+      // COMPACT regime: per round, broadcast only the FRONTIER — the
+      // nodes first reached in the previous round (`dist == i-1`) —
+      // into the edge join instead of the whole reach (r14, guide §2.3
+      // shuffle/broadcast fewer bytes). Identical minima: a node
+      // settled at round j < i-1 already propagated dist+1 in round
+      // j+1, so re-propagating it can never improve a minimum (BFS
+      // layering). A full-outer reach-merge restructure was measured
+      // SLOWER here (2.36s vs 1.59s at sf0.1/32c — the per-round reach
+      // exchange + merge sorts cost more than the union regroup saves),
+      // so the union+min shape stays.
+      var d = sources.toDF("id").select(col("id"), lit(0L).as("dist"))
+        .localCheckpoint()
+      for (i <- 1 to maxHops) {
+        val dv = broadcast(d.filter(col("dist") === lit(i - 1L)))
+        val prop = e0.join(dv, e0("src") === dv("id"))
+          .select(e0("dst").as("id"), (dv("dist") + 1L).as("dist"))
+        d = d.unionAll(prop).groupBy("id").agg(min(col("dist")).as("dist"))
+        if (i < maxHops) d = d.localCheckpoint()
+      }
+      return d
+    }
     // GIANT graphs: re-cache the edge list hash-partitioned on src so the
     // per-round shuffle join never re-exchanges it (see [[pageRank]]'s
     // note — the cached partitioning is visible to the planner). The
@@ -175,20 +244,17 @@ object GraphOps {
     // cache's build pays (and when the sizing job was skipped via
     // `broadcastMaxNodes = 0` / `nodeCountHint`, the caller's edge
     // derivation still runs exactly once).
-    val e = if (compact) e0 else {
+    val e = {
       val p = e0.repartition(col("src")).persist()
       e0.unpersist()
       p
     }
     var d = sources.toDF("id").select(col("id"), lit(0L).as("dist"))
-    if (compact) d = d.localCheckpoint()
     for (i <- 1 to maxHops) {
-      val dv = if (compact) broadcast(d) else d
-      val prop = e.join(dv, e("src") === dv("id"))
-        .select(e("dst").as("id"), (dv("dist") + 1L).as("dist"))
+      val prop = e.join(d, e("src") === d("id"))
+        .select(e("dst").as("id"), (d("dist") + 1L).as("dist"))
       d = d.unionAll(prop).groupBy("id").agg(min(col("dist")).as("dist"))
-      if (compact && i < maxHops) d = d.localCheckpoint()
-      else if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < maxHops)
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < maxHops)
         d = d.localCheckpoint()
     }
     d
