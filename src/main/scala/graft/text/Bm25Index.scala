@@ -58,11 +58,40 @@ final class Bm25Index(spark: SparkSession, path: String) {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val postings = withDl
+    // r14: range-cluster the batch by term before the keyed upsert
+    // (guide §6 — partition/sort on write decides what readers can
+    // skip): the grouped batch arrives HASH-partitioned, so every
+    // written file would span the whole term range and the per-file
+    // term min/max+bloom stats exclude nothing until maintain()
+    // re-stripes. Range-clustered, each commit writes few
+    // term-contiguous stripes (the write path's clusterCols sort makes
+    // each file's range tight) and query-term probes prune
+    // freshly-ingested files too. The stripe count derives from the
+    // batch's MEASURED cached bytes over the scan split size — one
+    // stripe locally, input-proportional at corpus scale (AQE cannot
+    // size this: explicit repartitions are exempt from its coalescing).
+    // The materializing count is work the upsert's file-prune pass paid
+    // anyway; it now fills the cache that pass reuses.
+    withDl.count()
+    val stripes: Int = {
+      val target =
+        try spark.sessionState.conf.filesMaxPartitionBytes
+        catch { case scala.util.control.NonFatal(_) => 128L * 1024 * 1024 }
+      val bytes =
+        try withDl.queryExecution.optimizedPlan.stats.sizeInBytes
+        catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
+      if (bytes < 0 || !bytes.isValidLong) 0
+      else math.min(1 << 20,
+        math.max(1L, (bytes.toLong + target - 1) / target)).toInt
+    }
+    val grouped = withDl
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .select("term", "doc_id", "tf", "dl")
+    val postings =
+      if (stripes > 0) grouped.repartitionByRange(stripes, col("term"))
+      else grouped.repartitionByRange(col("term"))
     val pt = postingsTable()
     if (pt.exists) pt.upsert(postings) else pt.bulkInsert(postings)
     val dl = withDl.select("doc_id", "dl")
