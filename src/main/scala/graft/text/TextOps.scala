@@ -208,7 +208,13 @@ object TextOps {
     * of the prefix-filtered exact join. Pure projection, no shuffle.
     */
   private def shingleHashSets(docs: DataFrame, n: Int): DataFrame =
-    graft.util.ScanPar(docs, col("doc_id")) // see docShingles (r13)
+    // ScanPar measured and REJECTED here (r14 ABBA, 2 samples/arm at
+    // sf0.1/32c: ON 1.73/1.74s vs OFF 1.58/1.59s for ngram_jaccard_pairs,
+    // this frame's only consumer): the row's cost is the post-shuffle
+    // prefix self-join, and the added exchange only delays it. This
+    // adjudicates the r13 driver regression (0.78x) as a real, small
+    // cost — now removed.
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(shingles(col("toks"), n)).as("sh"))
       .select(col("doc_id"), array_sort(array_distinct(
