@@ -32,6 +32,13 @@ object Multimodal {
   // serial until this). The heap cache is strictly better for our
   // byte-array payloads; executors load this object lazily, so the knob is
   // set exactly once per JVM before any codec call.
+  // NOTE (r13 ADVICE): setUseCache is a PROCESS-GLOBAL ImageIO switch —
+  // any other code in the same JVM that decodes via ImageIO (e.g. user
+  // UDFs reading large images from disk streams) will now buffer those
+  // streams fully on heap instead of a temp file. For this engine's
+  // byte-array payloads that is strictly better; embedders that also
+  // stream multi-GB images through ImageIO should scope their own reads
+  // via an explicit FileCacheImageInputStream.
   javax.imageio.ImageIO.setUseCache(false)
 
   /** javax.sound's `AudioSystem` entry points funnel EVERY call through

@@ -2135,7 +2135,16 @@ class CowTable(
             }
           })
       }
-      futs.map(_.get()).toMap
+      // failure semantics match the old serial loop (r13 ADVICE): the
+      // worker's own exception propagates (not the ExecutionException
+      // wrapper), and remaining queued sidecar writes are cancelled so
+      // an aborting commit doesn't keep publishing orphan .bloom files
+      try futs.map(_.get()).toMap
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          pool.shutdownNow()
+          throw Option(e.getCause).getOrElse(e)
+      }
     } finally pool.shutdown()
   }
 
@@ -2808,7 +2817,9 @@ class CowTable(
           .getOrElse(sfx, None).map(w -> _)
       }
       if (matched.exists(_.isEmpty) || p.stats.size != want.size) None
-      else if (sys.env.contains("GRAFT_TRACE_MERGE")) {
+      else {
+        // single build shared by the traced and untraced paths (r13
+        // ADVICE: the duplicated call invited drift under future edits)
         val t0 = System.nanoTime()
         val r = Some(buildFileStats(
           matched.iterator.flatten.filter(_._2.numRows > 0L).map {
@@ -2817,17 +2828,11 @@ class CowTable(
                 s.statMaxs, s.numRows, s.colBloomBytes)
           },
           p.liveStats, p.bloomColNames))
-        System.err.println(f"[mctrace] stats-build    " +
-          f"${(System.nanoTime() - t0) / 1e9}%.2fs files=${want.size}")
+        if (sys.env.contains("GRAFT_TRACE_MERGE"))
+          System.err.println(f"[mctrace] stats-build    " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2fs files=${want.size}")
         r
       }
-      else Some(buildFileStats(
-        matched.iterator.flatten.filter(_._2.numRows > 0L).map {
-          case (w, s) =>
-            (w, s.keyMin, s.keyMax, s.bloomBytes, s.statMins,
-              s.statMaxs, s.numRows, s.colBloomBytes)
-        },
-        p.liveStats, p.bloomColNames))
     }
   }
 

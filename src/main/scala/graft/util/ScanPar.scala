@@ -34,13 +34,32 @@ import org.apache.spark.sql.{Column, DataFrame}
   * downstream.
   */
 object ScanPar {
+  /** Per-path length cache: the gate runs at query CONSTRUCTION time, so
+    * repeated construction of the same operator (bench reps, shared
+    * operator helpers) would otherwise issue a fresh getFileStatus RPC
+    * per input file each time (r13 ADVICE). Commit-addressed data files
+    * are immutable-by-path here, so a cached length never goes stale for
+    * the gate's purpose (a heuristic split estimate). Bounded: cleared
+    * wholesale past 4096 entries.
+    */
+  private val lenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** A silently-disabled floor is undiagnosable (r13 ADVICE): when the
+    * gate skips on an exception, say so once per site at debug level.
+    */
+  private def skipped(where: String, e: Throwable): Unit =
+    if (sys.env.contains("GRAFT_TRACE_MERGE"))
+      System.err.println(
+        s"[scanpar] gate skipped ($where): ${e.getClass.getSimpleName}")
+
   def apply(df: DataFrame, keys: Column*): DataFrame = {
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     if (cores <= 1) return df
     val files =
       try df.inputFiles
-      catch { case NonFatal(_) => return df }
+      catch { case NonFatal(e) => skipped("inputFiles", e); return df }
     if (files.isEmpty || files.length >= cores) return df
     val maxSplit =
       try spark.sessionState.conf.filesMaxPartitionBytes
@@ -48,12 +67,15 @@ object ScanPar {
     val splits =
       try {
         val conf = spark.sparkContext.hadoopConfiguration
+        if (lenCache.size > 4096) lenCache.clear()
         files.iterator.map { f =>
-          val p = new Path(f)
-          val len = p.getFileSystem(conf).getFileStatus(p).getLen
+          val len: Long = lenCache.computeIfAbsent(f, { _ =>
+            val p = new Path(f)
+            p.getFileSystem(conf).getFileStatus(p).getLen
+          })
           math.max(1L, (len + maxSplit - 1) / maxSplit)
         }.sum
-      } catch { case NonFatal(_) => return df }
+      } catch { case NonFatal(e) => skipped("fileStatus", e); return df }
     if (splits >= cores) df
     else if (keys.nonEmpty) df.repartition(cores, keys: _*)
     else df.repartition(cores)

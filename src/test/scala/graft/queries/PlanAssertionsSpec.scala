@@ -65,6 +65,16 @@ class PlanAssertionsSpec extends SparkSpec {
     // (r13). Pin both that the exchange exists here and that it is the
     // only one — a second exchange would mean the scrub started shuffling
     // its output.
+    // Assert the gate's PRECONDITION first (r13 ADVICE): the expectation
+    // below holds only while the fixture corpus cannot split to this
+    // session's core count. If the fixture is ever regenerated
+    // multi-file (or the suite master changes), this fails HERE with the
+    // real cause instead of flipping the exchange-count pin.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cores = spark.sparkContext.defaultParallelism
+    assume(docs.inputFiles.length < cores,
+      s"fixture precondition: ${docs.inputFiles.length} input file(s) " +
+        s"must be fewer than $cores cores for the ScanPar gate to fire")
     val p = plan("pii_scrub")
     assert(p.linesIterator.count(_.contains("Exchange")) == 1 &&
       p.contains("hashpartitioning(doc_id"),
