@@ -27,9 +27,15 @@ object ScaleSweepProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    // SPARK_GRAFT_CPUS parameterizes the core count (default 32) so the
+    // sweep can also produce 8-vs-32-core scaling evidence at the
+    // inflated size — the big leg reads multi-file temp parquet, so the
+    // ScanPar gate passes through and parallel speedups are measurable
+    // (the r13 scaling block showed sf0.1 alone cannot evidence them).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
